@@ -1,0 +1,181 @@
+"""CDC core: change-event model → raw staging table → normalize.
+
+Reference model (studied, not copied):
+- record kinds Insert/Update/Delete/Relation/Message: flow/model/record.go:9-179
+- raw staging schema: flow/connectors/postgres/client.go:32-35 —
+  `_peerdb_uid, _peerdb_timestamp, _peerdb_destination_table_name, _peerdb_data,
+  _peerdb_record_type (0=insert,1=update,2=delete), _peerdb_match_data,
+  _peerdb_batch_id, _peerdb_unchanged_toast_columns`
+- sync = append changelog batch to raw with a batch id; normalize = merge a
+  raw batch-id range into destination tables
+  (flow/activities/flowable_core.go:693-770).
+
+The raw table is parquet partitioned by `_peerdb_batch_id`: normalize's
+batch-range read prunes to exactly the new partitions, and retention/cleanup
+is a partition drop — both O(batch), independent of table history size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from peerdb_spark import normalize as N
+from peerdb_spark.storage import ParquetTable
+
+# Input changelog schema (FIXTURES.md F3)
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("_kind", T.StringType()),
+        T.StructField("_checkpoint_id", T.LongType()),
+        T.StructField("_commit_ts", T.TimestampType()),
+        T.StructField("_txid", T.LongType()),
+        T.StructField("_src_table", T.StringType()),
+        T.StructField("_dst_table", T.StringType()),
+        T.StructField("_data", T.StringType()),
+        T.StructField("_old_data", T.StringType()),
+        T.StructField("_unchanged_cols", T.ArrayType(T.StringType())),
+    ]
+)
+
+RAW_UID = "_peerdb_uid"
+RAW_TS = "_peerdb_timestamp"
+RAW_DST = "_peerdb_destination_table_name"
+RAW_DATA = "_peerdb_data"
+RAW_TYPE = "_peerdb_record_type"
+RAW_MATCH = "_peerdb_match_data"
+RAW_BATCH = "_peerdb_batch_id"
+RAW_UNCHANGED = "_peerdb_unchanged_toast_columns"
+
+
+def changelog_to_raw(changelog: DataFrame, batch_id: int) -> DataFrame:
+    """Map a changelog batch to raw-staging rows (ref: client.go:32-35).
+
+    All expressions are JVM built-ins (uuid, to_json-free since _data is
+    already a JSON string) — whole-stage-codegen friendly, no Python.
+    """
+    return changelog.select(
+        F.expr("uuid()").alias(RAW_UID),
+        F.unix_micros(F.col("_commit_ts")).alias(RAW_TS),
+        F.col("_dst_table").alias(RAW_DST),
+        F.col("_data").alias(RAW_DATA),
+        N.kind_code("_kind").alias(RAW_TYPE),
+        F.col("_old_data").alias(RAW_MATCH),
+        F.lit(batch_id).alias(RAW_BATCH),
+        F.concat_ws(",", F.col("_unchanged_cols")).alias(RAW_UNCHANGED),
+        F.col("_checkpoint_id").alias("_peerdb_checkpoint_id"),
+    )
+
+
+class RawTable:
+    """Append-only raw staging table, parquet partitioned by batch id."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def append(self, changelog: DataFrame, batch_id: int) -> None:
+        changelog_to_raw(changelog, batch_id).write.mode("append").partitionBy(
+            RAW_BATCH
+        ).parquet(self.path)
+
+    def read_batches(self, start_batch: int, end_batch: int) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        # partition-pruned: RAW_BATCH is a directory partition column
+        return df.where(F.col(RAW_BATCH).between(start_batch, end_batch))
+
+    def raw_to_changelog(self, raw: DataFrame, value_schema: T.StructType) -> DataFrame:
+        """Typed change rows from raw JSON payloads (from_json, JVM-side)."""
+        parsed = raw.select(
+            F.when(F.col(RAW_TYPE) == N.KIND_INSERT, F.lit("insert"))
+            .when(F.col(RAW_TYPE) == N.KIND_UPDATE, F.lit("update"))
+            .otherwise(F.lit("delete"))
+            .alias(N.COL_KIND),
+            F.col("_peerdb_checkpoint_id").alias(N.COL_CHECKPOINT),
+            F.timestamp_micros(F.col(RAW_TS)).alias(N.COL_COMMIT_TS),
+            F.col(RAW_DST).alias(N.COL_DST),
+            F.from_json(
+                # deletes carry the row image in match_data
+                F.when(F.col(RAW_TYPE) == N.KIND_DELETE, F.col(RAW_MATCH)).otherwise(
+                    F.col(RAW_DATA)
+                ),
+                value_schema,
+            ).alias("_v"),
+            F.when(F.col(RAW_UNCHANGED) == "", F.array().cast("array<string>"))
+            .otherwise(F.split(F.col(RAW_UNCHANGED), ","))
+            .alias(N.COL_UNCHANGED),
+        )
+        return parsed.select(
+            N.COL_KIND, N.COL_CHECKPOINT, N.COL_COMMIT_TS, N.COL_DST, N.COL_UNCHANGED,
+            "_v.*",
+        )
+
+
+@dataclass
+class CdcTableConfig:
+    dst_table: str
+    pk_cols: list[str]
+    value_schema: T.StructType
+    path: str
+    n_buckets: int = 16
+    soft_delete_col: str | None = None
+    synced_at_col: str | None = None
+    exclude: list[str] = field(default_factory=list)
+
+
+class CdcPipeline:
+    """Batch-mode CDC: sync (changelog→raw) then normalize (raw→destinations).
+
+    Multiplexes one raw stream to many destination tables via
+    `_peerdb_destination_table_name` (ref: SURVEY §1.1-5). The streaming
+    wrapper (streaming.py) drives this from foreachBatch.
+    """
+
+    def __init__(self, spark: SparkSession, raw_path: str, tables: list[CdcTableConfig]):
+        self.spark = spark
+        self.raw = RawTable(spark, raw_path)
+        self.tables = {t.dst_table: t for t in tables}
+
+    def sync_batch(self, changelog: DataFrame, batch_id: int) -> None:
+        self.raw.append(changelog, batch_id)
+
+    def normalize_batches(self, start_batch: int, end_batch: int) -> None:
+        raw = self.raw.read_batches(start_batch, end_batch)
+        # distinct destination tables in this batch range
+        # (ref: flow/connectors/postgres/client.go:52-53)
+        dsts = [r[0] for r in raw.select(RAW_DST).distinct().collect()]
+        for dst in dsts:
+            cfg = self.tables.get(dst)
+            if cfg is None:
+                continue
+            sub = raw.where(F.col(RAW_DST) == dst)
+            changes = self.raw.raw_to_changelog(sub, cfg.value_schema)
+            if cfg.exclude:
+                changes = changes.drop(*cfg.exclude)
+            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+            N.merge_into_table(
+                table,
+                changes,
+                soft_delete_col=cfg.soft_delete_col,
+                synced_at_col=cfg.synced_at_col,
+            )
+
+    def record_counts(self, start_batch: int, end_batch: int) -> DataFrame:
+        """Per-table insert/update/delete counts (ref: flow/model/record.go:70-147)."""
+        return (
+            self.raw.read_batches(start_batch, end_batch)
+            .groupBy(RAW_DST, RAW_TYPE)
+            .count()
+        )
+
+    def unchanged_toast_sets(self, start_batch: int, end_batch: int) -> DataFrame:
+        """ARRAY_AGG(DISTINCT unchanged_toast_columns) GROUP BY dst
+        (ref: flow/connectors/postgres/client.go:54-56)."""
+        return (
+            self.raw.read_batches(start_batch, end_batch)
+            .groupBy(RAW_DST)
+            .agg(F.sort_array(F.collect_set(RAW_UNCHANGED)).alias("toast_sets"))
+        )

@@ -1,0 +1,227 @@
+"""Normalize: last-writer-wins dedup + merge of change batches into destination
+tables — the heart of the engine.
+
+Reference semantics reproduced (studied, not copied):
+- rank-dedup of the raw batch: `RANK() OVER (PARTITION BY pk ORDER BY
+  _peerdb_timestamp DESC) = 1` — flow/connectors/postgres/client.go:57-81.
+  We add the checkpoint id to the ordering for a deterministic tiebreak when
+  commit timestamps collide within a batch (SURVEY §7 risk list).
+- MERGE branches — flow/connectors/postgres/normalize_stmt_generator.go:148-278:
+  WHEN NOT MATCHED AND type != delete → INSERT;
+  WHEN MATCHED AND type = delete → DELETE (hard) or soft-delete UPDATE;
+  WHEN MATCHED otherwise → UPDATE.
+- TOAST backfill: the reference generates one UPDATE branch per observed
+  unchanged-column combination (normalize_stmt_generator.go:280+). Spark
+  expresses the same semantics in a single branch with a per-column
+  `array_contains(_unchanged_cols, col) ? dest.col : src.col` — no
+  combinatorial SQL, same result.
+- soft delete / synced-at columns: normalize_stmt_generator.go:127-135,219-237;
+  insert-after-delete resurrection falls out of last-writer-wins ordering.
+- lazy mode (ClickHouse ReplacingMergeTree analogue): dedup-on-read view over
+  the append-only raw stream — flow/connectors/clickhouse/normalize_query.go:
+  112-397 (version = _peerdb_timestamp, is_deleted = intDiv(record_type, 2)).
+
+Scale notes: the dedup window and the merge join both hash-shuffle on the
+primary key — one exchange each, reused (same key). When the destination is a
+bucketed ParquetTable the merge joins bucket-pruned destination data against
+the batch; AQE handles skewed pks. Record-kind codes: 0=insert, 1=update,
+2=delete (ref: flow/connectors/postgres/client.go:34 _peerdb_record_type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from peerdb_spark.storage import BUCKET_COL, ParquetTable, bucket_expr
+
+KIND_INSERT, KIND_UPDATE, KIND_DELETE = 0, 1, 2
+
+# canonical changelog column names (FIXTURES.md F3 / SURVEY §1.1-1)
+COL_KIND = "_kind"  # 'insert' | 'update' | 'delete'
+COL_CHECKPOINT = "_checkpoint_id"
+COL_COMMIT_TS = "_commit_ts"
+COL_TXID = "_txid"
+COL_DST = "_dst_table"
+COL_UNCHANGED = "_unchanged_cols"
+
+META_COLS = [COL_KIND, COL_CHECKPOINT, COL_COMMIT_TS, COL_TXID, COL_DST, COL_UNCHANGED]
+
+
+def kind_code(col=COL_KIND):
+    """String kind → numeric record type (0/1/2)."""
+    return (
+        F.when(F.col(col) == "insert", F.lit(KIND_INSERT))
+        .when(F.col(col) == "update", F.lit(KIND_UPDATE))
+        .otherwise(F.lit(KIND_DELETE))
+    )
+
+
+def latest_changes(
+    changes: DataFrame,
+    pk_cols: list[str],
+    ts_col: str = COL_COMMIT_TS,
+    checkpoint_col: str = COL_CHECKPOINT,
+) -> DataFrame:
+    """Last-writer-wins dedup: keep the newest change per primary key.
+
+    Window partitioned by pk, ordered by (commit_ts DESC, checkpoint DESC) —
+    the checkpoint tiebreak makes same-timestamp batches deterministic.
+    One hash exchange on pk; map-side no pre-agg possible for row_number, but
+    the same partitioning is reused by the downstream merge join.
+    """
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(ts_col).desc(), F.col(checkpoint_col).desc())
+    return changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def merge_changes(
+    dest: DataFrame | None,
+    changes: DataFrame,
+    pk_cols: list[str],
+    data_cols: list[str] | None = None,
+    soft_delete_col: str | None = None,
+    synced_at_col: str | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Merge a change batch into a destination DataFrame, returning new state.
+
+    `changes` carries pk cols + data cols + changelog meta cols. `dest` may be
+    None (bootstrap). Equivalent of the generated MERGE (see module doc).
+    """
+    if data_cols is None:
+        data_cols = [c for c in changes.columns if c not in META_COLS and c not in pk_cols]
+    data_cols = [c for c in data_cols if c not in (soft_delete_col, synced_at_col)]
+    if dedup:
+        changes = latest_changes(changes, pk_cols)
+
+    has_unchanged = COL_UNCHANGED in changes.columns
+    src = changes.select(
+        *pk_cols,
+        *data_cols,
+        kind_code().alias("_rtype"),
+        *( [F.col(COL_UNCHANGED)] if has_unchanged else [] ),
+    )
+
+    if dest is None:
+        out = src.where(F.col("_rtype") != KIND_DELETE).drop("_rtype", *(
+            [COL_UNCHANGED] if has_unchanged else []
+        ))
+        return _with_meta_cols(out, deleted=F.lit(False), soft_delete_col=soft_delete_col,
+                               synced_at_col=synced_at_col)
+
+    dest_cols = [c for c in dest.columns if c not in pk_cols]
+    # Explicit presence markers: full-outer-join nulls are ambiguous when data
+    # columns are legitimately NULL.
+    d2 = dest.withColumn("_in_dest", F.lit(True)).alias("d")
+    s2 = src.withColumn("_in_src", F.lit(True)).alias("s")
+    joined = d2.join(s2, on=pk_cols, how="full_outer")
+    in_dest = F.col("_in_dest").isNotNull()
+    in_src = F.col("_in_src").isNotNull()
+    is_delete = in_src & (F.col("s._rtype") == KIND_DELETE)
+
+    def value_of(c: str):
+        src_val = F.col(f"s.{c}")
+        if has_unchanged:
+            # TOAST-unchanged column: keep destination value
+            # (ref: coalesce replaces per-combination MERGE branches)
+            src_val = F.when(
+                F.col(f"s.{COL_UNCHANGED}").isNotNull()
+                & F.array_contains(F.col(f"s.{COL_UNCHANGED}"), F.lit(c))
+                & in_dest,
+                F.col(f"d.{c}") if c in dest_cols else F.lit(None),
+            ).otherwise(F.col(f"s.{c}"))
+        if c in dest_cols:
+            return F.when(in_src & ~is_delete, src_val).otherwise(F.col(f"d.{c}"))
+        return F.when(in_src & ~is_delete, src_val).otherwise(F.lit(None))
+
+    select_cols = [*[F.col(c) for c in pk_cols],
+                   *[value_of(c).alias(c) for c in data_cols]]
+
+    if soft_delete_col:
+        prev_deleted = (
+            F.coalesce(F.col(f"d.{soft_delete_col}"), F.lit(False))
+            if soft_delete_col in dest_cols
+            else F.lit(False)
+        )
+        deleted = F.when(is_delete, F.lit(True)).when(in_src, F.lit(False)).otherwise(prev_deleted)
+        select_cols.append(deleted.alias(soft_delete_col))
+        # soft delete keeps matched rows as tombstones; a delete for an unseen
+        # key is still a no-op (WHEN NOT MATCHED AND type=delete has no branch)
+        keep = in_dest | ~is_delete
+    else:
+        # hard delete: matched deletes drop the row; unmatched deletes no-op
+        keep = ~is_delete
+
+    if synced_at_col:
+        prev_sync = F.col(f"d.{synced_at_col}") if synced_at_col in dest_cols else F.lit(None)
+        select_cols.append(
+            F.when(in_src, F.current_timestamp()).otherwise(prev_sync).alias(synced_at_col)
+        )
+
+    return joined.where(keep).select(*select_cols)
+
+
+def _with_meta_cols(df: DataFrame, deleted, soft_delete_col, synced_at_col) -> DataFrame:
+    if soft_delete_col:
+        df = df.withColumn(soft_delete_col, deleted)
+    if synced_at_col:
+        df = df.withColumn(synced_at_col, F.current_timestamp())
+    return df
+
+
+def merge_into_table(
+    table: ParquetTable,
+    changes: DataFrame,
+    data_cols: list[str] | None = None,
+    soft_delete_col: str | None = None,
+    synced_at_col: str | None = None,
+) -> None:
+    """Merge a change batch into a bucketed ParquetTable, rewriting only the
+    pk-hash buckets the batch touches (see storage.py module doc for the
+    scale rationale)."""
+    pk = table.pk_cols
+    deduped = latest_changes(changes, pk)
+    if not table.exists:
+        boot = merge_changes(None, deduped, pk, data_cols, soft_delete_col, synced_at_col,
+                             dedup=False)
+        table.overwrite(boot)
+        return
+    if table.n_buckets:
+        deduped = deduped.withColumn(BUCKET_COL, bucket_expr(pk, table.n_buckets))
+        # distinct buckets touched: tiny driver-side list (≤ n_buckets ints)
+        buckets = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]
+        dest = table.read_buckets(buckets).drop(BUCKET_COL)
+        merged = merge_changes(dest, deduped.drop(BUCKET_COL), pk, data_cols,
+                               soft_delete_col, synced_at_col, dedup=False)
+        merged = merged.withColumn(BUCKET_COL, bucket_expr(pk, table.n_buckets))
+        table.replace_partitions(merged, buckets)
+    else:
+        dest = table.read()
+        merged = merge_changes(dest, deduped, pk, data_cols, soft_delete_col, synced_at_col,
+                               dedup=False)
+        table.overwrite(merged)
+
+
+def rmt_latest_view(
+    appended: DataFrame,
+    pk_cols: list[str],
+    version_col: str = COL_COMMIT_TS,
+    tiebreak_col: str = COL_CHECKPOINT,
+    is_deleted=None,
+) -> DataFrame:
+    """Lazy normalize — ReplacingMergeTree(version, is_deleted) semantics as a
+    dedup-on-read view over an append-only change table
+    (ref: flow/connectors/clickhouse/normalize_query.go:327-332 + normalize.go:88-130).
+
+    Latest version per pk wins; rows whose winning version is a delete vanish.
+    """
+    if is_deleted is None:
+        is_deleted = F.col(COL_KIND) == "delete"
+    w = Window.partitionBy(*pk_cols).orderBy(
+        F.col(version_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        appended.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & ~is_deleted)
+        .drop("_rn")
+    )

@@ -1,0 +1,164 @@
+"""Peers / mirrors metadata registry.
+
+The reference stores peer connection configs and mirror (flow) configs as
+serialized protobuf in a Postgres catalog (nexus/catalog/src/lib.rs,
+flow/connectors/core.go:372-560 LoadPeer*). Here a peer is a named data
+location (parquet/delta/jdbc path + options) and a mirror is a named job
+config; both persist as JSON under a catalog directory so runs are resumable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+
+@dataclass
+class Peer:
+    """A named data endpoint. kind: 'parquet' | 'delta' | 'jdbc' | 'memory'."""
+
+    name: str
+    kind: str = "parquet"
+    path: str = ""
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class TableMapping:
+    """Source→destination table mapping with per-column settings.
+
+    Mirrors TableMapping/ColumnSetting in the reference proto
+    (protos/flow.proto: exclude / ColumnSetting{SourceName, DestinationName,
+    DestinationType, NullableEnabled}).
+    """
+
+    source_table: str
+    destination_table: str
+    exclude: list[str] = field(default_factory=list)
+    renames: dict[str, str] = field(default_factory=dict)  # src col -> dst col
+    type_overrides: dict[str, str] = field(default_factory=dict)  # dst col -> spark ddl type
+    primary_keys: list[str] = field(default_factory=list)
+
+
+@dataclass
+class MirrorConfig:
+    """A replication job: CDC or QRep (ref: FlowConnectionConfigs / QRepConfig)."""
+
+    name: str
+    kind: str  # 'cdc' | 'qrep'
+    source_peer: str = ""
+    destination_peer: str = ""
+    table_mappings: list[TableMapping] = field(default_factory=list)
+    # QRep options (ref: protos/flow.proto QRepConfig)
+    query: str = ""
+    watermark_table: str = ""
+    watermark_column: str = ""
+    write_mode: str = "append"  # append | upsert | overwrite
+    upsert_key_columns: list[str] = field(default_factory=list)
+    num_rows_per_partition: int = 250_000  # ref default, deep-dive-design-document.md:944
+    max_parallel_workers: int = 8  # ref default, deep-dive-design-document.md:945
+    partition_strategy: str = "minmax"  # minmax | ntile | full
+    # CDC options
+    max_batch_size: int = 250_000  # ref default, deep-dive-design-document.md:942
+    idle_timeout_seconds: int = 60  # ref default, deep-dive-design-document.md:943
+    soft_delete_col_name: str = ""
+    synced_at_col_name: str = ""
+
+
+class Catalog:
+    """Tiny JSON-file catalog of peers, mirrors, partition state and offsets.
+
+    Single-driver semantics (like the reference's single catalog Postgres);
+    state volume is O(mirrors + partitions), never O(data), so a driver-side
+    store is correct at any data scale.
+    """
+
+    def __init__(self, root: str | None = None):
+        self.root = root or os.path.join(tempfile.gettempdir(), "peerdb_spark_catalog")
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    def _write(self, rel: str, obj: Any) -> None:
+        p = self._path(rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, default=str)
+        os.replace(tmp, p)  # atomic publish
+
+    def _read(self, rel: str, default: Any = None) -> Any:
+        p = self._path(rel)
+        if not os.path.exists(p):
+            return default
+        with open(p) as f:
+            return json.load(f)
+
+    # ---- peers ----
+    def create_peer(self, peer: Peer) -> None:
+        self._write(f"peers/{peer.name}.json", asdict(peer))
+
+    def get_peer(self, name: str) -> Peer:
+        d = self._read(f"peers/{name}.json")
+        if d is None:
+            raise KeyError(f"no such peer: {name}")
+        return Peer(**d)
+
+    def drop_peer(self, name: str) -> None:
+        p = self._path(f"peers/{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def list_peers(self) -> list[str]:
+        d = self._path("peers")
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    # ---- mirrors ----
+    def create_mirror(self, cfg: MirrorConfig) -> None:
+        self._write(f"mirrors/{cfg.name}.json", asdict(cfg))
+
+    def get_mirror(self, name: str) -> MirrorConfig:
+        d = self._read(f"mirrors/{name}.json")
+        if d is None:
+            raise KeyError(f"no such mirror: {name}")
+        d["table_mappings"] = [TableMapping(**tm) for tm in d.get("table_mappings", [])]
+        return MirrorConfig(**d)
+
+    def drop_mirror(self, name: str) -> None:
+        p = self._path(f"mirrors/{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    # ---- QRep partition bookkeeping (idempotent re-runs) ----
+    # Ref: IsQRepPartitionSynced, flow/connectors/core.go:255-257.
+    def mark_partition_done(self, mirror: str, partition_id: str) -> None:
+        done = set(self._read(f"state/{mirror}/partitions.json", []))
+        done.add(partition_id)
+        self._write(f"state/{mirror}/partitions.json", sorted(done))
+
+    def is_partition_done(self, mirror: str, partition_id: str) -> bool:
+        return partition_id in set(self._read(f"state/{mirror}/partitions.json", []))
+
+    def done_partitions(self, mirror: str) -> set[str]:
+        return set(self._read(f"state/{mirror}/partitions.json", []))
+
+    # ---- watermark / offset state ----
+    def set_last_watermark(self, mirror: str, value: Any) -> None:
+        self._write(f"state/{mirror}/watermark.json", {"value": value})
+
+    def get_last_watermark(self, mirror: str) -> Any:
+        d = self._read(f"state/{mirror}/watermark.json")
+        return None if d is None else d["value"]
+
+    def set_batch_id(self, mirror: str, batch_id: int) -> None:
+        self._write(f"state/{mirror}/batch.json", {"batch_id": batch_id})
+
+    def get_batch_id(self, mirror: str) -> int:
+        d = self._read(f"state/{mirror}/batch.json")
+        return 0 if d is None else int(d["batch_id"])

@@ -1,0 +1,124 @@
+"""CDC pipeline: changelog → raw staging → normalize into destinations.
+
+Covers raw-table round trip (JSON payloads), batch-range pruning, multi-table
+fan-out, record counts and unchanged-TOAST aggregation (ref: SURVEY §2.1/2.2/2.5).
+"""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from peerdb_spark import cdc
+from peerdb_spark.storage import ParquetTable
+
+TS = dt.datetime(2024, 1, 1)
+
+VAL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("amt", T.DoubleType()),
+    ]
+)
+
+
+def _changelog(spark, rows):
+    """rows: (kind, ckpt, dst, payload_dict, old_dict, unchanged)"""
+    data = [
+        {
+            "_kind": k,
+            "_checkpoint_id": c,
+            "_commit_ts": TS + dt.timedelta(seconds=c),
+            "_txid": c // 2,
+            "_src_table": dst,
+            "_dst_table": dst,
+            "_data": json.dumps(d) if d else None,
+            "_old_data": json.dumps(o) if o else None,
+            "_unchanged_cols": u,
+        }
+        for (k, c, dst, d, o, u) in rows
+    ]
+    return spark.createDataFrame(data, cdc.CHANGELOG_SCHEMA)
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    cfgs = [
+        cdc.CdcTableConfig("t1", ["id"], VAL_SCHEMA, str(tmp_path / "t1"), n_buckets=4),
+        cdc.CdcTableConfig(
+            "t2", ["id"], VAL_SCHEMA, str(tmp_path / "t2"), n_buckets=4,
+            soft_delete_col="_peerdb_is_deleted", synced_at_col="_peerdb_synced_at",
+        ),
+    ]
+    return cdc.CdcPipeline(spark, str(tmp_path / "raw"), cfgs)
+
+
+def test_cdc_end_to_end_multiplexed(spark, pipeline):
+    b1 = _changelog(
+        spark,
+        [
+            ("insert", 1, "t1", {"id": 1, "val": "a", "amt": 1.5}, None, None),
+            ("insert", 2, "t1", {"id": 2, "val": "b", "amt": 2.5}, None, None),
+            ("insert", 3, "t2", {"id": 1, "val": "x", "amt": 9.0}, None, None),
+        ],
+    )
+    pipeline.sync_batch(b1, batch_id=1)
+    pipeline.normalize_batches(1, 1)
+    t1 = ParquetTable(spark, pipeline.tables["t1"].path, ["id"], 4).read()
+    assert {r["id"]: r["val"] for r in t1.collect()} == {1: "a", 2: "b"}
+
+    b2 = _changelog(
+        spark,
+        [
+            ("update", 4, "t1", {"id": 1, "val": "A", "amt": None}, None, ["amt"]),
+            ("delete", 5, "t1", None, {"id": 2, "val": "b", "amt": 2.5}, None),
+            ("delete", 6, "t2", None, {"id": 1, "val": "x", "amt": 9.0}, None),
+            ("insert", 7, "t2", {"id": 2, "val": "y", "amt": 3.0}, None, None),
+        ],
+    )
+    pipeline.sync_batch(b2, batch_id=2)
+    pipeline.normalize_batches(2, 2)
+
+    t1 = {r["id"]: r.asDict() for r in ParquetTable(spark, pipeline.tables["t1"].path, ["id"], 4).read().collect()}
+    assert set(t1) == {1}
+    assert t1[1]["val"] == "A" and t1[1]["amt"] == 1.5  # TOAST coalesce kept amt
+
+    t2 = {r["id"]: r.asDict() for r in ParquetTable(spark, pipeline.tables["t2"].path, ["id"], 4).read().collect()}
+    assert t2[1]["_peerdb_is_deleted"] is True  # soft-delete tombstone
+    assert t2[2]["val"] == "y" and t2[2]["_peerdb_is_deleted"] is False
+
+
+def test_record_counts_and_toast_sets(spark, pipeline):
+    b = _changelog(
+        spark,
+        [
+            ("insert", 1, "t1", {"id": 1, "val": "a", "amt": 1.0}, None, None),
+            ("update", 2, "t1", {"id": 1, "val": "b", "amt": None}, None, ["amt"]),
+            ("update", 3, "t1", {"id": 1, "val": "c", "amt": None}, None, ["amt", "val"]),
+            ("delete", 4, "t1", None, {"id": 1}, None),
+        ],
+    )
+    pipeline.sync_batch(b, batch_id=7)
+    counts = {
+        (r[cdc.RAW_DST], r[cdc.RAW_TYPE]): r["count"]
+        for r in pipeline.record_counts(7, 7).collect()
+    }
+    assert counts == {("t1", 0): 1, ("t1", 1): 2, ("t1", 2): 1}
+    toast = pipeline.unchanged_toast_sets(7, 7).collect()[0]["toast_sets"]
+    assert "amt" in toast and "amt,val" in toast
+
+
+def test_batch_range_pruning(spark, pipeline):
+    for i in (1, 2, 3):
+        pipeline.sync_batch(
+            _changelog(spark, [("insert", i, "t1", {"id": i, "val": str(i), "amt": 0.0}, None, None)]),
+            batch_id=i,
+        )
+    got = pipeline.raw.read_batches(2, 3)
+    assert got.count() == 2
+    # partition pruning visible in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_peerdb_batch_id" in plan

@@ -1,0 +1,145 @@
+"""Unit tests: last-writer-wins dedup + merge semantics.
+
+Workload patterns follow the reference e2e coverage (SURVEY §5 / FIXTURES F3):
+update-then-delete in one batch, delete-then-reinsert (resurrection), TOAST
+unchanged columns, multiple updates to one key, soft delete.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from peerdb_spark import normalize as N
+from peerdb_spark.storage import ParquetTable
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _chg(spark, rows):
+    """rows: (kind, ckpt, pk, val, unchanged_cols|None)"""
+    data = [
+        {
+            "_kind": k,
+            "_checkpoint_id": c,
+            "_commit_ts": TS + dt.timedelta(seconds=c),
+            "_txid": c,
+            "_dst_table": "t",
+            "_unchanged_cols": u,
+            "id": pk,
+            "val": v,
+        }
+        for (k, c, pk, v, u) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "id long, val string, _kind string, _checkpoint_id long, _commit_ts timestamp, "
+        "_txid long, _dst_table string, _unchanged_cols array<string>",
+    )
+
+
+def _state(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+def test_latest_changes_picks_newest(spark):
+    chg = _chg(spark, [("insert", 1, 1, "a", None), ("update", 2, 1, "b", None),
+                       ("update", 3, 1, "c", None)])
+    out = N.latest_changes(chg, ["id"]).collect()
+    assert len(out) == 1 and out[0]["val"] == "c"
+
+
+def test_latest_changes_tiebreak_checkpoint(spark):
+    # same commit_ts → checkpoint id decides (deterministic LWW)
+    rows = [
+        {"_kind": "update", "_checkpoint_id": c, "_commit_ts": TS, "_txid": c,
+         "_dst_table": "t", "_unchanged_cols": None, "id": 1, "val": v}
+        for c, v in [(5, "five"), (9, "nine"), (7, "seven")]
+    ]
+    chg = spark.createDataFrame(
+        rows,
+        "id long, val string, _kind string, _checkpoint_id long, _commit_ts timestamp, "
+        "_txid long, _dst_table string, _unchanged_cols array<string>",
+    )
+    out = N.latest_changes(chg, ["id"]).collect()
+    assert out[0]["val"] == "nine"
+
+
+def test_merge_insert_update_delete(spark):
+    dest = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "id long, val string")
+    chg = _chg(
+        spark,
+        [
+            ("update", 1, 1, "ONE", None),
+            ("delete", 2, 2, None, None),
+            ("insert", 3, 4, "four", None),
+            ("delete", 4, 99, None, None),  # delete of unseen key: no-op
+        ],
+    )
+    out = _state(N.merge_changes(dest, chg, ["id"]))
+    assert set(out) == {1, 3, 4}
+    assert out[1]["val"] == "ONE" and out[4]["val"] == "four"
+
+
+def test_merge_update_then_delete_same_key(spark):
+    dest = spark.createDataFrame([(1, "one")], "id long, val string")
+    chg = _chg(spark, [("update", 1, 1, "x", None), ("delete", 2, 1, None, None)])
+    assert _state(N.merge_changes(dest, chg, ["id"])) == {}
+
+
+def test_merge_delete_then_reinsert(spark):
+    dest = spark.createDataFrame([(1, "one")], "id long, val string")
+    chg = _chg(spark, [("delete", 1, 1, None, None), ("insert", 2, 1, "reborn", None)])
+    out = _state(N.merge_changes(dest, chg, ["id"]))
+    assert out[1]["val"] == "reborn"
+
+
+def test_merge_toast_unchanged_cols(spark):
+    dest = spark.createDataFrame([(1, "big-toast")], "id long, val string")
+    # update arrives with val unchanged (NULL payload + unchanged marker)
+    chg = _chg(spark, [("update", 1, 1, None, ["val"])])
+    out = _state(N.merge_changes(dest, chg, ["id"]))
+    assert out[1]["val"] == "big-toast"
+
+
+def test_merge_soft_delete_keeps_tombstone(spark):
+    dest = spark.createDataFrame([(1, "one"), (2, "two")], "id long, val string")
+    chg = _chg(spark, [("delete", 1, 1, None, None)])
+    out = _state(
+        N.merge_changes(dest, chg, ["id"], soft_delete_col="_deleted", synced_at_col="_synced")
+    )
+    assert out[1]["_deleted"] is True and out[1]["val"] == "one"
+    assert out[2]["_deleted"] is False
+    assert out[1]["_synced"] is not None and out[2]["_synced"] is None
+
+
+def test_merge_bootstrap_no_dest(spark):
+    chg = _chg(spark, [("insert", 1, 1, "a", None), ("delete", 2, 2, None, None)])
+    out = _state(N.merge_changes(None, chg, ["id"]))
+    assert set(out) == {1}
+
+
+def test_merge_into_bucketed_table(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "dst"), pk_cols=["id"], n_buckets=4)
+    chg1 = _chg(spark, [("insert", i, i, f"v{i}", None) for i in range(1, 11)])
+    N.merge_into_table(t, chg1)
+    assert t.read().count() == 10
+    chg2 = _chg(spark, [("update", 100, 3, "V3", None), ("delete", 101, 7, None, None)])
+    N.merge_into_table(t, chg2)
+    out = _state(t.read())
+    assert set(out) == set(range(1, 11)) - {7}
+    assert out[3]["val"] == "V3" and out[5]["val"] == "v5"
+
+
+def test_rmt_latest_view(spark):
+    chg = _chg(
+        spark,
+        [
+            ("insert", 1, 1, "a", None),
+            ("update", 2, 1, "b", None),
+            ("insert", 3, 2, "x", None),
+            ("delete", 4, 2, None, None),
+        ],
+    )
+    out = _state(N.rmt_latest_view(chg, ["id"]))
+    assert set(out) == {1} and out[1]["val"] == "b"

@@ -1,0 +1,61 @@
+"""Partitioner tests (ref semantics: flow/connectors/postgres/qrep_partition.go)."""
+
+from pyspark.sql import functions as F
+
+from peerdb_spark.partition import (
+    QRepPartition,
+    minmax_partitions,
+    ntile_partitions,
+    num_partitions,
+)
+
+
+def test_num_partitions():
+    assert num_partitions(0, 1000) == 1
+    assert num_partitions(1000, 1000) == 1
+    assert num_partitions(1001, 1000) == 2
+    assert num_partitions(60000, 250) == 240
+
+
+def test_minmax_partitions_cover_all_rows(spark, tables):
+    li = tables["lineitem"]
+    parts = minmax_partitions(li, "l_orderkey", rows_per_partition=1000)
+    assert len(parts) > 1
+    total = li.count()
+    covered = sum(
+        li.where(p.predicate("l_orderkey")).count() for p in parts
+    )
+    assert covered == total  # disjoint + complete
+    # ranges are disjoint
+    bounds = sorted((p.start, p.end) for p in parts)
+    for (s1, e1), (s2, _e2) in zip(bounds, bounds[1:]):
+        assert e1 < s2
+
+
+def test_minmax_timestamp_watermark(spark, tables):
+    od = tables["orders"]
+    parts = minmax_partitions(od, "o_orderdate", rows_per_partition=2000)
+    total = od.count()
+    covered = sum(od.where(p.predicate("o_orderdate")).count() for p in parts)
+    assert covered == total
+
+
+def test_ntile_partitions_balanced(spark, tables):
+    li = tables["lineitem"]
+    parts = ntile_partitions(li, "l_orderkey", 8, tiebreakers=["l_linenumber"])
+    assert len(parts) == 8
+    # NTILE buckets are balanced by construction; ranges may overlap at edges
+    # (shared watermark value across buckets) but union covers everything
+    total = li.count()
+    counts = [li.where(p.predicate("l_orderkey")).count() for p in parts]
+    assert all(c >= total // 8 for c in counts)
+
+
+def test_null_partition(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None)], "id long, wm long"
+    ).cache()
+    parts = minmax_partitions(df, "wm", rows_per_partition=100, add_null_partition=True)
+    nullp = [p for p in parts if p.is_null_partition]
+    assert len(nullp) == 1
+    assert df.where(nullp[0].predicate("wm")).count() == 2
