@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup: one hash-aggregate on a 60-bit content hash — map-side partial
+  aggregation, then a single shuffle of (hash, min_id) pairs, never the text.
+- MinHash/LSH: signatures are per-row (no shuffle); candidate generation
+  explodes rows into (band_hash) buckets and self-joins WITHIN buckets only —
+  the classic way to avoid the O(n²) cross join. Bucket skew (a degenerate
+  band value shared by millions of docs) is the known failure mode; AQE skew
+  join handles moderate cases and `max_bucket_size` drops degenerate buckets
+  explicitly (logged, like the reference drops oversized TOAST batches).
+- SimHash: per-row fingerprint from token-hash bit votes via explode+groupBy
+  (one shuffle of (doc_id, token_hash) longs) — at scale this is a narrow
+  long-pair shuffle with map-side combine.
+- n-gram Jaccard: exact pairwise similarity, but only over LSH candidates —
+  never all pairs.
+
+All hashes go through functions.hashing (DuckDB-reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.hashing import h64, h64_seeded
+from peerdb_spark.functions.text import char_kgrams, tokens
+
+DEFAULT_SHINGLE_K = 5
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows
+
+
+def content_hash(col: Column | str) -> Column:
+    """Exact-dedup content hash (normalized: trimmed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return h64(F.trim(c))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact content hash.
+
+    Returns (id, content_hash, group_size, is_kept). One hash shuffle of
+    narrow columns; the text never moves.
+    """
+    h = content_hash(text_col).alias("content_hash")
+    hashed = df.select(F.col(id_col), h)
+    agg = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        hashed.join(agg, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            "group_size",
+            (F.col(id_col) == F.col("keeper_id")).alias("is_kept"),
+        )
+    )
+
+
+def shingles(col: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct character k-gram shingle set."""
+    return F.array_distinct(char_kgrams(col, k))
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = DEFAULT_NUM_HASHES, k: int = DEFAULT_SHINGLE_K
+) -> Column:
+    """MinHash signature: for seed j, min over shingles of H_j(shingle).
+
+    array<long> of length num_hashes; NULL entries impossible for non-empty
+    shingle sets (empty text → empty array → NULL mins → caller filters).
+    Per-row computation only — scales linearly, no shuffle.
+    """
+    sh = shingles(col, k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: h64_seeded(s, j))) for j in range(num_hashes)]
+    )
+
+
+def minhash_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, k).alias("minhash")
+    ).where(F.size("minhash") > 0)
+
+
+def lsh_bands(sig_col: Column, bands: int = DEFAULT_BANDS, rows: int | None = None,
+              num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Band hashes: array<long>, one per band = H(band_idx:sig slice joined)."""
+    r = rows or num_hashes // bands
+    return F.array(
+        *[
+            h64(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[F.element_at(sig_col, b * r + i + 1).cast("string") for i in range(r)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard =
+    fraction of matching signature positions. Self-join happens per band
+    bucket; degenerate buckets larger than max_bucket_size are dropped
+    (they would square — the standard LSH skew guard).
+    """
+    sigs = minhash_df(df, text_col, id_col, num_hashes, k)
+    banded = sigs.select(
+        id_col, "minhash", F.posexplode(lsh_bands(F.col("minhash"), bands, None, num_hashes))
+    ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    # skew guard: drop degenerate buckets
+    sized = (
+        banded.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
+        )
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"), "band", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.size(F.col("mh_a"))
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint from whitespace-token hashes, bit-vote majority.
+
+    Returns (id, simhash). One explode + one groupBy(id) shuffle of
+    (id, token_hash) longs with map-side combine on the bit sums.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("th", h64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance via popcount of XOR (bit_count is a Spark builtin)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = DEFAULT_SHINGLE_K,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle hash.
+
+    |A∩B| via a self-join on shingle hash (narrow long column), set sizes from
+    a per-doc count, jaccard = common / (|A|+|B|-common). At scale the shared-
+    shingle join is the bottleneck — use minhash_lsh_pairs to pre-filter and
+    feed only candidates here; this operator is the exact-verify stage.
+    """
+    doc_sh = df.select(
+        F.col(id_col).alias("did"), F.explode(shingles(text_col, k)).alias("sh")
+    ).select("did", h64("sh").alias("shh")).distinct()
+    sizes = doc_sh.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    a = doc_sh.select(F.col("did").alias("id_a"), "shh")
+    b = doc_sh.select(F.col("did").alias("id_b"), "shh")
+    common = (
+        a.join(b, "shh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("did", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("did", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Broadcast the (small)
+  query set against the corpus — a broadcast-nested-loop with JVM-side
+  zip_with/aggregate arithmetic; no Python, no shuffle of the corpus.
+- LSH-bucketed ANN (random-hyperplane / SRP): the scale path. Each vector gets
+  a b-bit signature from sign(v·h_i) for deterministic pseudo-random
+  hyperplanes; candidates = same-bucket vectors, then exact cosine re-rank
+  within buckets. At 100 TB the corpus shuffles once by bucket key and each
+  query probes one bucket (+ optional multi-probe neighbors).
+- embedding-cosine near-dup: all corpus pairs above a cosine threshold within
+  LSH buckets.
+
+Determinism: hyperplane components derive from h64(seed:i:j), mapped to ±1 —
+reproducible in the DuckDB oracle without a shared RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.hashing import h64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double-precision dot product (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast(queries) ⨯ corpus → window rank.
+
+    Returns (query_id, rank, vec_id, score). Deterministic tiebreak on vec_id.
+    The corpus is scanned once; per-row work is O(|queries| · dim) in
+    codegen'd JVM arithmetic. For large query sets, chunk the queries or use
+    ann_lsh_topk.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
+def srp_hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[int]:
+    """Deterministic ±1 hyperplane components via the shared hash (driver-side
+    constants — folded into the plan as literals, reproducible in SQL)."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        hx = hashlib.md5(f"{seed}:{plane_idx}:{j}".encode()).hexdigest()[:15]
+        out.append(1 if int(hx, 16) & 1 else -1)
+    return out
+
+
+def srp_signature(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(v · h_i)."""
+    sig = F.lit(0)
+    for i in range(bits):
+        plane = srp_hyperplane(dim, i, seed)
+        # ±1 dot product as a sum of signed components — JVM arithmetic
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, h: x.cast("double") * h.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket join then exact cosine re-rank in-bucket.
+
+    Recall < 1 by design (bucket boundary losses); bits trades recall for
+    bucket size (2^bits buckets). The corpus-side signature is computed once
+    per row and the join is an equi-join on the bucket id — shuffle scales
+    with corpus size, probe cost with bucket occupancy, never |corpus|·|queries|.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), srp_signature(F.col(vec_col), dim, bits, seed).alias("_bkt")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        srp_signature(F.col(vec_col), dim, bits, seed).alias("_bkt"),
+    )
+    scored = c.join(F.broadcast(q), "_bkt").select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within SRP buckets (scale path:
+    near-dups almost always share all SRP bits)."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), srp_signature(F.col(vec_col), dim, bits, seed).alias("_bkt")
+    )
+    a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bkt")
+    b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bkt")
+    return (
+        a.join(b, "_bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,160 @@
+"""Text analysis operators: tokenization, token counting, quality scoring,
+language ID, document fingerprinting.
+
+All pure built-in pyspark.sql.functions — whole-stage codegen, no UDFs. Each
+has an exact ANSI-SQL oracle counterpart (see __spark_entry__.oracle_sql);
+regex patterns are restricted to the syntax subset Java regex and RE2 share.
+
+Scale: every operator is a narrow projection — one pass over the text column,
+no shuffle (fingerprinting aggregates per-row arrays, not across rows), so
+they all pipeline into whatever scan feeds them and parallelize embarrassingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.hashing import h64
+
+# token pattern shared with the oracle: whitespace-split words
+WS = r"\s+"
+# BPE-ish unit pattern: letter runs, single digits, single punctuation marks
+BPE_UNIT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT = r"[^A-Za-z0-9\s]"
+
+# tiny stopword lists for the n-gram/stopword language heuristic; ASCII-only
+# so Java-regex and RE2 tokenize identically
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "que"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+}
+# quality-score stopwords: generic English function words
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), WS)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_unit_count(col: Column | str) -> Column:
+    """Sub-word-ish unit count: letter runs + digits + punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_UNIT), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or QUALITY_STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length, punctuation, stopword and
+    token-shape signals (the standard pre-training quality-filter features).
+
+    score = 0.25·len_ok + 0.25·punct_ok + 0.25·stop_ok + 0.25·shape_ok, where
+    each component is a 0/1 gate — gates (not weights) keep the score exactly
+    reproducible in SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = (F.length(c) >= 50) & (F.length(c) <= 100_000)
+    punct_ok = punct_ratio(c) <= 0.2
+    stop_ok = stopword_ratio(c) >= 0.01
+    shape_ok = (mean_token_length(c) >= 2.0) & (mean_token_length(c) <= 12.0)
+    score = (
+        len_ok.cast("int") + punct_ok.cast("int") + stop_ok.cast("int") + shape_ok.cast("int")
+    ) / F.lit(4.0)
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(score)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts + CJK character count for zh."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    out: dict[str, Column] = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # zh: CJK Unified Ideographs presence (character count, weighted heavily)
+    out["zh"] = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) * 3
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language with deterministic alphabetical tiebreak; 'und' if no
+    signal. n-gram-heuristic class of detector (stopword + script evidence)."""
+    scores = lang_scores(col)
+    # build array<struct<score,negkey,lang>> and array_max for a deterministic
+    # argmax: max on (score, lang DESC alphabetical? ) — tiebreak: first
+    # alphabetically wins → compare (score, reversed-lang) and take max.
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"),
+                F.lit(-i).alias("prio"),  # earlier alphabetical → higher prio
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(scores))
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def char_kgrams(col: Column | str, k: int = 8) -> Column:
+    """All character k-grams of the text as an array (empty if len < k)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(c, i, k))
+    )
+
+
+def fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min over the k-gram hash sequence
+    (the winnowing family's global-min special case). Identical docs → equal
+    fingerprints; near-identical docs collide with high probability."""
+    grams = char_kgrams(col, k)
+    hashes = F.transform(grams, lambda g: h64(g))
+    return F.array_min(hashes)
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All features in one narrow pass (the 'document featurizer' operator)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_unit_count(c).alias("n_units"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

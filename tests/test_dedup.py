@@ -1,0 +1,67 @@
+"""Dedup family tests: exact, minhash+LSH, simhash, n-gram jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, "completely unrelated text about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning parquet files and buckets"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    out = {r["doc_id"]: r.asDict() for r in D.exact_dedup(docs_with_dups, "text", "doc_id").collect()}
+    assert out[1]["is_kept"] and not out[2]["is_kept"]
+    assert out[1]["content_hash"] == out[2]["content_hash"]
+    assert out[1]["group_size"] == 2
+    assert out[3]["is_kept"] and out[3]["group_size"] == 1
+
+
+def test_minhash_similarity_ordering(spark, docs_with_dups):
+    sigs = {r["doc_id"]: r["minhash"] for r in D.minhash_df(docs_with_dups, "text", "doc_id").collect()}
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / len(sigs[a])
+    assert est(1, 2) == 1.0  # identical
+    assert est(1, 3) > est(1, 4)  # near-dup beats unrelated
+
+
+def test_minhash_lsh_pairs_finds_dups(spark, docs_with_dups):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in D.minhash_lsh_pairs(
+        docs_with_dups, "text", "doc_id").collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near-dup lands in a shared band
+    assert (1, 4) not in pairs  # unrelated doc does not
+
+
+def test_simhash_near_dup_distance(spark, docs_with_dups):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs_with_dups, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]
+    d13 = bin(fp[1] ^ fp[3]).count("1")
+    d14 = bin(fp[1] ^ fp[4]).count("1")
+    assert d13 < d14  # near-dup is closer in hamming space
+
+
+def test_ngram_jaccard(spark, docs_with_dups):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(
+        docs_with_dups, "text", "doc_id", min_jaccard=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] > 0.7
+    assert pairs.get((1, 4), 0.0) < 0.2
+
+
+def test_exact_dedup_scales_on_documents(spark, tables):
+    docs = tables["documents"]
+    out = D.exact_dedup(docs, "text", "doc_id")
+    kept = out.where("is_kept").count()
+    assert 0 < kept <= docs.count()
