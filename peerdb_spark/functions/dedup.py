@@ -23,12 +23,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from peerdb_spark.functions import ensure_parallelism
 from peerdb_spark.functions.hashing import h64, h64_seeded
-from peerdb_spark.functions.text import char_kgrams, tokens
+from peerdb_spark.functions.text import char_kgrams, tokens, word_ngrams
 
-DEFAULT_SHINGLE_K = 5
+DEFAULT_SHINGLE_N = 3  # word n-gram shingles
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows
+
+# Universal-hash MinHash: one md5 per shingle, then per-seed
+# mh_j = (h·a_j + b_j) mod P — integer arithmetic, exact in any engine.
+# P = 2^31 - 1 keeps products under 2^62 (no int64 overflow).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int = DEFAULT_NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) universal-hash coefficients (md5-derived,
+    driver-side constants — identical in the SQL oracle)."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a-{seed}-{j}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh-b-{seed}-{j}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def content_hash(col: Column | str) -> Column:
@@ -59,24 +78,42 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(col: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
-    """Distinct character k-gram shingle set."""
-    return F.array_distinct(char_kgrams(col, k))
+def shingles(col: Column | str, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Distinct word n-gram shingle set."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def minhash_signature(
-    col: Column | str, num_hashes: int = DEFAULT_NUM_HASHES, k: int = DEFAULT_SHINGLE_K
+    col: Column | str, num_hashes: int = DEFAULT_NUM_HASHES, n: int = DEFAULT_SHINGLE_N
 ) -> Column:
-    """MinHash signature: for seed j, min over shingles of H_j(shingle).
+    """MinHash signature via universal hashing: mh_j = min_s (h(s)·a_j+b_j mod P).
 
-    array<long> of length num_hashes; NULL entries impossible for non-empty
-    shingle sets (empty text → empty array → NULL mins → caller filters).
-    Per-row computation only — scales linearly, no shuffle.
+    One md5 per shingle (the expensive part), then num_hashes cheap integer
+    mixes — 16× less hashing than seeded-md5 MinHash. array<long> of length
+    num_hashes; empty shingle set → NULL mins → caller filters. Per-row
+    computation only — scales linearly, no shuffle.
     """
-    sh = shingles(col, k)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s: h64_seeded(s, j))) for j in range(num_hashes)]
+    base = F.transform(shingles(col, n), lambda s: h64(s) % MINHASH_P)
+    # Single-pass fold keeping all num_hashes running minima. Naively emitting
+    # num_hashes separate array_min(transform(base, ...)) expressions makes
+    # Catalyst inline `base` into each one — the md5 per shingle would run
+    # num_hashes times. The fold hashes each shingle exactly once.
+    consts = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in minhash_params(num_hashes)
+        ]
     )
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (h * c["a"] + c["b"]) % MINHASH_P)
+        ),
+    )
+    # empty shingle set leaves the sentinel P in every slot → callers filter
+    return sig
 
 
 def minhash_df(
@@ -84,11 +121,12 @@ def minhash_df(
     text_col: str,
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
-    k: int = DEFAULT_SHINGLE_K,
+    n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, k).alias("minhash")
-    ).where(F.size("minhash") > 0)
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, n).alias("minhash")
+    ).where(F.element_at("minhash", 1) < MINHASH_P)  # sentinel = empty shingle set
 
 
 def lsh_bands(sig_col: Column, bands: int = DEFAULT_BANDS, rows: int | None = None,
@@ -115,7 +153,7 @@ def minhash_lsh_pairs(
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
-    k: int = DEFAULT_SHINGLE_K,
+    n: int = DEFAULT_SHINGLE_N,
     max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
@@ -125,7 +163,7 @@ def minhash_lsh_pairs(
     bucket; degenerate buckets larger than max_bucket_size are dropped
     (they would square — the standard LSH skew guard).
     """
-    sigs = minhash_df(df, text_col, id_col, num_hashes, k)
+    sigs = minhash_df(df, text_col, id_col, num_hashes, n)
     banded = sigs.select(
         id_col, "minhash", F.posexplode(lsh_bands(F.col("minhash"), bands, None, num_hashes))
     ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -166,7 +204,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     Returns (id, simhash). One explode + one groupBy(id) shuffle of
     (id, token_hash) longs with map-side combine on the bit sums.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    tok = src.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tok = tok.withColumn("th", h64("tok"))
     votes = [
         F.sum(
@@ -191,7 +230,7 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    k: int = DEFAULT_SHINGLE_K,
+    n: int = DEFAULT_SHINGLE_N,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle hash.
@@ -201,8 +240,9 @@ def ngram_jaccard_pairs(
     shingle join is the bottleneck — use minhash_lsh_pairs to pre-filter and
     feed only candidates here; this operator is the exact-verify stage.
     """
-    doc_sh = df.select(
-        F.col(id_col).alias("did"), F.explode(shingles(text_col, k)).alias("sh")
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    doc_sh = src.select(
+        F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("sh")
     ).select("did", h64("sh").alias("shh")).distinct()
     sizes = doc_sh.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
     a = doc_sh.select(F.col("did").alias("id_a"), "shh")

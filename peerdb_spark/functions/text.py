@@ -127,6 +127,17 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams (space-joined token windows); empty array if < n tokens."""
+    toks = tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+    )
+
+
 def char_kgrams(col: Column | str, k: int = 8) -> Column:
     """All character k-grams of the text as an array (empty if len < k)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -147,6 +158,9 @@ def fingerprint(col: Column | str, k: int = 8) -> Column:
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All features in one narrow pass (the 'document featurizer' operator)."""
+    from peerdb_spark.functions import ensure_parallelism
+
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     return df.select(
         "*",

@@ -1,0 +1,959 @@
+"""Declared query inventory: every operator from SURVEY §2 (+ the LLM-pipeline
+set) as a (spark, sf_dir) -> DataFrame callable with a matching DuckDB oracle.
+
+Conventions that keep the DuckDB hash-compare exact:
+- outputs prefer ints/strings/dates; doubles appear only where both engines
+  compute bit-identical IEEE results (pass-through values, int/int division)
+- every computed column is aliased identically in Spark and SQL
+- orderings used inside window functions are made total (unique tiebreak cols)
+- hashes go through functions.hashing (md5-based, engine-portable)
+- synthetic CDC changelogs are deterministic column transforms of the driver
+  tables, defined identically here and in the oracle SQL
+
+The changelog derivations:
+- lineitem changelog: pk=l_orderkey; checkpoint=l_linenumber; commit order =
+  (l_shipdate, l_linenumber); kind: linenumber 1=insert, %4==0 → delete,
+  else update. Base relation for merges = the linenumber-1 rows.
+- events changelog: pk=user_id; checkpoint=event_id (monotone, total);
+  kind: signup→insert, error→delete, else update.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from peerdb_spark import normalize as N
+from peerdb_spark.functions import dedup as DD
+from peerdb_spark.functions import text as TX
+from peerdb_spark.functions.hashing import h64, h64_seeded, h64_sql, h64_seeded_sql
+from peerdb_spark.partition import ntile_partition_ranges
+from peerdb_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, names or None)
+    return [tabs[n] for n in names]
+
+
+def lineitem_changelog(li: DataFrame) -> DataFrame:
+    """Deterministic changelog from lineitem.
+
+    The synthetic lineitem has no unique small key (duplicate
+    (l_orderkey, l_linenumber) pairs exist), so the checkpoint id is a 60-bit
+    row hash over integer-ized columns — unique at every SF (verified), and
+    exactly reproducible in DuckDB. Ordering (cts, ck) is total within a pk.
+    Kinds derive from the hash: %4==0 → delete, %7==0 → insert, else update.
+    """
+    ck = h64(
+        F.concat_ws(
+            ",",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.round(F.col("l_extendedprice") * 100).cast("long"),
+        )
+    )
+    return li.select(
+        F.col("l_orderkey").alias("pk"),
+        ck.alias("ck"),
+        F.col("l_shipdate").alias("cts"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    ).withColumn(
+        "kind",
+        F.when(F.col("ck") % 4 == 0, "delete")
+        .when(F.col("ck") % 7 == 0, "insert")
+        .otherwise("update"),
+    )
+
+
+_CK_SQL = h64_sql(
+    "concat_ws(',', l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+    " CAST(round(l_extendedprice*100) AS BIGINT))"
+)
+
+LINEITEM_CHANGELOG_SQL = f"""
+SELECT l_orderkey AS pk, {_CK_SQL} AS ck, l_shipdate AS cts,
+       CASE WHEN {_CK_SQL} % 4 = 0 THEN 'delete'
+            WHEN {_CK_SQL} % 7 = 0 THEN 'insert'
+            ELSE 'update' END AS kind,
+       l_quantity AS qty, l_extendedprice AS price, l_returnflag AS flag
+FROM lineitem
+"""
+
+# base = the chronologically-first change per pk; changes = the rest.
+# rn over a total order (cts, ck) splits them identically in both engines.
+_RANKED_SQL = f"""
+SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts, ck) AS seq
+FROM ({LINEITEM_CHANGELOG_SQL})
+"""
+
+BASE_SQL = f"SELECT pk, qty, price, flag FROM ({_RANKED_SQL}) WHERE seq = 1"
+CHANGES_SQL = f"SELECT pk, ck, cts, kind, qty, price, flag FROM ({_RANKED_SQL}) WHERE seq > 1"
+
+
+def _ranked(li: DataFrame) -> DataFrame:
+    w = Window.partitionBy("pk").orderBy("cts", "ck")
+    return lineitem_changelog(li).withColumn("seq", F.row_number().over(w))
+
+
+def lineitem_base(li: DataFrame) -> DataFrame:
+    return _ranked(li).where(F.col("seq") == 1).select("pk", "qty", "price", "flag")
+
+
+def lineitem_changes(li: DataFrame) -> DataFrame:
+    return _ranked(li).where(F.col("seq") > 1).select(
+        "pk", "ck", "cts", "kind", "qty", "price", "flag"
+    )
+
+
+def events_changelog(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("ck"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("kind"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+EVENTS_CHANGELOG_SQL = """
+SELECT user_id AS pk, event_id AS ck,
+       CASE event_type WHEN 'signup' THEN 'insert'
+                       WHEN 'error' THEN 'delete'
+                       ELSE 'update' END AS kind,
+       event_type, value
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / QRep partitioning
+# ---------------------------------------------------------------------------
+
+
+def q_qrep_watermark_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-range partition pull (QRep query template semantics)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    start, end = lo + (hi - lo) // 4, lo + (3 * (hi - lo)) // 4
+    return li.where(F.col("l_orderkey").between(start, end)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+SQL_QREP_WATERMARK_RANGE = """
+WITH b AS (SELECT min(l_orderkey) lo, max(l_orderkey) hi FROM lineitem)
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem, b
+WHERE l_orderkey BETWEEN b.lo + (b.hi - b.lo) // 4 AND b.lo + (3 * (b.hi - b.lo)) // 4
+"""
+
+
+def q_qrep_minmax_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform min/max range split computed as a relation (1000 rows/part)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    )
+    agg = agg.withColumn("np", F.expr("CAST((n + 999) DIV 1000 AS INT)")).withColumn(
+        "step", F.expr("CAST((hi - lo + np) DIV np AS BIGINT)")
+    )
+    parts = agg.select(
+        F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("i"), "lo", "hi", "step"
+    )
+    return parts.select(
+        F.col("i").cast("int").alias("part_idx"),
+        (F.col("lo") + F.col("i") * F.col("step")).alias("range_start"),
+        F.least(F.col("lo") + (F.col("i") + 1) * F.col("step") - 1, F.col("hi")).alias(
+            "range_end"
+        ),
+    ).where(F.col("range_start") <= F.col("hi"))
+
+
+SQL_QREP_MINMAX_PLAN = """
+WITH s AS (
+  SELECT count(*) n, min(l_orderkey) lo, max(l_orderkey) hi FROM lineitem
+), p AS (
+  SELECT CAST((n + 999) // 1000 AS INT) np, lo, hi,
+         CAST((hi - lo + (n + 999) // 1000) // ((n + 999) // 1000) AS BIGINT) step
+  FROM s
+)
+SELECT CAST(i AS INT) AS part_idx,
+       lo + i * step AS range_start,
+       least(lo + (i + 1) * step - 1, hi) AS range_end
+FROM p, unnest(range(0, np)) t(i)
+WHERE lo + i * step <= hi
+"""
+
+
+def q_qrep_ntile_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE-balanced partition ranges (ref: qrep_partition.go:38-79)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = ntile_partition_ranges(li, "l_orderkey", 8, tiebreakers=["l_linenumber"])
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("start").alias("range_start"),
+        F.col("end").alias("range_end"),
+        F.col("cnt").alias("cnt"),
+    )
+
+
+SQL_QREP_NTILE = """
+SELECT CAST(bucket AS INT) AS bucket, min(l_orderkey) AS range_start,
+       max(l_orderkey) AS range_end, count(*) AS cnt
+FROM (
+  SELECT l_orderkey,
+         ntile(8) OVER (ORDER BY l_orderkey, l_linenumber) AS bucket
+  FROM lineitem
+)
+GROUP BY bucket
+"""
+
+
+def q_catalog_distinct_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct destination tables in a batch (ref: client.go:52-53)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        events_changelog(ev)
+        .select(F.concat(F.lit("dst_"), F.col("event_type")).alias("dst_table"))
+        .distinct()
+    )
+
+
+SQL_CATALOG_DISTINCT_DST = """
+SELECT DISTINCT concat('dst_', event_type) AS dst_table FROM events
+"""
+
+
+def q_has_new_rows_maxwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetMaxValue + has-new-rows poll as one relation."""
+    (od,) = _t(spark, sf_dir, "orders")
+    mid = od.agg(((F.min("o_orderkey") + F.max("o_orderkey")) / 2).cast("long")).collect()[0][0]
+    return od.agg(
+        F.max("o_orderkey").alias("max_wm"),
+        (F.count(F.when(F.col("o_orderkey") > mid, 1)) > 0).alias("has_new_rows"),
+    )
+
+
+SQL_HAS_NEW_ROWS = """
+WITH m AS (SELECT CAST((min(o_orderkey) + max(o_orderkey)) / 2 AS BIGINT) mid FROM orders)
+SELECT max(o_orderkey) AS max_wm,
+       count(CASE WHEN o_orderkey > (SELECT mid FROM m) THEN 1 END) > 0 AS has_new_rows
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# §2.5/2.6 dedup + merge/normalize
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins rank dedup (ref: client.go:57-81 RANK()=1 CTE)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    chg = lineitem_changelog(li)
+    return N.latest_changes(chg, ["pk"], ts_col="cts", checkpoint_col="ck").select(
+        "pk", "ck", "kind", "qty", "price", "flag"
+    )
+
+
+SQL_CDC_LWW_DEDUP = f"""
+WITH chg AS ({LINEITEM_CHANGELOG_SQL})
+SELECT pk, ck, kind, qty, price, flag FROM (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts DESC, ck DESC) rn
+  FROM chg
+) WHERE rn = 1
+"""
+
+
+def q_cdc_normalize_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full eager merge: base + changelog → final state (hard deletes)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = lineitem_base(li)
+    chg = lineitem_changes(li).select(
+        "pk", "qty", "price", "flag",
+        F.col("kind").alias(N.COL_KIND),
+        F.col("ck").alias(N.COL_CHECKPOINT),
+        F.col("cts").alias(N.COL_COMMIT_TS),
+    )
+    return N.merge_changes(base, chg, ["pk"]).select("pk", "qty", "price", "flag")
+
+
+SQL_CDC_NORMALIZE_MERGE = f"""
+WITH base AS ({BASE_SQL}),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts DESC, ck DESC) rn
+    FROM ({CHANGES_SQL})
+  ) WHERE rn = 1
+)
+SELECT b.pk, b.qty, b.price, b.flag
+FROM base b WHERE b.pk NOT IN (SELECT pk FROM last)
+UNION ALL
+SELECT l.pk, l.qty, l.price, l.flag
+FROM last l WHERE l.kind <> 'delete'
+"""
+
+
+def q_cdc_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge with soft-delete tombstones (ref: normalize_stmt_generator.go:127-135)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = lineitem_base(li)
+    chg = lineitem_changes(li).select(
+        "pk", "qty", "price", "flag",
+        F.col("kind").alias(N.COL_KIND),
+        F.col("ck").alias(N.COL_CHECKPOINT),
+        F.col("cts").alias(N.COL_COMMIT_TS),
+    )
+    out = N.merge_changes(base, chg, ["pk"], soft_delete_col="_peerdb_is_deleted")
+    return out.select("pk", "qty", "price", "flag", "_peerdb_is_deleted")
+
+
+SQL_CDC_SOFT_DELETE = f"""
+WITH base AS ({BASE_SQL}),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts DESC, ck DESC) rn
+    FROM ({CHANGES_SQL})
+  ) WHERE rn = 1
+)
+SELECT b.pk, b.qty, b.price, b.flag, FALSE AS _peerdb_is_deleted
+FROM base b WHERE b.pk NOT IN (SELECT pk FROM last)
+UNION ALL
+SELECT coalesce(b.pk, l.pk) AS pk,
+       CASE WHEN l.kind = 'delete' THEN b.qty ELSE l.qty END AS qty,
+       CASE WHEN l.kind = 'delete' THEN b.price ELSE l.price END AS price,
+       CASE WHEN l.kind = 'delete' THEN b.flag ELSE l.flag END AS flag,
+       l.kind = 'delete' AS _peerdb_is_deleted
+FROM last l LEFT JOIN base b USING (pk)
+WHERE l.kind <> 'delete' OR b.pk IS NOT NULL
+"""
+
+
+def q_cdc_toast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOAST-unchanged column backfill: updates arrive with price NULLed and
+    marked unchanged; merge must keep the destination value."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = lineitem_base(li)
+    raw = lineitem_changes(li)
+    chg = raw.select(
+        "pk",
+        "qty",
+        F.when(F.col("ck") % 3 == 0, F.lit(None)).otherwise(F.col("price")).alias("price"),
+        "flag",
+        F.col("kind").alias(N.COL_KIND),
+        F.col("ck").alias(N.COL_CHECKPOINT),
+        F.col("cts").alias(N.COL_COMMIT_TS),
+        F.when(F.col("ck") % 3 == 0, F.array(F.lit("price")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias(N.COL_UNCHANGED),
+    )
+    return N.merge_changes(base, chg, ["pk"]).select("pk", "qty", "price", "flag")
+
+
+SQL_CDC_TOAST_COALESCE = f"""
+WITH chg AS (
+  SELECT pk, ck, cts, kind, qty,
+         CASE WHEN ck % 3 = 0 THEN NULL ELSE price END AS price,
+         flag,
+         ck % 3 = 0 AS price_unchanged
+  FROM ({CHANGES_SQL})
+),
+base AS ({BASE_SQL}),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts DESC, ck DESC) rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT b.pk, b.qty, b.price, b.flag
+FROM base b WHERE b.pk NOT IN (SELECT pk FROM last)
+UNION ALL
+SELECT l.pk, l.qty,
+       CASE WHEN l.price_unchanged AND b.pk IS NOT NULL THEN b.price ELSE l.price END AS price,
+       l.flag
+FROM last l LEFT JOIN base b USING (pk)
+WHERE l.kind <> 'delete'
+"""
+
+
+def q_cdc_rmt_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy ReplacingMergeTree-style dedup-on-read over the events stream
+    (ref: clickhouse normalize_query.go:327-332)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    chg = events_changelog(ev)
+    out = N.rmt_latest_view(
+        chg, ["pk"], version_col="ck", tiebreak_col="ck", is_deleted=F.col("kind") == "delete"
+    )
+    return out.select("pk", "ck", "event_type", "value")
+
+
+SQL_CDC_RMT_VIEW = f"""
+WITH chg AS ({EVENTS_CHANGELOG_SQL})
+SELECT pk, ck, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ck DESC) rn FROM chg
+) WHERE rn = 1 AND kind <> 'delete'
+"""
+
+
+def q_cdc_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind record counts (ref: record.go:70-147 PopulateCountMap)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        events_changelog(ev)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+SQL_CDC_RECORD_COUNTS = f"""
+WITH chg AS ({EVENTS_CHANGELOG_SQL})
+SELECT kind, count(*) AS n_records FROM chg GROUP BY kind
+"""
+
+
+def q_cdc_unchanged_toast_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG(DISTINCT unchanged-cols) per destination (ref: client.go:54-56)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    chg = lineitem_changelog(li).withColumn(
+        "unchanged",
+        F.when(F.col("ck") % 3 == 0, F.lit("price"))
+        .when(F.col("ck") % 5 == 0, F.lit("price,qty"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        chg.withColumn("dst_table", F.concat(F.lit("dst_"), F.col("flag")))
+        .groupBy("dst_table")
+        .agg(F.array_join(F.sort_array(F.collect_set("unchanged")), "|").alias("toast_sets"))
+    )
+
+
+SQL_CDC_UNCHANGED_TOAST = f"""
+WITH chg AS (
+  SELECT *, CASE WHEN ck % 3 = 0 THEN 'price'
+                 WHEN ck % 5 = 0 THEN 'price,qty'
+                 ELSE '' END AS unchanged
+  FROM ({LINEITEM_CHANGELOG_SQL})
+)
+SELECT concat('dst_', flag) AS dst_table,
+       string_agg(DISTINCT unchanged, '|' ORDER BY unchanged) AS toast_sets
+FROM chg GROUP BY concat('dst_', flag)
+"""
+
+# ---------------------------------------------------------------------------
+# §2.3 scalar transforms / §2.11 functions
+# ---------------------------------------------------------------------------
+
+
+def q_date_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-range date clamping (ref: normalize_query.go:81-110), fed by
+    synthetic out-of-range dates."""
+    from peerdb_spark.types import clamp_date
+
+    (od,) = _t(spark, sf_dir, "orders")
+    shifted = od.select(
+        "o_orderkey",
+        F.add_months(
+            F.to_date("o_orderdate"), ((F.col("o_orderkey") % 400) - 200) * 12
+        ).alias("d"),
+    )
+    return shifted.select(
+        "o_orderkey", clamp_date(F.col("d")).alias("clamped_date")
+    )
+
+
+SQL_DATE_CLAMP = """
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) + to_months(CAST(((o_orderkey % 400) - 200) * 12 AS INT)) AS DATE) AS d
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN d < DATE '1900-01-01' THEN DATE '1900-01-01'
+            WHEN d > DATE '2299-12-31' THEN DATE '2299-12-31'
+            ELSE d END AS clamped_date
+FROM s
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (ref: JSONExtract / ->> in generated SQL)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n,
+       count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION → UNION DISTINCT rewrite semantics (ref: peer-bigquery/src/ast.rs)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    a = od.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = od.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def q_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-through SQL surface: TPC-H-Q1-shaped aggregate with exact decimal
+    sums (order-independent → hash-safe)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PASSTHROUGH_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_passthrough_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-through join: orders↔customer↔nation with broadcast dims."""
+    od, cu, na = _t(spark, sf_dir, "orders", "customer", "nation")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+SQL_PASSTHROUGH_JOIN = """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH h AS (SELECT doc_id, {h64_sql("trim(text)")} AS content_hash FROM documents),
+g AS (SELECT content_hash, min(doc_id) keeper_id, count(*) group_size
+      FROM h GROUP BY content_hash)
+SELECT h.doc_id, h.content_hash, g.group_size, h.doc_id = g.keeper_id AS is_kept
+FROM h JOIN g USING (content_hash)
+"""
+
+_N = DD.DEFAULT_SHINGLE_N
+_P = DD.MINHASH_P
+
+# word-trigram shingle CTE: toks → windows → distinct, base hash mod P
+_GRAMS_SQL = f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+  FROM documents WHERE len(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - {_N} + 2),
+                               i -> array_to_string(tk[i:i+{_N - 1}], ' '))) AS g
+  FROM toks WHERE len(tk) >= {_N}
+)"""
+
+
+def _minhash_sig_sql() -> str:
+    """CTE producing sigs(doc_id, j, mh) — universal-hash MinHash:
+    mh_j = min over shingles of (h(g)·a_j + b_j) mod P, h = h64(g) mod P."""
+    params = DD.minhash_params()
+    rows = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, (a, b) in enumerate(params))
+    return f"""{_GRAMS_SQL},
+hg AS (SELECT doc_id, {h64_sql("g")} % {_P} AS h FROM grams),
+coef(j, a, b) AS (VALUES {rows}),
+sigs AS (
+  SELECT doc_id, j, min((h * a + b) % {_P}) AS mh
+  FROM hg, coef GROUP BY doc_id, j
+)"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, unnested to (doc_id, seed, minhash) rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_df(docs, "text", "doc_id")
+    return sig.select(
+        "doc_id", F.posexplode("minhash")
+    ).select(
+        "doc_id", F.col("pos").cast("int").alias("seed"), F.col("col").alias("minhash")
+    )
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+WITH {_minhash_sig_sql()}
+SELECT doc_id, CAST(j AS INT) AS seed, mh AS minhash FROM sigs
+"""
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "text", "doc_id")
+
+
+_R = DD.DEFAULT_NUM_HASHES // DD.DEFAULT_BANDS
+SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
+WITH {_minhash_sig_sql()},
+bands AS (
+  SELECT doc_id, j // {_R} AS band,
+         {h64_sql(f"concat(j // {_R}, ',', string_agg(mh::VARCHAR, ',' ORDER BY j))")} AS band_hash
+  FROM sigs GROUP BY doc_id, j // {_R}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       (SELECT count(*) FROM sigs x JOIN sigs y ON x.j = y.j AND x.mh = y.mh
+        WHERE x.doc_id = c.id_a AND y.doc_id = c.id_b) / {DD.DEFAULT_NUM_HASHES}.0
+        AS est_jaccard
+FROM cand c
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    combine = " + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE len(trim(text)) > 0
+),
+hashed AS (SELECT doc_id, {h64_sql("tok")} AS th FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.simhash(docs, "text", "doc_id")
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.05)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_GRAMS_SQL},
+gh AS (SELECT doc_id AS did, {h64_sql("g")} AS shh FROM grams),
+sizes AS (SELECT did, count(*) set_size FROM gh GROUP BY did),
+common AS (
+  SELECT a.did id_a, b.did id_b, count(*) common
+  FROM gh a JOIN gh b ON a.shh = b.shh AND a.did < b.did
+  GROUP BY a.did, b.did
+)
+SELECT id_a, id_b,
+       common / (sa.set_size + sb.set_size - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.did = id_a
+JOIN sizes sb ON sb.did = id_b
+WHERE common / (sa.set_size + sb.set_size - common) >= 0.05
+"""
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        TX.bpe_unit_count(c).alias("n_units"),
+        TX.fingerprint(c).alias("fingerprint"),
+        TX.lang_id(c).alias("lang_pred"),
+        TX.quality_score(c).alias("quality"),
+    )
+
+
+def _lang_scores_sql(textexpr: str = "text") -> dict[str, str]:
+    out = {}
+    for lang, words in TX.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        out[lang] = (
+            f"len(list_filter(string_split_regex(trim(lower({textexpr})), '\\s+'),"
+            f" t -> list_contains([{lst}], t)))"
+        )
+    out["zh"] = f"len(regexp_replace({textexpr}, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 3"
+    return out
+
+
+def _lang_id_sql(textexpr: str = "text") -> str:
+    s = _lang_scores_sql(textexpr)
+    langs = sorted(s)
+    g = "greatest(" + ", ".join(s[l] for l in langs) + ")"
+    cases = " ".join(f"WHEN {s[l]} = g THEN '{l}'" for l in langs)
+    return f"(SELECT CASE WHEN g <= 0 THEN 'und' {cases} END FROM (SELECT {g} AS g))"
+
+
+SQL_TEXT_FEATURES = f"""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_units,
+       (SELECT min({h64_sql("substr(text, i, 8)")})
+        FROM unnest(range(1, len(text) - 8 + 2)) t(i)) AS fingerprint,
+       {_lang_id_sql("text")} AS lang_pred,
+       CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE (
+         (CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+       + (CASE WHEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               <= 0.2 * len(text) THEN 1 ELSE 0 END)
+       + (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+               >= 0.01 * len(string_split_regex(trim(text), '\\s+')) THEN 1 ELSE 0 END)
+       + (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> len(t)))
+               BETWEEN 2.0 * len(string_split_regex(trim(text), '\\s+'))
+               AND 12.0 * len(string_split_regex(trim(text), '\\s+')) THEN 1 ELSE 0 END)
+       ) / 4.0 END AS quality
+FROM documents
+"""
+
+
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics by predicted language."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return feat.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
+SQL_TEXT_LANG_STATS = f"""
+SELECT {_lang_id_sql("text")} AS lang_pred,
+       count(*) AS n_docs,
+       sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search (integer-quantized for cross-engine parity)
+# ---------------------------------------------------------------------------
+
+_QSCALE = 1000
+
+
+def _quantize(vec):
+    return F.transform(vec, lambda x: F.round(x.cast("double") * _QSCALE).cast("long"))
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 by quantized-int dot product (exact in both engines);
+    queries = vec_id < 5. Demonstrates broadcast-NL + window rank pattern."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    q = c.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qq"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "dot_q")
+    )
+
+
+SQL_SIM_TOPK = f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM qv WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * q.qq[i])) AS dot_q
+  FROM qv c CROSS JOIN q
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP/LSH bucket assignment on quantized vectors (sign of exact int
+    projections — deterministic across engines). The ANN scale path's
+    partitioning key."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    sig = F.lit(0)
+    for i in range(8):
+        plane = srp_hyperplane(64, i)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, h: x * h.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    buckets = c.select("vec_id", sig.cast("int").alias("bucket"))
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _srp_buckets_sql() -> str:
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    terms = []
+    for i in range(8):
+        plane = srp_hyperplane(64, i)
+        arr = "[" + ", ".join(str(p) for p in plane) + "]"
+        proj = f"list_sum(list_transform(range(1, 65), j -> qv[j] * ({arr})[j]))"
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {2**i} ELSE 0 END")
+    sig = " + ".join(terms)
+    return f"""
+WITH qvs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT CAST({sig} AS INT) AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM qvs GROUP BY 1
+"""
+
+
+SQL_ANN_SRP_BUCKETS = _srp_buckets_sql()
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "qrep_watermark_range": q_qrep_watermark_range,
+    "qrep_minmax_partition_plan": q_qrep_minmax_partition_plan,
+    "qrep_ntile_partitions": q_qrep_ntile_partitions,
+    "catalog_distinct_dst": q_catalog_distinct_dst,
+    "has_new_rows_maxwm": q_has_new_rows_maxwm,
+    "cdc_lww_dedup": q_cdc_lww_dedup,
+    "cdc_normalize_merge": q_cdc_normalize_merge,
+    "cdc_soft_delete": q_cdc_soft_delete,
+    "cdc_toast_coalesce": q_cdc_toast_coalesce,
+    "cdc_rmt_view": q_cdc_rmt_view,
+    "cdc_record_counts": q_cdc_record_counts,
+    "cdc_unchanged_toast_sets": q_cdc_unchanged_toast_sets,
+    "date_clamp": q_date_clamp,
+    "json_extract": q_json_extract,
+    "union_distinct": q_union_distinct,
+    "passthrough_agg": q_passthrough_agg,
+    "passthrough_join": q_passthrough_join,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_features": q_text_features,
+    "text_lang_stats": q_text_lang_stats,
+    "sim_topk": q_sim_topk,
+    "ann_srp_buckets": q_ann_srp_buckets,
+}
+
+ORACLES: dict[str, str] = {
+    "qrep_watermark_range": SQL_QREP_WATERMARK_RANGE,
+    "qrep_minmax_partition_plan": SQL_QREP_MINMAX_PLAN,
+    "qrep_ntile_partitions": SQL_QREP_NTILE,
+    "catalog_distinct_dst": SQL_CATALOG_DISTINCT_DST,
+    "has_new_rows_maxwm": SQL_HAS_NEW_ROWS,
+    "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
+    "cdc_normalize_merge": SQL_CDC_NORMALIZE_MERGE,
+    "cdc_soft_delete": SQL_CDC_SOFT_DELETE,
+    "cdc_toast_coalesce": SQL_CDC_TOAST_COALESCE,
+    "cdc_rmt_view": SQL_CDC_RMT_VIEW,
+    "cdc_record_counts": SQL_CDC_RECORD_COUNTS,
+    "cdc_unchanged_toast_sets": SQL_CDC_UNCHANGED_TOAST,
+    "date_clamp": SQL_DATE_CLAMP,
+    "json_extract": SQL_JSON_EXTRACT,
+    "union_distinct": SQL_UNION_DISTINCT,
+    "passthrough_agg": SQL_PASSTHROUGH_AGG,
+    "passthrough_join": SQL_PASSTHROUGH_JOIN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+    "dedup_minhash_lsh_pairs": SQL_DEDUP_MINHASH_LSH_PAIRS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "text_features": SQL_TEXT_FEATURES,
+    "text_lang_stats": SQL_TEXT_LANG_STATS,
+    "sim_topk": SQL_SIM_TOPK,
+    "ann_srp_buckets": SQL_ANN_SRP_BUCKETS,
+}
