@@ -1,0 +1,92 @@
+"""Schema evolution: RelationRecord-style deltas applied to destinations.
+
+Reference semantics (studied, not copied):
+- schema changes arrive as data: RelationRecord carrying TableSchemaDelta
+  (flow/model/record.go:150-153); applied via ReplayTableSchemaDeltas
+  (flow/connectors/core.go:193-198) — add-column-only evolution.
+- repeated deltas are deduplicated; an audit trail is kept
+  (flow/connectors/utils/monitoring/monitoring.go:515+).
+- old rows read NULL for new columns; newly-synced rows carry values
+  (default backfill, flow/connectors/postgres/cdc.go:1490-1560).
+
+Spark realization: destination parquet tables evolve by unioning the new
+column into the stored schema sidecar; reads apply the evolved schema with
+mergeSchema so historical files surface NULLs. No data rewrite — O(1) DDL,
+same as a warehouse ALTER TABLE ADD COLUMN.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from peerdb_spark.storage import ParquetTable
+
+
+@dataclass
+class SchemaDelta:
+    """One table's added columns (ref: protos/flow.proto TableSchemaDelta)."""
+
+    dst_table: str
+    added_columns: list[tuple[str, str]] = field(default_factory=list)  # (name, spark ddl type)
+
+
+def delta_from_relation_record(data_json: str, dst_table: str) -> SchemaDelta:
+    """Parse a RelationRecord payload: {"added": [{"name":..., "type":...}]}"""
+    d = json.loads(data_json or "{}")
+    return SchemaDelta(
+        dst_table,
+        [(c["name"], c.get("type", "string")) for c in d.get("added", [])],
+    )
+
+
+def apply_delta(table: ParquetTable, delta: SchemaDelta) -> list[str]:
+    """Apply add-column deltas to the table's schema sidecar; returns the
+    column names actually added (repeat deltas dedup to no-ops)."""
+    schema = table._load_schema()
+    if schema is None:
+        raise ValueError(f"cannot evolve non-existent table at {table.path}")
+    existing = {f.name for f in schema.fields}
+    added = []
+    new_fields = list(schema.fields)
+    for name, ddl in delta.added_columns:
+        if name in existing:
+            continue  # dedup of repeated deltas
+        new_fields.append(T.StructField(name, _parse_ddl(ddl), True))
+        added.append(name)
+    if added:
+        import os
+
+        with open(table._schema_path, "w") as f:
+            f.write(T.StructType(new_fields).json())
+    return added
+
+
+def _parse_ddl(ddl: str) -> T.DataType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)
+
+
+def read_evolved(table: ParquetTable):
+    """Read with the evolved schema: files written before the delta surface
+    NULL for the added columns (mergeSchema + explicit projection)."""
+    schema = table._load_schema()
+    df = table.spark.read.option("mergeSchema", "true").parquet(table.path)
+    if schema is None:
+        return df
+    from pyspark.sql import functions as F
+
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    out = df.select(*cols)
+    from peerdb_spark.storage import BUCKET_COL
+
+    return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out

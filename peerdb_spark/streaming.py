@@ -1,0 +1,95 @@
+"""Structured Streaming CDC: continuous changelog ingestion → raw append →
+normalize, with checkpointed offsets and effectively-once merges.
+
+Reference semantics reproduced (studied, not copied):
+- batch cut at max_batch_size / idle timeout (flow/connectors/postgres/
+  cdc.go:554-558; defaults deep-dive-design-document.md:938-945) →
+  `maxFilesPerTrigger` + processing-time trigger control admission.
+- checkpoint-after-sink ordering (cdc.go:969-997 updateConsumedOffset) →
+  Structured Streaming's checkpoint/WAL does exactly this: offsets commit
+  after foreachBatch returns.
+- at-least-once delivery + idempotent merge = effectively-once
+  (docs/deep-dive-design-document.md:844): foreachBatch may replay a batch
+  after a crash; the raw append is guarded by batch-id (skip if the raw
+  partition already exists) and normalize is a deterministic merge, so
+  replays converge.
+- pause/resume/terminate (cdc_flow.go:489-973 signal handling) → the runner
+  exposes stop()/await; restart resumes from the checkpoint.
+
+Scale: the streaming plan is the same bucketed merge as batch CDC — state
+lives in the destination tables, not in Spark streaming state, so there is
+no state-store growth and the cluster can restart cold from checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peerdb_spark.cdc import CHANGELOG_SCHEMA, RAW_BATCH, CdcPipeline, CdcTableConfig
+
+
+class CdcStreamRunner:
+    """Drives a CdcPipeline from a file-based changelog stream.
+
+    The changelog directory is the transport (equivalent of the WAL/binlog
+    feed); any producer appending parquet files in CHANGELOG_SCHEMA works.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        changelog_dir: str,
+        checkpoint_dir: str,
+        tables: list[CdcTableConfig],
+        raw_path: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.changelog_dir = changelog_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.pipeline = CdcPipeline(spark, raw_path, tables)
+        self.max_files_per_trigger = max_files_per_trigger
+        self.query = None
+
+    def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # idempotency guard: a replayed batch id skips the raw append
+        # (the raw table is partitioned by batch id → existence is a dir check)
+        part_dir = os.path.join(self.pipeline.raw.path, f"{RAW_BATCH}={batch_id}")
+        if not os.path.isdir(part_dir):
+            self.pipeline.sync_batch(batch_df, batch_id)
+        # merge is deterministic → replay converges to the same table state
+        self.pipeline.normalize_batches(batch_id, batch_id)
+
+    def start(self, available_now: bool = False, processing_time: str = "10 seconds"):
+        reader = (
+            self.spark.readStream.schema(CHANGELOG_SCHEMA)
+            .format("parquet")
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.load(self.changelog_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        self.query = writer.start()
+        return self.query
+
+    def run_available(self) -> None:
+        """Process everything currently in the changelog dir, then stop
+        (Trigger.AvailableNow — the QRep 'wait for new rows' loop analogue)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None

@@ -1,0 +1,172 @@
+"""Tests: SQL/DDL surface, schema evolution, snapshot/resync, queue sinks."""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from peerdb_spark import cdc, normalize as N
+from peerdb_spark.registry import Catalog, MirrorConfig
+from peerdb_spark.schema_evolution import SchemaDelta, apply_delta, read_evolved
+from peerdb_spark.sinks import elasticsearch_actions, emit_kafka_rows
+from peerdb_spark.snapshot import resync_table, snapshot_table
+from peerdb_spark.sql_surface import SqlSurface
+from peerdb_spark.qrep import QRepEngine
+from peerdb_spark.storage import ParquetTable
+
+TS = dt.datetime(2024, 1, 1)
+
+
+# -------------------- SQL surface --------------------
+
+
+@pytest.fixture()
+def surface(spark, tmp_path, tables):
+    return SqlSurface(spark, Catalog(str(tmp_path / "cat")))
+
+
+def test_create_drop_peer(surface):
+    out = surface.execute(
+        "CREATE PEER src FROM parquet WITH (path = '/root/testdata/sf0.001')"
+    )
+    assert out["ok"] and surface.catalog.get_peer("src").kind == "parquet"
+    surface.execute("DROP PEER src")
+    assert "src" not in surface.catalog.list_peers()
+
+
+def test_create_mirror_qrep_ddl(surface):
+    out = surface.execute(
+        "CREATE MIRROR li FROM src TO dst FOR "
+        "$$SELECT * FROM lineitem WHERE l_orderkey BETWEEN {{.start}} AND {{.end}}$$ "
+        "WITH (watermark_column = 'l_orderkey', mode = 'upsert', "
+        "unique_key_columns = 'l_orderkey', num_rows_per_partition = 1000)"
+    )
+    assert out["kind"] == "qrep"
+    cfg = surface.catalog.get_mirror("li")
+    assert cfg.watermark_column == "l_orderkey" and cfg.write_mode == "upsert"
+    assert cfg.upsert_key_columns == ["l_orderkey"]
+
+
+def test_create_mirror_cdc_ddl_and_signals(surface):
+    out = surface.execute(
+        "CREATE MIRROR flow1 FROM src TO dst WITH TABLE MAPPING "
+        "(public.orders:orders, public.lineitem:lineitem) "
+        "WITH (max_batch_size = 5000, soft_delete_col_name = '_deleted')"
+    )
+    assert out["kind"] == "cdc"
+    cfg = surface.catalog.get_mirror("flow1")
+    assert [m.source_table for m in cfg.table_mappings] == ["public.orders", "public.lineitem"]
+    assert cfg.max_batch_size == 5000 and cfg.soft_delete_col_name == "_deleted"
+    assert surface.execute("PAUSE MIRROR flow1")["status"] == "paused"
+    assert surface.execute("RESUME MIRROR flow1")["status"] == "running"
+    surface.execute("DROP MIRROR flow1")
+
+
+def test_passthrough_sql(surface, tables):
+    df = surface.execute("SELECT count(*) AS n FROM orders")
+    assert df.collect()[0]["n"] == tables["orders"].count()
+
+
+def test_cursor_lifecycle(surface, tables):
+    surface.execute("DECLARE c1 CURSOR FOR SELECT o_orderkey FROM orders ORDER BY o_orderkey")
+    first = surface.execute("FETCH 5 FROM c1").collect()
+    second = surface.execute("FETCH 3 FROM c1").collect()
+    assert len(first) == 5 and len(second) == 3
+    keys = [r["o_orderkey"] for r in first + second]
+    assert keys == sorted(keys)
+    surface.execute("CLOSE c1")
+    assert "c1" not in surface.cursors
+
+
+# -------------------- schema evolution --------------------
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), ["id"], 4)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    added = apply_delta(t, SchemaDelta("t", [("score", "double")]))
+    assert added == ["score"]
+    # repeat delta → no-op
+    assert apply_delta(t, SchemaDelta("t", [("score", "double")])) == []
+    out = read_evolved(t)
+    assert "score" in out.columns
+    assert all(r["score"] is None for r in out.collect())
+    # new data carries the column; old rows still NULL
+    t.append(spark.createDataFrame([(3, "c", 9.5)], "id long, v string, score double"))
+    rows = {r["id"]: r["score"] for r in read_evolved(t).collect()}
+    assert rows[3] == 9.5 and rows[1] is None
+
+
+# -------------------- snapshot + resync --------------------
+
+
+def test_snapshot_then_resync(spark, tmp_path, tables):
+    cat = Catalog(str(tmp_path / "cat"))
+    eng = QRepEngine(spark, cat)
+    cfg = MirrorConfig(
+        name="snap", kind="qrep", watermark_column="o_orderkey",
+        write_mode="append", num_rows_per_partition=1000,
+    )
+    dest = str(tmp_path / "orders")
+    stats = snapshot_table(eng, cfg, tables["orders"], dest, changelog_offset=7)
+    assert stats["rows"] == tables["orders"].count()
+    assert cat.get_batch_id("snap") == 7
+
+    # resync with soft-delete carry-forward
+    t = ParquetTable(spark, dest, ["o_orderkey"], 0)
+    old = t.read().withColumn("_del", F.when(F.col("o_orderkey") % 100 == 0, True).otherwise(False))
+    n_tomb = old.where("_del").count()
+    t.overwrite(old)
+    fresh = tables["orders"].where(F.col("o_orderkey") % 100 != 0)
+    resync_table(spark, fresh, ParquetTable(spark, dest, ["o_orderkey"], 0), soft_delete_col="_del")
+    out = ParquetTable(spark, dest, ["o_orderkey"], 0).read()
+    assert out.where("_del").count() == n_tomb  # tombstones carried forward
+    assert out.count() == fresh.count() + n_tomb
+
+
+# -------------------- queue sinks --------------------
+
+
+def _chg(spark):
+    rows = [
+        {"_kind": "insert", "_checkpoint_id": 1, "_commit_ts": TS, "_txid": 1,
+         "_src_table": "t", "_dst_table": "orders", "_data": None, "_old_data": None,
+         "_unchanged_cols": None, "id": 1, "v": "a"},
+        {"_kind": "delete", "_checkpoint_id": 2, "_commit_ts": TS, "_txid": 2,
+         "_src_table": "t", "_dst_table": "orders", "_data": None, "_old_data": None,
+         "_unchanged_cols": None, "id": 2, "v": "b"},
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, v string, _kind string, _checkpoint_id long, _commit_ts timestamp,"
+        "_txid long, _src_table string, _dst_table string, _data string, _old_data string,"
+        "_unchanged_cols array<string>",
+    )
+
+
+def test_emit_kafka_rows_contract(spark):
+    out = emit_kafka_rows(_chg(spark), ["id"], num_partitions=8)
+    assert out.columns == ["key", "value", "topic", "partition"]
+    rows = out.collect()
+    assert all(r["topic"] == "orders" for r in rows)
+    assert all(0 <= r["partition"] < 8 for r in rows)
+    payload = json.loads(bytes(rows[0]["value"]).decode())
+    assert payload["id"] == 1 and payload["v"] == "a"
+
+
+def test_emit_kafka_transform_hook(spark):
+    # script hook: route by kind, drop deletes (Lua-script analogue)
+    def hook(df):
+        return df.where(F.col("_kind") != "delete").withColumn("v", F.upper("v"))
+
+    out = emit_kafka_rows(_chg(spark), ["id"], transform=hook).collect()
+    assert len(out) == 1
+    assert json.loads(bytes(out[0]["value"]).decode())["v"] == "A"
+
+
+def test_elasticsearch_actions(spark):
+    out = {r["_id"]: r.asDict() for r in elasticsearch_actions(_chg(spark), ["id"], "idx").collect()}
+    assert out["1"]["_op"] == "index" and json.loads(out["1"]["_source"])["v"] == "a"
+    assert out["2"]["_op"] == "delete" and out["2"]["_source"] is None
