@@ -1,0 +1,86 @@
+"""Physical-plan audit: asserts the scale-critical plan properties of the
+query inventory — predicate pushdown reaches parquet, small dims broadcast,
+merge joins reuse the dedup window's hash partitioning, aggregates have
+map-side partials, and no Python UDF appears in any hot path.
+
+Usage: python tools/audit_plans.py [--sf DIR]
+Exits nonzero if any property regresses (useful as a perf gate next to the
+correctness gate in tools/check_oracle.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
+    ("qrep_watermark_range", [
+        ("range filter pushed to parquet", r"PushedFilters: \[.*GreaterThanOrEqual\(l_orderkey", True),
+    ]),
+    ("passthrough_join", [
+        ("dims broadcast", r"BroadcastHashJoin", True),
+        ("no sort-merge join of small dims", r"SortMergeJoin", False),
+    ]),
+    ("cdc_normalize_merge", [
+        ("window dedup present", r"Window", True),
+        ("pk merge join", r"(SortMergeJoin|ShuffledHashJoin)", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("dedup_exact", [("map-side partial agg", r"HashAggregate", True)]),
+    ("passthrough_agg", [("map-side partial agg", r"HashAggregate", True)]),
+    ("json_extract", [("no python udf", r"BatchEvalPython", False)]),
+    ("text_features", [("no python udf", r"BatchEvalPython", False)]),
+    ("dedup_minhash_lsh_pairs", [("no python udf", r"BatchEvalPython", False)]),
+    ("sim_topk", [("broadcast queries against corpus", r"BroadcastNestedLoopJoin", True)]),
+]
+
+# ceilings on shuffle counts: a regression that adds an exchange to these
+# plans would silently multiply cost at 100 TB
+MAX_EXCHANGES = {
+    "qrep_watermark_range": 0,
+    "passthrough_agg": 1,
+    "cdc_normalize_merge": 2,  # one per join side; window partitioning reused
+    "dedup_exact": 2,
+    "json_extract": 1,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from peerdb_spark import get_spark
+    from peerdb_spark.queries import QUERIES
+
+    spark = get_spark("audit_plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, checks in CHECKS:
+        plan = QUERIES[name](spark, args.sf)._jdf.queryExecution().executedPlan().toString()
+        nexch = plan.count("Exchange")
+        msgs = []
+        for label, pat, want in checks:
+            ok = bool(re.search(pat, plan)) == want
+            if not ok:
+                failures += 1
+            msgs.append(f"{'ok' if ok else 'FAIL'}: {label}")
+        cap = MAX_EXCHANGES.get(name)
+        if cap is not None:
+            ok = nexch <= cap
+            if not ok:
+                failures += 1
+            msgs.append(f"{'ok' if ok else 'FAIL'}: exchanges {nexch} <= {cap}")
+        print(f"{name}:")
+        for m in msgs:
+            print(f"  {m}")
+    print(f"\n{'PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
