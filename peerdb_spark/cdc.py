@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,6 +114,35 @@ class RawTable:
         )
 
 
+def cut_batches(changelog: DataFrame, max_batch_size: int) -> DataFrame:
+    """Assign batch numbers without ever splitting a transaction.
+
+    The reference cuts a CDC batch at max_batch_size records but holds the cut
+    until the open transaction commits (`commitLock`,
+    flow/connectors/postgres/cdc.go:554-558,701-703). Equivalent here:
+    transactions (by `_txid`) are ordered by their first checkpoint id and
+    packed cumulatively; a batch may exceed max_batch_size to keep its last
+    transaction whole — exactly the reference's observable behavior.
+
+    Adds `_batch_no` (0-based). The packing window runs over the per-txid
+    aggregate (#txids rows, not #records), so the global sort is tiny.
+    """
+    txn = changelog.groupBy("_txid").agg(
+        F.count(F.lit(1)).alias("_txn_rows"),
+        F.min("_checkpoint_id").alias("_txn_start"),
+    )
+    w = Window.orderBy("_txn_start", "_txid")
+    packed = (
+        txn.withColumn("_cum", F.sum("_txn_rows").over(w))
+        .withColumn(
+            "_batch_no",
+            F.floor((F.col("_cum") - F.col("_txn_rows")) / F.lit(max_batch_size)).cast("int"),
+        )
+        .select("_txid", "_batch_no")
+    )
+    return changelog.join(F.broadcast(packed), "_txid")
+
+
 @dataclass
 class CdcTableConfig:
     dst_table: str
@@ -162,6 +191,25 @@ class CdcPipeline:
                 soft_delete_col=cfg.soft_delete_col,
                 synced_at_col=cfg.synced_at_col,
             )
+
+    def add_table(self, cfg: CdcTableConfig, backfill: DataFrame | None = None) -> None:
+        """Mid-flow table addition (ref: flow/workflows/cdc_flow.go:233-463):
+        register the mapping and optionally snapshot-backfill the destination;
+        subsequent batches containing its _dst_table rows normalize into it."""
+        self.tables[cfg.dst_table] = cfg
+        if backfill is not None:
+            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+            out = backfill
+            if cfg.soft_delete_col:
+                out = out.withColumn(cfg.soft_delete_col, F.lit(False))
+            if cfg.synced_at_col:
+                out = out.withColumn(cfg.synced_at_col, F.current_timestamp())
+            table.overwrite(out)
+
+    def remove_table(self, dst_table: str) -> None:
+        """Mid-flow table removal: later batches skip its rows (destination
+        data is left in place, like the reference's DROP MIRROR semantics)."""
+        self.tables.pop(dst_table, None)
 
     def record_counts(self, start_batch: int, end_batch: int) -> DataFrame:
         """Per-table insert/update/delete counts (ref: flow/model/record.go:70-147)."""

@@ -487,6 +487,40 @@ FROM s
 """
 
 
+def q_numeric_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destination-precision numeric truncation with overflow counting
+    (ref: flow/model/numeric_truncator.go — out-of-range values nulled and
+    counted per column). Overflow synthesized on ~1% of rows."""
+    from peerdb_spark.types import truncate_numeric
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * F.when(F.col("l_orderkey") % 97 == 0, 1e9).otherwise(1.0)
+    t = truncate_numeric(val, 12, 2)
+    return (
+        li.select(F.col("l_returnflag").alias("flag"), t.alias("trunc"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("trunc").isNull(), 1)).alias("n_overflow"),
+            F.sum("trunc").alias("sum_trunc"),
+        )
+    )
+
+
+SQL_NUMERIC_TRUNCATE = """
+SELECT l_returnflag AS flag, count(*) AS n,
+       count(CASE WHEN t IS NULL THEN 1 END) AS n_overflow,
+       sum(t) AS sum_trunc
+FROM (
+  SELECT l_returnflag,
+         TRY_CAST(l_extendedprice * (CASE WHEN l_orderkey % 97 = 0 THEN 1e9 ELSE 1.0 END)
+                  AS DECIMAL(12,2)) AS t
+  FROM lineitem
+)
+GROUP BY l_returnflag
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload extraction (ref: JSONExtract / ->> in generated SQL)."""
     (ev,) = _t(spark, sf_dir, "events")
@@ -914,6 +948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_record_counts": q_cdc_record_counts,
     "cdc_unchanged_toast_sets": q_cdc_unchanged_toast_sets,
     "date_clamp": q_date_clamp,
+    "numeric_truncate": q_numeric_truncate,
     "json_extract": q_json_extract,
     "union_distinct": q_union_distinct,
     "passthrough_agg": q_passthrough_agg,
@@ -943,6 +978,7 @@ ORACLES: dict[str, str] = {
     "cdc_record_counts": SQL_CDC_RECORD_COUNTS,
     "cdc_unchanged_toast_sets": SQL_CDC_UNCHANGED_TOAST,
     "date_clamp": SQL_DATE_CLAMP,
+    "numeric_truncate": SQL_NUMERIC_TRUNCATE,
     "json_extract": SQL_JSON_EXTRACT,
     "union_distinct": SQL_UNION_DISTINCT,
     "passthrough_agg": SQL_PASSTHROUGH_AGG,

@@ -159,9 +159,10 @@ def clamp_timestamp(col: Column) -> Column:
 
 
 def truncate_numeric(col: Column, precision: int, scale: int) -> Column:
-    """Cast to the destination decimal; out-of-range → NULL, counted by the
-    caller via an observation/accumulator (ref: flow/model/numeric_truncator.go)."""
-    return col.cast(T.DecimalType(precision, scale))
+    """Cast to the destination decimal; out-of-range → NULL (try_cast — ANSI
+    mode would error), counted by the caller via an observation/accumulator
+    (ref: flow/model/numeric_truncator.go)."""
+    return col.try_cast(T.DecimalType(precision, scale))
 
 
 def qkind_for_spark_type(dt: T.DataType) -> QKind:

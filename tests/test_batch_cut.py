@@ -1,0 +1,89 @@
+"""Transaction-atomic batch cut + mid-flow table addition tests."""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from peerdb_spark import cdc
+from peerdb_spark.storage import ParquetTable
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _chg(spark, rows):
+    """rows: (ckpt, txid)"""
+    data = [
+        {
+            "_kind": "insert", "_checkpoint_id": c, "_commit_ts": TS, "_txid": tx,
+            "_src_table": "t", "_dst_table": "t",
+            "_data": json.dumps({"id": c}), "_old_data": None, "_unchanged_cols": None,
+        }
+        for (c, tx) in rows
+    ]
+    return spark.createDataFrame(data, cdc.CHANGELOG_SCHEMA)
+
+
+def test_cut_batches_never_splits_txn(spark):
+    # 3 txns of sizes 4, 4, 4 with max_batch_size=6: txn2 won't fit in batch 0's
+    # remainder → batch boundaries land between txns only
+    rows = [(i, i // 4) for i in range(12)]
+    out = cdc.cut_batches(_chg(spark, rows), max_batch_size=6).collect()
+    by_txn = {}
+    for r in out:
+        by_txn.setdefault(r["_txid"], set()).add(r["_batch_no"])
+    # invariant: every txn maps to exactly one batch
+    assert all(len(b) == 1 for b in by_txn.values()), by_txn
+    batches = {}
+    for r in out:
+        batches.setdefault(r["_batch_no"], 0)
+        batches[r["_batch_no"]] += 1
+    assert sum(batches.values()) == 12
+
+
+def test_cut_batches_oversized_txn_stays_whole(spark):
+    # one 10-row transaction with max=4: must stay in a single (oversized) batch
+    rows = [(i, 1) for i in range(10)] + [(100 + i, 2) for i in range(2)]
+    out = cdc.cut_batches(_chg(spark, rows), max_batch_size=4).collect()
+    tx1_batches = {r["_batch_no"] for r in out if r["_txid"] == 1}
+    assert len(tx1_batches) == 1
+
+
+def test_add_table_mid_flow_with_backfill(spark, tmp_path):
+    VAL = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [])
+    # batch 1 arrives before the table is registered → ignored
+    b1 = spark.createDataFrame(
+        [{"_kind": "insert", "_checkpoint_id": 1, "_commit_ts": TS, "_txid": 1,
+          "_src_table": "t2", "_dst_table": "t2",
+          "_data": json.dumps({"id": 1, "v": "early"}), "_old_data": None,
+          "_unchanged_cols": None}],
+        cdc.CHANGELOG_SCHEMA,
+    )
+    pipe.sync_batch(b1, 1)
+    pipe.normalize_batches(1, 1)
+
+    # table added mid-flow with snapshot backfill
+    backfill = spark.createDataFrame([(10, "snap10"), (11, "snap11")], "id long, v string")
+    cfg = cdc.CdcTableConfig("t2", ["id"], VAL, str(tmp_path / "t2"), n_buckets=4)
+    pipe.add_table(cfg, backfill=backfill)
+    t = ParquetTable(spark, cfg.path, ["id"], 4)
+    assert t.read().count() == 2
+
+    # subsequent batch normalizes into it
+    b2 = spark.createDataFrame(
+        [{"_kind": "insert", "_checkpoint_id": 2, "_commit_ts": TS, "_txid": 2,
+          "_src_table": "t2", "_dst_table": "t2",
+          "_data": json.dumps({"id": 12, "v": "live"}), "_old_data": None,
+          "_unchanged_cols": None}],
+        cdc.CHANGELOG_SCHEMA,
+    )
+    pipe.sync_batch(b2, 2)
+    pipe.normalize_batches(2, 2)
+    state = {r["id"]: r["v"] for r in t.read().collect()}
+    assert state == {10: "snap10", 11: "snap11", 12: "live"}
+
+    pipe.remove_table("t2")
+    assert "t2" not in pipe.tables
