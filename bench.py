@@ -16,6 +16,58 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _bench_cdc_pipeline(spark, sf_dir: str) -> float:
+    """Full CDC engine pass: lineitem-derived changelog (every row is a change
+    event) → JSON raw staging → bucketed LWW merge. This is the number
+    comparable to the reference's sustained-CDC-throughput claim: total
+    change events / wall seconds."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.queries import lineitem_changelog
+    from peerdb_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    chg = lineitem_changelog(li)
+    payload = F.to_json(F.struct("pk", "qty", "price", "flag"))
+    feed = chg.select(
+        F.col("kind").alias("_kind"),
+        F.col("ck").alias("_checkpoint_id"),
+        F.col("cts").cast("timestamp").alias("_commit_ts"),
+        F.col("ck").alias("_txid"),
+        F.lit("lineitem").alias("_src_table"),
+        F.lit("lineitem").alias("_dst_table"),
+        F.when(F.col("kind") != "delete", payload).alias("_data"),
+        F.when(F.col("kind") == "delete", payload).alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("qty", T.DoubleType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("flag", T.StringType()),
+        ]
+    )
+    wd = tempfile.mkdtemp(prefix="peerdb_bench_")
+    try:
+        pipe = cdc.CdcPipeline(
+            spark,
+            f"{wd}/raw",
+            [cdc.CdcTableConfig("lineitem", ["pk"], schema, f"{wd}/dst", n_buckets=16)],
+        )
+        t0 = time.time()
+        pipe.sync_batch(feed, 1)
+        pipe.normalize_batches(1, 1)
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -58,6 +110,8 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["cdc_pipeline_e2e"] = _bench_cdc_pipeline(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

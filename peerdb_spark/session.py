@@ -61,6 +61,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             "documents",
             "embeddings",
         )
+    # The caller may pass a session we didn't build (the correctness driver
+    # does); events.parquet uses TIMESTAMP(NANOS) which Spark rejects unless
+    # this runtime-settable legacy conf is on.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
