@@ -92,13 +92,27 @@ def extract_features(df: DataFrame, content_col: str = "content",
         ]
     )
 
+    # self-contained closure: pickles BY VALUE so workers don't need
+    # peerdb_spark importable (module-level refs pickle by reference);
+    # mirrors _decode_image_stub/_features_from_pixels — keep in sync
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def _decode(content: bytes) -> bytes:
+            out = b""
+            h = content or b""
+            while len(out) < 64:
+                h = hashlib.md5(h).digest()
+                out += h
+            return out[:64]
+
         for pdf in batches:
             feats = [
-                _features_from_pixels(_decode_image_stub(c), dim)
-                for c in pdf[content_col]
+                [_decode(c)[i * 4] / 255.0 for i in range(dim)] for c in pdf[content_col]
             ]
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            yield _pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 

@@ -222,6 +222,27 @@ GROUP BY bucket
 """
 
 
+def q_xmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XMIN-style incremental pull: full scan filtered by a monotonically
+    increasing version column above the last-synced watermark (ref:
+    flow/connectors/postgres/qrep_source.go:541-583 PullXminRecordStream).
+    Watermark = 90th-percentile orderkey, computed from the data."""
+    (od,) = _t(spark, sf_dir, "orders")
+    lo, hi = od.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    last = lo + (9 * (hi - lo)) // 10
+    return od.where(F.col("o_orderkey") > last).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+SQL_XMIN_INCREMENTAL = """
+WITH b AS (SELECT min(o_orderkey) lo, max(o_orderkey) hi FROM orders)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders, b
+WHERE o_orderkey > b.lo + (9 * (b.hi - b.lo)) // 10
+"""
+
+
 def q_catalog_distinct_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct destination tables in a batch (ref: client.go:52-53)."""
     (ev,) = _t(spark, sf_dir, "events")
@@ -938,6 +959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qrep_watermark_range": q_qrep_watermark_range,
     "qrep_minmax_partition_plan": q_qrep_minmax_partition_plan,
     "qrep_ntile_partitions": q_qrep_ntile_partitions,
+    "xmin_incremental": q_xmin_incremental,
     "catalog_distinct_dst": q_catalog_distinct_dst,
     "has_new_rows_maxwm": q_has_new_rows_maxwm,
     "cdc_lww_dedup": q_cdc_lww_dedup,
@@ -968,6 +990,7 @@ ORACLES: dict[str, str] = {
     "qrep_watermark_range": SQL_QREP_WATERMARK_RANGE,
     "qrep_minmax_partition_plan": SQL_QREP_MINMAX_PLAN,
     "qrep_ntile_partitions": SQL_QREP_NTILE,
+    "xmin_incremental": SQL_XMIN_INCREMENTAL,
     "catalog_distinct_dst": SQL_CATALOG_DISTINCT_DST,
     "has_new_rows_maxwm": SQL_HAS_NEW_ROWS,
     "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,

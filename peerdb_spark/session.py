@@ -43,7 +43,38 @@ def get_spark(app_name: str = "peerdb_spark", cpus: int | None = None) -> SparkS
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make peerdb_spark importable on Python workers regardless of where the
+    driver script lives: zip the package once and addPyFile it. Without this,
+    any module-level function reaching a Python worker (UDF hooks) fails with
+    ModuleNotFoundError when the driver wasn't launched from the repo root."""
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        marker = "_peerdb_spark_shipped"
+        if spark.conf.get(f"spark.{marker}", None):
+            return
+        zpath = os.path.join(tempfile.gettempdir(), "peerdb_spark_pkg.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "peerdb_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+        spark.conf.set(f"spark.{marker}", "true")
+    except Exception:
+        pass  # best-effort; closures are self-contained anyway
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
