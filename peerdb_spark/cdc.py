@@ -153,6 +153,10 @@ class CdcTableConfig:
     soft_delete_col: str | None = None
     synced_at_col: str | None = None
     exclude: list[str] = field(default_factory=list)
+    # per-column settings (ref: protos/flow.proto ColumnSetting —
+    # SourceName/DestinationName/DestinationType)
+    renames: dict[str, str] = field(default_factory=dict)  # src name -> dst name
+    type_overrides: dict[str, str] = field(default_factory=dict)  # dst name -> spark ddl type
 
 
 class CdcPipeline:
@@ -183,7 +187,17 @@ class CdcPipeline:
             sub = raw.where(F.col(RAW_DST) == dst)
             changes = self.raw.raw_to_changelog(sub, cfg.value_schema)
             if cfg.exclude:
+                # column exclusion (ref: TableMapping.exclude, applied during
+                # tuple processing — flow/connectors/postgres/cdc.go:335-386)
                 changes = changes.drop(*cfg.exclude)
+            for src_name, dst_name in cfg.renames.items():
+                if src_name in changes.columns:
+                    changes = changes.withColumnRenamed(src_name, dst_name)
+            for col_name, ddl in cfg.type_overrides.items():
+                if col_name in changes.columns:
+                    # destination-type override; try_cast mirrors the
+                    # truncation-to-NULL semantics under ANSI mode
+                    changes = changes.withColumn(col_name, F.col(col_name).try_cast(ddl))
             table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
             N.merge_into_table(
                 table,

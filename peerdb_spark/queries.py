@@ -951,6 +951,83 @@ FROM qvs GROUP BY 1
 
 SQL_ANN_SRP_BUCKETS = _srp_buckets_sql()
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
+    exact check within buckets. Quantized-integer scoring for oracle parity:
+    near-dup iff dot_q^2 >= (0.95)^2 * |a|^2 * |b|^2 (cosine >= 0.95 without
+    sqrt — all-integer arithmetic)."""
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    sig = F.lit(0)
+    for i in range(8):
+        plane = srp_hyperplane(64, i)
+        proj = F.aggregate(
+            F.zip_with(F.col("qv"), F.array(*[F.lit(p) for p in plane]),
+                       lambda x, h: x * h.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    norm2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    c = c.select("vec_id", "qv", sig.cast("int").alias("bkt"), norm2.alias("n2"))
+    a = c.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("va"),
+                 F.col("n2").alias("na"), "bkt")
+    b = c.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"),
+                 F.col("n2").alias("nb"), "bkt")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("dot_q"), "na", "nb")
+    )
+    # cosine >= 0.95  ⟺  dot >= 0 and 400·dot² >= 361·na·nb  (0.95² = 361/400)
+    return pairs.where(
+        (F.col("dot_q") > 0)
+        & (400 * F.col("dot_q") * F.col("dot_q") >= 361 * F.col("na") * F.col("nb"))
+    ).select("id_a", "id_b", "dot_q")
+
+
+def _near_dup_sql() -> str:
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    terms = []
+    for i in range(8):
+        plane = srp_hyperplane(64, i)
+        arr = "[" + ", ".join(str(p) for p in plane) + "]"
+        proj = f"list_sum(list_transform(range(1, 65), j -> qv[j] * ({arr})[j]))"
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {2**i} ELSE 0 END")
+    sig = " + ".join(terms)
+    return f"""
+WITH qvs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sigged AS (
+  SELECT vec_id, qv, CAST({sig} AS INT) AS bkt,
+         list_sum(list_transform(qv, x -> x * x)) AS n2
+  FROM qvs
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) AS dot_q
+FROM sigged a JOIN sigged b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) > 0
+  AND 400 * list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j]))
+          * list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j]))
+      >= 361 * a.n2 * b.n2
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _near_dup_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -984,6 +1061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_stats": q_text_lang_stats,
     "sim_topk": q_sim_topk,
     "ann_srp_buckets": q_ann_srp_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1015,4 +1093,5 @@ ORACLES: dict[str, str] = {
     "text_lang_stats": SQL_TEXT_LANG_STATS,
     "sim_topk": SQL_SIM_TOPK,
     "ann_srp_buckets": SQL_ANN_SRP_BUCKETS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }

@@ -46,12 +46,19 @@ class CdcStreamRunner:
         tables: list[CdcTableConfig],
         raw_path: str,
         max_files_per_trigger: int | None = None,
+        normalize_lag: int = 0,
     ):
+        """normalize_lag > 0 reproduces the reference's async-normalize
+        backpressure model (flow/activities/flowable.go:398-418: normalize
+        runs N batches behind sync, bounded) — sync stays fast while merges
+        trail; call catch_up() to drain the tail when the stream idles."""
         self.spark = spark
         self.changelog_dir = changelog_dir
         self.checkpoint_dir = checkpoint_dir
         self.pipeline = CdcPipeline(spark, raw_path, tables)
         self.max_files_per_trigger = max_files_per_trigger
+        self.normalize_lag = normalize_lag
+        self._last_synced: int | None = None
         self.query = None
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -60,8 +67,18 @@ class CdcStreamRunner:
         part_dir = os.path.join(self.pipeline.raw.path, f"{RAW_BATCH}={batch_id}")
         if not os.path.isdir(part_dir):
             self.pipeline.sync_batch(batch_df, batch_id)
+        self._last_synced = batch_id
         # merge is deterministic → replay converges to the same table state
-        self.pipeline.normalize_batches(batch_id, batch_id)
+        target = batch_id - self.normalize_lag
+        if target >= 0:
+            self.pipeline.normalize_batches(target, target)
+
+    def catch_up(self) -> None:
+        """Normalize the trailing batches the lag left behind (the reference
+        drains its normalize channel on flow pause/teardown)."""
+        if self.normalize_lag and self._last_synced is not None:
+            lo = max(0, self._last_synced - self.normalize_lag + 1)
+            self.pipeline.normalize_batches(lo, self._last_synced)
 
     def start(self, available_now: bool = False, processing_time: str = "10 seconds"):
         reader = (
