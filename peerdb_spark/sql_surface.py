@@ -187,6 +187,20 @@ class SqlSurface:
                 runner()
         return {"ok": True, "mirror": name, "status": st.status}
 
+    def bind_qrep(self, mirror_name: str, source: DataFrame, dest_path: str) -> None:
+        """Wire EXECUTE MIRROR to the QRep engine for a created mirror: each
+        EXECUTE runs one incremental sync pass against `source` (the analogue
+        of the reference's run-now signal on a QRep workflow)."""
+        from peerdb_spark.qrep import QRepEngine
+
+        engine = QRepEngine(self.spark, self.catalog)
+        cfg = self.catalog.get_mirror(mirror_name)
+
+        def run():
+            return engine.run(cfg, source, dest_path)
+
+        self.executors[mirror_name] = run
+
     # -- cursors (ref: nexus/peer-cursor) ---------------------------------
     def _declare_cursor(self, m) -> dict:
         name, query = m.group(1), m.group(2)

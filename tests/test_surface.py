@@ -64,6 +64,24 @@ def test_create_mirror_cdc_ddl_and_signals(surface):
     surface.execute("DROP MIRROR flow1")
 
 
+def test_execute_mirror_runs_qrep(surface, tables, tmp_path):
+    surface.execute(
+        "CREATE MIRROR exec1 FROM src TO dst FOR $$SELECT * FROM orders$$ "
+        "WITH (watermark_column = 'o_orderkey', mode = 'append', "
+        "num_rows_per_partition = 5000)"
+    )
+    dest = str(tmp_path / "exec1_dst")
+    surface.bind_qrep("exec1", tables["orders"], dest)
+    out = surface.execute("EXECUTE MIRROR exec1")
+    assert out["ok"]
+    got = surface.spark.read.parquet(dest)
+    assert got.count() == tables["orders"].count()
+    # paused mirror: EXECUTE is a no-op
+    surface.execute("PAUSE MIRROR exec1")
+    surface.execute("EXECUTE MIRROR exec1")
+    assert surface.spark.read.parquet(dest).count() == tables["orders"].count()
+
+
 def test_passthrough_sql(surface, tables):
     df = surface.execute("SELECT count(*) AS n FROM orders")
     assert df.collect()[0]["n"] == tables["orders"].count()
