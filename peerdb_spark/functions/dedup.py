@@ -20,12 +20,12 @@ All hashes go through functions.hashing (DuckDB-reproducible).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from peerdb_spark.functions import ensure_parallelism
-from peerdb_spark.functions.hashing import h64, h64_seeded
-from peerdb_spark.functions.text import char_kgrams, tokens, word_ngrams
+from peerdb_spark.functions.hashing import h64
+from peerdb_spark.functions.text import tokens, word_ngrams
 
 DEFAULT_SHINGLE_N = 3  # word n-gram shingles
 DEFAULT_NUM_HASHES = 16
@@ -168,14 +168,17 @@ def minhash_lsh_pairs(
         id_col, "minhash", F.posexplode(lsh_bands(F.col("minhash"), bands, None, num_hashes))
     ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    # skew guard: drop degenerate buckets
-    sized = (
-        banded.withColumn(
-            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
-        )
-        .where(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+    # skew guard: drop degenerate buckets. A windowed count would sort the
+    # whole banded relation; instead aggregate bucket sizes (map-side partials
+    # collapse to O(#buckets) rows) and broadcast-join the oversized set back —
+    # the banded rows are never shuffled or sorted for the guard.
+    oversized = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select("band", "band_hash")
     )
+    sized = banded.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
 
     a = sized.select(
         F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
