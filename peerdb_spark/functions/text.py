@@ -147,13 +147,39 @@ def char_kgrams(col: Column | str, k: int = 8) -> Column:
     )
 
 
+# Rabin-Karp polynomial hash parameters (shared with the SQL oracle)
+FP_BASE = 257
+FP_P = 2_147_483_647  # 2^31 - 1
+
+
 def fingerprint(col: Column | str, k: int = 8) -> Column:
-    """Rolling-hash document fingerprint: min over the k-gram hash sequence
-    (the winnowing family's global-min special case). Identical docs → equal
-    fingerprints; near-identical docs collide with high probability."""
-    grams = char_kgrams(col, k)
-    hashes = F.transform(grams, lambda g: h64(g))
-    return F.array_min(hashes)
+    """Rolling-hash document fingerprint: min over the Rabin-Karp polynomial
+    hash of every char k-gram (the winnowing family's global-min special
+    case): h(i) = Σ_j code(c_{i+j})·B^j mod P.
+
+    Pure integer arithmetic — ~100× cheaper than a digest per k-gram and
+    exactly reproducible in the DuckDB oracle (ascii() codepoints and
+    substring are verified char-identical across engines, unicode included).
+    Built via k shifted array views combined with zip_with so the codes array
+    is evaluated O(k) times, not per-window (Catalyst inlines repeated
+    subexpressions in lambda trees). NULL for texts shorter than k.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    # one-pass char codes: split('') walks the string once; a per-position
+    # substring() would be O(position) per char (UTF-8 seek) → O(n²) total
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    m = n - k + 1
+
+    def scaled(j: int):
+        bj = pow(FP_BASE, j, FP_P)
+        return F.transform(F.slice(codes, j + 1, m), lambda x: x * F.lit(bj))
+
+    acc = scaled(0)
+    for j in range(1, k):
+        acc = F.zip_with(acc, scaled(j), lambda a, b: a + b)
+    hvec = F.transform(acc, lambda h: h % FP_P)
+    return F.when(n < k, F.lit(None).cast("long")).otherwise(F.array_min(hvec))
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -804,13 +804,24 @@ def _lang_id_sql(textexpr: str = "text") -> str:
     return f"(SELECT CASE WHEN g <= 0 THEN 'und' {cases} END FROM (SELECT {g} AS g))"
 
 
+_FP_TERMS = " + ".join(
+    f"codes[i+{j}] * {pow(TX.FP_BASE, j, TX.FP_P)}::BIGINT" for j in range(8)
+)
+
 SQL_TEXT_FEATURES = f"""
+WITH docs_c AS (
+  SELECT *, list_transform(range(1, len(text) + 1),
+                           p -> CAST(ascii(substr(text, p, 1)) AS BIGINT)) AS codes
+  FROM documents
+)
 SELECT doc_id,
        CASE WHEN len(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_units,
-       (SELECT min({h64_sql("substr(text, i, 8)")})
-        FROM unnest(range(1, len(text) - 8 + 2)) t(i)) AS fingerprint,
+       CASE WHEN len(text) < 8 THEN NULL ELSE
+         list_min(list_transform(range(1, len(text) - 8 + 2),
+                                 i -> ({_FP_TERMS}) % {TX.FP_P}))
+       END AS fingerprint,
        {_lang_id_sql("text")} AS lang_pred,
        CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE (
          (CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
@@ -823,7 +834,7 @@ SELECT doc_id,
                BETWEEN 2.0 * len(string_split_regex(trim(text), '\\s+'))
                AND 12.0 * len(string_split_regex(trim(text), '\\s+')) THEN 1 ELSE 0 END)
        ) / 4.0 END AS quality
-FROM documents
+FROM docs_c
 """
 
 
