@@ -145,6 +145,105 @@ def ann_lsh_topk(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: Lloyd iterations on a driver-side
+    sample (first `sample` vectors by id; first k as seeds — no RNG, so
+    repeated builds produce identical centroids).
+
+    At 100 TB the sample stays driver-sized (centroid training needs only
+    thousands of points); the expensive steps — assignment and probing —
+    run distributed in ivf_assign/ivf_topk.
+    """
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    arr = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = arr[:k].copy()
+    for _ in range(iters):
+        d2 = ((arr[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties → lowest index (numpy argmin)
+        for j in range(k):
+            members = arr[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cent]
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid indices (deterministic tiebreak
+    on centroid index via struct ordering). JVM arithmetic only."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, cell): each vector assigned to its nearest centroid. The cell
+    id is the IVF partition key — at scale, write the corpus partitioned by
+    cell so probes read only nprobe/k of the data."""
+    cell = F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1)
+    return corpus.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest cells per query, exact
+    cosine re-rank within them. Recall grows with nprobe (nprobe=len(centroids)
+    degenerates to exact search). Join is an equi-join on the cell id; per-query
+    cost scales with nprobe/k of the corpus, never all of it."""
+    c = ivf_assign(corpus, centroids, vec_col, id_col)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -962,6 +962,35 @@ FROM qvs GROUP BY 1
 
 SQL_ANN_SRP_BUCKETS = _srp_buckets_sql()
 
+def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation over the events stream table
+    (Spark `window()`; in streaming mode the same expression runs under a
+    watermark — see streaming.py). Epoch-aligned 1-hour buckets."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING_AGG = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -1073,6 +1102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk": q_sim_topk,
     "ann_srp_buckets": q_ann_srp_buckets,
     "embedding_near_dup": q_embedding_near_dup,
+    "events_tumbling_agg": q_events_tumbling_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -1105,4 +1135,5 @@ ORACLES: dict[str, str] = {
     "sim_topk": SQL_SIM_TOPK,
     "ann_srp_buckets": SQL_ANN_SRP_BUCKETS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "events_tumbling_agg": SQL_EVENTS_TUMBLING_AGG,
 }

@@ -110,3 +110,31 @@ class CdcStreamRunner:
         if self.query is not None:
             self.query.stop()
             self.query = None
+
+
+def windowed_event_aggregation(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling aggregation with late-data handling.
+
+    The reference has no event-time windows (its 'watermark' is a replication
+    cursor — SURVEY §2.8); this is the Spark-native analytics layer over the
+    same event streams: watermark bounds state for late data, epoch-aligned
+    tumbling buckets, count + sum aggregates. Works identically on batch
+    DataFrames (no watermark applied) and streaming ones.
+    """
+    from pyspark.sql import functions as F
+
+    gcols = group_cols or ["event_type"]
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), *gcols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *gcols, "n_events", "sum_value")
+    )
