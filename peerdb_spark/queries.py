@@ -991,6 +991,89 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session windows split at >30-min gaps
+    (lag + cumulative-sum formulation — identical semantics to Spark's
+    session_window, expressed so the oracle matches exactly; the streaming
+    path uses session_window + watermark). Returns per-user session stats."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond arithmetic on both engines (unix_timestamp truncates to
+    # seconds while DuckDB epoch() keeps fractions — µs is lossless parity)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
+            ).cast("long").alias("duration_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("duration_s").alias("total_session_s"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       sum(duration_s) AS total_session_s
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: 100 most frequent tokens with deterministic
+    (count DESC, token) ordering — explode → hash agg → rank."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select(F.col("rank").cast("int").alias("rank"), "token", "cnt")
+    )
+
+
+SQL_VOCAB_TOPK = """
+SELECT CAST(rank AS INT) AS rank, token, cnt FROM (
+  SELECT token, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+  FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents WHERE len(trim(text)) > 0
+  )
+  GROUP BY token
+) WHERE rank <= 100
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -1103,6 +1186,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_srp_buckets": q_ann_srp_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "events_tumbling_agg": q_events_tumbling_agg,
+    "events_sessionize": q_events_sessionize,
+    "vocab_topk": q_vocab_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1136,4 +1221,6 @@ ORACLES: dict[str, str] = {
     "ann_srp_buckets": SQL_ANN_SRP_BUCKETS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_tumbling_agg": SQL_EVENTS_TUMBLING_AGG,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "vocab_topk": SQL_VOCAB_TOPK,
 }
