@@ -98,6 +98,9 @@ def main() -> None:
         "text_features",
         "sim_topk",
         "ann_srp_buckets",
+        "events_tumbling_agg",
+        "events_sessionize",
+        "vocab_topk",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,
