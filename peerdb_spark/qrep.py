@@ -97,8 +97,14 @@ class QRepEngine:
         return {"partitions": len(todo), "rows": rows, "skipped": False}
 
     def _write(self, cfg: MirrorConfig, table: ParquetTable, batch: DataFrame) -> int:
+        """Write the batch in the configured mode; the row count is collected
+        with an Observation during the write job itself — a separate count()
+        would scan the source twice (2× IO at 100 TB for a metric)."""
+        from pyspark.sql import Observation
+
         mode = cfg.write_mode
-        n = batch.count()
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("rows"))
         if mode == "overwrite":
             table.overwrite(batch)
         elif mode == "upsert":
@@ -114,4 +120,4 @@ class QRepEngine:
             N.merge_into_table(table, changes)
         else:  # append
             table.append(batch)
-        return n
+        return int(obs.get["rows"])

@@ -73,6 +73,7 @@ class Cursor:
     name: str
     iterator: Any
     columns: list[str]
+    schema: Any = None  # StructType of the declared query
 
 
 @dataclass
@@ -205,7 +206,7 @@ class SqlSurface:
     def _declare_cursor(self, m) -> dict:
         name, query = m.group(1), m.group(2)
         df = self.spark.sql(query)
-        self.cursors[name] = Cursor(name, df.toLocalIterator(), df.columns)
+        self.cursors[name] = Cursor(name, df.toLocalIterator(), df.columns, df.schema)
         return {"ok": True, "cursor": name}
 
     def _fetch(self, m):
@@ -217,9 +218,9 @@ class SqlSurface:
                 rows.append(next(cur.iterator))
             except StopIteration:
                 break
-        return self.spark.createDataFrame(rows, schema=", ".join(
-            f"`{c}` string" for c in cur.columns
-        )) if not rows else self.spark.createDataFrame(rows)
+        # always use the declared schema: an exhausted cursor still returns a
+        # correctly-typed empty relation
+        return self.spark.createDataFrame(rows, schema=cur.schema)
 
     def _close(self, m) -> dict:
         self.cursors.pop(m.group(1), None)
