@@ -46,6 +46,41 @@ def has_new_rows(df: DataFrame, wm: str, last_end) -> bool:
     return df.where(F.col(wm) > F.lit(last_end)).limit(1).count() > 0
 
 
+def _coalesce_ranges(parts: list[QRepPartition]) -> list[QRepPartition]:
+    """Merge adjacent pending partitions into contiguous spans.
+
+    A fresh sync has every partition pending → the union of hundreds of
+    range-filtered scans collapses to ONE scan with one BETWEEN predicate
+    (the per-partition task split is Spark's job, not the plan's). Only
+    re-runs with holes (some partitions already synced) produce multiple
+    spans. Integer and timestamp watermarks supported; full-table/null
+    partitions pass through untouched.
+    """
+    import datetime as dt
+
+    rangeable = [p for p in parts if not (p.full_table or p.is_null_partition)]
+    passthrough = [p for p in parts if p.full_table or p.is_null_partition]
+    if len(rangeable) <= 1:
+        return parts
+    rangeable.sort(key=lambda p: p.start)
+
+    def adjacent(prev_end, nxt_start) -> bool:
+        if isinstance(prev_end, dt.datetime):
+            return nxt_start - prev_end <= dt.timedelta(microseconds=1)
+        return int(nxt_start) - int(prev_end) <= 1
+
+    spans: list[QRepPartition] = []
+    cur = rangeable[0]
+    for p in rangeable[1:]:
+        if adjacent(cur.end, p.start):
+            cur = QRepPartition(f"span_{cur.start}_{p.end}", cur.start, p.end)
+        else:
+            spans.append(cur)
+            cur = p
+    spans.append(cur)
+    return spans + passthrough
+
+
 class QRepEngine:
     """Executes a QRep mirror config against parquet sources/destinations."""
 
@@ -79,7 +114,8 @@ class QRepEngine:
             return {"partitions": 0, "rows": 0, "skipped": True}
 
         src = source.where(F.col(wm) > F.lit(last_end)) if last_end is not None else source
-        pulls = [watermark_range_pull(src, wm, p) for p in todo]
+        spans = _coalesce_ranges(todo)
+        pulls = [watermark_range_pull(src, wm, p) for p in spans]
         batch = reduce(DataFrame.unionByName, pulls)
 
         table = ParquetTable(
