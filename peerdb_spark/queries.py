@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from peerdb_spark import normalize as N
 from peerdb_spark.functions import dedup as DD
 from peerdb_spark.functions import text as TX
-from peerdb_spark.functions.hashing import h64, h64_seeded, h64_sql, h64_seeded_sql
+from peerdb_spark.functions.hashing import h64, h64_sql
 from peerdb_spark.partition import ntile_partition_ranges
 from peerdb_spark.session import load_tables
 
