@@ -1,0 +1,72 @@
+"""Regenerate PLANS.md: physical-plan evidence for the scale-critical
+operators, with commentary. Companion to tools/audit_plans.py (which asserts
+the same properties as a gate)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COMMENT = {
+    "qrep_watermark_range": (
+        "The QRep partition pull. The range predicate reaches the parquet scan "
+        "as PushedFilters — a partition pull reads only row-groups whose min/max "
+        "stats overlap the watermark range. Zero exchanges."
+    ),
+    "passthrough_join": (
+        "Orders⋈customer⋈nation. Both dimension tables broadcast "
+        "(BroadcastHashJoin); the fact table never shuffles for the joins — "
+        "only the final group-by aggregates exchange."
+    ),
+    "cdc_normalize_merge": (
+        "The flagship merge (join strategy). The LWW dedup window and the "
+        "full-outer merge join hash-partition on the same pk, so Spark reuses "
+        "the exchange: one shuffle per side, total 2."
+    ),
+    "dedup_minhash_lsh_pairs": (
+        "MinHash-LSH. Signatures come from an explode + HashAggregate with "
+        "map-side combine (fixed-width long buffers); the skew guard is a "
+        "broadcast anti-join (no sort of the banded relation); candidate pairs "
+        "join only within band buckets."
+    ),
+    "sim_topk": (
+        "Brute-force ANN baseline: the small query set broadcasts against the "
+        "corpus scan (BroadcastNestedLoopJoin); per-row scoring is JVM codegen; "
+        "the rank window partitions by query id only."
+    ),
+}
+
+
+def main() -> None:
+    from peerdb_spark import get_spark
+    from peerdb_spark.queries import QUERIES
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("gen_plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# PLANS — physical-plan evidence for the scale-critical operators",
+        "",
+        "Captured from `.explain` at sf0.01 (plans are scale-invariant; only statistics change).",
+        "Regenerate: `python tools/gen_plans.py`. Asserted continuously by `tools/audit_plans.py`.",
+        "",
+    ]
+    for name, comment in COMMENT.items():
+        df = QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [ln.rstrip() for ln in plan.splitlines()]
+        lines = [ln if len(ln) <= 150 else ln[:147] + "..." for ln in lines]
+        out += [f"## {name}", "", comment, "", "```", *lines[:40]]
+        if len(lines) > 40:
+            out.append(f"... ({len(lines) - 40} more lines)")
+        out += ["```", ""]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
