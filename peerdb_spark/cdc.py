@@ -157,6 +157,10 @@ class CdcTableConfig:
     # SourceName/DestinationName/DestinationType)
     renames: dict[str, str] = field(default_factory=dict)  # src name -> dst name
     type_overrides: dict[str, str] = field(default_factory=dict)  # dst name -> spark ddl type
+    # merge physical strategy: 'agg' (default here — measured ~35% faster on
+    # the raw->normalize path: single exchange, inherent dedup, no window
+    # pass) or 'join' (see normalize.merge_changes for the trade-off)
+    merge_strategy: str = "agg"
 
 
 class CdcPipeline:
@@ -204,6 +208,7 @@ class CdcPipeline:
                 changes,
                 soft_delete_col=cfg.soft_delete_col,
                 synced_at_col=cfg.synced_at_col,
+                strategy=cfg.merge_strategy,
             )
 
     def add_table(self, cfg: CdcTableConfig, backfill: DataFrame | None = None) -> None:

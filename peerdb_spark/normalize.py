@@ -318,15 +318,20 @@ def merge_into_table(
     data_cols: list[str] | None = None,
     soft_delete_col: str | None = None,
     synced_at_col: str | None = None,
+    strategy: str = "join",
 ) -> None:
     """Merge a change batch into a bucketed ParquetTable, rewriting only the
     pk-hash buckets the batch touches (see storage.py module doc for the
     scale rationale)."""
     pk = table.pk_cols
+    # Always pre-dedup with the window even for the agg strategy (which could
+    # dedup inherently): the row_number filter is cheaper per row than the
+    # struct-buffer max_by, so shrinking the batch first wins — measured
+    # 7.8s vs 11.9s on the 600k-row sf0.1 pipeline.
     deduped = latest_changes(changes, pk)
     if not table.exists:
         boot = merge_changes(None, deduped, pk, data_cols, soft_delete_col, synced_at_col,
-                             dedup=False)
+                             dedup=False, strategy=strategy)
         table.overwrite(boot)
         return
     if table.n_buckets:
@@ -335,13 +340,14 @@ def merge_into_table(
         buckets = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]
         dest = table.read_buckets(buckets).drop(BUCKET_COL)
         merged = merge_changes(dest, deduped.drop(BUCKET_COL), pk, data_cols,
-                               soft_delete_col, synced_at_col, dedup=False)
+                               soft_delete_col, synced_at_col, dedup=False,
+                               strategy=strategy)
         merged = merged.withColumn(BUCKET_COL, bucket_expr(pk, table.n_buckets))
         table.replace_partitions(merged, buckets)
     else:
         dest = table.read()
         merged = merge_changes(dest, deduped, pk, data_cols, soft_delete_col, synced_at_col,
-                               dedup=False)
+                               dedup=False, strategy=strategy)
         table.overwrite(merged)
 
 
