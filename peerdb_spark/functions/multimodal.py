@@ -117,6 +117,63 @@ def extract_features(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """media → (media_id, content, meta) with resized pixel payloads.
+
+    Arrow-batched mapInPandas; the resize kernel is STUBBED (no codec libs in
+    this container): it produces a deterministic fake buffer of exactly
+    width·height·3 bytes derived from the source bytes, and rewrites the
+    metadata struct to the target dimensions — so downstream schema,
+    partitioning and size accounting behave exactly as with a real resampler.
+    Swap the inner `_resize` for PIL's `Image.resize` and nothing else moves.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+    target = (width, height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        w, h = target
+        n_bytes = w * h * 3
+
+        def _resize(content: bytes) -> bytes:
+            # STUB: real impl decodes + resamples; fake is deterministic
+            # in the source bytes and exactly the target buffer size
+            out = b""
+            seed = content or b""
+            while len(out) < n_bytes:
+                seed = hashlib.md5(seed).digest()
+                out += seed
+            return out[:n_bytes]
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [_resize(c) for c in pdf["content"]],
+                    "meta": [
+                        ("image/raw-rgb", w, h, None, None) for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000,
                       id_col: str = "media_id") -> DataFrame:
     """Video frame-sampling plumbing: (media_id, frame_ts_ms) rows from the

@@ -32,6 +32,19 @@ def test_frame_sample_plan(spark):
     assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
 
 
+def test_resize_images_shape_and_meta(spark):
+    df = _media_df(spark)
+    out = M.resize_images(df, 8, 8)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(bytes(r["content"])) == 8 * 8 * 3 for r in rows)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 8 for r in rows)
+    # deterministic in source bytes
+    again = {r["media_id"]: bytes(r["content"]) for r in M.resize_images(df, 8, 8).collect()}
+    first = {r["media_id"]: bytes(r["content"]) for r in rows}
+    assert again == first
+
+
 def test_media_stats_prunes_content(spark):
     df = _media_df(spark)
     out = M.media_stats(df)
