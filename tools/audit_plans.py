@@ -49,6 +49,31 @@ MAX_EXCHANGES = {
 }
 
 
+def check_agg_merge_single_exchange(spark) -> list[str]:
+    """The agg-strategy merge must stay a single exchange with no join —
+    the property that halves shuffle count on the CDC pipeline hot path."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark import normalize as N
+
+    dest = spark.range(100).select(F.col("id"), F.lit("x").alias("v"))
+    chg = spark.range(50).select(
+        F.col("id"), F.lit("y").alias("v"), F.lit("update").alias("_kind"),
+        F.col("id").alias("_checkpoint_id"), F.current_timestamp().alias("_commit_ts"),
+    )
+    plan = (
+        N.merge_changes(dest, chg, ["id"], strategy="agg")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    msgs = []
+    msgs.append(
+        ("ok" if plan.count("Exchange") <= 1 else "FAIL")
+        + f": agg merge exchanges {plan.count('Exchange')} <= 1"
+    )
+    msgs.append(("ok" if "Join" not in plan else "FAIL") + ": agg merge has no join")
+    return msgs
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -60,6 +85,11 @@ def main() -> int:
     spark = get_spark("audit_plans", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
+    print("merge_changes(strategy='agg'):")
+    for m in check_agg_merge_single_exchange(spark):
+        if m.startswith("FAIL"):
+            failures += 1
+        print(f"  {m}")
     for name, checks in CHECKS:
         plan = QUERIES[name](spark, args.sf)._jdf.queryExecution().executedPlan().toString()
         nexch = plan.count("Exchange")
