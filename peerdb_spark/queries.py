@@ -508,6 +508,32 @@ FROM s
 """
 
 
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.11 scalar-function surface the reference's generated SQL relies
+    on: base64/unbase64 round-trip, hex, greatest, integer div — all Spark
+    built-ins, demonstrated with exact DuckDB parity."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string").alias("lang_rt"),
+        F.hex(F.col("source")).alias("source_hex"),
+        F.greatest(F.col("n_chars"), F.lit(100)).alias("chars_floor100"),
+        F.expr("n_chars DIV 7").alias("chars_div7"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT doc_id,
+       to_base64(encode(lang)) AS lang_b64,
+       decode(from_base64(to_base64(encode(lang)))) AS lang_rt,
+       hex(source) AS source_hex,
+       greatest(n_chars, 100) AS chars_floor100,
+       n_chars // 7 AS chars_div7
+FROM documents
+"""
+
+
 def q_numeric_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Destination-precision numeric truncation with overflow counting
     (ref: flow/model/numeric_truncator.go — out-of-range values nulled and
@@ -1170,6 +1196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_record_counts": q_cdc_record_counts,
     "cdc_unchanged_toast_sets": q_cdc_unchanged_toast_sets,
     "date_clamp": q_date_clamp,
+    "scalar_functions": q_scalar_functions,
     "numeric_truncate": q_numeric_truncate,
     "json_extract": q_json_extract,
     "union_distinct": q_union_distinct,
@@ -1205,6 +1232,7 @@ ORACLES: dict[str, str] = {
     "cdc_record_counts": SQL_CDC_RECORD_COUNTS,
     "cdc_unchanged_toast_sets": SQL_CDC_UNCHANGED_TOAST,
     "date_clamp": SQL_DATE_CLAMP,
+    "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "numeric_truncate": SQL_NUMERIC_TRUNCATE,
     "json_extract": SQL_JSON_EXTRACT,
     "union_distinct": SQL_UNION_DISTINCT,
