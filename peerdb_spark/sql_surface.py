@@ -188,6 +188,18 @@ class SqlSurface:
                 runner()
         return {"ok": True, "mirror": name, "status": st.status}
 
+    def register_destination(self, view_name: str, table) -> None:
+        """Expose a mirrored destination table to pass-through SQL (the nexus
+        behavior: interactive SELECTs against replicated data). `table` is a
+        ParquetTable; the view re-reads on each query so it always reflects
+        the latest normalize."""
+        table.read().createOrReplaceTempView(view_name)
+
+    def refresh_destination(self, view_name: str, table) -> None:
+        """Re-register after a merge swapped files (Spark caches file listings
+        per view)."""
+        self.register_destination(view_name, table)
+
     def bind_qrep(self, mirror_name: str, source: DataFrame, dest_path: str) -> None:
         """Wire EXECUTE MIRROR to the QRep engine for a created mirror: each
         EXECUTE runs one incremental sync pass against `source` (the analogue

@@ -87,6 +87,27 @@ def test_passthrough_sql(surface, tables):
     assert df.collect()[0]["n"] == tables["orders"].count()
 
 
+def test_query_mirrored_destination(surface, tables, tmp_path, spark):
+    """The nexus pattern: replicate, then run interactive SQL on the mirror."""
+    from peerdb_spark.qrep import QRepEngine
+
+    surface.execute(
+        "CREATE MIRROR mq FROM src TO dst FOR $$SELECT * FROM orders$$ "
+        "WITH (watermark_column = 'o_orderkey', mode = 'append')"
+    )
+    dest = str(tmp_path / "mq_dst")
+    surface.bind_qrep("mq", tables["orders"], dest)
+    surface.execute("EXECUTE MIRROR mq")
+    surface.register_destination("orders_mirror", ParquetTable(spark, dest))
+    out = surface.execute(
+        "SELECT o_orderstatus, count(*) AS n FROM orders_mirror GROUP BY 1 ORDER BY 1"
+    ).collect()
+    direct = tables["orders"].groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+    assert [(r["o_orderstatus"], r["n"]) for r in out] == [
+        (r["o_orderstatus"], r["count"]) for r in direct
+    ]
+
+
 def test_cursor_lifecycle(surface, tables):
     surface.execute("DECLARE c1 CURSOR FOR SELECT o_orderkey FROM orders ORDER BY o_orderkey")
     first = surface.execute("FETCH 5 FROM c1").collect()
