@@ -108,13 +108,14 @@ def main() -> None:
     QUERIES["passthrough_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    # the flagship pipeline number runs first, on a fresh JVM heap — running
+    # it after 19 query DAGs adds up to 2x GC noise to the measurement
+    timings["cdc_pipeline_e2e"] = _bench_cdc_pipeline(spark, sf_dir)
     for name in headline:
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-
-    timings["cdc_pipeline_e2e"] = _bench_cdc_pipeline(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
