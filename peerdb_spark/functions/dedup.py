@@ -220,6 +220,58 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE_N,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """The scale-safe near-duplicate pipeline: banded MinHash-LSH candidate
+    generation, then exact n-gram Jaccard verification of ONLY the candidates.
+
+    This is the composition the module doc prescribes — the shared-shingle
+    self-join in ngram_jaccard_pairs squares on common shingles at corpus
+    scale; here the exact-verify joins shingle sets to the (small) candidate
+    pair list instead, so verify cost is O(|candidates| · shingles/doc).
+    Returns (id_a, id_b, est_jaccard, jaccard) with jaccard >= min_jaccard.
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, max_bucket_size)
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    doc_sh = (
+        src.select(F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("sh"))
+        .select("did", h64("sh").alias("shh"))
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    sh_a = doc_sh.select(F.col("did").alias("id_a"), "shh")
+    sh_b = doc_sh.select(F.col("did").alias("id_b"), "shh")
+    common = (
+        cand.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(cand, ["id_a", "id_b"])
+        .join(sizes.withColumnRenamed("did", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("did", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint from whitespace-token hashes, bit-vote majority.
 

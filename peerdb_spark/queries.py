@@ -549,7 +549,7 @@ def q_numeric_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("trunc").isNull(), 1)).alias("n_overflow"),
-            F.sum("trunc").alias("sum_trunc"),
+            F.sum("trunc").cast("decimal(38,2)").alias("sum_trunc"),
         )
     )
 
@@ -557,7 +557,7 @@ def q_numeric_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NUMERIC_TRUNCATE = """
 SELECT l_returnflag AS flag, count(*) AS n,
        count(CASE WHEN t IS NULL THEN 1 END) AS n_overflow,
-       sum(t) AS sum_trunc
+       CAST(sum(t) AS DECIMAL(38,2)) AS sum_trunc
 FROM (
   SELECT l_returnflag,
          TRY_CAST(l_extendedprice * (CASE WHEN l_orderkey % 97 = 0 THEN 1e9 ELSE 1.0 END)
@@ -578,7 +578,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(
-            F.sum("k").alias("sum_k"),
+            F.sum("k").cast("long").alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_k"),
         )
@@ -587,7 +587,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_EXTRACT = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n,
        count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null_k
 FROM events GROUP BY event_type
@@ -616,8 +616,8 @@ def q_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -625,8 +625,8 @@ def q_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PASSTHROUGH_AGG = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -641,14 +641,14 @@ def q_passthrough_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_price"),
         )
     )
 
 
 SQL_PASSTHROUGH_JOIN = """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -771,25 +771,49 @@ SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed scale-safe pipeline: MinHash-LSH candidates → exact n-gram
+    Jaccard verify of candidates only (the standalone shared-shingle self-join
+    squares on common shingles at corpus scale; dedup.ngram_jaccard_pairs
+    remains available as the raw exact-verify primitive)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.05)
+    return DD.lsh_verified_pairs(docs, "text", "doc_id", min_jaccard=0.05)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH {_GRAMS_SQL},
+WITH {_minhash_sig_sql()},
+bands AS (
+  SELECT doc_id, j // {_R} AS band,
+         {h64_sql(f"concat(j // {_R}, ',', string_agg(mh::VARCHAR, ',' ORDER BY j))")} AS band_hash
+  FROM sigs GROUP BY doc_id, j // {_R}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         (SELECT count(*) FROM sigs x JOIN sigs y ON x.j = y.j AND x.mh = y.mh
+          WHERE x.doc_id = c.id_a AND y.doc_id = c.id_b) / {DD.DEFAULT_NUM_HASHES}.0
+          AS est_jaccard
+  FROM cand c
+),
 gh AS (SELECT doc_id AS did, {h64_sql("g")} AS shh FROM grams),
 sizes AS (SELECT did, count(*) set_size FROM gh GROUP BY did),
 common AS (
-  SELECT a.did id_a, b.did id_b, count(*) common
-  FROM gh a JOIN gh b ON a.shh = b.shh AND a.did < b.did
-  GROUP BY a.did, b.did
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN gh a ON a.did = c.id_a
+  JOIN gh b ON b.did = c.id_b AND b.shh = a.shh
+  GROUP BY c.id_a, c.id_b
 )
-SELECT id_a, id_b,
-       common / (sa.set_size + sb.set_size - common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.did = id_a
-JOIN sizes sb ON sb.did = id_b
-WHERE common / (sa.set_size + sb.set_size - common) >= 0.05
+SELECT cm.id_a, cm.id_b, e.est_jaccard,
+       cm.common / (sa.set_size + sb.set_size - cm.common) AS jaccard
+FROM common cm
+JOIN est e ON e.id_a = cm.id_a AND e.id_b = cm.id_b
+JOIN sizes sa ON sa.did = cm.id_a
+JOIN sizes sb ON sb.did = cm.id_b
+WHERE cm.common / (sa.set_size + sb.set_size - cm.common) >= 0.05
 """
 
 # ---------------------------------------------------------------------------
@@ -872,15 +896,15 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(F.col("text")).alias("n_tokens"),
     )
     return feat.groupBy("lang_pred").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").cast("long").alias("total_tokens")
     )
 
 
 SQL_TEXT_LANG_STATS = f"""
 SELECT {_lang_id_sql("text")} AS lang_pred,
        count(*) AS n_docs,
-       sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens
+       CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
 FROM documents GROUP BY 1
 """
 
@@ -928,8 +952,84 @@ WITH qv AS (
 q AS (SELECT vec_id AS query_id, qv AS qq FROM qv WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, c.vec_id,
-         list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * q.qq[i])) AS dot_q
+         CAST(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * q.qq[i])) AS BIGINT) AS dot_q
   FROM qv c CROSS JOIN q
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _int_srp_sig(qv, bits: int):
+    """Integer SRP bucket id over a quantized vector column — exact ±1
+    projections, reproducible bit-for-bit in the DuckDB oracle."""
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    sig = F.lit(0)
+    for i in range(bits):
+        plane = srp_hyperplane(64, i)
+        proj = F.aggregate(
+            F.zip_with(qv, F.array(*[F.lit(p) for p in plane]),
+                       lambda x, h: x * h.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def _int_srp_sig_sql(bits: int, var: str = "qv") -> str:
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    terms = []
+    for i in range(bits):
+        plane = srp_hyperplane(64, i)
+        arr = "[" + ", ".join(str(p) for p in plane) + "]"
+        proj = f"list_sum(list_transform(range(1, 65), j -> {var}[j] * ({arr})[j]))"
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {2**i} ELSE 0 END")
+    return f"CAST({' + '.join(terms)} AS INT)"
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k, the scale path: SRP bucket equi-join (4-bit buckets) then
+    exact re-rank by quantized-int dot product within the probed bucket only.
+    Unlike sim_topk's broadcast-NL baseline, cost is shuffle ∝ corpus +
+    probe ∝ bucket occupancy — never |corpus|·|queries|."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    c = c.select("vec_id", "qv", _int_srp_sig(F.col("qv"), 4).alias("bkt"))
+    q = c.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"), "bkt"
+    )
+    scored = c.join(F.broadcast(q), "bkt").select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qq"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "dot_q")
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH qvs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sigged AS (SELECT vec_id, qv, {_int_srp_sig_sql(4)} AS bkt FROM qvs),
+q AS (SELECT vec_id AS query_id, qv AS qq, bkt FROM sigged WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, 65), j -> c.qv[j] * q.qq[j])) AS BIGINT) AS dot_q
+  FROM sigged c JOIN q ON c.bkt = q.bkt
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rank
@@ -997,7 +1097,7 @@ def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -1011,7 +1111,7 @@ def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_TUMBLING_AGG = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -1042,7 +1142,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.sum("duration_s").alias("total_session_s"),
+            F.sum("duration_s").cast("long").alias("total_session_s"),
         )
     )
 
@@ -1068,7 +1168,7 @@ per_session AS (
 )
 SELECT user_id, count(*) AS n_sessions,
        max(n_events) AS max_session_events,
-       sum(duration_s) AS total_session_s
+       CAST(sum(duration_s) AS BIGINT) AS total_session_s
 FROM per_session GROUP BY user_id
 """
 
@@ -1104,11 +1204,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
     near-dup iff dot_q^2 >= (0.95)^2 * |a|^2 * |b|^2 (cosine >= 0.95 without
-    sqrt — all-integer arithmetic)."""
+    sqrt — all-integer arithmetic).
+
+    The synthetic corpus has no organic near-dups at this threshold, so the
+    declared query PLANTS exact duplicates: integer-doubled copies of the
+    first 16 quantized vectors (2·v has cosine exactly 1 with v in integer
+    arithmetic — no float rounding on either engine), proving the bucket
+    join + exact check find them."""
     from peerdb_spark.functions.similarity import srp_hyperplane
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    planted = c.where(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("qv", lambda x: x * F.lit(2).cast("long")).alias("qv"),
+    )
+    c = c.unionByName(planted)
     sig = F.lit(0)
     for i in range(8):
         plane = srp_hyperplane(64, i)
@@ -1154,10 +1265,16 @@ def _near_dup_sql() -> str:
         terms.append(f"CASE WHEN {proj} >= 0 THEN {2**i} ELSE 0 END")
     sig = " + ".join(terms)
     return f"""
-WITH qvs AS (
+WITH qvs0 AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
   FROM embeddings
+),
+qvs AS (
+  SELECT * FROM qvs0
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, list_transform(qv, x -> x * 2) AS qv
+  FROM qvs0 WHERE vec_id < 16
 ),
 sigged AS (
   SELECT vec_id, qv, CAST({sig} AS INT) AS bkt,
@@ -1165,7 +1282,7 @@ sigged AS (
   FROM qvs
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) AS dot_q
+       CAST(list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) AS BIGINT) AS dot_q
 FROM sigged a JOIN sigged b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
 WHERE list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) > 0
   AND 400 * list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j]))
@@ -1210,6 +1327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_features": q_text_features,
     "text_lang_stats": q_text_lang_stats,
     "sim_topk": q_sim_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_srp_buckets": q_ann_srp_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "events_tumbling_agg": q_events_tumbling_agg,
@@ -1246,6 +1364,7 @@ ORACLES: dict[str, str] = {
     "text_features": SQL_TEXT_FEATURES,
     "text_lang_stats": SQL_TEXT_LANG_STATS,
     "sim_topk": SQL_SIM_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_srp_buckets": SQL_ANN_SRP_BUCKETS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_tumbling_agg": SQL_EVENTS_TUMBLING_AGG,

@@ -35,7 +35,18 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
     ("json_extract", [("no python udf", r"BatchEvalPython", False)]),
     ("text_features", [("no python udf", r"BatchEvalPython", False)]),
     ("dedup_minhash_lsh_pairs", [("no python udf", r"BatchEvalPython", False)]),
+    ("dedup_ngram_jaccard", [
+        # the declared query must be the composed LSH→verify pipeline: the
+        # banded-LSH skew guard (broadcast anti-join) proves candidates come
+        # from the bucketed path, not the quadratic shared-shingle self-join
+        ("LSH banded candidates (skew-guard anti-join present)", r"LeftAnti", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
     ("sim_topk", [("broadcast queries against corpus", r"BroadcastNestedLoopJoin", True)]),
+    ("ann_lsh_topk", [
+        ("bucket equi-join (scale path)", r"BroadcastHashJoin", True),
+        ("no all-pairs nested loop", r"BroadcastNestedLoopJoin", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
