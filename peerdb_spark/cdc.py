@@ -17,6 +17,8 @@ is a partition drop — both O(batch), independent of table history size.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,6 +42,22 @@ CHANGELOG_SCHEMA = T.StructType(
         T.StructField("_unchanged_cols", T.ArrayType(T.StringType())),
     ]
 )
+
+def changelog_schema_with_checkpoint(ck_type: T.DataType) -> T.StructType:
+    """CHANGELOG_SCHEMA with an alternate checkpoint type.
+
+    Offsets are not always integers: MySQL GTID sets and MongoDB resume
+    tokens are opaque strings ordered lexicographically
+    (ref: flow/model/cdc_stream.go:56-58). The whole pipeline — sync, raw
+    staging, LWW tiebreak, replay guard — treats the checkpoint as an opaque
+    orderable value, so swapping the type is schema-only."""
+    return T.StructType(
+        [
+            T.StructField(f.name, ck_type if f.name == "_checkpoint_id" else f.dataType)
+            for f in CHANGELOG_SCHEMA.fields
+        ]
+    )
+
 
 RAW_UID = "_peerdb_uid"
 RAW_TS = "_peerdb_timestamp"
@@ -71,16 +89,39 @@ def changelog_to_raw(changelog: DataFrame, batch_id: int) -> DataFrame:
 
 
 class RawTable:
-    """Append-only raw staging table, parquet partitioned by batch id."""
+    """Append-only raw staging table, parquet partitioned by batch id.
+
+    Each batch partition gets a completion marker file (`_PEERDB_COMMITTED`,
+    underscore-prefixed so parquet readers ignore it) written only after the
+    append job commits — bare directory existence is NOT proof of a complete
+    append, since a crash during job commit can leave a partially-populated
+    directory. Replay guards must use is_batch_committed(); append() itself
+    clears a partial (marker-less) directory before re-writing so a replayed
+    batch never double-appends partial rows.
+    """
+
+    MARKER = "_PEERDB_COMMITTED"
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
+    def batch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"{RAW_BATCH}={batch_id}")
+
+    def is_batch_committed(self, batch_id: int) -> bool:
+        return os.path.exists(os.path.join(self.batch_dir(batch_id), self.MARKER))
+
     def append(self, changelog: DataFrame, batch_id: int) -> None:
+        part = self.batch_dir(batch_id)
+        if os.path.isdir(part) and not self.is_batch_committed(batch_id):
+            # partial directory from a crashed job commit — redo cleanly
+            shutil.rmtree(part)
         changelog_to_raw(changelog, batch_id).write.mode("append").partitionBy(
             RAW_BATCH
         ).parquet(self.path)
+        with open(os.path.join(part, self.MARKER), "w") as fh:
+            fh.write("")
 
     def read_batches(self, start_batch: int, end_batch: int) -> DataFrame:
         df = self.spark.read.parquet(self.path)
@@ -239,10 +280,13 @@ class CdcPipeline:
         )
 
     def unchanged_toast_sets(self, start_batch: int, end_batch: int) -> DataFrame:
-        """ARRAY_AGG(DISTINCT unchanged_toast_columns) GROUP BY dst
-        (ref: flow/connectors/postgres/client.go:54-56)."""
+        """ARRAY_AGG(DISTINCT unchanged_toast_columns) GROUP BY dst, excluding
+        delete records — the reference query filters _peerdb_record_type != 2
+        (client.go getTableNameToUnchangedToastColsSQL), so delete rows' values
+        never pollute the per-table toast sets."""
         return (
             self.raw.read_batches(start_batch, end_batch)
+            .where(F.col(RAW_TYPE) != N.KIND_DELETE)
             .groupBy(RAW_DST)
             .agg(F.sort_array(F.collect_set(RAW_UNCHANGED)).alias("toast_sets"))
         )

@@ -120,11 +120,13 @@ def merge_changes(
     )
 
     if dest is None:
-        out = src.where(F.col("_rtype") != KIND_DELETE).drop(
-            "_rtype", *([COL_UNCHANGED] if has_unchanged else [])
-        )
+        out = src
         if soft_delete_col:
-            out = out.withColumn(soft_delete_col, F.lit(False))
+            # deletes with no prior state still materialize as tombstones
+            out = out.withColumn(soft_delete_col, F.col("_rtype") == KIND_DELETE)
+        else:
+            out = out.where(F.col("_rtype") != KIND_DELETE)
+        out = out.drop("_rtype", *([COL_UNCHANGED] if has_unchanged else []))
         if synced_at_col:
             out = out.withColumn(synced_at_col, F.current_timestamp())
         return out
@@ -139,6 +141,12 @@ def merge_changes(
     in_src = F.col("_in_src").isNotNull()
     is_delete = in_src & (F.col("s._rtype") == KIND_DELETE)
 
+    # a delete takes the source values only when the key is absent from the
+    # destination (soft-delete tombstone INSERT — ref normalize_stmt_generator.go
+    # 'WHEN NOT MATCHED AND _peerdb_record_type=2 THEN INSERT ... soft_delete=TRUE');
+    # a matched delete keeps the destination values (tombstone UPDATE)
+    use_src = in_src & (~is_delete | ~in_dest)
+
     def value_of(c: str):
         src_val = F.col(f"s.{c}")
         if has_unchanged:
@@ -151,8 +159,8 @@ def merge_changes(
                 F.col(f"d.{c}") if c in dest_cols else F.lit(None),
             ).otherwise(F.col(f"s.{c}"))
         if c in dest_cols:
-            return F.when(in_src & ~is_delete, src_val).otherwise(F.col(f"d.{c}"))
-        return F.when(in_src & ~is_delete, src_val).otherwise(F.lit(None))
+            return F.when(use_src, src_val).otherwise(F.col(f"d.{c}"))
+        return F.when(use_src, src_val).otherwise(F.lit(None))
 
     select_cols = [*[F.col(c) for c in pk_cols], *[value_of(c).alias(c) for c in data_cols]]
 
@@ -166,8 +174,9 @@ def merge_changes(
             F.when(is_delete, F.lit(True)).when(in_src, F.lit(False)).otherwise(prev_deleted)
         )
         select_cols.append(deleted.alias(soft_delete_col))
-        # tombstones kept; delete of an unseen key is still a no-op
-        keep = in_dest | ~is_delete
+        # all rows kept: matched deletes become tombstone updates, unmatched
+        # deletes materialize as tombstone INSERTs (reference parity)
+        keep = F.lit(True)
     else:
         # hard delete drops the row; unmatched deletes no-op
         keep = ~is_delete
@@ -218,7 +227,11 @@ def merge_changes_agg(
     dvals_type = T.StructType(dvals_fields)
 
     epoch = F.to_timestamp(F.lit("1970-01-01"))
-    lo_ck = F.lit(-(2**62)).cast("long")
+    # checkpoints keep their NATIVE orderable type: integer LSN-like offsets
+    # and opaque string offsets (MySQL GTID / Mongo resume tokens,
+    # ref flow/model/cdc_stream.go:56-58) both order correctly in the struct
+    # comparison — casting to long would null out string offsets
+    ck_type = chg_fields.get(COL_CHECKPOINT, T.LongType())
 
     src = changes.select(
         *pk_cols,
@@ -229,7 +242,7 @@ def merge_changes_agg(
         ),
         F.lit(1).alias("_is_change"),
         F.coalesce(F.col(COL_COMMIT_TS).cast("timestamp"), epoch).alias("_ts"),
-        F.coalesce(F.col(COL_CHECKPOINT).cast("long"), lo_ck).alias("_ck"),
+        F.col(COL_CHECKPOINT).cast(ck_type).alias("_ck"),
         F.lit(None).cast(dvals_type).alias("_dvals"),
     )
 
@@ -251,7 +264,9 @@ def merge_changes_agg(
             F.lit(None).cast("array<string>").alias("_unch"),
             F.lit(0).alias("_is_change"),
             epoch.alias("_ts"),
-            lo_ck.alias("_ck"),
+            # never compared: _is_change=0 loses to any change at the struct's
+            # first field, so the ordering short-circuits before _ck
+            F.lit(None).cast(ck_type).alias("_ck"),
             F.struct(
                 *[
                     (F.col(c).cast(chg_fields[c]) if c in dest_cols else F.lit(None).cast(chg_fields[c])).alias(c)
@@ -278,6 +293,10 @@ def merge_changes_agg(
     in_dest = d_.isNotNull()
     is_delete = had & (w_rtype == F.lit(KIND_DELETE))
 
+    # matched delete keeps destination values (tombstone UPDATE); unmatched
+    # delete takes the source values (tombstone INSERT — reference parity)
+    use_src = had & (~is_delete | ~in_dest)
+
     def value_of(c: str):
         src_val = w_vals[c]
         if has_unchanged:
@@ -287,7 +306,7 @@ def merge_changes_agg(
                 w_unch.isNotNull() & F.array_contains(w_unch, F.lit(c)) & in_dest,
                 d_[c],
             ).otherwise(w_vals[c])
-        return F.when(had & ~is_delete, src_val).otherwise(d_[c])
+        return F.when(use_src, src_val).otherwise(d_[c])
 
     select_cols = [*[F.col(c) for c in pk_cols], *[value_of(c).alias(c) for c in data_cols]]
 
@@ -298,8 +317,9 @@ def merge_changes_agg(
             .otherwise(F.coalesce(d_["_prev_del"], F.lit(False)))
         )
         select_cols.append(deleted.alias(soft_delete_col))
-        # tombstones kept; delete of an unseen key is still a no-op
-        keep = in_dest | ~is_delete
+        # all rows kept: matched deletes become tombstone updates, unmatched
+        # deletes materialize as tombstone INSERTs (reference parity)
+        keep = F.lit(True)
     else:
         # hard delete drops the row; unmatched deletes no-op
         keep = ~is_delete

@@ -27,19 +27,28 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class QRepPartition:
-    """One unit of parallel batch replication (ref: protos/flow.proto:459-470)."""
+    """One unit of parallel batch replication (ref: protos/flow.proto:459-470).
+
+    start_exclusive marks a half-open range (start, end] — used by NTILE
+    partitions after the first bucket, where a non-unique watermark can put
+    the same value at bucket N's end AND bucket N+1's start; inclusive ranges
+    would double-pull those boundary rows when a partially-resumed run's
+    holes prevent span coalescing."""
 
     partition_id: str
-    start: Any  # inclusive
+    start: Any  # inclusive unless start_exclusive
     end: Any  # inclusive
     is_null_partition: bool = False
     full_table: bool = False
+    start_exclusive: bool = False
 
     def predicate(self, wm: str):
         if self.full_table:
             return F.lit(True)
         if self.is_null_partition:
             return F.col(wm).isNull()
+        if self.start_exclusive:
+            return (F.col(wm) > F.lit(self.start)) & (F.col(wm) <= F.lit(self.end))
         return F.col(wm).between(F.lit(self.start), F.lit(self.end))
 
 
@@ -155,9 +164,21 @@ def ntile_partition_ranges(
 def ntile_partitions(
     df: DataFrame, wm: str, num_buckets: int, tiebreakers: list[str] | None = None
 ) -> list[QRepPartition]:
-    """Materialize NTILE ranges as QRepPartition list for the executor."""
+    """Materialize NTILE ranges as QRepPartition list for the executor.
+
+    Buckets after the first are half-open (prev_end, end]: with a non-unique
+    watermark, bucket N's max can equal bucket N+1's min, and two inclusive
+    BETWEENs would both pull the boundary rows (double-append on a resumed
+    run with holes). Boundary-valued rows belong to the earlier bucket."""
     rows = ntile_partition_ranges(df, wm, num_buckets, tiebreakers).collect()
-    return [
-        QRepPartition(f"p{r['bucket']}_{r['start']}_{r['end']}", r["start"], r["end"])
-        for r in rows
-    ]
+    out: list[QRepPartition] = []
+    prev_end = None
+    for i, r in enumerate(rows):
+        if i == 0:
+            out.append(QRepPartition(f"p{r['bucket']}_{r['start']}_{r['end']}",
+                                     r["start"], r["end"]))
+        else:
+            out.append(QRepPartition(f"p{r['bucket']}_{prev_end}_{r['end']}",
+                                     prev_end, r["end"], start_exclusive=True))
+        prev_end = r["end"]
+    return out

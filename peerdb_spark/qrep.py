@@ -72,8 +72,10 @@ def _coalesce_ranges(parts: list[QRepPartition]) -> list[QRepPartition]:
     spans: list[QRepPartition] = []
     cur = rangeable[0]
     for p in rangeable[1:]:
-        if adjacent(cur.end, p.start):
-            cur = QRepPartition(f"span_{cur.start}_{p.end}", cur.start, p.end)
+        # half-open NTILE neighbors touch exactly (p.start == cur.end)
+        if adjacent(cur.end, p.start) or (p.start_exclusive and p.start == cur.end):
+            cur = QRepPartition(f"span_{cur.start}_{p.end}", cur.start, p.end,
+                                start_exclusive=cur.start_exclusive)
         else:
             spans.append(cur)
             cur = p
@@ -114,6 +116,17 @@ class QRepEngine:
             return {"partitions": 0, "rows": 0, "skipped": True}
 
         src = source.where(F.col(wm) > F.lit(last_end)) if last_end is not None else source
+        # Watermark bound for partitions without a planned range (full-table /
+        # null partitions) is captured at PLANNING time, before the pull: a
+        # planning-time max is <= what the pull will contain (at-least-once),
+        # whereas a post-pull re-scan races with concurrent appends — rows
+        # landing between planning and the re-scan would raise the watermark
+        # past data never pulled, skipping them forever.
+        full_max = (
+            get_max_value(src, wm)
+            if any(p.full_table or p.is_null_partition for p in todo)
+            else None
+        )
         spans = _coalesce_ranges(todo)
         pulls = [watermark_range_pull(src, wm, p) for p in spans]
         batch = reduce(DataFrame.unionByName, pulls)
@@ -127,8 +140,12 @@ class QRepEngine:
         rows = self._write(cfg, table, batch)
         for p in todo:
             self.catalog.mark_partition_done(cfg.name, p.partition_id)
-        new_max = get_max_value(src, wm)
-        if new_max is not None:
+        # advance to the max END of the partitions actually pulled — never a
+        # fresh scan of the live source (see full_max note above); never lower
+        # an already-recorded watermark (resumed runs may pull older holes)
+        ends = [p.end for p in todo if p.end is not None]
+        new_max = max(ends) if ends else full_max
+        if new_max is not None and (last_end is None or new_max > last_end):
             self.catalog.set_last_watermark(cfg.name, new_max)
         return {"partitions": len(todo), "rows": rows, "skipped": False}
 

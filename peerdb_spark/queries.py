@@ -328,37 +328,55 @@ FROM last l WHERE l.kind <> 'delete'
 
 
 def q_cdc_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge with soft-delete tombstones (ref: normalize_stmt_generator.go:127-135)."""
+    """Merge with soft-delete tombstones (ref: normalize_stmt_generator.go:127-135).
+
+    Includes deletes of keys ABSENT from the destination (pk shifted by 10M):
+    the reference materializes those as tombstone INSERTs
+    ('WHEN NOT MATCHED AND _peerdb_record_type=2 THEN INSERT ... soft_delete=TRUE'),
+    so the gate certifies that path, not just matched-delete updates."""
     (li,) = _t(spark, sf_dir, "lineitem")
     base = lineitem_base(li)
-    chg = lineitem_changes(li).select(
+    raw = lineitem_changes(li)
+    chg = raw.select(
         "pk", "qty", "price", "flag",
         F.col("kind").alias(N.COL_KIND),
         F.col("ck").alias(N.COL_CHECKPOINT),
         F.col("cts").alias(N.COL_COMMIT_TS),
     )
+    unseen_deletes = raw.where(F.col("ck") % 5 == 0).select(
+        (F.col("pk") + 10_000_000).alias("pk"), "qty", "price", "flag",
+        F.lit("delete").alias(N.COL_KIND),
+        F.col("ck").alias(N.COL_CHECKPOINT),
+        F.col("cts").alias(N.COL_COMMIT_TS),
+    )
+    chg = chg.unionByName(unseen_deletes)
     out = N.merge_changes(base, chg, ["pk"], soft_delete_col="_peerdb_is_deleted")
     return out.select("pk", "qty", "price", "flag", "_peerdb_is_deleted")
 
 
 SQL_CDC_SOFT_DELETE = f"""
 WITH base AS ({BASE_SQL}),
+chg AS (
+  SELECT pk, ck, cts, kind, qty, price, flag FROM ({CHANGES_SQL})
+  UNION ALL
+  SELECT pk + 10000000 AS pk, ck, cts, 'delete' AS kind, qty, price, flag
+  FROM ({CHANGES_SQL}) WHERE ck % 5 = 0
+),
 last AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts DESC, ck DESC) rn
-    FROM ({CHANGES_SQL})
+    FROM chg
   ) WHERE rn = 1
 )
 SELECT b.pk, b.qty, b.price, b.flag, FALSE AS _peerdb_is_deleted
 FROM base b WHERE b.pk NOT IN (SELECT pk FROM last)
 UNION ALL
 SELECT coalesce(b.pk, l.pk) AS pk,
-       CASE WHEN l.kind = 'delete' THEN b.qty ELSE l.qty END AS qty,
-       CASE WHEN l.kind = 'delete' THEN b.price ELSE l.price END AS price,
-       CASE WHEN l.kind = 'delete' THEN b.flag ELSE l.flag END AS flag,
+       CASE WHEN l.kind = 'delete' AND b.pk IS NOT NULL THEN b.qty ELSE l.qty END AS qty,
+       CASE WHEN l.kind = 'delete' AND b.pk IS NOT NULL THEN b.price ELSE l.price END AS price,
+       CASE WHEN l.kind = 'delete' AND b.pk IS NOT NULL THEN b.flag ELSE l.flag END AS flag,
        l.kind = 'delete' AS _peerdb_is_deleted
 FROM last l LEFT JOIN base b USING (pk)
-WHERE l.kind <> 'delete' OR b.pk IS NOT NULL
 """
 
 
@@ -454,7 +472,10 @@ def q_cdc_unchanged_toast_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
     )
     return (
-        chg.withColumn("dst_table", F.concat(F.lit("dst_"), F.col("flag")))
+        # deletes excluded — reference filters _peerdb_record_type != 2
+        # (client.go getTableNameToUnchangedToastColsSQL)
+        chg.where(F.col("kind") != "delete")
+        .withColumn("dst_table", F.concat(F.lit("dst_"), F.col("flag")))
         .groupBy("dst_table")
         .agg(F.array_join(F.sort_array(F.collect_set("unchanged")), "|").alias("toast_sets"))
     )
@@ -469,7 +490,7 @@ WITH chg AS (
 )
 SELECT concat('dst_', flag) AS dst_table,
        string_agg(DISTINCT unchanged, '|' ORDER BY unchanged) AS toast_sets
-FROM chg GROUP BY concat('dst_', flag)
+FROM chg WHERE kind <> 'delete' GROUP BY concat('dst_', flag)
 """
 
 # ---------------------------------------------------------------------------

@@ -23,12 +23,10 @@ no state-store growth and the cluster can restart cold from checkpoints.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from peerdb_spark.cdc import CHANGELOG_SCHEMA, RAW_BATCH, CdcPipeline, CdcTableConfig
+from peerdb_spark.cdc import CHANGELOG_SCHEMA, CdcPipeline, CdcTableConfig
 
 
 class CdcStreamRunner:
@@ -47,6 +45,7 @@ class CdcStreamRunner:
         raw_path: str,
         max_files_per_trigger: int | None = None,
         normalize_lag: int = 0,
+        changelog_schema=None,
     ):
         """normalize_lag > 0 reproduces the reference's async-normalize
         backpressure model (flow/activities/flowable.go:398-418: normalize
@@ -58,14 +57,18 @@ class CdcStreamRunner:
         self.pipeline = CdcPipeline(spark, raw_path, tables)
         self.max_files_per_trigger = max_files_per_trigger
         self.normalize_lag = normalize_lag
+        # alternate checkpoint types (string GTID / resume-token offsets)
+        # come in via changelog_schema_with_checkpoint
+        self.changelog_schema = changelog_schema or CHANGELOG_SCHEMA
         self._last_synced: int | None = None
         self.query = None
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # idempotency guard: a replayed batch id skips the raw append
-        # (the raw table is partitioned by batch id → existence is a dir check)
-        part_dir = os.path.join(self.pipeline.raw.path, f"{RAW_BATCH}={batch_id}")
-        if not os.path.isdir(part_dir):
+        # idempotency guard: a replayed batch id skips the raw append only if
+        # the batch's completion marker exists — a bare partition directory can
+        # be a partial left by a crash during job commit, and skipping on that
+        # would permanently lose rows; sync_batch clears partials and rewrites
+        if not self.pipeline.raw.is_batch_committed(batch_id):
             self.pipeline.sync_batch(batch_df, batch_id)
         self._last_synced = batch_id
         # merge is deterministic → replay converges to the same table state
@@ -82,7 +85,7 @@ class CdcStreamRunner:
 
     def start(self, available_now: bool = False, processing_time: str = "10 seconds"):
         reader = (
-            self.spark.readStream.schema(CHANGELOG_SCHEMA)
+            self.spark.readStream.schema(self.changelog_schema)
             .format("parquet")
         )
         if self.max_files_per_trigger:

@@ -113,6 +113,30 @@ def test_merge_soft_delete_keeps_tombstone(spark):
     assert out[1]["_synced"] is not None and out[2]["_synced"] is None
 
 
+def test_merge_soft_delete_unmatched_delete_inserts_tombstone(spark):
+    # reference parity: 'WHEN NOT MATCHED AND _peerdb_record_type=2 THEN
+    # INSERT (..., soft_delete=TRUE)' — a delete of a key absent from the
+    # destination materializes as a tombstone row, not a no-op
+    dest = spark.createDataFrame([(1, "one")], "id long, val string")
+    chg = _chg(spark, [("delete", 1, 9, "ghost", None)])
+    for strat in ("join", "agg"):
+        out = _state(
+            N.merge_changes(dest, chg, ["id"], soft_delete_col="_deleted",
+                            synced_at_col="_synced", strategy=strat)
+        )
+        assert out[9]["_deleted"] is True and out[9]["val"] == "ghost", strat
+        assert out[9]["_synced"] is not None, strat
+        assert out[1]["_deleted"] is False, strat
+    # hard-delete mode: still a no-op
+    out = _state(N.merge_changes(dest, chg, ["id"]))
+    assert set(out) == {1}
+    # insert+delete of a brand-new key in ONE batch (LWW winner = delete):
+    # soft mode yields a tombstone, matching the reference MERGE
+    chg2 = _chg(spark, [("insert", 1, 5, "new", None), ("delete", 2, 5, "new", None)])
+    out = _state(N.merge_changes(dest, chg2, ["id"], soft_delete_col="_deleted"))
+    assert out[5]["_deleted"] is True and out[5]["val"] == "new"
+
+
 def test_merge_bootstrap_no_dest(spark):
     chg = _chg(spark, [("insert", 1, 1, "a", None), ("delete", 2, 2, None, None)])
     out = _state(N.merge_changes(None, chg, ["id"]))

@@ -44,11 +44,12 @@ def test_ntile_partitions_balanced(spark, tables):
     li = tables["lineitem"]
     parts = ntile_partitions(li, "l_orderkey", 8, tiebreakers=["l_linenumber"])
     assert len(parts) == 8
-    # NTILE buckets are balanced by construction; ranges may overlap at edges
-    # (shared watermark value across buckets) but union covers everything
+    # half-open ranges after the first bucket: counts sum EXACTLY to the total
+    # (no boundary double-pull) and stay roughly balanced
     total = li.count()
     counts = [li.where(p.predicate("l_orderkey")).count() for p in parts]
-    assert all(c >= total // 8 for c in counts)
+    assert sum(counts) == total
+    assert all(c > 0 for c in counts)
 
 
 def test_null_partition(spark):
@@ -59,3 +60,18 @@ def test_null_partition(spark):
     nullp = [p for p in parts if p.is_null_partition]
     assert len(nullp) == 1
     assert df.where(nullp[0].predicate("wm")).count() == 2
+
+
+def test_ntile_partitions_no_boundary_overlap(spark):
+    """Non-unique watermark: bucket N's end equals bucket N+1's start. The
+    half-open ranges must pull every row exactly once even when partitions
+    execute separately (resumed run with holes — no span coalescing)."""
+    df = spark.range(200).select((F.col("id") % 5).alias("wm"), F.col("id"))
+    parts = ntile_partitions(df, "wm", 4, tiebreakers=["id"])
+    total = sum(df.where(p.predicate("wm")).count() for p in parts)
+    assert total == 200
+    # and the union of predicates covers everything
+    import functools
+    covered = df.where(functools.reduce(lambda a, b: a | b,
+                                        [p.predicate("wm") for p in parts])).count()
+    assert covered == 200

@@ -92,3 +92,28 @@ def test_has_new_rows_and_max(spark, tables):
     mx = get_max_value(od, "o_orderkey")
     assert not has_new_rows(od, "o_orderkey", mx)
     assert has_new_rows(od, "o_orderkey", mx - 1)
+
+
+def test_watermark_from_pulled_partitions_not_rescan(spark, tables, catalog, tmp_path):
+    """The recorded watermark must be the max END of partitions actually
+    pulled, not a post-pull re-scan of the live source (which races with
+    concurrent appends and can skip rows forever). Simulated via a resumed
+    run with a hole: the highest partition is already marked done, so the
+    pull covers only lower ranges — the watermark must not jump to the
+    source max."""
+    cfg = MirrorConfig(
+        name="m_wmrace", kind="qrep", watermark_column="l_orderkey",
+        write_mode="append", num_rows_per_partition=5000,
+    )
+    catalog.create_mirror(cfg)
+    eng = QRepEngine(spark, catalog)
+    li = tables["lineitem"]
+    parts = eng.get_partitions(cfg, li)
+    assert len(parts) >= 2
+    top = max(parts, key=lambda p: p.end)
+    catalog.mark_partition_done(cfg.name, top.partition_id)
+    eng.run(cfg, li, str(tmp_path / "dst"))
+    expected = max(p.end for p in parts if p.partition_id != top.partition_id)
+    src_max = li.agg(F.max("l_orderkey")).collect()[0][0]
+    assert catalog.get_last_watermark(cfg.name) == expected
+    assert catalog.get_last_watermark(cfg.name) < src_max

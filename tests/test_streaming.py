@@ -124,3 +124,94 @@ def test_stream_batch_replay_idempotent(spark, tmp_path):
     )
     runner._foreach_batch(batch_df, 0)
     assert t.read().count() == 5  # no duplicates
+
+
+def test_stream_string_checkpoint_offsets(spark, tmp_path):
+    """GTID / resume-token shaped offsets (ref: flow/model/cdc_stream.go:56-58):
+    lexicographic STRING checkpoints flow end-to-end — LWW tiebreak, batch
+    ordering, and the replay guard must not assume integer offsets. All
+    updates share one commit_ts so the checkpoint string alone decides."""
+    schema = cdc.changelog_schema_with_checkpoint(T.StringType())
+    chg_dir = str(tmp_path / "chg")
+    os.makedirs(chg_dir)
+    dest = str(tmp_path / "t")
+    runner = CdcStreamRunner(
+        spark,
+        changelog_dir=chg_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables=[cdc.CdcTableConfig("t", ["id"], VAL, dest, n_buckets=4)],
+        raw_path=str(tmp_path / "raw"),
+        changelog_schema=schema,
+    )
+    rows = [
+        {
+            "_kind": k, "_checkpoint_id": ck, "_commit_ts": TS, "_txid": tx,
+            "_src_table": "t", "_dst_table": "t",
+            "_data": json.dumps(d) if d else None, "_old_data": None,
+            "_unchanged_cols": None,
+        }
+        for (k, ck, tx, d) in [
+            ("insert", "0-1-000010", 1, {"id": 1, "v": "first"}),
+            ("update", "0-1-000100", 2, {"id": 1, "v": "middle"}),
+            ("update", "0-1-000099", 3, {"id": 1, "v": "loser"}),
+            ("insert", "0-1-000050", 4, {"id": 2, "v": "two"}),
+        ]
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(chg_dir)
+    runner.run_available()
+    t = ParquetTable(spark, dest, ["id"], 4)
+    state = {r["id"]: r["v"] for r in t.read().collect()}
+    assert state == {1: "middle", 2: "two"}  # '0-1-000100' > '0-1-000099' lexicographically
+
+    # replay of the same batch id: guard must work with string offsets too
+    batch_df = spark.createDataFrame(rows, schema)
+    runner._foreach_batch(batch_df, 0)
+    state = {r["id"]: r["v"] for r in t.read().collect()}
+    assert state == {1: "middle", 2: "two"}
+
+
+def test_replay_with_partial_raw_partition_recovers(spark, tmp_path):
+    """Crash during raw-append job commit leaves a partition directory with
+    partial data and NO completion marker. A replayed batch must detect the
+    missing marker, clear the partial, and re-append — skipping on bare
+    directory existence would permanently lose rows."""
+    import glob
+
+    chg_dir = str(tmp_path / "chg")
+    os.makedirs(chg_dir)
+    dest = str(tmp_path / "t")
+    runner = CdcStreamRunner(
+        spark,
+        changelog_dir=chg_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables=[cdc.CdcTableConfig("t", ["id"], VAL, dest, n_buckets=4)],
+        raw_path=str(tmp_path / "raw"),
+    )
+    rows = [
+        {
+            "_kind": "insert", "_checkpoint_id": i,
+            "_commit_ts": TS + dt.timedelta(seconds=i), "_txid": i,
+            "_src_table": "t", "_dst_table": "t",
+            "_data": json.dumps({"id": i, "v": f"v{i}"}), "_old_data": None,
+            "_unchanged_cols": None,
+        }
+        for i in range(5)
+    ]
+    batch_df = spark.createDataFrame(rows, cdc.CHANGELOG_SCHEMA)
+    runner._foreach_batch(batch_df, 0)
+    raw = runner.pipeline.raw
+    assert raw.is_batch_committed(0)
+    t = ParquetTable(spark, dest, ["id"], 4)
+    assert t.read().count() == 5
+
+    # simulate the crash: drop the marker and part of the data
+    part = raw.batch_dir(0)
+    os.remove(os.path.join(part, raw.MARKER))
+    data_files = [f for f in glob.glob(os.path.join(part, "*")) if "part-" in f]
+    assert data_files
+    os.remove(data_files[0])
+
+    runner._foreach_batch(batch_df, 0)  # replay
+    assert raw.is_batch_committed(0)
+    assert raw.read_batches(0, 0).count() == 5  # fully rewritten, no dupes
+    assert t.read().count() == 5
