@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from peerdb_spark import normalize as N
 from peerdb_spark.functions import dedup as DD
 from peerdb_spark.functions import text as TX
+from peerdb_spark.functions.exotic import INET4_RE as X_INET4_RE
+from peerdb_spark.functions.exotic import INET6_RE as X_INET6_RE
 from peerdb_spark.functions.hashing import h64, h64_sql
 from peerdb_spark.partition import ntile_partition_ranges
 from peerdb_spark.session import load_tables
@@ -586,6 +588,204 @@ FROM (
   FROM lineitem
 )
 GROUP BY l_returnflag
+"""
+
+
+def _wkb_point_hex_le(x: float, y: float, srid: int | None = None) -> str:
+    """Little-endian hex-(E)WKB POINT literal (driver-side constant, shared
+    verbatim with the oracle SQL)."""
+    import struct as _s
+
+    t = 1 | (0x20000000 if srid else 0)
+    b = b"\x01" + _s.pack("<I", t)
+    if srid:
+        b += _s.pack("<I", srid)
+    b += _s.pack("<dd", x, y)
+    return b.hex().upper()
+
+
+_WKB_LITS = [
+    _wkb_point_hex_le(1.5, -2.25),
+    _wkb_point_hex_le(-122.419416, 37.774929, 4326),
+    _wkb_point_hex_le(0.0, 0.0),
+    _wkb_point_hex_le(12345.6789, -0.001, 3857),
+    _wkb_point_hex_le(1e-310, 2.0),  # subnormal x
+    "0101000000FF",  # malformed → NULL coordinates
+]
+
+
+def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exotic Postgres type ingestion (ref: qvalue_convert.go ~900 LoC +
+    shared/datatypes parsers): interval text decomposition, hstore parsing,
+    TIMETZ→UTC micros, inet validation, hex-WKB point decode — synthesized
+    text inputs derived deterministically from orders, parsed by the pure
+    built-in expressions in functions/exotic.py."""
+    from peerdb_spark.functions import exotic as X
+
+    (od,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = od.where(k < 300).select(
+        k.alias("pk"),
+        F.format_string(
+            "%d years %d mons %d days %s%02d:%02d:%02d",
+            k % 5, (k % 13) - 6, k % 28,
+            F.when(k % 3 == 0, F.lit("-")).otherwise(F.lit("")),
+            k % 24, k % 60, (k * 3) % 60,
+        ).alias("iv"),
+        F.concat(
+            F.lit('"status"=>"'), F.col("o_orderstatus"),
+            F.lit('", "prio"=>"'), F.col("o_orderpriority"), F.lit('", "note"=>NULL'),
+        ).alias("hs"),
+        F.concat(
+            F.format_string("%02d:%02d:%02d.%03d", k % 24, k % 60, (k * 7) % 60, k % 1000),
+            F.when(k % 2 == 0, F.lit("+")).otherwise(F.lit("-")),
+            F.format_string("%02d:30", k % 13),
+        ).alias("tz"),
+        F.when(k % 4 == 0, F.concat(F.lit("10."), (k % 256).cast("string"), F.lit(".0.1/24")))
+        .when(k % 4 == 1, F.lit("300.1.2.3"))
+        .when(k % 4 == 2, F.concat(F.lit("fe80::"), (k % 10).cast("string")))
+        .otherwise(F.concat(F.lit("192.168."), (k % 300).cast("string"), F.lit(".7")))
+        .alias("inet_raw"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _WKB_LITS]), (k % len(_WKB_LITS)).cast("int") + 1
+        ).alias("wkb"),
+    )
+    iv = X.parse_interval(F.col("iv"))
+    pt = X.wkb_point(F.col("wkb"))
+    return src.select(
+        "pk",
+        iv["years"].alias("iv_years"),
+        iv["months"].alias("iv_months"),
+        iv["days"].alias("iv_days"),
+        iv["hours"].alias("iv_hours"),
+        iv["minutes"].alias("iv_minutes"),
+        iv["seconds"].alias("iv_seconds"),
+        F.array_join(X.hstore_pairs(F.col("hs")), "|").alias("hstore_pairs"),
+        X.parse_timetz_micros(F.col("tz")).alias("timetz_utc_us"),
+        X.valid_inet(F.col("inet_raw")).alias("inet"),
+        pt["x"].alias("geo_x"),
+        pt["y"].alias("geo_y"),
+        pt["srid"].alias("geo_srid"),
+    )
+
+
+def _sql_rev_hex(start: int, n: int) -> str:
+    """Little-endian → big-endian hex slice reversal (oracle mirror of
+    exotic._rev_pairs; the declared WKB literals are all little-endian)."""
+    parts = [f"substr(h, {start + 2 * i}, 2)" for i in range(n - 1, -1, -1)]
+    return "(" + " || ".join(parts) + ")"
+
+
+def _sql_ieee(head: str, m: str) -> str:
+    return f"""(CASE WHEN {head} IS NULL OR {m} IS NULL OR {head} % 2048 = 2047 THEN NULL
+  ELSE (CASE WHEN {head} >= 2048 THEN -1.0 ELSE 1.0 END) *
+       (CASE WHEN {head} % 2048 = 0 THEN ({m} / 4503599627370496.0) * power(2.0, -1022)
+             ELSE (1.0 + {m} / 4503599627370496.0) * power(2.0, {head} % 2048 - 1023) END)
+  END)"""
+
+
+_WKB_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _WKB_LITS) + "]"
+
+SQL_EXOTIC_TYPES = rf"""
+WITH src AS (
+  SELECT o_orderkey AS pk,
+         printf('%d years %d mons %d days %s%02d:%02d:%02d',
+                o_orderkey % 5, o_orderkey % 13 - 6, o_orderkey % 28,
+                CASE WHEN o_orderkey % 3 = 0 THEN '-' ELSE '' END,
+                o_orderkey % 24, o_orderkey % 60, (o_orderkey * 3) % 60) AS iv,
+         concat('"status"=>"', o_orderstatus, '", "prio"=>"', o_orderpriority,
+                '", "note"=>NULL') AS hs,
+         concat(printf('%02d:%02d:%02d.%03d', o_orderkey % 24, o_orderkey % 60,
+                       (o_orderkey * 7) % 60, o_orderkey % 1000),
+                CASE WHEN o_orderkey % 2 = 0 THEN '+' ELSE '-' END,
+                printf('%02d:30', o_orderkey % 13)) AS tz,
+         CASE o_orderkey % 4
+           WHEN 0 THEN concat('10.', o_orderkey % 256, '.0.1/24')
+           WHEN 1 THEN '300.1.2.3'
+           WHEN 2 THEN concat('fe80::', o_orderkey % 10)
+           ELSE concat('192.168.', o_orderkey % 300, '.7') END AS inet_raw,
+         ({_WKB_LIST_SQL})[CAST(o_orderkey % {len(_WKB_LITS)} AS INT) + 1] AS wkb
+  FROM orders WHERE o_orderkey < 300
+),
+iv1 AS (
+  SELECT *,
+    coalesce(TRY_CAST(regexp_extract(iv, '(-?\d+) years?', 1) AS INT), 0) AS iv_years,
+    coalesce(TRY_CAST(regexp_extract(iv, '(-?\d+) mons?', 1) AS INT), 0) AS iv_months,
+    coalesce(TRY_CAST(regexp_extract(iv, '(-?\d+) days?', 1) AS INT), 0) AS iv_days,
+    CASE WHEN regexp_extract(iv, '(^|\s)(-)\d{{2}}:\d{{2}}:\d{{2}}', 2) = '-' THEN -1 ELSE 1 END AS tsign,
+    coalesce(TRY_CAST(regexp_extract(iv, '(\d{{2}}):\d{{2}}:\d{{2}}', 1) AS INT), 0) AS ivhh,
+    coalesce(TRY_CAST(regexp_extract(iv, '\d{{2}}:(\d{{2}}):\d{{2}}', 1) AS INT), 0) AS ivmi,
+    coalesce(TRY_CAST(regexp_extract(iv, '\d{{2}}:\d{{2}}:(\d{{2}}(?:\.\d+)?)', 1) AS DECIMAL(18,6)),
+             CAST(0 AS DECIMAL(18,6))) AS ivss
+  FROM src
+),
+hs1 AS (
+  SELECT *,
+    list_transform(regexp_extract_all(hs, '"((?:[^"\\]|\\.)*)"\s*=>', 1),
+                   x -> regexp_replace(x, '\\(.)', '\1', 'g')) AS hkeys,
+    list_transform(regexp_extract_all(hs, '=>\s*("(?:[^"\\]|\\.)*"|NULL)', 1),
+                   x -> CASE WHEN x = 'NULL' THEN 'NULL'
+                             ELSE regexp_replace(substr(x, 2, len(x) - 2), '\\(.)', '\1', 'g') END) AS hvals
+  FROM iv1
+),
+tz1 AS (
+  SELECT *,
+    TRY_CAST(regexp_extract(tz, '^(\d{{2}}):', 1) AS BIGINT) AS thh,
+    TRY_CAST(regexp_extract(tz, '^\d{{2}}:(\d{{2}})', 1) AS BIGINT) AS tmm,
+    TRY_CAST(regexp_extract(tz, '^\d{{2}}:\d{{2}}:(\d{{2}})', 1) AS BIGINT) AS tss,
+    coalesce(TRY_CAST(rpad(regexp_extract(tz, '\.(\d{{1,6}})', 1), 6, '0') AS BIGINT), 0) AS tfrac,
+    CASE WHEN regexp_extract(tz, '([+-])\d{{2}}(:?\d{{2}})?$', 1) = '-' THEN -1 ELSE 1 END AS tosign,
+    coalesce(TRY_CAST(regexp_extract(tz, '[+-](\d{{2}})(:?\d{{2}})?$', 1) AS BIGINT), 0) AS toh,
+    coalesce(TRY_CAST(regexp_extract(tz, '[+-]\d{{2}}:?(\d{{2}})$', 1) AS BIGINT), 0) AS tom
+  FROM hs1
+),
+w1 AS (
+  SELECT *, upper(trim(wkb)) AS h FROM tz1
+),
+w2 AS (
+  SELECT *, TRY_CAST('0x' || {_sql_rev_hex(3, 4)} AS BIGINT) AS type_val FROM w1
+),
+w3 AS (
+  SELECT *,
+    (type_val // 536870912) % 2 = 1 AS has_srid,
+    type_val % 536870912 AS base_type
+  FROM w2
+),
+w4 AS (
+  SELECT *,
+    CASE WHEN has_srid THEN {_sql_rev_hex(19, 8)} ELSE {_sql_rev_hex(11, 8)} END AS xh,
+    CASE WHEN has_srid THEN {_sql_rev_hex(35, 8)} ELSE {_sql_rev_hex(27, 8)} END AS yh,
+    CASE WHEN has_srid THEN TRY_CAST('0x' || {_sql_rev_hex(11, 4)} AS BIGINT) ELSE 0 END AS srid_v,
+    coalesce(base_type = 1 AND len(h) = (CASE WHEN has_srid THEN 50 ELSE 42 END)
+             AND substr(h, 1, 2) = '01' AND regexp_matches(h, '^[0-9A-F]+$'), FALSE) AS ok
+  FROM w3
+),
+w5 AS (
+  SELECT *,
+    TRY_CAST('0x' || substr(xh, 1, 3) AS BIGINT) AS xhead,
+    TRY_CAST('0x' || substr(xh, 4, 13) AS BIGINT) AS xm,
+    TRY_CAST('0x' || substr(yh, 1, 3) AS BIGINT) AS yhead,
+    TRY_CAST('0x' || substr(yh, 4, 13) AS BIGINT) AS ym
+  FROM w4
+)
+SELECT pk,
+  iv_years, iv_months, iv_days,
+  tsign * ivhh AS iv_hours,
+  tsign * ivmi AS iv_minutes,
+  CAST(tsign * ivss AS DECIMAL(18,6)) AS iv_seconds,
+  array_to_string(list_sort(list_transform(range(1, len(hkeys) + 1),
+                                           i -> hkeys[i] || '=>' || hvals[i])), '|') AS hstore_pairs,
+  CASE WHEN thh IS NULL OR tmm IS NULL OR tss IS NULL THEN NULL
+       ELSE ((((thh*3600 + tmm*60 + tss) * 1000000 + tfrac
+               - tosign*(toh*3600 + tom*60)*1000000) % 86400000000)
+             + 86400000000) % 86400000000 END AS timetz_utc_us,
+  CASE WHEN regexp_matches(trim(inet_raw), '{X_INET4_RE}')
+         OR regexp_matches(trim(inet_raw), '{X_INET6_RE}')
+       THEN trim(inet_raw) END AS inet,
+  CASE WHEN ok THEN {_sql_ieee("xhead", "xm")} END AS geo_x,
+  CASE WHEN ok THEN {_sql_ieee("yhead", "ym")} END AS geo_y,
+  CASE WHEN ok THEN CAST(srid_v AS INT) END AS geo_srid
+FROM w5
 """
 
 
@@ -1336,6 +1536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_clamp": q_date_clamp,
     "scalar_functions": q_scalar_functions,
     "numeric_truncate": q_numeric_truncate,
+    "exotic_types": q_exotic_types,
     "json_extract": q_json_extract,
     "union_distinct": q_union_distinct,
     "passthrough_agg": q_passthrough_agg,
@@ -1373,6 +1574,7 @@ ORACLES: dict[str, str] = {
     "date_clamp": SQL_DATE_CLAMP,
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "numeric_truncate": SQL_NUMERIC_TRUNCATE,
+    "exotic_types": SQL_EXOTIC_TYPES,
     "json_extract": SQL_JSON_EXTRACT,
     "union_distinct": SQL_UNION_DISTINCT,
     "passthrough_agg": SQL_PASSTHROUGH_AGG,

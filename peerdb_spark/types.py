@@ -8,6 +8,11 @@ Reference behavior (studied, not copied):
 - destination mapping tables: flow/model/qvalue/kind.go:73-170
 
 Spark mapping is the SURVEY §1.2 table, verbatim.
+
+Parse/convert paths for the exotic text formats these kinds carry (interval,
+hstore, TIMETZ, inet/cidr/macaddr, hex-WKB geometry) live in
+functions/exotic.py — pure built-in expressions mirroring
+qvalue_convert.go + shared/datatypes.
 """
 
 from __future__ import annotations

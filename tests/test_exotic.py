@@ -1,0 +1,110 @@
+"""Exotic Postgres type ingestion: interval / hstore / timetz / inet / WKB.
+
+Mirrors the conversion surface of the reference's qvalue_convert.go +
+shared/datatypes parsers over text-format inputs.
+"""
+
+import struct
+
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions import exotic as X
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def wkb_hex(x, y, srid=None, little=True):
+    bo = b"\x01" if little else b"\x00"
+    t = 1 | (0x20000000 if srid else 0)
+    fmt = "<" if little else ">"
+    b = bo + struct.pack(fmt + "I", t)
+    if srid:
+        b += struct.pack(fmt + "I", srid)
+    b += struct.pack(fmt + "dd", x, y)
+    return b.hex().upper()
+
+
+def test_parse_interval(spark):
+    v = _one(spark, X.parse_interval(F.lit("1 year 2 mons 3 days 04:05:06.789")))
+    assert (v["years"], v["months"], v["days"]) == (1, 2, 3)
+    assert (v["hours"], v["minutes"], float(v["seconds"])) == (4, 5, 6.789)
+    v = _one(spark, X.parse_interval(F.lit("-1 years -2 mons +3 days -04:05:06")))
+    assert (v["years"], v["months"], v["days"]) == (-1, -2, 3)
+    assert (v["hours"], v["minutes"], float(v["seconds"])) == (-4, -5, -6.0)
+    v = _one(spark, X.parse_interval(F.lit("00:00:42")))
+    assert (v["years"], v["months"], v["days"], v["hours"], v["minutes"]) == (0, 0, 0, 0, 0)
+    assert float(v["seconds"]) == 42.0
+
+
+def test_interval_to_json(spark):
+    j = _one(spark, X.interval_to_json(F.lit("2 mons 10 days 01:00:00")))
+    assert '"months":2' in j and '"days":10' in j and '"hours":1' in j and '"valid":true' in j
+
+
+def test_parse_hstore(spark):
+    m = _one(spark, X.parse_hstore(F.lit('"a"=>"1", "b"=>NULL, "c\\"x"=>"y\\\\z"')))
+    assert m == {"a": "1", "b": None, 'c"x': "y\\z"}
+    pairs = _one(spark, X.hstore_pairs(F.lit('"b"=>NULL, "a"=>"1"')))
+    assert pairs == ["a=>1", "b=>NULL"]
+    assert _one(spark, X.parse_hstore(F.lit(""))) == {}
+
+
+def test_parse_timetz(spark):
+    us = lambda h, m, s: (h * 3600 + m * 60 + s) * 1_000_000
+    assert _one(spark, X.parse_timetz_micros(F.lit("10:23:54+02"))) == us(8, 23, 54)
+    assert _one(spark, X.parse_timetz_micros(F.lit("00:30:00-01:30"))) == us(2, 0, 0)
+    # wraps past midnight
+    assert _one(spark, X.parse_timetz_micros(F.lit("23:30:00-02"))) == us(1, 30, 0)
+    assert _one(spark, X.parse_timetz_micros(F.lit("00:30:00+01"))) == us(23, 30, 0)
+    assert (
+        _one(spark, X.parse_timetz_micros(F.lit("10:23:54.123456+02:30")))
+        == us(7, 53, 54) + 123456
+    )
+    assert _one(spark, X.parse_timetz_micros(F.lit("not-a-time"))) is None
+
+
+def test_valid_inet(spark):
+    ok = ["10.1.2.3", "10.1.2.3/24", "0.0.0.0/0", "255.255.255.255/32", "fe80::1/64", "::1"]
+    bad = ["256.1.1.1", "1.2.3.4/33", "1.2.3", "abc", "1.2.3.4.5"]
+    for s in ok:
+        assert _one(spark, X.valid_inet(F.lit(s))) == s, s
+    for s in bad:
+        assert _one(spark, X.valid_inet(F.lit(s))) is None, s
+    assert _one(spark, X.valid_macaddr(F.lit("AA:BB:cc:00:11:22"))) == "aa:bb:cc:00:11:22"
+    assert _one(spark, X.valid_macaddr(F.lit("aa:bb:cc:00:11"))) is None
+
+
+def test_wkb_point_roundtrip(spark):
+    cases = [
+        (1.5, -2.25, None, True),
+        (1.5, -2.25, None, False),
+        (-122.419416, 37.774929, 4326, True),
+        (-122.419416, 37.774929, 4326, False),
+        (0.0, 1e-310, None, True),  # subnormal y
+        (12345.6789, -0.001, 3857, True),
+    ]
+    for x, y, srid, little in cases:
+        v = _one(spark, X.wkb_point(F.lit(wkb_hex(x, y, srid, little))))
+        assert v["x"] == x and v["y"] == y, (x, y, srid, little)
+        assert v["srid"] == (srid or 0)
+
+
+def test_wkb_point_invalid(spark):
+    # linestring type code (2) → not a point
+    b = b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 1.0, 2.0)
+    assert _one(spark, X.wkb_point(F.lit(b.hex())))["x"] is None
+    # truncated / garbage
+    assert _one(spark, X.wkb_point(F.lit("0101000000FF")))["x"] is None
+    assert _one(spark, X.wkb_point(F.lit("zznothex")))["x"] is None
+    # NaN coordinate → NULL x (GeoValidate-style drop)
+    b = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", float("nan"), 2.0)
+    assert _one(spark, X.wkb_point(F.lit(b.hex())))["x"] is None
+
+
+def test_wkb_point_wkt(spark):
+    h = wkb_hex(1.5, -2.5, 4326, True)
+    assert _one(spark, X.wkb_point_wkt(F.lit(h))) == "SRID=4326;POINT(1.5 -2.5)"
+    h = wkb_hex(1.5, -2.5, None, True)
+    assert _one(spark, X.wkb_point_wkt(F.lit(h))) == "POINT(1.5 -2.5)"
