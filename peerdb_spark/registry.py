@@ -41,6 +41,9 @@ class TableMapping:
     renames: dict[str, str] = field(default_factory=dict)  # src col -> dst col
     type_overrides: dict[str, str] = field(default_factory=dict)  # dst col -> spark ddl type
     primary_keys: list[str] = field(default_factory=list)
+    # snapshot partitioning column (ref: ast_peerdb.rs:53 `key:` in the v2
+    # table-mapping DDL; used by the initial-copy partitioner)
+    partition_key: str = ""
 
 
 @dataclass
@@ -155,6 +158,36 @@ class Catalog:
     def get_last_watermark(self, mirror: str) -> Any:
         d = self._read(f"state/{mirror}/watermark.json")
         return None if d is None else d["value"]
+
+    # ---- schema-delta audit trail ----
+    # Ref: monitoring.go:515+ AuditSchemaDelta — every applied delta is
+    # recorded; replayed deltas dedup against the audit, not just the current
+    # sidecar (a rebuilt destination must not re-apply historical deltas out
+    # of order or double-log them).
+    def record_schema_delta(
+        self, mirror: str, dst_table: str, added: list, batch_id: int | None = None
+    ) -> None:
+        audit = self._read(f"state/{mirror}/schema_deltas.json", [])
+        audit.append(
+            {
+                "seq": len(audit),
+                "dst_table": dst_table,
+                "added": [list(a) for a in added],
+                "batch_id": batch_id,
+            }
+        )
+        self._write(f"state/{mirror}/schema_deltas.json", audit)
+
+    def schema_delta_audit(self, mirror: str) -> list[dict]:
+        return self._read(f"state/{mirror}/schema_deltas.json", [])
+
+    def applied_delta_columns(self, mirror: str, dst_table: str) -> set[str]:
+        return {
+            a[0]
+            for entry in self.schema_delta_audit(mirror)
+            if entry["dst_table"] == dst_table
+            for a in entry["added"]
+        }
 
     def set_batch_id(self, mirror: str, batch_id: int) -> None:
         self._write(f"state/{mirror}/batch.json", {"batch_id": batch_id})

@@ -64,6 +64,27 @@ def apply_delta(table: ParquetTable, delta: SchemaDelta) -> list[str]:
     return added
 
 
+def replay_deltas(catalog, mirror: str, table: ParquetTable, deltas, batch_id=None) -> list[str]:
+    """ReplayTableSchemaDeltas with an audit trail and cross-run dedup
+    (ref: flow/connectors/core.go:193-198 + monitoring.go:515+ and
+    flowable_core.go:65-119): columns already recorded as applied for this
+    mirror/table are skipped even when the destination sidecar was rebuilt,
+    and every actually-applied delta appends an audit row (seq, table,
+    columns, batch). Returns the column names applied across all deltas."""
+    applied_all: list[str] = []
+    for delta in deltas:
+        seen = catalog.applied_delta_columns(mirror, delta.dst_table)
+        fresh = [(n, t) for (n, t) in delta.added_columns if n not in seen]
+        if not fresh:
+            continue
+        added = apply_delta(table, SchemaDelta(delta.dst_table, fresh))
+        recorded = [(n, t) for (n, t) in fresh if n in added]
+        if recorded:
+            catalog.record_schema_delta(mirror, delta.dst_table, recorded, batch_id)
+            applied_all.extend(added)
+    return applied_all
+
+
 def _parse_ddl(ddl: str) -> T.DataType:
     from pyspark.sql.types import _parse_datatype_string
 

@@ -68,6 +68,62 @@ def _parse_with_options(raw: str | None) -> dict[str, Any]:
     return out
 
 
+def _split_mappings(raw: str) -> list[str]:
+    """Split table-mapping entries on top-level commas only (v2 entries
+    contain commas inside {...} and [...])."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in raw:
+        if ch in "{[":
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_mapping_entry(part: str) -> TableMapping:
+    """One TABLE MAPPING entry. Two forms (ref: nexus/parser/src/parser_peerdb.rs:246-316):
+    - v1: `src` or `src:dst`
+    - v2: `{from: src, to: dst, key: part_key, exclude: [c1, c2]}`
+    """
+    part = part.strip()
+    if part.startswith("{") and part.endswith("}"):
+        body = part[1:-1]
+        m = re.search(r"exclude\s*:\s*\[([^\]]*)\]", body, re.IGNORECASE)
+        exclude = (
+            [c.strip().strip("'\"") for c in m.group(1).split(",") if c.strip()] if m else []
+        )
+        body = re.sub(r"exclude\s*:\s*\[[^\]]*\]", "", body, flags=re.IGNORECASE)
+        kv: dict[str, str] = {}
+        for p in body.split(","):
+            if ":" in p:
+                k, v = p.split(":", 1)
+                kv[k.strip().lower()] = v.strip().strip("'\"")
+        src = kv.get("from", "")
+        if not src:
+            raise ValueError(f"table mapping entry missing 'from': {part!r}")
+        return TableMapping(
+            source_table=src,
+            destination_table=kv.get("to", src),
+            exclude=exclude,
+            partition_key=kv.get("key", ""),
+        )
+    if ":" in part:
+        s, d = part.split(":", 1)
+    else:
+        s = d = part
+    return TableMapping(source_table=s.strip(), destination_table=d.strip())
+
+
 @dataclass
 class Cursor:
     name: str
@@ -147,16 +203,7 @@ class SqlSurface:
             m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
         )
         opts = _parse_with_options(opts_raw)
-        mappings = []
-        for part in mapping_raw.split(","):
-            part = part.strip()
-            if not part:
-                continue
-            if ":" in part:
-                s, d = part.split(":", 1)
-            else:
-                s = d = part
-            mappings.append(TableMapping(source_table=s.strip(), destination_table=d.strip()))
+        mappings = [_parse_mapping_entry(part) for part in _split_mappings(mapping_raw)]
         cfg = MirrorConfig(
             name=name, kind="cdc", source_peer=src, destination_peer=dst,
             table_mappings=mappings,

@@ -64,6 +64,30 @@ def test_create_mirror_cdc_ddl_and_signals(surface):
     surface.execute("DROP MIRROR flow1")
 
 
+def test_create_mirror_cdc_v2_table_mapping(surface):
+    """v2 mapping entries (ref: nexus/parser/src/parser_peerdb.rs:246-316):
+    {from:, to:, key:, exclude: [..]} — per-table options expressible in DDL,
+    mixed freely with v1 src:dst entries."""
+    out = surface.execute(
+        "CREATE MIRROR flow2 FROM src TO dst WITH TABLE MAPPING ("
+        "{from: public.orders, to: orders_dst, key: o_orderkey, "
+        "exclude: [o_comment, o_clerk]}, "
+        "public.lineitem:lineitem, "
+        "{from: public.nation}"
+        ") WITH (max_batch_size = 9000, soft_delete_col_name = '_del')"
+    )
+    assert out["kind"] == "cdc"
+    cfg = surface.catalog.get_mirror("flow2")
+    m0, m1, m2 = cfg.table_mappings
+    assert (m0.source_table, m0.destination_table) == ("public.orders", "orders_dst")
+    assert m0.exclude == ["o_comment", "o_clerk"] and m0.partition_key == "o_orderkey"
+    assert (m1.source_table, m1.destination_table) == ("public.lineitem", "lineitem")
+    assert (m2.source_table, m2.destination_table) == ("public.nation", "public.nation")
+    assert m2.exclude == [] and m2.partition_key == ""
+    assert cfg.max_batch_size == 9000 and cfg.soft_delete_col_name == "_del"
+    surface.execute("DROP MIRROR flow2")
+
+
 def test_execute_mirror_runs_qrep(surface, tables, tmp_path):
     surface.execute(
         "CREATE MIRROR exec1 FROM src TO dst FOR $$SELECT * FROM orders$$ "
@@ -136,6 +160,38 @@ def test_schema_evolution_add_column(spark, tmp_path):
     t.append(spark.createDataFrame([(3, "c", 9.5)], "id long, v string, score double"))
     rows = {r["id"]: r["score"] for r in read_evolved(t).collect()}
     assert rows[3] == 9.5 and rows[1] is None
+
+
+def test_schema_evolution_audit_and_replay_dedup(spark, tmp_path):
+    """flowable_core.go:65-119 / monitoring.go:515+: replayed deltas dedup
+    against the recorded audit (not just the live sidecar), and every applied
+    delta leaves an audit row."""
+    from peerdb_spark.schema_evolution import replay_deltas
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t = ParquetTable(spark, str(tmp_path / "t"), ["id"], 4)
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    d = SchemaDelta("t", [("score", "double")])
+    assert replay_deltas(cat, "m1", t, [d], batch_id=3) == ["score"]
+    # add-column-twice: second replay is a recorded no-op (no new audit row)
+    assert replay_deltas(cat, "m1", t, [d], batch_id=4) == []
+    audit = cat.schema_delta_audit("m1")
+    assert len(audit) == 1
+    assert audit[0]["dst_table"] == "t" and audit[0]["added"] == [["score", "double"]]
+    assert audit[0]["batch_id"] == 3 and audit[0]["seq"] == 0
+
+    # a second distinct delta appends to the audit
+    assert replay_deltas(cat, "m1", t, [SchemaDelta("t", [("rank", "int")])], batch_id=5) == ["rank"]
+    audit = cat.schema_delta_audit("m1")
+    assert len(audit) == 2 and audit[1]["seq"] == 1
+    assert cat.applied_delta_columns("m1", "t") == {"score", "rank"}
+
+    # audit-level dedup survives a sidecar rebuild: recreate the destination
+    # without the evolved column — the recorded delta still must not re-apply
+    t2 = ParquetTable(spark, str(tmp_path / "t2"), ["id"], 4)
+    t2.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert replay_deltas(cat, "m1", t2, [d]) == []
 
 
 # -------------------- snapshot + resync --------------------
