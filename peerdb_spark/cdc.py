@@ -165,23 +165,47 @@ def cut_batches(changelog: DataFrame, max_batch_size: int) -> DataFrame:
     packed cumulatively; a batch may exceed max_batch_size to keep its last
     transaction whole — exactly the reference's observable behavior.
 
-    Adds `_batch_no` (0-based). The packing window runs over the per-txid
-    aggregate (#txids rows, not #records), so the global sort is tiny.
+    Adds `_batch_no` (0-based). The packing runs over the per-txid aggregate
+    (#txids rows, not #records) as a DISTRIBUTED prefix sum: a global
+    un-partitioned window would funnel every transaction through one task if
+    a changelog ever carried tens of millions of transactions. Instead the
+    txids are range-partitioned by (start, txid), each partition computes a
+    local running sum, and the per-partition totals (≤ shuffle-partitions
+    rows — the only single-task window) turn into additive offsets. Identical
+    subtrees share shuffle stages via Spark's exchange reuse.
     """
+    try:
+        n_part = int(changelog.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = 32
     txn = changelog.groupBy("_txid").agg(
         F.count(F.lit(1)).alias("_txn_rows"),
         F.min("_checkpoint_id").alias("_txn_start"),
     )
-    w = Window.orderBy("_txn_start", "_txid")
+    ranged = txn.repartitionByRange(n_part, "_txn_start", "_txid").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_txn_start", "_txid")
+    loc = ranged.withColumn("_lcum", F.sum("_txn_rows").over(w_local))
+    # per-partition totals: tiny relation, safe single-task window
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        loc.groupBy("_pid")
+        .agg(F.sum("_txn_rows").alias("_ptot"))
+        .withColumn("_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
     packed = (
-        txn.withColumn("_cum", F.sum("_txn_rows").over(w))
+        loc.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_lcum") + F.col("_off"))
         .withColumn(
             "_batch_no",
             F.floor((F.col("_cum") - F.col("_txn_rows")) / F.lit(max_batch_size)).cast("int"),
         )
         .select("_txid", "_batch_no")
     )
-    return changelog.join(F.broadcast(packed), "_txid")
+    # no broadcast hint: packed is O(#txids) — AQE broadcasts when small
+    return changelog.join(packed, "_txid")
 
 
 @dataclass

@@ -238,15 +238,55 @@ def lsh_verified_pairs(
     scale; here the exact-verify joins shingle sets to the (small) candidate
     pair list instead, so verify cost is O(|candidates| · shingles/doc).
     Returns (id_a, id_b, est_jaccard, jaccard) with jaccard >= min_jaccard.
+
+    Every stage (signatures, set sizes, exact-verify) derives from ONE
+    distinct (doc, shingle-hash) relation, so the md5-heavy shingle explode
+    and its shuffle run once and Spark's exchange reuse shares them across
+    branches — the minhash base and the Jaccard sets both use h64 % P
+    (min over a distinct set equals min over the multiset; the mod-P
+    collision odds are the same ones MinHash already accepts).
     """
-    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, max_bucket_size)
     src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     doc_sh = (
-        src.select(F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("sh"))
-        .select("did", h64("sh").alias("shh"))
+        src.select(F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("_sh"))
+        .select("did", (h64("_sh") % MINHASH_P).alias("shh"))
         .distinct()
     )
     sizes = doc_sh.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    mins = [
+        F.min((F.col("shh") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"_m{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    sigs = doc_sh.groupBy("did").agg(*mins).select(
+        F.col("did").alias(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("minhash"),
+    )
+    banded = sigs.select(
+        id_col, "minhash", F.posexplode(lsh_bands(F.col("minhash"), bands, None, num_hashes))
+    ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    oversized = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select("band", "band_hash")
+    )
+    sized = banded.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"), "band", "band_hash"
+    )
+    est = F.size(
+        F.filter(F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y), lambda m: m)
+    ) / F.size(F.col("mh_a"))
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .distinct()
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
     sh_a = doc_sh.select(F.col("did").alias("id_a"), "shh")
     sh_b = doc_sh.select(F.col("did").alias("id_b"), "shh")
     common = (

@@ -1019,7 +1019,7 @@ est AS (
           AS est_jaccard
   FROM cand c
 ),
-gh AS (SELECT doc_id AS did, {h64_sql("g")} AS shh FROM grams),
+gh AS (SELECT DISTINCT doc_id AS did, h AS shh FROM hg),
 sizes AS (SELECT did, count(*) set_size FROM gh GROUP BY did),
 common AS (
   SELECT c.id_a, c.id_b, count(*) AS common
