@@ -1,0 +1,162 @@
+"""pgoutput wire decode: binary WAL messages → changelog → CDC pipeline.
+
+The encoder below writes the public pgoutput v1 wire format (the same
+grammar pglogrepl parses for the reference's cdc.go); the decoder must
+round-trip it, including TOAST 'u' columns, old-tuple row images, and
+relation-schema changes mid-stream.
+"""
+
+import datetime as dt
+import json
+import struct
+
+from pyspark.sql import types as T
+
+from peerdb_spark.sources.pgoutput import PgOutputDecoder, decode_pgoutput
+
+PG_EPOCH = dt.datetime(2000, 1, 1)
+
+
+def enc_begin(xid, ts, final_lsn=0):
+    us = int((ts - PG_EPOCH).total_seconds() * 1_000_000)
+    return b"B" + struct.pack(">Qq I".replace(" ", ""), final_lsn, us, xid)
+
+
+def enc_commit(ts, lsn=0):
+    us = int((ts - PG_EPOCH).total_seconds() * 1_000_000)
+    return b"C" + struct.pack(">BQQq", 0, lsn, lsn, us)
+
+
+def enc_relation(oid, ns, name, cols, key_cols=()):
+    b = b"R" + struct.pack(">I", oid) + ns.encode() + b"\x00" + name.encode() + b"\x00"
+    b += struct.pack(">BH", ord("d"), len(cols))
+    for c in cols:
+        b += struct.pack(">B", 1 if c in key_cols else 0) + c.encode() + b"\x00"
+        b += struct.pack(">Ii", 25, -1)  # text oid, no typmod
+    return b
+
+
+def enc_tuple(vals):
+    """vals: list of None | ('u',) | str | bytes."""
+    b = struct.pack(">H", len(vals))
+    for v in vals:
+        if v is None:
+            b += b"n"
+        elif v == ("u",):
+            b += b"u"
+        elif isinstance(v, bytes):
+            b += b"b" + struct.pack(">I", len(v)) + v
+        else:
+            raw = v.encode()
+            b += b"t" + struct.pack(">I", len(raw)) + raw
+    return b
+
+
+def enc_insert(oid, vals):
+    return b"I" + struct.pack(">I", oid) + b"N" + enc_tuple(vals)
+
+
+def enc_update(oid, new_vals, old_vals=None, old_kind=b"O"):
+    b = b"U" + struct.pack(">I", oid)
+    if old_vals is not None:
+        b += old_kind + enc_tuple(old_vals)
+    return b + b"N" + enc_tuple(new_vals)
+
+
+def enc_delete(oid, old_vals, old_kind=b"K"):
+    return b"D" + struct.pack(">I", oid) + old_kind + enc_tuple(old_vals)
+
+
+TS1 = dt.datetime(2024, 3, 1, 12, 0, 0)
+TS2 = dt.datetime(2024, 3, 1, 12, 0, 5)
+
+
+def _stream():
+    """(lsn, payload) WAL stream: two txns over one table."""
+    return [
+        (10, enc_relation(500, "public", "items", ["id", "v", "blob"], key_cols=("id",))),
+        (11, enc_begin(700, TS1)),
+        (12, enc_insert(500, ["1", "one", b"\x01\xff"])),
+        (13, enc_insert(500, ["2", "two", None])),
+        (14, enc_commit(TS1)),
+        (15, enc_begin(701, TS2)),
+        # TOAST: blob unchanged; old row image supplied ('O')
+        (16, enc_update(500, ["1", "ONE", ("u",)], old_vals=["1", "one", None])),
+        (17, enc_delete(500, ["2", None, None])),
+        (18, enc_commit(TS2)),
+    ]
+
+
+def test_decoder_round_trip():
+    dec = PgOutputDecoder()
+    rows = dec.decode_all(_stream())
+    assert [r["_kind"] for r in rows] == ["insert", "insert", "update", "delete"]
+    assert [r["_checkpoint_id"] for r in rows] == [12, 13, 16, 17]
+    assert rows[0]["_txid"] == 700 and rows[2]["_txid"] == 701
+    assert rows[0]["_commit_ts"] == TS1 and rows[3]["_commit_ts"] == TS2
+    assert rows[0]["_dst_table"] == "public.items"
+    assert json.loads(rows[0]["_data"]) == {"id": "1", "v": "one", "blob": "01ff"}
+    assert json.loads(rows[1]["_data"]) == {"id": "2", "v": "two", "blob": None}
+    # TOAST-unchanged column is absent from the row image + flagged
+    assert json.loads(rows[2]["_data"]) == {"id": "1", "v": "ONE"}
+    assert rows[2]["_unchanged_cols"] == ["blob"]
+    assert json.loads(rows[2]["_old_data"]) == {"id": "1", "v": "one", "blob": None}
+    # delete carries the old row image (reference: deletes read match_data)
+    assert json.loads(rows[3]["_old_data"]) == {"id": "2", "v": None, "blob": None}
+    assert rows[3]["_data"] is None
+
+
+def test_decoder_relation_change_mid_stream():
+    dec = PgOutputDecoder()
+    rows = dec.decode_all([
+        (1, enc_relation(9, "", "t", ["id", "a"])),
+        (2, enc_begin(1, TS1)),
+        (3, enc_insert(9, ["1", "x"])),
+        # ALTER TABLE ADD COLUMN → new Relation message mid-stream
+        (4, enc_relation(9, "", "t", ["id", "a", "b"])),
+        (5, enc_insert(9, ["2", "y", "z"])),
+        (6, enc_commit(TS1)),
+    ])
+    assert json.loads(rows[0]["_data"]) == {"id": "1", "a": "x"}
+    assert json.loads(rows[1]["_data"]) == {"id": "2", "a": "y", "b": "z"}
+
+
+def test_decode_pgoutput_spark_and_pipeline(spark, tmp_path):
+    """Distributed decode (per-slot sequential) feeding the real CDC
+    pipeline: binary WAL bytes end as normalized destination rows."""
+    from peerdb_spark import cdc as C
+    from peerdb_spark.storage import ParquetTable
+
+    msgs = [("slot0", lsn, bytes(payload)) for lsn, payload in _stream()]
+    df = spark.createDataFrame(
+        msgs, T.StructType([
+            T.StructField("slot", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    changelog = decode_pgoutput(df)
+    assert changelog.count() == 4
+
+    dest = str(tmp_path / "items")
+    val_schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("blob", T.StringType()),
+    ])
+    pipe = C.CdcPipeline(spark, str(tmp_path / "raw"), [
+        C.CdcTableConfig("public.items", ["id"], val_schema, dest, n_buckets=2),
+    ])
+    # batch per transaction (TOAST backfill reads the destination, so the
+    # insert must be normalized before the unchanged-column update arrives)
+    from pyspark.sql import functions as F
+
+    pipe.sync_batch(changelog.where(F.col("_txid") == 700), 0)
+    pipe.normalize_batches(0, 0)
+    pipe.sync_batch(changelog.where(F.col("_txid") == 701), 1)
+    pipe.normalize_batches(1, 1)
+    state = {r["id"]: r.asDict() for r in ParquetTable(spark, dest, ["id"], 2).read().collect()}
+    assert set(state) == {"1"}  # id=2 deleted
+    assert state["1"]["v"] == "ONE"
+    # TOAST backfill: unchanged blob keeps the pre-update value
+    assert state["1"]["blob"] == "01ff"
