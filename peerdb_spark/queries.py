@@ -1259,6 +1259,114 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q FROM (
 """
 
 
+_IVF_K, _IVF_NPROBE, _IVF_DIM = 8, 2, 64
+
+
+def _ivf_codebook_int(k: int = _IVF_K, dim: int = _IVF_DIM) -> list[list[int]]:
+    """Deterministic integer codebook on the quantized-vector scale
+    (driver-side constants shared verbatim with the oracle SQL). The
+    kmeans-trained float path is ivf_train_centroids (similarity.py),
+    exercised by the recall-sweep test; this fixed codebook lets the
+    CORRECTNESS gate certify the assign/probe/re-rank machinery exactly."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"ivf:{i}:{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+            for j in range(dim)
+        ]
+        for i in range(k)
+    ]
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (ref pattern: similarity.py:ivf_topk): assign corpus
+    vectors to their nearest codebook cell, probe the nprobe nearest cells
+    per query, exact integer-dot re-rank within probed cells only. The join
+    is a cell equi-join — per-query cost ∝ nprobe/k of the corpus."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_codebook_int()
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+
+    def dists(qv):
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(qv, F.array(*[F.lit(x) for x in cent]),
+                                   lambda a, b: (a - b.cast("long")) * (a - b.cast("long"))),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, cent in enumerate(cents)
+            ]
+        )
+
+    sorted_cells = F.array_sort(dists(F.col("qv")))
+    corpus = c.select(
+        "vec_id", "qv", F.element_at(sorted_cells, 1)["cell"].alias("cell")
+    )
+    q = c.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.explode(
+            F.transform(F.slice(sorted_cells, 1, _IVF_NPROBE), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = corpus.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qq"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "dot_q")
+    )
+
+
+def _ivf_sql() -> str:
+    cents = _ivf_codebook_int()
+    dist_structs = ", ".join(
+        "struct_pack(d := list_sum(list_transform(range(1, 65), "
+        f"j -> (qv[j] - ([{', '.join(str(x) for x in c)}])[j]) "
+        f"* (qv[j] - ([{', '.join(str(x) for x in c)}])[j]))), cell := {i})"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH qvs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+celled AS (
+  SELECT vec_id, qv, list_sort([{dist_structs}]) AS cells FROM qvs
+),
+corpus AS (SELECT vec_id, qv, cells[1].cell AS cell FROM celled),
+q AS (
+  SELECT vec_id AS query_id, qv AS qq, unnest(list_transform(cells[1:{_IVF_NPROBE}], s -> s.cell)) AS cell
+  FROM celled WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, 65), j -> c.qv[j] * q.qq[j])) AS BIGINT) AS dot_q
+  FROM corpus c JOIN q ON c.cell = q.cell
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+SQL_IVF_TOPK = _ivf_sql()
+
+
 def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP/LSH bucket assignment on quantized vectors (sign of exact int
     projections — deterministic across engines). The ANN scale path's
@@ -1550,6 +1658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_stats": q_text_lang_stats,
     "sim_topk": q_sim_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "ann_srp_buckets": q_ann_srp_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "events_tumbling_agg": q_events_tumbling_agg,
@@ -1588,6 +1697,7 @@ ORACLES: dict[str, str] = {
     "text_lang_stats": SQL_TEXT_LANG_STATS,
     "sim_topk": SQL_SIM_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
     "ann_srp_buckets": SQL_ANN_SRP_BUCKETS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_tumbling_agg": SQL_EVENTS_TUMBLING_AGG,

@@ -232,7 +232,8 @@ class SqlSurface:
         elif action == "execute":
             runner = self.executors.get(name)
             if runner is not None and st.status == "running":
-                runner()
+                result = runner()
+                return {"ok": True, "mirror": name, "status": st.status, "result": result}
         return {"ok": True, "mirror": name, "status": st.status}
 
     def register_destination(self, view_name: str, table) -> None:
@@ -258,6 +259,56 @@ class SqlSurface:
 
         def run():
             return engine.run(cfg, source, dest_path)
+
+        self.executors[mirror_name] = run
+
+    def bind_cdc(self, mirror_name: str, pipeline, changelog: DataFrame) -> None:
+        """Wire EXECUTE MIRROR to a CdcPipeline: each EXECUTE pulls the
+        changelog rows past the recorded checkpoint, cuts them into
+        transaction-atomic batches (cut_batches), syncs + normalizes each,
+        and advances the catalog batch id and checkpoint watermark — the
+        run-now signal on a CDC flow (ref: cdc_flow.go signal handling).
+
+        The checkpoint watermark is read back from the RAW table written by
+        the sync (stable data), never from a re-scan of the live changelog —
+        the same planning-race rule as QRepEngine.run.
+
+        `changelog` may be a DataFrame or a zero-arg callable returning one
+        (pass a callable when the source grows between EXECUTEs — Spark pins
+        a DataFrame's file listing at creation)."""
+        from pyspark.sql import functions as F
+
+        from peerdb_spark import cdc as C
+
+        cfg = self.catalog.get_mirror(mirror_name)
+
+        def run():
+            last = self.catalog.get_last_watermark(mirror_name)
+            src = changelog() if callable(changelog) else changelog
+            chg = (
+                src.where(F.col("_checkpoint_id") > F.lit(last))
+                if last is not None
+                else src
+            )
+            batched = C.cut_batches(chg, cfg.max_batch_size)
+            nums = sorted(r[0] for r in batched.select("_batch_no").distinct().collect())
+            if not nums:
+                return {"mirror": mirror_name, "batches": 0, "rows": 0}
+            base = self.catalog.get_batch_id(mirror_name)
+            for i, bn in enumerate(nums):
+                bid = base + i + 1
+                pipeline.sync_batch(
+                    batched.where(F.col("_batch_no") == bn).drop("_batch_no"), bid
+                )
+                pipeline.normalize_batches(bid, bid)
+            self.catalog.set_batch_id(mirror_name, base + len(nums))
+            synced = pipeline.raw.read_batches(base + 1, base + len(nums))
+            agg = synced.agg(
+                F.max("_peerdb_checkpoint_id").alias("wm"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            if agg["wm"] is not None:
+                self.catalog.set_last_watermark(mirror_name, agg["wm"])
+            return {"mirror": mirror_name, "batches": len(nums), "rows": agg["n"]}
 
         self.executors[mirror_name] = run
 

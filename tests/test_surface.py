@@ -265,3 +265,67 @@ def test_elasticsearch_actions(spark):
     out = {r["_id"]: r.asDict() for r in elasticsearch_actions(_chg(spark), ["id"], "idx").collect()}
     assert out["1"]["_op"] == "index" and json.loads(out["1"]["_source"])["v"] == "a"
     assert out["2"]["_op"] == "delete" and out["2"]["_source"] is None
+
+
+def test_execute_mirror_runs_cdc(surface, spark, tmp_path):
+    """EXECUTE MIRROR on a CDC mirror: checkpoint-incremental sync+normalize
+    passes driven entirely through the SQL surface."""
+    import datetime as dtm
+    import json as js
+
+    from pyspark.sql import types as TT
+
+    from peerdb_spark import cdc as C
+    from peerdb_spark.storage import ParquetTable
+
+    surface.execute(
+        "CREATE MIRROR cdcexec FROM src TO dst WITH TABLE MAPPING (t) "
+        "WITH (max_batch_size = 3)"
+    )
+    val = TT.StructType([TT.StructField("id", TT.LongType()),
+                         TT.StructField("v", TT.StringType())])
+    dest = str(tmp_path / "t")
+    pipe = C.CdcPipeline(spark, str(tmp_path / "raw"),
+                         [C.CdcTableConfig("t", ["id"], val, dest, n_buckets=2)])
+
+    def chg_rows(rng):
+        return [
+            {
+                "_kind": "insert", "_checkpoint_id": i,
+                "_commit_ts": dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=i),
+                "_txid": i, "_src_table": "t", "_dst_table": "t",
+                "_data": js.dumps({"id": i, "v": f"v{i}"}), "_old_data": None,
+                "_unchanged_cols": None,
+            }
+            for i in rng
+        ]
+
+    chg_dir = str(tmp_path / "chg")
+    spark.createDataFrame(chg_rows(range(7)), C.CHANGELOG_SCHEMA) \
+        .write.mode("append").parquet(chg_dir)
+    surface.bind_cdc(
+        "cdcexec", pipe,
+        lambda: spark.read.schema(C.CHANGELOG_SCHEMA).parquet(chg_dir),
+    )
+
+    out = surface.execute("EXECUTE MIRROR cdcexec")
+    assert out["result"]["rows"] == 7
+    assert out["result"]["batches"] == 3  # max_batch_size=3 → 3/3/1
+    t = ParquetTable(spark, dest, ["id"], 2)
+    assert t.read().count() == 7
+
+    # nothing new → no-op
+    out = surface.execute("EXECUTE MIRROR cdcexec")
+    assert out["result"]["batches"] == 0
+
+    # append past the checkpoint → only the new rows sync
+    spark.createDataFrame(chg_rows(range(7, 9)), C.CHANGELOG_SCHEMA) \
+        .write.mode("append").parquet(chg_dir)
+    out = surface.execute("EXECUTE MIRROR cdcexec")
+    assert out["result"]["rows"] == 2
+    assert t.read().count() == 9
+
+    # paused mirrors don't run
+    surface.execute("PAUSE MIRROR cdcexec")
+    assert "result" not in surface.execute("EXECUTE MIRROR cdcexec")
+    surface.execute("DROP MIRROR cdcexec")

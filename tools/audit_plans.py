@@ -47,6 +47,10 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("bucket equi-join (scale path)", r"BroadcastHashJoin", True),
         ("no all-pairs nested loop", r"BroadcastNestedLoopJoin", False),
     ]),
+    ("ivf_topk", [
+        ("cell equi-join (probe path)", r"BroadcastHashJoin", True),
+        ("no all-pairs nested loop", r"BroadcastNestedLoopJoin", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
