@@ -96,7 +96,10 @@ def main() -> None:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "text_features",
+        "exotic_types",
         "sim_topk",
+        "ann_lsh_topk",
+        "ivf_topk",
         "ann_srp_buckets",
         "events_tumbling_agg",
         "events_sessionize",
