@@ -108,3 +108,59 @@ def test_wkb_point_wkt(spark):
     assert _one(spark, X.wkb_point_wkt(F.lit(h))) == "SRID=4326;POINT(1.5 -2.5)"
     h = wkb_hex(1.5, -2.5, None, True)
     assert _one(spark, X.wkb_point_wkt(F.lit(h))) == "POINT(1.5 -2.5)"
+
+
+def test_wkb_point_property(spark):
+    """Property: decode(encode(x, y)) == (x, y) exactly for arbitrary finite
+    doubles, both byte orders, with/without SRID — the IEEE bit decode is
+    exact arithmetic, so equality is exact, not approximate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(allow_nan=False, allow_infinity=False)
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(finite, finite, st.sampled_from([None, 1, 4326, 900913]),
+           st.booleans())
+    def collect(x, y, srid, little):
+        cases.append((x, y, srid, little))
+
+    collect()
+    # one Spark job for all examples (per-example spark jobs would take minutes)
+    df = spark.createDataFrame(
+        [(i, wkb_hex(x, y, srid, little)) for i, (x, y, srid, little) in enumerate(cases)],
+        "i long, h string",
+    )
+    out = {r["i"]: r["v"] for r in df.select("i", X.wkb_point(F.col("h")).alias("v")).collect()}
+    for i, (x, y, srid, little) in enumerate(cases):
+        v = out[i]
+        assert v["x"] == x and v["y"] == y, (x, y, srid, little)
+        assert v["srid"] == (srid or 0)
+
+
+def test_timetz_property(spark):
+    """Property: parse(HH:MM:SS.ffffff±OH:OM) equals the arithmetic result
+    mod 24h for arbitrary valid components."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
+           st.integers(0, 999999), st.sampled_from(["+", "-"]),
+           st.integers(0, 15), st.sampled_from([0, 30, 45]))
+    def collect(h, m, s, us, osgn, oh, om):
+        cases.append((h, m, s, us, osgn, oh, om))
+
+    collect()
+    rows = []
+    for i, (h, m, s, us, osgn, oh, om) in enumerate(cases):
+        txt = f"{h:02d}:{m:02d}:{s:02d}.{us:06d}{osgn}{oh:02d}:{om:02d}"
+        off = (oh * 3600 + om * 60) * (1 if osgn == "+" else -1)
+        expect = ((h * 3600 + m * 60 + s - off) * 1_000_000 + us) % 86_400_000_000
+        rows.append((i, txt, expect))
+    df = spark.createDataFrame(rows, "i long, t string, expect long")
+    bad = df.where(X.parse_timetz_micros(F.col("t")) != F.col("expect")).collect()
+    assert bad == [], bad[:3]

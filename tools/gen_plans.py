@@ -36,6 +36,30 @@ COMMENT = {
         "corpus scan (BroadcastNestedLoopJoin); per-row scoring is JVM codegen; "
         "the rank window partitions by query id only."
     ),
+    "ann_lsh_topk": (
+        "The ANN scale path: SRP bucket signatures computed per-row, then a "
+        "bucket EQUI-join (BroadcastHashJoin on bkt — no nested loop anywhere); "
+        "probe cost scales with bucket occupancy, never |corpus|·|queries|."
+    ),
+    "ivf_topk": (
+        "IVF probing: corpus assigned to its nearest codebook cell per-row "
+        "(codegen'd integer distance argmin), queries explode to nprobe cells, "
+        "and the join is a cell equi-join — per-query cost ∝ nprobe/k of the "
+        "corpus. At 100 TB the corpus would be written partitioned by cell so "
+        "probes also prune at the file level."
+    ),
+    "dedup_ngram_jaccard": (
+        "The composed near-dup pipeline: ONE distinct (doc, shingle-hash) "
+        "relation feeds signatures, set sizes, and the exact verify (exchange "
+        "reuse dedups the md5-heavy explode); candidates come from the banded "
+        "LSH self-join with the broadcast anti-join skew guard (LeftAnti in "
+        "the plan — audited), and the exact Jaccard runs over candidates only."
+    ),
+    "exotic_types": (
+        "Exotic-type parsing (interval/hstore/timetz/inet/WKB): a single "
+        "narrow projection over the scan — every parser is a built-in "
+        "expression inside WholeStageCodegen; zero exchanges, zero Python."
+    ),
 }
 
 
