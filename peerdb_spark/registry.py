@@ -69,6 +69,12 @@ class MirrorConfig:
     idle_timeout_seconds: int = 60  # ref default, deep-dive-design-document.md:943
     soft_delete_col_name: str = ""
     synced_at_col_name: str = ""
+    # CREATE MIRROR WITH options (ref: nexus/analyzer/src/lib.rs:205-260)
+    do_initial_copy: bool = False
+    resync: bool = False
+    publication_name: str = ""
+    replication_slot_name: str = ""
+    snapshot_num_rows_per_partition: int = 0  # 0 = engine default
 
 
 class Catalog:

@@ -111,3 +111,28 @@ def elasticsearch_actions(
         op.alias("_op"),
         F.when(N.kind_code() != N.KIND_DELETE, doc).alias("_source"),
     )
+
+
+def write_object_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    codec: str | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Object-store sink with format + compression-codec choice.
+
+    The reference's S3 sink writes Avro files with a configurable codec
+    (flow/connectors/s3/s3.go:80-118, utils/avro_writer.go:72-95); parquet is
+    the Spark-native columnar equivalent (SURVEY §2.2) and the default here.
+    fmt='avro' works as-is once spark-avro is on the classpath (it is not in
+    this container — Spark raises its standard missing-data-source error).
+    Codecs map to Spark's `compression` option (parquet: snappy/zstd/gzip;
+    avro: snappy/deflate/zstandard)."""
+    w = df.write.mode(mode)
+    if codec:
+        w = w.option("compression", codec)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)

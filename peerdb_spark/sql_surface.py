@@ -63,6 +63,10 @@ def _parse_with_options(raw: str | None) -> dict[str, Any]:
         k = k.strip().lower()
         if v.isdigit():
             out[k] = int(v)
+        elif v.lower() in ("true", "false"):
+            # boolean WITH options (ref: analyzer accepts bare and quoted
+            # booleans for do_initial_copy/resync, lib.rs:208-236)
+            out[k] = v.lower() == "true"
         else:
             out[k] = v
     return out
@@ -211,6 +215,13 @@ class SqlSurface:
             idle_timeout_seconds=int(opts.get("idle_timeout_seconds", 60)),
             soft_delete_col_name=str(opts.get("soft_delete_col_name", "")),
             synced_at_col_name=str(opts.get("synced_at_col_name", "")),
+            do_initial_copy=bool(opts.get("do_initial_copy", False)),
+            resync=bool(opts.get("resync", False)),
+            publication_name=str(opts.get("publication_name", "")),
+            replication_slot_name=str(opts.get("replication_slot_name", "")),
+            snapshot_num_rows_per_partition=int(
+                opts.get("snapshot_num_rows_per_partition", 0)
+            ),
         )
         self.catalog.create_mirror(cfg)
         self.mirror_state[name] = MirrorState()

@@ -88,6 +88,21 @@ def test_create_mirror_cdc_v2_table_mapping(surface):
     surface.execute("DROP MIRROR flow2")
 
 
+def test_create_mirror_cdc_with_option_breadth(surface):
+    """Boolean + snapshot WITH options (ref: nexus/analyzer/src/lib.rs:205-260)."""
+    surface.execute(
+        "CREATE MIRROR flow3 FROM src TO dst WITH TABLE MAPPING (t) "
+        "WITH (do_initial_copy = true, resync = 'false', "
+        "publication_name = 'pub1', replication_slot_name = 'slot1', "
+        "snapshot_num_rows_per_partition = 50000)"
+    )
+    cfg = surface.catalog.get_mirror("flow3")
+    assert cfg.do_initial_copy is True and cfg.resync is False
+    assert cfg.publication_name == "pub1" and cfg.replication_slot_name == "slot1"
+    assert cfg.snapshot_num_rows_per_partition == 50000
+    surface.execute("DROP MIRROR flow3")
+
+
 def test_execute_mirror_runs_qrep(surface, tables, tmp_path):
     surface.execute(
         "CREATE MIRROR exec1 FROM src TO dst FOR $$SELECT * FROM orders$$ "
@@ -329,3 +344,23 @@ def test_execute_mirror_runs_cdc(surface, spark, tmp_path):
     surface.execute("PAUSE MIRROR cdcexec")
     assert "result" not in surface.execute("EXECUTE MIRROR cdcexec")
     surface.execute("DROP MIRROR cdcexec")
+
+
+def test_object_sink_formats_and_codecs(spark, tables, tmp_path):
+    """S3-style object sink: parquet with codec choice works natively; avro
+    raises Spark's missing-data-source error until the jar lands (the call
+    shape is already correct)."""
+    from peerdb_spark.sinks import write_object_sink
+
+    od = tables["orders"].select("o_orderkey", "o_orderstatus")
+    p = str(tmp_path / "zstd_out")
+    write_object_sink(od, p, fmt="parquet", codec="zstd",
+                      partition_by=["o_orderstatus"], mode="overwrite")
+    back = spark.read.parquet(p)
+    assert back.count() == od.count()
+    import glob
+    assert glob.glob(p + "/o_orderstatus=*/*.zstd.parquet")
+
+    with pytest.raises(Exception) as ei:
+        write_object_sink(od.limit(1), str(tmp_path / "avro_out"), fmt="avro")
+    assert "avro" in str(ei.value).lower()
