@@ -229,9 +229,17 @@ def lsh_verified_pairs(
     n: int = DEFAULT_SHINGLE_N,
     min_jaccard: float = 0.5,
     max_bucket_size: int = 10_000,
+    shingle_hashes: DataFrame | None = None,
+    min_est_jaccard: float = 0.0,
 ) -> DataFrame:
     """The scale-safe near-duplicate pipeline: banded MinHash-LSH candidate
     generation, then exact n-gram Jaccard verification of ONLY the candidates.
+
+    At 100 TB, materialize the distinct (did, shh) relation once (a parquet
+    write of two long columns) and pass it as `shingle_hashes` — every stage
+    then reads the materialized relation instead of re-hashing the corpus
+    per branch. `min_est_jaccard` drops weak candidates on the (free)
+    signature estimate before the exact-verify join does any work.
 
     This is the composition the module doc prescribes — the shared-shingle
     self-join in ngram_jaccard_pairs squares on common shingles at corpus
@@ -246,12 +254,15 @@ def lsh_verified_pairs(
     (min over a distinct set equals min over the multiset; the mod-P
     collision odds are the same ones MinHash already accepts).
     """
-    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-    doc_sh = (
-        src.select(F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("_sh"))
-        .select("did", (h64("_sh") % MINHASH_P).alias("shh"))
-        .distinct()
-    )
+    if shingle_hashes is not None:
+        doc_sh = shingle_hashes.select("did", "shh")
+    else:
+        src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        doc_sh = (
+            src.select(F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("_sh"))
+            .select("did", (h64("_sh") % MINHASH_P).alias("shh"))
+            .distinct()
+        )
     sizes = doc_sh.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
     mins = [
         F.min((F.col("shh") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"_m{j}")
@@ -287,6 +298,8 @@ def lsh_verified_pairs(
         .distinct()
         .select("id_a", "id_b", est.alias("est_jaccard"))
     )
+    if min_est_jaccard > 0:
+        cand = cand.where(F.col("est_jaccard") >= min_est_jaccard)
     sh_a = doc_sh.select(F.col("did").alias("id_a"), "shh")
     sh_b = doc_sh.select(F.col("did").alias("id_b"), "shh")
     common = (

@@ -65,3 +65,31 @@ def test_exact_dedup_scales_on_documents(spark, tables):
     out = D.exact_dedup(docs, "text", "doc_id")
     kept = out.where("is_kept").count()
     assert 0 < kept <= docs.count()
+
+
+def test_lsh_verified_pairs_materialized_shingles(spark, tables):
+    """The 100-TB path: pass a pre-materialized (did, shh) relation and an
+    estimate pre-filter; results equal the self-contained formulation."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions import dedup as DD
+    from peerdb_spark.functions.hashing import h64
+
+    docs = tables["documents"]
+    base = DD.lsh_verified_pairs(docs, "text", "doc_id", min_jaccard=0.05)
+    doc_sh = (
+        docs.select(F.col("doc_id").alias("did"),
+                    F.explode(DD.shingles("text")).alias("_sh"))
+        .select("did", (h64("_sh") % DD.MINHASH_P).alias("shh"))
+        .distinct()
+    )
+    mat = DD.lsh_verified_pairs(docs, "text", "doc_id", min_jaccard=0.05,
+                                shingle_hashes=doc_sh)
+    key = lambda df: sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                            for r in df.collect())
+    assert key(base) == key(mat)
+    # estimate pre-filter keeps only strong candidates; surviving pairs match
+    filt = DD.lsh_verified_pairs(docs, "text", "doc_id", min_jaccard=0.05,
+                                 min_est_jaccard=0.99)
+    strong = {(r["id_a"], r["id_b"]) for r in filt.collect()}
+    assert strong <= {(a, b) for a, b, _ in key(base)}
