@@ -123,6 +123,27 @@ class RawTable:
         with open(os.path.join(part, self.MARKER), "w") as fh:
             fh.write("")
 
+    def drop_batches(self, before_batch: int) -> int:
+        """Retention cleanup: drop raw partitions with batch id < before_batch
+        — O(#dropped batches) directory removals, independent of table size
+        (the reference's raw-table retention deletes by batch id the same
+        way). Returns the number of partitions dropped."""
+        if not os.path.isdir(self.path):
+            return 0
+        dropped = 0
+        prefix = f"{RAW_BATCH}="
+        for name in os.listdir(self.path):
+            if not name.startswith(prefix):
+                continue
+            try:
+                bid = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if bid < before_batch:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                dropped += 1
+        return dropped
+
     def read_batches(self, start_batch: int, end_batch: int) -> DataFrame:
         df = self.spark.read.parquet(self.path)
         # partition-pruned: RAW_BATCH is a directory partition column

@@ -273,7 +273,13 @@ class SqlSurface:
 
         self.executors[mirror_name] = run
 
-    def bind_cdc(self, mirror_name: str, pipeline, changelog: DataFrame) -> None:
+    def bind_cdc(
+        self,
+        mirror_name: str,
+        pipeline,
+        changelog: DataFrame,
+        initial_sources: dict[str, DataFrame] | None = None,
+    ) -> None:
         """Wire EXECUTE MIRROR to a CdcPipeline: each EXECUTE pulls the
         changelog rows past the recorded checkpoint, cuts them into
         transaction-atomic batches (cut_batches), syncs + normalizes each,
@@ -286,14 +292,43 @@ class SqlSurface:
 
         `changelog` may be a DataFrame or a zero-arg callable returning one
         (pass a callable when the source grows between EXECUTEs — Spark pins
-        a DataFrame's file listing at creation)."""
+        a DataFrame's file listing at creation).
+
+        `initial_sources` maps dst_table → source DataFrame. With the
+        mirror's do_initial_copy option (ref: analyzer lib.rs:208), the first
+        EXECUTE snapshots each mapped destination before consuming changes;
+        with resync, the next EXECUTE re-clones with the atomic staging swap
+        (tombstones carried forward) and clears the flag, like the
+        reference's resync-once workflow restart."""
         from pyspark.sql import functions as F
 
         from peerdb_spark import cdc as C
+        from peerdb_spark.snapshot import resync_table
+        from peerdb_spark.storage import ParquetTable
 
         cfg = self.catalog.get_mirror(mirror_name)
 
+        def _initial_copy():
+            done_key = f"{mirror_name}/initial_copy"
+            if not initial_sources or self.catalog.get_batch_id(done_key) != 0:
+                return 0
+            copied = 0
+            for dst, src in initial_sources.items():
+                tcfg = pipeline.tables.get(dst)
+                if tcfg is None:
+                    continue
+                if cfg.resync:
+                    table = ParquetTable(self.spark, tcfg.path, tcfg.pk_cols, tcfg.n_buckets)
+                    resync_table(self.spark, src, table,
+                                 soft_delete_col=tcfg.soft_delete_col)
+                else:
+                    pipeline.add_table(tcfg, backfill=src)
+                copied += 1
+            self.catalog.set_batch_id(done_key, 1)  # once, like the reference
+            return copied
+
         def run():
+            snapshots = _initial_copy() if (cfg.do_initial_copy or cfg.resync) else 0
             last = self.catalog.get_last_watermark(mirror_name)
             src = changelog() if callable(changelog) else changelog
             chg = (
@@ -304,7 +339,8 @@ class SqlSurface:
             batched = C.cut_batches(chg, cfg.max_batch_size)
             nums = sorted(r[0] for r in batched.select("_batch_no").distinct().collect())
             if not nums:
-                return {"mirror": mirror_name, "batches": 0, "rows": 0}
+                return {"mirror": mirror_name, "batches": 0, "rows": 0,
+                        "snapshots": snapshots}
             base = self.catalog.get_batch_id(mirror_name)
             for i, bn in enumerate(nums):
                 bid = base + i + 1
@@ -319,7 +355,8 @@ class SqlSurface:
             ).collect()[0]
             if agg["wm"] is not None:
                 self.catalog.set_last_watermark(mirror_name, agg["wm"])
-            return {"mirror": mirror_name, "batches": len(nums), "rows": agg["n"]}
+            return {"mirror": mirror_name, "batches": len(nums), "rows": agg["n"],
+                    "snapshots": snapshots}
 
         self.executors[mirror_name] = run
 

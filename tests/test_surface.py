@@ -364,3 +364,80 @@ def test_object_sink_formats_and_codecs(spark, tables, tmp_path):
     with pytest.raises(Exception) as ei:
         write_object_sink(od.limit(1), str(tmp_path / "avro_out"), fmt="avro")
     assert "avro" in str(ei.value).lower()
+
+
+def test_execute_mirror_initial_copy_and_resync(surface, spark, tmp_path):
+    """do_initial_copy: first EXECUTE snapshots the source tables before
+    consuming changes; resync: re-clone via atomic staging swap."""
+    import datetime as dtm
+    import json as js
+
+    from pyspark.sql import types as TT
+
+    from peerdb_spark import cdc as C
+    from peerdb_spark.storage import ParquetTable
+
+    surface.execute(
+        "CREATE MIRROR snapcdc FROM src TO dst WITH TABLE MAPPING (t) "
+        "WITH (max_batch_size = 100, do_initial_copy = true)"
+    )
+    val = TT.StructType([TT.StructField("id", TT.LongType()),
+                         TT.StructField("v", TT.StringType())])
+    dest = str(tmp_path / "t")
+    pipe = C.CdcPipeline(spark, str(tmp_path / "raw"),
+                         [C.CdcTableConfig("t", ["id"], val, dest, n_buckets=2)])
+    base = spark.createDataFrame([(i, f"base{i}") for i in range(20)], "id long, v string")
+    chg_dir = str(tmp_path / "chg")
+    spark.createDataFrame(
+        [
+            {
+                "_kind": "update", "_checkpoint_id": 1,
+                "_commit_ts": dtm.datetime(2024, 1, 2), "_txid": 1,
+                "_src_table": "t", "_dst_table": "t",
+                "_data": js.dumps({"id": 3, "v": "CHANGED"}), "_old_data": None,
+                "_unchanged_cols": None,
+            }
+        ],
+        C.CHANGELOG_SCHEMA,
+    ).write.mode("append").parquet(chg_dir)
+    surface.bind_cdc(
+        "snapcdc", pipe,
+        lambda: spark.read.schema(C.CHANGELOG_SCHEMA).parquet(chg_dir),
+        initial_sources={"t": base},
+    )
+    out = surface.execute("EXECUTE MIRROR snapcdc")
+    assert out["result"]["snapshots"] == 1 and out["result"]["rows"] == 1
+    t = ParquetTable(spark, dest, ["id"], 2)
+    state = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(state) == 20 and state[3] == "CHANGED" and state[5] == "base5"
+    # second EXECUTE: snapshot is once-only
+    out = surface.execute("EXECUTE MIRROR snapcdc")
+    assert out["result"]["snapshots"] == 0
+    surface.execute("DROP MIRROR snapcdc")
+
+
+def test_raw_table_retention(spark, tmp_path):
+    """Retention = O(#batches) partition drops; data in kept batches intact."""
+    import datetime as dtm
+    import json as js
+
+    from peerdb_spark import cdc as C
+
+    raw = C.RawTable(spark, str(tmp_path / "raw"))
+    for b in range(4):
+        chg = spark.createDataFrame(
+            [
+                {
+                    "_kind": "insert", "_checkpoint_id": b * 10,
+                    "_commit_ts": dtm.datetime(2024, 1, 1), "_txid": b,
+                    "_src_table": "t", "_dst_table": "t",
+                    "_data": js.dumps({"id": b}), "_old_data": None,
+                    "_unchanged_cols": None,
+                }
+            ],
+            C.CHANGELOG_SCHEMA,
+        )
+        raw.append(chg, b)
+    assert raw.drop_batches(before_batch=2) == 2
+    assert raw.read_batches(0, 10).count() == 2
+    assert raw.is_batch_committed(3) and not raw.is_batch_committed(0)
