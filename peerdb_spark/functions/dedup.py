@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE_N,
     max_bucket_size: int = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -181,8 +182,19 @@ def minhash_lsh_pairs(
     fraction of matching signature positions. Self-join happens per band
     bucket; degenerate buckets larger than max_bucket_size are dropped
     (they would square — the standard LSH skew guard).
+
+    The signature relation feeds three plan branches (bucket-size guard +
+    both self-join sides); Catalyst does not canonicalize them to a shared
+    exchange (each branch pushes different not-null filters into the
+    subtree), so without materialization the md5-heavy shingle explode runs
+    three times. `materialize` localCheckpoints the signatures — one
+    compute, executor-storage reads after (measured ~2.7× on the declared
+    query). On a real cluster prefer a parquet write of the signatures when
+    executor loss matters: localCheckpoint blocks die with their executor.
     """
     sigs = minhash_df(df, text_col, id_col, num_hashes, n)
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         id_col, "minhash", F.posexplode(lsh_bands(F.col("minhash"), bands, None, num_hashes))
     ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -231,6 +243,7 @@ def lsh_verified_pairs(
     max_bucket_size: int = 10_000,
     shingle_hashes: DataFrame | None = None,
     min_est_jaccard: float = 0.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """The scale-safe near-duplicate pipeline: banded MinHash-LSH candidate
     generation, then exact n-gram Jaccard verification of ONLY the candidates.
@@ -248,11 +261,16 @@ def lsh_verified_pairs(
     Returns (id_a, id_b, est_jaccard, jaccard) with jaccard >= min_jaccard.
 
     Every stage (signatures, set sizes, exact-verify) derives from ONE
-    distinct (doc, shingle-hash) relation, so the md5-heavy shingle explode
-    and its shuffle run once and Spark's exchange reuse shares them across
-    branches — the minhash base and the Jaccard sets both use h64 % P
-    (min over a distinct set equals min over the multiset; the mod-P
-    collision odds are the same ones MinHash already accepts).
+    distinct (doc, shingle-hash) relation — the minhash base and the
+    Jaccard sets both use h64 % P (min over a distinct set equals min over
+    the multiset; the mod-P collision odds are the same ones MinHash
+    already accepts). Catalyst does NOT share the relation across the four
+    consuming branches on its own (each branch pushes different not-null
+    filters into the subtree, defeating exchange canonicalization), so by
+    default `materialize` localCheckpoints it — one shingle explode +
+    distinct, executor-storage reads after (measured ~2.5× on the declared
+    query). localCheckpoint blocks die with their executor; at 100 TB pass
+    `shingle_hashes` backed by a parquet write instead.
     """
     if shingle_hashes is not None:
         doc_sh = shingle_hashes.select("did", "shh")
@@ -263,6 +281,8 @@ def lsh_verified_pairs(
             .select("did", (h64("_sh") % MINHASH_P).alias("shh"))
             .distinct()
         )
+        if materialize:
+            doc_sh = doc_sh.localCheckpoint(eager=False)
     sizes = doc_sh.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
     mins = [
         F.min((F.col("shh") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"_m{j}")
