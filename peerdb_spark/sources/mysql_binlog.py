@@ -13,11 +13,27 @@ The wire grammar is the PUBLIC binlog format (MySQL Internals manual,
   GTID_EVENT (33): flags u8, sid 16B, gno u64 — the transaction id
   XID_EVENT (16): commit
 
-Column-type subset decoded (the fixtures this sandbox can exercise):
-  LONG (3, i32), LONGLONG (8, i64), VARCHAR (15, metadata max_len u16;
-  1- or 2-byte length prefix). Everything else raises — a real deployment
-  plugs additional leaf decoders into _COL_DECODERS without touching the
-  event-stream machinery.
+Column types decoded (all little-endian unless noted; per the MySQL
+Internals manual "ROWS_EVENT > column definition"):
+  integers: TINY i8, SHORT i16, INT24 i24, LONG i32, LONGLONG i64,
+    YEAR u8+1900
+  floats: FLOAT f32, DOUBLE f64 (metadata 1 byte = width)
+  strings: VARCHAR / VAR_STRING (metadata max_len u16; 1- or 2-byte
+    length prefix), STRING/CHAR (packed 2-byte metadata carries real type
+    + length), BLOB/TEXT (metadata = #length bytes; utf-8 when it decodes,
+    else base64: prefix — binlog table maps don't carry charsets)
+  temporal, rendered as ISO strings so the JSON staging stays typed by the
+  destination schema (types.py casts on normalize, like every changelog):
+    DATE u24 packed, TIME i24 packed decimal, DATETIME u64 packed decimal,
+    TIMESTAMP u32 epoch, and the 5.6+ big-endian fixed-point forms
+    TIMESTAMP2/DATETIME2/TIME2 (metadata 1 byte = fsp; (fsp+1)//2 frac
+    bytes)
+  NEWDECIMAL (metadata precision+scale): MySQL's 9-digits-per-4-bytes
+    big-endian packing, sign-bit flipped, negatives bit-inverted →
+    exact decimal string
+  Remaining exotics (ENUM/SET/BIT/JSON/GEOMETRY) raise with the type id —
+  a real deployment plugs leaf decoders into _read_value without touching
+  the event-stream machinery.
 
 Reference parity (studied, not copied): flow/connectors/mysql/cdc.go
 consumes the same events via go-mysql's replication reader — table-map
@@ -44,9 +60,35 @@ WRITE_ROWS_V2 = 30
 UPDATE_ROWS_V2 = 31
 DELETE_ROWS_V2 = 32
 
+TYPE_TINY = 1
+TYPE_SHORT = 2
 TYPE_LONG = 3
+TYPE_FLOAT = 4
+TYPE_DOUBLE = 5
+TYPE_NULL = 6
+TYPE_TIMESTAMP = 7
 TYPE_LONGLONG = 8
+TYPE_INT24 = 9
+TYPE_DATE = 10
+TYPE_TIME = 11
+TYPE_DATETIME = 12
+TYPE_YEAR = 13
 TYPE_VARCHAR = 15
+TYPE_TIMESTAMP2 = 17
+TYPE_DATETIME2 = 18
+TYPE_TIME2 = 19
+TYPE_NEWDECIMAL = 246
+TYPE_ENUM = 247
+TYPE_SET = 248
+TYPE_BLOB = 252
+TYPE_VAR_STRING = 253
+TYPE_STRING = 254
+
+# table-map metadata widths (manual: TABLE_MAP_EVENT column metadata)
+_META1 = {TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_TIMESTAMP2, TYPE_DATETIME2,
+          TYPE_TIME2}
+_META2_LE = {TYPE_VARCHAR, TYPE_VAR_STRING}
+_META2_PACKED = {TYPE_STRING, TYPE_NEWDECIMAL}  # (byte0 << 8) | byte1
 
 
 class _Reader:
@@ -131,15 +173,157 @@ class _TableMap:
         return [f"c{i}" for i in range(len(self.col_types))]
 
 
+# bytes needed for n leftover decimal digits (MySQL strings/decimal/decimal.c)
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _decimal_bin_size(precision: int, scale: int) -> int:
+    intg = precision - scale
+    intg0, intgx = divmod(intg, 9)
+    frac0, fracx = divmod(scale, 9)
+    return intg0 * 4 + _DIG2BYTES[intgx] + frac0 * 4 + _DIG2BYTES[fracx]
+
+
+def _read_newdecimal(r: _Reader, precision: int, scale: int) -> str:
+    """MySQL packed decimal → exact decimal string. Groups of 9 decimal
+    digits per 4 big-endian bytes; first byte's sign bit flipped; negative
+    numbers stored bit-inverted."""
+    raw = bytearray(r.take(_decimal_bin_size(precision, scale)))
+    positive = bool(raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if not positive:
+        raw = bytearray(b ^ 0xFF for b in raw)
+    intg = precision - scale
+    intg0, intgx = divmod(intg, 9)
+    frac0, fracx = divmod(scale, 9)
+    pos = 0
+    int_val = 0
+    if intgx:
+        n = _DIG2BYTES[intgx]
+        int_val = int.from_bytes(raw[pos:pos + n], "big")
+        pos += n
+    for _ in range(intg0):
+        int_val = int_val * 10**9 + int.from_bytes(raw[pos:pos + 4], "big")
+        pos += 4
+    frac_str = ""
+    for _ in range(frac0):
+        frac_str += f"{int.from_bytes(raw[pos:pos + 4], 'big'):09d}"
+        pos += 4
+    if fracx:
+        n = _DIG2BYTES[fracx]
+        frac_str += f"{int.from_bytes(raw[pos:pos + n], 'big'):0{fracx}d}"
+        pos += n
+    s = str(int_val) + (f".{frac_str}" if frac_str else "")
+    return s if positive else f"-{s}"
+
+
+def _read_frac_micros(r: _Reader, fsp: int) -> int:
+    """Fractional seconds of the 5.6+ temporal types: (fsp+1)//2 big-endian
+    bytes holding 2·⌈fsp/2⌉-digit units."""
+    fb = (fsp + 1) // 2
+    if not fb:
+        return 0
+    return int.from_bytes(r.take(fb), "big") * 10 ** (6 - 2 * fb)
+
+
+def _iso_dt(y: int, mo: int, d: int, h: int, mi: int, s: int, us: int = 0) -> str:
+    base = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    return f"{base}.{us:06d}" if us else base
+
+
 def _read_value(r: _Reader, ctype: int, meta: int):
+    if ctype == TYPE_TINY:
+        (v,) = struct.unpack_from("<b", r.buf, r.pos)
+        r.pos += 1
+        return v
+    if ctype == TYPE_SHORT:
+        (v,) = struct.unpack_from("<h", r.buf, r.pos)
+        r.pos += 2
+        return v
+    if ctype == TYPE_INT24:
+        v = int.from_bytes(r.take(3), "little", signed=True)
+        return v
     if ctype == TYPE_LONG:
         return r.i32()
     if ctype == TYPE_LONGLONG:
         return r.i64()
-    if ctype == TYPE_VARCHAR:
+    if ctype == TYPE_YEAR:
+        v = r.u8()
+        return 1900 + v if v else 0
+    if ctype == TYPE_FLOAT:
+        (v,) = struct.unpack_from("<f", r.buf, r.pos)
+        r.pos += 4
+        return v
+    if ctype == TYPE_DOUBLE:
+        (v,) = struct.unpack_from("<d", r.buf, r.pos)
+        r.pos += 8
+        return v
+    if ctype == TYPE_NULL:
+        return None
+    if ctype in (TYPE_VARCHAR, TYPE_VAR_STRING):
         ln = r.u16() if meta > 255 else r.u8()
         return r.take(ln).decode("utf-8")
-    raise ValueError(f"unsupported binlog column type {ctype} (extend _COL_DECODERS)")
+    if ctype == TYPE_STRING:
+        m0, m1 = meta >> 8, meta & 0xFF
+        if (m0 & 0x30) != 0x30:
+            real, length = m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4)
+        else:
+            real, length = m0, m1
+        if real in (TYPE_ENUM, TYPE_SET):
+            raise ValueError(f"unsupported binlog column type {real} (ENUM/SET)")
+        ln = r.u16() if length > 255 else r.u8()
+        return r.take(ln).decode("utf-8")
+    if ctype == TYPE_BLOB:
+        ln = int.from_bytes(r.take(meta), "little")
+        raw = r.take(ln)
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            import base64
+
+            return "base64:" + base64.b64encode(raw).decode("ascii")
+    if ctype == TYPE_DATE:
+        v = int.from_bytes(r.take(3), "little")
+        if v == 0:
+            return None  # zero date
+        return f"{v >> 9:04d}-{(v >> 5) & 0xF:02d}-{v & 0x1F:02d}"
+    if ctype == TYPE_TIME:
+        v = int.from_bytes(r.take(3), "little", signed=True)
+        sign, v = ("-" if v < 0 else ""), abs(v)
+        return f"{sign}{v // 10000:02d}:{v // 100 % 100:02d}:{v % 100:02d}"
+    if ctype == TYPE_DATETIME:
+        v = r.u64()
+        d, t = divmod(v, 1_000_000)
+        return _iso_dt(d // 10000, d // 100 % 100, d % 100,
+                       t // 10000, t // 100 % 100, t % 100)
+    if ctype == TYPE_TIMESTAMP:
+        ts = dt.datetime.fromtimestamp(r.u32(), dt.timezone.utc)
+        return _iso_dt(ts.year, ts.month, ts.day, ts.hour, ts.minute, ts.second)
+    if ctype == TYPE_TIMESTAMP2:
+        secs = int.from_bytes(r.take(4), "big")  # big-endian, unlike v1
+        us = _read_frac_micros(r, meta)
+        ts = dt.datetime.fromtimestamp(secs, dt.timezone.utc)
+        return _iso_dt(ts.year, ts.month, ts.day, ts.hour, ts.minute, ts.second, us)
+    if ctype == TYPE_DATETIME2:
+        v = int.from_bytes(r.take(5), "big")
+        ym = (v >> 22) & 0x1FFFF
+        return _iso_dt(ym // 13, ym % 13, (v >> 17) & 0x1F,
+                       (v >> 12) & 0x1F, (v >> 6) & 0x3F, v & 0x3F,
+                       _read_frac_micros(r, meta))
+    if ctype == TYPE_TIME2:
+        fb = (meta + 1) // 2
+        # int part + fraction form ONE sign-offset big-endian number, so
+        # negatives borrow across the fraction correctly
+        combined = int.from_bytes(r.take(3 + fb), "big") - (0x800000 << (8 * fb))
+        sign, mag = ("-" if combined < 0 else ""), abs(combined)
+        frac = mag & ((1 << (8 * fb)) - 1) if fb else 0
+        base = mag >> (8 * fb)
+        us = frac * 10 ** (6 - 2 * fb) if fb else 0
+        out = f"{sign}{(base >> 12) & 0x3FF:02d}:{(base >> 6) & 0x3F:02d}:{base & 0x3F:02d}"
+        return f"{out}.{us:06d}" if us else out
+    if ctype == TYPE_NEWDECIMAL:
+        return _read_newdecimal(r, meta >> 8, meta & 0xFF)
+    raise ValueError(f"unsupported binlog column type {ctype} (extend _read_value)")
 
 
 def _bitmap_bits(bm: bytes, n: int) -> list[bool]:
@@ -208,8 +392,12 @@ class BinlogDecoder:
             meta_len = r.lenenc()
             meta_r = _Reader(r.take(meta_len))
             for ct in tm.col_types:
-                if ct == TYPE_VARCHAR:
+                if ct in _META2_LE:
                     tm.col_meta.append(meta_r.u16())
+                elif ct in _META2_PACKED:
+                    tm.col_meta.append((meta_r.u8() << 8) | meta_r.u8())
+                elif ct in _META1:
+                    tm.col_meta.append(meta_r.u8())
                 else:
                     tm.col_meta.append(0)
             self.tables[tid] = tm
