@@ -27,7 +27,11 @@ COMMENT = {
     ),
     "dedup_minhash_lsh_pairs": (
         "MinHash-LSH. Signatures come from an explode + HashAggregate with "
-        "map-side combine (fixed-width long buffers); the skew guard is a "
+        "map-side combine (fixed-width long buffers), then materialize once "
+        "via lazy localCheckpoint (Scan ExistingRDD below) — the three "
+        "consuming branches (bucket-size guard + both self-join sides) push "
+        "different not-null filters, which defeats exchange canonicalization, "
+        "so without it the md5-heavy explode runs 3×. The skew guard is a "
         "broadcast anti-join (no sort of the banded relation); candidate pairs "
         "join only within band buckets."
     ),
@@ -50,10 +54,13 @@ COMMENT = {
     ),
     "dedup_ngram_jaccard": (
         "The composed near-dup pipeline: ONE distinct (doc, shingle-hash) "
-        "relation feeds signatures, set sizes, and the exact verify (exchange "
-        "reuse dedups the md5-heavy explode); candidates come from the banded "
-        "LSH self-join with the broadcast anti-join skew guard (LeftAnti in "
-        "the plan — audited), and the exact Jaccard runs over candidates only."
+        "relation, materialized via lazy localCheckpoint (Scan ExistingRDD "
+        "below), feeds signatures, set sizes, and the exact verify — computed "
+        "once, read four times (at 100 TB pass a parquet-backed relation via "
+        "shingle_hashes instead; localCheckpoint blocks die with executors). "
+        "Candidates come from the banded LSH self-join with the broadcast "
+        "anti-join skew guard (LeftAnti in the plan — audited), and the exact "
+        "Jaccard runs over candidates only."
     ),
     "exotic_types": (
         "Exotic-type parsing (interval/hstore/timetz/inet/WKB): a single "
