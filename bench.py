@@ -95,6 +95,7 @@ def main() -> None:
         "dedup_minhash_lsh_pairs",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "corpus_clean",
         "text_features",
         "exotic_types",
         "sim_topk",

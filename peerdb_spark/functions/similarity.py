@@ -244,6 +244,61 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index: the corpus written partitioned BY CELL.
+    This is what makes IVF an index at 100 TB — each cell is its own
+    parquet directory, so a probe reads nprobe/k of the files and the rest
+    never leave object storage. Rebuild is a full rewrite (centroids are
+    frozen at build time, like any IVF index)."""
+    ivf_assign(corpus, centroids, vec_col, id_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a materialized IVF index with static partition pruning.
+
+    The probed cell set is |queries|·nprobe ints — a bounded driver-side
+    collect (queries are small by contract; large query sets should chunk) —
+    and lands in the scan as PartitionFilters, so only the probed cells'
+    files are listed or read. Spark's dynamic partition pruning does NOT
+    fire for this shape (the build side has no selective predicate), hence
+    the explicit literal filter. Results are identical to ivf_topk over the
+    same corpus + centroids."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    cells = sorted(r[0] for r in q.select("cell").distinct().collect())
+    c = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    scored = c.join(F.broadcast(q), "cell").select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

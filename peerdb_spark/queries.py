@@ -1079,6 +1079,26 @@ _FP_TERMS = " + ".join(
     f"codes[i+{j}] * {pow(TX.FP_BASE, j, TX.FP_P)}::BIGINT" for j in range(8)
 )
 
+
+def _tokens_sql(t: str = "text") -> str:
+    return (f"CASE WHEN len(trim({t})) = 0 THEN 0 "
+            f"ELSE len(string_split_regex(trim({t}), '\\s+')) END")
+
+
+def _quality_sql(t: str = "text") -> str:
+    return f"""CASE WHEN len(trim({t})) = 0 THEN 0.0 ELSE (
+         (CASE WHEN len({t}) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+       + (CASE WHEN len(regexp_replace({t}, '[A-Za-z0-9\\s]', '', 'g'))
+               <= 0.2 * len({t}) THEN 1 ELSE 0 END)
+       + (CASE WHEN len(list_filter(string_split_regex(trim(lower({t})), '\\s+'),
+               t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+               >= 0.01 * len(string_split_regex(trim({t}), '\\s+')) THEN 1 ELSE 0 END)
+       + (CASE WHEN list_sum(list_transform(string_split_regex(trim({t}), '\\s+'), t -> len(t)))
+               BETWEEN 2.0 * len(string_split_regex(trim({t}), '\\s+'))
+               AND 12.0 * len(string_split_regex(trim({t}), '\\s+')) THEN 1 ELSE 0 END)
+       ) / 4.0 END"""
+
+
 SQL_TEXT_FEATURES = f"""
 WITH docs_c AS (
   SELECT *, list_transform(range(1, len(text) + 1),
@@ -1086,25 +1106,14 @@ WITH docs_c AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN len(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       {_tokens_sql("text")} AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_units,
        CASE WHEN len(text) < 8 THEN NULL ELSE
          list_min(list_transform(range(1, len(text) - 8 + 2),
                                  i -> ({_FP_TERMS}) % {TX.FP_P}))
        END AS fingerprint,
        {_lang_id_sql("text")} AS lang_pred,
-       CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE (
-         (CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
-       + (CASE WHEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-               <= 0.2 * len(text) THEN 1 ELSE 0 END)
-       + (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-               t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
-               >= 0.01 * len(string_split_regex(trim(text), '\\s+')) THEN 1 ELSE 0 END)
-       + (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> len(t)))
-               BETWEEN 2.0 * len(string_split_regex(trim(text), '\\s+'))
-               AND 12.0 * len(string_split_regex(trim(text), '\\s+')) THEN 1 ELSE 0 END)
-       ) / 4.0 END AS quality
+       {_quality_sql("text")} AS quality
 FROM docs_c
 """
 
@@ -1124,9 +1133,67 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_LANG_STATS = f"""
 SELECT {_lang_id_sql("text")} AS lang_pred,
        count(*) AS n_docs,
-       CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
+       CAST(sum({_tokens_sql("text")}) AS BIGINT) AS total_tokens
 FROM documents GROUP BY 1
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline: exact-dedup keep list →
+    language ID → quality score → token-length floor, in ONE pass shape.
+
+    At 100 TB this is the nightly corpus job: the keep list is a narrow
+    (doc_id, 60-bit hash) hash-aggregate — the text never shuffles — and
+    every feature is a codegen'd per-row expression, so the whole pipeline
+    is one scan + one pk join. Near-dup removal chains in front via
+    dedup.lsh_verified_pairs when needed (kept out of the declared entry so
+    the oracle stays single-threshold deterministic).
+
+    The input is documents ∪ an id-offset copy — the re-crawled-corpus
+    scenario — so the dedup keep-list genuinely rejects half the input
+    (the testdata documents have no exact duplicates of their own); the
+    quality and length floors each reject a further few-percent band.
+    Every stage of the gate does real work on both engines."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    crawl = docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    c = F.col("text")
+    keep = (
+        DD.exact_dedup(crawl, "text", "doc_id")
+        .where(F.col("is_kept"))
+        .select("doc_id")
+    )
+    feat = crawl.select(
+        "doc_id",
+        TX.lang_id(c).alias("lang_pred"),
+        TX.quality_score(c).cast("double").alias("quality"),
+        TX.token_count(c).cast("long").alias("n_tokens"),
+    )
+    return feat.join(keep, "doc_id").where(
+        (F.col("quality") >= 0.8) & (F.col("n_tokens") >= 20)
+    )
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH crawl AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+h AS (SELECT doc_id, {h64_sql("trim(text)")} AS content_hash FROM crawl),
+g AS (SELECT content_hash, min(doc_id) AS keeper_id FROM h GROUP BY content_hash),
+keep AS (SELECT h.doc_id FROM h JOIN g USING (content_hash) WHERE h.doc_id = g.keeper_id),
+feat AS (
+  SELECT doc_id,
+         {_lang_id_sql("text")} AS lang_pred,
+         CAST({_quality_sql("text")} AS DOUBLE) AS quality,
+         CAST({_tokens_sql("text")} AS BIGINT) AS n_tokens
+  FROM crawl
+)
+SELECT f.doc_id, f.lang_pred, f.quality, f.n_tokens
+FROM feat f JOIN keep USING (doc_id)
+WHERE f.quality >= 0.8 AND f.n_tokens >= 20
 """
 
 # ---------------------------------------------------------------------------
@@ -1656,6 +1723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_features": q_text_features,
     "text_lang_stats": q_text_lang_stats,
+    "corpus_clean": q_corpus_clean,
     "sim_topk": q_sim_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1695,6 +1763,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "text_features": SQL_TEXT_FEATURES,
     "text_lang_stats": SQL_TEXT_LANG_STATS,
+    "corpus_clean": SQL_CORPUS_CLEAN,
     "sim_topk": SQL_SIM_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

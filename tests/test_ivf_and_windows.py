@@ -77,3 +77,25 @@ def test_windowed_aggregation_streaming(spark, tmp_path, tables):
     assert got.count() >= 0 and set(got.columns) == {
         "window_start", "event_type", "n_events", "sum_value"
     }
+
+
+def test_ivf_indexed_probe_partition_pruned(spark, emb, tmp_path):
+    """Materialized index probe: identical results to the in-memory path and
+    the probed-cell filter lands in the scan as PartitionFilters (only the
+    probed cells' files are read)."""
+    cents = S.ivf_train_centroids(emb, dim=64, k=8, iters=3, sample=300)
+    path = str(tmp_path / "ivf_index")
+    S.ivf_write_index(emb, cents, path)
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    indexed = S.ivf_topk_indexed(spark, path, queries, cents, k=5, nprobe=3)
+    direct = S.ivf_topk(emb, queries, cents, k=5, nprobe=3)
+    got = sorted(map(tuple, indexed.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    assert all(abs(g[3] - w[3]) < 1e-9 for g, w in zip(got, want))
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln and "IN" in ln.upper() for ln in scan_lines), scan_lines

@@ -42,6 +42,10 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("LSH banded candidates (skew-guard anti-join present)", r"LeftAnti", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("corpus_clean", [
+        ("keep-list via hash agg (text never shuffles)", r"HashAggregate", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
     ("sim_topk", [("broadcast queries against corpus", r"BroadcastNestedLoopJoin", True)]),
     ("ann_lsh_topk", [
         ("bucket equi-join (scale path)", r"BroadcastHashJoin", True),
