@@ -195,6 +195,34 @@ class Catalog:
             for a in entry["added"]
         }
 
+    def record_batch_metrics(
+        self,
+        mirror: str,
+        batch_id: int,
+        n_rows: int,
+        start_checkpoint=None,
+        end_checkpoint=None,
+    ) -> None:
+        """Per-batch CDC monitoring row: rows synced + checkpoint range.
+        Mirrors the reference's catalog monitoring tables (flow/connectors/
+        utils/monitoring/monitoring.go AddCDCBatchForFlow /
+        UpdateEndBatchEndTimeForFlow — one row per sync batch, queryable for
+        lag/throughput). Bounded driver-side metadata: one JSON entry per
+        batch."""
+        rows = self._read(f"state/{mirror}/batch_metrics.json", [])
+        rows.append(
+            {
+                "batch_id": batch_id,
+                "n_rows": n_rows,
+                "start_checkpoint": start_checkpoint,
+                "end_checkpoint": end_checkpoint,
+            }
+        )
+        self._write(f"state/{mirror}/batch_metrics.json", rows)
+
+    def batch_metrics(self, mirror: str) -> list[dict]:
+        return self._read(f"state/{mirror}/batch_metrics.json", [])
+
     def set_batch_id(self, mirror: str, batch_id: int) -> None:
         self._write(f"state/{mirror}/batch.json", {"batch_id": batch_id})
 

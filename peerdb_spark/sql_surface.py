@@ -337,7 +337,20 @@ class SqlSurface:
                 else src
             )
             batched = C.cut_batches(chg, cfg.max_batch_size)
-            nums = sorted(r[0] for r in batched.select("_batch_no").distinct().collect())
+            # one bounded collect (a row per batch) drives the loop, the
+            # watermark, AND the monitoring rows — replaces the old
+            # distinct-collect + post-hoc raw re-scan (one less full pass)
+            stats = {
+                r["_batch_no"]: r
+                for r in batched.groupBy("_batch_no")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_checkpoint_id").alias("lo"),
+                    F.max("_checkpoint_id").alias("hi"),
+                )
+                .collect()
+            }
+            nums = sorted(stats)
             if not nums:
                 return {"mirror": mirror_name, "batches": 0, "rows": 0,
                         "snapshots": snapshots}
@@ -348,14 +361,18 @@ class SqlSurface:
                     batched.where(F.col("_batch_no") == bn).drop("_batch_no"), bid
                 )
                 pipeline.normalize_batches(bid, bid)
+                s = stats[bn]
+                self.catalog.record_batch_metrics(
+                    mirror_name, bid, s["n"], s["lo"], s["hi"]
+                )
             self.catalog.set_batch_id(mirror_name, base + len(nums))
-            synced = pipeline.raw.read_batches(base + 1, base + len(nums))
-            agg = synced.agg(
-                F.max("_peerdb_checkpoint_id").alias("wm"), F.count(F.lit(1)).alias("n")
-            ).collect()[0]
-            if agg["wm"] is not None:
-                self.catalog.set_last_watermark(mirror_name, agg["wm"])
-            return {"mirror": mirror_name, "batches": len(nums), "rows": agg["n"],
+            # watermark = max end of the batches actually pulled (never a
+            # live re-scan — same rule as qrep.run, see ADVICE round 1)
+            his = [s["hi"] for s in stats.values() if s["hi"] is not None]
+            if his:
+                self.catalog.set_last_watermark(mirror_name, max(his))
+            return {"mirror": mirror_name, "batches": len(nums),
+                    "rows": int(sum(s["n"] for s in stats.values())),
                     "snapshots": snapshots}
 
         self.executors[mirror_name] = run

@@ -46,11 +46,22 @@ class CdcStreamRunner:
         max_files_per_trigger: int | None = None,
         normalize_lag: int = 0,
         changelog_schema=None,
+        retain_batches: int | None = None,
     ):
         """normalize_lag > 0 reproduces the reference's async-normalize
         backpressure model (flow/activities/flowable.go:398-418: normalize
         runs N batches behind sync, bounded) — sync stays fast while merges
-        trail; call catch_up() to drain the tail when the stream idles."""
+        trail; call catch_up() to drain the tail when the stream idles.
+
+        retain_batches keeps that many most-recent raw batches and drops the
+        rest after each normalize (the reference's raw-table retention /
+        ClickHouse TTL on _peerdb_batch_id): O(#dropped) directory removals.
+        Must cover the replay window — the floor normalize_lag + 1 is
+        enforced so a dropped batch can never be one the checkpoint might
+        replay or a merge still needs."""
+        if retain_batches is not None and retain_batches < normalize_lag + 1:
+            raise ValueError("retain_batches must be >= normalize_lag + 1")
+        self.retain_batches = retain_batches
         self.spark = spark
         self.changelog_dir = changelog_dir
         self.checkpoint_dir = checkpoint_dir
@@ -75,6 +86,10 @@ class CdcStreamRunner:
         target = batch_id - self.normalize_lag
         if target >= 0:
             self.pipeline.normalize_batches(target, target)
+            if self.retain_batches is not None:
+                # only ever drops batches already normalized: threshold
+                # <= target - (retain - lag - 1) <= target
+                self.pipeline.raw.drop_batches(batch_id - self.retain_batches + 1)
 
     def catch_up(self) -> None:
         """Normalize the trailing batches the lag left behind (the reference

@@ -215,3 +215,39 @@ def test_replay_with_partial_raw_partition_recovers(spark, tmp_path):
     assert raw.is_batch_committed(0)
     assert raw.read_batches(0, 0).count() == 5  # fully rewritten, no dupes
     assert t.read().count() == 5
+
+
+def test_stream_raw_retention(spark, tmp_path):
+    """retain_batches drops normalized raw partitions as the stream advances;
+    destination state is unaffected (it lives in the bucketed table)."""
+    chg_dir = str(tmp_path / "chg")
+    os.makedirs(chg_dir)
+    dest = str(tmp_path / "t")
+    mk = lambda: CdcStreamRunner(
+        spark,
+        changelog_dir=chg_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables=[cdc.CdcTableConfig("t", ["id"], VAL, dest, n_buckets=2)],
+        raw_path=str(tmp_path / "raw"),
+        max_files_per_trigger=1,
+        retain_batches=2,
+    )
+    with pytest.raises(ValueError):
+        CdcStreamRunner(
+            spark, changelog_dir=chg_dir, checkpoint_dir=str(tmp_path / "c2"),
+            tables=[cdc.CdcTableConfig("t", ["id"], VAL, dest, n_buckets=2)],
+            raw_path=str(tmp_path / "raw2"), normalize_lag=2, retain_batches=2,
+        )
+    for w in range(4):
+        _write_changelog(
+            spark, chg_dir,
+            [("insert", w * 10 + i, {"id": w * 10 + i, "v": f"v{w}"}, None) for i in range(3)],
+            f"w{w}",
+        )
+    runner = mk()
+    runner.run_available()
+    raw_root = runner.pipeline.raw.path
+    kept = sorted(d for d in os.listdir(raw_root) if d.startswith("_peerdb_batch_id="))
+    assert len(kept) == 2, kept  # 4 file-batches, retain 2
+    t = ParquetTable(spark, dest, ["id"], 2)
+    assert t.read().count() == 12  # destination unaffected by raw retention

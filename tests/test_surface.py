@@ -441,3 +441,44 @@ def test_raw_table_retention(spark, tmp_path):
     assert raw.drop_batches(before_batch=2) == 2
     assert raw.read_batches(0, 10).count() == 2
     assert raw.is_batch_committed(3) and not raw.is_batch_committed(0)
+
+
+def test_execute_mirror_batch_metrics(surface, spark, tmp_path):
+    """EXECUTE MIRROR records one monitoring row per sync batch (rows +
+    checkpoint range), like the reference's catalog monitoring tables."""
+    import datetime as dtm
+    import json as js
+
+    from pyspark.sql import types as TT
+
+    from peerdb_spark import cdc as C
+
+    surface.execute(
+        "CREATE MIRROR metcdc FROM src TO dst WITH TABLE MAPPING (t) "
+        "WITH (max_batch_size = 4)"
+    )
+    val = TT.StructType([TT.StructField("id", TT.LongType()),
+                         TT.StructField("v", TT.StringType())])
+    pipe = C.CdcPipeline(spark, str(tmp_path / "raw"),
+                         [C.CdcTableConfig("t", ["id"], val, str(tmp_path / "t"), n_buckets=2)])
+    chg_dir = str(tmp_path / "chg")
+    rows = [
+        {
+            "_kind": "insert", "_checkpoint_id": i,
+            "_commit_ts": dtm.datetime(2024, 1, 2), "_txid": i,
+            "_src_table": "t", "_dst_table": "t",
+            "_data": js.dumps({"id": i, "v": "x"}), "_old_data": None,
+            "_unchanged_cols": None,
+        }
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, C.CHANGELOG_SCHEMA).write.mode("append").parquet(chg_dir)
+    surface.bind_cdc("metcdc", pipe,
+                     lambda: spark.read.schema(C.CHANGELOG_SCHEMA).parquet(chg_dir))
+    out = surface.execute("EXECUTE MIRROR metcdc")["result"]
+    assert out["rows"] == 10 and out["batches"] == 3  # 4+4+2
+    m = surface.catalog.batch_metrics("metcdc")
+    assert [e["n_rows"] for e in m] == [4, 4, 2]
+    assert m[0]["start_checkpoint"] == 0 and m[-1]["end_checkpoint"] == 9
+    assert [e["batch_id"] for e in m] == [1, 2, 3]
+    surface.execute("DROP MIRROR metcdc")
