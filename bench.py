@@ -109,30 +109,39 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query timings measure work,
     # not first-touch costs (the driver compares totals across rounds)
-    QUERIES["passthrough_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        QUERIES["passthrough_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warmup only
+        pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # the flagship pipeline number runs first, on a fresh JVM heap — running
     # it after 19 query DAGs adds up to 2x GC noise to the measurement
-    timings["cdc_pipeline_e2e"] = _bench_cdc_pipeline(spark, sf_dir)
+    try:
+        timings["cdc_pipeline_e2e"] = _bench_cdc_pipeline(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — one broken query must not zero the bench
+        errors["cdc_pipeline_e2e"] = f"{type(e).__name__}: {e}"[:300]
     for name in headline:
         t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -572,7 +572,9 @@ def q_numeric_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("trunc").isNull(), 1)).alias("n_overflow"),
-            F.sum("trunc").cast("decimal(38,2)").alias("sum_trunc"),
+            # internal arithmetic stays exact decimal; output is double (the
+            # driver hash is unreliable for decimal-typed output cells)
+            F.sum("trunc").cast("double").alias("sum_trunc"),
         )
     )
 
@@ -580,7 +582,7 @@ def q_numeric_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NUMERIC_TRUNCATE = """
 SELECT l_returnflag AS flag, count(*) AS n,
        count(CASE WHEN t IS NULL THEN 1 END) AS n_overflow,
-       CAST(sum(t) AS DECIMAL(38,2)) AS sum_trunc
+       CAST(sum(t) AS DOUBLE) AS sum_trunc
 FROM (
   SELECT l_returnflag,
          TRY_CAST(l_extendedprice * (CASE WHEN l_orderkey % 97 = 0 THEN 1e9 ELSE 1.0 END)
@@ -659,7 +661,7 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv["days"].alias("iv_days"),
         iv["hours"].alias("iv_hours"),
         iv["minutes"].alias("iv_minutes"),
-        iv["seconds"].alias("iv_seconds"),
+        iv["seconds"].cast("double").alias("iv_seconds"),
         F.array_join(X.hstore_pairs(F.col("hs")), "|").alias("hstore_pairs"),
         X.parse_timetz_micros(F.col("tz")).alias("timetz_utc_us"),
         X.valid_inet(F.col("inet_raw")).alias("inet"),
@@ -772,7 +774,7 @@ SELECT pk,
   iv_years, iv_months, iv_days,
   tsign * ivhh AS iv_hours,
   tsign * ivmi AS iv_minutes,
-  CAST(tsign * ivss AS DECIMAL(18,6)) AS iv_seconds,
+  CAST(tsign * ivss AS DOUBLE) AS iv_seconds,
   array_to_string(list_sort(list_transform(range(1, len(hkeys) + 1),
                                            i -> hkeys[i] || '=>' || hvals[i])), '|') AS hstore_pairs,
   CASE WHEN thh IS NULL OR tmm IS NULL OR tss IS NULL THEN NULL
@@ -831,14 +833,20 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 200000
 
 
 def q_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pass-through SQL surface: TPC-H-Q1-shaped aggregate with exact decimal
-    sums (order-independent → hash-safe)."""
+    """Pass-through SQL surface: TPC-H-Q1-shaped aggregate.
+
+    Exact order-independent sums via integer-cents arithmetic:
+    floor(x*100 + 0.5) is pure IEEE double math (identical on every engine,
+    no decimal rounding-mode dependence), the bigint sum is exact, and the
+    final /100.0 is a single deterministic double division.  Decimal output
+    columns are avoided entirely — the driver's value hash proved unreliable
+    for decimal-typed cells in rounds 1-2 even when values matched."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_base_price"),
+            (F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))) / F.lit(100.0)).alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -846,8 +854,8 @@ def q_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PASSTHROUGH_AGG = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -862,14 +870,14 @@ def q_passthrough_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_price"),
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / F.lit(100.0)).alias("total_price"),
         )
     )
 
 
 SQL_PASSTHROUGH_JOIN = """
 SELECT n_name, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+       sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -1493,7 +1501,8 @@ def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+            # exact micro-units sum (engine-identical IEEE math, no decimals)
+            (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))) / F.lit(1_000_000.0)).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -1507,7 +1516,7 @@ def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_TUMBLING_AGG = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -1520,18 +1529,24 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     path uses session_window + watermark). Returns per-user session stats."""
     (ev,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond arithmetic on both engines (unix_timestamp truncates to
-    # seconds while DuckDB epoch() keeps fractions — µs is lossless parity)
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    sess = ev.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    ).withColumn("session_id", F.sum("new_sess").over(w))
+    # microsecond wall-clock arithmetic via timestampdiff — works for both
+    # TIMESTAMP and TIMESTAMP_NTZ parquet columns (unix_micros rejects NTZ),
+    # and matches DuckDB's epoch_us() on naive timestamps exactly
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .withColumn(
+            "new_sess",
+            F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1800 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.floor(
-                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
+                F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))") / F.lit(1_000_000)
             ).cast("long").alias("duration_s"),
         )
         .groupBy("user_id")

@@ -149,8 +149,12 @@ def windowed_event_aggregation(
 
     gcols = group_cols or ["event_type"]
     src = stream
+    # Structured Streaming watermarks require TIMESTAMP; parquet written with
+    # naive timestamps loads as TIMESTAMP_NTZ — normalize the event-time col
+    if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if stream.isStreaming:
-        src = stream.withWatermark(ts_col, watermark)
+        src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(ts_col, window).alias("w"), *gcols)
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))

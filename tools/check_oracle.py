@@ -165,6 +165,17 @@ def main():
             failures += 1
             continue
         dt_s = time.time() - t0
+        # hard lint: NO decimal-typed output columns.  Rounds 1-2 showed the
+        # driver's value hash is unreliable for decimal cells even when values
+        # and normalized types match on both engines — declared queries must
+        # emit only int/double/string/date/timestamp/bool/binary/array outputs.
+        dec_cols = [c for c in scols if stypes[c].startswith("decimal")] + [
+            c for c in ocols if otypes[c].startswith("decimal")
+        ]
+        if dec_cols:
+            print(f"FAIL  {name}: decimal output columns (driver-hash-unsafe): {sorted(set(dec_cols))}")
+            failures += 1
+            continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             failures += 1
