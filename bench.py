@@ -122,14 +122,23 @@ def main() -> None:
         timings["cdc_pipeline_e2e"] = _bench_cdc_pipeline(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — one broken query must not zero the bench
         errors["cdc_pipeline_e2e"] = f"{type(e).__name__}: {e}"[:300]
+    import gc
+
     for name in headline:
         t0 = time.time()
+        df = None
         try:
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        # drop the query's DataFrame refs so the ContextCleaner can free any
+        # localCheckpoint blocks before the next timing window (otherwise
+        # executor storage fills across 20+ queries and GC noise leaks into
+        # later timings)
+        del df
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

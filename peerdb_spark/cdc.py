@@ -77,7 +77,9 @@ def changelog_to_raw(changelog: DataFrame, batch_id: int) -> DataFrame:
     """
     return changelog.select(
         F.expr("uuid()").alias(RAW_UID),
-        F.unix_micros(F.col("_commit_ts")).alias(RAW_TS),
+        # cast first: a changelog read from naive-timestamp parquet arrives as
+        # TIMESTAMP_NTZ, which unix_micros rejects (no-op for TIMESTAMP)
+        F.unix_micros(F.col("_commit_ts").cast("timestamp")).alias(RAW_TS),
         F.col("_dst_table").alias(RAW_DST),
         F.col("_data").alias(RAW_DATA),
         N.kind_code("_kind").alias(RAW_TYPE),

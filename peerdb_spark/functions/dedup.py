@@ -283,7 +283,6 @@ def lsh_verified_pairs(
         )
         if materialize:
             doc_sh = doc_sh.localCheckpoint(eager=False)
-    sizes = doc_sh.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
     mins = [
         F.min((F.col("shh") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"_m{j}")
         for j, (a, b) in enumerate(minhash_params(num_hashes))
@@ -320,17 +319,31 @@ def lsh_verified_pairs(
     )
     if min_est_jaccard > 0:
         cand = cand.where(F.col("est_jaccard") >= min_est_jaccard)
-    sh_a = doc_sh.select(F.col("did").alias("id_a"), "shh")
-    sh_b = doc_sh.select(F.col("did").alias("id_b"), "shh")
+    # The candidate list is bounded by the LSH bucket structure (pairs within
+    # non-degenerate buckets), orders of magnitude smaller than the corpus —
+    # materialize it once (it feeds three verify branches; without this the
+    # whole banded self-join re-runs per branch) and BROADCAST it so the
+    # corpus-sized shingle relation is filtered map-side, never shuffled.
+    if materialize:
+        cand = cand.localCheckpoint(eager=False)
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("did")).distinct()
+    )
+    # one broadcast-hash semi-join narrows doc_sh to candidate docs only;
+    # everything downstream (set sizes, pair expansion) is O(candidates),
+    # not O(corpus)
+    sh_cand = doc_sh.join(F.broadcast(cand_ids), "did")
+    sizes = sh_cand.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    sh_a = sh_cand.select(F.col("did").alias("id_a"), "shh")
+    sh_b = sh_cand.select(F.col("did").alias("id_b"), "shh")
     common = (
-        cand.select("id_a", "id_b")
-        .join(sh_a, "id_a")
+        sh_a.join(F.broadcast(cand.select("id_a", "id_b")), "id_a")
         .join(sh_b, ["id_b", "shh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        common.join(cand, ["id_a", "id_b"])
+        common.join(F.broadcast(cand), ["id_a", "id_b"])
         .join(sizes.withColumnRenamed("did", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("did", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
         .select(
