@@ -59,16 +59,20 @@ def _decode_image_stub(content: bytes) -> bytes:
 
     Without a codec library we either raise (strict mode) or produce a
     deterministic fake derived from the bytes so the pipeline shape is
-    exercisable end-to-end.
+    exercisable end-to-end. The fake chains md5 over HEX DIGEST STRINGS
+    (h1 = md5(content), h2 = md5(ascii(h1)), ...) rather than digest bytes —
+    semantically equivalent fake pixels, but expressible in ANSI SQL
+    (DuckDB's md5() takes VARCHAR only), so the mapInPandas feature path
+    gets a real value-hash oracle in the correctness gate.
     """
     if HAVE_PIL:
         raise NotImplementedError("wire PIL decode here when the lib is available")
-    # deterministic fake "pixels": md5-stream of the content, 64 bytes
     out = b""
-    h = content or b""
+    seed = content or b""
     while len(out) < 64:
-        h = hashlib.md5(h).digest()
-        out += h
+        hx = hashlib.md5(seed).hexdigest()
+        out += bytes.fromhex(hx)
+        seed = hx.encode("ascii")
     return out[:64]
 
 
@@ -102,10 +106,11 @@ def extract_features(df: DataFrame, content_col: str = "content",
 
         def _decode(content: bytes) -> bytes:
             out = b""
-            h = content or b""
+            seed = content or b""
             while len(out) < 64:
-                h = hashlib.md5(h).digest()
-                out += h
+                hx = hashlib.md5(seed).hexdigest()
+                out += bytes.fromhex(hx)
+                seed = hx.encode("ascii")
             return out[:64]
 
         for pdf in batches:

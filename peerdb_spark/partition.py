@@ -42,14 +42,22 @@ class QRepPartition:
     full_table: bool = False
     start_exclusive: bool = False
 
-    def predicate(self, wm: str):
+    def predicate(self, wm: str, wm_type: str | None = None):
+        """Partition predicate on the watermark column.
+
+        Pass `wm_type` (Spark DDL string, e.g. 'timestamp_ntz') when the
+        column's type differs from what a bare literal infers — a naive
+        datetime literal becomes TIMESTAMP (LTZ), which Spark won't compare
+        against a TIMESTAMP_NTZ column; casting the literal is wall-clock
+        preserving in any session timezone."""
+        lit = (lambda v: F.lit(v).cast(wm_type)) if wm_type else F.lit
         if self.full_table:
             return F.lit(True)
         if self.is_null_partition:
             return F.col(wm).isNull()
         if self.start_exclusive:
-            return (F.col(wm) > F.lit(self.start)) & (F.col(wm) <= F.lit(self.end))
-        return F.col(wm).between(F.lit(self.start), F.lit(self.end))
+            return (F.col(wm) > lit(self.start)) & (F.col(wm) <= lit(self.end))
+        return F.col(wm).between(lit(self.start), lit(self.end))
 
 
 def num_partitions(total_rows: int, rows_per_partition: int) -> int:
@@ -98,6 +106,22 @@ def _uniform_ranges(lo: Any, hi: Any, n: int) -> list[QRepPartition]:
     """
     import datetime as dt
 
+    if isinstance(lo, dt.date) and not isinstance(lo, dt.datetime):
+        # DATE watermark: day-granularity split (ref range types include Date
+        # via the timestamp path; Spark DATE collects as datetime.date)
+        span = (hi - lo).days
+        if span <= 0 or n <= 1:
+            return [QRepPartition(f"p0_{lo.isoformat()}_{hi.isoformat()}", lo, hi)]
+        step = math.ceil((span + 1) / n)
+        out = []
+        cur = lo
+        i = 0
+        while cur <= hi:
+            nxt = min(cur + dt.timedelta(days=step - 1), hi)
+            out.append(QRepPartition(f"p{i}_{cur.isoformat()}_{nxt.isoformat()}", cur, nxt))
+            cur = nxt + dt.timedelta(days=1)
+            i += 1
+        return out
     if isinstance(lo, dt.datetime):
         span = (hi - lo).total_seconds() * 1_000_000
         if span <= 0 or n <= 1:

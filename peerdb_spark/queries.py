@@ -1706,6 +1706,215 @@ SQL_EMBEDDING_NEAR_DUP = _near_dup_sql()
 
 
 # ---------------------------------------------------------------------------
+# QRep NULL-watermark partitioning
+# ---------------------------------------------------------------------------
+
+
+def q_qrep_null_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-watermark rows get their own partition (ref:
+    flow/connectors/postgres/qrep_partition.go:75-77,110-114). Nullifies ~1%
+    of the orders watermark deterministically, derives the min/max uniform
+    plan WITH the null partition (timestamp-range branch of
+    partition.minmax_partitions), then proves the predicates partition the
+    table exactly: every row lands in exactly one bucket; -1 is the null
+    partition."""
+    from peerdb_spark.partition import minmax_partitions
+
+    (od,) = _t(spark, sf_dir, "orders")
+    od2 = od.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderdate"))
+        .alias("wm")
+    )
+    parts = minmax_partitions(od2, "wm", rows_per_partition=200, add_null_partition=True)
+    wm_type = dict(od2.dtypes)["wm"]
+    tag = F.when(F.col("wm").isNull(), F.lit(-1))
+    idx = 0
+    for p in parts:
+        if p.is_null_partition:
+            continue
+        tag = tag.when(p.predicate("wm", wm_type), F.lit(idx))
+        idx += 1
+    return od2.groupBy(tag.cast("int").alias("part_idx")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_QREP_NULL_PARTITION = """
+WITH o2 AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS wm FROM orders
+), s AS (
+  SELECT count(*) AS n, min(wm) AS lo, max(wm) AS hi FROM o2
+), q AS (
+  SELECT lo,
+         CAST(ceil((epoch_us(hi) - epoch_us(lo)) / (1.0 * CAST(ceil(n / 200.0) AS BIGINT)))
+              AS BIGINT) AS step
+  FROM s
+)
+SELECT CASE WHEN wm IS NULL THEN -1
+            ELSE CAST((epoch_us(wm) - epoch_us(lo)) // (step + 1) AS INT) END AS part_idx,
+       count(*) AS n_rows
+FROM o2, q
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: document fingerprint dedup groups
+# ---------------------------------------------------------------------------
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-fingerprint near-dup groups: documents sharing the rolling-
+    hash (Rabin-Karp min-over-char-8-grams) fingerprint from functions.text —
+    the winnowing family's cheapest variant as a standalone dedup signal.
+    One narrow (fingerprint) shuffle of per-doc longs; text never moves."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = docs.select(F.col("doc_id"), TX.fingerprint(F.col("text")).alias("fingerprint"))
+    return (
+        fp.where(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+SQL_FINGERPRINT_DUPS = f"""
+WITH docs_c AS (
+  SELECT doc_id, text, list_transform(range(1, len(text) + 1),
+                           p -> CAST(ascii(substr(text, p, 1)) AS BIGINT)) AS codes
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(text) < 8 THEN NULL ELSE
+           list_min(list_transform(range(1, len(text) - 8 + 2),
+                                   i -> ({_FP_TERMS}) % {TX.FP_P}))
+         END AS fingerprint
+  FROM docs_c
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM fp WHERE fingerprint IS NOT NULL
+GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: multimodal columns (binary content + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from documents (multimodal schema:
+    opaque binary content + typed metadata struct, functions/multimodal).
+    The driver testdata has no media table; this derivation IS the fixture,
+    defined identically in the oracle SQL (SQL_MEDIA_BASE)."""
+    is_img = F.col("doc_id") % 3 == 0
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            mime.alias("mime"),
+            F.when(is_img, F.lit(64) + (F.col("doc_id") % 16) * 8).cast("int").alias("width"),
+            F.when(is_img, F.lit(64) + (F.col("doc_id") % 9) * 8).cast("int").alias("height"),
+            F.when(~is_img, F.length("text").cast("long") * 20).alias("duration_ms"),
+            F.when(is_img, F.lit("rgb")).otherwise(F.lit("pcm")).alias("codec"),
+        ).alias("meta"),
+    )
+
+
+SQL_MEDIA_BASE = """
+  SELECT doc_id AS media_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id % 16) * 8 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id % 9) * 8 AS INT) END AS height,
+         CASE WHEN doc_id % 3 <> 0 THEN CAST(len(text) AS BIGINT) * 20 END AS duration_ms
+  FROM documents
+"""
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media aggregate (functions/multimodal.media_stats): the
+    scan's ReadSchema excludes the binary content column entirely — at 100 TB
+    of media this query reads kilobytes of metadata pages, not the bytes."""
+    from peerdb_spark.functions import multimodal as MM
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return MM.media_stats(synthetic_media(docs))
+
+
+SQL_MEDIA_STATS = f"""
+SELECT mime, count(*) AS n, avg(width) AS avg_width,
+       CAST(sum(coalesce(duration_ms, 0)) AS BIGINT) AS total_duration_ms
+FROM ({SQL_MEDIA_BASE})
+GROUP BY mime
+"""
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (functions/multimodal.frame_sample_plan): JVM-side
+    explode of metadata durations — every frame timestamp exists before any
+    media byte is read. Aggregated per media id for a bounded output."""
+    from peerdb_spark.functions import multimodal as MM
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    plan = MM.frame_sample_plan(synthetic_media(docs), every_ms=1000)
+    return plan.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").cast("long").alias("last_frame_ms"),
+    )
+
+
+SQL_MEDIA_FRAME_PLAN = f"""
+SELECT media_id, count(*) AS n_frames, CAST(max(u.t) AS BIGINT) AS last_frame_ms
+FROM ({SQL_MEDIA_BASE}), unnest(range(0, coalesce(duration_ms, 0) + 1, 1000)) u(t)
+GROUP BY media_id
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media content
+    (functions/multimodal.extract_features). The decode kernel is the
+    documented deterministic fake (no codec libs in this container), chained
+    from md5 HEX digests so the DuckDB oracle reproduces it exactly — the
+    Python-UDF plumbing (batch shape, schema, float32 output) is value-hash
+    verified by the gate, not just row-counted."""
+    from peerdb_spark.functions import multimodal as MM
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return MM.extract_features(synthetic_media(docs))
+
+
+def _media_features_sql() -> str:
+    terms = []
+    for i in range(16):
+        j = (4 * i) // 16 + 1  # digest index h1..h4 (16 bytes each)
+        pos = 2 * ((4 * i) % 16) + 1  # hex-char offset of byte (4i) % 16
+        terms.append(f"CAST(('0x' || substr(h{j}, {pos}, 2))::INT / 255.0 AS FLOAT)")
+    feats = ", ".join(terms)
+    return f"""
+WITH m AS ({SQL_MEDIA_BASE}),
+h AS (SELECT media_id, md5(text) AS h1 FROM m),
+hh AS (SELECT media_id, h1, md5(h1) AS h2 FROM h),
+hhh AS (SELECT media_id, h1, h2, md5(h2) AS h3 FROM hh),
+hhhh AS (SELECT media_id, h1, h2, h3, md5(h3) AS h4 FROM hhh)
+SELECT media_id, [{feats}] AS features FROM hhhh
+"""
+
+
+SQL_MEDIA_FEATURES = _media_features_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1747,6 +1956,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_agg": q_events_tumbling_agg,
     "events_sessionize": q_events_sessionize,
     "vocab_topk": q_vocab_topk,
+    "qrep_null_partition": q_qrep_null_partition,
+    "fingerprint_dups": q_fingerprint_dups,
+    "media_stats": q_media_stats,
+    "media_frame_plan": q_media_frame_plan,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1787,4 +2001,9 @@ ORACLES: dict[str, str] = {
     "events_tumbling_agg": SQL_EVENTS_TUMBLING_AGG,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "qrep_null_partition": SQL_QREP_NULL_PARTITION,
+    "fingerprint_dups": SQL_FINGERPRINT_DUPS,
+    "media_stats": SQL_MEDIA_STATS,
+    "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
+    "media_features": SQL_MEDIA_FEATURES,
 }

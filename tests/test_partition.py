@@ -75,3 +75,31 @@ def test_ntile_partitions_no_boundary_overlap(spark):
     covered = df.where(functools.reduce(lambda a, b: a | b,
                                         [p.predicate("wm") for p in parts])).count()
     assert covered == 200
+
+
+def test_minmax_date_watermark(spark):
+    """DATE watermark: day-granularity uniform split (dates collect as
+    datetime.date, not datetime — separate branch in _uniform_ranges)."""
+    df = spark.range(300).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 90).cast("int")).alias("wm"),
+    ).cache()
+    parts = minmax_partitions(df, "wm", rows_per_partition=50)
+    assert len(parts) > 1
+    covered = sum(df.where(p.predicate("wm", "date")).count() for p in parts)
+    assert covered == 300
+    bounds = sorted((p.start, p.end) for p in parts)
+    for (_s1, e1), (s2, _e2) in zip(bounds, bounds[1:]):
+        assert e1 < s2
+
+
+def test_predicate_wm_type_cast_ntz(spark):
+    """Typed literals: predicate(wm, 'timestamp_ntz') compares cleanly against
+    a TIMESTAMP_NTZ column regardless of session timezone."""
+    df = spark.sql(
+        "SELECT id, timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS wm FROM range(48)"
+    ).cache()
+    assert dict(df.dtypes)["wm"] == "timestamp_ntz"
+    parts = minmax_partitions(df, "wm", rows_per_partition=10)
+    covered = sum(df.where(p.predicate("wm", "timestamp_ntz")).count() for p in parts)
+    assert covered == 48
