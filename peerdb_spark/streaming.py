@@ -160,3 +160,39 @@ def windowed_event_aggregation(
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), *gcols, "n_events", "sum_value")
     )
+
+
+def session_event_aggregation(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time session windows: per-key sessions split at > `gap` of
+    inactivity, via the native `session_window` operator.
+
+    Streaming: session state is bounded by the watermark (a session closes
+    once the watermark passes its end+gap), so state size is O(open sessions)
+    — the merging-session state store handles out-of-order arrivals without
+    a custom stateful operator. Batch: the same expression compiles to a
+    window-function plan; results match the batch sessionize query
+    (queries.q_events_sessionize) for the same gap.
+    """
+    keys = key_cols or ["user_id"]
+    src = stream
+    if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if stream.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

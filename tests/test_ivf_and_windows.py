@@ -99,3 +99,45 @@ def test_ivf_indexed_probe_partition_pruned(spark, emb, tmp_path):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell" in ln and "IN" in ln.upper() for ln in scan_lines), scan_lines
+
+
+def test_session_aggregation_batch_matches_manual(spark, tables):
+    """Native session_window sessions must agree with the manual lag-cumsum
+    sessionize (q_events_sessionize) on per-user session counts."""
+    from peerdb_spark.queries import q_events_sessionize
+    from peerdb_spark.streaming import session_event_aggregation
+
+    out = session_event_aggregation(tables["events"], gap="30 minutes")
+    per_user = {r["user_id"]: r["n"] for r in
+                out.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    manual = {r["user_id"]: r["n_sessions"] for r in
+              q_events_sessionize(spark, sf_dir).collect()}
+    assert per_user == manual
+    # session invariants: end - start >= 0, events > 0
+    for r in out.collect():
+        assert r["n_events"] > 0 and r["session_end"] >= r["session_start"]
+
+
+def test_session_aggregation_streaming(spark, tmp_path, tables):
+    from peerdb_spark.streaming import session_event_aggregation
+
+    src = str(tmp_path / "src")
+    tables["events"].limit(1000).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = session_event_aggregation(stream, gap="30 minutes", watermark="1 minute")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert set(got.columns) == {
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    }
