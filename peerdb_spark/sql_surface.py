@@ -79,9 +79,9 @@ def _split_mappings(raw: str) -> list[str]:
     depth = 0
     cur: list[str] = []
     for ch in raw:
-        if ch in "{[":
+        if ch in "{[(":
             depth += 1
-        elif ch in "}]":
+        elif ch in "}])":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur))
@@ -95,31 +95,52 @@ def _split_mappings(raw: str) -> list[str]:
 
 
 def _parse_mapping_entry(part: str) -> TableMapping:
-    """One TABLE MAPPING entry. Two forms (ref: nexus/parser/src/parser_peerdb.rs:246-316):
+    """One TABLE MAPPING entry. Two forms (ref: nexus/parser/src/parser_peerdb.rs:246-316;
+    per-column settings mirror protos/flow.proto ColumnSetting):
     - v1: `src` or `src:dst`
-    - v2: `{from: src, to: dst, key: part_key, exclude: [c1, c2]}`
-    """
+    - v2: `{from: src, to: dst, key: part_key, exclude: [c1, c2],
+            pk: [id], rename: {old: new}, types: {col: 'decimal(10,2)'}}`
+    Nested values split depth-aware — type DDL strings may contain commas
+    inside parentheses."""
     part = part.strip()
     if part.startswith("{") and part.endswith("}"):
-        body = part[1:-1]
-        m = re.search(r"exclude\s*:\s*\[([^\]]*)\]", body, re.IGNORECASE)
-        exclude = (
-            [c.strip().strip("'\"") for c in m.group(1).split(",") if c.strip()] if m else []
-        )
-        body = re.sub(r"exclude\s*:\s*\[[^\]]*\]", "", body, flags=re.IGNORECASE)
         kv: dict[str, str] = {}
-        for p in body.split(","):
+        for p in _split_mappings(part[1:-1]):
             if ":" in p:
                 k, v = p.split(":", 1)
-                kv[k.strip().lower()] = v.strip().strip("'\"")
-        src = kv.get("from", "")
+                kv[k.strip().lower()] = v.strip()
+
+        def _scalar(v: str) -> str:
+            return v.strip().strip("'\"")
+
+        def _list(v: str) -> list[str]:
+            v = v.strip()
+            if v.startswith("[") and v.endswith("]"):
+                v = v[1:-1]
+            return [_scalar(c) for c in _split_mappings(v)]
+
+        def _dict(v: str) -> dict[str, str]:
+            v = v.strip()
+            if v.startswith("{") and v.endswith("}"):
+                v = v[1:-1]
+            out: dict[str, str] = {}
+            for item in _split_mappings(v):
+                if ":" in item:
+                    a, b = item.split(":", 1)
+                    out[_scalar(a)] = _scalar(b)
+            return out
+
+        src = _scalar(kv.get("from", ""))
         if not src:
             raise ValueError(f"table mapping entry missing 'from': {part!r}")
         return TableMapping(
             source_table=src,
-            destination_table=kv.get("to", src),
-            exclude=exclude,
-            partition_key=kv.get("key", ""),
+            destination_table=_scalar(kv.get("to", src)),
+            exclude=_list(kv["exclude"]) if "exclude" in kv else [],
+            renames=_dict(kv["rename"]) if "rename" in kv else {},
+            type_overrides=_dict(kv["types"]) if "types" in kv else {},
+            primary_keys=_list(kv["pk"]) if "pk" in kv else [],
+            partition_key=_scalar(kv.get("key", "")),
         )
     if ":" in part:
         s, d = part.split(":", 1)

@@ -482,3 +482,26 @@ def test_execute_mirror_batch_metrics(surface, spark, tmp_path):
     assert m[0]["start_checkpoint"] == 0 and m[-1]["end_checkpoint"] == 9
     assert [e["batch_id"] for e in m] == [1, 2, 3]
     surface.execute("DROP MIRROR metcdc")
+
+
+def test_create_mirror_cdc_v2_column_settings(surface):
+    """Per-column settings in v2 mapping DDL (ref: protos/flow.proto
+    ColumnSetting{SourceName, DestinationName, DestinationType}; nexus
+    analyzer per-table options, lib.rs:155-510): rename, type override with
+    commas inside the DDL type, and explicit pk list."""
+    out = surface.execute(
+        "CREATE MIRROR flow_cols FROM src TO dst WITH TABLE MAPPING ("
+        "{from: public.orders, to: orders_dst, pk: [o_orderkey], "
+        "rename: {o_comment: note, o_clerk: clerk}, "
+        "types: {o_totalprice: 'decimal(12,2)', o_shippriority: 'int'}, "
+        "exclude: [o_internal]}"
+        ") WITH (max_batch_size = 100)"
+    )
+    assert out["kind"] == "cdc"
+    cfg = surface.catalog.get_mirror("flow_cols")
+    (m,) = cfg.table_mappings
+    assert m.primary_keys == ["o_orderkey"]
+    assert m.renames == {"o_comment": "note", "o_clerk": "clerk"}
+    assert m.type_overrides == {"o_totalprice": "decimal(12,2)", "o_shippriority": "int"}
+    assert m.exclude == ["o_internal"]
+    surface.execute("DROP MIRROR flow_cols")
