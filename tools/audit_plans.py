@@ -36,10 +36,6 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
     ("text_features", [("no python udf", r"BatchEvalPython", False)]),
     ("dedup_minhash_lsh_pairs", [("no python udf", r"BatchEvalPython", False)]),
     ("dedup_ngram_jaccard", [
-        # the declared query must be the composed LSH→verify pipeline: the
-        # banded-LSH skew guard (broadcast anti-join) proves candidates come
-        # from the bucketed path, not the quadratic shared-shingle self-join
-        ("LSH banded candidates (skew-guard anti-join present)", r"LeftAnti", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
     ("corpus_clean", [
@@ -54,6 +50,30 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
     ("ivf_topk", [
         ("cell equi-join (probe path)", r"BroadcastHashJoin", True),
         ("no all-pairs nested loop", r"BroadcastNestedLoopJoin", False),
+    ]),
+    ("fingerprint_dups", [
+        ("hash agg on fingerprint (text never shuffles)", r"HashAggregate", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("media_stats", [
+        # metadata-only: the binary content expression must be pruned out of
+        # the projection (on a real media table this is column pruning of the
+        # binary pages; here it shows as the encode() never being computed)
+        ("binary content pruned from metadata aggregate", r"encode\(", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("media_frame_plan", [
+        ("JVM-side explode of frame timestamps", r"Generate explode", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("media_features", [
+        # the ONE deliberate Python path in the inventory: Arrow-batched
+        # mapInPandas, never row-at-a-time BatchEvalPython
+        ("Arrow-batched mapInPandas decode", r"MapInPandas", True),
+        ("no row-at-a-time python udf", r"BatchEvalPython", False),
+    ]),
+    ("qrep_null_partition", [
+        ("single aggregate over tagged rows", r"HashAggregate", True),
     ]),
 ]
 
@@ -93,6 +113,32 @@ def check_agg_merge_single_exchange(spark) -> list[str]:
     return msgs
 
 
+def check_lsh_verify_composition(spark, sf_dir: str) -> list[str]:
+    """The declared ngram-jaccard query must be the composed LSH→verify
+    pipeline. The declared query's localCheckpoints hide the candidate
+    subtree from the executed plan, so audit the UNmaterialized pipeline:
+    the banded-LSH skew guard (broadcast anti-join) proves candidates come
+    from the bucketed path, not the quadratic shared-shingle self-join, and
+    the candidate list is broadcast into the verify joins."""
+    from peerdb_spark.functions import dedup as DD
+    from peerdb_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    plan = (
+        DD.lsh_verified_pairs(docs, "text", "doc_id", min_jaccard=0.05, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    msgs = []
+    for label, pat, want in [
+        ("LSH banded candidates (skew-guard anti-join present)", r"LeftAnti", True),
+        ("candidates broadcast into verify joins", r"BroadcastHashJoin", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]:
+        ok = bool(re.search(pat, plan)) == want
+        msgs.append(f"{'ok' if ok else 'FAIL'}: {label}")
+    return msgs
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -106,6 +152,11 @@ def main() -> int:
     failures = 0
     print("merge_changes(strategy='agg'):")
     for m in check_agg_merge_single_exchange(spark):
+        if m.startswith("FAIL"):
+            failures += 1
+        print(f"  {m}")
+    print("lsh_verified_pairs (unmaterialized composition):")
+    for m in check_lsh_verify_composition(spark, args.sf):
         if m.startswith("FAIL"):
             failures += 1
         print(f"  {m}")
