@@ -67,6 +67,24 @@ COMMENT = {
         "narrow projection over the scan — every parser is a built-in "
         "expression inside WholeStageCodegen; zero exchanges, zero Python."
     ),
+    "media_stats": (
+        "Metadata-only media aggregate: the binary content expression is "
+        "pruned out of the projection entirely (no encode() in the plan). On "
+        "a real media table this is column pruning of the binary pages — the "
+        "query reads kilobytes of metadata, not terabytes of media."
+    ),
+    "media_features": (
+        "The one deliberate Python path in the inventory: Arrow-batched "
+        "MapInPandas over (id, content) only — metadata columns pruned before "
+        "the UDF boundary, no row-at-a-time BatchEvalPython anywhere. The "
+        "fake decode kernel is md5-hex-chained so the DuckDB oracle "
+        "value-hash-verifies the whole Python plumbing."
+    ),
+    "fingerprint_dups": (
+        "Rolling-hash fingerprint dedup groups: per-doc Rabin-Karp min over "
+        "char 8-grams computed in WholeStageCodegen, then ONE narrow shuffle "
+        "of (fingerprint, doc_id) longs — the text never moves."
+    ),
 }
 
 
