@@ -31,7 +31,13 @@ def _bench_cdc_pipeline(spark, sf_dir: str) -> float:
     from peerdb_spark.queries import lineitem_changelog
     from peerdb_spark.session import load_tables
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    from peerdb_spark.functions import ensure_parallelism
+
+    # the sf0.1 lineitem parquet arrives as 3 file splits; the changelog
+    # derivation (row-hash checkpoints, JSON payloads) is CPU-bound, so fan
+    # out to cluster parallelism first (a 100 TB feed arrives well-split and
+    # this is a no-op)
+    li = ensure_parallelism(load_tables(spark, sf_dir, ("lineitem",))["lineitem"])
     chg = lineitem_changelog(li)
     payload = F.to_json(F.struct("pk", "qty", "price", "flag"))
     feed = chg.select(
@@ -97,6 +103,8 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "corpus_clean",
         "text_features",
+        "fingerprint_dups",
+        "media_features",
         "exotic_types",
         "sim_topk",
         "ann_lsh_topk",

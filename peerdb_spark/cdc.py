@@ -115,13 +115,19 @@ class RawTable:
         return os.path.exists(os.path.join(self.batch_dir(batch_id), self.MARKER))
 
     def append(self, changelog: DataFrame, batch_id: int) -> None:
+        from peerdb_spark.functions import ensure_parallelism
+
         part = self.batch_dir(batch_id)
         if os.path.isdir(part) and not self.is_batch_committed(batch_id):
             # partial directory from a crashed job commit — redo cleanly
             shutil.rmtree(part)
-        changelog_to_raw(changelog, batch_id).write.mode("append").partitionBy(
-            RAW_BATCH
-        ).parquet(self.path)
+        # an under-split changelog batch (one WAL file, one parquet split)
+        # would serialize the JSON/uuid projection and the parquet encode on
+        # a few tasks — fan out first; no-op for well-split feeds, and the
+        # parallel write also gives normalize a well-split read
+        changelog_to_raw(ensure_parallelism(changelog), batch_id).write.mode(
+            "append"
+        ).partitionBy(RAW_BATCH).parquet(self.path)
         with open(os.path.join(part, self.MARKER), "w") as fh:
             fh.write("")
 
