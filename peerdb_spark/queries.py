@@ -1051,15 +1051,20 @@ WHERE cm.common / (sa.set_size + sb.set_size - cm.common) >= 0.05
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peerdb_spark.functions import ensure_parallelism
+
     (docs,) = _t(spark, sf_dir, "documents")
     c = F.col("text")
-    return docs.select(
+    feats = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
+        "text",
         TX.token_count(c).alias("n_tokens"),
         TX.bpe_unit_count(c).alias("n_units"),
-        TX.fingerprint(c).alias("fingerprint"),
         TX.lang_id(c).alias("lang_pred"),
         TX.quality_score(c).alias("quality"),
+    )
+    return TX.fingerprint_df(feats, "text").select(
+        "doc_id", "n_tokens", "n_units", "fingerprint", "lang_pred", "quality"
     )
 
 
@@ -1769,8 +1774,12 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (Rabin-Karp min-over-char-8-grams) fingerprint from functions.text —
     the winnowing family's cheapest variant as a standalone dedup signal.
     One narrow (fingerprint) shuffle of per-doc longs; text never moves."""
+    from peerdb_spark.functions import ensure_parallelism
+
     (docs,) = _t(spark, sf_dir, "documents")
-    fp = docs.select(F.col("doc_id"), TX.fingerprint(F.col("text")).alias("fingerprint"))
+    fp = TX.fingerprint_df(
+        ensure_parallelism(docs.select("doc_id", "text")), "text"
+    ).select("doc_id", "fingerprint")
     return (
         fp.where(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
