@@ -157,12 +157,16 @@ def resize_images(
 
         def _resize(content: bytes) -> bytes:
             # STUB: real impl decodes + resamples; fake is deterministic
-            # in the source bytes and exactly the target buffer size
+            # in the source bytes and exactly the target buffer size.
+            # md5 HEX-digest chain (not digest bytes) so the DuckDB oracle
+            # reproduces the buffer: b = unhex(h1)||unhex(h2)||..., h1 =
+            # md5(content), h_i = md5(ascii(h_{i-1}))
             out = b""
             seed = content or b""
             while len(out) < n_bytes:
-                seed = hashlib.md5(seed).digest()
-                out += seed
+                hx = hashlib.md5(seed).hexdigest()
+                out += bytes.fromhex(hx)
+                seed = hx.encode("ascii")
             return out[:n_bytes]
 
         for pdf in batches:

@@ -1923,6 +1923,48 @@ SELECT media_id, [{feats}] AS features FROM hhhh
 SQL_MEDIA_FEATURES = _media_features_sql()
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize via Arrow mapInPandas (functions/multimodal.resize_images)
+    at 8×8: binary pixel buffers of exactly w·h·3 bytes plus rewritten
+    metadata. The fake resample kernel is an md5 hex-digest chain, so the
+    DuckDB oracle reproduces the 192-byte buffer bit-exactly — binary
+    payload columns through the Python UDF boundary are value-checked."""
+    from peerdb_spark.functions import multimodal as MM
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = MM.resize_images(synthetic_media(docs), 8, 8)
+    return out.select(
+        "media_id",
+        "content",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def _media_resize_sql(w: int = 8, h: int = 8) -> str:
+    # DuckDB has no BLOB slicing, so the target must be a whole number of
+    # 16-byte digests (8×8×3 = 192 = 12 digests — exact)
+    assert (w * h * 3) % 16 == 0, "resize oracle needs a digest-aligned buffer"
+    n_digests = w * h * 3 // 16
+    chain = ["SELECT media_id, md5(text) AS h1 FROM m"]
+    for i in range(2, n_digests + 1):
+        prev = ", ".join(f"h{j}" for j in range(1, i))
+        chain.append(f"SELECT media_id, {prev}, md5(h{i-1}) AS h{i} FROM c{i-1}")
+    ctes = ",\n".join(f"c{i} AS ({q})" for i, q in enumerate(chain, start=1))
+    concat = " || ".join(f"unhex(h{i})" for i in range(1, n_digests + 1))
+    return f"""
+WITH m AS ({SQL_MEDIA_BASE}),
+{ctes}
+SELECT media_id, {concat} AS content,
+       'image/raw-rgb' AS mime, CAST({w} AS INT) AS width, CAST({h} AS INT) AS height
+FROM c{n_digests}
+"""
+
+
+SQL_MEDIA_RESIZE = _media_resize_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1970,6 +2012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": q_media_stats,
     "media_frame_plan": q_media_frame_plan,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2015,4 +2058,5 @@ ORACLES: dict[str, str] = {
     "media_stats": SQL_MEDIA_STATS,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_resize": SQL_MEDIA_RESIZE,
 }
