@@ -49,6 +49,11 @@ def changestream_to_changelog(
 
     Unknown operationTypes (drop/rename/invalidate — stream-control events)
     are filtered out, as the reference ignores non-document events.
+
+    Insert/update events with NO fullDocument post-image are also dropped:
+    updateLookup can miss (document deleted between event and lookup —
+    the reference skips these, mongo cdc.go), and passing a NULL _data
+    through would null-out every destination column on merge.
     """
     j = F.col(payload_col)
     op = F.get_json_object(j, "$.operationType")
@@ -72,4 +77,7 @@ def changestream_to_changelog(
         F.get_json_object(j, "$.documentKey").alias("_old_data"),
         F.lit(None).cast("array<string>").alias("_unchanged_cols"),
     )
-    return out.where(F.col("_kind").isNotNull())
+    return out.where(
+        F.col("_kind").isNotNull()
+        & ((F.col("_kind") == "delete") | F.col("_data").isNotNull())
+    )

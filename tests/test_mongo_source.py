@@ -68,3 +68,27 @@ def test_changestream_to_pipeline_string_offsets(spark, tmp_path):
     pipe.normalize_batches(0, 0)
     state = {r["_id"]: r["name"] for r in ParquetTable(spark, dest, ["_id"], 2).read().collect()}
     assert state == {1: "ADA"}  # 2 replaced then deleted; 1 updated
+
+
+def test_update_without_fulldocument_dropped(spark):
+    """updateLookup can miss (doc deleted before lookup) — the reference
+    skips such events; passing NULL _data through would null-out every
+    destination column on merge."""
+    import json
+
+    from peerdb_spark.sources.mongo import changestream_to_changelog
+
+    events = [
+        {"_id": {"_data": "82AA01"}, "operationType": "update",
+         "clusterTime": {"$timestamp": {"t": 1700000300, "i": 1}},
+         "ns": {"db": "app", "coll": "users"},
+         "documentKey": {"_id": 7}},  # no fullDocument
+        {"_id": {"_data": "82AA02"}, "operationType": "delete",
+         "clusterTime": {"$timestamp": {"t": 1700000301, "i": 1}},
+         "ns": {"db": "app", "coll": "users"},
+         "documentKey": {"_id": 8}},
+    ]
+    df = spark.createDataFrame([(json.dumps(e),) for e in events], "event_json string")
+    out = changestream_to_changelog(df).collect()
+    # the fullDocument-less update is dropped; the delete (match-data only) stays
+    assert [r["_kind"] for r in out] == ["delete"]
