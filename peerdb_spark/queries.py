@@ -1928,14 +1928,17 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 8×8: binary pixel buffers of exactly w·h·3 bytes plus rewritten
     metadata. The fake resample kernel is an md5 hex-digest chain, so the
     DuckDB oracle reproduces the 192-byte buffer bit-exactly — binary
-    payload columns through the Python UDF boundary are value-checked."""
+    payload columns through the Python UDF boundary are value-checked. The
+    buffer is transported as a hex STRING for the gate (Spark collects
+    binary as bytearray, DuckDB as bytes — a repr-based hash would diverge
+    on identical payloads)."""
     from peerdb_spark.functions import multimodal as MM
 
     (docs,) = _t(spark, sf_dir, "documents")
     out = MM.resize_images(synthetic_media(docs), 8, 8)
     return out.select(
         "media_id",
-        "content",
+        F.lower(F.hex(F.col("content"))).alias("content_hex"),
         F.col("meta.mime").alias("mime"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
@@ -1952,11 +1955,12 @@ def _media_resize_sql(w: int = 8, h: int = 8) -> str:
         prev = ", ".join(f"h{j}" for j in range(1, i))
         chain.append(f"SELECT media_id, {prev}, md5(h{i-1}) AS h{i} FROM c{i-1}")
     ctes = ",\n".join(f"c{i} AS ({q})" for i, q in enumerate(chain, start=1))
-    concat = " || ".join(f"unhex(h{i})" for i in range(1, n_digests + 1))
+    # hex-digest concat IS the hex encoding of the byte buffer — no blob ops
+    concat = " || ".join(f"h{i}" for i in range(1, n_digests + 1))
     return f"""
 WITH m AS ({SQL_MEDIA_BASE}),
 {ctes}
-SELECT media_id, {concat} AS content,
+SELECT media_id, {concat} AS content_hex,
        'image/raw-rgb' AS mime, CAST({w} AS INT) AS width, CAST({h} AS INT) AS height
 FROM c{n_digests}
 """
