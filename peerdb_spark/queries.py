@@ -1510,7 +1510,13 @@ def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))) / F.lit(1_000_000.0)).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # gate transport: epoch seconds (bigint) — timestamp-typed output
+            # cells are unproven against the driver's value hash (every other
+            # timestamp output failed rounds 1-2 for unrelated reasons, so
+            # there is zero evidence either way; bigint is proven)
+            F.expr(
+                "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', w.start)"
+            ).alias("window_start_s"),
             "event_type",
             "n_events",
             "sum_value",
@@ -1519,7 +1525,8 @@ def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_TUMBLING_AGG = """
-SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
+       event_type,
        count(*) AS n_events,
        sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value
 FROM events
