@@ -1985,6 +1985,28 @@ FROM c{n_digests}
 SQL_MEDIA_RESIZE = _media_resize_sql()
 
 
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session_window operator (streaming.session_event_aggregation)
+    under the gate, not just the manual lag+cumsum formulation: same 30-minute
+    gap semantics, aggregated per user to the same shape as events_sessionize
+    (so the two formulations share one oracle). session_window's end is
+    last-event + gap, so per-session span = timestampdiff(end, start) - gap."""
+    from peerdb_spark.streaming import session_event_aggregation
+
+    (ev,) = _t(spark, sf_dir, "events")
+    s = session_event_aggregation(ev, gap="30 minutes")
+    span_s = F.expr("timestampdiff(SECOND, session_start, session_end)") - F.lit(1800)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum(span_s).cast("long").alias("total_session_s"),
+    )
+
+
+# identical output contract to the manual formulation — one oracle, two plans
+SQL_EVENTS_SESSION_NATIVE = SQL_EVENTS_SESSIONIZE
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2033,6 +2055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_plan": q_media_frame_plan,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
+    "events_session_native": q_events_session_native,
 }
 
 ORACLES: dict[str, str] = {
@@ -2079,4 +2102,5 @@ ORACLES: dict[str, str] = {
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
+    "events_session_native": SQL_EVENTS_SESSION_NATIVE,
 }
