@@ -91,6 +91,7 @@ class ParquetTable:
 
     def read_raw(self) -> DataFrame:
         """Read including the bucket partition column (for pruned merges)."""
+        self.repair()  # a reader after a crash must see restored buckets
         if not self.exists:
             # a table whose rows were all deleted still reads as empty with
             # its last known schema (schema sidecar written on every write)
@@ -128,20 +129,60 @@ class ParquetTable:
         w.parquet(self.path)
         self._save_schema(out)
 
+    def repair(self) -> None:
+        """Roll forward/back interrupted bucket swaps (crash recovery).
+
+        replace_partitions parks the old bucket dir at `.swap-old-<bucket>`
+        (dot-prefixed → invisible to Spark's partition discovery) before
+        moving the staged replacement in. A leftover marker means a crash:
+        - target bucket missing → the swap died in the window between park
+          and move; the parked dir is the authoritative pre-batch state —
+          restore it (the batch's normalize re-run then redoes the merge).
+        - target bucket present → the swap completed but cleanup didn't;
+          drop the parked dir.
+        Idempotent and O(#leftover markers); called before reads and swaps.
+        """
+        import shutil
+
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if not name.startswith(".swap-old-"):
+                continue
+            orig = name[len(".swap-old-"):]
+            parked = os.path.join(self.path, name)
+            target = os.path.join(self.path, orig)
+            if os.path.isdir(target):
+                shutil.rmtree(parked, ignore_errors=True)
+            else:
+                os.rename(parked, target)
+        # orphaned staging dirs from killed merges (siblings of the table dir)
+        parent, base = os.path.dirname(self.path) or ".", os.path.basename(self.path)
+        if os.path.isdir(parent):
+            for name in os.listdir(parent):
+                if name.startswith(f"{base}.staging-"):
+                    shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
     def replace_partitions(self, df: DataFrame, buckets: list[int]) -> None:
         """Replace exactly the given bucket partitions with df's content.
 
         Dynamic partition overwrite alone is insufficient: a bucket whose merge
         result is EMPTY (all rows deleted) would never be rewritten and stale
-        rows would survive. So we clear the touched bucket directories first,
-        then append. Single-writer semantics (same as the reference's one
-        normalize per mirror); a crash between clear and append is repaired by
-        re-running the idempotent normalize for the batch range.
+        rows would survive. So each touched bucket is swapped: park the old
+        dir at a dot-prefixed marker, move the staged dir in, drop the marker.
+        Single-writer semantics (same as the reference's one normalize per
+        mirror); any crash window is repairable — the staged output is fully
+        materialized before the first swap, the park/move pair is two renames,
+        and repair() rolls an interrupted swap back to the pre-batch state so
+        re-running the idempotent normalize converges. (The old clear-then-move
+        sequence could LOSE a bucket: a crash after the clear left neither the
+        old rows nor the staged ones.)
         """
         assert self.n_buckets and self.pk_cols, "bucketed table required"
         import shutil
         import uuid
 
+        self.repair()
         # df lazily reads the very files being replaced — materialize to a
         # staging dir first, then swap bucket directories into place.
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
@@ -150,10 +191,14 @@ class ParquetTable:
             for b in buckets:
                 dst = os.path.join(self.path, f"{BUCKET_COL}={b}")
                 src = os.path.join(staging, f"{BUCKET_COL}={b}")
+                parked = os.path.join(self.path, f".swap-old-{BUCKET_COL}={b}")
+                if os.path.isdir(parked):  # leftover from a completed swap
+                    shutil.rmtree(parked)
                 if os.path.isdir(dst):
-                    shutil.rmtree(dst)
+                    os.rename(dst, parked)
                 if os.path.isdir(src):
                     shutil.move(src, dst)
+                shutil.rmtree(parked, ignore_errors=True)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         self._save_schema(df)
