@@ -73,6 +73,9 @@ class ParquetTable:
 
     @property
     def exists(self) -> bool:
+        # a crash-parked table must count as existing (callers branch to
+        # BOOTSTRAP on not-exists, which would discard the restorable state)
+        self.repair()
         if not os.path.isdir(self.path):
             return False
         for root, _dirs, files in os.walk(self.path):
@@ -104,21 +107,24 @@ class ParquetTable:
     def overwrite(self, df: DataFrame) -> None:
         """Full replace via stage-then-swap: safe even when df's plan lazily
         reads this very table (read-modify-overwrite is a common caller
-        pattern and Spark's overwrite truncates before executing the read)."""
+        pattern and Spark's overwrite truncates before executing the read).
+        Crash-safe: the pre-overwrite state is parked at a marker dir until
+        the staged state is promoted — repair() rolls either way."""
         import shutil
         import uuid
 
+        self.repair()
         out = self._with_bucket(df)
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
         w = out.write.mode("overwrite")
         if self.n_buckets and self.pk_cols:
             w = w.partitionBy(BUCKET_COL)
         w.parquet(staging)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        parked = f"{self.path}.overwrite-old-{uuid.uuid4().hex[:8]}"
         if os.path.isdir(self.path):
-            os.rename(self.path, old)
+            os.rename(self.path, parked)
         os.rename(staging, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(parked, ignore_errors=True)
         self._save_schema(out)
 
     def append(self, df: DataFrame) -> None:
@@ -130,20 +136,54 @@ class ParquetTable:
         self._save_schema(out)
 
     def repair(self) -> None:
-        """Roll forward/back interrupted bucket swaps (crash recovery).
+        """Roll interrupted writes forward or back (crash recovery).
 
-        replace_partitions parks the old bucket dir at `.swap-old-<bucket>`
-        (dot-prefixed → invisible to Spark's partition discovery) before
-        moving the staged replacement in. A leftover marker means a crash:
-        - target bucket missing → the swap died in the window between park
-          and move; the parked dir is the authoritative pre-batch state —
-          restore it (the batch's normalize re-run then redoes the merge).
-        - target bucket present → the swap completed but cleanup didn't;
-          drop the parked dir.
-        Idempotent and O(#leftover markers); called before reads and swaps.
+        Two protocols leave breadcrumbs, both idempotent to repair and
+        O(#leftovers); called before every read and destructive write:
+
+        1. Full overwrite parks the whole table dir at `<path>.overwrite-old-*`
+           before promoting the staged dir. Leftover marker + missing table →
+           promote a COMPLETE staging (`_SUCCESS` present — it was fully
+           written before the park happened) or, failing that, restore the
+           parked pre-overwrite state.
+        2. replace_partitions parks each old bucket dir at `.swap-old-<bucket>`
+           inside the table (dot-prefixed → invisible to Spark's partition
+           discovery) before moving the staged replacement in. Marker with the
+           target bucket missing → the swap died between park and move; the
+           parked dir is the authoritative pre-batch state — restore it (the
+           batch's idempotent normalize re-run then redoes the merge). Target
+           present → swap completed, drop the marker.
+
+        Orphaned staging dirs are swept last (never before the overwrite
+        decision — a complete staging may BE the newest committed state).
         """
         import shutil
 
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        if os.path.isdir(parent):
+            parked_ovw = sorted(
+                n for n in os.listdir(parent) if n.startswith(f"{base}.overwrite-old-")
+            )
+            stagings = sorted(
+                n for n in os.listdir(parent) if n.startswith(f"{base}.staging-")
+            )
+            if parked_ovw and not os.path.isdir(self.path):
+                complete = [
+                    s for s in stagings
+                    if os.path.exists(os.path.join(parent, s, "_SUCCESS"))
+                ]
+                if complete:
+                    os.rename(os.path.join(parent, complete[0]), self.path)
+                    stagings.remove(complete[0])
+                else:
+                    os.rename(os.path.join(parent, parked_ovw[0]), self.path)
+                    parked_ovw = parked_ovw[1:]
+            if os.path.isdir(self.path):
+                for n in parked_ovw:
+                    shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+            for n in stagings:
+                shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
         if not os.path.isdir(self.path):
             return
         for name in os.listdir(self.path):
@@ -156,12 +196,6 @@ class ParquetTable:
                 shutil.rmtree(parked, ignore_errors=True)
             else:
                 os.rename(parked, target)
-        # orphaned staging dirs from killed merges (siblings of the table dir)
-        parent, base = os.path.dirname(self.path) or ".", os.path.basename(self.path)
-        if os.path.isdir(parent):
-            for name in os.listdir(parent):
-                if name.startswith(f"{base}.staging-"):
-                    shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
     def replace_partitions(self, df: DataFrame, buckets: list[int]) -> None:
         """Replace exactly the given bucket partitions with df's content.

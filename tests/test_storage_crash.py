@@ -79,3 +79,38 @@ def test_merge_after_simulated_crash_converges(spark, tmp_path):
     N.merge_into_table(t, changes)
     got = sorted((r["id"], r["v"]) for r in t.read().collect())
     assert got == expected
+
+
+def test_overwrite_crash_rolls_forward_to_complete_staging(spark, tmp_path):
+    """Crash between park and promote with a COMPLETE staging: repair must
+    promote the staged (new) state."""
+    path = str(tmp_path / "t")
+    t = _mk_table(spark, path, [(i, f"old{i}") for i in range(8)])
+    new = spark.createDataFrame([(i, f"new{i}") for i in range(8)], "id long, v string")
+    staging = f"{path}.staging-sim"
+    new.withColumn(BUCKET_COL, F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")) \
+       .write.partitionBy(BUCKET_COL).mode("overwrite").parquet(staging)
+    os.rename(path, f"{path}.overwrite-old-sim")  # park happened, promote didn't
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == sorted((i, f"new{i}") for i in range(8))
+    assert not os.path.isdir(f"{path}.overwrite-old-sim")
+
+
+def test_overwrite_crash_rolls_back_without_staging(spark, tmp_path):
+    """Crash with no complete staging: repair restores the parked state."""
+    path = str(tmp_path / "t")
+    t = _mk_table(spark, path, [(i, f"old{i}") for i in range(8)])
+    os.rename(path, f"{path}.overwrite-old-sim")
+    incomplete = f"{path}.staging-sim"
+    os.makedirs(incomplete)  # no _SUCCESS → not promotable
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == sorted((i, f"old{i}") for i in range(8))
+    assert not os.path.isdir(incomplete)
+
+
+def test_exists_sees_crash_parked_table(spark, tmp_path):
+    """exists must repair first: a parked table is not a bootstrap case."""
+    path = str(tmp_path / "t")
+    t = _mk_table(spark, path, [(1, "a")])
+    os.rename(path, f"{path}.overwrite-old-sim")
+    assert t.exists  # repaired back into place
