@@ -53,12 +53,14 @@ def resync_table(
 ) -> None:
     """Full refresh with atomic swap.
 
-    1. write the fresh clone to `<path>._resync`
+    1. write the fresh clone to `<path>.staging-resync`
     2. if soft-delete mode: union tombstones present only in the old table
        (deleted rows carried forward — RenameTables soft-delete branch)
-    3. swap directories; old table removed after the swap
+    3. park-promote swap using the storage repair protocol's marker names,
+       so a crash in any window is rolled forward/back by
+       `ParquetTable.repair()` exactly like an interrupted overwrite
     """
-    resync_path = table.path + "._resync"
+    resync_path = table.path + ".staging-resync"
     staging = ParquetTable(spark, resync_path, table.pk_cols, table.n_buckets)
 
     fresh = source
@@ -78,8 +80,8 @@ def resync_table(
 
     staging.overwrite(fresh)
 
-    old_path = table.path + "._old"
+    parked = table.path + ".overwrite-old-resync"
     if os.path.isdir(table.path):
-        os.rename(table.path, old_path)
+        os.rename(table.path, parked)
     os.rename(resync_path, table.path)
-    shutil.rmtree(old_path, ignore_errors=True)
+    shutil.rmtree(parked, ignore_errors=True)

@@ -114,3 +114,24 @@ def test_exists_sees_crash_parked_table(spark, tmp_path):
     t = _mk_table(spark, path, [(1, "a")])
     os.rename(path, f"{path}.overwrite-old-sim")
     assert t.exists  # repaired back into place
+
+
+def test_resync_crash_window_promotes_fresh_clone(spark, tmp_path):
+    """Resync uses the same park-promote markers as overwrite: a crash after
+    the park with the staged clone complete must roll FORWARD to the clone."""
+    from peerdb_spark.snapshot import resync_table
+
+    path = str(tmp_path / "t")
+    t = _mk_table(spark, path, [(i, f"old{i}") for i in range(8)])
+    fresh = spark.createDataFrame([(i, f"fresh{i}") for i in range(8)], "id long, v string")
+    resync_table(spark, fresh, t)
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == sorted((i, f"fresh{i}") for i in range(8))
+    # now simulate the crash window on a SECOND resync: stage a clone, park
+    # the live table, "crash" before promote
+    fresh2 = spark.createDataFrame([(i, f"f2_{i}") for i in range(8)], "id long, v string")
+    staging = ParquetTable(spark, f"{path}.staging-resync", ["id"], 4)
+    staging.overwrite(fresh2)
+    os.rename(path, f"{path}.overwrite-old-resync")
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())  # repair: promote
+    assert got == sorted((i, f"f2_{i}") for i in range(8))
