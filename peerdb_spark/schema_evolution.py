@@ -59,8 +59,10 @@ def apply_delta(table: ParquetTable, delta: SchemaDelta) -> list[str]:
     if added:
         import os
 
-        with open(table._schema_path, "w") as f:
+        tmp = table._schema_path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(T.StructType(new_fields).json())
+        os.replace(tmp, table._schema_path)  # atomic publish
     return added
 
 

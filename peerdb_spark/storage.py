@@ -60,8 +60,10 @@ class ParquetTable:
 
     def _save_schema(self, df: DataFrame) -> None:
         os.makedirs(self.path, exist_ok=True)
-        with open(self._schema_path, "w") as f:
+        tmp = self._schema_path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(df.schema.json())
+        os.replace(tmp, self._schema_path)  # atomic publish (no torn sidecar)
 
     def _load_schema(self):
         from pyspark.sql import types as T
