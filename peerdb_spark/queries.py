@@ -1738,7 +1738,7 @@ def q_qrep_null_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderdate"))
         .alias("wm")
     )
-    parts = minmax_partitions(od2, "wm", rows_per_partition=200, add_null_partition=True)
+    parts = minmax_partitions(od2, "wm", rows_per_partition=2000, add_null_partition=True)
     wm_type = dict(od2.dtypes)["wm"]
     tag = F.when(F.col("wm").isNull(), F.lit(-1))
     idx = 0
@@ -1759,7 +1759,7 @@ WITH o2 AS (
   SELECT count(*) AS n, min(wm) AS lo, max(wm) AS hi FROM o2
 ), q AS (
   SELECT lo,
-         CAST(ceil((epoch_us(hi) - epoch_us(lo)) / (1.0 * CAST(ceil(n / 200.0) AS BIGINT)))
+         CAST(ceil((epoch_us(hi) - epoch_us(lo)) / (1.0 * CAST(ceil(n / 2000.0) AS BIGINT)))
               AS BIGINT) AS step
   FROM s
 )
