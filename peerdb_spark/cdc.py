@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from peerdb_spark import normalize as N
+from peerdb_spark.schema_evolution import _parse_ddl
 from peerdb_spark.storage import ParquetTable
 
 # Input changelog schema (FIXTURES.md F3)
@@ -265,16 +266,80 @@ class CdcPipeline:
     wrapper (streaming.py) drives this from foreachBatch.
     """
 
-    def __init__(self, spark: SparkSession, raw_path: str, tables: list[CdcTableConfig]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        raw_path: str,
+        tables: list[CdcTableConfig],
+        catalog=None,
+        mirror_name: str = "",
+    ):
         self.spark = spark
         self.raw = RawTable(spark, raw_path)
         self.tables = {t.dst_table: t for t in tables}
+        self.catalog = catalog
+        self.mirror_name = mirror_name
+        if catalog is not None and mirror_name:
+            self._rehydrate_schema_deltas()
+
+    def _rehydrate_schema_deltas(self) -> None:
+        """On (re)start, re-apply catalog-recorded schema deltas to the static
+        value schemas — a restarted pipeline must keep parsing columns added
+        mid-flow in earlier runs (the reference replays TableSchemaDeltas from
+        its catalog the same way)."""
+        for entry in self.catalog.schema_delta_audit(self.mirror_name):
+            cfg = self.tables.get(entry["dst_table"])
+            if cfg is None:
+                continue
+            have = {f.name for f in cfg.value_schema.fields}
+            for name, ddl in entry["added"]:
+                if name not in have:
+                    cfg.value_schema = T.StructType(
+                        [*cfg.value_schema.fields, T.StructField(name, _parse_ddl(ddl), True)]
+                    )
+                    have.add(name)
 
     def sync_batch(self, changelog: DataFrame, batch_id: int) -> None:
         self.raw.append(changelog, batch_id)
 
+    def _apply_relation_records(self, raw: DataFrame) -> None:
+        """Schema-change-as-data: 'relation' rows carry an added-columns delta
+        JSON in _peerdb_data (ref: flow/model/record.go:150-153 RelationRecord
+        → ReplayTableSchemaDeltas, flow/connectors/core.go:193-198). Applied
+        BEFORE the data merge of the same batch range so the new columns'
+        values in following data rows parse instead of being dropped; the
+        collect is bounded (schema changes are rare, metadata-sized rows)."""
+        from peerdb_spark import schema_evolution as SE
+
+        rel = (
+            raw.where(F.col(RAW_TYPE) == N.KIND_RELATION)
+            .select(RAW_DST, RAW_DATA, RAW_TS)
+            .orderBy(RAW_TS)
+            .collect()
+        )
+        for r in rel:
+            cfg = self.tables.get(r[RAW_DST])
+            if cfg is None:
+                continue
+            delta = SE.delta_from_relation_record(r[RAW_DATA], r[RAW_DST])
+            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+            if table._load_schema() is not None:
+                if self.catalog is not None and self.mirror_name:
+                    SE.replay_deltas(self.catalog, self.mirror_name, table, [delta])
+                else:
+                    SE.apply_delta(table, delta)
+            # evolve the parse schema so from_json surfaces the new columns
+            have = {f.name for f in cfg.value_schema.fields}
+            for name, ddl in delta.added_columns:
+                if name not in have:
+                    cfg.value_schema = T.StructType(
+                        [*cfg.value_schema.fields, T.StructField(name, _parse_ddl(ddl), True)]
+                    )
+                    have.add(name)
+
     def normalize_batches(self, start_batch: int, end_batch: int) -> None:
         raw = self.raw.read_batches(start_batch, end_batch)
+        self._apply_relation_records(raw)
         # distinct destination tables in this batch range
         # (ref: flow/connectors/postgres/client.go:52-53)
         dsts = [r[0] for r in raw.select(RAW_DST).distinct().collect()]
@@ -282,7 +347,9 @@ class CdcPipeline:
             cfg = self.tables.get(dst)
             if cfg is None:
                 continue
-            sub = raw.where(F.col(RAW_DST) == dst)
+            sub = raw.where(
+                (F.col(RAW_DST) == dst) & (F.col(RAW_TYPE) != N.KIND_RELATION)
+            )
             changes = self.raw.raw_to_changelog(sub, cfg.value_schema)
             if cfg.exclude:
                 # column exclusion (ref: TableMapping.exclude, applied during
@@ -325,9 +392,11 @@ class CdcPipeline:
         self.tables.pop(dst_table, None)
 
     def record_counts(self, start_batch: int, end_batch: int) -> DataFrame:
-        """Per-table insert/update/delete counts (ref: flow/model/record.go:70-147)."""
+        """Per-table insert/update/delete counts (ref: flow/model/record.go:70-147;
+        relation records are metadata, not counted)."""
         return (
             self.raw.read_batches(start_batch, end_batch)
+            .where(F.col(RAW_TYPE) != N.KIND_RELATION)
             .groupBy(RAW_DST, RAW_TYPE)
             .count()
         )

@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 from peerdb_spark.storage import BUCKET_COL, ParquetTable, bucket_expr
 
 KIND_INSERT, KIND_UPDATE, KIND_DELETE = 0, 1, 2
+# RelationRecord: schema-change-as-data (ref: flow/model/record.go:150-153);
+# rides the changelog with _kind='relation' and the delta JSON in _data
+KIND_RELATION = 3
 
 # canonical changelog column names (FIXTURES.md F3 / SURVEY §1.1-1)
 COL_KIND = "_kind"  # 'insert' | 'update' | 'delete'
@@ -49,10 +52,11 @@ META_COLS = [COL_KIND, COL_CHECKPOINT, COL_COMMIT_TS, COL_TXID, COL_DST, COL_UNC
 
 
 def kind_code(col=COL_KIND):
-    """String kind → numeric record type (0/1/2)."""
+    """String kind → numeric record type (0/1/2; 3 = relation/schema-delta)."""
     return (
         F.when(F.col(col) == "insert", F.lit(KIND_INSERT))
         .when(F.col(col) == "update", F.lit(KIND_UPDATE))
+        .when(F.col(col) == "relation", F.lit(KIND_RELATION))
         .otherwise(F.lit(KIND_DELETE))
     )
 

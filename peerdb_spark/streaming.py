@@ -47,6 +47,8 @@ class CdcStreamRunner:
         normalize_lag: int = 0,
         changelog_schema=None,
         retain_batches: int | None = None,
+        catalog=None,
+        mirror_name: str = "",
     ):
         """normalize_lag > 0 reproduces the reference's async-normalize
         backpressure model (flow/activities/flowable.go:398-418: normalize
@@ -65,7 +67,9 @@ class CdcStreamRunner:
         self.spark = spark
         self.changelog_dir = changelog_dir
         self.checkpoint_dir = checkpoint_dir
-        self.pipeline = CdcPipeline(spark, raw_path, tables)
+        self.pipeline = CdcPipeline(
+            spark, raw_path, tables, catalog=catalog, mirror_name=mirror_name
+        )
         self.max_files_per_trigger = max_files_per_trigger
         self.normalize_lag = normalize_lag
         # alternate checkpoint types (string GTID / resume-token offsets)
