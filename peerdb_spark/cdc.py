@@ -348,7 +348,7 @@ class CdcPipeline:
             if cfg is None:
                 continue
             sub = raw.where(
-                (F.col(RAW_DST) == dst) & (F.col(RAW_TYPE) != N.KIND_RELATION)
+                (F.col(RAW_DST) == dst) & (F.col(RAW_TYPE) <= N.KIND_DELETE)
             )
             changes = self.raw.raw_to_changelog(sub, cfg.value_schema)
             if cfg.exclude:
@@ -396,7 +396,7 @@ class CdcPipeline:
         relation records are metadata, not counted)."""
         return (
             self.raw.read_batches(start_batch, end_batch)
-            .where(F.col(RAW_TYPE) != N.KIND_RELATION)
+            .where(F.col(RAW_TYPE) <= N.KIND_DELETE)
             .groupBy(RAW_DST, RAW_TYPE)
             .count()
         )
@@ -408,7 +408,7 @@ class CdcPipeline:
         never pollute the per-table toast sets."""
         return (
             self.raw.read_batches(start_batch, end_batch)
-            .where(F.col(RAW_TYPE) != N.KIND_DELETE)
+            .where(F.col(RAW_TYPE).isin(N.KIND_INSERT, N.KIND_UPDATE))
             .groupBy(RAW_DST)
             .agg(F.sort_array(F.collect_set(RAW_UNCHANGED)).alias("toast_sets"))
         )

@@ -39,6 +39,10 @@ KIND_INSERT, KIND_UPDATE, KIND_DELETE = 0, 1, 2
 # RelationRecord: schema-change-as-data (ref: flow/model/record.go:150-153);
 # rides the changelog with _kind='relation' and the delta JSON in _data
 KIND_RELATION = 3
+# MessageRecord (logical-decoding messages, record.go:175-179) and any
+# unrecognized kind: metadata — staged in raw for queue consumers, never
+# merged (mapping unknowns to delete would merge a destructive null-pk row)
+KIND_MESSAGE = 4
 
 # canonical changelog column names (FIXTURES.md F3 / SURVEY §1.1-1)
 COL_KIND = "_kind"  # 'insert' | 'update' | 'delete'
@@ -52,12 +56,14 @@ META_COLS = [COL_KIND, COL_CHECKPOINT, COL_COMMIT_TS, COL_TXID, COL_DST, COL_UNC
 
 
 def kind_code(col=COL_KIND):
-    """String kind → numeric record type (0/1/2; 3 = relation/schema-delta)."""
+    """String kind → numeric record type (0/1/2; 3 = relation/schema-delta;
+    4 = message/unknown metadata)."""
     return (
         F.when(F.col(col) == "insert", F.lit(KIND_INSERT))
         .when(F.col(col) == "update", F.lit(KIND_UPDATE))
+        .when(F.col(col) == "delete", F.lit(KIND_DELETE))
         .when(F.col(col) == "relation", F.lit(KIND_RELATION))
-        .otherwise(F.lit(KIND_DELETE))
+        .otherwise(F.lit(KIND_MESSAGE))
     )
 
 

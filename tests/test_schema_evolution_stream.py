@@ -85,3 +85,23 @@ def test_repeated_relation_record_dedups(spark, tmp_path):
     # schema has c2 exactly once
     names = [f.name for f in cfg.value_schema.fields]
     assert names.count("c2") == 1
+
+
+def test_message_record_is_inert(spark, tmp_path):
+    """MessageRecords (logical-decoding messages) and unknown kinds stage in
+    raw for queue consumers but never merge — previously an unknown kind
+    mapped to delete and merged a destructive null-pk row."""
+    cfg = cdc.CdcTableConfig("t", ["id"], VAL, str(tmp_path / "dst"), n_buckets=0)
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [cfg])
+    pipe.sync_batch(_feed(spark, [
+        _row("insert", 1, json.dumps({"id": 1, "v": "a"})),
+        _row("message", 2, json.dumps({"prefix": "wal2json", "content": "hello"})),
+        _row("bogus-kind", 3, json.dumps({"id": 1})),
+    ]), 0)
+    pipe.normalize_batches(0, 0)
+    table = ParquetTable(spark, cfg.path, ["id"], 0)
+    rows = [(r["id"], r["v"]) for r in table.read().collect()]
+    assert rows == [(1, "a")]  # no null-pk row, no phantom delete
+    # counts exclude metadata kinds
+    counts = {(r[cdc.RAW_TYPE]): r["count"] for r in pipe.record_counts(0, 0).collect()}
+    assert counts == {0: 1}
