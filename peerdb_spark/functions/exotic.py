@@ -257,3 +257,28 @@ def wkb_point_wkt(col: Column) -> Column:
                F.concat(F.lit("SRID="), p["srid"].cast("string"), F.lit(";"), body)
                ).otherwise(body),
     )
+
+
+# ---------------------------------------------------------------------------
+# money / bit strings
+# ---------------------------------------------------------------------------
+
+
+def parse_money_cents(col: Column) -> Column:
+    """Postgres MONEY text ('$1,234.56', '-$12.30') → exact integer cents.
+
+    Mirrors the reference's money handling (qvalue_convert.go strips the
+    currency formatting and parses as numeric): drop '$' and grouping
+    commas, parse, scale to cents. Cents stay exact through the double
+    parse for any realistic money value (< 2^53/100)."""
+    cleaned = F.regexp_replace(col, r"[$,]", "")
+    return F.round(cleaned.cast("double") * 100).cast("long")
+
+
+def valid_bit(col: Column, max_len: int | None = None) -> Column:
+    """BIT/VARBIT text: a string of 0/1 digits, NULL when malformed
+    (reference maps bit kinds to string; validation replaces the wire check)."""
+    ok = col.rlike("^[01]+$")
+    if max_len is not None:
+        ok = ok & (F.length(col) <= max_len)
+    return F.when(ok, col)

@@ -651,6 +651,14 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             F.array(*[F.lit(s) for s in _WKB_LITS]), (k % len(_WKB_LITS)).cast("int") + 1
         ).alias("wkb"),
+        F.format_string(
+            "%s$%d,%03d.%02d",
+            F.when(k % 3 == 0, F.lit("-")).otherwise(F.lit("")),
+            (k % 9) + 1, (k * 37) % 1000, (k * 7) % 100,
+        ).alias("money_raw"),
+        F.when(k % 7 == 0, F.concat(F.bin(k + 2), F.lit("2")))  # malformed digit
+        .otherwise(F.bin(k + 2))
+        .alias("bit_raw"),
     )
     iv = X.parse_interval(F.col("iv"))
     pt = X.wkb_point(F.col("wkb"))
@@ -668,6 +676,8 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt["x"].alias("geo_x"),
         pt["y"].alias("geo_y"),
         pt["srid"].alias("geo_srid"),
+        X.parse_money_cents(F.col("money_raw")).alias("money_cents"),
+        X.valid_bit(F.col("bit_raw")).alias("bit_str"),
     )
 
 
@@ -706,7 +716,13 @@ WITH src AS (
            WHEN 1 THEN '300.1.2.3'
            WHEN 2 THEN concat('fe80::', o_orderkey % 10)
            ELSE concat('192.168.', o_orderkey % 300, '.7') END AS inet_raw,
-         ({_WKB_LIST_SQL})[CAST(o_orderkey % {len(_WKB_LITS)} AS INT) + 1] AS wkb
+         ({_WKB_LIST_SQL})[CAST(o_orderkey % {len(_WKB_LITS)} AS INT) + 1] AS wkb,
+         concat(CASE WHEN o_orderkey % 3 = 0 THEN '-' ELSE '' END, '$',
+                (o_orderkey % 9) + 1, ',',
+                lpad(CAST((o_orderkey * 37) % 1000 AS VARCHAR), 3, '0'), '.',
+                lpad(CAST((o_orderkey * 7) % 100 AS VARCHAR), 2, '0')) AS money_raw,
+         CASE WHEN o_orderkey % 7 = 0 THEN concat(bin(o_orderkey + 2), '2')
+              ELSE bin(o_orderkey + 2) END AS bit_raw
   FROM orders WHERE o_orderkey < 300
 ),
 iv1 AS (
@@ -786,7 +802,10 @@ SELECT pk,
        THEN trim(inet_raw) END AS inet,
   CASE WHEN ok THEN {_sql_ieee("xhead", "xm")} END AS geo_x,
   CASE WHEN ok THEN {_sql_ieee("yhead", "ym")} END AS geo_y,
-  CASE WHEN ok THEN CAST(srid_v AS INT) END AS geo_srid
+  CASE WHEN ok THEN CAST(srid_v AS INT) END AS geo_srid,
+  CAST(round(CAST(regexp_replace(money_raw, '[$,]', '', 'g') AS DOUBLE) * 100) AS BIGINT)
+    AS money_cents,
+  CASE WHEN regexp_matches(bit_raw, '^[01]+$') THEN bit_raw END AS bit_str
 FROM w5
 """
 
