@@ -164,3 +164,21 @@ def test_timetz_property(spark):
     df = spark.createDataFrame(rows, "i long, t string, expect long")
     bad = df.where(X.parse_timetz_micros(F.col("t")) != F.col("expect")).collect()
     assert bad == [], bad[:3]
+
+
+def test_parse_money_cents(spark):
+    from peerdb_spark.functions import exotic as X
+
+    df = spark.createDataFrame(
+        [("$1,234.56",), ("-$12.30",), ("$0.07",), ("$9,999,999.99",)], "m string"
+    )
+    got = [r[0] for r in df.select(X.parse_money_cents(F.col("m"))).collect()]
+    assert got == [123456, -1230, 7, 999999999]
+
+
+def test_valid_bit(spark):
+    from peerdb_spark.functions import exotic as X
+
+    df = spark.createDataFrame([("1011",), ("10021",), ("",), ("111111",)], "b string")
+    got = [r[0] for r in df.select(X.valid_bit(F.col("b"), max_len=5)).collect()]
+    assert got == ["1011", None, None, None]
