@@ -182,3 +182,22 @@ def test_valid_bit(spark):
     df = spark.createDataFrame([("1011",), ("10021",), ("",), ("111111",)], "b string")
     got = [r[0] for r in df.select(X.valid_bit(F.col("b"), max_len=5)).collect()]
     assert got == ["1011", None, None, None]
+
+
+def test_money_roundtrip_property(spark):
+    """Format→parse round-trip over a wide deterministic cent range,
+    including negatives, zero, and values needing multiple grouping commas."""
+    from peerdb_spark.functions import exotic as X
+
+    cents = [0, 1, -1, 99, -99, 100, 12345, -999999, 10**9 + 7, -(10**12) - 37,
+             5 * 10**12, 123456789012345]
+    rows = []
+    for c in cents:
+        sign = "-" if c < 0 else ""
+        a = abs(c)
+        whole, frac = divmod(a, 100)
+        rows.append((f"{sign}${whole:,}.{frac:02d}", c))
+    df = spark.createDataFrame(rows, "m string, expect long")
+    got = df.select(X.parse_money_cents(F.col("m")).alias("g"), "expect").collect()
+    for r in got:
+        assert r["g"] == r["expect"], (r["g"], r["expect"])
