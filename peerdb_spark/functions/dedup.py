@@ -232,6 +232,68 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def incremental_lsh_pairs(
+    existing_sigs: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE_N,
+    max_bucket_size: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup candidates: new batch vs maintained corpus.
+
+    The 100 TB ingestion pattern: the corpus's MinHash signatures live in a
+    maintained table (one minhash_df pass per doc ever, appended batch by
+    batch); each new batch hashes ONLY its own text, then a banded join of
+    new-vs-(corpus ∪ new) finds candidates. Work per batch is O(new docs)
+    shingle hashing plus a bucket equi-join — the corpus text is never
+    re-read or re-hashed. Returns (new_sigs, pairs); append new_sigs to the
+    signature table once the batch is accepted.
+
+    Equivalence: bucket membership is independent of arrival time, so
+    `pairs` == minhash_lsh_pairs(full corpus) restricted to pairs touching
+    at least one new id (the declared query's oracle states exactly that).
+    The max_bucket_size skew guard is computed over the FULL banded relation
+    (corpus + new) — a degenerate bucket is degenerate regardless of which
+    side its members arrived on.
+    """
+    new_sigs = minhash_df(new_df, text_col, id_col, num_hashes, n)
+    all_sigs = existing_sigs.select(
+        id_col, "minhash", F.lit(False).alias("_new")
+    ).unionByName(new_sigs.select(id_col, "minhash", F.lit(True).alias("_new")))
+    banded = all_sigs.select(
+        id_col, "minhash", "_new",
+        F.posexplode(lsh_bands(F.col("minhash"), bands, None, num_hashes)),
+    ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    oversized = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select("band", "band_hash")
+    )
+    sized = banded.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
+    a = sized.where(F.col("_new")).select(
+        F.col(id_col).alias("id_x"), F.col("minhash").alias("mh_x"), "band", "band_hash"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_y"), F.col("minhash").alias("mh_y"), "band", "band_hash"
+    )
+    joined = a.join(b, ["band", "band_hash"]).where(F.col("id_x") != F.col("id_y"))
+    norm = joined.select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        F.when(F.col("id_x") < F.col("id_y"), F.col("mh_x")).otherwise(F.col("mh_y")).alias("mh_a"),
+        F.when(F.col("id_x") < F.col("id_y"), F.col("mh_y")).otherwise(F.col("mh_x")).alias("mh_b"),
+    ).distinct()
+    est = F.size(
+        F.filter(F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y), lambda m: m)
+    ) / F.size(F.col("mh_a"))
+    pairs = norm.select("id_a", "id_b", est.alias("est_jaccard"))
+    return new_sigs, pairs
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     text_col: str,

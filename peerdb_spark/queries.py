@@ -994,6 +994,27 @@ FROM cand c
 """
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (the 100 TB ingestion pattern): docs with
+    doc_id % 10 == 0 play the newly-crawled batch; the rest stand in for the
+    maintained corpus signature table (minhash_df output — in production a
+    parquet table appended per batch, never re-hashed). Candidates must equal
+    the full-corpus LSH pairs restricted to pairs touching a new id — which
+    is exactly what the oracle states."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    existing_sigs = DD.minhash_df(old, "text", "doc_id")
+    _new_sigs, pairs = DD.incremental_lsh_pairs(existing_sigs, new, "text", "doc_id")
+    return pairs
+
+
+SQL_DEDUP_INCREMENTAL_LSH = f"""
+SELECT * FROM ({SQL_DEDUP_MINHASH_LSH_PAIRS})
+WHERE id_a % 10 = 0 OR id_b % 10 = 0
+"""
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
@@ -2055,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_features": q_text_features,
@@ -2102,6 +2124,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_lsh_pairs": SQL_DEDUP_MINHASH_LSH_PAIRS,
+    "dedup_incremental_lsh": SQL_DEDUP_INCREMENTAL_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "text_features": SQL_TEXT_FEATURES,

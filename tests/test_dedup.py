@@ -93,3 +93,45 @@ def test_lsh_verified_pairs_materialized_shingles(spark, tables):
                                  min_est_jaccard=0.99)
     strong = {(r["id_a"], r["id_b"]) for r in filt.collect()}
     assert strong <= {(a, b) for a, b, _ in key(base)}
+
+
+def test_incremental_lsh_equals_full_filtered(spark, tables):
+    docs = tables["documents"]
+    """Incremental candidates (new batch vs maintained signatures) must equal
+    the full-corpus LSH pairs restricted to pairs touching a new id."""
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    sigs = D.minhash_df(old, "text", "doc_id")
+    _new_sigs, pairs = D.incremental_lsh_pairs(sigs, new, "text", "doc_id")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+        if r["id_a"] % 10 == 0 or r["id_b"] % 10 == 0
+    }
+    assert got == full
+
+
+def test_incremental_lsh_two_batches_maintain_signatures(spark, tables):
+    docs = tables["documents"]
+    """Signature table appended batch-by-batch: running two incremental
+    rounds (appending new_sigs after each) finds the same pairs as one round
+    over the combined batch."""
+    base = docs.where(F.col("doc_id") % 10 > 1)
+    b1 = docs.where(F.col("doc_id") % 10 == 0)
+    b2 = docs.where(F.col("doc_id") % 10 == 1)
+    sigs = D.minhash_df(base, "text", "doc_id")
+    s1, p1 = D.incremental_lsh_pairs(sigs, b1, "text", "doc_id")
+    sigs = sigs.unionByName(s1)  # accept batch 1
+    _s2, p2 = D.incremental_lsh_pairs(sigs, b2, "text", "doc_id")
+    got = {(r["id_a"], r["id_b"]) for r in p1.collect()} | {
+        (r["id_a"], r["id_b"]) for r in p2.collect()
+    }
+    _s12, p12 = D.incremental_lsh_pairs(
+        D.minhash_df(base, "text", "doc_id"),
+        docs.where(F.col("doc_id") % 10 <= 1), "text", "doc_id",
+    )
+    combined = {(r["id_a"], r["id_b"]) for r in p12.collect()}
+    # two sequential rounds see every combined pair except none: batch-2 round
+    # includes batch-1 sigs, and batch-1-internal pairs came from round 1
+    assert got == combined
