@@ -487,3 +487,55 @@ def ngram_jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via hamming-LSH banding.
+
+    Pigeonhole: a pair within hamming distance `max_hamming` (< bands)
+    agrees on at least one whole band of bits, so candidates come from a
+    bucket equi-join on (band index, band value) — never all pairs — and
+    the exact hamming distance (bit_count of xor) verifies each candidate.
+    Scale shape mirrors minhash_lsh_pairs: per-row fingerprints, a narrow
+    (id, band, value) shuffle, the same oversized-bucket skew guard.
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    r = bits // bands
+    sh = simhash(df, text_col, id_col, bits)
+    banded = sh.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), r * j).bitwiseAND(F.lit(2**r - 1))
+                for j in range(bands)
+            ])
+        ),
+    ).withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    oversized = (
+        banded.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select("band", "bval")
+    )
+    sized = banded.join(F.broadcast(oversized), ["band", "bval"], "left_anti")
+    a = sized.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bval")
+    b = sized.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

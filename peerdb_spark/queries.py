@@ -1039,6 +1039,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH over SimHash fingerprints: banded bucket join (pigeonhole:
+    hamming <= 3 over 4 bands forces >= 1 identical band) then exact
+    bit_count(xor) verify — pairs, never all-pairs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH sims AS ({_simhash_sql()}),
+banded AS (
+  SELECT doc_id, simhash, j AS band, (simhash >> (8 * j)) & 255 AS bval
+  FROM sims, unnest(range(0, 4)) u(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed scale-safe pipeline: MinHash-LSH candidates → exact n-gram
     Jaccard verify of candidates only (the standalone shared-shingle self-join
@@ -2078,6 +2103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_features": q_text_features,
     "text_lang_stats": q_text_lang_stats,
@@ -2126,6 +2152,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh_pairs": SQL_DEDUP_MINHASH_LSH_PAIRS,
     "dedup_incremental_lsh": SQL_DEDUP_INCREMENTAL_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "text_features": SQL_TEXT_FEATURES,
     "text_lang_stats": SQL_TEXT_LANG_STATS,

@@ -135,3 +135,12 @@ def test_incremental_lsh_two_batches_maintain_signatures(spark, tables):
     # two sequential rounds see every combined pair except none: batch-2 round
     # includes batch-1 sigs, and batch-1-internal pairs came from round 1
     assert got == combined
+
+
+def test_simhash_pairs_banded(spark, docs_with_dups):
+    """Exact dups at hamming 0; banding finds them without an all-pairs join;
+    every returned pair respects the hamming bound."""
+    out = D.simhash_pairs(docs_with_dups, "text", "doc_id", max_hamming=3)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert rows.get((1, 2)) == 0  # exact dup pair
+    assert all(h <= 3 for h in rows.values())
