@@ -337,16 +337,28 @@ class CdcPipeline:
                     )
                     have.add(name)
 
-    def normalize_batches(self, start_batch: int, end_batch: int) -> None:
+    def normalize_batches(
+        self, start_batch: int, end_batch: int, parallelism: int = 1
+    ) -> None:
+        """Merge a raw batch range into every destination it touches.
+
+        `parallelism` > 1 submits the per-table merges from a thread pool —
+        Spark schedules concurrent jobs fairly, so a 100-table mirror's many
+        small merges overlap instead of running as sequential jobs (each
+        table's merge touches only its own paths; the driver-side loop was
+        the bottleneck, not the cluster). The reference normalizes tables
+        sequentially inside one transaction per destination; independent
+        parquet tables have no cross-table transaction to preserve."""
         raw = self.raw.read_batches(start_batch, end_batch)
         self._apply_relation_records(raw)
         # distinct destination tables in this batch range
         # (ref: flow/connectors/postgres/client.go:52-53)
         dsts = [r[0] for r in raw.select(RAW_DST).distinct().collect()]
-        for dst in dsts:
+
+        def _one(dst: str) -> None:
             cfg = self.tables.get(dst)
             if cfg is None:
-                continue
+                return
             sub = raw.where(
                 (F.col(RAW_DST) == dst) & (F.col(RAW_TYPE) <= N.KIND_DELETE)
             )
@@ -371,6 +383,17 @@ class CdcPipeline:
                 synced_at_col=cfg.synced_at_col,
                 strategy=cfg.merge_strategy,
             )
+
+        if parallelism <= 1 or len(dsts) <= 1:
+            for dst in dsts:
+                _one(dst)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            # surface the first failure (result() re-raises)
+            for fut in [pool.submit(_one, d) for d in dsts]:
+                fut.result()
 
     def add_table(self, cfg: CdcTableConfig, backfill: DataFrame | None = None) -> None:
         """Mid-flow table addition (ref: flow/workflows/cdc_flow.go:233-463):

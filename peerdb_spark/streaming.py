@@ -49,6 +49,7 @@ class CdcStreamRunner:
         retain_batches: int | None = None,
         catalog=None,
         mirror_name: str = "",
+        normalize_parallelism: int = 1,
     ):
         """normalize_lag > 0 reproduces the reference's async-normalize
         backpressure model (flow/activities/flowable.go:398-418: normalize
@@ -70,6 +71,7 @@ class CdcStreamRunner:
         self.pipeline = CdcPipeline(
             spark, raw_path, tables, catalog=catalog, mirror_name=mirror_name
         )
+        self.normalize_parallelism = normalize_parallelism
         self.max_files_per_trigger = max_files_per_trigger
         self.normalize_lag = normalize_lag
         # alternate checkpoint types (string GTID / resume-token offsets)
@@ -89,7 +91,9 @@ class CdcStreamRunner:
         # merge is deterministic → replay converges to the same table state
         target = batch_id - self.normalize_lag
         if target >= 0:
-            self.pipeline.normalize_batches(target, target)
+            self.pipeline.normalize_batches(
+                target, target, parallelism=self.normalize_parallelism
+            )
             if self.retain_batches is not None:
                 # only ever drops batches already normalized: threshold
                 # <= target - (retain - lag - 1) <= target
@@ -100,7 +104,9 @@ class CdcStreamRunner:
         drains its normalize channel on flow pause/teardown)."""
         if self.normalize_lag and self._last_synced is not None:
             lo = max(0, self._last_synced - self.normalize_lag + 1)
-            self.pipeline.normalize_batches(lo, self._last_synced)
+            self.pipeline.normalize_batches(
+                lo, self._last_synced, parallelism=self.normalize_parallelism
+            )
 
     def start(self, available_now: bool = False, processing_time: str = "10 seconds"):
         reader = (

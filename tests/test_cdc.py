@@ -122,3 +122,36 @@ def test_batch_range_pruning(spark, pipeline):
     # partition pruning visible in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_peerdb_batch_id" in plan
+
+
+def test_parallel_normalize_multi_table(spark, tmp_path):
+    """Threaded per-table merges produce exactly the sequential result over a
+    3-table fan-out batch."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from peerdb_spark.storage import ParquetTable
+
+    val = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    import datetime as dt
+    rows = []
+    for t in ("ta", "tb", "tc"):
+        for i in range(20):
+            rows.append(("insert", i, dt.datetime(2024, 1, 1), i, t, t,
+                         json.dumps({"id": i, "v": f"{t}{i}"}), None, None))
+    feed = spark.createDataFrame(rows, cdc.CHANGELOG_SCHEMA)
+    cfgs_p = [cdc.CdcTableConfig(t, ["id"], val, str(tmp_path / f"p_{t}"), n_buckets=2)
+              for t in ("ta", "tb", "tc")]
+    cfgs_s = [cdc.CdcTableConfig(t, ["id"], val, str(tmp_path / f"s_{t}"), n_buckets=2)
+              for t in ("ta", "tb", "tc")]
+    par = cdc.CdcPipeline(spark, str(tmp_path / "rawp"), cfgs_p)
+    seq = cdc.CdcPipeline(spark, str(tmp_path / "raws"), cfgs_s)
+    par.sync_batch(feed, 0)
+    seq.sync_batch(feed, 0)
+    par.normalize_batches(0, 0, parallelism=3)
+    seq.normalize_batches(0, 0)
+    for t in ("ta", "tb", "tc"):
+        a = sorted(map(tuple, ParquetTable(spark, str(tmp_path / f"p_{t}"), ["id"], 2).read().collect()))
+        b = sorted(map(tuple, ParquetTable(spark, str(tmp_path / f"s_{t}"), ["id"], 2).read().collect()))
+        assert a == b and len(a) == 20
