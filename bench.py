@@ -105,7 +105,9 @@ def main() -> None:
         "passthrough_join",
         "dedup_exact",
         "dedup_minhash_lsh_pairs",
+        "dedup_incremental_lsh",
         "dedup_simhash",
+        "dedup_simhash_pairs",
         "dedup_ngram_jaccard",
         "corpus_clean",
         "text_features",
