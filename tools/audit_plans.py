@@ -75,6 +75,15 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
     ("qrep_null_partition", [
         ("single aggregate over tagged rows", r"HashAggregate", True),
     ]),
+    ("dedup_incremental_lsh", [
+        ("banded bucket join with skew guard", r"LeftAnti", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("dedup_simhash_pairs", [
+        ("hamming-LSH banding with skew guard", r"LeftAnti", True),
+        ("bucket equi-join, no all-pairs", r"BroadcastNestedLoopJoin", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these

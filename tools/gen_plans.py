@@ -85,6 +85,19 @@ COMMENT = {
         "char 8-grams computed in WholeStageCodegen, then ONE narrow shuffle "
         "of (fingerprint, doc_id) longs — the text never moves."
     ),
+    "dedup_incremental_lsh": (
+        "Incremental ingestion dedup: only the NEW batch's text is shingled "
+        "and hashed (the corpus side enters as a precomputed signature "
+        "relation); the banded bucket join with the broadcast anti-join skew "
+        "guard finds candidates touching new docs. Per-batch cost is O(new), "
+        "never a corpus re-hash."
+    ),
+    "dedup_simhash_pairs": (
+        "Hamming-LSH over SimHash fingerprints: byte-band bucket equi-join "
+        "(pigeonhole guarantees hamming<=3 pairs share a band), oversized-"
+        "bucket anti-join guard, exact bit_count(xor) verify — all JVM "
+        "integer ops, no all-pairs join anywhere."
+    ),
 }
 
 
