@@ -1974,30 +1974,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     feats = MM.extract_features(synthetic_media(docs))
     # gate transport: quantize the float32 features back to their exact pixel
-    # bytes (x·255 round-trips exactly) — array<bigint> is a driver-hash-proven
-    # output type, array<float> is not
+    # bytes (x·255 round-trips exactly) and pack them as ONE hex string —
+    # array-typed output columns crash the driver's pandas canonicalizer
+    # ("unhashable type: 'list'"), hex strings are the proven transport
+    # (same trick as media_resize).
     return feats.select(
         "media_id",
-        F.transform(F.col("features"), lambda x: F.round(x * 255).cast("long")).alias(
-            "feature_bytes"
-        ),
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.lpad(
+                    F.lower(F.hex(F.round(x * 255).cast("long"))), 2, "0"
+                ),
+            ),
+            "",
+        ).alias("feature_hex"),
     )
 
 
 def _media_features_sql() -> str:
+    # each feature byte is already a 2-hex-char slice of an md5 digest; the
+    # hex transport is just their concatenation (digests are lowercase hex)
     terms = []
     for i in range(16):
         j = (4 * i) // 16 + 1  # digest index h1..h4 (16 bytes each)
         pos = 2 * ((4 * i) % 16) + 1  # hex-char offset of byte (4i) % 16
-        terms.append(f"CAST(('0x' || substr(h{j}, {pos}, 2))::INT AS BIGINT)")
-    feats = ", ".join(terms)
+        terms.append(f"substr(h{j}, {pos}, 2)")
+    feats = " || ".join(terms)
     return f"""
 WITH m AS ({SQL_MEDIA_BASE}),
 h AS (SELECT media_id, md5(text) AS h1 FROM m),
 hh AS (SELECT media_id, h1, md5(h1) AS h2 FROM h),
 hhh AS (SELECT media_id, h1, h2, md5(h2) AS h3 FROM hh),
 hhhh AS (SELECT media_id, h1, h2, h3, md5(h3) AS h4 FROM hhh)
-SELECT media_id, [{feats}] AS feature_bytes FROM hhhh
+SELECT media_id, {feats} AS feature_hex FROM hhhh
 """
 
 
