@@ -175,13 +175,20 @@ class RawTable:
                 ),
                 value_schema,
             ).alias("_v"),
+            # updates keep their OLD row image too (when the source emitted
+            # one — REPLICA IDENTITY FULL / binlog before-image): it powers
+            # PK-changing-update splitting in normalize.split_pk_updates
+            F.from_json(
+                F.when(F.col(RAW_TYPE) == N.KIND_UPDATE, F.col(RAW_MATCH)),
+                value_schema,
+            ).alias(N.COL_OLD),
             F.when(F.col(RAW_UNCHANGED) == "", F.array().cast("array<string>"))
             .otherwise(F.split(F.col(RAW_UNCHANGED), ","))
             .alias(N.COL_UNCHANGED),
         )
         return parsed.select(
             N.COL_KIND, N.COL_CHECKPOINT, N.COL_COMMIT_TS, N.COL_DST, N.COL_UNCHANGED,
-            "_v.*",
+            N.COL_OLD, "_v.*",
         )
 
 
@@ -363,6 +370,11 @@ class CdcPipeline:
                 (F.col(RAW_DST) == dst) & (F.col(RAW_TYPE) <= N.KIND_DELETE)
             )
             changes = self.raw.raw_to_changelog(sub, cfg.value_schema)
+            # split PK-changing updates while _old's struct fields still use
+            # SOURCE column names (renames below touch only top-level columns)
+            inv = {dst_name: src_name for src_name, dst_name in cfg.renames.items()}
+            src_pks = [inv.get(c, c) for c in cfg.pk_cols]
+            changes = N.split_pk_updates(changes, src_pks)
             if cfg.exclude:
                 # column exclusion (ref: TableMapping.exclude, applied during
                 # tuple processing — flow/connectors/postgres/cdc.go:335-386)

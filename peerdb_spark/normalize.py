@@ -51,8 +51,12 @@ COL_COMMIT_TS = "_commit_ts"
 COL_TXID = "_txid"
 COL_DST = "_dst_table"
 COL_UNCHANGED = "_unchanged_cols"
+# old row image for updates (struct of the pre-update values) — carried when
+# the source emits full old tuples (REPLICA IDENTITY FULL / binlog old image);
+# powers PK-changing-update splitting (ref: _peerdb_match_data)
+COL_OLD = "_old"
 
-META_COLS = [COL_KIND, COL_CHECKPOINT, COL_COMMIT_TS, COL_TXID, COL_DST, COL_UNCHANGED]
+META_COLS = [COL_KIND, COL_CHECKPOINT, COL_COMMIT_TS, COL_TXID, COL_DST, COL_UNCHANGED, COL_OLD]
 
 
 def kind_code(col=COL_KIND):
@@ -82,6 +86,71 @@ def latest_changes(
     """
     w = Window.partitionBy(*pk_cols).orderBy(F.col(ts_col).desc(), F.col(checkpoint_col).desc())
     return changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def split_pk_updates(
+    changes: DataFrame, pk_cols: list[str], old_col: str = COL_OLD
+) -> DataFrame:
+    """PK-changing updates → delete(old_pk) + upsert(new_pk).
+
+    Reference semantics (flow/connectors/clickhouse/normalize_query.go:180-214,
+    `enablePrimaryUpdate`): when an update's old row image carries a different
+    primary key than the new image, the destination must drop the old-PK row —
+    the reference re-emits it as a delete keyed by `_peerdb_match_data` —
+    while the new image upserts under the new PK. Without this, a PK-changing
+    update strands the stale old-PK row forever.
+
+    Here: rows whose `_old` struct disagrees with the new pk expand (one-pass,
+    explode of a 1-or-2 element struct array — no second scan of the
+    changelog) into the original change PLUS a synthetic delete carrying the
+    old image under the old pk. The synthetic delete keeps the update's
+    commit_ts/checkpoint so last-writer-wins ranks it correctly against any
+    other change to the old key in the same batch (e.g. a pk swap A→B, B→A
+    resolves by checkpoint order). The new-image update needs no rewriting:
+    an unmatched update already inserts in merge_changes.
+
+    No-op when the changelog carries no old-image column, or when no pk field
+    is present in the old image (REPLICA IDENTITY NOTHING — pk changes are
+    undetectable, same as the reference without enablePrimaryUpdate).
+    """
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import types as T
+
+    if old_col not in changes.columns:
+        return changes
+    old_type = changes.schema[old_col].dataType
+    old_fields = (
+        {f.name for f in old_type.fields} if isinstance(old_type, T.StructType) else set()
+    )
+    pk_in_old = [c for c in pk_cols if c in old_fields]
+    if not pk_in_old:
+        return changes.drop(old_col)
+    out_cols = [c for c in changes.columns if c != old_col]
+    is_pk_change = (
+        (F.col(COL_KIND) == "update")
+        & F.col(old_col).isNotNull()
+        & reduce(or_, [~F.col(f"{old_col}.{c}").eqNullSafe(F.col(c)) for c in pk_in_old])
+    )
+
+    def _field(c: str, for_delete: bool):
+        if not for_delete:
+            return F.col(c).alias(c)
+        if c == COL_KIND:
+            return F.lit("delete").alias(c)
+        if c == COL_UNCHANGED:
+            return F.lit(None).cast(changes.schema[c].dataType).alias(c)
+        if c in old_fields and c not in META_COLS:
+            # old image where present, new value as backfill (partial old
+            # tuples: REPLICA IDENTITY USING INDEX carries only key columns)
+            return F.coalesce(F.col(f"{old_col}.{c}"), F.col(c)).alias(c)
+        return F.col(c).alias(c)
+
+    new_row = F.struct(*[_field(c, False) for c in out_cols])
+    del_row = F.struct(*[_field(c, True) for c in out_cols])
+    expanded = F.when(is_pk_change, F.array(new_row, del_row)).otherwise(F.array(new_row))
+    return changes.select(F.explode(expanded).alias("_r")).select("_r.*")
 
 
 def merge_changes(
@@ -118,6 +187,7 @@ def merge_changes(
     if data_cols is None:
         data_cols = [c for c in changes.columns if c not in META_COLS and c not in pk_cols]
     data_cols = [c for c in data_cols if c not in (soft_delete_col, synced_at_col)]
+    changes = split_pk_updates(changes, pk_cols)
     if dedup:
         changes = latest_changes(changes, pk_cols)
 
@@ -226,6 +296,7 @@ def merge_changes_agg(
     if data_cols is None:
         data_cols = [c for c in changes.columns if c not in META_COLS and c not in pk_cols]
     data_cols = [c for c in data_cols if c not in (soft_delete_col, synced_at_col)]
+    changes = split_pk_updates(changes, pk_cols)
     has_unchanged = COL_UNCHANGED in changes.columns
 
     chg_fields = {f.name: f.dataType for f in changes.schema.fields}
@@ -358,7 +429,9 @@ def merge_into_table(
     # dedup inherently): the row_number filter is cheaper per row than the
     # struct-buffer max_by, so shrinking the batch first wins — measured
     # 7.8s vs 11.9s on the 600k-row sf0.1 pipeline.
-    deduped = latest_changes(changes, pk)
+    # PK-changing updates split BEFORE dedup so the synthetic old-pk delete
+    # participates in last-writer-wins under its own key.
+    deduped = latest_changes(split_pk_updates(changes, pk), pk)
     if not table.exists:
         boot = merge_changes(None, deduped, pk, data_cols, soft_delete_col, synced_at_col,
                              dedup=False, strategy=strategy)
