@@ -31,9 +31,16 @@ Internals manual "ROWS_EVENT > column definition"):
   NEWDECIMAL (metadata precision+scale): MySQL's 9-digits-per-4-bytes
     big-endian packing, sign-bit flipped, negatives bit-inverted →
     exact decimal string
-  Remaining exotics (ENUM/SET/BIT/JSON/GEOMETRY) raise with the type id —
-  a real deployment plugs leaf decoders into _read_value without touching
-  the event-stream machinery.
+  ENUM/SET (real type packed in STRING metadata, value = 1-2B / 1-8B
+    little-endian index / bitmask): label string / comma-joined labels when
+    the decoder was given column labels (the reference resolves them from
+    the schema catalog, flow/connectors/mysql/qvalue_convert.go:82-93),
+    else the raw index / bitmask int
+  BIT (metadata [bits%8, bits//8]): big-endian integer
+  JSON (BLOB-like length prefix): MySQL binary JSON (WL#8132 public
+    format: small/large objects+arrays, inlined literals/int16, varint
+    strings, opaque NEWDECIMAL) → JSON text
+  GEOMETRY (BLOB-like): 4B LE SRID + WKB → "SRID=<n>;<wkb hex>"
 
 Reference parity (studied, not copied): flow/connectors/mysql/cdc.go
 consumes the same events via go-mysql's replication reader — table-map
@@ -74,21 +81,26 @@ TYPE_TIME = 11
 TYPE_DATETIME = 12
 TYPE_YEAR = 13
 TYPE_VARCHAR = 15
+TYPE_BIT = 16
 TYPE_TIMESTAMP2 = 17
 TYPE_DATETIME2 = 18
 TYPE_TIME2 = 19
+TYPE_JSON = 245
 TYPE_NEWDECIMAL = 246
 TYPE_ENUM = 247
 TYPE_SET = 248
 TYPE_BLOB = 252
 TYPE_VAR_STRING = 253
 TYPE_STRING = 254
+TYPE_GEOMETRY = 255
 
 # table-map metadata widths (manual: TABLE_MAP_EVENT column metadata)
 _META1 = {TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_TIMESTAMP2, TYPE_DATETIME2,
-          TYPE_TIME2}
+          TYPE_TIME2, TYPE_JSON, TYPE_GEOMETRY}
 _META2_LE = {TYPE_VARCHAR, TYPE_VAR_STRING}
 _META2_PACKED = {TYPE_STRING, TYPE_NEWDECIMAL}  # (byte0 << 8) | byte1
+# BIT: 2 bytes stored as [bits % 8, bits // 8] (log_event.cc
+# save_field_metadata) — kept in a dedicated set, packed (byte1 << 8) | byte0
 
 
 class _Reader:
@@ -161,6 +173,9 @@ class _TableMap:
     table: str
     col_types: list[int] = field(default_factory=list)
     col_meta: list[int] = field(default_factory=list)
+    # per-column ENUM/SET label lists (binlog carries none; supplied by the
+    # caller from the schema catalog, like the reference's qvalue_convert)
+    labels: dict[int, list[str]] = field(default_factory=dict)
 
     @property
     def qualified(self) -> str:
@@ -217,6 +232,102 @@ def _read_newdecimal(r: _Reader, precision: int, scale: int) -> str:
     return s if positive else f"-{s}"
 
 
+def _jb_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """MySQL binary-JSON variable-length int: 7 bits per byte, high bit =
+    continuation (json_binary.cc read_variable_length)."""
+    ln, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        ln |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return ln, pos
+        shift += 7
+
+
+def _jb_inline(vt: int, entry: bytes):
+    """Value inlined in a container's offset slot (literals + small ints;
+    large containers also inline 32-bit ints)."""
+    if vt == 0x04:  # literal
+        return None if entry[0] == 0 else entry[0] == 1
+    if vt == 0x05:
+        return int.from_bytes(entry[:2], "little", signed=True)
+    if vt == 0x06:
+        return int.from_bytes(entry[:2], "little")
+    if vt == 0x07:
+        return int.from_bytes(entry[:4], "little", signed=True)
+    return int.from_bytes(entry[:4], "little")  # 0x08 uint32
+
+
+def _jb_value(vt: int, buf: bytes, pos: int):
+    """Decode one binary-JSON value of type `vt` whose data begins at `pos`.
+    Container offsets are relative to the container's own start, so
+    containers recurse on a slice (public WL#8132 layout, json_binary.h)."""
+    if vt in (0x00, 0x01, 0x02, 0x03):  # object/array, small/large
+        data = buf[pos:]
+        small = vt in (0x00, 0x02)
+        w = 2 if small else 4
+        count = int.from_bytes(data[0:w], "little")
+        p = 2 * w  # skip count + total-size words
+        is_obj = vt in (0x00, 0x01)
+        keys = []
+        if is_obj:
+            for _ in range(count):
+                koff = int.from_bytes(data[p:p + w], "little")
+                klen = int.from_bytes(data[p + w:p + w + 2], "little")
+                keys.append(data[koff:koff + klen].decode("utf-8"))
+                p += w + 2
+        inline = (0x04, 0x05, 0x06) if small else (0x04, 0x05, 0x06, 0x07, 0x08)
+        vals = []
+        for _ in range(count):
+            t = data[p]
+            entry = data[p + 1:p + 1 + w]
+            if t in inline:
+                vals.append(_jb_inline(t, entry))
+            else:
+                vals.append(_jb_value(t, data, int.from_bytes(entry, "little")))
+            p += 1 + w
+        return dict(zip(keys, vals)) if is_obj else vals
+    if vt == 0x04:
+        return None if buf[pos] == 0 else buf[pos] == 1
+    if vt == 0x05:
+        return int.from_bytes(buf[pos:pos + 2], "little", signed=True)
+    if vt == 0x06:
+        return int.from_bytes(buf[pos:pos + 2], "little")
+    if vt == 0x07:
+        return int.from_bytes(buf[pos:pos + 4], "little", signed=True)
+    if vt == 0x08:
+        return int.from_bytes(buf[pos:pos + 4], "little")
+    if vt == 0x09:
+        return int.from_bytes(buf[pos:pos + 8], "little", signed=True)
+    if vt == 0x0A:
+        return int.from_bytes(buf[pos:pos + 8], "little")
+    if vt == 0x0B:
+        (v,) = struct.unpack_from("<d", buf, pos)
+        return v
+    if vt == 0x0C:  # utf8mb4 string
+        ln, p = _jb_varint(buf, pos)
+        return buf[p:p + ln].decode("utf-8")
+    if vt == 0x0F:  # opaque: field-type byte + varint length + payload
+        ftype = buf[pos]
+        ln, p = _jb_varint(buf, pos + 1)
+        data = buf[p:p + ln]
+        if ftype == TYPE_NEWDECIMAL:
+            # precision byte + scale byte + packed decimal
+            return _read_newdecimal(_Reader(data, 2), data[0], data[1])
+        import base64
+
+        return "base64:" + base64.b64encode(data).decode("ascii")
+    raise ValueError(f"unsupported binary-JSON value type 0x{vt:02x}")
+
+
+def _json_binary_to_text(payload: bytes) -> str | None:
+    """MySQL binary JSON document → JSON text (empty payload = SQL NULL)."""
+    if not payload:
+        return None
+    return json.dumps(_jb_value(payload[0], payload, 1), ensure_ascii=False)
+
+
 def _read_frac_micros(r: _Reader, fsp: int) -> int:
     """Fractional seconds of the 5.6+ temporal types: (fsp+1)//2 big-endian
     bytes holding 2·⌈fsp/2⌉-digit units."""
@@ -231,7 +342,7 @@ def _iso_dt(y: int, mo: int, d: int, h: int, mi: int, s: int, us: int = 0) -> st
     return f"{base}.{us:06d}" if us else base
 
 
-def _read_value(r: _Reader, ctype: int, meta: int):
+def _read_value(r: _Reader, ctype: int, meta: int, labels: list[str] | None = None):
     if ctype == TYPE_TINY:
         (v,) = struct.unpack_from("<b", r.buf, r.pos)
         r.pos += 1
@@ -269,10 +380,38 @@ def _read_value(r: _Reader, ctype: int, meta: int):
             real, length = m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4)
         else:
             real, length = m0, m1
-        if real in (TYPE_ENUM, TYPE_SET):
-            raise ValueError(f"unsupported binlog column type {real} (ENUM/SET)")
+        if real == TYPE_ENUM:
+            # value = 1-based label index, 1 or 2 LE bytes (= pack length in
+            # the metadata); index 0 is MySQL's invalid-empty-string value.
+            # With labels (reference resolves them from the schema catalog,
+            # qvalue_convert.go:82-88) emit the label, else the index.
+            v = int.from_bytes(r.take(length), "little")
+            if labels is not None:
+                return "" if v == 0 or v > len(labels) else labels[v - 1]
+            return v
+        if real == TYPE_SET:
+            # value = bitmask over the label list, 1-8 LE bytes
+            v = int.from_bytes(r.take(length), "little")
+            if labels is not None:
+                return ",".join(l for b, l in enumerate(labels) if v >> b & 1)
+            return v
         ln = r.u16() if length > 255 else r.u8()
         return r.take(ln).decode("utf-8")
+    if ctype == TYPE_BIT:
+        bits_mod, nbytes_full = meta & 0xFF, meta >> 8
+        total = nbytes_full + (1 if bits_mod else 0)
+        # BIT values are stored big-endian (manual: ROWS_EVENT field encoding)
+        return int.from_bytes(r.take(total), "big")
+    if ctype == TYPE_JSON:
+        ln = int.from_bytes(r.take(meta), "little")
+        return _json_binary_to_text(r.take(ln))
+    if ctype == TYPE_GEOMETRY:
+        ln = int.from_bytes(r.take(meta), "little")
+        raw = r.take(ln)
+        # 4-byte LE SRID prefix + WKB — rendered like PostGIS EWKT's SRID
+        # tag with the WKB hex payload (same shape functions/exotic.py uses)
+        srid = int.from_bytes(raw[:4], "little")
+        return f"SRID={srid};{raw[4:].hex()}"
     if ctype == TYPE_BLOB:
         ln = int.from_bytes(r.take(meta), "little")
         raw = r.take(ln)
@@ -341,7 +480,7 @@ def _read_row(r: _Reader, tm: _TableMap, present: list[bool]) -> dict:
         if nullbm[j]:
             vals[col] = None
         else:
-            vals[col] = _read_value(r, tm.col_types[i], tm.col_meta[i])
+            vals[col] = _read_value(r, tm.col_types[i], tm.col_meta[i], tm.labels.get(i))
         j += 1
     return vals
 
@@ -352,8 +491,11 @@ class BinlogDecoder:
     feed(payload) yields change dicts in CHANGELOG_SCHEMA shape (string
     checkpoints)."""
 
-    def __init__(self):
+    def __init__(self, column_labels: dict[str, dict[int, list[str]]] | None = None):
+        # column_labels: qualified table -> column ordinal -> ENUM/SET label
+        # list (from the schema catalog; binlog table maps carry no labels)
         self.tables: dict[int, _TableMap] = {}
+        self.column_labels = column_labels or {}
         self.gtid: str | None = None
         self.txid: int | None = None
 
@@ -396,10 +538,15 @@ class BinlogDecoder:
                     tm.col_meta.append(meta_r.u16())
                 elif ct in _META2_PACKED:
                     tm.col_meta.append((meta_r.u8() << 8) | meta_r.u8())
+                elif ct == TYPE_BIT:
+                    # [bits % 8, bits // 8] → (full_bytes << 8) | bits_mod
+                    bits_mod, nbytes_full = meta_r.u8(), meta_r.u8()
+                    tm.col_meta.append((nbytes_full << 8) | bits_mod)
                 elif ct in _META1:
                     tm.col_meta.append(meta_r.u8())
                 else:
                     tm.col_meta.append(0)
+            tm.labels = self.column_labels.get(tm.qualified, {})
             self.tables[tid] = tm
             return
         if etype not in (WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2):

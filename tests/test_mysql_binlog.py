@@ -54,6 +54,9 @@ def ev_table_map(tid, schema, table, col_types, col_meta, log_pos):
             meta += struct.pack("<H", m)
         elif ct in MB._META2_PACKED:
             meta += bytes([m >> 8, m & 0xFF])
+        elif ct == MB.TYPE_BIT:
+            # wire order [bits % 8, bits // 8]; m packed (full_bytes<<8)|mod
+            meta += bytes([m & 0xFF, m >> 8])
         elif ct in MB._META1:
             meta += bytes([m])
     b += bytes([len(meta)]) + meta
@@ -279,3 +282,96 @@ def test_newdecimal_property():
         assert got == want, (precision, scale, v, neg)
 
     prop()
+
+
+def _jb_doc_object() -> bytes:
+    """Hand-packed MySQL binary JSON for {"a": 1, "b": "hi", "c": [true, null, 3.5]}
+    (WL#8132 small-object layout: count/size words, key entries, value
+    entries with inlined int16/literals, offset-addressed string and array)."""
+    obj = b""
+    obj += struct.pack("<HH", 3, 52)              # count, total size
+    obj += struct.pack("<HH", 25, 1)              # key "a" @25
+    obj += struct.pack("<HH", 26, 1)              # key "b" @26
+    obj += struct.pack("<HH", 27, 1)              # key "c" @27
+    obj += bytes([0x05]) + struct.pack("<H", 1)   # a: inlined int16 = 1
+    obj += bytes([0x0C]) + struct.pack("<H", 28)  # b: string @28
+    obj += bytes([0x02]) + struct.pack("<H", 31)  # c: small array @31
+    obj += b"abc"                                 # key bytes
+    obj += bytes([2]) + b"hi"                     # varint len + "hi"
+    arr = struct.pack("<HH", 3, 21)
+    arr += bytes([0x04, 1, 0])                    # true (inlined literal)
+    arr += bytes([0x04, 0, 0])                    # null (inlined literal)
+    arr += bytes([0x0B]) + struct.pack("<H", 13)  # double @13 (rel. to array)
+    arr += struct.pack("<d", 3.5)
+    obj += arr
+    return b"\x00" + obj                          # doc: type byte + payload
+
+
+def test_binlog_enum_set_bit_json_geometry_round_trip():
+    """ENUM/SET (STRING-packed real types), BIT, binary JSON, GEOMETRY —
+    the exotic column decoders of flow/connectors/mysql/qvalue_convert.go:82-93."""
+    ct = [MB.TYPE_STRING, MB.TYPE_STRING, MB.TYPE_BIT, MB.TYPE_JSON, MB.TYPE_GEOMETRY]
+    cm = [
+        (MB.TYPE_ENUM << 8) | 1,   # ENUM, 1-byte index
+        (MB.TYPE_SET << 8) | 1,    # SET, 1-byte bitmask
+        (1 << 8) | 2,              # BIT(10): 1 full byte + 2 bits
+        4,                         # JSON: 4 length bytes
+        4,                         # GEOMETRY: 4 length bytes
+    ]
+    doc = _jb_doc_object()
+    geom = struct.pack("<I", 4326) + b"\x01\x02\x03"
+    wire = [
+        bytes([2]),                              # ENUM index 2
+        bytes([0b101]),                          # SET bits 0+2
+        (0b10_00000001).to_bytes(2, "big"),      # BIT(10) big-endian = 513
+        struct.pack("<I", len(doc)) + doc,
+        struct.pack("<I", len(geom)) + geom,
+    ]
+    stream = [
+        ev_table_map(9, "shop", "t2", ct, cm, 100),
+        ev_rows(WRITE_ROWS_V2, 9, ct, cm, [wire], 120),
+    ]
+    # without labels: raw index / bitmask ints
+    rows = BinlogDecoder().decode_all(stream)
+    v = json.loads(rows[0]["_data"])
+    assert v["c0"] == 2 and v["c1"] == 0b101
+    assert v["c2"] == 513
+    assert json.loads(v["c3"]) == {"a": 1, "b": "hi", "c": [True, None, 3.5]}
+    assert v["c4"] == "SRID=4326;010203"
+    # with schema-catalog labels: ENUM label / comma-joined SET members
+    dec = BinlogDecoder(
+        column_labels={"shop.t2": {0: ["red", "green", "blue"], 1: ["x", "y", "z"]}}
+    )
+    v2 = json.loads(dec.decode_all(stream)[0]["_data"])
+    assert v2["c0"] == "green"
+    assert v2["c1"] == "x,z"
+
+
+def test_binlog_json_scalars_and_opaque_decimal():
+    """Binary-JSON scalar roots: int64, double, string, literal, and the
+    opaque NEWDECIMAL carrier."""
+    ct = [MB.TYPE_JSON]
+    cm = [4]
+
+    def enc(doc: bytes) -> list[bytes]:
+        return [struct.pack("<I", len(doc)) + doc]
+
+    def decode_one(doc: bytes):
+        stream = [
+            ev_table_map(5, "d", "j", ct, cm, 10),
+            ev_rows(WRITE_ROWS_V2, 5, ct, cm, [enc(doc)], 20),
+        ]
+        return json.loads(json.loads(BinlogDecoder().decode_all(stream)[0]["_data"])["c0"])
+
+    assert decode_one(b"\x09" + struct.pack("<q", -(2**40))) == -(2**40)
+    assert decode_one(b"\x0b" + struct.pack("<d", 2.25)) == 2.25
+    assert decode_one(b"\x0c" + bytes([5]) + b"hello") == "hello"
+    assert decode_one(b"\x04\x02") is False
+    # opaque decimal: field type + varint len + precision/scale + packed body
+    # (-12.345 at precision 7 scale 3: 2 int bytes + 2 frac bytes, sign bit
+    # flipped then all bytes inverted — same hand-packing as the
+    # extended-types test)
+    mag = (12).to_bytes(2, "big") + (345).to_bytes(2, "big")
+    body = bytes((~b) & 0xFF for b in bytes([mag[0] ^ 0x80]) + mag[1:])
+    doc = b"\x0f" + bytes([MB.TYPE_NEWDECIMAL]) + bytes([2 + len(body)]) + bytes([7, 3]) + body
+    assert decode_one(doc) == "-12.345"
