@@ -35,6 +35,10 @@ DEFAULT_BANDS = 4  # 4 bands × 4 rows
 # mh_j = (h·a_j + b_j) mod P — integer arithmetic, exact in any engine.
 # P = 2^31 - 1 keeps products under 2^62 (no int64 overflow).
 MINHASH_P = 2_147_483_647
+# oversized-LSH-bucket drop threshold shared by every pair generator AND
+# mirrored verbatim in the declared oracle SQL (both engines must compute
+# the same guarded relation — round-3 advice)
+DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 
 def minhash_params(num_hashes: int = DEFAULT_NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
@@ -173,7 +177,7 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE_N,
-    max_bucket_size: int = 10_000,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
     materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
@@ -240,7 +244,7 @@ def incremental_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE_N,
-    max_bucket_size: int = 10_000,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup candidates: new batch vs maintained corpus.
 
@@ -302,7 +306,7 @@ def lsh_verified_pairs(
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE_N,
     min_jaccard: float = 0.5,
-    max_bucket_size: int = 10_000,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
     shingle_hashes: DataFrame | None = None,
     min_est_jaccard: float = 0.0,
     materialize: bool = True,
@@ -496,7 +500,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket_size: int = 10_000,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints via hamming-LSH banding.
 

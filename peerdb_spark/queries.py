@@ -382,6 +382,63 @@ FROM last l LEFT JOIN base b USING (pk)
 """
 
 
+def q_cdc_pk_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-changing updates (ref: flow/connectors/clickhouse/normalize_query.go
+    :180-214, enablePrimaryUpdate): every 11th-checkpoint update moves its row
+    to pk+20M, carrying the old pk in the `_old` image struct.
+    normalize.split_pk_updates must delete the old-pk row and upsert the new
+    one — without the split, the stale old-pk row would survive the merge and
+    the final state (and this oracle) would differ."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = lineitem_base(li)
+    raw = lineitem_changes(li)
+    is_mv = (F.col("kind") == "update") & (F.col("ck") % 11 == 0)
+    chg = raw.select(
+        F.when(is_mv, F.col("pk") + 20_000_000).otherwise(F.col("pk")).alias("pk"),
+        "qty", "price", "flag",
+        F.col("kind").alias(N.COL_KIND),
+        F.col("ck").alias(N.COL_CHECKPOINT),
+        F.col("cts").alias(N.COL_COMMIT_TS),
+        # partial old image: pk only (REPLICA IDENTITY USING INDEX shape) —
+        # split_pk_updates backfills delete-row data cols from the new image
+        F.when(
+            is_mv,
+            F.struct(
+                F.col("pk").alias("pk"),
+                F.lit(None).cast("double").alias("qty"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(None).cast("string").alias("flag"),
+            ),
+        ).alias(N.COL_OLD),
+    )
+    return N.merge_changes(base, chg, ["pk"]).select("pk", "qty", "price", "flag")
+
+
+SQL_CDC_PK_UPDATE = f"""
+WITH base AS ({BASE_SQL}),
+chg0 AS (SELECT pk, ck, cts, kind, qty, price, flag FROM ({CHANGES_SQL})),
+chg AS (
+  SELECT CASE WHEN kind = 'update' AND ck % 11 = 0 THEN pk + 20000000 ELSE pk END AS pk,
+         ck, cts, kind, qty, price, flag
+  FROM chg0
+  UNION ALL
+  SELECT pk, ck, cts, 'delete' AS kind, qty, price, flag
+  FROM chg0 WHERE kind = 'update' AND ck % 11 = 0
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts DESC, ck DESC) rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT b.pk, b.qty, b.price, b.flag
+FROM base b WHERE b.pk NOT IN (SELECT pk FROM last)
+UNION ALL
+SELECT l.pk, l.qty, l.price, l.flag
+FROM last l WHERE l.kind <> 'delete'
+"""
+
+
 def q_cdc_toast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOAST-unchanged column backfill: updates arrive with price NULLed and
     marked unchanged; merge must keep the destination value."""
@@ -974,12 +1031,20 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R = DD.DEFAULT_NUM_HASHES // DD.DEFAULT_BANDS
+_MAXB = DD.DEFAULT_MAX_BUCKET_SIZE
+# the QUALIFY mirrors the Spark-side max_bucket_size skew guard: both engines
+# drop the same oversized (band, band_hash) buckets, so the declared relation
+# is identical even on a fixture with a degenerate bucket (round-3 advice)
 SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
 WITH {_minhash_sig_sql()},
-bands AS (
+bands0 AS (
   SELECT doc_id, j // {_R} AS band,
          {h64_sql(f"concat(j // {_R}, ',', string_agg(mh::VARCHAR, ',' ORDER BY j))")} AS band_hash
   FROM sigs GROUP BY doc_id, j // {_R}
+),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= {_MAXB}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1049,9 +1114,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_SIMHASH_PAIRS = f"""
 WITH sims AS ({_simhash_sql()}),
-banded AS (
+banded0 AS (
   SELECT doc_id, simhash, j AS band, (simhash >> (8 * j)) & 255 AS bval
   FROM sims, unnest(range(0, 4)) u(j)
+),
+banded AS (
+  SELECT * FROM banded0
+  QUALIFY count(*) OVER (PARTITION BY band, bval) <= {_MAXB}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1075,10 +1144,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_minhash_sig_sql()},
-bands AS (
+bands0 AS (
   SELECT doc_id, j // {_R} AS band,
          {h64_sql(f"concat(j // {_R}, ',', string_agg(mh::VARCHAR, ',' ORDER BY j))")} AS band_hash
   FROM sigs GROUP BY doc_id, j // {_R}
+),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= {_MAXB}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2096,6 +2169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_normalize_merge": q_cdc_normalize_merge,
     "cdc_soft_delete": q_cdc_soft_delete,
+    "cdc_pk_update": q_cdc_pk_update,
     "cdc_toast_coalesce": q_cdc_toast_coalesce,
     "cdc_rmt_view": q_cdc_rmt_view,
     "cdc_record_counts": q_cdc_record_counts,
@@ -2145,6 +2219,7 @@ ORACLES: dict[str, str] = {
     "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
     "cdc_normalize_merge": SQL_CDC_NORMALIZE_MERGE,
     "cdc_soft_delete": SQL_CDC_SOFT_DELETE,
+    "cdc_pk_update": SQL_CDC_PK_UPDATE,
     "cdc_toast_coalesce": SQL_CDC_TOAST_COALESCE,
     "cdc_rmt_view": SQL_CDC_RMT_VIEW,
     "cdc_record_counts": SQL_CDC_RECORD_COUNTS,

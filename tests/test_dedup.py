@@ -144,3 +144,19 @@ def test_simhash_pairs_banded(spark, docs_with_dups):
     rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
     assert rows.get((1, 2)) == 0  # exact dup pair
     assert all(h <= 3 for h in rows.values())
+
+
+def test_skew_guard_drops_oversized_buckets(spark):
+    """Degenerate corpus: N identical docs put every banded bucket at size N.
+    With max_bucket_size < N the guard drops all candidate buckets (no pairs,
+    no quadratic join); with the default threshold all pairs are found. The
+    declared oracle SQL carries the SAME guard (QUALIFY bucket count), so
+    both engines compute the guarded relation identically."""
+    docs = spark.createDataFrame(
+        [(i, "the same exact text content repeated in every document here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    assert D.simhash_pairs(docs, "text", "doc_id").count() == 12 * 11 // 2
+    assert D.simhash_pairs(docs, "text", "doc_id", max_bucket_size=5).count() == 0
+    assert D.minhash_lsh_pairs(docs, "text", "doc_id").count() == 12 * 11 // 2
+    assert D.minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_size=5).count() == 0
