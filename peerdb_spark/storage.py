@@ -26,11 +26,17 @@ needs.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "_peerdb_bucket"
+
+# A writer lease older than this is presumed dead even if the pid check is
+# inconclusive (e.g. pid recycled). Normal batches finish in seconds; an hour
+# of silence means the writer is gone and readers may roll its crash forward.
+LEASE_STALE_SECONDS = 3600.0
 
 
 def bucket_expr(pk_cols: list[str], n_buckets: int):
@@ -73,11 +79,60 @@ class ParquetTable:
                 return T.StructType.fromJson(__import__("json").loads(f.read()))
         return None
 
+    # -- writer lease ------------------------------------------------------
+    # repair() is destructive (it rmtree's staging dirs and moves parked
+    # bucket dirs). A reader that repairs while another process's overwrite /
+    # replace_partitions is mid-flight would destroy the writer's in-progress
+    # state. Writers therefore hold a lease file while their markers are
+    # live; read paths repair only when no live writer holds the lease.
+    @property
+    def _lease_path(self) -> str:
+        return self.path + ".writer-lease"
+
+    def _acquire_lease(self) -> None:
+        parent = os.path.dirname(self.path) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = self._lease_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{os.getpid()} {time.time()}")
+        os.replace(tmp, self._lease_path)
+
+    def _release_lease(self) -> None:
+        try:
+            os.remove(self._lease_path)
+        except FileNotFoundError:
+            pass
+
+    def _writer_alive(self) -> bool:
+        try:
+            with open(self._lease_path) as f:
+                pid_s, ts_s = f.read().split()
+            pid, ts = int(pid_s), float(ts_s)
+        except (FileNotFoundError, ValueError, OSError):
+            return False
+        if time.time() - ts > LEASE_STALE_SECONDS:
+            return False
+        if pid == os.getpid():
+            return True  # our own (threaded) writer; single-writer-per-table
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False  # dead writer: its crash state is ours to repair
+        except PermissionError:
+            return True  # pid exists under another uid — alive
+
+    def _repair_if_safe(self) -> None:
+        """Read-path repair: roll a DEAD writer's crash forward/back, but
+        never touch a live writer's in-flight staging/parked dirs."""
+        if not self._writer_alive():
+            self.repair()
+
     @property
     def exists(self) -> bool:
         # a crash-parked table must count as existing (callers branch to
         # BOOTSTRAP on not-exists, which would discard the restorable state)
-        self.repair()
+        self._repair_if_safe()
         if not os.path.isdir(self.path):
             return False
         for root, _dirs, files in os.walk(self.path):
@@ -96,7 +151,7 @@ class ParquetTable:
 
     def read_raw(self) -> DataFrame:
         """Read including the bucket partition column (for pruned merges)."""
-        self.repair()  # a reader after a crash must see restored buckets
+        self._repair_if_safe()  # a reader after a CRASH sees restored buckets
         if not self.exists:
             # a table whose rows were all deleted still reads as empty with
             # its last known schema (schema sidecar written on every write)
@@ -115,19 +170,26 @@ class ParquetTable:
         import shutil
         import uuid
 
-        self.repair()
-        out = self._with_bucket(df)
-        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
-        w = out.write.mode("overwrite")
-        if self.n_buckets and self.pk_cols:
-            w = w.partitionBy(BUCKET_COL)
-        w.parquet(staging)
-        parked = f"{self.path}.overwrite-old-{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, parked)
-        os.rename(staging, self.path)
-        shutil.rmtree(parked, ignore_errors=True)
-        self._save_schema(out)
+        self._acquire_lease()
+        try:
+            self.repair()
+            out = self._with_bucket(df)
+            staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+            w = out.write.mode("overwrite")
+            if self.n_buckets and self.pk_cols:
+                w = w.partitionBy(BUCKET_COL)
+            w.parquet(staging)
+            parked = f"{self.path}.overwrite-old-{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(self.path):
+                os.rename(self.path, parked)
+            os.rename(staging, self.path)
+            shutil.rmtree(parked, ignore_errors=True)
+            self._save_schema(out)
+        finally:
+            # released on exception too: the writer is alive to retry, and a
+            # reader's repair rolls the aborted attempt back cleanly. Process
+            # DEATH leaves the lease; the pid check then lets readers repair.
+            self._release_lease()
 
     def append(self, df: DataFrame) -> None:
         out = self._with_bucket(df)
@@ -178,6 +240,23 @@ class ParquetTable:
                 if complete:
                     os.rename(os.path.join(parent, complete[0]), self.path)
                     stagings.remove(complete[0])
+                    # staged dirs are raw Spark writes with no schema sidecar,
+                    # and the parked pre-overwrite dir (which holds the old
+                    # one) is about to be dropped — re-derive the sidecar from
+                    # the promoted footers so an all-rows-deleted table keeps
+                    # its empty-read schema fallback. Footer-only read: cheap.
+                    if not os.path.exists(self._schema_path):
+                        try:
+                            promoted = self.spark.read.parquet(self.path)
+                            self._save_schema(promoted)
+                        except Exception:
+                            for n in parked_ovw:  # fallback: pre-crash sidecar
+                                old_sc = os.path.join(
+                                    parent, n, os.path.basename(self._schema_path)
+                                )
+                                if os.path.exists(old_sc):
+                                    shutil.copy(old_sc, self._schema_path)
+                                    break
                 else:
                     os.rename(os.path.join(parent, parked_ovw[0]), self.path)
                     parked_ovw = parked_ovw[1:]
@@ -218,26 +297,30 @@ class ParquetTable:
         import shutil
         import uuid
 
-        self.repair()
-        # df lazily reads the very files being replaced — materialize to a
-        # staging dir first, then swap bucket directories into place.
-        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        self._acquire_lease()
         try:
-            for b in buckets:
-                dst = os.path.join(self.path, f"{BUCKET_COL}={b}")
-                src = os.path.join(staging, f"{BUCKET_COL}={b}")
-                parked = os.path.join(self.path, f".swap-old-{BUCKET_COL}={b}")
-                if os.path.isdir(parked):  # leftover from a completed swap
-                    shutil.rmtree(parked)
-                if os.path.isdir(dst):
-                    os.rename(dst, parked)
-                if os.path.isdir(src):
-                    shutil.move(src, dst)
-                shutil.rmtree(parked, ignore_errors=True)
+            self.repair()
+            # df lazily reads the very files being replaced — materialize to a
+            # staging dir first, then swap bucket directories into place.
+            staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            try:
+                for b in buckets:
+                    dst = os.path.join(self.path, f"{BUCKET_COL}={b}")
+                    src = os.path.join(staging, f"{BUCKET_COL}={b}")
+                    parked = os.path.join(self.path, f".swap-old-{BUCKET_COL}={b}")
+                    if os.path.isdir(parked):  # leftover from a completed swap
+                        shutil.rmtree(parked)
+                    if os.path.isdir(dst):
+                        os.rename(dst, parked)
+                    if os.path.isdir(src):
+                        shutil.move(src, dst)
+                    shutil.rmtree(parked, ignore_errors=True)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            self._save_schema(df)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        self._save_schema(df)
+            self._release_lease()
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         """Partition-pruned read of specific buckets (no file IO outside them)."""

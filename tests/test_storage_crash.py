@@ -135,3 +135,68 @@ def test_resync_crash_window_promotes_fresh_clone(spark, tmp_path):
     os.rename(path, f"{path}.overwrite-old-resync")
     got = sorted((r["id"], r["v"]) for r in t.read().collect())  # repair: promote
     assert got == sorted((i, f"f2_{i}") for i in range(8))
+
+
+def test_reader_skips_repair_while_writer_alive(spark, tmp_path):
+    """A LIVE writer's in-flight markers must survive concurrent reads: read
+    paths repair only when the lease holder is dead (round-3 advice — the
+    unconditional read-path repair could destroy an in-flight swap)."""
+    path = str(tmp_path / "t")
+    t = _mk_table(spark, path, [(i, f"v{i}") for i in range(40)])
+    # simulate another (alive) writer mid-replace: bucket parked, lease held.
+    # Our own pid stands in for the live writer (same liveness check path).
+    bucket_dirs = [d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")]
+    victim = bucket_dirs[0]
+    os.rename(os.path.join(path, victim), os.path.join(path, f".swap-old-{victim}"))
+    staging = f"{path}.staging-inflight"
+    os.makedirs(staging)
+    t._acquire_lease()
+    try:
+        assert t.exists  # read path runs, but ...
+        assert os.path.isdir(os.path.join(path, f".swap-old-{victim}"))  # untouched
+        assert os.path.isdir(staging)  # writer's staging not swept
+    finally:
+        t._release_lease()
+    # writer released (done/dead) → next read repairs as before
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == sorted((i, f"v{i}") for i in range(40))
+    assert not os.path.isdir(staging)
+
+
+def test_stale_lease_does_not_block_repair(spark, tmp_path):
+    """A lease from a DEAD pid (or an ancient timestamp) must not block
+    crash recovery."""
+    path = str(tmp_path / "t")
+    t = _mk_table(spark, path, [(1, "a")])
+    os.rename(path, f"{path}.overwrite-old-sim")
+    # dead-pid lease (fork a child that exits immediately)
+    pid = os.fork()
+    if pid == 0:
+        os._exit(0)
+    os.waitpid(pid, 0)
+    with open(t._lease_path, "w") as f:
+        f.write(f"{pid} {__import__('time').time()}")
+    assert t.exists  # dead writer → repair proceeded, table restored
+    assert os.path.isdir(path)
+
+
+def test_promoted_staging_regains_schema_sidecar(spark, tmp_path):
+    """Roll-forward promotion re-derives the schema sidecar (staging dirs are
+    raw Spark writes without one), so a later delete-all still reads empty
+    with the right schema instead of failing."""
+    path = str(tmp_path / "t")
+    t = _mk_table(spark, path, [(i, f"old{i}") for i in range(8)])
+    new = spark.createDataFrame([(i, f"new{i}") for i in range(8)], "id long, v string")
+    staging = f"{path}.staging-sim"
+    new.withColumn(BUCKET_COL, F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")) \
+       .write.partitionBy(BUCKET_COL).mode("overwrite").parquet(staging)
+    os.rename(path, f"{path}.overwrite-old-sim")
+    t.repair()  # promotes the staging
+    assert os.path.exists(os.path.join(path, "_peerdb_schema.json"))
+    # the empty-table fallback works after a delete-all: keep only the sidecar
+    sidecar = open(t._schema_path).read()
+    shutil.rmtree(path)
+    os.makedirs(path)
+    with open(t._schema_path, "w") as f:
+        f.write(sidecar)
+    assert t.read_raw().count() == 0  # empty read with last-known schema
