@@ -108,16 +108,20 @@ def _uniform_ranges(lo: Any, hi: Any, n: int) -> list[QRepPartition]:
 
     if isinstance(lo, dt.date) and not isinstance(lo, dt.datetime):
         # DATE watermark: day-granularity split (ref range types include Date
-        # via the timestamp path; Spark DATE collects as datetime.date)
+        # via the timestamp path; Spark DATE collects as datetime.date).
+        # Deliberately the SAME formula as the timestamp branch with days in
+        # place of microseconds — step=ceil(span/n), partition i covers
+        # [lo + i*(step+1), +step] — so one closed-form oracle
+        # (idx = delta // (step+1)) covers both watermark types.
         span = (hi - lo).days
         if span <= 0 or n <= 1:
             return [QRepPartition(f"p0_{lo.isoformat()}_{hi.isoformat()}", lo, hi)]
-        step = math.ceil((span + 1) / n)
+        step = math.ceil(span / n)
         out = []
         cur = lo
         i = 0
         while cur <= hi:
-            nxt = min(cur + dt.timedelta(days=step - 1), hi)
+            nxt = min(cur + dt.timedelta(days=step), hi)
             out.append(QRepPartition(f"p{i}_{cur.isoformat()}_{nxt.isoformat()}", cur, nxt))
             cur = nxt + dt.timedelta(days=1)
             i += 1

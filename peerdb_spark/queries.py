@@ -1909,6 +1909,44 @@ GROUP BY 1
 """
 
 
+def q_qrep_date_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-typed-watermark branch of the min/max uniform partitioner (ref:
+    flow/connectors/utils/partition.go:246-320 — the Date range type). Casts
+    the orders watermark to DATE so _uniform_ranges' day-granularity branch is
+    the one exercised; its step math mirrors the microsecond formula
+    (step=ceil(span/n), idx=delta_days // (step+1)) so the oracle below is the
+    same closed form as the timestamp oracle with days for microseconds."""
+    from peerdb_spark.partition import minmax_partitions
+
+    (od,) = _t(spark, sf_dir, "orders")
+    od2 = od.select(F.col("o_orderdate").cast("date").alias("wm"))
+    parts = minmax_partitions(od2, "wm", rows_per_partition=2000)
+    tag = F.lit(None).cast("int")
+    for idx, p in enumerate(parts):
+        tag = F.when(p.predicate("wm"), F.lit(idx)).otherwise(tag)
+    return od2.groupBy(tag.alias("part_idx")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_QREP_DATE_PARTITION = """
+WITH o2 AS (
+  SELECT CAST(o_orderdate AS DATE) AS wm FROM orders
+), s AS (
+  SELECT count(*) AS n, min(wm) AS lo, max(wm) AS hi FROM o2
+), q AS (
+  SELECT lo,
+         CAST(ceil((hi - lo) / (1.0 * CAST(ceil(n / 2000.0) AS BIGINT)))
+              AS BIGINT) AS step
+  FROM s
+)
+SELECT CAST((wm - lo) // (step + 1) AS INT) AS part_idx,
+       count(*) AS n_rows
+FROM o2, q
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: document fingerprint dedup groups
 # ---------------------------------------------------------------------------
@@ -2201,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "vocab_topk": q_vocab_topk,
     "qrep_null_partition": q_qrep_null_partition,
+    "qrep_date_partition": q_qrep_date_partition,
     "fingerprint_dups": q_fingerprint_dups,
     "media_stats": q_media_stats,
     "media_frame_plan": q_media_frame_plan,
@@ -2251,6 +2290,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
+    "qrep_date_partition": SQL_QREP_DATE_PARTITION,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,
     "media_stats": SQL_MEDIA_STATS,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
