@@ -223,6 +223,45 @@ class Catalog:
     def batch_metrics(self, mirror: str) -> list[dict]:
         return self._read(f"state/{mirror}/batch_metrics.json", [])
 
+    # ---- alerting / lag monitoring ----
+    # Ref: flow/alerting/alerting.go:293-340 (alerts persist in the catalog,
+    # peerdb_stats.alerts_v1) and flow/connectors/utils/monitoring/
+    # monitoring.go AppendSlotSizeInfo (peerdb_stats.peer_slot_size gauges).
+    def record_alert(
+        self, mirror: str, alert_key: str, message: str, rule_id: str, ts: float
+    ) -> None:
+        rows = self._read(f"state/{mirror}/alerts.json", [])
+        rows.append(
+            {"alert_key": alert_key, "message": message, "rule_id": rule_id, "ts": ts}
+        )
+        self._write(f"state/{mirror}/alerts.json", rows)
+
+    def alerts(self, mirror: str) -> list[dict]:
+        return self._read(f"state/{mirror}/alerts.json", [])
+
+    def last_alert_ts(self, mirror: str, alert_key: str, rule_id: str) -> float | None:
+        ts = [
+            a["ts"]
+            for a in self.alerts(mirror)
+            if a["alert_key"] == alert_key and a["rule_id"] == rule_id
+        ]
+        return max(ts) if ts else None
+
+    def record_slot_metrics(self, mirror: str, slot: dict, ts: float) -> None:
+        rows = self._read(f"state/{mirror}/slot_metrics.json", [])
+        rows.append({**slot, "ts": ts})
+        self._write(f"state/{mirror}/slot_metrics.json", rows)
+
+    def slot_metrics(self, mirror: str) -> list[dict]:
+        return self._read(f"state/{mirror}/slot_metrics.json", [])
+
+    def set_last_normalize_ts(self, mirror: str, ts: float) -> None:
+        self._write(f"state/{mirror}/last_normalize.json", {"ts": ts})
+
+    def get_last_normalize_ts(self, mirror: str) -> float | None:
+        d = self._read(f"state/{mirror}/last_normalize.json")
+        return None if d is None else float(d["ts"])
+
     def set_batch_id(self, mirror: str, batch_id: int) -> None:
         self._write(f"state/{mirror}/batch.json", {"batch_id": batch_id})
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -386,6 +387,9 @@ class SqlSurface:
                 self.catalog.record_batch_metrics(
                     mirror_name, bid, s["n"], s["lo"], s["hi"]
                 )
+                # normalize-staleness gauge for AlertIfTooLongSinceLastNormalize
+                # (ref: flow/alerting/alerting.go:243-283)
+                self.catalog.set_last_normalize_ts(mirror_name, time.time())
             self.catalog.set_batch_id(mirror_name, base + len(nums))
             # watermark = max end of the batches actually pulled (never a
             # live re-scan — same rule as qrep.run, see ADVICE round 1)
