@@ -20,7 +20,9 @@ contract DataFrame and write_kafka() gates on the connector's availability.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +30,13 @@ from pyspark.sql import functions as F
 from peerdb_spark import normalize as N
 
 KAFKA_CONTRACT_COLS = ["key", "value", "topic", "partition"]
+
+# headers column shape consumed by the kafka source/sink connector
+KAFKA_HEADERS_DDL = "array<struct<key:string,value:binary>>"
+
+# env flag: the ONLY thing standing between the built writer and a live
+# broker delivery (the kafka-sql connector jar is not bundled here)
+KAFKA_ENABLED_ENV = "PEERDB_SPARK_KAFKA_ENABLED"
 
 
 def default_key(pk_cols: list[str]) -> Column:
@@ -43,6 +52,7 @@ def emit_kafka_rows(
     value: Column | None = None,
     num_partitions: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    headers: Column | None = None,
 ) -> DataFrame:
     """Project a changelog batch into Kafka writer contract rows.
 
@@ -54,6 +64,9 @@ def emit_kafka_rows(
       assign.
     - transform: the script hook; runs BEFORE projection so it can rewrite
       fields, add columns, or drop rows (return fewer rows).
+    - headers: per-record kafka headers as an `array<struct<key,value>>`
+      Column (the reference's Lua scripts can attach headers per record —
+      flow/connectors/kafka/kafka.go record construction).
     """
     df = transform(changes) if transform else changes
     meta = [c for c in N.META_COLS if c in df.columns]
@@ -65,11 +78,15 @@ def emit_kafka_rows(
         t = F.col(N.COL_DST) if N.COL_DST in df.columns else F.lit("events")
     else:
         t = F.lit(topic) if isinstance(topic, str) else topic
-    out = df.select(
+    proj = [
         k.cast("binary").alias("key"),
         payload.cast("binary").alias("value"),
         t.alias("topic"),
-    )
+    ]
+    if headers is not None:
+        # projected in the SAME select: the Column refers to df's columns
+        proj.append(headers.cast(KAFKA_HEADERS_DDL).alias("headers"))
+    out = df.select(*proj)
     if num_partitions:
         out = out.withColumn(
             "partition",
@@ -80,20 +97,81 @@ def emit_kafka_rows(
     return out
 
 
-def write_kafka(batch: DataFrame, bootstrap_servers: str) -> None:
-    """Write contract rows to Kafka — gated: the kafka-sql connector jar is
-    not bundled in this environment."""
-    try:
-        (
-            batch.write.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .save()
+@dataclass
+class KafkaWriteSpec:
+    """Fully-built Kafka write invocation, inspectable without a broker.
+
+    Everything up to the final `.save()` — contract validation, writer
+    format, every option — is constructed and unit-testable; only the save
+    itself needs the connector jar + a live broker, gated behind
+    PEERDB_SPARK_KAFKA_ENABLED=1 (the round-3 advice: shrink the untested
+    surface to exactly one line)."""
+
+    df: DataFrame
+    options: dict[str, str] = field(default_factory=dict)
+
+    def writer(self):
+        w = self.df.write.format("kafka")
+        for k, v in self.options.items():
+            w = w.option(k, v)
+        return w
+
+    def save(self) -> None:
+        if os.environ.get(KAFKA_ENABLED_ENV) != "1":
+            raise NotImplementedError(
+                f"set {KAFKA_ENABLED_ENV}=1 with the kafka-sql connector on "
+                "the classpath to deliver; the writer invocation is fully "
+                "built (see .options / .writer())"
+            )
+        self.writer().save()  # pragma: no cover - no broker in test env
+
+
+def kafka_write_spec(
+    batch: DataFrame,
+    bootstrap_servers: str,
+    default_topic: str | None = None,
+    producer_options: dict[str, str] | None = None,
+) -> KafkaWriteSpec:
+    """Validate the row contract and assemble the complete writer config.
+
+    Mirrors the reference's producer setup (flow/connectors/kafka/
+    kafka.go:295-420: bootstrap, per-record topic/key/value/headers,
+    pass-through client options e.g. sasl/compression). Raises on a batch
+    that does not satisfy the connector's input contract, so misrouted
+    schemas fail at build time, not delivery time."""
+    fields = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
+    if "value" not in fields:
+        raise ValueError("kafka batch must have a 'value' column")
+    for c in ("key", "value"):
+        if c in fields and fields[c] not in ("binary", "string"):
+            raise ValueError(f"kafka '{c}' must be binary/string, got {fields[c]}")
+    if "topic" not in fields and default_topic is None:
+        raise ValueError("no 'topic' column and no default_topic option")
+    if "topic" in fields and fields["topic"] != "string":
+        raise ValueError(f"kafka 'topic' must be string, got {fields['topic']}")
+    if "headers" in fields and not fields["headers"].startswith("array<struct"):
+        raise ValueError(
+            f"kafka 'headers' must be {KAFKA_HEADERS_DDL}, got {fields['headers']}"
         )
-    except Exception as e:  # pragma: no cover - no broker in test env
-        raise NotImplementedError(
-            "kafka connector not available in this environment; "
-            "emit_kafka_rows() produces the exact writer contract"
-        ) from e
+    opts = {"kafka.bootstrap.servers": bootstrap_servers}
+    if default_topic is not None:
+        opts["topic"] = default_topic
+    if "headers" in fields:
+        opts["includeHeaders"] = "true"
+    for k, v in (producer_options or {}).items():
+        # producer client options are namespaced kafka.* by the connector
+        opts[k if k.startswith("kafka.") else f"kafka.{k}"] = v
+    return KafkaWriteSpec(batch, opts)
+
+
+def write_kafka(
+    batch: DataFrame,
+    bootstrap_servers: str,
+    default_topic: str | None = None,
+    producer_options: dict[str, str] | None = None,
+) -> None:
+    """Build + deliver (delivery env-gated; see KafkaWriteSpec.save)."""
+    kafka_write_spec(batch, bootstrap_servers, default_topic, producer_options).save()
 
 
 def elasticsearch_actions(

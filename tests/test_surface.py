@@ -276,6 +276,45 @@ def test_emit_kafka_transform_hook(spark):
     assert json.loads(bytes(out[0]["value"]).decode())["v"] == "A"
 
 
+def test_kafka_write_spec_full_config(spark):
+    """The writer invocation is fully built without a broker: bootstrap,
+    default topic, includeHeaders, namespaced producer options — only the
+    final .save() is env-gated (round-3 advice item 6)."""
+    import pytest
+
+    from peerdb_spark.sinks import kafka_write_spec
+
+    out = emit_kafka_rows(
+        _chg(spark), ["id"], num_partitions=8,
+        headers=F.array(F.struct(F.lit("src").alias("key"),
+                                 F.col("_src_table").cast("binary").alias("value"))),
+    )
+    assert out.columns == ["key", "value", "topic", "headers", "partition"]
+    spec = kafka_write_spec(
+        out, "broker1:9092,broker2:9092", default_topic="fallback",
+        producer_options={"compression.type": "zstd", "kafka.sasl.mechanism": "PLAIN"},
+    )
+    assert spec.options == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "topic": "fallback",
+        "includeHeaders": "true",
+        "kafka.compression.type": "zstd",
+        "kafka.sasl.mechanism": "PLAIN",
+    }
+    spec.writer()  # DataFrameWriter constructs cleanly
+    with pytest.raises(NotImplementedError):  # delivery gated by env flag
+        spec.save()
+    # contract violations fail at build time
+    with pytest.raises(ValueError, match="value"):
+        kafka_write_spec(_chg(spark).select(F.col("id").alias("key")), "b:9092")
+    with pytest.raises(ValueError, match="topic"):
+        kafka_write_spec(out.drop("topic"), "b:9092")
+    with pytest.raises(ValueError, match="binary/string"):
+        kafka_write_spec(
+            out.withColumn("value", F.lit(1)), "b:9092", default_topic="t"
+        )
+
+
 def test_elasticsearch_actions(spark):
     out = {r["_id"]: r.asDict() for r in elasticsearch_actions(_chg(spark), ["id"], "idx").collect()}
     assert out["1"]["_op"] == "index" and json.loads(out["1"]["_source"])["v"] == "a"
