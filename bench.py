@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _bench_cdc_pipeline(spark, sf_dir: str) -> float:
+def _bench_cdc_pipeline(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
     """Full CDC engine pass: lineitem-derived changelog (every row is a change
     event) → JSON raw staging → bucketed LWW merge. This is the number
     comparable to the reference's sustained-CDC-throughput claim: total
@@ -72,10 +72,16 @@ def _bench_cdc_pipeline(spark, sf_dir: str) -> float:
             f"{wd}/raw",
             [cdc.CdcTableConfig("lineitem", ["pk"], schema, f"{wd}/dst", n_buckets=16)],
         )
+        # per-stage split (the reference reports sync and normalize as
+        # separate activities — flow/activities/flowable.go SyncFlow /
+        # StartNormalize — so regressions localize to a stage)
         t0 = time.time()
         pipe.sync_batch(feed_src, 1)
+        t1 = time.time()
         pipe.normalize_batches(1, 1)
-        return round(time.time() - t0, 3)
+        t2 = time.time()
+        stages = {"sync": round(t1 - t0, 3), "normalize": round(t2 - t1, 3)}
+        return round(t2 - t0, 3), stages
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
@@ -132,10 +138,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    stages: dict[str, dict[str, float]] = {}
     # the flagship pipeline number runs first, on a fresh JVM heap — running
     # it after 19 query DAGs adds up to 2x GC noise to the measurement
     try:
-        timings["cdc_pipeline_e2e"] = _bench_cdc_pipeline(spark, sf_dir)
+        timings["cdc_pipeline_e2e"], stages["cdc_pipeline_e2e"] = _bench_cdc_pipeline(
+            spark, sf_dir
+        )
     except Exception as e:  # noqa: BLE001 — one broken query must not zero the bench
         errors["cdc_pipeline_e2e"] = f"{type(e).__name__}: {e}"[:300]
     import gc
@@ -164,6 +173,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if stages:
+        out["stages"] = stages
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
