@@ -160,3 +160,116 @@ def test_decode_pgoutput_spark_and_pipeline(spark, tmp_path):
     assert state["1"]["v"] == "ONE"
     # TOAST backfill: unchanged blob keeps the pre-update value
     assert state["1"]["blob"] == "01ff"
+
+
+# ---------------------------------------------------------------------------
+# Property test: random WAL sequences round-trip through the decoder
+# ---------------------------------------------------------------------------
+
+def test_decoder_property_random_wal_sequences():
+    """Hypothesis: arbitrary I/U/D sequences with random null / TOAST-'u' /
+    text / binary column values and optional old-tuple images decode to
+    changelog rows satisfying the invariants (same approach as the MySQL
+    NEWDECIMAL property tests): one row per change, WAL order preserved,
+    txn stamps from the enclosing Begin, row-image JSON matching an
+    independently-computed expectation, 'u' columns absent from _data and
+    listed in _unchanged_cols in relation column order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # a column value on the wire: NULL | unchanged-TOAST | utf-8 text | bytes
+    val = st.one_of(
+        st.none(),
+        st.just(("u",)),
+        st.text(max_size=8),
+        st.binary(min_size=1, max_size=6),
+    )
+
+    def change(ncols):
+        new_vals = st.lists(val, min_size=ncols, max_size=ncols)
+        # old images never carry 'u' (they are full replica-identity images)
+        old_val = st.one_of(st.none(), st.text(max_size=8), st.binary(min_size=1, max_size=6))
+        old_vals = st.lists(old_val, min_size=ncols, max_size=ncols)
+        return st.one_of(
+            st.tuples(st.just("insert"), new_vals, st.none()),
+            st.tuples(st.just("update"), new_vals, st.one_of(st.none(), old_vals)),
+            st.tuples(st.just("delete"), old_vals, st.none()),
+        )
+
+    @st.composite
+    def wal(draw):
+        ncols = draw(st.integers(min_value=1, max_value=4))
+        txns = draw(
+            st.lists(
+                st.lists(change(ncols), min_size=1, max_size=4),
+                min_size=1,
+                max_size=3,
+            )
+        )
+        return ncols, txns
+
+    def expect_json(vals, cols):
+        d = {}
+        for v, c in zip(vals, cols):
+            if v == ("u",):
+                continue
+            d[c] = v.hex() if isinstance(v, bytes) else v
+        return d
+
+    @given(wal())
+    @settings(max_examples=60, deadline=None)
+    def run(case):
+        ncols, txns = case
+        cols = [f"c{i}" for i in range(ncols)]
+        msgs = [(1, enc_relation(42, "s", "t", cols, key_cols=(cols[0],)))]
+        lsn = 2
+        expected = []
+        for ti, changes in enumerate(txns):
+            xid = 100 + ti
+            ts = TS1 + dt.timedelta(seconds=ti)
+            msgs.append((lsn, enc_begin(xid, ts)))
+            lsn += 1
+            for kind, vals, old in changes:
+                # deletes must not carry 'u' markers (full old image)
+                if kind == "delete":
+                    vals = [None if v == ("u",) else v for v in vals]
+                if kind == "insert":
+                    msgs.append((lsn, enc_insert(42, vals)))
+                elif kind == "update":
+                    msgs.append((lsn, enc_update(42, vals, old_vals=old)))
+                else:
+                    msgs.append((lsn, enc_delete(42, vals, old_kind=b"O")))
+                expected.append(
+                    {
+                        "kind": kind,
+                        "lsn": lsn,
+                        "xid": xid,
+                        "ts": ts,
+                        "data": None if kind == "delete" else expect_json(vals, cols),
+                        "old": expect_json(vals, cols)
+                        if kind == "delete"
+                        else (expect_json(old, cols) if old is not None else None),
+                        "unchanged": None
+                        if kind == "delete"
+                        else [c for v, c in zip(vals, cols) if v == ("u",)],
+                    }
+                )
+                lsn += 1
+            msgs.append((lsn, enc_commit(ts)))
+            lsn += 1
+
+        rows = PgOutputDecoder().decode_all(msgs)
+        assert len(rows) == len(expected)
+        for r, e in zip(rows, expected):
+            assert r["_kind"] == e["kind"]
+            assert r["_checkpoint_id"] == e["lsn"]
+            assert r["_txid"] == e["xid"]
+            assert r["_commit_ts"] == e["ts"]
+            assert r["_src_table"] == "s.t"
+            got_data = None if r["_data"] is None else json.loads(r["_data"])
+            assert got_data == e["data"]
+            got_old = None if r["_old_data"] is None else json.loads(r["_old_data"])
+            assert got_old == e["old"]
+            assert r["_unchanged_cols"] == e["unchanged"]
+
+    run()
