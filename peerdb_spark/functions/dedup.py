@@ -543,3 +543,90 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: near-dup pairs → dedup groups
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm):
+
+    - large-star: every node attaches its STRICTLY LARGER neighbors to the
+      minimum of its neighborhood (incl. itself);
+    - small-star: every edge points big→small; each node attaches its
+      smaller neighbors (and itself) to its minimum neighbor.
+
+    Both operations preserve connectivity and strictly shrink star height;
+    the alternation converges in O(log^2 n) rounds (in practice a handful —
+    near-dup components are shallow). Each round is two hash aggregations +
+    two equi-joins over the CURRENT edge list — no global sort, no driver
+    data, so billion-edge dedup graphs partition freely. Per-round results
+    are localCheckpointed to truncate lineage (at 100 TB use a parquet
+    round-trip instead — executor loss kills localCheckpoint blocks).
+
+    This is the group-forming stage the reference lacks entirely (its dedup
+    is row-identity only); pairs from minhash_lsh_pairs/simhash_pairs feed
+    it to produce document dedup GROUPS (keep one per component).
+
+    Returns (node, rep): rep = min node id of the component. Every node that
+    appears in an edge is assigned; isolated docs never enter the edge list
+    (callers treat absent = singleton).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        bi = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        return (
+            bi.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        d = (
+            cur.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def _checksum(cur: DataFrame):
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    cur = e.localCheckpoint(eager=True)
+    prev = _checksum(cur)
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        ck = _checksum(cur)
+        if ck == prev:  # fixpoint: every edge is (node → component min)
+            break
+        prev = ck
+    assign = cur.select(F.col("u").alias("node"), F.col("v").alias("rep"))
+    roots = assign.select(F.col("rep").alias("node"), F.col("rep")).distinct()
+    return assign.unionByName(roots).distinct()

@@ -1080,6 +1080,47 @@ WHERE id_a % 10 = 0 OR id_b % 10 = 0
 """
 
 
+def q_dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUPS from near-dup pairs: MinHash-LSH candidate pairs →
+    distributed connected components (alternating large-star/small-star,
+    functions/dedup.py:connected_components) → one row per component with
+    its keeper (min doc_id) and member stats. This is the stage that turns
+    pairwise similarity into an actionable keep/drop list — transitive: A~B,
+    B~C groups {A,B,C} even when A~C was never a candidate pair. The oracle
+    states the same fixpoint as a recursive transitive closure (fine at
+    oracle scale; the Spark path is the O(log n)-round scale algorithm)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "text", "doc_id")
+    cc = DD.connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy(F.col("rep").alias("keep_doc_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+        F.sum("node").alias("sum_doc_ids"),
+    )
+
+
+SQL_DEDUP_CC_GROUPS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_MINHASH_LSH_PAIRS})
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a)
+SELECT rep AS keep_doc_id, count(*) AS n_docs,
+       max(node) AS max_doc_id, CAST(sum(node) AS BIGINT) AS sum_doc_ids
+FROM comp GROUP BY rep
+"""
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
@@ -2226,6 +2267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_cc_groups": q_dedup_cc_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_features": q_text_features,
     "text_lang_stats": q_text_lang_stats,
@@ -2277,6 +2319,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental_lsh": SQL_DEDUP_INCREMENTAL_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_cc_groups": SQL_DEDUP_CC_GROUPS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "text_features": SQL_TEXT_FEATURES,
     "text_lang_stats": SQL_TEXT_LANG_STATS,

@@ -160,3 +160,64 @@ def test_skew_guard_drops_oversized_buckets(spark):
     assert D.simhash_pairs(docs, "text", "doc_id", max_bucket_size=5).count() == 0
     assert D.minhash_lsh_pairs(docs, "text", "doc_id").count() == 12 * 11 // 2
     assert D.minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_size=5).count() == 0
+
+
+def test_connected_components_random_graphs(spark):
+    """Alternating-star CC vs a brute-force union-find on random graphs."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(0, 1)]
+        # brute force union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {x for e in edges for x in e}
+        expected = {}
+        for x in in_graph:
+            expected[x] = find(x)
+        # expected rep must be the component MIN: path compression above can
+        # leave a non-min root only if union order broke it — normalize
+        comp_min = {}
+        for x in in_graph:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected = {x: comp_min[find(x)] for x in in_graph}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rep"]
+            for r in D.connected_components(df, "src", "dst").collect()
+        }
+        assert got == expected, f"trial {trial}: {sorted(got.items())[:10]}"
+
+
+def test_connected_components_chain_and_star(spark):
+    """A long chain (worst case for naive propagation) and a star."""
+    chain = [(i, i + 1) for i in range(50)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {r["node"]: r["rep"] for r in D.connected_components(df, "src", "dst").collect()}
+    assert got == {i: 0 for i in range(51)}
+    star = [(100, 100 + i) for i in range(1, 10)]
+    got2 = {
+        r["node"]: r["rep"]
+        for r in D.connected_components(
+            spark.createDataFrame(star, "src long, dst long"), "src", "dst"
+        ).collect()
+    }
+    assert got2 == {100 + i: 100 for i in range(10)}
