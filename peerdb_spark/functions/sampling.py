@@ -1,0 +1,79 @@
+"""Training-data assembly operators: sequence packing and stratified sampling.
+
+These extend the engine beyond the reference's replication surface into the
+LLM-pipeline territory the engine targets (SURVEY §2's "beyond the
+reference" set): once a corpus is cleaned/deduped, it is packed into
+fixed-size context windows and sampled into language/domain mixes.
+
+Scale design:
+- pack_plan: concat-then-chunk packing (the standard pretraining packing:
+  documents concatenated in a deterministic order, split at every `window`
+  tokens). A GLOBAL running sum would serialize on one partition, so docs
+  are first assigned to `n_shards` deterministic shards (id % n_shards) and
+  packing runs per shard — the window function's partition key — which is
+  exactly how multi-worker packing runs in production (each data-loader
+  worker packs its own shard). All expressions are JVM built-ins.
+- stratified_sample: per-stratum top-k by a deterministic 60-bit hash
+  (functions/hashing.py) — a reproducible uniform sample without any RNG
+  state, rerunnable on any cluster layout with identical output. The window
+  sort is per-stratum, not global; with heavy strata the rank is bounded by
+  quota so AQE's skew handling applies before the filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.hashing import h64
+from peerdb_spark.functions.text import token_count
+
+
+def pack_plan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    n_shards: int = 8,
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Assign every document a (shard, pack_id, pack_offset) placement.
+
+    pack_id = which context window the document STARTS in; pack_offset =
+    token offset within that window (documents crossing a boundary spill
+    into the next window — chunking, not first-fit, so placement is a pure
+    prefix-sum, parallel per shard). Returns the input plus (n_tokens,
+    shard, pack_id, pack_offset)."""
+    toks = tokens_col if tokens_col is not None else token_count(F.col(text_col))
+    out = df.withColumn("n_tokens", toks.cast("long")).withColumn(
+        "shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return out.withColumn("pack_id", F.floor(cum_before / F.lit(window))).withColumn(
+        "pack_offset", F.pmod(cum_before, F.lit(window)).cast("long")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quota: int,
+    seed: str = "samp",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the `quota` rows with the smallest
+    seeded hash of the id win. Equivalent to a uniform random sample per
+    stratum but fully reproducible (same seed → same rows on any engine —
+    the DuckDB oracle replays it bit-for-bit)."""
+    key = h64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )

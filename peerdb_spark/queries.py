@@ -2235,6 +2235,74 @@ SQL_EVENTS_SESSION_NATIVE = SQL_EVENTS_SESSIONIZE
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline: sequence packing + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (functions/sampling.py:pack_plan): documents
+    concatenated per deterministic shard and chunked every 512 tokens —
+    per-pack summary. The prefix sum runs per shard (the window PARTITION
+    key), never globally, so packing parallelizes like production
+    multi-worker data loaders."""
+    from peerdb_spark.functions import sampling as S
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = S.pack_plan(docs, "text", "doc_id", window=512, n_shards=8)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST({_tokens_sql("text")} AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM tok
+)
+SELECT shard, CAST(cum_before // 512 AS BIGINT) AS pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (training-mix construction):
+    the 25 docs per language with the smallest seeded 60-bit hash win —
+    reproducible on any engine/cluster layout, no RNG state."""
+    from peerdb_spark.functions import sampling as S
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return S.stratified_sample(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "doc_id", quota=25
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {h64_sql("concat('samp:', CAST(doc_id AS VARCHAR))")}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rk <= 25
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2268,6 +2336,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_cc_groups": q_dedup_cc_groups,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_features": q_text_features,
     "text_lang_stats": q_text_lang_stats,
@@ -2320,6 +2390,8 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_cc_groups": SQL_DEDUP_CC_GROUPS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "text_features": SQL_TEXT_FEATURES,
     "text_lang_stats": SQL_TEXT_LANG_STATS,

@@ -61,3 +61,43 @@ def test_featurizer_runs_on_documents(spark, tables):
     out = TX.add_text_features(tables["documents"])
     row = out.limit(1).collect()[0]
     assert row["n_tokens"] > 0 and row["fingerprint"] is not None
+
+
+def test_pack_plan_chunking(spark):
+    """Packing is a per-shard prefix sum: offsets chain, boundaries chunk."""
+    from peerdb_spark.functions.sampling import pack_plan
+
+    rows = [(i, "w " * (10 * (i % 3 + 1))) for i in range(12)]  # 10/20/30 toks
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_plan(df, "text", "doc_id", window=25, n_shards=2)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # shard 0: docs 0,2,4,... with token counts 10,30,20,10,30,20
+    assert got[0]["shard"] == 0 and got[0]["pack_id"] == 0 and got[0]["pack_offset"] == 0
+    assert got[2]["pack_id"] == 0 and got[2]["pack_offset"] == 10  # 10 before
+    assert got[4]["pack_id"] == 1 and got[4]["pack_offset"] == 15  # 40 before
+    # shard 1: docs 1,3,5,... with counts 20,10,30,...
+    assert got[1]["shard"] == 1 and got[1]["pack_id"] == 0
+    assert got[3]["pack_id"] == 0 and got[3]["pack_offset"] == 20
+    assert got[5]["pack_id"] == 1 and got[5]["pack_offset"] == 5  # 30 before
+    # every doc placed exactly once, token counts right
+    assert all(got[i]["n_tokens"] == 10 * (i % 3 + 1) for i in range(12))
+
+
+def test_stratified_sample_deterministic_quota(spark):
+    from peerdb_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = sorted((r["lang"], r["doc_id"]) for r in
+                stratified_sample(df, "lang", "doc_id", quota=5).collect())
+    s2 = sorted((r["lang"], r["doc_id"]) for r in
+                stratified_sample(df, "lang", "doc_id", quota=5).collect())
+    assert s1 == s2  # reproducible
+    from collections import Counter
+
+    counts = Counter(lang for lang, _ in s1)
+    assert counts == {"en": 5, "fr": 5}
+    # different seed → different (with overwhelming probability) selection
+    s3 = sorted((r["lang"], r["doc_id"]) for r in
+                stratified_sample(df, "lang", "doc_id", quota=5, seed="other").collect())
+    assert s3 != s1
