@@ -191,6 +191,74 @@ def elasticsearch_actions(
     )
 
 
+def elasticsearch_bulk_payloads(
+    actions: DataFrame, max_batch_bytes: int = 5_000_000
+) -> DataFrame:
+    """Bulk-API request bodies from action rows: NDJSON lines exactly as the
+    _bulk endpoint consumes them (action-metadata line, then the source doc
+    for index actions). One row per action: (_index, _id, lines, n_bytes) —
+    a downstream partition-level fold groups lines into <= max_batch_bytes
+    POST bodies, mirroring the reference's esutil.BulkIndexer flush sizing
+    (elasticsearch.go:219-227 uses the client's default 5MB flush).
+
+    Only the HTTP POST itself is environment-gated (no live ES here); the
+    payload construction — the part with correctness content — is JVM
+    expressions end-to-end."""
+    action_meta = F.struct(
+        F.col("_index").alias("_index"), F.col("_id").alias("_id")
+    )
+    # to_json handles quoting/escaping of ids — no hand-built JSON
+    idx_meta = F.to_json(F.struct(action_meta.alias("index")))
+    del_meta = F.to_json(F.struct(action_meta.alias("delete")))
+    lines = F.when(
+        F.col("_op") == "delete", del_meta
+    ).otherwise(F.concat(idx_meta, F.lit("\n"), F.col("_source")))
+    out = actions.select(
+        "_index", "_id", lines.alias("lines"),
+    ).withColumn("n_bytes", F.octet_length("lines") + F.lit(1))  # + newline
+    return out
+
+
+def write_elasticsearch(
+    actions: DataFrame, es_url: str, max_batch_bytes: int = 5_000_000
+) -> None:
+    """Deliver bulk payloads — per-partition POSTs, env-gated like Kafka."""
+    payloads = elasticsearch_bulk_payloads(actions, max_batch_bytes)
+    if os.environ.get("PEERDB_SPARK_ES_ENABLED") != "1":
+        raise NotImplementedError(
+            "set PEERDB_SPARK_ES_ENABLED=1 with a reachable cluster to "
+            "deliver; elasticsearch_bulk_payloads() builds the exact _bulk "
+            "NDJSON bodies"
+        )
+
+    def _post(rows):  # pragma: no cover - no live ES in test env
+        import urllib.request
+
+        buf, size = [], 0
+        for r in rows:
+            buf.append(r["lines"])
+            size += r["n_bytes"]
+            if size >= max_batch_bytes:
+                body = ("\n".join(buf) + "\n").encode()
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"{es_url}/_bulk", data=body,
+                        headers={"Content-Type": "application/x-ndjson"},
+                    )
+                )
+                buf, size = [], 0
+        if buf:
+            body = ("\n".join(buf) + "\n").encode()
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{es_url}/_bulk", data=body,
+                    headers={"Content-Type": "application/x-ndjson"},
+                )
+            )
+
+    payloads.foreachPartition(_post)  # pragma: no cover
+
+
 def write_object_sink(
     df: DataFrame,
     path: str,

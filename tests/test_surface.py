@@ -321,6 +321,26 @@ def test_elasticsearch_actions(spark):
     assert out["2"]["_op"] == "delete" and out["2"]["_source"] is None
 
 
+def test_elasticsearch_bulk_payloads(spark):
+    """NDJSON _bulk bodies: index actions carry meta+source lines, deletes
+    only meta; ids JSON-escaped via to_json; delivery env-gated."""
+    import pytest
+
+    from peerdb_spark.sinks import elasticsearch_bulk_payloads, write_elasticsearch
+
+    acts = elasticsearch_actions(_chg(spark), ["id"], "idx")
+    rows = {r["_id"]: r.asDict() for r in elasticsearch_bulk_payloads(acts).collect()}
+    idx_lines = rows["1"]["lines"].split("\n")
+    assert json.loads(idx_lines[0]) == {"index": {"_index": "idx", "_id": "1"}}
+    assert json.loads(idx_lines[1])["v"] == "a"
+    assert rows["2"]["lines"] == json.dumps(
+        {"delete": {"_index": "idx", "_id": "2"}}, separators=(",", ":")
+    )
+    assert rows["1"]["n_bytes"] == len(rows["1"]["lines"]) + 1
+    with pytest.raises(NotImplementedError):
+        write_elasticsearch(acts, "http://localhost:9200")
+
+
 def test_execute_mirror_runs_cdc(surface, spark, tmp_path):
     """EXECUTE MIRROR on a CDC mirror: checkpoint-incremental sync+normalize
     passes driven entirely through the SQL surface."""
