@@ -115,7 +115,10 @@ def main() -> None:
         "dedup_simhash",
         "dedup_simhash_pairs",
         "dedup_ngram_jaccard",
+        "dedup_cc_groups",
         "corpus_clean",
+        "pack_sequences",
+        "stratified_sample",
         "text_features",
         "fingerprint_dups",
         "media_features",

@@ -84,6 +84,22 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("bucket equi-join, no all-pairs", r"BroadcastNestedLoopJoin", False),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("dedup_cc_groups", [
+        # the iterative star rounds run before this plan (localCheckpointed);
+        # the declared plan is the group agg over the converged assignment
+        ("component group-by is a hash agg", r"HashAggregate", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("pack_sequences", [
+        ("per-shard window (no global sort)", r"Window", True),
+        ("no single-partition exchange", r"Exchange SinglePartition", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("stratified_sample", [
+        ("per-stratum rank + filter", r"Window", True),
+        ("no single-partition exchange", r"Exchange SinglePartition", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
