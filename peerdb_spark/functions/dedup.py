@@ -619,10 +619,13 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    cur = e.localCheckpoint(eager=True)
+    # lazy checkpoint + immediate checksum action: the checksum materializes
+    # the checkpoint in the SAME job (eager=True would spend a second job per
+    # round — round count is the scale cost here, keep each round one job)
+    cur = e.localCheckpoint(eager=False)
     prev = _checksum(cur)
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         ck = _checksum(cur)
         if ck == prev:  # fixpoint: every edge is (node → component min)
             break
