@@ -42,6 +42,9 @@ _CREATE_MIRROR_QREP = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MIRROR = re.compile(r"^\s*DROP\s+MIRROR\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.IGNORECASE)
+_RESYNC_MIRROR = re.compile(
+    r"^\s*RESYNC\s+MIRROR\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
+)
 _MIRROR_SIGNAL = re.compile(
     r"^\s*(PAUSE|RESUME|EXECUTE)\s+MIRROR\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
@@ -182,6 +185,7 @@ class SqlSurface:
             (_CREATE_MIRROR_QREP, self._create_mirror_qrep),
             (_CREATE_MIRROR_CDC, self._create_mirror_cdc),
             (_DROP_MIRROR, self._drop_mirror),
+            (_RESYNC_MIRROR, self._resync_mirror),
             (_MIRROR_SIGNAL, self._mirror_signal),
             (_DECLARE_CURSOR, self._declare_cursor),
             (_FETCH, self._fetch),
@@ -254,6 +258,19 @@ class SqlSurface:
         self.catalog.drop_mirror(name)
         self.mirror_state.pop(name, None)
         return {"ok": True}
+
+    def _resync_mirror(self, m) -> dict:
+        """RESYNC MIRROR <name> (ref: nexus/analyzer/src/lib.rs:485-490
+        ResyncMirror → the reference drops and recreates the mirror with
+        resync=true): arm the resync flag and clear the initial-copy marker
+        so the NEXT EXECUTE re-clones every destination through the atomic
+        staging swap (tombstones carried), then proceeds incrementally."""
+        name = m.group(1)
+        cfg = self.catalog.get_mirror(name)
+        cfg.resync = True
+        self.catalog.create_mirror(cfg)
+        self.catalog.set_batch_id(f"{name}/initial_copy", 0)
+        return {"ok": True, "mirror": name, "resync": True}
 
     def _mirror_signal(self, m) -> dict:
         action, name = m.group(1).lower(), m.group(2)
@@ -328,9 +345,10 @@ class SqlSurface:
         from peerdb_spark.snapshot import resync_table
         from peerdb_spark.storage import ParquetTable
 
-        cfg = self.catalog.get_mirror(mirror_name)
-
         def _initial_copy():
+            # re-read per run: a RESYNC MIRROR statement may have armed the
+            # resync flag and reset the marker since bind time
+            cfg = self.catalog.get_mirror(mirror_name)
             done_key = f"{mirror_name}/initial_copy"
             if not initial_sources or self.catalog.get_batch_id(done_key) != 0:
                 return 0
@@ -350,6 +368,7 @@ class SqlSurface:
             return copied
 
         def run():
+            cfg = self.catalog.get_mirror(mirror_name)
             snapshots = _initial_copy() if (cfg.do_initial_copy or cfg.resync) else 0
             last = self.catalog.get_last_watermark(mirror_name)
             src = changelog() if callable(changelog) else changelog

@@ -564,3 +564,47 @@ def test_create_mirror_cdc_v2_column_settings(surface):
     assert m.type_overrides == {"o_totalprice": "decimal(12,2)", "o_shippriority": "int"}
     assert m.exclude == ["o_internal"]
     surface.execute("DROP MIRROR flow_cols")
+
+
+def test_resync_mirror_statement(surface, spark, tmp_path):
+    """RESYNC MIRROR re-arms the initial clone: the next EXECUTE re-snapshots
+    the destination from the source via the atomic staging swap (ref: nexus
+    ResyncMirror → recreate with resync=true)."""
+    import datetime as dtm
+    import json as js
+
+    from pyspark.sql import types as TT
+
+    from peerdb_spark import cdc as C
+    from peerdb_spark.storage import ParquetTable
+
+    surface.execute(
+        "CREATE MIRROR rsyn FROM src TO dst WITH TABLE MAPPING (t) "
+        "WITH (do_initial_copy = true)"
+    )
+    val = TT.StructType([TT.StructField("id", TT.LongType()),
+                         TT.StructField("v", TT.StringType())])
+    dest = str(tmp_path / "t")
+    pipe = C.CdcPipeline(spark, str(tmp_path / "raw"),
+                         [C.CdcTableConfig("t", ["id"], val, dest, n_buckets=2)])
+    src_df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    empty = spark.createDataFrame([], C.CHANGELOG_SCHEMA)
+    surface.bind_cdc("rsyn", pipe, empty, initial_sources={"t": src_df})
+
+    out = surface.execute("EXECUTE MIRROR rsyn")
+    assert out["result"]["snapshots"] == 1
+    t = ParquetTable(spark, dest, ["id"], 2)
+    assert t.read().count() == 2
+
+    # second EXECUTE: initial copy already done → no re-clone
+    assert surface.execute("EXECUTE MIRROR rsyn")["result"]["snapshots"] == 0
+
+    # corrupt the destination, then RESYNC → next EXECUTE re-clones
+    t.overwrite(spark.createDataFrame([(99, "junk")], "id long, v string"))
+    assert t.read().count() == 1
+    res = surface.execute("RESYNC MIRROR rsyn")
+    assert res["resync"] is True
+    out = surface.execute("EXECUTE MIRROR rsyn")
+    assert out["result"]["snapshots"] == 1
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b")]
