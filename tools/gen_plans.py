@@ -98,6 +98,26 @@ COMMENT = {
         "bucket anti-join guard, exact bit_count(xor) verify — all JVM "
         "integer ops, no all-pairs join anywhere."
     ),
+    "dedup_cc_groups": (
+        "Connected components over the LSH pair graph (alternating "
+        "large-star/small-star, O(log n) rounds). The iterative rounds are "
+        "localCheckpointed before this plan, so the declared plan is the "
+        "final hash aggregate over the converged (node, rep) assignment — "
+        "each round itself is two hash aggs + two equi-joins over the "
+        "CURRENT edge list, no global sort, no driver residency; at 100 TB "
+        "the per-round materialization becomes a parquet round-trip."
+    ),
+    "pack_sequences": (
+        "Sequence packing: per-shard prefix sum. The window function "
+        "partitions by the deterministic shard key — no Exchange "
+        "SinglePartition anywhere (asserted), so packing parallelism equals "
+        "shard count exactly like multi-worker data-loader packing."
+    ),
+    "stratified_sample": (
+        "Per-stratum top-k by seeded deterministic hash: rank window "
+        "partitioned by stratum, rank filter applied before any further "
+        "consumer — never a global sort, reproducible on any layout."
+    ),
 }
 
 
