@@ -49,10 +49,87 @@ class _Relation:
     name: str
     columns: list[str] = field(default_factory=list)
     key_flags: list[bool] = field(default_factory=list)  # part of replica identity
+    type_oids: list[int] = field(default_factory=list)
+    typmods: list[int] = field(default_factory=list)
 
     @property
     def qualified(self) -> str:
         return f"{self.namespace}.{self.name}" if self.namespace else self.name
+
+
+# PG catalog type OID → Spark DDL type. The reference's equivalent map is
+# PostgresOIDToQValueKind (flow/connectors/postgres/type_conversion.go:13-90);
+# values the engine treats as opaque/exotic strings (uuid/json/inet/interval/
+# time/hstore — see functions/exotic.py) map to string here, exactly like the
+# reference's QValueKind→warehouse-string fallbacks.
+_PG_OID_DDL: dict[int, str] = {
+    16: "boolean",        # bool
+    21: "smallint",       # int2
+    23: "int",            # int4
+    20: "bigint",         # int8
+    700: "float",         # float4
+    701: "double",        # float8
+    18: "string", 19: "string",            # "char", name
+    25: "string", 1042: "string", 1043: "string",  # text, bpchar, varchar
+    17: "binary",         # bytea (wire-decoded to hex text, typed binary dst)
+    114: "string", 3802: "string",  # json, jsonb
+    2950: "string",       # uuid
+    1082: "date",
+    1083: "string", 1266: "string",  # time, timetz (no Spark TIME type)
+    1114: "timestamp_ntz",  # timestamp (no tz)
+    1184: "timestamp",      # timestamptz
+    790: "string",        # money (exotic.py parses)
+    869: "string", 650: "string",   # inet, cidr
+    829: "string",        # macaddr
+    1186: "string",       # interval (exotic.py parses ISO8601)
+    1560: "string", 1562: "string",  # bit, varbit
+}
+
+VARHDRSZ = 4
+
+
+def pg_oid_to_spark_ddl(type_oid: int, typmod: int = -1) -> str:
+    """Map a pgoutput Relation column type to a Spark DDL type string.
+
+    numeric (1700) honors the typmod precision/scale exactly like the
+    reference (flow/pkg/common/numeric.go ParseNumericTypmod: subtract
+    VARHDRSZ, high 15 bits precision, low 15 bits scale) with the same
+    (38, 20) default for typmod -1 (flow/shared/datatypes/numeric.go
+    DefaultPrecisionAndScale). Unknown OIDs fall back to string — the
+    reference's warn-once-and-treat-as-text path."""
+    if type_oid == 1700:  # numeric
+        if typmod == -1:
+            return "decimal(38,20)"
+        off = typmod - VARHDRSZ
+        precision = (off >> 16) & 0x7FFF
+        scale = off & 0x7FFF
+        if precision == 0:
+            return "decimal(38,20)"
+        return f"decimal({min(precision, 38)},{min(scale, 37)})"
+    return _PG_OID_DDL.get(type_oid, "string")
+
+
+def relation_value_schema(rel: _Relation):
+    """StructType for a relation's row images, derived from the WIRE (the
+    Relation message's type OIDs) — the driver can bootstrap a
+    CdcTableConfig.value_schema from the first WAL chunk instead of hand-
+    writing one. Mirrors the reference building its TableSchema from the
+    relation metadata (flow/connectors/postgres/cdc.go relation handling)."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for i, name in enumerate(rel.columns):
+        oid = rel.type_oids[i] if i < len(rel.type_oids) else 25
+        mod = rel.typmods[i] if i < len(rel.typmods) else -1
+        ddl = pg_oid_to_spark_ddl(oid, mod)
+        fields.append(T.StructField(name, _parse_ddl_type(ddl), True))
+    return T.StructType(fields)
+
+
+def _parse_ddl_type(ddl: str):
+    from pyspark.sql import types as T
+
+    return T._parse_datatype_string(ddl)
 
 
 class _Reader:
@@ -169,8 +246,8 @@ class PgOutputDecoder:
                 flags = r.u8()
                 rel.columns.append(r.cstr())
                 rel.key_flags.append(bool(flags & 1))
-                r.u32()  # type oid
-                r.i32()  # typmod
+                rel.type_oids.append(r.u32())
+                rel.typmods.append(r.i32())
             self.relations[oid] = rel
             return
         if tag in ("M", "T", "Y", "O"):
@@ -217,6 +294,22 @@ class PgOutputDecoder:
             "_old_data": self._row_json(rel, old_tup) if old_tup is not None else None,
             "_unchanged_cols": self._unchanged(rel, new_tup) if new_tup is not None else None,
         }
+
+    def value_schema(self, qualified: str):
+        """Typed value schema for a decoded relation (None if the stream has
+        not carried its Relation message yet). Driver-side bootstrap: feed
+        the first WAL chunk, then build CdcTableConfig from the wire."""
+        for rel in self.relations.values():
+            if rel.qualified == qualified:
+                return relation_value_schema(rel)
+        return None
+
+    def key_columns(self, qualified: str) -> list[str] | None:
+        """Replica-identity (primary key) columns from the Relation flags."""
+        for rel in self.relations.values():
+            if rel.qualified == qualified:
+                return [c for c, k in zip(rel.columns, rel.key_flags) if k]
+        return None
 
     def decode_all(self, messages) -> list[dict]:
         """messages: iterable of (lsn, payload) in WAL order."""

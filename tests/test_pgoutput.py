@@ -27,12 +27,14 @@ def enc_commit(ts, lsn=0):
     return b"C" + struct.pack(">BQQq", 0, lsn, lsn, us)
 
 
-def enc_relation(oid, ns, name, cols, key_cols=()):
+def enc_relation(oid, ns, name, cols, key_cols=(), col_types=None):
+    """col_types: optional {col: (type_oid, typmod)}; defaults to text."""
     b = b"R" + struct.pack(">I", oid) + ns.encode() + b"\x00" + name.encode() + b"\x00"
     b += struct.pack(">BH", ord("d"), len(cols))
     for c in cols:
+        toid, tmod = (col_types or {}).get(c, (25, -1))
         b += struct.pack(">B", 1 if c in key_cols else 0) + c.encode() + b"\x00"
-        b += struct.pack(">Ii", 25, -1)  # text oid, no typmod
+        b += struct.pack(">Ii", toid, tmod)
     return b
 
 
@@ -273,3 +275,44 @@ def test_decoder_property_random_wal_sequences():
             assert r["_unchanged_cols"] == e["unchanged"]
 
     run()
+
+
+def test_relation_type_oids_to_value_schema():
+    """Typed value schemas derived from the WIRE: Relation type OIDs map to
+    Spark types like the reference's PostgresOIDToQValueKind
+    (flow/connectors/postgres/type_conversion.go:13-90), numeric typmods
+    parse to exact decimal(p,s) (flow/pkg/common/numeric.go)."""
+    from pyspark.sql import types as T
+
+    from peerdb_spark.sources.pgoutput import pg_oid_to_spark_ddl
+
+    # numeric typmod: ((p<<16)|s)+4
+    num_mod = ((12 << 16) | 5) + 4
+    cols = ["id", "flag", "qty", "price", "note", "raw", "d", "ts", "tstz", "mystery"]
+    types = {
+        "id": (20, -1),        # int8
+        "flag": (16, -1),      # bool
+        "qty": (23, -1),       # int4
+        "price": (1700, num_mod),
+        "note": (1043, 64),    # varchar(60)
+        "raw": (17, -1),       # bytea
+        "d": (1082, -1),       # date
+        "ts": (1114, -1),      # timestamp
+        "tstz": (1184, -1),    # timestamptz
+        "mystery": (999999, -1),  # unknown oid → string fallback
+    }
+    dec = PgOutputDecoder()
+    dec.decode_all([(1, enc_relation(7, "public", "typed", cols,
+                                     key_cols=("id",), col_types=types))])
+    schema = dec.value_schema("public.typed")
+    got = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert got == {
+        "id": "bigint", "flag": "boolean", "qty": "int",
+        "price": "decimal(12,5)", "note": "string", "raw": "binary",
+        "d": "date", "ts": "timestamp_ntz", "tstz": "timestamp",
+        "mystery": "string",
+    }
+    assert dec.key_columns("public.typed") == ["id"]
+    # numeric with no typmod → the reference's (38,20) default
+    assert pg_oid_to_spark_ddl(1700, -1) == "decimal(38,20)"
+    assert dec.value_schema("public.nope") is None
