@@ -207,6 +207,9 @@ class PgOutputDecoder:
 
     def __init__(self):
         self.relations: dict[int, _Relation] = {}
+        # latest raw 'R' payload per oid — the preamble for resumed decode
+        # (see decode_pgoutput.relation_preamble)
+        self.relation_messages: dict[int, bytes] = {}
         self.xid: int | None = None
         self.commit_ts: dt.datetime | None = None
 
@@ -249,6 +252,7 @@ class PgOutputDecoder:
                 rel.type_oids.append(r.u32())
                 rel.typmods.append(r.i32())
             self.relations[oid] = rel
+            self.relation_messages[oid] = bytes(payload)
             return
         if tag in ("M", "T", "Y", "O"):
             return
@@ -295,6 +299,13 @@ class PgOutputDecoder:
             "_unchanged_cols": self._unchanged(rel, new_tup) if new_tup is not None else None,
         }
 
+    def replay(self, payload: bytes) -> None:
+        """Eagerly execute feed() for a control/preamble message. feed is a
+        GENERATOR — calling it without iterating runs nothing — so state
+        mutations (Relation registration) need this driver."""
+        for _ in self.feed(0, payload) or ():
+            pass
+
     def value_schema(self, qualified: str):
         """Typed value schema for a decoded relation (None if the stream has
         not carried its Relation message yet). Driver-side bootstrap: feed
@@ -320,22 +331,35 @@ class PgOutputDecoder:
 
 
 def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
-                    payload_col: str = "payload"):
+                    payload_col: str = "payload",
+                    relation_preamble: list[bytes] | None = None):
     """Distributed decode: DataFrame(slot, lsn, payload binary) → changelog
     rows (CHANGELOG_SCHEMA columns). Each slot's messages decode sequentially
     in WAL (lsn) order inside one applyInPandas group — the slot IS the unit
     of parallelism, matching one-replication-connection-per-slot. The Python
     kernel is the honest choice here: this is binary wire decode, not
-    relational work, and it runs Arrow-batched off the hot merge path."""
+    relational work, and it runs Arrow-batched off the hot merge path.
+
+    `relation_preamble`: raw Relation ('R') messages replayed into each
+    group's decoder BEFORE its stream. Needed when decode runs per
+    micro-batch (streaming foreachBatch): a fresh decoder per batch would
+    lose Relation state carried in earlier batches. Postgres re-sends
+    Relation messages per replication session (pglogrepl behavior the
+    reference relies on — flow/connectors/postgres/cdc.go relation cache);
+    the preamble is the engine-side equivalent for resumed decode. Collect
+    it from `PgOutputDecoder.relation_messages` after any prior decode."""
     from peerdb_spark.cdc import CHANGELOG_SCHEMA
 
     out_schema = CHANGELOG_SCHEMA
+    preamble = [bytes(p) for p in (relation_preamble or [])]
 
     def _decode(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(lsn_col)
         dec = PgOutputDecoder()
+        for p in preamble:
+            dec.replay(p)
         rows = dec.decode_all(zip(pdf[lsn_col], pdf[payload_col]))
         cols = [f.name for f in out_schema.fields]
         if not rows:

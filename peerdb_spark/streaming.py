@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from peerdb_spark.cdc import CHANGELOG_SCHEMA, CdcPipeline, CdcTableConfig
 
@@ -206,3 +207,51 @@ def session_event_aggregation(
             "sum_value",
         )
     )
+
+
+class WalStreamRunner(CdcStreamRunner):
+    """Drives a CdcPipeline from RAW pgoutput WAL message files.
+
+    The transport is (slot, lsn, payload binary) parquet files — the wire
+    bytes themselves, not pre-decoded changelog rows; each micro-batch is
+    decoded with decode_pgoutput (per-slot sequential, Arrow-batched) and
+    then flows through the same sync/normalize path as CdcStreamRunner.
+
+    Relation ('R') state must survive micro-batch boundaries: a fresh
+    executor-side decoder per batch would not know tables whose Relation
+    message arrived in an earlier batch. Postgres re-sends Relation messages
+    per replication session (the reference's pglogrepl session cache,
+    flow/connectors/postgres/cdc.go); here the driver harvests each batch's
+    'R' payloads (schema messages are rare — a bounded collect) and replays
+    them as a preamble into the next batch's decoders."""
+
+    WAL_SCHEMA = T.StructType(
+        [
+            T.StructField("slot", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def __init__(self, *args, **kwargs):
+        kwargs["changelog_schema"] = self.WAL_SCHEMA
+        super().__init__(*args, **kwargs)
+        from peerdb_spark.sources.pgoutput import PgOutputDecoder
+
+        self._relation_cache = PgOutputDecoder()
+
+    def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from peerdb_spark.sources.pgoutput import decode_pgoutput
+
+        preamble = list(self._relation_cache.relation_messages.values())
+        changelog = decode_pgoutput(batch_df, relation_preamble=preamble)
+        # harvest this batch's Relation messages for FUTURE batches (this
+        # batch's executors see them in-stream, in WAL order)
+        rels = (
+            batch_df.where(F.expr("substring(payload, 1, 1) == X'52'"))
+            .orderBy("lsn")
+            .collect()
+        )
+        for r in rels:
+            self._relation_cache.replay(bytes(r["payload"]))
+        super()._foreach_batch(changelog, batch_id)

@@ -251,3 +251,68 @@ def test_stream_raw_retention(spark, tmp_path):
     assert len(kept) == 2, kept  # 4 file-batches, retain 2
     t = ParquetTable(spark, dest, ["id"], 2)
     assert t.read().count() == 12  # destination unaffected by raw retention
+
+
+def test_wal_stream_relation_state_across_batches(spark, tmp_path):
+    """Raw pgoutput WAL bytes streamed end-to-end: the Relation message
+    arrives ONLY in the first micro-batch; later batches decode through the
+    driver-harvested relation preamble (the engine-side equivalent of the
+    replication session's relation cache)."""
+    from pyspark.sql import types as TT
+
+    from peerdb_spark.storage import ParquetTable
+    from peerdb_spark.streaming import WalStreamRunner
+    from tests.test_pgoutput import (
+        TS1,
+        TS2,
+        enc_begin,
+        enc_commit,
+        enc_insert,
+        enc_relation,
+        enc_update,
+    )
+
+    wal_dir = str(tmp_path / "wal")
+    dest = str(tmp_path / "items")
+    val = TT.StructType([TT.StructField("id", TT.StringType()),
+                         TT.StructField("v", TT.StringType())])
+
+    def write_chunk(msgs):
+        rows = [("slot0", lsn, bytes(p)) for lsn, p in msgs]
+        spark.createDataFrame(rows, WalStreamRunner.WAL_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(wal_dir)
+
+    # chunk 1: relation + first txn
+    write_chunk([
+        (10, enc_relation(42, "public", "items", ["id", "v"], key_cols=("id",))),
+        (11, enc_begin(1, TS1)),
+        (12, enc_insert(42, ["1", "a"])),
+        (13, enc_insert(42, ["2", "b"])),
+        (14, enc_commit(TS1)),
+    ])
+
+    def mk():
+        return WalStreamRunner(
+            spark, wal_dir, str(tmp_path / "ckpt"),
+            [cdc.CdcTableConfig("public.items", ["id"], val, dest, n_buckets=2)],
+            str(tmp_path / "raw"),
+            max_files_per_trigger=1,
+        )
+
+    runner = mk()
+    runner.run_available()
+    t = ParquetTable(spark, dest, ["id"], 2)
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == [("1", "a"), ("2", "b")]
+
+    # chunk 2: NO relation message — only decodable via the preamble. A
+    # fresh runner (restart) must fail-safe: its cache is empty, so the
+    # relation must be re-learned... the resumed runner keeps the cache.
+    write_chunk([
+        (15, enc_begin(2, TS2)),
+        (16, enc_update(42, ["1", "A2"])),
+        (17, enc_insert(42, ["3", "c"])),
+        (18, enc_commit(TS2)),
+    ])
+    runner.run_available()
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == [("1", "A2"), ("2", "b"), ("3", "c")]
