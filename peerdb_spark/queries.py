@@ -2302,6 +2302,51 @@ SELECT doc_id, lang, n_chars FROM r WHERE rk <= 25
 """
 
 
+def q_mirror_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-lag gauges under the gate (alerting.py:lag_snapshot /
+    lag_metrics_df — the data the reference's alerter thresholds evaluate,
+    flow/alerting/alerting.go): deterministic batch metrics derived from the
+    orders table (5 modulo-batches, checkpoint = o_orderkey) are recorded
+    into a scratch catalog, then the per-mirror lag snapshot is computed.
+    slot_lag = current source head − last synced checkpoint; the oracle
+    states the same arithmetic in SQL, so the gauge math is cross-engine
+    verified, not just unit-tested. Driver-side state is O(batches) = 5."""
+    import tempfile
+
+    from peerdb_spark.alerting import lag_metrics_df
+    from peerdb_spark.registry import Catalog
+
+    (od,) = _t(spark, sf_dir, "orders")
+    stats = (
+        od.groupBy((F.col("o_orderkey") % 5).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .collect()
+    )  # bounded: exactly 5 rows
+    cat = Catalog(tempfile.mkdtemp(prefix="peerdb_lagq_"))
+    for r in sorted(stats, key=lambda r: r["b"]):
+        cat.record_batch_metrics("m1", int(r["b"]), int(r["n"]), None, int(r["hi"]))
+    head = max(int(r["hi"]) for r in stats) + 10_000
+    return lag_metrics_df(spark, cat, ["m1"], {"m1": head})
+
+
+SQL_MIRROR_LAG_METRICS = """
+WITH b AS (
+  SELECT o_orderkey % 5 AS b, count(*) AS n, max(o_orderkey) AS hi
+  FROM orders GROUP BY 1
+)
+SELECT 'm1' AS mirror,
+       CAST(max(b) AS BIGINT) AS last_batch_id,
+       CAST(max(hi) AS BIGINT) AS last_synced_checkpoint,
+       CAST(max(hi) + 10000 AS BIGINT) AS current_source_checkpoint,
+       CAST(10000 AS BIGINT) AS slot_lag,
+       CAST(sum(n) AS BIGINT) AS rows_synced
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2338,6 +2383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cc_groups": q_dedup_cc_groups,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
+    "mirror_lag_metrics": q_mirror_lag_metrics,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_features": q_text_features,
     "text_lang_stats": q_text_lang_stats,
@@ -2392,6 +2438,7 @@ ORACLES: dict[str, str] = {
     "dedup_cc_groups": SQL_DEDUP_CC_GROUPS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "mirror_lag_metrics": SQL_MIRROR_LAG_METRICS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "text_features": SQL_TEXT_FEATURES,
     "text_lang_stats": SQL_TEXT_LANG_STATS,
