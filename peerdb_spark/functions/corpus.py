@@ -1,0 +1,296 @@
+"""Corpus-level training-data operators: benchmark decontamination,
+Gopher-style repetition quality rules, fixed-window document chunking, and
+BM25 keyword retrieval.
+
+All operators are pure built-in pyspark.sql.functions (whole-stage codegen,
+no Python in the hot path) with exact DuckDB oracle counterparts (see
+peerdb_spark.queries / __spark_entry__.oracle_sql).
+
+Scale notes (100 TB):
+- decontaminate: the benchmark side is an eval suite (thousands of docs) —
+  its distinct n-gram set is broadcast, so the corpus n-grams never shuffle;
+  the only exchange is the per-(train, bench) pair count, which is bounded by
+  actual overlap, not corpus size.
+- gopher_quality: per-row array expressions only — zero shuffles; the
+  top-bigram mode is computed as the longest run of the SORTED bigram array
+  (O(n log n) per row in codegen) instead of an explode + per-doc group-by,
+  so a quality pass pipelines into the scan.
+- chunk_documents: per-row posexplode of a start-offset sequence — narrow.
+- bm25_topk: one global 1-row stats aggregate (broadcast back), one per-doc
+  projection, one top-k window on score. Corpus scans twice, shuffles once
+  (the final rank, bounded by k per ordering — use a LIMIT-style takeOrdered
+  at true scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.hashing import h64
+from peerdb_spark.functions.text import tokens, word_ngrams
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_hash_set(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, gram_hash) relation of word n-grams per document.
+
+    Hashing the gram (h64) keeps the joined relation narrow: 16 bytes/row
+    instead of the gram text. Distinct-per-doc so a gram repeated inside one
+    document counts once (standard decontamination semantics)."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_g"))
+        .select(id_col, h64(F.col("_g")).alias("gram_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination pairs: (train doc, bench doc, #shared n-grams)
+    for every pair sharing >= min_shared distinct word n-grams.
+
+    The standard eval-set decontamination pass for pre-training corpora
+    (n-gram collision against held-out benchmarks). The benchmark n-gram set
+    is broadcast — the corpus-side n-gram relation is joined map-side and
+    never shuffles; only matched (train, bench) pairs reach the count
+    aggregate. Returns (doc_id, bench_id, shared_ngrams).
+    """
+    tg = ngram_hash_set(train, text_col, id_col, n)
+    bg = ngram_hash_set(bench, text_col, id_col, n).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    return (
+        tg.join(F.broadcast(bg), "gram_hash")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality rules
+# ---------------------------------------------------------------------------
+
+
+def longest_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent values in a SORTED array —
+    i.e. the multiplicity of the array's mode — computed with array
+    expressions only (no explode, no shuffle):
+
+      change positions = [i : a[i] != a[i-1]] ∪ {1}; append n+1;
+      mode multiplicity = max gap between consecutive change positions.
+
+    Empty array → 0. IMPORTANT: pass a plain column REFERENCE, not a nested
+    expression — `arr` is substituted several times below, and Column
+    composition duplicates the subtree each time (an expression-valued arr
+    multiplies the plan exponentially; measured 370s → 2s on the declared
+    gopher query when staged through a select).
+    """
+    n = F.size(arr)
+    changes = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(arr, i) != F.element_at(arr, i - 1)),
+    )
+    bounds = F.concat(changes, F.array(n + 1))
+    gaps = F.zip_with(
+        F.slice(bounds, 1, F.size(bounds) - 1),
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda a, b: b - a,
+    )
+    return F.when(n == 0, F.lit(0)).otherwise(F.array_max(gaps))
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 25,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.09,
+) -> DataFrame:
+    """Repetition-based quality signals per document (the Gopher/MassiveText
+    rule family: doc-length bounds, duplicate-word fraction, most-common-
+    n-gram fraction) and the composite keep flag.
+
+    All fractions are int/int divisions — bit-identical across engines.
+    Returns (id, n_tokens, dup_word_frac, top_bigram_frac, keep).
+
+    Each derivation is staged through a select so every level references a
+    COLUMN, not a copy of the upstream expression — Column composition
+    substitutes subtrees, and the naive single-select form duplicates the
+    tokenizer ~100× (Catalyst's CollapseProject then re-inlines; the staged
+    form keeps the analyzed tree linear).
+    """
+    t = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    n = F.size(F.col("_t"))
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
+        )
+    )
+    s1 = t.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("_t")).alias("_nd"),
+        F.array_sort(bigrams).alias("_bg"),
+    )
+    s2 = s1.select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise((F.col("n_tokens") - F.col("_nd")) / F.col("n_tokens"))
+        .alias("dup_word_frac"),
+        F.size("_bg").alias("_nbg"),
+        longest_run(F.col("_bg")).alias("_top"),
+    )
+    s3 = s2.select(
+        id_col,
+        "n_tokens",
+        "dup_word_frac",
+        F.when(F.col("_nbg") == 0, F.lit(0.0))
+        .otherwise(F.col("_top") / F.col("_nbg"))
+        .alias("top_bigram_frac"),
+    )
+    return s3.select(
+        id_col,
+        "n_tokens",
+        "dup_word_frac",
+        "top_bigram_frac",
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (training-sample chunking: chunk i covers tokens [i*stride,
+    i*stride+chunk_size)). The last chunk may be short; every token is
+    covered; a document shorter than chunk_size yields exactly one chunk.
+
+    Per-row posexplode of the start-offset sequence — narrow, no shuffle.
+    Chunks are transported as (token count, content hash) so the gate hashes
+    scalars; the chunk text itself is `concat_ws(' ', slice)` when needed.
+    Returns (id, chunk_idx, chunk_tokens, chunk_hash).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n - size) / stride)  (>=1 even for n=0)
+    nch = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(chunk_size), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (nch - 1) * F.lit(stride), F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("chunk_tokens"),
+        h64(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k documents for a fixed term set.
+
+    Uses the Robertson–Spärck Jones weight WITHOUT the log —
+    w_t = (N - df_t + 0.5) / (df_t + 0.5) — because every operation is then
+    an exactly-rounded IEEE op (integer+0.5 sums, one division) that DuckDB
+    and the JVM compute bit-identically; ln() is not guaranteed identical
+    across libm implementations and would poison the value-hash gate. The
+    ranking is the standard BM25 shape: per-term saturation tf·(k1+1) /
+    (tf + k1·(1-b+b·dl/avgdl)) with avgdl = Σdl/N (exact integer sum, one
+    division). Per-term scores are added left-to-right in declared term
+    order in both engines.
+
+    Plan: one 1-row corpus-stats aggregate broadcast back onto a single
+    per-doc projection; final top-k is a rank window (at 100 TB swap for a
+    per-partition top-k + merge — the orderBy is bounded by k either way).
+    Returns (id, rank, score).
+    """
+    toks = tokens(text_col)
+    tf_cols = [
+        F.size(F.filter(toks, lambda t: t == F.lit(term))).alias(f"_tf{i}")
+        for i, term in enumerate(terms)
+    ]
+    base = df.select(F.col(id_col), F.size(toks).alias("_dl"), *tf_cols)
+    stats = base.agg(
+        F.count("*").alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n")
+    score = None
+    for i in range(len(terms)):
+        w = (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (
+            F.col(f"_df{i}") + F.lit(0.5)
+        )
+        tf = F.col(f"_tf{i}").cast("double")
+        s = w * (
+            tf
+            * F.lit(BM25_K1 + 1)
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("_dl") / avgdl))
+            )
+        )
+        score = s if score is None else score + s
+    scored = scored.select(F.col(id_col), score.alias("score"))
+    w_rank = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "score")
+    )

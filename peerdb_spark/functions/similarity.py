@@ -340,3 +340,108 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def dot_cell_assign(
+    centroids: list[list[int]],
+    qvec_col: str = "qv",
+) -> Column:
+    """Cell id by max inner product against an integer codebook (the
+    spherical-kmeans E-step on quantized vectors). All-integer arithmetic —
+    bit-exact in any engine — and scale-covariant (argmax dot(αv, c) =
+    argmax dot(v, c) for α>0), so scaled duplicates of a vector land in the
+    same cell. Deterministic tiebreak on the smaller cell index via struct
+    ordering on (-dot, cell)."""
+    # Built as ONE SQL-text expression (a single parse on the JVM): the
+    # codebook inlines k×dim literals, and instantiating those as individual
+    # Column objects costs hundreds of py4j round-trips (~30s of driver time
+    # for 8×64 — measured). Semantics identical to the Column form.
+    structs = []
+    for i, cent in enumerate(centroids):
+        arr = "array(" + ", ".join(f"{int(x)}L" for x in cent) + ")"
+        dot = (
+            f"aggregate(zip_with({qvec_col}, {arr}, (a, b) -> a * b), "
+            "0L, (acc, x) -> acc + x)"
+        )
+        structs.append(f"named_struct('negdot', -({dot}), 'cell', {i})")
+    return F.expr(
+        "element_at(array_sort(array(" + ", ".join(structs) + ")), 1).cell"
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    qvec_col: str = "qv",
+    id_col: str = "vec_id",
+    threshold_sq: tuple[int, int] = (361, 400),
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus (inner-
+    product cell assignment against a fixed codebook), then within each cell
+    mark every vector that has a cosine-near-duplicate with a smaller id as
+    a reject; the smallest id of each near-dup neighborhood survives.
+
+    Near-dup test is the exact integer rule cos(a,b) >= t expressed without
+    floats: dot > 0 AND den·dot² >= num·|a|²·|b|², with t² = num/den
+    (default 361/400 = 0.95²). Input `qvec_col` must be an integer-quantized
+    vector (array<long>).
+
+    Scale: candidate pairs exist only inside a cell — the pair join is a cell
+    equi-join, never all-pairs; cluster-size skew is governed by the codebook
+    granularity (train more centroids for finer cells). Returns
+    (id, cell, dup_of, kept) — dup_of = smallest-id near-duplicate (null if
+    none), kept = dup_of IS NULL.
+
+    The celled relation feeds three branches (both pair-join sides + the
+    final flag join); Catalyst does not share the k×dim-literal assignment
+    expression across them (same non-canonicalization as lsh_verified_pairs,
+    dedup.py:330-340), so `materialize` localCheckpoints it — one assignment
+    pass, executor-storage reads after. At 100 TB write the assignment to
+    parquet instead (it IS the cluster index — ivf_write_index shape).
+    """
+    num, den = threshold_sq
+    c = corpus.select(
+        F.col(id_col),
+        F.col(qvec_col),
+        dot_cell_assign(centroids, qvec_col).alias("cell"),
+        F.aggregate(
+            F.transform(F.col(qvec_col), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_n2"),
+    )
+    if materialize:
+        c = c.localCheckpoint(eager=False)
+    a = c.select(
+        F.col(id_col).alias("_id_a"), F.col(qvec_col).alias("_va"),
+        F.col("_n2").alias("_na"), "cell",
+    )
+    b = c.select(
+        F.col(id_col).alias("_id_b"), F.col(qvec_col).alias("_vb"),
+        F.col("_n2").alias("_nb"), "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .select("_id_a", "_id_b", dot.alias("_dot"), "_na", "_nb")
+        .where(
+            (F.col("_dot") > 0)
+            & (den * F.col("_dot") * F.col("_dot") >= num * F.col("_na") * F.col("_nb"))
+        )
+    )
+    dup = pairs.groupBy("_id_b").agg(F.min("_id_a").alias("dup_of"))
+    return (
+        c.join(dup, c[id_col] == dup["_id_b"], "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("kept"),
+        )
+    )

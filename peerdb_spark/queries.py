@@ -2348,6 +2348,239 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline: corpus operators (decontamination / quality / chunking / BM25
+# / semantic dedup) — functions/corpus.py, functions/similarity.py
+# ---------------------------------------------------------------------------
+
+_DECON_N, _DECON_MIN = 3, 2
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (corpus.py:decontaminate): flag training
+    documents sharing >= 2 distinct word 3-grams with the benchmark split
+    (doc_id % 97 == 0 plays the eval suite). The benchmark n-gram set is
+    broadcast, so the corpus side never shuffles — only matched pairs reach
+    the count aggregate."""
+    from peerdb_spark.functions import corpus as CP
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return CP.decontaminate(
+        train, bench, "text", "doc_id", n=_DECON_N, min_shared=_DECON_MIN
+    )
+
+
+_NGRAM3_SQL = """
+SELECT DISTINCT doc_id,
+       {h} AS gram_hash
+FROM (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents) toks,
+     UNNEST(range(1, len(t) - 1)) AS u(j)
+""".format(h=h64_sql("array_to_string(t[j:j+2], ' ')"))
+
+SQL_DECONTAMINATE = f"""
+WITH ngr AS ({_NGRAM3_SQL}),
+bench AS (SELECT doc_id AS bench_id, gram_hash FROM ngr WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, gram_hash FROM ngr WHERE doc_id % 97 != 0)
+SELECT t.doc_id, b.bench_id, count(*) AS shared_ngrams
+FROM train t JOIN bench b USING (gram_hash)
+GROUP BY t.doc_id, b.bench_id
+HAVING count(*) >= {_DECON_MIN}
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition rules (corpus.py:gopher_quality):
+    doc-length bound, duplicate-word fraction, most-common-bigram fraction,
+    composite keep flag. Pure per-row array expressions — the mode
+    multiplicity is the longest run of the sorted bigram array, so the whole
+    pass is shuffle-free codegen."""
+    from peerdb_spark.functions import corpus as CP
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return CP.gopher_quality(docs, "text", "doc_id")
+
+
+_TOKS_SQL = ("CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+             "ELSE string_split_regex(trim(text), '\\s+') END")
+
+SQL_GOPHER_QUALITY = """
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t,
+         list_sort(list_transform(range(1, len(t)), j -> array_to_string(t[j:j+1], ' '))) AS b
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, t, b,
+         list_concat(
+           list_filter(range(1, len(b) + 1), i -> i = 1 OR b[i] != b[i-1]),
+           [len(b) + 1]) AS bounds
+  FROM bg
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE (len(t) - len(list_distinct(t))) / len(t) END AS dup_word_frac,
+         CASE WHEN len(b) = 0 THEN 0.0
+              ELSE list_aggregate(
+                     list_transform(range(1, len(bounds)), k -> bounds[k+1] - bounds[k]),
+                     'max') / len(b) END AS top_bigram_frac
+  FROM runs
+)
+SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac,
+       CAST(CASE WHEN n_tokens >= 25 AND dup_word_frac <= 0.6
+                  AND top_bigram_frac <= 0.09 THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+""".format(toks=_TOKS_SQL)
+
+_CHUNK, _STRIDE = 40, 30
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training-sample chunking (corpus.py:chunk_documents):
+    40-token windows, stride 30 (10-token overlap); chunks transported as
+    (token count, content hash) scalars. Per-row posexplode — narrow."""
+    from peerdb_spark.functions import corpus as CP
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return CP.chunk_documents(
+        docs, "text", "doc_id", chunk_size=_CHUNK, stride=_STRIDE
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+         1 + CAST(floor((greatest(len(t) - {_CHUNK}, 0) + {_STRIDE - 1}) / {_STRIDE}.0) AS BIGINT) AS nch
+  FROM toks
+)
+SELECT doc_id, CAST(u.j AS INT) AS chunk_idx,
+       len(t[u.j * {_STRIDE} + 1 : u.j * {_STRIDE} + {_CHUNK}]) AS chunk_tokens,
+       {h64_sql(f"array_to_string(t[u.j * {_STRIDE} + 1 : u.j * {_STRIDE} + {_CHUNK}], ' ')")} AS chunk_hash
+FROM n, UNNEST(range(0, nch)) AS u(j)
+"""
+
+_BM25_TERMS = ["join", "vector", "spark"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed keyword set (corpus.py:bm25_topk). Uses the
+    pre-log Robertson idf so every arithmetic step is an exactly-rounded
+    IEEE op both engines compute bit-identically (ln is libm-dependent)."""
+    from peerdb_spark.functions import corpus as CP
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return CP.bm25_topk(docs, _BM25_TERMS, "text", "doc_id", k=10)
+
+
+def _bm25_sql() -> str:
+    from peerdb_spark.functions.corpus import BM25_B, BM25_K1
+
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((n - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1} / "
+        f"(CAST(tf{i} AS DOUBLE) + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * "
+        f"(dl / (CAST(sumdl AS DOUBLE) / n)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+),
+stats AS (SELECT count(*) AS n, sum(dl) AS sumdl, {df_cols} FROM base),
+scored AS (
+  SELECT doc_id, {score_terms} AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, score
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.py:semantic_dedup): cluster
+    by max-inner-product cell against the fixed integer codebook, then
+    within each cell reject every vector with a cosine >= 0.95 neighbor of
+    smaller id (exact integer rule — no floats). Scaled duplicates of the
+    first 16 vectors are planted (2·v; cosine exactly 1, same cell because
+    inner-product assignment is scale-covariant), proving the reject path
+    end-to-end on a corpus with no organic near-dups at this threshold."""
+    from peerdb_spark.functions.similarity import semantic_dedup
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    planted = c.where(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("qv", lambda x: x * F.lit(2).cast("long")).alias("qv"),
+    )
+    return semantic_dedup(
+        c.unionByName(planted), _ivf_codebook_int(), "qv", "vec_id"
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    cents = _ivf_codebook_int()
+    cell_structs = ", ".join(
+        "struct_pack(negdot := -list_sum(list_transform(range(1, 65), "
+        f"j -> qv[j] * ([{', '.join(str(x) for x in c)}])[j])), cell := {i})"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH qvs0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qvs AS (
+  SELECT * FROM qvs0
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, list_transform(qv, x -> x * 2) AS qv
+  FROM qvs0 WHERE vec_id < 16
+),
+celled AS (
+  SELECT vec_id, qv,
+         CAST(list_sort([{cell_structs}])[1].cell AS INT) AS cell,
+         list_sum(list_transform(qv, x -> x * x)) AS n2
+  FROM qvs
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) > 0
+    AND 400 * list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j]))
+            * list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j]))
+        >= 361 * a.n2 * b.n2
+),
+dup AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY id_b)
+SELECT c.vec_id, c.cell, d.dup_of,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM celled c LEFT JOIN dup d ON c.vec_id = d.id_b
+"""
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2404,6 +2637,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "events_session_native": q_events_session_native,
+    "decontaminate": q_decontaminate,
+    "gopher_quality": q_gopher_quality,
+    "doc_chunks": q_doc_chunks,
+    "bm25_topk": q_bm25_topk,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2459,4 +2697,9 @@ ORACLES: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
+    "decontaminate": SQL_DECONTAMINATE,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "bm25_topk": SQL_BM25_TOPK,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }

@@ -1,0 +1,186 @@
+"""Corpus operators: decontamination, Gopher quality rules, chunking, BM25,
+semantic dedup."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions import corpus as CP
+from peerdb_spark.functions.similarity import semantic_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_finds_shared_ngrams(spark):
+    train = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta",      # shares 2 distinct 3-grams
+        "totally different words here now ok",      # shares none
+    ])
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta unrelated tail")]
+    )
+    out = CP.decontaminate(train, bench, n=3, min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # "alpha beta gamma" and "beta gamma delta" shared
+    assert (r.doc_id, r.bench_id, r.shared_ngrams) == (0, 100, 2)
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # the same 3-gram repeated in the training doc counts once
+    train = _docs(spark, ["a b c a b c a b c"])
+    bench = spark.createDataFrame([Row(doc_id=9, text="a b c x y z")])
+    out = CP.decontaminate(train, bench, n=3, min_shared=1).collect()
+    assert len(out) == 1 and out[0].shared_ngrams == 1
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality
+# ---------------------------------------------------------------------------
+
+
+def test_longest_run_on_sorted_array(spark):
+    df = spark.createDataFrame(
+        [Row(a=["x", "x", "x", "y"], want=3),
+         Row(a=["p", "q", "r"], want=1),
+         Row(a=[], want=0)],
+    )
+    got = df.select(CP.longest_run(F.col("a")).alias("r"), "want").collect()
+    for r in got:
+        assert r.r == r.want
+
+
+def test_gopher_quality_flags(spark):
+    repeated = " ".join(["spam ham"] * 30)          # one bigram dominates
+    clean = " ".join(f"w{i} x{i}" for i in range(30))  # all tokens distinct
+    short = "too short"
+    df = _docs(spark, [repeated, clean, short])
+    rows = {r.doc_id: r for r in CP.gopher_quality(df).collect()}
+    assert rows[0].keep == 0 and rows[0].top_bigram_frac > 0.3
+    assert rows[1].keep == 1 and rows[1].dup_word_frac == 0.0
+    assert rows[2].keep == 0 and rows[2].n_tokens == 2
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_cover_all_tokens(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = _docs(spark, [text])
+    rows = sorted(
+        CP.chunk_documents(df, chunk_size=40, stride=30).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts 0,30,60 — the start-60 window reaches token 99, so no 4th chunk
+    assert [r.chunk_tokens for r in rows] == [40, 40, 40]
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    # coverage: last window end (60+40) reaches n
+    assert 60 + 40 >= 100
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = _docs(spark, ["just five tokens right here"])
+    rows = CP.chunk_documents(df, chunk_size=40, stride=30).collect()
+    assert len(rows) == 1 and rows[0].chunk_tokens == 5
+
+
+def test_chunk_documents_exact_boundary(spark):
+    # n == chunk_size → exactly one chunk, not an empty trailing window
+    df = _docs(spark, [" ".join(f"t{i}" for i in range(40))])
+    rows = CP.chunk_documents(df, chunk_size=40, stride=30).collect()
+    assert len(rows) == 1 and rows[0].chunk_tokens == 40
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    df = _docs(spark, [
+        "spark spark spark engine",
+        "spark engine",
+        "nothing relevant at all whatsoever in here",
+        "postgres engine",
+    ])
+    out = CP.bm25_topk(df, ["spark"], k=4).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # doc 0 has highest tf; doc 1 next (shorter than 0 but lower tf); others score 0
+    assert ranked[0] == 0 and ranked[1] == 1
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[2] == 0.0 and scores[3] == 0.0
+    assert scores[0] > scores[1] > 0
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, shorter doc scores higher
+    df = _docs(spark, [
+        "vector " + " ".join(f"pad{i}" for i in range(50)),
+        "vector pad",
+    ])
+    out = {r.doc_id: r.score for r in CP.bm25_topk(df, ["vector"], k=2).collect()}
+    assert out[1] > out[0]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_codebook():
+    # 2 orthogonal-ish integer centroids in 4-d
+    return [[1000, 0, 0, 0], [0, 1000, 0, 0]]
+
+
+def test_semantic_dedup_rejects_scaled_copies(spark, tiny_codebook):
+    rows = [
+        Row(vec_id=0, qv=[100, 1, 0, 0]),
+        Row(vec_id=1, qv=[200, 2, 0, 0]),   # 2× vec 0 → same cell, cos = 1
+        Row(vec_id=2, qv=[0, 100, 5, 0]),   # other cell, alone
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, tiny_codebook, "qv", "vec_id").collect()}
+    assert out[0].kept == 1 and out[0].dup_of is None
+    assert out[1].kept == 0 and out[1].dup_of == 0
+    assert out[2].kept == 1
+    assert out[0].cell == out[1].cell != out[2].cell
+
+
+def test_semantic_dedup_below_threshold_kept(spark, tiny_codebook):
+    # same cell but cosine < 0.95 → both kept
+    rows = [
+        Row(vec_id=0, qv=[100, 0, 0, 0]),
+        Row(vec_id=1, qv=[100, 0, 80, 0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, tiny_codebook, "qv", "vec_id").collect()}
+    assert out[0].kept == 1 and out[1].kept == 1
+
+
+def test_semantic_dedup_chain_keeps_min_id(spark, tiny_codebook):
+    # three mutual near-dups → only the smallest id survives
+    rows = [
+        Row(vec_id=5, qv=[100, 0, 0, 0]),
+        Row(vec_id=6, qv=[200, 0, 0, 0]),
+        Row(vec_id=7, qv=[300, 0, 0, 0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, tiny_codebook, "qv", "vec_id").collect()}
+    assert out[5].kept == 1
+    assert out[6].kept == 0 and out[6].dup_of == 5
+    assert out[7].kept == 0 and out[7].dup_of == 5
