@@ -10,7 +10,10 @@ The wire grammar is the PUBLIC pgoutput protocol (PostgreSQL docs,
   'I' Insert   : oid u32, 'N', TupleData
   'U' Update   : oid u32, ['K'|'O' TupleData], 'N', TupleData
   'D' Delete   : oid u32, 'K'|'O', TupleData
-  'M'/'T'/'Y'/'O' (message/truncate/type/origin): skipped
+  'M' Message  : flags u8, lsn u64, prefix cstr, len u32 + content
+                 → _kind='message' rows (reference: MessageRecord)
+  'T' Truncate : nrels u32, options u8, oids — parsed, skipped (reference
+                 leaves truncate unhandled); 'Y'/'O' (type/origin): skipped
   TupleData    : ncols u16, per column 'n' (null) | 'u' (unchanged TOAST)
                  | 't' len u32 + text bytes | 'b' len u32 + binary bytes
 
@@ -254,7 +257,51 @@ class PgOutputDecoder:
             self.relations[oid] = rel
             self.relation_messages[oid] = bytes(payload)
             return
-        if tag in ("M", "T", "Y", "O"):
+        if tag == "M":
+            # Logical-decoding message: flags u8 (1 = transactional), lsn u64,
+            # prefix cstr, content len u32 + bytes. The reference surfaces
+            # these as MessageRecord{Prefix, Content} and advances the
+            # checkpoint for non-transactional ones
+            # (flow/connectors/postgres/cdc.go:1074-1086); here they become
+            # _kind='message' changelog rows (record type 4, normalize.py
+            # KIND_MESSAGE) with the payload under _data. Content is utf-8
+            # text when valid (pg_logical_emit_message text payloads), hex
+            # otherwise — deterministic either way.
+            flags = r.u8()
+            msg_lsn = r.u64()
+            prefix = r.cstr()
+            content = r.take(r.u32())
+            try:
+                body = {"prefix": prefix, "content": content.decode("utf-8"),
+                        "encoding": "utf8"}
+            except UnicodeDecodeError:
+                body = {"prefix": prefix, "content": content.hex(),
+                        "encoding": "hex"}
+            transactional = bool(flags & 1)
+            yield {
+                "_kind": "message",
+                "_checkpoint_id": msg_lsn if msg_lsn else lsn,
+                "_commit_ts": self.commit_ts if transactional else None,
+                "_txid": self.xid if transactional else None,
+                "_src_table": None,
+                "_dst_table": None,
+                "_data": json.dumps(body),
+                "_old_data": None,
+                "_unchanged_cols": None,
+            }
+            return
+        if tag == "T":
+            # Truncate: nrels u32, options u8 (1=CASCADE, 2=RESTART IDENTITY),
+            # relation oids. The reference leaves truncate unhandled (the
+            # pglogrepl default warn-once branch, cdc.go:1087-1092); we parse
+            # the structure so a corrupt stream fails loudly, then skip —
+            # matching reference semantics (no truncate propagation).
+            nrels = r.u32()
+            r.u8()
+            for _ in range(nrels):
+                r.u32()
+            return
+        if tag in ("Y", "O"):
             return
         if tag not in ("I", "U", "D"):
             raise ValueError(f"unknown pgoutput message tag: {tag!r}")

@@ -316,3 +316,78 @@ def test_relation_type_oids_to_value_schema():
     # numeric with no typmod → the reference's (38,20) default
     assert pg_oid_to_spark_ddl(1700, -1) == "decimal(38,20)"
     assert dec.value_schema("public.nope") is None
+
+
+# ---------------------------------------------------------------------------
+# logical-decoding messages ('M') and truncate ('T')
+# ---------------------------------------------------------------------------
+
+
+def enc_message(prefix, content, lsn=0, transactional=True):
+    return (b"M" + struct.pack(">BQ", 1 if transactional else 0, lsn)
+            + prefix.encode() + b"\x00"
+            + struct.pack(">I", len(content)) + content)
+
+
+def enc_truncate(oids, options=0):
+    return (b"T" + struct.pack(">IB", len(oids), options)
+            + b"".join(struct.pack(">I", o) for o in oids))
+
+
+def test_message_record_transactional():
+    d = PgOutputDecoder()
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = d.decode_all([
+        (10, enc_begin(77, ts)),
+        (11, enc_message("audit", b'{"op":"mark"}', lsn=11)),
+        (12, enc_commit(ts)),
+    ])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["_kind"] == "message"
+    assert r["_txid"] == 77 and r["_commit_ts"] == ts
+    assert r["_checkpoint_id"] == 11
+    body = json.loads(r["_data"])
+    assert body == {"prefix": "audit", "content": '{"op":"mark"}',
+                    "encoding": "utf8"}
+
+
+def test_message_record_non_transactional_and_binary():
+    d = PgOutputDecoder()
+    # outside any txn; content is not valid utf-8 → hex transport
+    rows = d.decode_all([(5, enc_message("blob", b"\xff\xfe\x00", lsn=99,
+                                         transactional=False))])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["_txid"] is None and r["_commit_ts"] is None
+    assert r["_checkpoint_id"] == 99
+    body = json.loads(r["_data"])
+    assert body == {"prefix": "blob", "content": "fffe00", "encoding": "hex"}
+
+
+def test_truncate_parsed_and_skipped():
+    d = PgOutputDecoder()
+    ts = dt.datetime(2024, 5, 1)
+    rows = d.decode_all([
+        (1, enc_begin(9, ts)),
+        (2, enc_relation(42, "public", "t", ["a"], key_cols=("a",))),
+        (3, enc_truncate([42, 43], options=2)),
+        (4, enc_insert(42, ["1"])),
+        (5, enc_commit(ts)),
+    ])
+    # truncate contributes no record; the stream continues decoding after it
+    assert [r["_kind"] for r in rows] == ["insert"]
+
+
+def test_message_maps_to_kind_code_4(spark):
+    from peerdb_spark.cdc import changelog_to_raw, CHANGELOG_SCHEMA
+    d = PgOutputDecoder()
+    ts = dt.datetime(2024, 5, 1)
+    rows = d.decode_all([
+        (1, enc_begin(9, ts)),
+        (2, enc_message("p", b"x", lsn=2)),
+        (3, enc_commit(ts)),
+    ])
+    df = spark.createDataFrame(rows, schema=CHANGELOG_SCHEMA)
+    raw = changelog_to_raw(df, batch_id=0).collect()
+    assert raw[0]["_peerdb_record_type"] == 4
