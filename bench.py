@@ -130,6 +130,11 @@ def main() -> None:
         "events_tumbling_agg",
         "events_sessionize",
         "vocab_topk",
+        "decontaminate",
+        "gopher_quality",
+        "doc_chunks",
+        "bm25_topk",
+        "semantic_dedup",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

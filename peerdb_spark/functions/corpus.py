@@ -42,12 +42,13 @@ def ngram_hash_set(
 
     Hashing the gram (h64) keeps the joined relation narrow: 16 bytes/row
     instead of the gram text. Distinct-per-doc so a gram repeated inside one
-    document counts once (standard decontamination semantics)."""
-    return (
-        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_g"))
-        .select(id_col, h64(F.col("_g")).alias("gram_hash"))
-        .distinct()
-    )
+    document counts once (standard decontamination semantics) — deduped
+    PER ROW with array_distinct BEFORE the explode, so the dedup needs no
+    shuffle (a relational .distinct() here would exchange every corpus
+    n-gram)."""
+    t = df.select(F.col(id_col), word_ngrams(text_col, n).alias("_gs"))
+    hashes = F.array_distinct(F.transform(F.col("_gs"), lambda g: h64(g)))
+    return t.select(id_col, F.explode(hashes).alias("gram_hash"))
 
 
 def decontaminate(

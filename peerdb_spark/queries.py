@@ -1713,6 +1713,42 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour window, 30-minute slide —
+    every event contributes to exactly 2 overlapping epoch-aligned buckets
+    (streaming.py:windowed_event_aggregation with slide; same expression runs
+    under a watermark in streaming mode). Same gate transport as the
+    tumbling query: epoch seconds + micro-unit exact sums."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))) / F.lit(1_000_000.0)).alias("sum_value"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', w.start)"
+            ).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# each event belongs to the 30-min-aligned window containing it and the one
+# starting 30 min earlier (window/slide = 2 buckets)
+SQL_EVENTS_SLIDING_AGG = """
+SELECT CAST(epoch(time_bucket(INTERVAL 30 MINUTE, ts)) AS BIGINT) - 1800 * u.j AS window_start_s,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value
+FROM events, UNNEST([0, 1]) AS u(j)
+GROUP BY 1, 2
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user session windows split at >30-min gaps
     (lag + cumulative-sum formulation — identical semantics to Spark's
@@ -2627,6 +2663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_srp_buckets": q_ann_srp_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "events_tumbling_agg": q_events_tumbling_agg,
+    "events_sliding_agg": q_events_sliding_agg,
     "events_sessionize": q_events_sessionize,
     "vocab_topk": q_vocab_topk,
     "qrep_null_partition": q_qrep_null_partition,
@@ -2687,6 +2724,7 @@ ORACLES: dict[str, str] = {
     "ann_srp_buckets": SQL_ANN_SRP_BUCKETS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_tumbling_agg": SQL_EVENTS_TUMBLING_AGG,
+    "events_sliding_agg": SQL_EVENTS_SLIDING_AGG,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,

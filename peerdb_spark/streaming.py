@@ -147,14 +147,17 @@ def windowed_event_aggregation(
     group_cols: list[str] | None = None,
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling aggregation with late-data handling.
+    """Event-time tumbling/hopping aggregation with late-data handling.
 
     The reference has no event-time windows (its 'watermark' is a replication
     cursor — SURVEY §2.8); this is the Spark-native analytics layer over the
     same event streams: watermark bounds state for late data, epoch-aligned
-    tumbling buckets, count + sum aggregates. Works identically on batch
-    DataFrames (no watermark applied) and streaming ones.
+    buckets, count + sum aggregates. `slide` < `window` makes the windows
+    overlap (hopping): each event lands in window/slide buckets, state scales
+    with that factor. Works identically on batch DataFrames (no watermark
+    applied) and streaming ones.
     """
     from pyspark.sql import functions as F
 
@@ -167,7 +170,7 @@ def windowed_event_aggregation(
     if stream.isStreaming:
         src = src.withWatermark(ts_col, watermark)
     return (
-        src.groupBy(F.window(ts_col, window).alias("w"), *gcols)
+        src.groupBy(F.window(ts_col, window, slide or window).alias("w"), *gcols)
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), *gcols, "n_events", "sum_value")
     )

@@ -54,6 +54,17 @@ def test_windowed_aggregation_batch(spark, tables):
     assert all(r["window_start"].minute == 0 and r["window_start"].second == 0 for r in rows)
 
 
+def test_windowed_aggregation_sliding_batch(spark, tables):
+    tumb = windowed_event_aggregation(tables["events"])
+    hop = windowed_event_aggregation(tables["events"], slide="30 minutes")
+    n_t = tumb.agg({"n_events": "sum"}).collect()[0][0]
+    n_h = hop.agg({"n_events": "sum"}).collect()[0][0]
+    # window/slide = 2 → every event counted exactly twice across windows
+    assert n_h == 2 * n_t
+    rows = hop.collect()
+    assert all(r["window_start"].minute in (0, 30) for r in rows)
+
+
 def test_windowed_aggregation_streaming(spark, tmp_path, tables):
     src = str(tmp_path / "src")
     tables["events"].limit(1000).coalesce(1).write.parquet(src)

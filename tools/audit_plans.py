@@ -100,6 +100,35 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("no single-partition exchange", r"Exchange SinglePartition", False),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("decontaminate", [
+        ("bench gram set broadcast (corpus never shuffles for the join)",
+         r"BroadcastHashJoin", True),
+        ("no relational distinct of corpus grams (array_distinct per row)",
+         r"HashAggregate\(keys=\[doc_id.*gram_hash", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("gopher_quality", [
+        # the whole quality pass must pipeline into the scan: per-row array
+        # expressions only, zero exchanges (asserted via MAX_EXCHANGES below)
+        ("no python udf", r"BatchEvalPython", False),
+        ("no window (longest-run replaces per-doc mode agg)", r"\bWindow\b", False),
+    ]),
+    ("doc_chunks", [
+        ("per-row explode of start offsets", r"Generate", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("bm25_topk", [
+        ("1-row corpus stats broadcast back", r"BroadcastNestedLoopJoin|BroadcastExchange", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("semantic_dedup", [
+        ("cell equi-join, never all-pairs", r"BroadcastNestedLoopJoin", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("events_sliding_agg", [
+        ("native hopping-window expand + hash agg", r"HashAggregate", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
@@ -110,6 +139,7 @@ MAX_EXCHANGES = {
     "cdc_normalize_merge": 2,  # one per join side; window partitioning reused
     "dedup_exact": 2,
     "json_extract": 1,
+    "gopher_quality": 0,  # quality pass pipelines into the scan
 }
 
 
