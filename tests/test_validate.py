@@ -1,0 +1,96 @@
+"""Mirror pre-flight validation (validate.py ↔ flow validate pass)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from peerdb_spark.cdc import CdcTableConfig
+from peerdb_spark.validate import (
+    MirrorValidationError,
+    raise_on_failure,
+    validate_mirror,
+    validate_mirror_df,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("qty", T.IntegerType()),
+    T.StructField("note", T.StringType()),
+])
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(dst_table="t", pk_cols=["id"], value_schema=SCHEMA,
+                path=str(tmp_path / "t"))
+    base.update(kw)
+    return CdcTableConfig(**base)
+
+
+def _failed(res):
+    return {(r.check, r.table) for r in res if not r.ok}
+
+
+def test_clean_config_passes(spark, tmp_path):
+    res = validate_mirror(spark, [_cfg(tmp_path)])
+    assert not _failed(res)
+    raise_on_failure(res)  # no raise
+
+
+def test_pk_and_exclude_checks(spark, tmp_path):
+    res = validate_mirror(spark, [
+        _cfg(tmp_path, pk_cols=["nope"], exclude=["ghost"]),
+    ])
+    f = _failed(res)
+    assert ("pk_in_schema", "t") in f and ("exclude_resolves", "t") in f
+    with pytest.raises(MirrorValidationError):
+        raise_on_failure(res)
+
+
+def test_pk_excluded_rejected(spark, tmp_path):
+    res = validate_mirror(spark, [_cfg(tmp_path, exclude=["id"])])
+    assert ("pk_not_excluded", "t") in _failed(res)
+
+
+def test_rename_collision(spark, tmp_path):
+    # renaming qty onto an existing column name collides
+    res = validate_mirror(spark, [_cfg(tmp_path, renames={"qty": "note"})])
+    assert ("rename_no_collision", "t") in _failed(res)
+    # renaming into a fresh name is fine
+    ok = validate_mirror(spark, [_cfg(tmp_path, renames={"qty": "quantity"})])
+    assert not _failed(ok)
+
+
+def test_duplicate_destination(spark, tmp_path):
+    res = validate_mirror(spark, [_cfg(tmp_path), _cfg(tmp_path)])
+    assert ("unique_destination", "t") in _failed(res)
+
+
+def test_meta_column_shadowing(spark, tmp_path):
+    res = validate_mirror(spark, [_cfg(tmp_path, soft_delete_col="note")])
+    assert ("meta_cols_free", "t") in _failed(res)
+
+
+def test_destination_compat_and_resync_skip(spark, tmp_path):
+    # existing destination with qty stored as bigint (widening: ok) but note
+    # stored as int (string -> int: incompatible)
+    dst = tmp_path / "t"
+    spark.createDataFrame([(1, 2, 3)], "id long, qty long, note int").write.parquet(str(dst))
+    cfg = _cfg(tmp_path)
+    res = validate_mirror(spark, [cfg])
+    bad = [r for r in res if r.check == "destination_compatible" and not r.ok]
+    assert bad and "note" in bad[0].detail and "qty" not in bad[0].detail
+    # resync recreates tables → destination check skipped (reference behavior)
+    res2 = validate_mirror(spark, [cfg], resync=True)
+    assert all(r.check != "destination_compatible" for r in res2)
+
+
+def test_source_schema_agreement(spark, tmp_path):
+    src = T.StructType([T.StructField("id", T.LongType())])  # qty/note absent
+    res = validate_mirror(spark, [_cfg(tmp_path)], source_schemas={"t": src})
+    bad = [r for r in res if r.check == "source_has_columns" and not r.ok]
+    assert bad and "qty" in bad[0].detail
+
+
+def test_validate_df_shape(spark, tmp_path):
+    df = validate_mirror_df(spark, [_cfg(tmp_path)])
+    assert set(df.columns) == {"check", "table", "ok", "detail"}
+    assert df.where("NOT ok").count() == 0
