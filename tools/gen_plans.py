@@ -118,6 +118,42 @@ COMMENT = {
         "partitioned by stratum, rank filter applied before any further "
         "consumer — never a global sort, reproducible on any layout."
     ),
+    "decontaminate": (
+        "Benchmark decontamination. Per-row array_distinct dedups grams "
+        "BEFORE the explode (no relational distinct — the corpus gram "
+        "relation never shuffles); the benchmark gram set broadcasts "
+        "(BroadcastHashJoin), so the only exchange is the matched-pair "
+        "count aggregate, bounded by actual overlap."
+    ),
+    "gopher_quality": (
+        "Repetition quality rules. The most-common-bigram multiplicity is "
+        "the longest run of the sorted bigram array — a per-row array "
+        "expression, not an explode + per-doc group-by — so the entire "
+        "quality pass has ZERO exchanges and pipelines into the scan "
+        "(exchange ceiling asserted at 0)."
+    ),
+    "doc_chunks": (
+        "Fixed-window chunking: posexplode of a per-row start-offset "
+        "sequence; chunks leave as (count, hash) scalars. Narrow — chunking "
+        "a 100 TB corpus is a map-only job."
+    ),
+    "bm25_topk": (
+        "BM25. One 1-row corpus-stats aggregate broadcast back onto a "
+        "single per-doc projection; the final top-k is a rank over score. "
+        "At production query volume the per-query work is the same single "
+        "pass — df/idf stats are corpus constants amortized across queries."
+    ),
+    "semantic_dedup": (
+        "SemDeDup. Cell assignment (max inner product against the codebook) "
+        "is materialized once (localCheckpoint) and feeds both pair-join "
+        "sides + the final flag join; candidate pairs exist only inside a "
+        "cell — a cell equi-join, never BroadcastNestedLoop (asserted)."
+    ),
+    "events_sliding_agg": (
+        "Hopping windows: the native window(size, slide) expands each event "
+        "to its window/slide buckets JVM-side, then a hash aggregate with "
+        "map-side partials — same shape as tumbling, state ×(window/slide)."
+    ),
 }
 
 
