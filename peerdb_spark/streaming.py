@@ -141,6 +141,37 @@ class CdcStreamRunner:
             self.query = None
 
 
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "_commit_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once via the NATIVE Spark redelivery
+    filter: `dropDuplicatesWithinWatermark` keeps one row per id within the
+    watermark horizon, with bounded state (ids older than the watermark are
+    evicted — redeliveries in CDC transports arrive within seconds, so a
+    minutes-scale horizon covers them with tiny state).
+
+    This is the declarative alternative to the custom keyed-state filter in
+    streaming_stateful.py (applyInPandasWithState): same semantics for
+    in-horizon duplicates, zero Python, state store managed by the engine.
+    The reference gets the same guarantee structurally (idempotent sync +
+    rank-dedup merge — docs/deep-dive-design-document.md:844); this operator
+    gives it at the transport level for sinks with no merge step (queues,
+    append-only objects). On a batch DataFrame it degrades to a plain
+    dropDuplicates on the id columns.
+    """
+    from pyspark.sql import functions as F
+
+    src = stream
+    if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if not src.isStreaming:
+        return src.dropDuplicates(id_cols)
+    return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
 def windowed_event_aggregation(
     stream: DataFrame,
     ts_col: str = "ts",

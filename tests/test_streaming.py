@@ -316,3 +316,49 @@ def test_wal_stream_relation_state_across_batches(spark, tmp_path):
     runner.run_available()
     got = sorted((r["id"], r["v"]) for r in t.read().collect())
     assert got == [("1", "A2"), ("2", "b"), ("3", "c")]
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    """Native redelivery filter: duplicate event ids delivered twice in the
+    stream collapse to one row; distinct ids all survive."""
+    from peerdb_spark.streaming import dedup_stream_within_watermark
+
+    src_dir = str(tmp_path / "src")
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append((i, base + dt.timedelta(seconds=i), f"v{i}"))
+    # redeliver the first 50 (same id + ts — an at-least-once replay)
+    rows += rows[:50]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, payload string")
+    df.coalesce(2).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    deduped = dedup_stream_within_watermark(
+        stream, ["event_id"], ts_col="ts", watermark="1 hour"
+    )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_dedup_within_watermark_batch_degrades(spark):
+    from peerdb_spark.streaming import dedup_stream_within_watermark
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a"), (1, dt.datetime(2024, 1, 1), "a"),
+         (2, dt.datetime(2024, 1, 1), "b")],
+        "event_id long, ts timestamp, payload string",
+    )
+    out = dedup_stream_within_watermark(df, ["event_id"], ts_col="ts")
+    assert out.count() == 2
