@@ -2399,7 +2399,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count aggregate."""
     from peerdb_spark.functions import corpus as CP
 
-    (docs,) = _t(spark, sf_dir, "documents")
+    from peerdb_spark.functions import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return CP.decontaminate(
@@ -2435,8 +2437,9 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity is the longest run of the sorted bigram array, so the whole
     pass is shuffle-free codegen."""
     from peerdb_spark.functions import corpus as CP
+    from peerdb_spark.functions import ensure_parallelism
 
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     return CP.gopher_quality(docs, "text", "doc_id")
 
 
@@ -2510,8 +2513,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-log Robertson idf so every arithmetic step is an exactly-rounded
     IEEE op both engines compute bit-identically (ln is libm-dependent)."""
     from peerdb_spark.functions import corpus as CP
+    from peerdb_spark.functions import ensure_parallelism
 
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     return CP.bm25_topk(docs, _BM25_TERMS, "text", "doc_id", k=10)
 
 
