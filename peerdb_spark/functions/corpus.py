@@ -87,30 +87,36 @@ def decontaminate(
 
 def longest_run(arr: Column) -> Column:
     """Length of the longest run of equal adjacent values in a SORTED array —
-    i.e. the multiplicity of the array's mode — computed with array
-    expressions only (no explode, no shuffle):
+    i.e. the multiplicity of the array's mode — as a SINGLE-PASS fold
+    (`aggregate` with (prev, run, best) state). No explode, no shuffle.
 
-      change positions = [i : a[i] != a[i-1]] ∪ {1}; append n+1;
-      mode multiplicity = max gap between consecutive change positions.
-
-    Empty array → 0. IMPORTANT: pass a plain column REFERENCE, not a nested
-    expression — `arr` is substituted several times below, and Column
-    composition duplicates the subtree each time (an expression-valued arr
-    multiplies the plan exponentially; measured 370s → 2s on the declared
-    gopher query when staged through a select).
+    Deliberately a fold and not a change-position/zip_with formulation: the
+    fold references `arr` exactly ONCE, so when Catalyst collapses projects
+    or pushes a filter on a derived column through (substituting this whole
+    expression per reference), the plan grows linearly, not exponentially.
+    The multi-reference formulation made `where(keep == 1)` take 43 s/1000
+    rows after predicate pushdown re-inlined it; the fold is ~1 ms. Lambda
+    variables bind once at runtime, so `acc` appearing several times below
+    costs nothing. Empty array → 0.
     """
-    n = F.size(arr)
-    changes = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == 1) | (F.element_at(arr, i) != F.element_at(arr, i - 1)),
+    run_len = lambda acc, x: (  # noqa: E731 — shared by two struct fields
+        F.when(acc["p"].eqNullSafe(x), acc["r"] + 1).otherwise(F.lit(1))
     )
-    bounds = F.concat(changes, F.array(n + 1))
-    gaps = F.zip_with(
-        F.slice(bounds, 1, F.size(bounds) - 1),
-        F.slice(bounds, 2, F.size(bounds) - 1),
-        lambda a, b: b - a,
+    folded = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).alias("r"),
+            F.lit(0).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            run_len(acc, x).alias("r"),
+            F.greatest(acc["b"], run_len(acc, x)).alias("b"),
+        ),
+        lambda acc: acc["b"],
     )
-    return F.when(n == 0, F.lit(0)).otherwise(F.array_max(gaps))
+    return folded
 
 
 def gopher_quality(

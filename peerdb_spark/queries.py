@@ -2620,6 +2620,133 @@ FROM celled c LEFT JOIN dup d ON c.vec_id = d.id_b
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
 
 
+def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END cleaning pipeline — every stage a real production
+    filter, chained: exact-dedup keep list → quality/length floors →
+    Gopher repetition rules → benchmark decontamination (eval docs AND
+    anything sharing >= 2 word-3-grams with them are removed, copies
+    included via base-id normalization).
+
+    Plan shape at 100 TB: one scan feeds all per-row features (codegen), the
+    keep list is a narrow hash agg, the contaminated-id set is tiny (eval
+    overlap) and broadcast for the anti-join — the text column itself never
+    shuffles anywhere in the pipeline."""
+    from peerdb_spark.functions import corpus as CP
+    from peerdb_spark.functions import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    crawl = docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    c = F.col("text")
+    keep = (
+        DD.exact_dedup(crawl, "text", "doc_id")
+        .where(F.col("is_kept"))
+        .select("doc_id")
+    )
+    gq = CP.gopher_quality(crawl, "text", "doc_id").where(F.col("keep") == 1).select(
+        "doc_id", "dup_word_frac", "top_bigram_frac"
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    contam = (
+        CP.decontaminate(
+            docs.where(F.col("doc_id") % 97 != 0), bench, n=3, min_shared=2
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    # eval docs and contaminated docs leave the corpus, copies included
+    bad = bench.select("doc_id").unionAll(contam)
+    feat = crawl.select(
+        "doc_id",
+        TX.lang_id(c).alias("lang_pred"),
+        TX.quality_score(c).cast("double").alias("quality"),
+        TX.token_count(c).cast("long").alias("n_tokens"),
+    )
+    out = (
+        feat.join(keep, "doc_id")
+        .where((F.col("quality") >= 0.8) & (F.col("n_tokens") >= 20))
+        .join(gq, "doc_id")
+        .withColumn("base_id", F.col("doc_id") % 1_000_000)
+        .join(
+            F.broadcast(bad.withColumnRenamed("doc_id", "base_id")),
+            "base_id",
+            "left_anti",
+        )
+    )
+    return out.select(
+        "doc_id", "lang_pred", "quality", "n_tokens",
+        "dup_word_frac", "top_bigram_frac",
+    )
+
+
+SQL_CORPUS_CLEAN_FULL = f"""
+WITH crawl AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+h AS (SELECT doc_id, {h64_sql("trim(text)")} AS content_hash FROM crawl),
+g AS (SELECT content_hash, min(doc_id) AS keeper_id FROM h GROUP BY content_hash),
+keep AS (SELECT h.doc_id FROM h JOIN g USING (content_hash) WHERE h.doc_id = g.keeper_id),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM crawl),
+bg AS (
+  SELECT doc_id, t,
+         list_sort(list_transform(range(1, len(t)), j -> array_to_string(t[j:j+1], ' '))) AS b
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, t, b,
+         list_concat(
+           list_filter(range(1, len(b) + 1), i -> i = 1 OR b[i] != b[i-1]),
+           [len(b) + 1]) AS bounds
+  FROM bg
+),
+gq AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE (len(t) - len(list_distinct(t))) / len(t) END AS dup_word_frac,
+         CASE WHEN len(b) = 0 THEN 0.0
+              ELSE list_aggregate(
+                     list_transform(range(1, len(bounds)), k -> bounds[k+1] - bounds[k]),
+                     'max') / len(b) END AS top_bigram_frac,
+         len(t) AS gn
+  FROM runs
+),
+gkeep AS (
+  SELECT doc_id, dup_word_frac, top_bigram_frac FROM gq
+  WHERE gn >= 25 AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.09
+),
+ngr AS ({_NGRAM3_SQL}),
+benchg AS (SELECT doc_id AS bench_id, gram_hash FROM ngr WHERE doc_id % 97 = 0),
+traing AS (SELECT doc_id, gram_hash FROM ngr WHERE doc_id % 97 != 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id FROM traing t JOIN benchg b USING (gram_hash)
+    GROUP BY t.doc_id, b.bench_id HAVING count(*) >= {_DECON_MIN})
+),
+bad AS (
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+  UNION ALL SELECT doc_id FROM contam
+),
+feat AS (
+  SELECT doc_id,
+         {_lang_id_sql("text")} AS lang_pred,
+         CAST({_quality_sql("text")} AS DOUBLE) AS quality,
+         CAST({_tokens_sql("text")} AS BIGINT) AS n_tokens
+  FROM crawl
+)
+SELECT f.doc_id, f.lang_pred, f.quality, f.n_tokens,
+       gk.dup_word_frac, gk.top_bigram_frac
+FROM feat f
+JOIN keep USING (doc_id)
+JOIN gkeep gk USING (doc_id)
+WHERE f.quality >= 0.8 AND f.n_tokens >= 20
+  AND f.doc_id % 1000000 NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2683,6 +2810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "bm25_topk": q_bm25_topk,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_clean_full": q_corpus_clean_full,
 }
 
 ORACLES: dict[str, str] = {
@@ -2744,4 +2872,5 @@ ORACLES: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "bm25_topk": SQL_BM25_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "corpus_clean_full": SQL_CORPUS_CLEAN_FULL,
 }
