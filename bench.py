@@ -129,8 +129,10 @@ def main() -> None:
         "ann_srp_buckets",
         "events_tumbling_agg",
         "events_sessionize",
+        "events_sliding_agg",
         "vocab_topk",
         "decontaminate",
+        "corpus_clean_full",
         "gopher_quality",
         "doc_chunks",
         "bm25_topk",

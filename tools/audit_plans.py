@@ -129,6 +129,11 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("native hopping-window expand + hash agg", r"HashAggregate", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("corpus_clean_full", [
+        ("keep-list hash agg (text never shuffles)", r"HashAggregate", True),
+        ("contaminated-id set broadcast for the anti-join", r"BroadcastHashJoin.*LeftAnti|LeftAnti, BuildRight", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
@@ -139,7 +144,10 @@ MAX_EXCHANGES = {
     "cdc_normalize_merge": 2,  # one per join side; window partitioning reused
     "dedup_exact": 2,
     "json_extract": 1,
-    "gopher_quality": 0,  # quality pass pipelines into the scan
+    # the quality pass itself is exchange-free; the 1 is the deliberate
+    # ensure_parallelism round-robin fan-out of the under-split local input
+    # (a no-op on well-split 100 TB sources)
+    "gopher_quality": 1,
 }
 
 

@@ -154,6 +154,13 @@ COMMENT = {
         "to its window/slide buckets JVM-side, then a hash aggregate with "
         "map-side partials — same shape as tumbling, state ×(window/slide)."
     ),
+    "corpus_clean_full": (
+        "The full cleaning pipeline: exact-dedup keep list (narrow hash "
+        "agg), quality + Gopher features as codegen'd per-row expressions "
+        "(the longest-run fold references its array once, so pushdown can't "
+        "explode it), and the contaminated/eval id set broadcast for a "
+        "left-anti join. The text column never shuffles in any stage."
+    ),
 }
 
 
