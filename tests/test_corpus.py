@@ -184,3 +184,111 @@ def test_semantic_dedup_chain_keeps_min_id(spark, tiny_codebook):
     assert out[5].kept == 1
     assert out[6].kept == 0 and out[6].dup_of == 5
     assert out[7].kept == 0 and out[7].dup_of == 5
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): operators vs plain-Python references
+# ---------------------------------------------------------------------------
+
+
+def _py_longest_run(sorted_arr):
+    best = run = 0
+    prev = object()
+    for x in sorted_arr:
+        run = run + 1 if x == prev else 1
+        best = max(best, run)
+        prev = x
+    return best
+
+
+def test_longest_run_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.sampled_from("abcde"), max_size=30))
+    def collect(xs):
+        cases.append(sorted(xs))
+
+    collect()
+    df = spark.createDataFrame(
+        [Row(i=i, a=c) for i, c in enumerate(cases)],
+        "i long, a array<string>",
+    )
+    got = {r.i: r.r for r in df.select("i", CP.longest_run(F.col("a")).alias("r")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == _py_longest_run(c), (c, got[i])
+
+
+def test_chunk_documents_property(spark):
+    """Every token covered, starts stride-aligned, last chunk nonempty for
+    nonempty docs, chunk count matches the closed form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(min_value=0, max_value=130))
+    def collect(n):
+        texts.append(" ".join(f"t{i}" for i in range(n)))
+
+    collect()
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    size, stride = 40, 30
+    rows = CP.chunk_documents(df, chunk_size=size, stride=stride).collect()
+    bydoc = {}
+    for r in rows:
+        bydoc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        n = len(t.split()) if t.strip() else 0
+        chunks = sorted(bydoc[i], key=lambda r: r.chunk_idx)
+        want_nch = 1 + max(0, -(-max(n - size, 0) // stride))
+        assert len(chunks) == want_nch, (n, len(chunks))
+        # coverage: sum of non-overlapped spans reaches n
+        covered = 0
+        for k, r in enumerate(chunks):
+            start = k * stride
+            assert r.chunk_tokens == max(0, min(n - start, size))
+            covered = max(covered, start + r.chunk_tokens)
+        assert covered == n
+
+
+def test_decontaminate_property(spark):
+    """Pair counts match a brute-force Python set intersection of word
+    3-gram sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    corpora = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), doc)
+    def collect(train, bench):
+        corpora.append((train, bench))
+
+    collect()
+
+    def grams(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    for ci, (train, bench) in enumerate(corpora):
+        tdf = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(train)])
+        bdf = spark.createDataFrame([Row(doc_id=1000, text=bench)])
+        got = {
+            (r.doc_id, r.shared_ngrams)
+            for r in CP.decontaminate(tdf, bdf, n=3, min_shared=1).collect()
+        }
+        want = set()
+        bg = grams(bench)
+        for i, t in enumerate(train):
+            shared = len(grams(t) & bg)
+            if shared >= 1:
+                want.add((i, shared))
+        assert got == want, (ci, got, want)
