@@ -155,3 +155,61 @@ def test_parallel_normalize_multi_table(spark, tmp_path):
         a = sorted(map(tuple, ParquetTable(spark, str(tmp_path / f"p_{t}"), ["id"], 2).read().collect()))
         b = sorted(map(tuple, ParquetTable(spark, str(tmp_path / f"s_{t}"), ["id"], 2).read().collect()))
         assert a == b and len(a) == 20
+
+
+def test_cdc_composite_pk_and_exotic_identifiers(spark, tmp_path):
+    """Reference e2e parity: composite primary keys and mixed-case/unicode
+    column names must survive the whole changelog → raw JSON → normalize
+    path (the reference's e2e suite exercises quoted/odd identifiers)."""
+    schema = T.StructType([
+        T.StructField("Region", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("café", T.StringType()),
+        T.StructField("Qty", T.LongType()),
+    ])
+    cfg = cdc.CdcTableConfig(
+        "tt", ["Region", "id"], schema, str(tmp_path / "tt"), n_buckets=4
+    )
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [cfg])
+    b1 = _changelog(spark, [
+        ("insert", 1, "tt", {"Region": "eu", "id": 1, "café": "crème", "Qty": 5}, None, None),
+        ("insert", 2, "tt", {"Region": "us", "id": 1, "café": "플랫", "Qty": 7}, None, None),
+        ("insert", 3, "tt", {"Region": "eu", "id": 2, "café": "ß", "Qty": 9}, None, None),
+    ])
+    pipe.sync_batch(b1, 1)
+    pipe.normalize_batches(1, 1)
+    b2 = _changelog(spark, [
+        # update one half of a composite key space; delete the other
+        ("update", 4, "tt", {"Region": "eu", "id": 1, "café": "crème 2", "Qty": 6}, None, None),
+        ("delete", 5, "tt", None, {"Region": "us", "id": 1, "café": "플랫", "Qty": 7}, None),
+    ])
+    pipe.sync_batch(b2, 2)
+    pipe.normalize_batches(2, 2)
+    got = {
+        (r["Region"], r["id"]): (r["café"], r["Qty"])
+        for r in ParquetTable(spark, cfg.path, ["Region", "id"], 4).read().collect()
+    }
+    assert got == {("eu", 1): ("crème 2", 6), ("eu", 2): ("ß", 9)}
+
+
+def test_cdc_composite_pk_partial_key_not_merged(spark, tmp_path):
+    """Two rows sharing one pk component but not the other must never merge."""
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    cfg = cdc.CdcTableConfig("p", ["a", "b"], schema, str(tmp_path / "p"), n_buckets=2)
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [cfg])
+    pipe.sync_batch(_changelog(spark, [
+        ("insert", 1, "p", {"a": 1, "b": 1, "v": "x"}, None, None),
+        ("insert", 2, "p", {"a": 1, "b": 2, "v": "y"}, None, None),
+    ]), 1)
+    pipe.normalize_batches(1, 1)
+    pipe.sync_batch(_changelog(spark, [
+        ("update", 3, "p", {"a": 1, "b": 2, "v": "z"}, None, None),
+    ]), 2)
+    pipe.normalize_batches(2, 2)
+    got = {(r["a"], r["b"]): r["v"]
+           for r in ParquetTable(spark, cfg.path, ["a", "b"], 2).read().collect()}
+    assert got == {(1, 1): "x", (1, 2): "z"}
