@@ -131,6 +131,7 @@ def main() -> None:
         "events_sessionize",
         "events_sliding_agg",
         "vocab_topk",
+        "bpe_pair_counts",
         "decontaminate",
         "corpus_clean_full",
         "gopher_quality",

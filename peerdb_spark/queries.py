@@ -1838,6 +1838,58 @@ SELECT CAST(rank AS INT) AS rank, token, cnt FROM (
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training prep: corpus-wide adjacent character-pair
+    counts, the statistic behind the first BPE merge. Production shape: the
+    corpus first collapses to a (word, frequency) table — a hash agg with
+    map-side partials whose output is VOCABULARY-sized, not corpus-sized —
+    then pairs are counted over the vocab weighted by frequency. At 100 TB
+    the expensive relation (corpus words) crosses the wire once, as counts."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0))),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair"),
+        "c",
+    ).where(F.length("pair") == 2)
+    counts = pairs.groupBy("pair").agg(F.sum("c").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 30)
+        .select(F.col("rank").cast("int").alias("rank"), "pair", "n")
+    )
+
+
+# NOTE: sequence(1, 0) is DESCENDING in Spark, hence the greatest() guard and
+# the len-2 filter (1-char words emit a truncated 1-char "pair" both ways).
+SQL_BPE_PAIR_COUNTS = """
+WITH wf AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents WHERE len(trim(text)) > 0
+  ) GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w), 1)), i -> substr(w, i, 2))) AS pair, c
+  FROM wf
+)
+SELECT CAST(rank AS INT) AS rank, pair, n FROM (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY sum(c) DESC, pair) AS rank
+  FROM pairs WHERE len(pair) = 2 GROUP BY pair
+) WHERE rank <= 30
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -2797,6 +2849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_agg": q_events_sliding_agg,
     "events_sessionize": q_events_sessionize,
     "vocab_topk": q_vocab_topk,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
     "fingerprint_dups": q_fingerprint_dups,
@@ -2859,6 +2912,7 @@ ORACLES: dict[str, str] = {
     "events_sliding_agg": SQL_EVENTS_SLIDING_AGG,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,
