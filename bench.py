@@ -132,6 +132,8 @@ def main() -> None:
         "events_sliding_agg",
         "vocab_topk",
         "bpe_pair_counts",
+        "unigram_surprisal",
+        "cms_heavy_hitters",
         "decontaminate",
         "corpus_clean_full",
         "gopher_quality",

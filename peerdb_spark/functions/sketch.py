@@ -1,0 +1,105 @@
+"""Distributed mergeable sketches: count-min.
+
+A count-min sketch is the classic bounded-memory frequency summary for
+streams and massive corpora: d hash rows × w counters; insert adds 1 at
+(i, h_i(x) % w) for each row i; the estimate is min_i counter[i][h_i(x)] —
+an overestimate biased by collisions, bounded by ε = e/w with probability
+1 − (1/e)^d.
+
+Engine shape: a sketch here is a DataFrame of (row, slot, count) cells —
+hash-aggregated, so the corpus collapses to ≤ d·w cells with map-side
+partials, and two sketches merge by unioning cells and re-summing (the same
+property that lets every executor build a partial sketch independently).
+Hashes are the repo's cross-engine md5-based h64 (functions/hashing.py), so
+the DuckDB oracle reproduces the sketch bit-for-bit — the declared query
+certifies the estimate-vs-truth relation exactly.
+
+This is deliberately beyond the reference's surface (it has no approximate
+aggregates — SURVEY §2.5); it belongs to the training-data-pipeline layer
+where exact per-token counting at 100 TB is often not worth a full shuffle
+of the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.hashing import h64_seeded
+
+
+def cms_slot(col: Column, row: int, width: int) -> Column:
+    """Counter index of `col` in hash row `row` (seeded 60-bit hash mod w)."""
+    return (h64_seeded(col, 1000 + row) % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame, value_col: str, d: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a count-min sketch over a column: returns (row, slot, cnt) cells.
+
+    One explode (d cells per input row) + one hash aggregate; output is at
+    most d·w rows regardless of corpus size. Partial sketches from separate
+    batches/partitions merge by summing cnt over (row, slot) — see cms_merge.
+    """
+    c = F.col(value_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), cms_slot(c, i, width).alias("slot")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_cell")
+    )
+    return (
+        cells.select(F.col("_cell.row").alias("row"), F.col("_cell.slot").alias("slot"))
+        .groupBy("row", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (d, width): sum cells."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, value_col: str, d: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate counts for `items[value_col]`: min over the d rows.
+
+    The sketch is tiny (≤ d·w cells) → broadcast; each item probes d cells
+    via an equi-join. Returns (value_col, est)."""
+    c = F.col(value_col)
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), cms_slot(c, i, width).alias("slot")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_p"),
+    ).select(value_col, F.col("_p.row").alias("row"), F.col("_p.slot").alias("slot"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "slot"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_slot_sql(expr: str, row: int, width: int) -> str:
+    """DuckDB text for cms_slot (oracle parity)."""
+    from peerdb_spark.functions.hashing import h64_seeded_sql
+
+    return f"CAST({h64_seeded_sql(expr, 1000 + row)} % {width} AS INT)"

@@ -1890,6 +1890,121 @@ SELECT CAST(rank AS INT) AS rank, pair, n FROM (
 """
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (rare-token density): per-document mean
+    inverse unigram probability, Σ(total_tokens // count(w)) / n_tokens.
+    Documents dominated by rare tokens score high — the cheap stand-in for
+    perplexity filtering when no LM is at hand.
+
+    Integer surprisal per token (total // c_w, exact integer division) makes
+    the per-doc sum ASSOCIATIVE — no floating-sum order dependence between
+    engines — with one final double division. Plan: corpus → vocab-sized
+    frequency table → hash join on token → per-doc sum; the text column
+    never shuffles, tokens cross the wire once."""
+    from peerdb_spark.functions import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("w"))
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = wf.agg(F.sum("c").alias("total"))
+    scored = (
+        tok.join(wf, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.floor(F.col("total") / F.col("c")).cast("long")).alias("surprisal_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_sum",
+        (F.col("surprisal_sum") / F.col("n_tokens")).alias("mean_surprisal"),
+    )
+
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE len(trim(text)) > 0
+),
+wf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+total AS (SELECT sum(c) AS total FROM wf)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(total // c) AS BIGINT) AS surprisal_sum,
+       CAST(sum(total // c) AS BIGINT) / count(*) AS mean_surprisal
+FROM tok JOIN wf USING (w) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (functions/sketch.py): build a d×w sketch over all
+    corpus tokens — the corpus collapses to ≤ d·w cells with map-side
+    partials — then probe the true top-20 tokens. Output certifies the
+    estimate-vs-truth relation exactly (md5 hashing is cross-engine
+    deterministic): est >= true always, equal when no collision."""
+    from peerdb_spark.functions import ensure_parallelism
+    from peerdb_spark.functions import sketch as SK
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+    sk = SK.cms_build(tok, "w", d=_CMS_D, width=_CMS_W)
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    win = Window.orderBy(F.desc("true_cnt"), F.col("w"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 20)
+        .select("w", "true_cnt")
+    )
+    est = SK.cms_estimate(sk, top.select("w"), "w", d=_CMS_D, width=_CMS_W)
+    return top.join(est, "w").select(
+        F.col("w").alias("token"), "true_cnt", "est"
+    )
+
+
+def _cms_sql() -> str:
+    from peerdb_spark.functions.sketch import cms_slot_sql
+
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_slot_sql('w', i, _CMS_W)} AS slot FROM tok"
+        for i in range(_CMS_D)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT w, {i} AS row, {cms_slot_sql('w', i, _CMS_W)} AS slot FROM top"
+        for i in range(_CMS_D)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE len(trim(text)) > 0
+),
+cells AS (
+  SELECT row, slot, count(*) AS cnt FROM ({cell_selects}) GROUP BY row, slot
+),
+top AS (
+  SELECT w, count(*) AS true_cnt,
+         row_number() OVER (ORDER BY count(*) DESC, w) AS rank
+  FROM tok GROUP BY w QUALIFY rank <= 20
+),
+probes AS ({probe_selects}),
+est AS (
+  SELECT p.w, min(c.cnt) AS est
+  FROM probes p JOIN cells c USING (row, slot) GROUP BY p.w
+)
+SELECT t.w AS token, t.true_cnt, CAST(e.est AS BIGINT) AS est
+FROM top t JOIN est e USING (w)
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _cms_sql()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -2850,6 +2965,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "unigram_surprisal": q_unigram_surprisal,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
     "fingerprint_dups": q_fingerprint_dups,
@@ -2913,6 +3030,8 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,
