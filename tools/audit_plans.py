@@ -134,6 +134,19 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("contaminated-id set broadcast for the anti-join", r"BroadcastHashJoin.*LeftAnti|LeftAnti, BuildRight", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("bpe_pair_counts", [
+        ("vocab collapse before pair expansion (map-side partials)", r"HashAggregate", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("unigram_surprisal", [
+        ("token-frequency hash join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("cms_heavy_hitters", [
+        ("sketch cells hash-aggregated (bounded d*w output)", r"HashAggregate", True),
+        ("sketch broadcast for the probe join", r"BroadcastHashJoin", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
