@@ -134,6 +134,7 @@ def main() -> None:
         "bpe_pair_counts",
         "unigram_surprisal",
         "cms_heavy_hitters",
+        "hll_vocab_registers",
         "decontaminate",
         "corpus_clean_full",
         "gopher_quality",

@@ -103,3 +103,75 @@ def cms_slot_sql(expr: str, row: int, width: int) -> str:
     from peerdb_spark.functions.hashing import h64_seeded_sql
 
     return f"CAST({h64_seeded_sql(expr, 1000 + row)} % {width} AS INT)"
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, p: int = 8, seed: int = 7
+) -> DataFrame:
+    """HyperLogLog register table: bucket = low p bits of the 60-bit hash,
+    register = max leading-zero-run (+1) of the remaining 60-p bits.
+
+    Returns (bucket, rho) — at most 2^p rows via hash agg with map-side
+    partials, mergeable by max over bucket (hll_merge). The ESTIMATE is
+    computed driver/test-side from the registers (harmonic mean needs
+    float summation whose order the oracle cannot pin; the registers
+    themselves are bit-deterministic, so the declared query certifies the
+    sketch build and leaves the final scalar to the caller — same split as
+    the reference's deferred-dedup normalize).
+    """
+    h = h64_seeded(F.col(value_col), seed)
+    bucket = (h % (1 << p)).cast("int")
+    # high bits via shiftright — NOT `/`: Spark `/` is double division,
+    # inexact above 2^53, and the truncation would disagree with the
+    # oracle's integer floor for large hashes
+    rest = F.shiftright(h, p)
+    bits = 60 - p
+    # leading-zero count of `rest` within `bits` width: bits - bit_length.
+    # bit_length(x) for x>0 = length of the binary string (exact, JVM-side;
+    # no log, no clz needed).
+    bl = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    rho = (F.lit(bits) - bl + 1).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built with the same (p, seed): max per bucket."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 8) -> float:
+    """Driver-side HLL estimate from collected (bucket, rho) registers
+    (standard bias-corrected harmonic mean; small-range LinearCounting)."""
+    import math
+
+    m = 1 << p
+    regs = dict(registers)
+    zeros = m - len(regs)
+    s = zeros * 1.0 + sum(2.0 ** (-r) for r in regs.values())
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else 0.697
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hll_registers_sql(src: str, value_expr: str, p: int = 8, seed: int = 7) -> str:
+    """DuckDB oracle text for hll_registers."""
+    from peerdb_spark.functions.hashing import h64_seeded_sql
+
+    h = h64_seeded_sql(value_expr, seed)
+    bits = 60 - p
+    rest = f"(({h}) >> {p})"
+    return f"""
+SELECT CAST({h} % {1 << p} AS INT) AS bucket,
+       CAST(max({bits} - (CASE WHEN {rest} = 0 THEN 0
+                ELSE length(bin({rest})) END) + 1) AS INT) AS rho
+FROM {src} GROUP BY 1
+"""

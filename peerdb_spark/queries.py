@@ -2005,6 +2005,30 @@ FROM top t JOIN est e USING (w)
 SQL_CMS_HEAVY_HITTERS = _cms_sql()
 
 
+def q_hll_vocab_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus token stream
+    (functions/sketch.py:hll_registers): ≤ 2^p rows via hash agg, mergeable
+    by max — the bounded-memory distinct-count sketch. The gate certifies
+    the registers bit-for-bit; the scalar estimate (float harmonic mean)
+    stays caller-side — see test_sketch.py for the accuracy check."""
+    from peerdb_spark.functions import sketch as SK
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+    return SK.hll_registers(tok, "w", p=8)
+
+
+def _hll_sql() -> str:
+    from peerdb_spark.functions.sketch import hll_registers_sql
+
+    tok = ("(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+           "FROM documents WHERE len(trim(text)) > 0)")
+    return hll_registers_sql(tok, "w", p=8)
+
+
+SQL_HLL_VOCAB_REGISTERS = _hll_sql()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -2967,6 +2991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "unigram_surprisal": q_unigram_surprisal,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_vocab_registers": q_hll_vocab_registers,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
     "fingerprint_dups": q_fingerprint_dups,
@@ -3032,6 +3057,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,

@@ -52,3 +52,28 @@ def test_cms_size_bound(spark):
     df = _items(spark, [f"w{i}" for i in range(5000)])
     sk = SK.cms_build(df, "w", d=3, width=64)
     assert sk.count() <= 3 * 64
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    n = 20000
+    df = _items(spark, [f"item{i}" for i in range(n)])
+    sk = SK.hll_registers(df, "w", p=10)
+    regs = [(r.bucket, r.rho) for r in sk.collect()]
+    est = SK.hll_estimate(regs, p=10)
+    assert abs(est - n) / n < 0.10, est  # ~3.25%/sqrt(m) expected error
+    # merge of two halves == full build
+    a = _items(spark, [f"item{i}" for i in range(0, n, 2)])
+    b = _items(spark, [f"item{i}" for i in range(1, n, 2)])
+    merged = SK.hll_merge(
+        SK.hll_registers(a, "w", p=10), SK.hll_registers(b, "w", p=10)
+    )
+    m = {(r.bucket, r.rho) for r in merged.collect()}
+    assert m == set(regs)
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    uniq = [f"u{i}" for i in range(500)]
+    once = SK.hll_registers(_items(spark, uniq), "w", p=8)
+    tenx = SK.hll_registers(_items(spark, uniq * 10), "w", p=8)
+    assert {(r.bucket, r.rho) for r in once.collect()} == \
+           {(r.bucket, r.rho) for r in tenx.collect()}
