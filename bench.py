@@ -135,6 +135,7 @@ def main() -> None:
         "unigram_surprisal",
         "cms_heavy_hitters",
         "hll_vocab_registers",
+        "mongo_changestream_decode",
         "decontaminate",
         "corpus_clean_full",
         "gopher_quality",

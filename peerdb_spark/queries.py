@@ -2005,6 +2005,73 @@ FROM top t JOIN est e USING (w)
 SQL_CMS_HEAVY_HITTERS = _cms_sql()
 
 
+def q_mongo_changestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo change-stream decode under the gate (sources/mongo.py — pure
+    JVM get_json_object decode): change events are synthesized from orders
+    (op from o_orderkey%4 incl. a 'replace'→update mapping, resume-token hex
+    checkpoints, clusterTime seconds), round-tripped through real event JSON
+    (to_json), and decoded back. The oracle states the expected decoded
+    relation directly — upgrading this source from rows-only to value-
+    verified. Timestamps leave as epoch seconds (gate transport rule)."""
+    from peerdb_spark.sources.mongo import changestream_to_changelog
+
+    (od,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    op = (
+        F.when(k % 4 == 0, "delete")
+        .when(k % 4 == 1, "insert")
+        .when(k % 4 == 2, "update")
+        .otherwise("replace")
+    )
+    full_doc = F.when(
+        k % 4 != 0,
+        F.struct(
+            F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus")
+        ),
+    )
+    event = F.to_json(
+        F.struct(
+            F.struct(
+                F.concat(F.lit("82"), F.lpad(F.hex(k), 18, "0")).alias("_data")
+            ).alias("_id"),
+            op.alias("operationType"),
+            F.struct(
+                F.struct(
+                    (F.lit(1_700_000_000) + k % 100_000).alias("t"),
+                    F.lit(1).alias("i"),
+                ).alias("$timestamp")
+            ).alias("clusterTime"),
+            F.struct(F.lit("app").alias("db"), F.lit("orders").alias("coll")).alias("ns"),
+            F.struct(F.col("o_orderkey")).alias("documentKey"),
+            full_doc.alias("fullDocument"),
+        )
+    )
+    decoded = changestream_to_changelog(od.select(event.alias("event_json")))
+    return decoded.select(
+        "_kind",
+        "_checkpoint_id",
+        F.col("_commit_ts").cast("long").alias("commit_s"),
+        "_dst_table",
+        "_data",
+        "_old_data",
+    )
+
+
+SQL_MONGO_CHANGESTREAM_DECODE = """
+SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'delete'
+            WHEN o_orderkey % 4 = 1 THEN 'insert'
+            ELSE 'update' END AS _kind,
+       '82' || lpad(hex(o_orderkey), 18, '0') AS _checkpoint_id,
+       CAST(1700000000 + o_orderkey % 100000 AS BIGINT) AS commit_s,
+       'app.orders' AS _dst_table,
+       CASE WHEN o_orderkey % 4 = 0 THEN NULL
+            ELSE '{"o_orderkey":' || o_orderkey || ',"o_custkey":' || o_custkey
+                 || ',"o_orderstatus":"' || o_orderstatus || '"}' END AS _data,
+       '{"o_orderkey":' || o_orderkey || '}' AS _old_data
+FROM orders
+"""
+
+
 def q_hll_vocab_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register table over the corpus token stream
     (functions/sketch.py:hll_registers): ≤ 2^p rows via hash agg, mergeable
@@ -2992,6 +3059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_surprisal": q_unigram_surprisal,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_vocab_registers": q_hll_vocab_registers,
+    "mongo_changestream_decode": q_mongo_changestream_decode,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
     "fingerprint_dups": q_fingerprint_dups,
@@ -3058,6 +3126,7 @@ ORACLES: dict[str, str] = {
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,
+    "mongo_changestream_decode": SQL_MONGO_CHANGESTREAM_DECODE,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,
