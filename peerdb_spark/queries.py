@@ -2013,9 +2013,12 @@ def q_mongo_changestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (to_json), and decoded back. The oracle states the expected decoded
     relation directly — upgrading this source from rows-only to value-
     verified. Timestamps leave as epoch seconds (gate transport rule)."""
+    from peerdb_spark.functions import ensure_parallelism
     from peerdb_spark.sources.mongo import changestream_to_changelog
 
-    (od,) = _t(spark, sf_dir, "orders")
+    # orders.parquet is one small file at bench SFs → one split; the decode is
+    # CPU-bound (JSON serialize+parse per row), so fan out first
+    od = ensure_parallelism(_t(spark, sf_dir, "orders")[0])
     k = F.col("o_orderkey")
     op = (
         F.when(k % 4 == 0, "delete")
@@ -2046,7 +2049,12 @@ def q_mongo_changestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             full_doc.alias("fullDocument"),
         )
     )
-    decoded = changestream_to_changelog(od.select(event.alias("event_json")))
+    # materialize the synthesized event feed once (in production the events
+    # arrive from the change-stream transport already materialized): without
+    # the barrier, filter pushdown inlines the to_json synthesis into every
+    # decode expression (~3x the whole query's runtime at sf0.1)
+    events_df = od.select(event.alias("event_json")).localCheckpoint()
+    decoded = changestream_to_changelog(events_df)
     return decoded.select(
         "_kind",
         "_checkpoint_id",

@@ -23,6 +23,42 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Envelope scalars decoded with ONE from_json pass (PERMISSIVE mode ignores
+# the fields we don't declare). fullDocument/documentKey are NOT in this
+# schema on purpose: they are schemaless documents and must round-trip as
+# raw JSON text (get_json_object re-renders the subtree, preserving field
+# order), not as a fixed struct.
+_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StructType([T.StructField("_data", T.StringType())])),
+        T.StructField("operationType", T.StringType()),
+        T.StructField(
+            "clusterTime",
+            T.StructType(
+                [
+                    T.StructField(
+                        "$timestamp",
+                        T.StructType(
+                            [
+                                T.StructField("t", T.LongType()),
+                                T.StructField("i", T.LongType()),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+        T.StructField(
+            "ns",
+            T.StructType(
+                [T.StructField("db", T.StringType()), T.StructField("coll", T.StringType())]
+            ),
+        ),
+        T.StructField("txnNumber", T.LongType()),
+    ]
+)
 
 _KIND = {
     "insert": "insert",
@@ -56,19 +92,22 @@ def changestream_to_changelog(
     through would null-out every destination column on merge.
     """
     j = F.col(payload_col)
-    op = F.get_json_object(j, "$.operationType")
-    ns = F.concat_ws(
-        ".",
-        F.get_json_object(j, "$.ns.db"),
-        F.get_json_object(j, "$.ns.coll"),
+    # ONE JSON parse for every envelope scalar (from_json; earlier versions
+    # issued 7 get_json_object calls, each a full re-parse — and when the
+    # payload column is itself a computed expression, Catalyst's filter
+    # pushdown inlines it into every call, ~15 serialize+parse per row).
+    # Only the schemaless document payloads still go through get_json_object
+    # (they must stay raw JSON text with source field order).
+    parsed = events.select(
+        "*", F.from_json(j, _ENVELOPE_SCHEMA).alias("_env")
     )
-    cluster_secs = F.get_json_object(j, "$.clusterTime.$timestamp.t").cast("long")
-    out = events.select(
+    op = F.col("_env.operationType")
+    ns = F.concat_ws(".", F.col("_env.ns.db"), F.col("_env.ns.coll"))
+    out = parsed.select(
         _kind_expr(op).alias("_kind"),
-        F.get_json_object(j, "$._id._data").alias("_checkpoint_id"),
-        F.timestamp_seconds(cluster_secs).alias("_commit_ts"),
-        (F.col(txid_col) if txid_col else F.get_json_object(j, "$.txnNumber").cast("long"))
-        .alias("_txid"),
+        F.col("_env._id._data").alias("_checkpoint_id"),
+        F.timestamp_seconds(F.col("_env.clusterTime.$timestamp.t")).alias("_commit_ts"),
+        (F.col(txid_col) if txid_col else F.col("_env.txnNumber")).alias("_txid"),
         ns.alias("_src_table"),
         ns.alias("_dst_table"),
         # post-image: fullDocument for insert/replace/update(updateLookup)
