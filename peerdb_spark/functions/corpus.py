@@ -126,6 +126,7 @@ def gopher_quality(
     min_tokens: int = 25,
     max_dup_word_frac: float = 0.6,
     max_top_bigram_frac: float = 0.09,
+    extra: dict[str, "Column"] | None = None,
 ) -> DataFrame:
     """Repetition-based quality signals per document (the Gopher/MassiveText
     rule family: doc-length bounds, duplicate-word fraction, most-common-
@@ -139,8 +140,19 @@ def gopher_quality(
     substitutes subtrees, and the naive single-select form duplicates the
     tokenizer ~100× (Catalyst's CollapseProject then re-inlines; the staged
     form keeps the analyzed tree linear).
+
+    `extra` maps output-column name → Column over df's columns; the extras are
+    computed in the SAME first projection as the tokenizer (one pass over the
+    text) and carried through the staged selects — callers composing several
+    per-row feature families avoid a second scan or a self-join.
     """
-    t = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    extra = extra or {}
+    ex_names = list(extra)
+    t = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_t"),
+        *[col.alias(name) for name, col in extra.items()],
+    )
     n = F.size(F.col("_t"))
     bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -153,6 +165,7 @@ def gopher_quality(
         n.alias("n_tokens"),
         F.size(F.array_distinct("_t")).alias("_nd"),
         F.array_sort(bigrams).alias("_bg"),
+        *ex_names,
     )
     s2 = s1.select(
         id_col,
@@ -162,6 +175,7 @@ def gopher_quality(
         .alias("dup_word_frac"),
         F.size("_bg").alias("_nbg"),
         longest_run(F.col("_bg")).alias("_top"),
+        *ex_names,
     )
     s3 = s2.select(
         id_col,
@@ -170,6 +184,7 @@ def gopher_quality(
         F.when(F.col("_nbg") == 0, F.lit(0.0))
         .otherwise(F.col("_top") / F.col("_nbg"))
         .alias("top_bigram_frac"),
+        *ex_names,
     )
     return s3.select(
         id_col,
@@ -183,6 +198,7 @@ def gopher_quality(
         )
         .cast("int")
         .alias("keep"),
+        *ex_names,
     )
 
 

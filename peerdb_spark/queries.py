@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from peerdb_spark import normalize as N
+from peerdb_spark.functions import ensure_parallelism
 from peerdb_spark.functions import dedup as DD
 from peerdb_spark.functions import text as TX
 from peerdb_spark.functions.exotic import INET4_RE as X_INET4_RE
@@ -1402,7 +1403,7 @@ def _quantize(vec):
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 by quantized-int dot product (exact in both engines);
     queries = vec_id < 5. Demonstrates broadcast-NL + window rank pattern."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
     c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
     q = c.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
@@ -1476,7 +1477,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-rank by quantized-int dot product within the probed bucket only.
     Unlike sim_topk's broadcast-NL baseline, cost is shuffle ∝ corpus +
     probe ∝ bucket occupancy — never |corpus|·|queries|."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
     c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
     c = c.select("vec_id", "qv", _int_srp_sig(F.col("qv"), 4).alias("bkt"))
     q = c.where(F.col("vec_id") < 5).select(
@@ -1543,7 +1544,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors to their nearest codebook cell, probe the nprobe nearest cells
     per query, exact integer-dot re-rank within probed cells only. The join
     is a cell equi-join — per-query cost ∝ nprobe/k of the corpus."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
     cents = _ivf_codebook_int()
     c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
 
@@ -1630,7 +1631,7 @@ def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP/LSH bucket assignment on quantized vectors (sign of exact int
     projections — deterministic across engines). The ANN scale path's
     partitioning key."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
     from peerdb_spark.functions.similarity import srp_hyperplane
 
     c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
@@ -2117,7 +2118,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + exact check find them."""
     from peerdb_spark.functions.similarity import srp_hyperplane
 
-    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
     c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
     planted = c.where(F.col("vec_id") < 16).select(
         (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
@@ -2832,7 +2833,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end on a corpus with no organic near-dups at this threshold."""
     from peerdb_spark.functions.similarity import semantic_dedup
 
-    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
     c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
     planted = c.where(F.col("vec_id") < 16).select(
         (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
@@ -2900,18 +2901,29 @@ def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peerdb_spark.functions import corpus as CP
     from peerdb_spark.functions import ensure_parallelism
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
-    crawl = docs.select("doc_id", "text").unionAll(
-        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    )
+    # Materialize the fanned-out base once: every downstream reference (crawl
+    # halves, bench, train) reads real partitions instead of replaying the
+    # scan+repartition — without this, AQE's local shuffle read collapses the
+    # broadcast-side builds to ONE task and serializes ~4s of text compute.
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0]).localCheckpoint()
     c = F.col("text")
-    keep = (
-        DD.exact_dedup(crawl, "text", "doc_id")
-        .where(F.col("is_kept"))
-        .select("doc_id")
+    # ONE per-row feature pass over the 'documents' base. The crawl doubles
+    # every doc under a shifted id with IDENTICAL text, so per-row features
+    # (hash, language, quality, token/gopher stats) are computed on the base
+    # and the duplicate half unions the *feature rows*, not the text —
+    # halving all per-row CPU vs computing over the doubled corpus.
+    per = CP.gopher_quality(
+        docs,
+        "text",
+        "doc_id",
+        extra={
+            "content_hash": DD.content_hash("text"),
+            "lang_pred": TX.lang_id(c),
+            "quality": TX.quality_score(c).cast("double"),
+        },
     )
-    gq = CP.gopher_quality(crawl, "text", "doc_id").where(F.col("keep") == 1).select(
-        "doc_id", "dup_word_frac", "top_bigram_frac"
+    crawlf = per.unionAll(
+        per.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     )
     bench = docs.where(F.col("doc_id") % 97 == 0)
     contam = (
@@ -2923,16 +2935,17 @@ def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eval docs and contaminated docs leave the corpus, copies included
     bad = bench.select("doc_id").unionAll(contam)
-    feat = crawl.select(
-        "doc_id",
-        TX.lang_id(c).alias("lang_pred"),
-        TX.quality_score(c).cast("double").alias("quality"),
-        TX.token_count(c).cast("long").alias("n_tokens"),
-    )
+    # exact-dedup keep rule as a window (keeper = min id per content hash
+    # across the doubled corpus) — one hash exchange, no keep-list join
+    w = Window.partitionBy("content_hash")
     out = (
-        feat.join(keep, "doc_id")
-        .where((F.col("quality") >= 0.8) & (F.col("n_tokens") >= 20))
-        .join(gq, "doc_id")
+        crawlf.withColumn("_keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .where(
+            (F.col("quality") >= 0.8)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("keep") == 1)
+        )
         .withColumn("base_id", F.col("doc_id") % 1_000_000)
         .join(
             F.broadcast(bad.withColumnRenamed("doc_id", "base_id")),
@@ -2941,7 +2954,8 @@ def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select(
-        "doc_id", "lang_pred", "quality", "n_tokens",
+        "doc_id", "lang_pred", "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         "dup_word_frac", "top_bigram_frac",
     )
 
