@@ -2537,6 +2537,115 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_SESSION_NATIVE = SQL_EVENTS_SESSIONIZE
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join (operators.asof_join): every click event matches
+    the most recent view event by the same user at or before the click.
+    Implementation is the union+window formulation — one hash exchange per
+    side on user_id, no range join, no BroadcastNestedLoop. The DuckDB
+    oracle uses its NATIVE ASOF JOIN operator, so two entirely different
+    algorithms certify the same relation. The right side is deduped to one
+    view per (user, ts) (max event_id) to pin tie semantics on both engines.
+    Timestamps leave as epoch seconds (gate transport rule)."""
+    from peerdb_spark.operators import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    epoch_s = "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', {})"
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    vw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(vw))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    j = asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts")
+    return j.select(
+        "user_id",
+        F.expr(epoch_s.format("ts")).alias("click_s"),
+        "click_id",
+        "view_id",
+        F.expr(epoch_s.format("ts_right")).alias("view_s"),
+        # micro-unit long transport: double-typed value cells hash fine but
+        # keep the proven integer transport for the float payload
+        F.floor(F.col("view_value") * 1_000_000 + F.lit(0.5)).alias("view_value_u"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view')
+  WHERE rn = 1
+)
+SELECT c.user_id, CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s, c.click_id,
+       v.view_id, CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s,
+       CAST(floor(v.view_value * 1000000 + 0.5) AS BIGINT) AS view_value_u
+FROM clicks c
+ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators.interval_join): purchase events
+    open a 30-minute attribution window [ts-30min, ts]; click events by the
+    same user inside the window match (ad-attribution shape). The Spark plan
+    is a bucketed EQUI-join on (user, time slot) + exact containment filter
+    — never an inequality nested-loop join; the oracle states the plain
+    inequality join, certifying the bucketing is lossless."""
+    from peerdb_spark.operators import interval_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    epoch_s = "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', {})"
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    j = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        point_ts="ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=1800,
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr(epoch_s.format("ts")).alias("click_s"),
+        F.expr(epoch_s.format("win_end")).alias("purchase_s"),
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+SELECT c.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: sequence packing + stratified sampling
 # ---------------------------------------------------------------------------
@@ -2887,6 +2996,56 @@ FROM celled c LEFT JOIN dup d ON c.vec_id = d.id_b
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 symmetric scalar quantization + quantized top-k (similarity.py:
+    sq8_*): the corpus embedding column is compressed 4× to int8-range codes
+    with one global scale (one partial-agg scan, stats broadcast — never
+    collected), then the first 5 vectors query the code table by integer
+    code dot product (rank-faithful: symmetric codes scale the true inner
+    product by one positive constant). Every code and every score is
+    integer/bit-exact in the DuckDB oracle — the full quantize→search path
+    is value-verified; test_similarity.py additionally pins ≥50% mean
+    top-10 recall vs the exact float ranking."""
+    from peerdb_spark.functions.similarity import sq8_encode, sq8_stats, sq8_topk
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
+    stats = sq8_stats(emb, "embedding")
+    codes = sq8_encode(emb, stats, "embedding", "vec_id")
+    q = codes.where(F.col("vec_id") < 5)
+    out = sq8_topk(codes, q, k=5)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+SQL_SQ8_TOPK = """
+WITH stats AS (
+  SELECT max(m) AS maxabs
+  FROM (SELECT list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+        FROM embeddings)
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CASE WHEN maxabs = 0 THEN 0
+                ELSE least(127, greatest(-127,
+                  CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)))
+           END) AS codes
+  FROM embeddings, stats
+),
+q AS (SELECT vec_id AS query_id, codes AS qcodes FROM codes WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(range(1, 65), j -> c.codes[j] * q.qcodes[j])) AS score
+  FROM codes c, q
+)
+SELECT query_id, vec_id, CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
 def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END cleaning pipeline — every stage a real production
     filter, chained: exact-dedup keep list → quality/length floors →
@@ -3090,6 +3249,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "events_session_native": q_events_session_native,
+    "events_asof_join": q_events_asof_join,
+    "sq8_topk": q_sq8_topk,
+    "events_interval_join": q_events_interval_join,
     "decontaminate": q_decontaminate,
     "gopher_quality": q_gopher_quality,
     "doc_chunks": q_doc_chunks,
@@ -3157,6 +3319,9 @@ ORACLES: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "sq8_topk": SQL_SQ8_TOPK,
+    "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "decontaminate": SQL_DECONTAMINATE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "doc_chunks": SQL_DOC_CHUNKS,

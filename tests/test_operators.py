@@ -1,0 +1,120 @@
+"""asof_join / interval_join operator semantics (peerdb_spark.operators)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from peerdb_spark.operators import asof_join, interval_join
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "l10"), (1, ts(20), "l20"), (1, ts(5), "l5"), (2, ts(10), "l2_10")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), "r10"), (1, ts(15), "r15"), (3, ts(1), "r3")],
+        "k int, ts timestamp, rv string",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    out = {
+        (r["k"], r["ts"].second): (r["rv"], r["ts_right"].second if r["ts_right"] else None)
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out[(1, 10)] == ("r10", 10)  # equal ts matches (inclusive)
+    assert out[(1, 20)] == ("r15", 15)  # most recent prior
+    assert out[(1, 5)] == (None, None)  # nothing prior -> left join null
+    assert out[(2, 10)] == (None, None)  # key absent on right
+
+
+def test_asof_left_rows_preserved(spark, frames):
+    left, right = frames
+    assert asof_join(left, right, on="k").count() == left.count()
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    out = {
+        (r["k"], r["ts"].second): r["rv"]
+        for r in asof_join(left, right, on="k", tolerance_seconds=3).collect()
+    }
+    assert out[(1, 10)] == "r10"  # 0s old: within tolerance
+    assert out[(1, 20)] is None  # 5s old: beyond 3s tolerance
+
+
+def test_asof_tie_on_right_ts_is_deterministic(spark):
+    left = spark.createDataFrame([(1, ts(10), "l")], "k int, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(10), "b")], "k int, ts timestamp, rv string"
+    )
+    # max over the right-row struct wins: ("b" > "a")
+    rows = asof_join(left, right, on="k").collect()
+    assert rows[0]["rv"] == "b"
+
+
+def test_interval_join_bounds_inclusive(spark):
+    points = spark.createDataFrame(
+        [(1, 100, ts(0)), (1, 101, ts(30)), (1, 102, ts(31)), (2, 103, ts(15))],
+        "k int, pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 7, ts(0), ts(30))], "k int, iid int, lo timestamp, hi timestamp"
+    )
+    got = sorted(
+        r["pid"]
+        for r in interval_join(
+            points, intervals, on="k", point_ts="ts", start_col="lo",
+            end_col="hi", bucket_seconds=10,
+        ).collect()
+    )
+    # 0s and 30s inside (inclusive both ends); 31s out; key 2 unmatched
+    assert got == [100, 101]
+
+
+def test_interval_join_matches_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = [(rnd.randint(0, 3), i, ts(rnd.randint(0, 59))) for i in range(80)]
+    ivs = [
+        (rnd.randint(0, 3), 1000 + i, ts(a), ts(min(59, a + rnd.randint(0, 20))))
+        for i, a in enumerate(rnd.sample(range(50), 20))
+    ]
+    points = spark.createDataFrame(pts, "k int, pid int, ts timestamp")
+    intervals = spark.createDataFrame(ivs, "k int, iid int, lo timestamp, hi timestamp")
+    fast = {
+        (r["k"], r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, on="k", point_ts="ts", start_col="lo",
+            end_col="hi", bucket_seconds=7,
+        ).collect()
+    }
+    naive = {
+        (p[0], p[1], iv[1])
+        for p in pts
+        for iv in ivs
+        if p[0] == iv[0] and iv[2] <= p[2] <= iv[3]
+    }
+    assert fast == naive
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    points = spark.createDataFrame([(1, 1, ts(0))], "k int, pid int, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(1, 7, ts(0), ts(30))], "k int, iid int, lo timestamp, hi timestamp"
+    )
+    plan = interval_join(
+        points, intervals, on="k", point_ts="ts", start_col="lo",
+        end_col="hi", bucket_seconds=10,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan

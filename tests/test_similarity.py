@@ -56,3 +56,58 @@ def test_cosine_near_dup_pairs_runs(spark, emb):
     out = S.cosine_near_dup_pairs(emb, dim=64, threshold=0.8, bits=4)
     for r in out.collect():
         assert r["cos_sim"] >= 0.8 and r["id_a"] < r["id_b"]
+
+
+def test_sq8_codes_in_range_and_deterministic(spark):
+    from peerdb_spark.functions.similarity import sq8_encode, sq8_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = sq8_stats(emb, "embedding")
+    codes = sq8_encode(emb, stats, "embedding", "vec_id")
+    from pyspark.sql import functions as F
+
+    bad = codes.where(
+        F.exists("codes", lambda c: (c < -127) | (c > 127))
+        | (F.size("codes") != 64)
+    ).count()
+    assert bad == 0
+    a = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    b = {r["vec_id"]: r["codes"] for r in sq8_encode(emb, stats, "embedding", "vec_id").collect()}
+    assert a == b
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """Quantized top-10 must substantially overlap exact float top-10 —
+    the compression is supposed to approximate the inner-product ranking."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.similarity import (
+        dot,
+        sq8_encode,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = sq8_stats(emb, "embedding")
+    codes = sq8_encode(emb, stats, "embedding", "vec_id")
+    approx = sq8_topk(codes, codes.where(F.col("vec_id") < 8), k=10)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", dot(F.col("embedding"), F.col("qv")).alias("s"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.col("vec_id"))
+    ex = exact.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    want = {}
+    for r in ex.collect():
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    overlaps = [len(got[k] & want[k]) for k in want]
+    assert sum(overlaps) / len(overlaps) >= 5  # ≥50% mean top-10 recall

@@ -147,6 +147,21 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("sketch broadcast for the probe join", r"BroadcastHashJoin", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("events_asof_join", [
+        # union+window formulation: no join operator at all, never a range join
+        ("as-of via window, no nested loop", r"BroadcastNestedLoopJoin", False),
+        ("single sort-window per key", r"Window", True),
+    ]),
+    ("events_interval_join", [
+        # bucketed containment: equi-join on (key, slot), never inequality-only
+        ("slot equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", True),
+        ("no inequality nested loop", r"BroadcastNestedLoopJoin", False),
+    ]),
+    ("sq8_topk", [
+        # stats agg must be partial (map-side combine), queries broadcast
+        ("stats via hash agg", r"HashAggregate", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
