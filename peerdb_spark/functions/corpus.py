@@ -317,3 +317,83 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition scrub (C4-style duplicate-passage removal)
+# ---------------------------------------------------------------------------
+
+
+def scrub_repeated_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Remove repeated passages WITHIN each document: the text is split into
+    fixed `chunk_tokens`-token chunks (the pseudo-paragraph unit — the C4
+    line-dedup rule applied to unstructured single-line text) and every
+    chunk that already occurred earlier in the same document is dropped;
+    the survivors re-join in order.
+
+    Entirely per-row array expressions — keep[i] = (first occurrence index
+    of chunk i == i) via array_position, so the pass is shuffle-free and
+    pipelines into the scan at any corpus size (O(chunks²) per doc, chunks
+    is bounded by doc length / chunk_tokens).
+
+    Returns (id, n_chunks, n_kept, clean_text).
+    """
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(chunks)
+    s0 = df.select(F.col(id_col), chunks.alias("_ch"))
+    kept = F.filter(
+        F.col("_ch"), lambda c, i: F.array_position(F.col("_ch"), c) == i + 1
+    )
+    s1 = s0.select(
+        id_col,
+        F.size("_ch").alias("n_chunks"),
+        kept.alias("_kept"),
+    )
+    return s1.select(
+        id_col,
+        "n_chunks",
+        F.size("_kept").alias("n_kept"),
+        F.array_join("_kept", " ").alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# patterns chosen for identical semantics in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails and phone numbers from a text column, counting what was
+    removed: (id, n_emails, n_phones, clean_text). Pure regexp expressions
+    (JVM codegen) — a per-row scan-pipelined pass; the pattern set is the
+    standard pre-training PII baseline (extend with locale-specific rules
+    at the call site)."""
+    c = F.col(text_col)
+    s0 = df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+    )
+    return s0

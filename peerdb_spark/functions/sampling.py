@@ -77,3 +77,36 @@ def stratified_sample(
         .where(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted per-domain sampling — the training-mix builder: each stratum
+    (source/domain/language) keeps an independent deterministic fraction of
+    its documents, so a corpus can be re-weighted (e.g. 100% wiki, 25% web,
+    5% forums) without an RNG.
+
+    Keep rule: h64(salt:id) % 10_000 < round(rate * 10_000) — a hash
+    threshold, not a random draw, so the mix is reproducible on any cluster
+    layout AND monotone: raising a rate only ADDS documents (the kept set at
+    rate r is a subset of the kept set at r' > r), which makes incremental
+    mix adjustments cheap diffs instead of full rebuilds.
+
+    Pure per-row expressions (a literal map lookup + one hash) — zero
+    shuffles; the filter pipelines into the scan at any scale.
+    """
+    pairs: list[Column] = []
+    for k, v in rates.items():
+        pairs += [F.lit(k), F.lit(int(round(v * 10_000)))]
+    rate_bp = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(stratum_col)),
+        F.lit(int(round(default_rate * 10_000))),
+    )
+    ticket = h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))) % 10_000
+    return df.where(ticket < rate_bp)

@@ -3046,6 +3046,158 @@ WHERE rnk <= 5
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction (sampling.py:mixture_sample): every source
+    domain keeps an independent deterministic fraction of its documents via
+    a hash threshold (rates 0/25/50/75/100% by source index — the 0% and
+    100% edges are exercised). Monotone in the rate (raising a rate only
+    adds docs) and shuffle-free; aggregated per source for a bounded
+    output."""
+    from peerdb_spark.functions import sampling as S
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rates = {f"src{i}": (i % 5) * 0.25 for i in range(40)}
+    kept = S.mixture_sample(docs, rates, "source", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH k AS (
+  SELECT source, doc_id, n_chars,
+         (CAST(substr(source, 4) AS INT) % 5) * 2500 AS rate_bp,
+         {h64_sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 10000 AS ticket
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM k WHERE ticket < rate_bp
+GROUP BY source
+"""
+
+
+def q_repetition_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (corpus.py:scrub_repeated_chunks —
+    the C4 duplicate-passage rule on 20-token pseudo-paragraphs): repeated
+    chunks inside one document are dropped, survivors re-join in order.
+    Every 11th document is REWRITTEN as its own first 20-token chunk
+    repeated 3× (aligned planting), so the scrub provably removes passages
+    (n_kept < n_chunks) and the cleaned text round-trips through the h64
+    content hash on both engines."""
+    from peerdb_spark.functions import corpus as CP
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    toks = TX.tokens(F.col("text"))
+    unit = F.concat_ws(" ", F.slice(toks, 1, 20))
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat_ws(" ", unit, unit, unit)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = CP.scrub_repeated_chunks(planted, "text", "doc_id", chunk_tokens=20)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        h64(F.col("clean_text")).alias("clean_hash"),
+    )
+
+
+SQL_REPETITION_SCRUB = f"""
+WITH t0 AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN flatten([t[1:20], t[1:20], t[1:20]])
+              ELSE t END AS t2
+  FROM t0
+),
+ch AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(t2) / 20.0) AS INT)),
+                        i -> array_to_string(t2[i*20+1 : i*20+20], ' ')) AS chunks
+  FROM p
+),
+k AS (
+  SELECT doc_id, chunks,
+         list_filter(chunks, (c, i) -> list_position(chunks, c) = i) AS kept
+  FROM ch
+)
+SELECT doc_id,
+       CAST(len(chunks) AS INT) AS n_chunks,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(array_to_string(kept, ' ')) AS BIGINT) AS clean_len,
+       {h64_sql("array_to_string(kept, ' ')")} AS clean_hash
+FROM k
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (corpus.py:redact_pii): emails and phone numbers are
+    replaced by placeholder tags with per-doc removal counts. Every doc is
+    planted with one synthetic email and one phone (derived from doc_id),
+    so both pattern families fire on every row; the redacted text is
+    value-verified via h64 — i.e. the exact regexp replacement semantics
+    match across Java regex (Spark) and RE2 (DuckDB) for these patterns."""
+    from peerdb_spark.functions import corpus as CP
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = CP.redact_pii(planted, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        h64(F.col("clean_text")).alias("clean_hash"),
+    )
+
+
+def _pii_sql() -> str:
+    from peerdb_spark.functions.corpus import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM p
+)
+SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_phones AS INT) AS n_phones,
+       CAST(len(clean) AS BIGINT) AS clean_len,
+       {h64_sql("clean")} AS clean_hash
+FROM r
+"""
+
+
+SQL_PII_REDACT = _pii_sql()
+
+
 def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END cleaning pipeline — every stage a real production
     filter, chained: exact-dedup keep list → quality/length floors →
@@ -3251,6 +3403,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
     "sq8_topk": q_sq8_topk,
+    "mixture_sample": q_mixture_sample,
+    "repetition_scrub": q_repetition_scrub,
+    "pii_redact": q_pii_redact,
     "events_interval_join": q_events_interval_join,
     "decontaminate": q_decontaminate,
     "gopher_quality": q_gopher_quality,
@@ -3321,6 +3476,9 @@ ORACLES: dict[str, str] = {
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "sq8_topk": SQL_SQ8_TOPK,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "repetition_scrub": SQL_REPETITION_SCRUB,
+    "pii_redact": SQL_PII_REDACT,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "decontaminate": SQL_DECONTAMINATE,
     "gopher_quality": SQL_GOPHER_QUALITY,

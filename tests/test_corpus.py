@@ -292,3 +292,57 @@ def test_decontaminate_property(spark):
             if shared >= 1:
                 want.add((i, shared))
         assert got == want, (ci, got, want)
+
+
+def test_scrub_repeated_chunks_drops_repeats(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.corpus import scrub_repeated_chunks
+
+    unit = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, f"{unit} {unit} {unit}"),          # 3 identical chunks -> 1
+            (2, " ".join(f"x{i}" for i in range(40))),  # all distinct -> keep all
+            (3, ""),                                # empty -> 0 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_repeated_chunks(df).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (3, 1)
+    assert out[1]["clean_text"] == unit
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 2)
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (0, 0)
+
+
+def test_redact_pii_counts_and_rewrites(spark):
+    from peerdb_spark.functions.corpus import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b%c@ex-1.org and b@x.io call +1-555-0001 done"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 1)
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> call <PHONE> done"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[2]["clean_text"] == "clean"
+
+
+def test_mixture_sample_monotone_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = {f"src{i}": 0.3 for i in range(20)}
+    hi = {f"src{i}": 0.7 for i in range(20)}
+    kept_lo = {r["doc_id"] for r in mixture_sample(docs, lo).select("doc_id").collect()}
+    kept_hi = {r["doc_id"] for r in mixture_sample(docs, hi).select("doc_id").collect()}
+    assert kept_lo <= kept_hi  # monotone: raising rates only adds docs
+    n = docs.count()
+    assert 0.15 * n <= len(kept_lo) <= 0.45 * n  # roughly the target fraction
+    again = {r["doc_id"] for r in mixture_sample(docs, lo).select("doc_id").collect()}
+    assert again == kept_lo
+    zero = mixture_sample(docs, {}, default_rate=0.0).count()
+    assert zero == 0
