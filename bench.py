@@ -142,6 +142,12 @@ def main() -> None:
         "doc_chunks",
         "bm25_topk",
         "semantic_dedup",
+        "events_asof_join",
+        "events_interval_join",
+        "sq8_topk",
+        "mixture_sample",
+        "repetition_scrub",
+        "pii_redact",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

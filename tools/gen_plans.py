@@ -155,11 +155,44 @@ COMMENT = {
         "map-side partials — same shape as tumbling, state ×(window/slide)."
     ),
     "corpus_clean_full": (
-        "The full cleaning pipeline: exact-dedup keep list (narrow hash "
-        "agg), quality + Gopher features as codegen'd per-row expressions "
-        "(the longest-run fold references its array once, so pushdown can't "
-        "explode it), and the contaminated/eval id set broadcast for a "
-        "left-anti join. The text column never shuffles in any stage."
+        "The full cleaning pipeline: every per-row text feature (hash, "
+        "language, quality, Gopher stats) computed in ONE projection over "
+        "the base corpus (the doubled crawl unions feature ROWS, not text), "
+        "keep rule as a min-over-content-hash window, and the contaminated/"
+        "eval id set broadcast for a left-anti join. The text column never "
+        "shuffles in any stage."
+    ),
+    "events_asof_join": (
+        "Backward AS-OF join via union+window: both inputs tag a side "
+        "column, union, and a single per-key window sorted on (ts, side) "
+        "carries the most recent right payload forward with "
+        "last(ignorenulls). ONE hash exchange per input, no join operator "
+        "at all — the plan a range join would hand to BroadcastNestedLoop "
+        "is a Window over a union instead."
+    ),
+    "events_interval_join": (
+        "Point-in-interval join: intervals explode to fixed-width time "
+        "slots, points map to exactly one slot, and the match is an "
+        "EQUI-join on (key, slot) plus an exact containment filter — "
+        "shuffled-hash/broadcast under Catalyst, never an inequality-only "
+        "nested loop."
+    ),
+    "sq8_topk": (
+        "SQ8 quantized search: the global-scale stats aggregate has "
+        "map-side partials (one row out per partition), broadcasts into "
+        "the encoder, and the query codes broadcast against the corpus "
+        "code table; scoring is an integer zip_with/aggregate in codegen."
+    ),
+    "repetition_scrub": (
+        "Intra-doc repetition scrub: chunking, first-occurrence filter "
+        "(array_position) and re-join are all per-row array expressions in "
+        "one codegen span — ZERO exchanges; the pass pipelines into the "
+        "scan at any corpus size."
+    ),
+    "mixture_sample": (
+        "Mixture sampling: literal-map rate lookup + hash threshold as a "
+        "scan-pipelined filter (zero exchanges before the bounded "
+        "per-source aggregate)."
     ),
 }
 
