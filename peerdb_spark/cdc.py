@@ -309,21 +309,44 @@ class CdcPipeline:
     def sync_batch(self, changelog: DataFrame, batch_id: int) -> None:
         self.raw.append(changelog, batch_id)
 
-    def _apply_relation_records(self, raw: DataFrame) -> None:
+    def _batch_meta(self, raw: DataFrame) -> tuple[list[str], list]:
+        """ONE pass over the raw batch for all pre-merge driver metadata:
+        the distinct destination list AND the (rare, metadata-sized)
+        relation records, ts-ordered. Previously two separate full scans of
+        the raw range ran before any merge started; the driver-side result
+        is bounded by #tables + #schema-changes either way."""
+        rows = (
+            raw.groupBy(RAW_DST)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col(RAW_TYPE) == N.KIND_RELATION,
+                            F.struct(F.col(RAW_TS), F.col(RAW_DATA)),
+                        )
+                    )
+                ).alias("_rels")
+            )
+            .collect()
+        )
+        dsts = [r[RAW_DST] for r in rows]
+        rels = [
+            {RAW_DST: r[RAW_DST], RAW_DATA: rel[RAW_DATA], RAW_TS: rel[RAW_TS]}
+            for r in rows
+            for rel in r["_rels"]
+        ]
+        rels.sort(key=lambda d: d[RAW_TS])
+        return dsts, rels
+
+    def _apply_relation_records(self, rel: list) -> None:
         """Schema-change-as-data: 'relation' rows carry an added-columns delta
         JSON in _peerdb_data (ref: flow/model/record.go:150-153 RelationRecord
         → ReplayTableSchemaDeltas, flow/connectors/core.go:193-198). Applied
         BEFORE the data merge of the same batch range so the new columns'
         values in following data rows parse instead of being dropped; the
-        collect is bounded (schema changes are rare, metadata-sized rows)."""
+        row list is bounded (schema changes are rare, metadata-sized rows)."""
         from peerdb_spark import schema_evolution as SE
 
-        rel = (
-            raw.where(F.col(RAW_TYPE) == N.KIND_RELATION)
-            .select(RAW_DST, RAW_DATA, RAW_TS)
-            .orderBy(RAW_TS)
-            .collect()
-        )
         for r in rel:
             cfg = self.tables.get(r[RAW_DST])
             if cfg is None:
@@ -357,10 +380,10 @@ class CdcPipeline:
         sequentially inside one transaction per destination; independent
         parquet tables have no cross-table transaction to preserve."""
         raw = self.raw.read_batches(start_batch, end_batch)
-        self._apply_relation_records(raw)
-        # distinct destination tables in this batch range
+        # distinct destinations + relation records in ONE scan
         # (ref: flow/connectors/postgres/client.go:52-53)
-        dsts = [r[0] for r in raw.select(RAW_DST).distinct().collect()]
+        dsts, rels = self._batch_meta(raw)
+        self._apply_relation_records(rels)
 
         def _one(dst: str) -> None:
             cfg = self.tables.get(dst)

@@ -142,7 +142,15 @@ class ParquetTable:
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if self.n_buckets and self.pk_cols:
-            return df.withColumn(BUCKET_COL, bucket_expr(self.pk_cols, self.n_buckets))
+            out = df.withColumn(BUCKET_COL, bucket_expr(self.pk_cols, self.n_buckets))
+            # Cluster rows by their bucket BEFORE the partitionBy write:
+            # without this every upstream task holds rows of every bucket and
+            # the dynamic-partition writer emits tasks × buckets files (at
+            # 1000 executors × 10k buckets that is 10M files per batch and a
+            # per-task sort across all buckets). One hash exchange on the
+            # bucket value — the same order of bytes as the write itself —
+            # yields one file per bucket per write.
+            return out.repartition(self.n_buckets, F.col(BUCKET_COL))
         return df
 
     def read(self) -> DataFrame:
