@@ -529,3 +529,83 @@ def sq8_topk(
         .where(F.col("_rk") <= k)
         .select("query_id", id_col, "score", F.col("_rk").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN graph (bucketed self-kNN + mutual edges)
+# ---------------------------------------------------------------------------
+
+
+def srp_bucket_int(qvec_col: str, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """SRP bucket id of an integer-quantized vector: bit i = sign of the
+    exact integer projection onto deterministic ±1 hyperplane i. Shared by
+    the ANN probe path and the kNN-graph builder; reproducible in SQL."""
+    sig = F.lit(0)
+    for i in range(bits):
+        plane = srp_hyperplane(dim, i, seed)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(qvec_col),
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, h: x * h.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qv",
+    dim: int = 64,
+    bits: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Mutual-kNN graph over an integer-quantized embedding corpus: each
+    vector ranks its same-SRP-bucket neighbours by exact integer dot
+    product; an edge (a, b) survives only if each endpoint is in the
+    other's top-k (the mutual filter that graph-based dedup/clustering
+    pipelines use to kill hub nodes). Returns (id_a, id_b, score), id_a <
+    id_b.
+
+    Scale: candidate pairs exist only inside an SRP bucket (2^bits buckets
+    — tune bits so buckets stay ~O(corpus/2^bits)); the mutual filter is a
+    self-join of the k-bounded top-k relation, i.e. O(k·|corpus|) rows. No
+    all-pairs stage anywhere.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(qvec_col),
+        srp_bucket_int(qvec_col, dim, bits).alias("_bkt"),
+    ).localCheckpoint(eager=False)
+    a = c.select(
+        F.col("_bkt"), F.col(id_col).alias("_ida"), F.col(qvec_col).alias("_va")
+    )
+    b = c.select(
+        F.col("_bkt"), F.col(id_col).alias("_idb"), F.col(qvec_col).alias("_vb")
+    )
+    pairs = a.join(b, "_bkt").where(F.col("_ida") != F.col("_idb"))
+    scored = pairs.select(
+        "_ida",
+        "_idb",
+        F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("_ida").orderBy(F.desc("score"), F.col("_idb"))
+    topk = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("_ida", "_idb", "score")
+    )
+    rev = topk.select(
+        F.col("_idb").alias("_ida"), F.col("_ida").alias("_idb")
+    )
+    mutual = topk.join(rev, ["_ida", "_idb"])
+    return mutual.where(F.col("_ida") < F.col("_idb")).select(
+        F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "score"
+    )

@@ -1677,6 +1677,82 @@ FROM qvs GROUP BY 1
 
 SQL_ANN_SRP_BUCKETS = _srp_buckets_sql()
 
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph (similarity.py:knn_graph): every vector ranks its
+    same-SRP-bucket neighbours by exact integer dot product, edges survive
+    only when BOTH endpoints rank each other top-3 (the hub-killing mutual
+    filter of graph-based dedup/clustering). Never all-pairs: candidates
+    are bucket-bounded, the mutual join is k-bounded."""
+    from peerdb_spark.functions.similarity import knn_graph
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    return knn_graph(c, "vec_id", "qv", dim=64, bits=8, k=3)
+
+
+def _knn_graph_sql(k: int = 3) -> str:
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    terms = []
+    for i in range(8):
+        plane = srp_hyperplane(64, i)
+        arr = "[" + ", ".join(str(p) for p in plane) + "]"
+        proj = f"list_sum(list_transform(range(1, 65), j -> qv[j] * ({arr})[j]))"
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {2**i} ELSE 0 END")
+    sig = " + ".join(terms)
+    return f"""
+WITH qvs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id, qv, CAST({sig} AS INT) AS bkt FROM qvs),
+scored AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         CAST(list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) AS BIGINT) AS score
+  FROM c a JOIN c b ON a.bkt = b.bkt AND a.vec_id != b.vec_id
+),
+topk AS (
+  SELECT ida, idb, score,
+         row_number() OVER (PARTITION BY ida ORDER BY score DESC, idb) AS rk
+  FROM scored QUALIFY rk <= {k}
+)
+SELECT t.ida AS id_a, t.idb AS id_b, t.score
+FROM topk t JOIN topk r ON t.ida = r.idb AND t.idb = r.ida
+WHERE t.ida < t.idb
+"""
+
+
+SQL_KNN_GRAPH = _knn_graph_sql()
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length quantiles (functions/stats.py:
+    group_quantiles — type-1 inverse-ECDF, value at rank ceil(q·n)). The
+    engine-portable alternative to percentile_approx for documented corpus
+    length cutoffs; |sources| × |levels| output rows."""
+    from peerdb_spark.functions.stats import group_quantiles
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = group_quantiles(
+        docs, "source", "n_chars", [0.25, 0.5, 0.75, 0.9, 1.0], "doc_id"
+    )
+    return out.select("source", "q", F.col("value").cast("long").alias("value"))
+
+
+SQL_LENGTH_QUANTILES = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(q AS DOUBLE) AS q, CAST(n_chars AS BIGINT) AS value
+FROM r, (VALUES (0.25), (0.5), (0.75), (0.9), (1.0)) qs(q)
+WHERE ceil(q * n) = rk
+"""
+
 def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation over the events stream table
     (Spark `window()`; in streaming mode the same expression runs under a
@@ -3403,6 +3479,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
     "sq8_topk": q_sq8_topk,
+    "knn_graph": q_knn_graph,
+    "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
     "repetition_scrub": q_repetition_scrub,
     "pii_redact": q_pii_redact,
@@ -3476,6 +3554,8 @@ ORACLES: dict[str, str] = {
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "sq8_topk": SQL_SQ8_TOPK,
+    "knn_graph": SQL_KNN_GRAPH,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "repetition_scrub": SQL_REPETITION_SCRUB,
     "pii_redact": SQL_PII_REDACT,

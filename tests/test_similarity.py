@@ -111,3 +111,27 @@ def test_sq8_topk_recall_vs_exact(spark):
         want.setdefault(r["query_id"], set()).add(r["vec_id"])
     overlaps = [len(got[k] & want[k]) for k in want]
     assert sum(overlaps) / len(overlaps) >= 5  # ≥50% mean top-10 recall
+
+
+def test_knn_graph_mutual_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.similarity import knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("qv"),
+    )
+    edges = knn_graph(c, "vec_id", "qv", dim=64, bits=8, k=3).collect()
+    assert len(edges) > 0
+    # ordered pairs, no self loops
+    assert all(r["id_a"] < r["id_b"] for r in edges)
+    # degree bound: each node appears in at most k mutual edges
+    from collections import Counter
+
+    deg = Counter()
+    for r in edges:
+        deg[r["id_a"]] += 1
+        deg[r["id_b"]] += 1
+    assert max(deg.values()) <= 3
