@@ -159,6 +159,8 @@ def main() -> None:
         "mixture_sample",
         "repetition_scrub",
         "pii_redact",
+        "knn_graph",
+        "length_quantiles",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

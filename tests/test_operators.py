@@ -118,3 +118,43 @@ def test_interval_join_plan_is_equi_join(spark):
         end_col="hi", bucket_seconds=10,
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: asof_join ≡ pandas.merge_asof on random keyed event data
+    (unique (key, ts) per side — merge_asof's tie semantics are positional,
+    ours are value-deterministic, so ties are excluded by construction)."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(11)
+    lrows = sorted(
+        {(rnd.randint(0, 4), rnd.randint(0, 10_000)) for _ in range(300)}
+    )
+    rrows = sorted(
+        {(rnd.randint(0, 4), rnd.randint(0, 10_000)) for _ in range(300)}
+    )
+    left = spark.createDataFrame(
+        [(k, ts(0).replace(second=0) + dt.timedelta(seconds=s), i)
+         for i, (k, s) in enumerate(lrows)],
+        "k int, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(0).replace(second=0) + dt.timedelta(seconds=s), 1000 + i)
+         for i, (k, s) in enumerate(rrows)],
+        "k int, ts timestamp, rid long",
+    )
+    got = {
+        (r["k"], r["lid"]): r["rid"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                           suffixes=("", "_r"))
+    want = {
+        (int(r.k), int(r.lid)): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want

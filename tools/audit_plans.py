@@ -162,6 +162,21 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("stats via hash agg", r"HashAggregate", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("knn_graph", [
+        # bucket equi-join candidates, k-bounded mutual join — never all-pairs
+        ("no all-pairs nested loop", r"BroadcastNestedLoopJoin", False),
+        ("bucket/mutual equi-joins", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", True),
+    ]),
+    ("repetition_scrub", [
+        # per-row array expressions only — no exchange before the output
+        ("no python udf", r"BatchEvalPython", False),
+        ("no join anywhere", r"Join", False),
+    ]),
+    ("pii_redact", [("no python udf", r"BatchEvalPython", False)]),
+    ("length_quantiles", [
+        ("per-group window rank", r"Window", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
