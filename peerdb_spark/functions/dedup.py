@@ -550,8 +550,46 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph path for connected_components: one collect of the (already
+    deduped, bounded by the caller's threshold) edge list, path-compressing
+    union-find on the driver, one createDataFrame back. Output contract is
+    identical to the distributed path: (node, rep) with rep = component min,
+    root rows included."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = e.collect()
+    for r in rows:
+        u, v = find(r["u"]), find(r["v"])
+        if u != v:
+            # union by value: smaller id becomes the root, so rep = min
+            if u < v:
+                parent[v] = u
+            else:
+                parent[u] = v
+    out = [(n, find(n)) for n in parent] + [
+        (n, n) for n in {find(n) for n in parent}
+    ]
+    nodes = {n for r in rows for n in (r["u"], r["v"])}
+    out += [(n, n) for n in nodes if n not in parent and find(n) == n]
+    dedup = sorted(set(out))
+    return e.sparkSession.createDataFrame(dedup, "node long, rep long")
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Distributed connected components over an undirected edge list.
 
@@ -578,12 +616,24 @@ def connected_components(
     Returns (node, rep): rep = min node id of the component. Every node that
     appears in an edge is assigned; isolated docs never enter the edge list
     (callers treat absent = singleton).
+
+    Adaptive execution: a dedup graph's edge list is usually TINY relative
+    to the corpus (only near-dup candidates), so when the deduped edge
+    count is at most `driver_threshold` the components come from a single
+    driver-side union-find pass over one collect — one job instead of
+    O(log n) rounds of joins. Above the threshold (or with
+    driver_threshold=0) the fully distributed star alternation runs; both
+    paths produce identical output (tested).
     """
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if driver_threshold:
+        e = e.localCheckpoint(eager=False)
+        if e.count() <= driver_threshold:
+            return _driver_union_find(e)
 
     def _large_star(cur: DataFrame) -> DataFrame:
         bi = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -221,3 +221,27 @@ def test_connected_components_chain_and_star(spark):
         ).collect()
     }
     assert got2 == {100 + i: 100 for i in range(10)}
+
+
+def test_connected_components_distributed_path_matches_driver(spark):
+    """driver_threshold=0 forces the star-alternation path; it must agree
+    with the (default) driver union-find path on random graphs."""
+    import random
+
+    rng = random.Random(13)
+    for _ in range(2):
+        n = rng.randint(5, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fast = {
+            (r["node"], r["rep"])
+            for r in D.connected_components(df, "src", "dst").collect()
+        }
+        dist = {
+            (r["node"], r["rep"])
+            for r in D.connected_components(
+                df, "src", "dst", driver_threshold=0
+            ).collect()
+        }
+        assert fast == dist
