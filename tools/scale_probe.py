@@ -1,0 +1,110 @@
+"""Empirical scaling probe: replicate the sf0.1 tables N× (shifted ids) into
+/tmp and re-run the heavy operators, reporting per-row throughput vs the base
+run. Linear operators hold throughput; anything super-linear (all-pairs
+leakage, driver collects, skewed buckets) shows up as a collapsing ratio.
+
+Usage: python tools/scale_probe.py [N] [--keep]
+Writes a markdown table to stdout; SCALING.md records a vetted run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/peerdb_scale"
+
+
+def replicate(spark, table: str, factor: int, id_cols: dict[str, int]) -> str:
+    """Union `factor` copies with shifted ids; write parquet once."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/{table}.parquet"
+    if os.path.exists(out):
+        return out
+    df = spark.read.parquet(f"{BASE}/{table}.parquet")
+    copies = []
+    for i in range(factor):
+        c = df
+        for col, stride in id_cols.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+        copies.append(c)
+    reduce(DataFrame.unionByName, copies).write.mode("overwrite").parquet(out)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+    from pyspark.sql import functions as F
+
+    from peerdb_spark import get_spark
+    from peerdb_spark.functions import corpus as CP
+    from peerdb_spark.functions import dedup as DD
+    from peerdb_spark.functions import ensure_parallelism
+    from peerdb_spark.functions import similarity as SIM
+
+    spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(WORK, exist_ok=True)
+
+    replicate(spark, "documents", factor, {"doc_id": 10_000_000})
+    replicate(spark, "embeddings", factor, {"vec_id": 10_000_000})
+    replicate(spark, "lineitem", factor, {"l_orderkey": 100_000_000})
+
+    def t(fn) -> float:
+        t0 = time.time()
+        fn().write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    def docs(path):
+        return ensure_parallelism(spark.read.parquet(f"{path}/documents.parquet"))
+
+    def emb(path):
+        return ensure_parallelism(spark.read.parquet(f"{path}/embeddings.parquet"))
+
+    Q = {
+        "minhash_lsh_pairs": lambda p: DD.minhash_lsh_pairs(docs(p), "text", "doc_id"),
+        "exact_dedup": lambda p: DD.exact_dedup(docs(p), "text", "doc_id"),
+        "gopher_quality": lambda p: CP.gopher_quality(docs(p), "text", "doc_id"),
+        "scrub_repeated_chunks": lambda p: CP.scrub_repeated_chunks(docs(p)),
+        "simhash_pairs": lambda p: DD.simhash_pairs(docs(p), "text", "doc_id"),
+        "knn_graph": lambda p: SIM.knn_graph(
+            emb(p).select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: F.round(x.cast("double") * 400).cast("long")
+                ).alias("qv"),
+            ),
+            "vec_id",
+            "qv",
+        ),
+        "sq8_encode": lambda p: SIM.sq8_encode(
+            emb(p), SIM.sq8_stats(emb(p), "embedding"), "embedding", "vec_id"
+        ),
+    }
+
+    rows_base = {"documents": 5000, "embeddings": 60000}
+    print(f"| operator | sf0.1 (s) | x{factor} (s) | ratio (ideal {factor}) |")
+    print("|---|---|---|---|")
+    for name, fn in Q.items():
+        fn(BASE).write.mode("overwrite").format("noop").save()  # warm
+        tb = t(lambda: fn(BASE))
+        ts = t(lambda: fn(WORK))
+        ratio = ts / tb if tb > 0 else float("inf")
+        flag = "" if ratio <= factor * 1.6 else "  ⚠ SUPER-LINEAR"
+        print(f"| {name} | {tb:.2f} | {ts:.2f} | {ratio:.1f}{flag} |")
+
+    if "--keep" not in sys.argv:
+        shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
