@@ -161,6 +161,7 @@ def main() -> None:
         "pii_redact",
         "knn_graph",
         "length_quantiles",
+        "bpe_train_merges",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

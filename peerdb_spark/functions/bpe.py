@@ -1,0 +1,110 @@
+"""BPE tokenizer training: the iterative merge loop, Spark-first.
+
+The production shape (HF tokenizers, SentencePiece BPE mode, the original
+Sennrich et al. algorithm — all public): the corpus collapses ONCE to a
+(word, frequency) table, and every training iteration runs over that
+vocabulary-sized relation, never the corpus:
+
+  1. count adjacent symbol pairs across the vocab, weighted by word freq;
+  2. pick the most frequent pair (deterministic lexicographic tiebreak);
+  3. fuse that pair everywhere (left-to-right, the canonical greedy order);
+  4. repeat k times; the picked pairs ARE the tokenizer's merge table.
+
+Scale design (100 TB):
+- The corpus-sized work is exactly one tokenize+hash-agg pass (map-side
+  partials; output is |vocab|, thousands-to-millions of rows, not corpus).
+- Each iteration is one hash aggregate over the vocab + a 1-row argmax
+  collect + one per-row array fold — per-iteration driver state is the
+  single winning pair.
+- The vocab relation is localCheckpointed per iteration to keep lineage
+  flat (k chained transforms would otherwise re-derive every prior round;
+  at production scale write the vocab to parquet between rounds instead —
+  it is tokenizer-training state worth persisting anyway).
+
+An iterative algorithm is the documented oracle exception (driver gate
+records rows-only for such ops); correctness is pinned by
+tests/test_bpe.py against a plain-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.text import tokens
+
+
+def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq): the ONLY corpus-sized pass of BPE training."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Word → character symbol sequence (split('') walks the string once)."""
+    return F.split(word, "")
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs (empty for 1-symbol)."""
+    return F.zip_with(
+        F.slice(sym, 1, F.greatest(F.size(sym) - 1, F.lit(0))),
+        F.slice(sym, 2, F.greatest(F.size(sym) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Fuse every left-to-right non-overlapping (a, b) occurrence: the
+    canonical greedy BPE application, as a single array fold. `aab`+merge
+    (a,a) → [aa, b], and (a,a) over `aaa` → [aa, a] (no overlap reuse)."""
+    # F.get is 0-based and NULL-safe out of bounds (element_at(-1) would
+    # raise under ANSI mode on the empty initial accumulator). A freshly
+    # fused token can never re-fuse as the left side in the same pass
+    # (a+b == a would need an empty b), so eager fusing IS the canonical
+    # non-overlapping left-to-right order.
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train k BPE merges over a corpus. Returns (merges, final_vocab):
+    merges = [(left, right, pair_count), ...] in training order — the
+    tokenizer's merge table — and final_vocab = (w, freq, symbols) after
+    all merges applied.
+
+    Ties break on (count DESC, a, b) so training is deterministic on any
+    cluster layout / engine.
+    """
+    vocab = word_freq(df, text_col).select(
+        "w", "freq", _initial_symbols(F.col("w")).alias("symbols")
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(k):
+        pairs = vocab.select(
+            F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "freq"
+        )
+        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+        top = counts.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        vocab = vocab.select(
+            "w", "freq", _apply_merge(F.col("symbols"), a, b).alias("symbols")
+        ).localCheckpoint(eager=False)
+    return merges, vocab

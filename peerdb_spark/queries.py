@@ -1946,6 +1946,59 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL iterative BPE training loop (functions/bpe.py:bpe_train) under
+    the gate: 4 greedy merge rounds over the corpus word-frequency table;
+    output = the learned merge table (step, left, right, pair count). The
+    oracle UNROLLS the same 4 rounds in SQL (list_reduce merge application,
+    argmax winner per round), so the iterative algorithm — normally the
+    documented rows-only exception — is value-verified end-to-end."""
+    from peerdb_spark.functions.bpe import bpe_train
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    merges, _ = bpe_train(docs, "text", k=4)
+    rows = [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(rows, "step int, a string, b string, n long")
+
+
+def _bpe_train_sql(k: int = 4) -> str:
+    rounds = []
+    for i in range(1, k + 1):
+        prev = "v0" if i == 1 else f"v{i-1}"
+        rounds.append(f"""
+p{i} AS (
+  SELECT sym[j] AS a, sym[j + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+  FROM {prev}, unnest(range(1, len(sym))) t(j)
+  GROUP BY 1, 2
+),
+w{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+v{i} AS (
+  SELECT w, freq,
+    list_reduce(list_transform(sym, s -> [s]),
+      (acc, x) -> CASE WHEN acc[-1] = w{i}.a AND x[1] = w{i}.b
+                  THEN list_append(acc[1:len(acc)-1], w{i}.a || w{i}.b)
+                  ELSE list_concat(acc, x) END) AS sym
+  FROM {prev}, w{i}
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, n FROM w{i}" for i in range(1, k + 1)
+    )
+    return f"""
+WITH wf AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents WHERE len(trim(text)) > 0
+  ) GROUP BY w
+),
+v0 AS (SELECT w, freq, string_split(w, '') AS sym FROM wf),
+{",".join(rounds)}
+SELECT CAST(step AS INT) AS step, a, b, n FROM ({finals})
+"""
+
+
+SQL_BPE_TRAIN_MERGES = _bpe_train_sql()
+
+
 # NOTE: sequence(1, 0) is DESCENDING in Spark, hence the greatest() guard and
 # the len-2 filter (1-char words emit a truncated 1-char "pair" both ways).
 SQL_BPE_PAIR_COUNTS = """
@@ -3465,6 +3518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train_merges": q_bpe_train_merges,
     "unigram_surprisal": q_unigram_surprisal,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_vocab_registers": q_hll_vocab_registers,
@@ -3540,6 +3594,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,

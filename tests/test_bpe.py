@@ -1,0 +1,66 @@
+"""BPE trainer (functions/bpe.py) vs a plain-Python reference."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from peerdb_spark.functions.bpe import _apply_merge, bpe_train
+
+
+def python_bpe(word_freqs: dict[str, int], k: int):
+    """Reference BPE (Sennrich-style): greedy most-frequent pair, ties on
+    (count desc, a, b); merges applied left-to-right non-overlapping."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(k):
+        counts = Counter()
+        for w, sym in vocab.items():
+            f = word_freqs[w]
+            for x, y in zip(sym, sym[1:]):
+                counts[(x, y)] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        for w, sym in vocab.items():
+            out = []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_apply_merge_overlap_semantics(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],), (["a", "a", "a", "a"],)], "s array<string>")
+    got = [r["m"] for r in df.select(_apply_merge(F.col("s"), "a", "a").alias("m")).collect()]
+    assert got == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wf = Counter(w for t in texts for w in t.split())
+    want_merges, want_vocab = python_bpe(dict(wf), k=8)
+    got_merges, got_vocab_df = bpe_train(df, "text", k=8)
+    assert got_merges == want_merges
+    got_vocab = {r["w"]: r["symbols"] for r in got_vocab_df.collect()}
+    assert got_vocab == want_vocab
+
+
+def test_bpe_train_on_corpus_sample(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, vocab = bpe_train(docs.limit(50), "text", k=4)
+    assert len(merges) == 4
+    # merge counts are non-increasing in a greedy trainer? NOT guaranteed in
+    # general BPE (a fuse can create a NEW dominant pair), but each count is
+    # positive and each merge pair is distinct
+    assert all(n > 0 for _, _, n in merges)
+    assert len({(a, b) for a, b, _ in merges}) == 4
