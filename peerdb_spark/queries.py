@@ -1347,24 +1347,26 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the testdata documents have no exact duplicates of their own); the
     quality and length floors each reject a further few-percent band.
     Every stage of the gate does real work on both engines."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    crawl = docs.select("doc_id", "text").unionAll(
-        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    )
+    # fan out + materialize once: both crawl halves share IDENTICAL text, so
+    # per-row features compute on the base and the copy unions feature ROWS
+    # (same restructure as corpus_clean_full — halves the text CPU and stops
+    # AQE's local shuffle read serializing broadcast-side builds)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0]).localCheckpoint()
     c = F.col("text")
-    keep = (
-        DD.exact_dedup(crawl, "text", "doc_id")
-        .where(F.col("is_kept"))
-        .select("doc_id")
-    )
-    feat = crawl.select(
+    per = docs.select(
         "doc_id",
+        DD.content_hash("text").alias("_chash"),
         TX.lang_id(c).alias("lang_pred"),
         TX.quality_score(c).cast("double").alias("quality"),
         TX.token_count(c).cast("long").alias("n_tokens"),
     )
-    return feat.join(keep, "doc_id").where(
-        (F.col("quality") >= 0.8) & (F.col("n_tokens") >= 20)
+    crawlf = per.unionAll(per.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    w = Window.partitionBy("_chash")
+    return (
+        crawlf.withColumn("_keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .where((F.col("quality") >= 0.8) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
     )
 
 

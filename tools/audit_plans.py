@@ -39,7 +39,9 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("no python udf", r"BatchEvalPython", False),
     ]),
     ("corpus_clean", [
-        ("keep-list via hash agg (text never shuffles)", r"HashAggregate", True),
+        # keep rule = min-over-content-hash window on FEATURE rows (the text
+        # itself never shuffles; features computed once over the base corpus)
+        ("keep rule via hash window (text never shuffles)", r"Window", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
     ("sim_topk", [("broadcast queries against corpus", r"BroadcastNestedLoopJoin", True)]),
