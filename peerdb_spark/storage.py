@@ -286,6 +286,51 @@ class ParquetTable:
             else:
                 os.rename(parked, target)
 
+    def files_per_bucket(self) -> dict[int, int]:
+        """Parquet data-file count per bucket partition (ops metric; drives
+        compaction)."""
+        out: dict[int, int] = {}
+        if not os.path.isdir(self.path):
+            return out
+        for name in os.listdir(self.path):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(name.split("=", 1)[1])
+            d = os.path.join(self.path, name)
+            out[b] = sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet") or f.startswith("part-")
+            )
+        return out
+
+    def compact(self, max_files_per_bucket: int = 1) -> dict:
+        """Small-file compaction — the analogue of ClickHouse's background
+        merges for a ReplacingMergeTree destination (the reference defers
+        dedup/layout work to those merges; here every per-batch append adds a
+        file per touched bucket, and a long-running mirror accumulates them).
+
+        Rewrites every bucket holding more than `max_files_per_bucket` data
+        files down to one file per bucket, through the same crash-safe
+        park-and-swap used by batch merges (replace_partitions) — a crash
+        mid-compaction rolls back to the pre-compaction buckets, and
+        untouched buckets are never read or rewritten. Returns
+        {"buckets_compacted": n, "files_before": m}.
+        """
+        assert self.n_buckets and self.pk_cols, "bucketed table required"
+        counts = self.files_per_bucket()
+        need = sorted(b for b, n in counts.items() if n > max_files_per_bucket)
+        if not need:
+            return {"buckets_compacted": 0, "files_before": sum(counts.values())}
+        sub = (
+            self.read_raw()
+            .where(F.col(BUCKET_COL).isin([int(b) for b in need]))
+            .repartition(len(need), F.col(BUCKET_COL))
+        )
+        self.replace_partitions(sub, need)
+        return {
+            "buckets_compacted": len(need),
+            "files_before": sum(counts[b] for b in need),
+        }
+
     def replace_partitions(self, df: DataFrame, buckets: list[int]) -> None:
         """Replace exactly the given bucket partitions with df's content.
 

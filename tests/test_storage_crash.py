@@ -200,3 +200,31 @@ def test_promoted_staging_regains_schema_sidecar(spark, tmp_path):
     with open(t._schema_path, "w") as f:
         f.write(sidecar)
     assert t.read_raw().count() == 0  # empty read with last-known schema
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.storage import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"), ["pk"], n_buckets=4)
+    for i in range(4):
+        t.append(
+            spark.range(i * 50, (i + 1) * 50).select(
+                F.col("id").alias("pk"), (F.col("id") * 2).alias("v")
+            )
+        )
+    before = t.files_per_bucket()
+    assert max(before.values()) > 1  # appends accumulated files
+    rows_before = sorted((r["pk"], r["v"]) for r in t.read().collect())
+
+    stats = t.compact()
+    assert stats["buckets_compacted"] == len([b for b, n in before.items() if n > 1])
+    after = t.files_per_bucket()
+    assert set(after) == set(before)  # no bucket lost (incl. empty-ish ones)
+    assert all(n == 1 for n in after.values())
+    rows_after = sorted((r["pk"], r["v"]) for r in t.read().collect())
+    assert rows_after == rows_before  # data bit-identical
+
+    # idempotent: second compact is a no-op
+    assert t.compact()["buckets_compacted"] == 0
