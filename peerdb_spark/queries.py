@@ -1792,6 +1792,66 @@ GROUP BY 1, 2
 """
 
 
+def q_events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst detection (the ops-monitoring shape the reference's
+    alerter evaluates, expressed as data): hourly event counts per type
+    compared against the trailing 24-hour window; a bucket bursts when
+    count · trailing_buckets > 2 · trailing_sum (i.e. > 2× the trailing
+    mean — stated as an INTEGER cross-product so the rule is bit-identical
+    across engines, no float mean/stddev). One shuffle (the hourly count),
+    one per-type window pass."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly = hourly.select(
+        F.expr(
+            "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', w.start)"
+        ).alias("window_start_s"),
+        "event_type",
+        "n",
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_s")
+        .rowsBetween(-24, -1)
+    )
+    trailing = hourly.select(
+        "window_start_s",
+        "event_type",
+        "n",
+        F.sum("n").over(win).alias("trail_sum"),
+        F.count(F.lit(1)).over(win).alias("trail_cnt"),
+    )
+    return trailing.where(
+        F.col("trail_cnt") >= 6  # need history before judging a burst
+    ).where(F.col("n") * F.col("trail_cnt") > 2 * F.col("trail_sum")).select(
+        "window_start_s", "event_type", "n", "trail_sum",
+        F.col("trail_cnt").cast("long").alias("trail_cnt"),
+    )
+
+
+SQL_EVENTS_BURST_DETECT = """
+WITH hourly AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT window_start_s, event_type, n,
+         sum(n) OVER w AS trail_sum,
+         count(*) OVER w AS trail_cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT window_start_s, event_type, n, CAST(trail_sum AS BIGINT) AS trail_sum,
+       CAST(trail_cnt AS BIGINT) AS trail_cnt
+FROM t
+WHERE trail_cnt >= 6 AND n * trail_cnt > 2 * trail_sum
+"""
+
+
 def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) event-time windows: 1-hour window, 30-minute slide —
     every event contributes to exactly 2 overlapping epoch-aligned buckets
@@ -3534,6 +3594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
+    "events_burst_detect": q_events_burst_detect,
     "sq8_topk": q_sq8_topk,
     "knn_graph": q_knn_graph,
     "length_quantiles": q_length_quantiles,
@@ -3610,6 +3671,7 @@ ORACLES: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_burst_detect": SQL_EVENTS_BURST_DETECT,
     "sq8_topk": SQL_SQ8_TOPK,
     "knn_graph": SQL_KNN_GRAPH,
     "length_quantiles": SQL_LENGTH_QUANTILES,
