@@ -367,6 +367,62 @@ class CdcPipeline:
                     )
                     have.add(name)
 
+    def _changes_for(self, raw: DataFrame, dst: str, cfg) -> DataFrame:
+        """Destination-shaped changelog for one table from a raw range:
+        decode, PK-update split, exclusion, renames, type overrides —
+        shared by the batch merge and time-travel reconstruction."""
+        sub = raw.where((F.col(RAW_DST) == dst) & (F.col(RAW_TYPE) <= N.KIND_DELETE))
+        changes = self.raw.raw_to_changelog(sub, cfg.value_schema)
+        # split PK-changing updates while _old's struct fields still use
+        # SOURCE column names (renames below touch only top-level columns)
+        inv = {dst_name: src_name for src_name, dst_name in cfg.renames.items()}
+        src_pks = [inv.get(c, c) for c in cfg.pk_cols]
+        changes = N.split_pk_updates(changes, src_pks)
+        if cfg.exclude:
+            # column exclusion (ref: TableMapping.exclude, applied during
+            # tuple processing — flow/connectors/postgres/cdc.go:335-386)
+            changes = changes.drop(*cfg.exclude)
+        for src_name, dst_name in cfg.renames.items():
+            if src_name in changes.columns:
+                changes = changes.withColumnRenamed(src_name, dst_name)
+        for col_name, ddl in cfg.type_overrides.items():
+            if col_name in changes.columns:
+                # destination-type override; try_cast mirrors the
+                # truncation-to-NULL semantics under ANSI mode
+                changes = changes.withColumn(col_name, F.col(col_name).try_cast(ddl))
+        return changes
+
+    def state_as_of(
+        self,
+        dst: str,
+        end_batch: int,
+        start_batch: int = 0,
+        base: DataFrame | None = None,
+    ) -> DataFrame:
+        """TIME-TRAVEL read: reconstruct a destination's state as of the end
+        of `end_batch`, straight from the append-only raw log — the
+        destination table is never touched. The raw staging table is an
+        event-sourcing log (batch-id partitioned, so the scan prunes to the
+        requested range); replaying it through the same decode + LWW merge
+        used by normalize yields the exact state any point-in-time normalize
+        would have produced. Retention bounds how far back travel reaches
+        (RawTable.drop_batches). For a mirror seeded by an initial snapshot
+        (rows that never passed through raw), pass that snapshot as `base`.
+        The reference has no equivalent — its raw table exists only as
+        merge staging."""
+        cfg = self.tables.get(dst)
+        if cfg is None:
+            raise KeyError(f"unknown destination table: {dst}")
+        raw = self.raw.read_batches(start_batch, end_batch)
+        changes = self._changes_for(raw, dst, cfg)
+        return N.merge_changes(
+            base,
+            changes,
+            cfg.pk_cols,
+            soft_delete_col=cfg.soft_delete_col,
+            synced_at_col=cfg.synced_at_col,
+        )
+
     def normalize_batches(
         self, start_batch: int, end_batch: int, parallelism: int = 1
     ) -> None:
@@ -389,27 +445,7 @@ class CdcPipeline:
             cfg = self.tables.get(dst)
             if cfg is None:
                 return
-            sub = raw.where(
-                (F.col(RAW_DST) == dst) & (F.col(RAW_TYPE) <= N.KIND_DELETE)
-            )
-            changes = self.raw.raw_to_changelog(sub, cfg.value_schema)
-            # split PK-changing updates while _old's struct fields still use
-            # SOURCE column names (renames below touch only top-level columns)
-            inv = {dst_name: src_name for src_name, dst_name in cfg.renames.items()}
-            src_pks = [inv.get(c, c) for c in cfg.pk_cols]
-            changes = N.split_pk_updates(changes, src_pks)
-            if cfg.exclude:
-                # column exclusion (ref: TableMapping.exclude, applied during
-                # tuple processing — flow/connectors/postgres/cdc.go:335-386)
-                changes = changes.drop(*cfg.exclude)
-            for src_name, dst_name in cfg.renames.items():
-                if src_name in changes.columns:
-                    changes = changes.withColumnRenamed(src_name, dst_name)
-            for col_name, ddl in cfg.type_overrides.items():
-                if col_name in changes.columns:
-                    # destination-type override; try_cast mirrors the
-                    # truncation-to-NULL semantics under ANSI mode
-                    changes = changes.withColumn(col_name, F.col(col_name).try_cast(ddl))
+            changes = self._changes_for(raw, dst, cfg)
             table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
             N.merge_into_table(
                 table,

@@ -330,6 +330,46 @@ FROM last l WHERE l.kind <> 'delete'
 """
 
 
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL reconstruction (cdc.py:CdcPipeline.state_as_of): the
+    destination state as of a checkpoint bound, replayed from the append-only
+    changelog WITHOUT touching the destination — the raw staging table as an
+    event-sourcing log. Here: the lineitem changelog replayed only up to the
+    median checkpoint (ck < 2^59, half the 60-bit hash space), merged over
+    the base snapshot. The oracle applies the same bound inside the LWW
+    rank — certifying that bounded replay ≡ point-in-time normalize."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    bound = 1 << 59
+    base = lineitem_base(li)
+    chg = (
+        lineitem_changes(li)
+        .where(F.col("ck") < bound)
+        .select(
+            "pk", "qty", "price", "flag",
+            F.col("kind").alias(N.COL_KIND),
+            F.col("ck").alias(N.COL_CHECKPOINT),
+            F.col("cts").alias(N.COL_COMMIT_TS),
+        )
+    )
+    return N.merge_changes(base, chg, ["pk"]).select("pk", "qty", "price", "flag")
+
+
+SQL_CDC_TIME_TRAVEL = f"""
+WITH base AS ({BASE_SQL}),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cts DESC, ck DESC) rn
+    FROM ({CHANGES_SQL}) WHERE ck < {1 << 59}
+  ) WHERE rn = 1
+)
+SELECT b.pk, b.qty, b.price, b.flag
+FROM base b WHERE b.pk NOT IN (SELECT pk FROM last)
+UNION ALL
+SELECT l.pk, l.qty, l.price, l.flag
+FROM last l WHERE l.kind <> 'delete'
+"""
+
+
 def q_cdc_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge with soft-delete tombstones (ref: normalize_stmt_generator.go:127-135).
 
@@ -3542,6 +3582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "has_new_rows_maxwm": q_has_new_rows_maxwm,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_normalize_merge": q_cdc_normalize_merge,
+    "cdc_time_travel": q_cdc_time_travel,
     "cdc_soft_delete": q_cdc_soft_delete,
     "cdc_pk_update": q_cdc_pk_update,
     "cdc_toast_coalesce": q_cdc_toast_coalesce,
@@ -3619,6 +3660,7 @@ ORACLES: dict[str, str] = {
     "has_new_rows_maxwm": SQL_HAS_NEW_ROWS,
     "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
     "cdc_normalize_merge": SQL_CDC_NORMALIZE_MERGE,
+    "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_soft_delete": SQL_CDC_SOFT_DELETE,
     "cdc_pk_update": SQL_CDC_PK_UPDATE,
     "cdc_toast_coalesce": SQL_CDC_TOAST_COALESCE,

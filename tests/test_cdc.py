@@ -213,3 +213,57 @@ def test_cdc_composite_pk_partial_key_not_merged(spark, tmp_path):
     got = {(r["a"], r["b"]): r["v"]
            for r in ParquetTable(spark, cfg.path, ["a", "b"], 2).read().collect()}
     assert got == {(1, 1): "x", (1, 2): "z"}
+
+
+def test_state_as_of_matches_incremental_normalize(spark, tmp_path):
+    """Time travel: replaying raw batches 1..k must equal the destination
+    after normalizing exactly those batches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.storage import ParquetTable
+
+    schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    pipe = cdc.CdcPipeline(
+        spark,
+        str(tmp_path / "raw"),
+        [cdc.CdcTableConfig("t", ["pk"], schema, str(tmp_path / "dst"), n_buckets=4)],
+    )
+
+    def feed(batch, rows):
+        df = spark.createDataFrame(
+            rows, "_kind string, _checkpoint_id long, pk long, v string"
+        ).select(
+            "_kind",
+            "_checkpoint_id",
+            F.timestamp_seconds(F.col("_checkpoint_id") + 1_700_000_000).alias("_commit_ts"),
+            F.col("_checkpoint_id").alias("_txid"),
+            F.lit("t").alias("_src_table"),
+            F.lit("t").alias("_dst_table"),
+            F.when(F.col("_kind") != "delete", F.to_json(F.struct("pk", "v"))).alias("_data"),
+            F.when(F.col("_kind") == "delete", F.to_json(F.struct("pk", "v"))).alias("_old_data"),
+            F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+        )
+        pipe.sync_batch(df, batch)
+
+    feed(1, [("insert", 1, 10, "a"), ("insert", 2, 11, "b")])
+    feed(2, [("update", 3, 10, "a2"), ("insert", 4, 12, "c")])
+    feed(3, [("delete", 5, 11, "b"), ("update", 6, 12, "c2")])
+
+    snapshots = {}
+    for k in (1, 2, 3):
+        pipe.normalize_batches(k, k)
+        snapshots[k] = sorted(
+            (r["pk"], r["v"])
+            for r in ParquetTable(spark, str(tmp_path / "dst"), ["pk"], 4).read().collect()
+        )
+    for k in (1, 2, 3):
+        tt = sorted(
+            (r["pk"], r["v"])
+            for r in pipe.state_as_of("t", k).select("pk", "v").collect()
+        )
+        assert tt == snapshots[k], f"as-of batch {k}"
+    assert snapshots[3] == [(10, "a2"), (12, "c2")]
