@@ -397,3 +397,59 @@ def redact_pii(
         ).alias("clean_text"),
     )
     return s0
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus cleaning (new batch vs maintained state)
+# ---------------------------------------------------------------------------
+
+
+def incremental_clean(
+    state_hashes: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.8,
+    min_tokens: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Clean ONE new crawl batch against maintained corpus state — the
+    ingestion-time counterpart of the one-shot pipeline: per-row features
+    and exact-dedup run over the NEW batch only; the accepted corpus is
+    represented by its content-hash table (8 bytes/doc, stored bucketed by
+    hash at scale so the anti-join prunes), never re-read or re-featurized.
+
+    Returns (accepted, new_hashes):
+    - accepted: new-batch docs that are their batch's keeper (min id per
+      content hash), unseen in the state, AND pass the quality/length
+      floors — with their features attached;
+    - new_hashes: content hashes to APPEND to the state table. Deliberately
+      includes floor-FAILING fresh keepers: the one-shot pipeline picks the
+      global min-id keeper per hash and drops its whole group if that keeper
+      fails the floors, so later re-crawls of the same content must not get
+      a second chance. With batch ids monotone, incremental ≡ one-shot on
+      the union (pinned by test).
+    """
+    from peerdb_spark.functions.dedup import content_hash
+    from peerdb_spark.functions.text import lang_id, quality_score, token_count
+
+    c = F.col(text_col)
+    per = new_docs.select(
+        F.col(id_col),
+        content_hash(text_col).alias("content_hash"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).cast("double").alias("quality"),
+        token_count(c).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("content_hash")
+    keeper = (
+        per.withColumn("_m", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_m"))
+        .drop("_m")
+    )
+    fresh = keeper.join(
+        state_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
+    accepted = fresh.where(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    return accepted, fresh.select("content_hash")

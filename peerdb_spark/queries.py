@@ -3429,6 +3429,58 @@ FROM r
 SQL_PII_REDACT = _pii_sql()
 
 
+def q_corpus_incremental_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGESTION-TIME corpus cleaning (corpus.py:incremental_clean): a
+    re-crawl batch (every doc again, with genuinely new content for every
+    7th) cleaned against the maintained content-hash state of the accepted
+    corpus — per-row features and dedup run over the NEW batch only, the
+    old corpus is represented by 8-byte hashes and never re-featurized.
+    Equivalence to the one-shot pipeline on the union is pinned by
+    test_corpus.py; this gate row value-verifies the accepted batch."""
+    from peerdb_spark.functions import corpus as CP
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0]).localCheckpoint()
+    b2 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" fresh crawl extra words here")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    state = docs.select(DD.content_hash("text").alias("content_hash"))
+    accepted, _ = CP.incremental_clean(state, b2)
+    return accepted.select("doc_id", "lang_pred", "quality", "n_tokens")
+
+
+SQL_CORPUS_INCREMENTAL_CLEAN = f"""
+WITH b2 AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' fresh crawl extra words here'
+              ELSE text END AS text
+  FROM documents
+),
+state AS (SELECT {h64_sql("trim(text)")} AS h FROM documents),
+per AS (
+  SELECT doc_id, {h64_sql("trim(text)")} AS h,
+         {_lang_id_sql("text")} AS lang_pred,
+         CAST({_quality_sql("text")} AS DOUBLE) AS quality,
+         CAST({_tokens_sql("text")} AS BIGINT) AS n_tokens
+  FROM b2
+),
+keeper AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY h) AS m FROM per
+  ) WHERE doc_id = m
+)
+SELECT doc_id, lang_pred, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM keeper
+WHERE h NOT IN (SELECT h FROM state)
+  AND quality >= 0.8 AND n_tokens >= 20
+"""
+
+
 def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END cleaning pipeline — every stage a real production
     filter, chained: exact-dedup keep list → quality/length floors →
@@ -3648,6 +3700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "bm25_topk": q_bm25_topk,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_incremental_clean": q_corpus_incremental_clean,
     "corpus_clean_full": q_corpus_clean_full,
 }
 
@@ -3726,5 +3779,6 @@ ORACLES: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "bm25_topk": SQL_BM25_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "corpus_incremental_clean": SQL_CORPUS_INCREMENTAL_CLEAN,
     "corpus_clean_full": SQL_CORPUS_CLEAN_FULL,
 }

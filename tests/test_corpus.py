@@ -346,3 +346,54 @@ def test_mixture_sample_monotone_and_deterministic(spark):
     assert again == kept_lo
     zero = mixture_sample(docs, {}, default_rate=0.0).count()
     assert zero == 0
+
+
+def test_incremental_clean_equals_one_shot(spark):
+    """Two-batch incremental cleaning ≡ the one-shot pipeline on the union
+    (keeper = global min id per hash; floor-failing keepers poison their
+    group in both formulations)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.corpus import incremental_clean
+    from peerdb_spark.functions.dedup import content_hash
+    from peerdb_spark.functions.text import quality_score, token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # batch 2 = re-crawl: every doc again (dup) + modified text for %7 == 0
+    b2 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" fresh crawl extra words here")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    empty_state = spark.createDataFrame([], "content_hash long")
+    acc1, h1 = incremental_clean(empty_state, docs)
+    state = h1
+    acc2, h2 = incremental_clean(state, b2)
+    inc_ids = {r["doc_id"] for r in acc1.select("doc_id").collect()} | {
+        r["doc_id"] for r in acc2.select("doc_id").collect()
+    }
+    # one-shot over the union
+    union = docs.unionByName(b2)
+    per = union.select(
+        "doc_id",
+        content_hash("text").alias("h"),
+        quality_score(F.col("text")).cast("double").alias("q"),
+        token_count(F.col("text")).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("h")
+    oneshot = (
+        per.withColumn("_m", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_m"))
+        .where((F.col("q") >= 0.8) & (F.col("n") >= 20))
+    )
+    os_ids = {r["doc_id"] for r in oneshot.select("doc_id").collect()}
+    assert inc_ids == os_ids
+    # the modified re-crawls are genuinely new content: some batch-2 accepts
+    assert any(i >= 1_000_000 for i in inc_ids)
+    # unmodified re-crawls never re-enter
+    dup_ids = {r["doc_id"] + 1_000_000 for r in docs.where(F.col("doc_id") % 7 != 0).collect()}
+    assert not (inc_ids & dup_ids)
