@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from peerdb_spark.functions.hashing import h64
-from peerdb_spark.functions.text import tokens, word_ngrams
+from peerdb_spark.functions.text import tokens, word_ngrams, word_ngrams_of
 
 # ---------------------------------------------------------------------------
 # benchmark decontamination
@@ -46,7 +46,10 @@ def ngram_hash_set(
     PER ROW with array_distinct BEFORE the explode, so the dedup needs no
     shuffle (a relational .distinct() here would exchange every corpus
     n-gram)."""
-    t = df.select(F.col(id_col), word_ngrams(text_col, n).alias("_gs"))
+    # stage tokens as a bound column: a free tokens() inside the n-gram
+    # lambda re-runs split() per gram (see text.word_ngrams caller note)
+    tk = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = tk.select(F.col(id_col), word_ngrams_of(F.col("_t"), n).alias("_gs"))
     hashes = F.array_distinct(F.transform(F.col("_gs"), lambda g: h64(g)))
     return t.select(id_col, F.explode(hashes).alias("gram_hash"))
 

