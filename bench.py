@@ -162,6 +162,9 @@ def main() -> None:
         "knn_graph",
         "length_quantiles",
         "bpe_train_merges",
+        "events_burst_detect",
+        "cdc_time_travel",
+        "corpus_incremental_clean",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

@@ -158,8 +158,37 @@ class RawTable:
         # partition-pruned: RAW_BATCH is a directory partition column
         return df.where(F.col(RAW_BATCH).between(start_batch, end_batch))
 
+    def _payload(self) -> "F.Column":
+        # deletes carry the row image in match_data
+        return F.when(F.col(RAW_TYPE) == N.KIND_DELETE, F.col(RAW_MATCH)).otherwise(
+            F.col(RAW_DATA)
+        )
+
+    def dead_letters(self, start_batch: int, end_batch: int, value_schema: T.StructType) -> DataFrame:
+        """Raw DATA rows whose payload exists but does not parse as the
+        table's value schema (poison pills: truncated JSON, wrong encoding).
+        raw_to_changelog silently DROPS these from the merge — a malformed
+        insert would otherwise upsert a NULL-pk row — so an ops loop should
+        monitor this relation (alerting threshold on its count) and
+        re-ingest after repair. Batch-pruned scan, same as normalize."""
+        raw = self.read_batches(start_batch, end_batch).where(
+            F.col(RAW_TYPE) <= N.KIND_DELETE
+        )
+        pay = self._payload()
+        # from_json is PERMISSIVE (all-null struct on garbage, indistinguishable
+        # from legitimate nulls); try_parse_json gives a clean JVM-side
+        # valid-JSON test. value_schema reserved for shape-level checks.
+        del value_schema
+        return raw.where(pay.isNotNull() & F.try_parse_json(pay).isNull())
+
     def raw_to_changelog(self, raw: DataFrame, value_schema: T.StructType) -> DataFrame:
-        """Typed change rows from raw JSON payloads (from_json, JVM-side)."""
+        """Typed change rows from raw JSON payloads (from_json, JVM-side).
+
+        Rows whose payload is PRESENT but unparseable are dropped here (see
+        dead_letters for the quarantine view): merging them would upsert a
+        NULL-pk row, silently corrupting the destination."""
+        pay = self._payload()
+        raw = raw.where(pay.isNull() | F.try_parse_json(pay).isNotNull())
         parsed = raw.select(
             F.when(F.col(RAW_TYPE) == N.KIND_INSERT, F.lit("insert"))
             .when(F.col(RAW_TYPE) == N.KIND_UPDATE, F.lit("update"))
@@ -168,13 +197,7 @@ class RawTable:
             F.col("_peerdb_checkpoint_id").alias(N.COL_CHECKPOINT),
             F.timestamp_micros(F.col(RAW_TS)).alias(N.COL_COMMIT_TS),
             F.col(RAW_DST).alias(N.COL_DST),
-            F.from_json(
-                # deletes carry the row image in match_data
-                F.when(F.col(RAW_TYPE) == N.KIND_DELETE, F.col(RAW_MATCH)).otherwise(
-                    F.col(RAW_DATA)
-                ),
-                value_schema,
-            ).alias("_v"),
+            F.from_json(pay, value_schema).alias("_v"),
             # updates keep their OLD row image too (when the source emitted
             # one — REPLICA IDENTITY FULL / binlog before-image): it powers
             # PK-changing-update splitting in normalize.split_pk_updates

@@ -267,3 +267,49 @@ def test_state_as_of_matches_incremental_normalize(spark, tmp_path):
         )
         assert tt == snapshots[k], f"as-of batch {k}"
     assert snapshots[3] == [(10, "a2"), (12, "c2")]
+
+
+def test_malformed_payloads_quarantined_not_merged(spark, tmp_path):
+    """A poison-pill payload (truncated JSON) must land in dead_letters and
+    never reach the destination as a NULL-pk row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.storage import ParquetTable
+
+    schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    pipe = cdc.CdcPipeline(
+        spark,
+        str(tmp_path / "raw"),
+        [cdc.CdcTableConfig("t", ["pk"], schema, str(tmp_path / "dst"), n_buckets=4)],
+    )
+    rows = [
+        ("insert", 1, '{"pk": 1, "v": "good"}'),
+        ("insert", 2, '{"pk": 2, "v": "trunc'),  # poison: truncated JSON
+        ("insert", 3, '{"pk": 3, "v": "ok"}'),
+    ]
+    feed = spark.createDataFrame(
+        rows, "_kind string, _checkpoint_id long, _data string"
+    ).select(
+        "_kind",
+        "_checkpoint_id",
+        F.timestamp_seconds(F.col("_checkpoint_id") + 1_700_000_000).alias("_commit_ts"),
+        F.col("_checkpoint_id").alias("_txid"),
+        F.lit("t").alias("_src_table"),
+        F.lit("t").alias("_dst_table"),
+        "_data",
+        F.lit(None).cast("string").alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+    )
+    pipe.sync_batch(feed, 1)
+    pipe.normalize_batches(1, 1)
+    got = sorted(
+        (r["pk"], r["v"])
+        for r in ParquetTable(spark, str(tmp_path / "dst"), ["pk"], 4).read().collect()
+    )
+    assert got == [(1, "good"), (3, "ok")]  # poison row absent, no NULL pk
+    dead = pipe.raw.dead_letters(1, 1, schema).collect()
+    assert len(dead) == 1 and dead[0]["_peerdb_data"] == '{"pk": 2, "v": "trunc'
