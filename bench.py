@@ -168,9 +168,30 @@ def main() -> None:
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,
-    # not first-touch costs (the driver compares totals across rounds)
+    # not first-touch costs (the driver compares totals across rounds). The
+    # first text-heavy expression per JVM pays ~2.5s of one-time class
+    # loading and the first mapInPandas pays Python-worker startup — warm
+    # both on 50-row slices so they don't land on whichever query runs first.
     try:
         QUERIES["passthrough_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        from pyspark.sql import functions as F
+
+        from peerdb_spark.functions import text as TX
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        docs.select(
+            TX.lang_id(F.col("text")), TX.quality_score(F.col("text"))
+        ).write.format("noop").mode("overwrite").save()
+
+        import pandas as _pd
+
+        def _noop_batches(it):
+            for pdf in it:
+                yield pdf
+
+        docs.select("doc_id").mapInPandas(
+            _noop_batches, "doc_id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warmup only
         pass
 

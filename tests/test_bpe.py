@@ -64,3 +64,33 @@ def test_bpe_train_on_corpus_sample(spark):
     # positive and each merge pair is distinct
     assert all(n > 0 for _, _, n in merges)
     assert len({(a, b) for a, b, _ in merges}) == 4
+
+
+def test_bpe_train_hypothesis_random_corpora(spark):
+    """Property: Spark BPE == plain-Python BPE on random small corpora."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=corpus)
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        wf = Counter(w for t in texts for w in t.split())
+        want_merges, want_vocab = python_bpe(dict(wf), k=3)
+        got_merges, got_vocab_df = bpe_train(df, "text", k=3)
+        assert got_merges == want_merges
+        got_vocab = {r["w"]: r["symbols"] for r in got_vocab_df.collect()}
+        assert got_vocab == want_vocab
+
+    check()
