@@ -243,6 +243,60 @@ def session_event_aggregation(
     )
 
 
+def stream_attribution_join(
+    points: DataFrame,
+    intervals_end: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM attribution join: every `intervals_end` event (e.g. a
+    purchase) matches the `points` events (e.g. clicks) by the same key in
+    the `window` before it — the streaming twin of operators.interval_join.
+
+    Uses Spark's native stream-stream inner join with a time-range
+    condition: both sides carry watermarks, so the join state evicts rows
+    older than window+watermark — bounded state, no custom operator. The
+    range condition is what lets the engine bound state; an unconstrained
+    stream-stream join would buffer forever. In batch mode the same plan
+    degrades gracefully to a range join (use operators.interval_join there —
+    the bucketed equi-join — when the inputs are large).
+
+    Both inputs must share the key columns; output carries the point ts,
+    the interval-end ts, and both payloads.
+    """
+    keys = key_cols or ["user_id"]
+
+    def prep(df: DataFrame, alias: str) -> DataFrame:
+        src = df
+        if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+            src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        if src.isStreaming:
+            src = src.withWatermark(ts_col, watermark)
+        renames = {c: f"{alias}_{c}" for c in src.columns if c not in keys}
+        for old, new in renames.items():
+            src = src.withColumnRenamed(old, new)
+        return src
+
+    p = prep(points, "p")
+    e = prep(intervals_end, "e")
+    cond = F.expr(
+        " AND ".join(
+            [
+                *[f"p.{k} = e.{k}" for k in keys],
+                f"p.p_{ts_col} >= e.e_{ts_col} - INTERVAL {window}",
+                f"p.p_{ts_col} <= e.e_{ts_col}",
+            ]
+        )
+    )
+    return p.alias("p").join(e.alias("e"), cond, "inner").select(
+        *[F.col(f"p.{k}").alias(k) for k in keys],
+        *[c for c in p.columns if c not in keys],
+        *[c for c in e.columns if c not in keys],
+    )
+
+
 class WalStreamRunner(CdcStreamRunner):
     """Drives a CdcPipeline from RAW pgoutput WAL message files.
 

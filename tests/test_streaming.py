@@ -362,3 +362,42 @@ def test_dedup_within_watermark_batch_degrades(spark):
     )
     out = dedup_stream_within_watermark(df, ["event_id"], ts_col="ts")
     assert out.count() == 2
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Native stream-stream interval join with watermarks: clicks within the
+    30-minute window before a purchase match; results equal the batch
+    interval join on the same data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.streaming import stream_attribution_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    clicks = [(1, ts(0), 100), (1, ts(20), 101), (1, ts(50), 102), (2, ts(5), 103)]
+    purchases = [(1, ts(30), 900), (2, ts(45), 901)]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, "user_id long, ts timestamp, click_id long").write.parquet(cdir)
+    spark.createDataFrame(purchases, "user_id long, ts timestamp, purchase_id long").write.parquet(pdir)
+
+    cs = spark.readStream.schema("user_id long, ts timestamp, click_id long").parquet(cdir)
+    ps = spark.readStream.schema("user_id long, ts timestamp, purchase_id long").parquet(pdir)
+    out = stream_attribution_join(cs, ps, window="30 minutes")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["p_click_id"], r["e_purchase_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # purchase@10:30 by user 1 matches clicks at 10:00 and 10:20 (not 10:50);
+    # purchase@10:45 by user 2 has no click in [10:15, 10:45]
+    assert got == {(1, 100, 900), (1, 101, 900)}
