@@ -110,3 +110,79 @@ def mixture_sample(
     )
     ticket = h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))) % 10_000
     return df.where(ticket < rate_bp)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-domain sampling against TOKEN budgets (mixture weights are
+    specified in tokens, not documents — how training mixes are actually
+    budgeted): within each stratum, documents are ranked by a deterministic
+    hash (an unbiased uniform order) and kept while the running token total
+    is at most the stratum's budget; the first doc that crosses the line is
+    the last one kept (budgets cut between documents, never inside one).
+    Strata without a budget entry are dropped.
+
+    One per-stratum window cumsum — same shuffle shape as any grouped rank;
+    deterministic on any layout, and like mixture_sample the kept PREFIX
+    only extends when a budget grows (hash order is budget-independent), so
+    raising budgets is an incremental diff. Returns the input rows plus
+    (n_tokens, cum_before).
+    """
+    toks = tokens_col if tokens_col is not None else token_count(F.col(text_col))
+    pairs: list[Column] = []
+    for k, v in budgets.items():
+        pairs += [F.lit(k), F.lit(int(v))]
+    budget = F.element_at(F.create_map(*pairs), F.col(stratum_col))
+    order = h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.withColumn("n_tokens", toks.cast("long"))
+        .withColumn("_cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    )
+    return (
+        out.where(F.col("_cum_before") < budget)
+        .withColumnRenamed("_cum_before", "cum_before")
+    )
+
+
+def length_batch_plan(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Length-bucketed inference batching: documents sort by token length
+    within deterministic shards and group into fixed-size batches, so each
+    batch pads to its own max length instead of the corpus max — the
+    standard dynamic-padding trick for batch inference/scoring. Returns the
+    input plus (n_tokens, shard, batch_id, batch_max_tokens, pad_waste)
+    where pad_waste = batch_max - n_tokens (the padding this doc costs).
+
+    Per-shard sort (the window key), never global — the same parallelism
+    contract as pack_plan.
+    """
+    toks = tokens_col if tokens_col is not None else token_count(F.col(text_col))
+    out = df.withColumn("n_tokens", toks.cast("long")).withColumn(
+        "shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("n_tokens", id_col)
+    out = out.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / F.lit(batch_size))
+    )
+    bw = Window.partitionBy("shard", "batch_id")
+    return out.withColumn(
+        "batch_max_tokens", F.max("n_tokens").over(bw)
+    ).withColumn("pad_waste", F.col("batch_max_tokens") - F.col("n_tokens"))

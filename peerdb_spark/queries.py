@@ -3308,6 +3308,81 @@ GROUP BY source
 """
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training mix (sampling.py:token_budget_sample): each
+    source keeps hash-ordered documents until its TOKEN budget is crossed
+    (budgets cut between docs; the crossing doc is the last kept). Budgets
+    (i%4+1)·500 tokens by source index; unbudgeted sources drop. Aggregated
+    per source; the oracle replicates the hash-ordered cumulative sum."""
+    from peerdb_spark.functions import sampling as S
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    budgets = {f"src{i}": (i % 4 + 1) * 500 for i in range(40)}
+    kept = S.token_budget_sample(docs, budgets, "source", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH d AS (
+  SELECT source, doc_id, CAST({_tokens_sql("text")} AS BIGINT) AS n_tokens,
+         (CAST(substr(source, 4) AS INT) % 4 + 1) * 500 AS budget,
+         {h64_sql("concat('budget:', CAST(doc_id AS VARCHAR))")} AS ord
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens, budget,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT source, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM c WHERE cum_before < budget
+GROUP BY source
+"""
+
+
+def q_length_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (sampling.py:length_batch_plan):
+    per-shard length sort into fixed-size batches so each batch pads to its
+    own max (dynamic padding). Output certifies batch membership AND the
+    padding economics (sum of pad_waste per batch) cross-engine."""
+    from peerdb_spark.functions import sampling as S
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    plan = S.length_batch_plan(docs, batch_size=16, n_shards=8)
+    return plan.groupBy("shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("batch_max_tokens").alias("batch_max_tokens"),
+        F.sum("pad_waste").alias("total_pad_waste"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+SQL_LENGTH_BATCH_PLAN = f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST({_tokens_sql("text")} AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT *, CAST((row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch_id
+  FROM d
+),
+b AS (
+  SELECT *, max(n_tokens) OVER (PARTITION BY shard, batch_id) AS bmax FROM r
+)
+SELECT shard, batch_id, count(*) AS n_docs,
+       CAST(max(bmax) AS BIGINT) AS batch_max_tokens,
+       CAST(sum(bmax - n_tokens) AS BIGINT) AS total_pad_waste,
+       min(doc_id) AS min_doc
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_repetition_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (corpus.py:scrub_repeated_chunks —
     the C4 duplicate-passage rule on 20-token pseudo-paragraphs): repeated
@@ -3692,6 +3767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
+    "token_budget_sample": q_token_budget_sample,
+    "length_batch_plan": q_length_batch_plan,
     "repetition_scrub": q_repetition_scrub,
     "pii_redact": q_pii_redact,
     "events_interval_join": q_events_interval_join,
@@ -3771,6 +3848,8 @@ ORACLES: dict[str, str] = {
     "knn_graph": SQL_KNN_GRAPH,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "length_batch_plan": SQL_LENGTH_BATCH_PLAN,
     "repetition_scrub": SQL_REPETITION_SCRUB,
     "pii_redact": SQL_PII_REDACT,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,

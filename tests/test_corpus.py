@@ -397,3 +397,53 @@ def test_incremental_clean_equals_one_shot(spark):
     # unmodified re-crawls never re-enter
     dup_ids = {r["doc_id"] + 1_000_000 for r in docs.where(F.col("doc_id") % 7 != 0).collect()}
     assert not (inc_ids & dup_ids)
+
+
+def test_token_budget_sample_respects_budgets(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.sampling import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budgets = {f"src{i}": 1000 for i in range(20)}
+    kept = token_budget_sample(docs, budgets)
+    stats = {
+        r["source"]: (r["n"], r["t"], r["last_start"])
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"),
+             F.max("cum_before").alias("last_start"))
+        .collect()
+    }
+    for src, (n, total, last_start) in stats.items():
+        assert last_start < 1000  # every kept doc STARTED inside the budget
+        assert n >= 1
+    # monotone: doubling budgets keeps a superset
+    k1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    k2 = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, {s: 2000 for s in budgets})
+        .select("doc_id")
+        .collect()
+    }
+    assert k1 <= k2
+    # unbudgeted strata drop entirely
+    assert token_budget_sample(docs, {"src0": 1000}).where(F.col("source") != "src0").count() == 0
+
+
+def test_length_batch_plan_padding_and_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.sampling import length_batch_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = length_batch_plan(docs, batch_size=16)
+    assert plan.count() == docs.count()  # every doc placed exactly once
+    bad = plan.where(F.col("n_tokens") > F.col("batch_max_tokens")).count()
+    assert bad == 0
+    sizes = [r["n"] for r in plan.groupBy("shard", "batch_id").count().withColumnRenamed("count", "n").collect()]
+    assert max(sizes) <= 16
+    # dynamic padding must beat global padding (pad-to-corpus-max)
+    gmax = docs.select(F.max(F.size(F.split(F.trim("text"), r"\s+")))).collect()[0][0]
+    waste = plan.agg(F.sum("pad_waste")).collect()[0][0]
+    gwaste = docs.count() * gmax - plan.agg(F.sum("n_tokens")).collect()[0][0]
+    assert waste < gwaste * 0.5  # at least 2x padding reduction on this corpus
