@@ -165,6 +165,8 @@ def main() -> None:
         "events_burst_detect",
         "cdc_time_travel",
         "corpus_incremental_clean",
+        "token_budget_sample",
+        "length_batch_plan",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

