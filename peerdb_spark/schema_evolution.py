@@ -20,6 +20,8 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from peerdb_spark.storage import ParquetTable
@@ -113,3 +115,57 @@ def read_evolved(table: ParquetTable):
     from peerdb_spark.storage import BUCKET_COL
 
     return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out
+
+
+def detect_payload_drift(
+    raw: DataFrame,
+    value_schema,
+    dst_table: str,
+    data_col: str = "_peerdb_data",
+    sample_values: int = 1,
+) -> SchemaDelta:
+    """Schema-DRIFT detection for sources that emit no RelationRecords
+    (Mongo change streams, queue feeds, generic JSON ingest): scan the batch
+    payloads for top-level JSON keys absent from the configured value
+    schema and propose them as an add-column delta, with a type guessed
+    from schema_of_json over a sampled value per new key.
+
+    The reference only evolves on explicit RelationRecords (pgoutput 'R' /
+    binlog TABLE_MAP); schemaless sources silently DROP unknown fields at
+    from_json time. This closes that gap as data: feed the returned delta
+    to replay_deltas/apply_delta (audited, deduped) exactly as if the
+    source had declared it.
+
+    One scan: key explode → anti-filter against the known set → first
+    sampled raw value per key (bounded collect: one row per NEW column).
+    """
+    known = {f.name for f in value_schema.fields}
+    keys = raw.select(
+        F.explode(F.json_object_keys(F.col(data_col))).alias("k"),
+        F.col(data_col).alias("_d"),
+    ).where(~F.col("k").isin(*known) if known else F.lit(True))
+    sample = (
+        keys.groupBy("k")
+        .agg(F.first("_d").alias("_d"))
+        .collect()
+    )
+    added: list[tuple[str, str]] = []
+    for r in sorted(sample, key=lambda r: r["k"]):
+        # guess the column type from the sampled document's field
+        row = raw.sparkSession.range(1).select(
+            F.schema_of_json(F.lit(r["_d"])).alias("s")
+        ).collect()
+        ddl = "string"
+        s = row[0]["s"]  # e.g. STRUCT<a: BIGINT, b: STRING>
+        import re as _re
+
+        m = _re.search(rf"{_re.escape(r['k'])}: ([A-Z]+)", s)
+        if m:
+            ddl = {
+                "BIGINT": "bigint",
+                "DOUBLE": "double",
+                "BOOLEAN": "boolean",
+                "STRING": "string",
+            }.get(m.group(1), "string")
+        added.append((r["k"], ddl))
+    return SchemaDelta(dst_table, added)

@@ -105,3 +105,33 @@ def test_message_record_is_inert(spark, tmp_path):
     # counts exclude metadata kinds
     counts = {(r[cdc.RAW_TYPE]): r["count"] for r in pipe.record_counts(0, 0).collect()}
     assert counts == {0: 1}
+
+
+def test_detect_payload_drift_proposes_typed_deltas(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark.schema_evolution import detect_payload_drift
+
+    schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    raw = spark.createDataFrame(
+        [
+            ('{"pk": 1, "v": "a"}',),
+            ('{"pk": 2, "v": "b", "score": 1.5}',),
+            ('{"pk": 3, "v": "c", "score": 2.5, "tag": "x"}',),
+            ('{"pk": 4, "v": "d", "flagged": true}',),
+        ],
+        "x string",
+    ).select(F.col("x").alias("_peerdb_data"))
+    delta = detect_payload_drift(raw, schema, "t")
+    assert delta.dst_table == "t"
+    assert delta.added_columns == [
+        ("flagged", "boolean"),
+        ("score", "double"),
+        ("tag", "string"),
+    ]
+    # no drift -> empty delta
+    clean = raw.limit(1)
+    assert detect_payload_drift(clean, schema, "t").added_columns == []
