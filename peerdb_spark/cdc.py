@@ -303,12 +303,17 @@ class CdcPipeline:
         tables: list[CdcTableConfig],
         catalog=None,
         mirror_name: str = "",
+        auto_evolve: bool = False,
     ):
         self.spark = spark
         self.raw = RawTable(spark, raw_path)
         self.tables = {t.dst_table: t for t in tables}
         self.catalog = catalog
         self.mirror_name = mirror_name
+        # auto_evolve: detect schema DRIFT in payloads from sources that
+        # declare no relation records (Mongo/queues) and evolve like an
+        # explicit delta — see schema_evolution.detect_payload_drift
+        self.auto_evolve = auto_evolve
         if catalog is not None and mirror_name:
             self._rehydrate_schema_deltas()
 
@@ -375,20 +380,45 @@ class CdcPipeline:
             if cfg is None:
                 continue
             delta = SE.delta_from_relation_record(r[RAW_DATA], r[RAW_DST])
-            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
-            if table._load_schema() is not None:
-                if self.catalog is not None and self.mirror_name:
-                    SE.replay_deltas(self.catalog, self.mirror_name, table, [delta])
-                else:
-                    SE.apply_delta(table, delta)
-            # evolve the parse schema so from_json surfaces the new columns
-            have = {f.name for f in cfg.value_schema.fields}
-            for name, ddl in delta.added_columns:
-                if name not in have:
-                    cfg.value_schema = T.StructType(
-                        [*cfg.value_schema.fields, T.StructField(name, _parse_ddl(ddl), True)]
-                    )
-                    have.add(name)
+            self._apply_delta(cfg, delta)
+
+    def _apply_delta(self, cfg, delta) -> None:
+        """Apply one add-columns delta: destination table (audited when a
+        catalog is bound) AND the live parse schema, so from_json surfaces
+        the new columns for the rest of this batch range."""
+        from peerdb_spark import schema_evolution as SE
+
+        table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+        if table._load_schema() is not None:
+            if self.catalog is not None and self.mirror_name:
+                SE.replay_deltas(self.catalog, self.mirror_name, table, [delta])
+            else:
+                SE.apply_delta(table, delta)
+        have = {f.name for f in cfg.value_schema.fields}
+        for name, ddl in delta.added_columns:
+            if name not in have:
+                cfg.value_schema = T.StructType(
+                    [*cfg.value_schema.fields, T.StructField(name, _parse_ddl(ddl), True)]
+                )
+                have.add(name)
+
+    def _auto_evolve(self, raw: DataFrame, dsts: list[str]) -> None:
+        """Schema-drift pass for relation-record-less sources: detect new
+        payload keys per destination and evolve as if declared."""
+        from peerdb_spark import schema_evolution as SE
+
+        for dst in dsts:
+            cfg = self.tables.get(dst)
+            if cfg is None:
+                continue
+            sub = raw.where(
+                (F.col(RAW_DST) == dst)
+                & (F.col(RAW_TYPE) <= N.KIND_DELETE)
+                & F.col(RAW_DATA).isNotNull()
+            )
+            delta = SE.detect_payload_drift(sub, cfg.value_schema, dst)
+            if delta.added_columns:
+                self._apply_delta(cfg, delta)
 
     def _changes_for(self, raw: DataFrame, dst: str, cfg) -> DataFrame:
         """Destination-shaped changelog for one table from a raw range:
@@ -463,6 +493,8 @@ class CdcPipeline:
         # (ref: flow/connectors/postgres/client.go:52-53)
         dsts, rels = self._batch_meta(raw)
         self._apply_relation_records(rels)
+        if self.auto_evolve:
+            self._auto_evolve(raw, dsts)
 
         def _one(dst: str) -> None:
             cfg = self.tables.get(dst)

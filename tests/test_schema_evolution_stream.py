@@ -135,3 +135,50 @@ def test_detect_payload_drift_proposes_typed_deltas(spark):
     # no drift -> empty delta
     clean = raw.limit(1)
     assert detect_payload_drift(clean, schema, "t").added_columns == []
+
+
+def test_auto_evolve_pipeline_picks_up_drifted_fields(spark, tmp_path):
+    """auto_evolve=True: a batch whose payloads carry an undeclared field
+    evolves the destination mid-flow; the field's values land from that
+    batch onward (relation-record-less source, e.g. Mongo)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.storage import ParquetTable
+
+    schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    pipe = cdc.CdcPipeline(
+        spark,
+        str(tmp_path / "raw"),
+        [cdc.CdcTableConfig("t", ["pk"], schema, str(tmp_path / "dst"), n_buckets=4)],
+        auto_evolve=True,
+    )
+
+    def feed(batch, rows):
+        df = spark.createDataFrame(rows, "_checkpoint_id long, _data string").select(
+            F.lit("insert").alias("_kind"),
+            "_checkpoint_id",
+            F.timestamp_seconds(F.col("_checkpoint_id") + 1_700_000_000).alias("_commit_ts"),
+            F.col("_checkpoint_id").alias("_txid"),
+            F.lit("t").alias("_src_table"),
+            F.lit("t").alias("_dst_table"),
+            "_data",
+            F.lit(None).cast("string").alias("_old_data"),
+            F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+        )
+        pipe.sync_batch(df, batch)
+
+    feed(1, [(1, '{"pk": 1, "v": "a"}')])
+    pipe.normalize_batches(1, 1)
+    feed(2, [(2, '{"pk": 2, "v": "b", "score": 1.5}')])
+    pipe.normalize_batches(2, 2)
+    rows = {
+        r["pk"]: (r["v"], r["score"])
+        for r in ParquetTable(spark, str(tmp_path / "dst"), ["pk"], 4).read().collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
+    # the live parse schema evolved too
+    assert "score" in [f.name for f in pipe.tables["t"].value_schema.fields]
