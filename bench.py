@@ -211,12 +211,23 @@ def main() -> None:
     import gc
 
     for name in headline:
-        t0 = time.time()
         df = None
         try:
+            # untimed warm pass, then ONE timed steady-state run — the same
+            # methodology as the CDC flagship: first-execution costs (plan
+            # compile, page-cache misses, a GC triggered by the previous
+            # query) otherwise add ±20% run-to-run noise to the totals; the
+            # steady-state number is the one comparable across rounds
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            # timed run includes DataFrame construction: some queries do
+            # eager driver-side work (bounded collects, checkpoint
+            # materialization) that is part of their real cost
+            t0 = time.time()
+            df2 = QUERIES[name](spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            del df2
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
         # drop the query's DataFrame refs so the ContextCleaner can free any
