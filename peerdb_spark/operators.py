@@ -36,14 +36,16 @@ def asof_join(
     right_ts: str = "ts",
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the right row with the
-    largest right_ts <= left_ts within the same key group (inclusive —
-    a right row at exactly left_ts matches, like DuckDB/ClickHouse ASOF).
+    """As-of join: for every left row, attach the right row with the
+    largest right_ts <= left_ts (direction="backward", the default — the
+    DuckDB/ClickHouse ASOF semantics) or the smallest right_ts >= left_ts
+    (direction="forward"); equal timestamps match in both directions.
 
-    Left rows with no prior right row keep NULL right columns (left join
-    semantics). `tolerance_seconds` nulls out matches whose right_ts is more
-    than that many seconds before left_ts (pandas merge_asof semantics).
+    Left rows with no matching right row keep NULL right columns (left join
+    semantics). `tolerance_seconds` nulls out matches farther than that many
+    seconds from left_ts (pandas merge_asof semantics).
 
     Ties on (key, right_ts): the right row with the greatest values in its
     remaining sort order wins deterministically only if the caller dedupes
@@ -51,6 +53,9 @@ def asof_join(
     the winner is the max over the full right-row struct — deterministic
     for any input.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     rcols = [c for c in right.columns if c not in keys]
     # right rows become (keys, _ats, payload struct); left rows carry NULL
@@ -80,18 +85,26 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     u = l.unionByName(r2)
+    # backward: ascending time, carry the last prior right payload forward.
+    # forward: DESCENDING time — the same last(ignorenulls) then carries the
+    # nearest FUTURE right payload. Either way right rows sort before left
+    # rows at equal timestamps (inclusive match).
+    ts_ord = F.col("_ats").asc() if back else F.col("_ats").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_pay").asc())
+        .orderBy(ts_ord, F.col("_side").asc(), F.col("_pay").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w)).where(
         F.col("_side") == 1
     )
     if tolerance_seconds is not None:
-        in_tol = (
-            F.expr("timestampdiff(SECOND, _m._rts, _ats)") <= F.lit(tolerance_seconds)
+        gap = (
+            F.expr("timestampdiff(SECOND, _m._rts, _ats)")
+            if back
+            else F.expr("timestampdiff(SECOND, _ats, _m._rts)")
         )
+        in_tol = gap <= F.lit(tolerance_seconds)
         matched = matched.withColumn(
             "_m", F.when(in_tol, F.col("_m"))  # else NULL: match too old
         )

@@ -158,3 +158,47 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+def test_asof_forward_direction(spark, frames):
+    left, right = frames
+    out = {
+        (r["k"], r["ts"].second): (r["rv"], r["ts_right"].second if r["ts_right"] else None)
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert out[(1, 10)] == ("r10", 10)  # equal ts matches (inclusive)
+    assert out[(1, 5)] == ("r10", 10)   # nearest future
+    assert out[(1, 20)] == (None, None)  # nothing after
+    assert out[(2, 10)] == (None, None)
+
+
+def test_asof_forward_matches_pandas(spark):
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(23)
+    lrows = sorted({(rnd.randint(0, 3), rnd.randint(0, 5000)) for _ in range(200)})
+    rrows = sorted({(rnd.randint(0, 3), rnd.randint(0, 5000)) for _ in range(200)})
+    left = spark.createDataFrame(
+        [(k, ts(0) + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(lrows)],
+        "k int, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(0) + dt.timedelta(seconds=s), 1000 + i) for i, (k, s) in enumerate(rrows)],
+        "k int, ts timestamp, rid long",
+    )
+    got = {
+        (r["k"], r["lid"]): r["rid"]
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    merged = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("ts"),
+        on="ts", by="k", direction="forward", suffixes=("", "_r"),
+    )
+    want = {
+        (int(r.k), int(r.lid)): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
