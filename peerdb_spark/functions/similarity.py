@@ -609,3 +609,108 @@ def knn_graph(
     return mutual.where(F.col("_ida") < F.col("_idb")).select(
         F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# label-aware operators: hard-negative mining + kNN label consistency
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qv",
+    label_col: str = "label",
+    dim: int = 64,
+    bits: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive-training prep: for every anchor vector, the k most
+    similar SAME-BUCKET vectors with a DIFFERENT label — the classic
+    hard-negative set (close in embedding space, wrong class). Returns
+    (anchor_id, negative_id, score, rank).
+
+    Scale shape = knn_graph: SRP-bucketed candidates, exact integer dot
+    ranking, k-bounded output — the label inequality is a filter on the
+    bucket join, never an all-pairs stage.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(qvec_col), F.col(label_col),
+        srp_bucket_int(qvec_col, dim, bits).alias("_bkt"),
+    ).localCheckpoint(eager=False)
+    a = c.select(
+        F.col("_bkt"), F.col(id_col).alias("anchor_id"),
+        F.col(qvec_col).alias("_va"), F.col(label_col).alias("_la"),
+    )
+    b = c.select(
+        F.col("_bkt"), F.col(id_col).alias("negative_id"),
+        F.col(qvec_col).alias("_vb"), F.col(label_col).alias("_lb"),
+    )
+    pairs = a.join(b, "_bkt").where(
+        (F.col("anchor_id") != F.col("negative_id")) & (F.col("_la") != F.col("_lb"))
+    )
+    scored = pairs.select(
+        "anchor_id", "negative_id",
+        F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_label_consistency(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qv",
+    label_col: str = "label",
+    dim: int = 64,
+    bits: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-quality eval: per label, how often a vector's k nearest
+    same-bucket neighbours share its label (the standard kNN-consistency
+    probe for embedding spaces — no model training needed). Returns
+    (label, n_vecs, n_neighbors, n_matching) — matching fraction =
+    n_matching / n_neighbors.
+
+    Same bucketed shape as knn_graph; the per-label aggregate output is
+    |labels| rows.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(qvec_col), F.col(label_col),
+        srp_bucket_int(qvec_col, dim, bits).alias("_bkt"),
+    ).localCheckpoint(eager=False)
+    a = c.select(
+        F.col("_bkt"), F.col(id_col).alias("_ida"),
+        F.col(qvec_col).alias("_va"), F.col(label_col).alias("_la"),
+    )
+    b = c.select(
+        F.col("_bkt"), F.col(id_col).alias("_idb"),
+        F.col(qvec_col).alias("_vb"), F.col(label_col).alias("_lb"),
+    )
+    pairs = a.join(b, "_bkt").where(F.col("_ida") != F.col("_idb"))
+    scored = pairs.select(
+        "_ida", "_la", "_idb", "_lb",
+        F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_s"),
+    )
+    w = Window.partitionBy("_ida").orderBy(F.desc("_s"), F.col("_idb"))
+    topk = scored.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+    per_vec = topk.groupBy("_ida", "_la").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("_lb") == F.col("_la")).cast("long")).alias("_m"),
+    )
+    return per_vec.groupBy(F.col("_la").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("_n").alias("n_neighbors"),
+        F.sum("_m").alias("n_matching"),
+    )

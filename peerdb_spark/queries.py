@@ -1769,6 +1769,91 @@ WHERE t.ida < t.idb
 SQL_KNN_GRAPH = _knn_graph_sql()
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (similarity.py:
+    hard_negative_mining): for each anchor, the 3 most similar same-SRP-
+    bucket vectors with a DIFFERENT label (close in embedding space, wrong
+    class — the pairs contrastive losses learn the most from). Bucketed
+    candidates + integer dot ranking; never all-pairs."""
+    from peerdb_spark.functions.similarity import hard_negative_mining
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"), "label")
+    out = hard_negative_mining(c, "vec_id", "qv", "label", dim=64, bits=8, k=3)
+    return out.select(
+        "anchor_id", "negative_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def _label_sig_cte() -> str:
+    from peerdb_spark.functions.similarity import srp_hyperplane
+
+    terms = []
+    for i in range(8):
+        plane = srp_hyperplane(64, i)
+        arr = "[" + ", ".join(str(p) for p in plane) + "]"
+        proj = f"list_sum(list_transform(range(1, 65), j -> qv[j] * ({arr})[j]))"
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {2**i} ELSE 0 END")
+    sig = " + ".join(terms)
+    return f"""
+qvs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id, label, qv, CAST({sig} AS INT) AS bkt FROM qvs)"""
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH {_label_sig_cte()},
+scored AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         CAST(list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) AS BIGINT) AS score
+  FROM c a JOIN c b ON a.bkt = b.bkt AND a.vec_id != b.vec_id AND a.label != b.label
+)
+SELECT anchor_id, negative_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, negative_id) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe (similarity.py:knn_label_consistency): per
+    label, the fraction of each vector's 5 nearest same-bucket neighbours
+    sharing its label — the standard kNN-consistency eval for embedding
+    spaces, no model needed. |labels| output rows."""
+    from peerdb_spark.functions.similarity import knn_label_consistency
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"), "label")
+    return knn_label_consistency(c, "vec_id", "qv", "label", dim=64, bits=8, k=5)
+
+
+SQL_KNN_LABEL_CONSISTENCY = f"""
+WITH {_label_sig_cte()},
+scored AS (
+  SELECT a.vec_id AS ida, a.label AS la, b.vec_id AS idb, b.label AS lb,
+         list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) AS s
+  FROM c a JOIN c b ON a.bkt = b.bkt AND a.vec_id != b.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ida ORDER BY s DESC, idb) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+per_vec AS (
+  SELECT ida, la, count(*) AS n, sum(CASE WHEN lb = la THEN 1 ELSE 0 END) AS m
+  FROM topk GROUP BY 1, 2
+)
+SELECT la AS label, count(*) AS n_vecs,
+       CAST(sum(n) AS BIGINT) AS n_neighbors,
+       CAST(sum(m) AS BIGINT) AS n_matching
+FROM per_vec GROUP BY la
+"""
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source document-length quantiles (functions/stats.py:
     group_quantiles — type-1 inverse-ECDF, value at rank ceil(q·n)). The
@@ -3765,6 +3850,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_burst_detect": q_events_burst_detect,
     "sq8_topk": q_sq8_topk,
     "knn_graph": q_knn_graph,
+    "hard_negatives": q_hard_negatives,
+    "knn_label_consistency": q_knn_label_consistency,
     "length_quantiles": q_length_quantiles,
     "mixture_sample": q_mixture_sample,
     "token_budget_sample": q_token_budget_sample,
@@ -3846,6 +3933,8 @@ ORACLES: dict[str, str] = {
     "events_burst_detect": SQL_EVENTS_BURST_DETECT,
     "sq8_topk": SQL_SQ8_TOPK,
     "knn_graph": SQL_KNN_GRAPH,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "knn_label_consistency": SQL_KNN_LABEL_CONSISTENCY,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,

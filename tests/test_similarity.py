@@ -135,3 +135,55 @@ def test_knn_graph_mutual_and_bounded(spark):
         deg[r["id_a"]] += 1
         deg[r["id_b"]] += 1
     assert max(deg.values()) <= 3
+
+
+def test_hard_negatives_are_cross_label(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.similarity import hard_negative_mining
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("qv"),
+        "label",
+    )
+    out = hard_negative_mining(c, k=3)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["anchor_id"]] != labels[r["negative_id"]]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_knn_label_consistency_beats_chance(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.similarity import knn_label_consistency
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("qv"),
+        "label",
+    )
+    rows = knn_label_consistency(c, k=5).collect()
+    n_labels = len(rows)
+    match = sum(r["n_matching"] for r in rows) / sum(r["n_neighbors"] for r in rows)
+    # the fixture's labels are UNCORRELATED with the vectors, and the probe
+    # must say so: consistency lands at the 1/n_labels chance rate
+    assert abs(match - 1.0 / n_labels) < 0.05
+    # planted clusters: label determines the vector -> consistency ~ 1
+    import random
+
+    rnd = random.Random(5)
+    rowsp = []
+    for i in range(300):
+        lab = i % 4
+        vec = [1000 if d == lab else rnd.randint(-30, 30) for d in range(64)]
+        rowsp.append((i, vec, lab))
+    planted = spark.createDataFrame(rowsp, "vec_id long, qv array<long>, label int")
+    prows = knn_label_consistency(planted, k=5).collect()
+    pmatch = sum(r["n_matching"] for r in prows) / sum(r["n_neighbors"] for r in prows)
+    assert pmatch > 0.9
