@@ -167,6 +167,8 @@ def main() -> None:
         "corpus_incremental_clean",
         "token_budget_sample",
         "length_batch_plan",
+        "hard_negatives",
+        "knn_label_consistency",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,
