@@ -2912,6 +2912,55 @@ ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators.asof_join direction='forward'): every
+    click matches the NEAREST FUTURE view by the same user (inclusive).
+    Same union+window plan with descending time; the oracle is DuckDB's
+    native ASOF with a >= condition — again two algorithms, one relation."""
+    from peerdb_spark.operators import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    epoch_s = "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', {})"
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    vw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(vw))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    )
+    j = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return j.select(
+        "user_id",
+        F.expr(epoch_s.format("ts")).alias("click_s"),
+        "click_id",
+        "view_id",
+        F.expr(epoch_s.format("ts_right")).alias("view_s"),
+    )
+
+
+SQL_EVENTS_ASOF_FORWARD = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, event_id AS view_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view')
+  WHERE rn = 1
+)
+SELECT c.user_id, CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s, c.click_id,
+       v.view_id, CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s
+FROM clicks c
+ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts >= c.ts
+"""
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (operators.interval_join): purchase events
     open a 30-minute attribution window [ts-30min, ts]; click events by the
@@ -3847,6 +3896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
+    "events_asof_forward": q_events_asof_forward,
     "events_burst_detect": q_events_burst_detect,
     "sq8_topk": q_sq8_topk,
     "knn_graph": q_knn_graph,
@@ -3930,6 +3980,7 @@ ORACLES: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
     "events_burst_detect": SQL_EVENTS_BURST_DETECT,
     "sq8_topk": SQL_SQ8_TOPK,
     "knn_graph": SQL_KNN_GRAPH,
