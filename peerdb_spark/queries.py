@@ -330,6 +330,62 @@ FROM last l WHERE l.kind <> 'delete'
 """
 
 
+def q_mirror_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror consistency check (validate.py:table_diff — the reference's
+    wait-for-equal-tables e2e assertion as a production operator): source vs
+    a destination with planted drift (qty bumped for every 1000th order,
+    every 777th order missing). Each side collapses to 64 (bucket, count,
+    order-independent checksum) rows — the tables never join row-to-row —
+    and only mismatched buckets return. The oracle restates the full
+    bucket/checksum arithmetic, certifying the diff relation exactly."""
+    from peerdb_spark.validate import table_diff
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    dst = src.where(F.col("l_orderkey") % 777 != 0).withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 1000 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    return table_diff(src, dst, ["l_orderkey", "l_linenumber"], n_buckets=64)
+
+
+def _table_diff_sql() -> str:
+    sep = "chr(31)"
+    pkcat = f"concat_ws({sep}, CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))"
+    rowcat = (
+        f"concat_ws({sep}, CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+        f"CAST(l_quantity AS VARCHAR))"
+    )
+    fold = 1 << 60
+    summ = """
+  SELECT {h_pk} % 64 AS bucket, count(*) AS {side}_rows,
+         CAST(sum({h_row}) % {fold} AS BIGINT) AS {side}_checksum
+  FROM {rel} GROUP BY 1
+"""
+    return f"""
+WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+dst AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 1000 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity
+  FROM lineitem WHERE l_orderkey % 777 != 0
+),
+ss AS ({summ.format(h_pk=h64_sql(pkcat), h_row=h64_sql(rowcat), fold=fold, side="src", rel="src")}),
+ds AS ({summ.format(h_pk=h64_sql(pkcat), h_row=h64_sql(rowcat), fold=fold, side="dst", rel="dst")})
+SELECT COALESCE(ss.bucket, ds.bucket) AS bucket,
+       COALESCE(src_rows, 0) AS src_rows, COALESCE(dst_rows, 0) AS dst_rows,
+       COALESCE(src_checksum, 0) AS src_checksum,
+       COALESCE(dst_checksum, 0) AS dst_checksum
+FROM ss FULL OUTER JOIN ds ON ss.bucket = ds.bucket
+WHERE COALESCE(src_rows, 0) != COALESCE(dst_rows, 0)
+   OR COALESCE(src_checksum, 0) != COALESCE(dst_checksum, 0)
+"""
+
+
+SQL_MIRROR_TABLE_DIFF = _table_diff_sql()
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-TRAVEL reconstruction (cdc.py:CdcPipeline.state_as_of): the
     destination state as of a checkpoint bound, replayed from the append-only
@@ -3843,6 +3899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "has_new_rows_maxwm": q_has_new_rows_maxwm,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_normalize_merge": q_cdc_normalize_merge,
+    "mirror_table_diff": q_mirror_table_diff,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_soft_delete": q_cdc_soft_delete,
     "cdc_pk_update": q_cdc_pk_update,
@@ -3927,6 +3984,7 @@ ORACLES: dict[str, str] = {
     "has_new_rows_maxwm": SQL_HAS_NEW_ROWS,
     "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
     "cdc_normalize_merge": SQL_CDC_NORMALIZE_MERGE,
+    "mirror_table_diff": SQL_MIRROR_TABLE_DIFF,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_soft_delete": SQL_CDC_SOFT_DELETE,
     "cdc_pk_update": SQL_CDC_PK_UPDATE,

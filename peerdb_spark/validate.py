@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -187,3 +188,62 @@ def raise_on_failure(results: list[CheckResult]) -> None:
     failures = [r for r in results if not r.ok]
     if failures:
         raise MirrorValidationError(failures)
+
+
+def table_diff(
+    src: DataFrame,
+    dst: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Consistency check between a source and a mirrored destination — the
+    reference's wait-for-equal-tables e2e assertion (flow/e2e/test_utils.go)
+    productized as an operator: rows hash into pk buckets and each side
+    collapses to (bucket, n_rows, checksum); only MISMATCHED buckets come
+    back. Output: (bucket, src_rows, dst_rows, src_checksum, dst_checksum).
+
+    Scale: each side is one narrow hash aggregate with map-side combine —
+    the tables never join row-to-row; the comparison relation is ≤
+    n_buckets rows. A returned bucket localizes the diff to 1/n_buckets of
+    the keyspace for a row-level drill-down (filter pk-hash to the bucket
+    and anti-join just that slice).
+
+    The checksum is an order-independent SUM of per-row md5-based hashes
+    over pk + compare columns (cross-engine reproducible — NULLs render as
+    the empty string in the canonical concat).
+    """
+    from peerdb_spark.functions.hashing import h64
+
+    cols = compare_cols or sorted(set(src.columns) & set(dst.columns) - set(pk_cols))
+
+    def summarize(df: DataFrame, side: str) -> DataFrame:
+        row_hash = h64(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in [*pk_cols, *cols]])
+        )
+        bucket = F.pmod(h64(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in pk_cols])), F.lit(n_buckets))
+        # a long sum of 60-bit hashes overflows under ANSI at ~2^3 rows per
+        # bucket shy of the limit — sum in decimal(38,0), fold to 60 bits
+        return (
+            df.select(bucket.alias("bucket"), row_hash.cast("decimal(38,0)").alias("_h"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias(f"{side}_rows"),
+                F.pmod(F.sum("_h"), F.lit(1 << 60).cast("decimal(38,0)"))
+                .cast("long")
+                .alias(f"{side}_checksum"),
+            )
+        )
+    s = summarize(src, "src")
+    d = summarize(dst, "dst")
+    j = s.join(d, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("src_rows", F.lit(0)).alias("src_rows"),
+        F.coalesce("dst_rows", F.lit(0)).alias("dst_rows"),
+        F.coalesce("src_checksum", F.lit(0)).alias("src_checksum"),
+        F.coalesce("dst_checksum", F.lit(0)).alias("dst_checksum"),
+    )
+    return j.where(
+        (F.col("src_rows") != F.col("dst_rows"))
+        | (F.col("src_checksum") != F.col("dst_checksum"))
+    )

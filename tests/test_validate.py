@@ -94,3 +94,30 @@ def test_validate_df_shape(spark, tmp_path):
     df = validate_mirror_df(spark, [_cfg(tmp_path)])
     assert set(df.columns) == {"check", "table", "ok", "detail"}
     assert df.where("NOT ok").count() == 0
+
+
+def test_table_diff_localizes_mismatches(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.validate import table_diff
+
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    pk = ["l_orderkey", "l_linenumber"]
+    assert table_diff(src, src, pk).count() == 0  # identical -> clean
+    r0 = src.limit(1).collect()[0]
+    cond = (F.col("l_orderkey") == r0["l_orderkey"]) & (
+        F.col("l_linenumber") == r0["l_linenumber"]
+    )
+    mut = src.withColumn(
+        "l_quantity", F.when(cond, F.col("l_quantity") + 1).otherwise(F.col("l_quantity"))
+    )
+    rows = table_diff(src, mut, pk).collect()
+    assert len(rows) == 1  # one bucket flags, counts equal, checksums differ
+    assert rows[0]["src_rows"] == rows[0]["dst_rows"]
+    assert rows[0]["src_checksum"] != rows[0]["dst_checksum"]
+    rows2 = table_diff(src, src.where(~cond), pk).collect()
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # ~cond may drop >1 row; the bucket must flag with fewer dst rows
+    assert len(rows2) == 1 and rows2[0]["dst_rows"] < rows2[0]["src_rows"]
