@@ -169,6 +169,8 @@ def main() -> None:
         "length_batch_plan",
         "hard_negatives",
         "knn_label_consistency",
+        "events_asof_forward",
+        "mirror_table_diff",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,
