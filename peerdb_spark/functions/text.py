@@ -124,7 +124,12 @@ def lang_id(col: Column | str) -> Column:
         ]
     )
     best = F.array_max(pairs)
-    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+    c = F.col(col) if isinstance(col, str) else col
+    # NULL text: every score is NULL, and array_max's struct comparison then
+    # surfaces an arbitrary language ('de' alphabetically) — pin to 'und'
+    return F.when(
+        c.isNull() | (best["score"] <= 0) | best["score"].isNull(), F.lit("und")
+    ).otherwise(best["lang"])
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:

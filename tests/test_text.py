@@ -101,3 +101,30 @@ def test_stratified_sample_deterministic_quota(spark):
     s3 = sorted((r["lang"], r["doc_id"]) for r in
                 stratified_sample(df, "lang", "doc_id", quota=5, seed="other").collect())
     assert s3 != s1
+
+
+def test_text_ops_null_and_unicode_safe(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions import corpus as CP
+    from peerdb_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "héllo wörld 你好 🚀 test"), (3, "plain text here ok")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.token_count("text").alias("n"),
+            TX.lang_id(F.col("text")).alias("lang"),
+            TX.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1]["n"] is None and rows[1]["q"] is None
+    assert rows[1]["lang"] == "und"  # NULL text must not claim a language
+    assert rows[2]["n"] == 5  # unicode tokens count fine
+    # fingerprint/scrub/pii propagate NULL without crashing
+    assert TX.fingerprint_df(df).where(F.col("doc_id") == 1).collect()[0]["fingerprint"] is None
+    assert CP.redact_pii(df).count() == 3
