@@ -339,32 +339,60 @@ def scrub_repeated_chunks(
     chunk that already occurred earlier in the same document is dropped;
     the survivors re-join in order.
 
-    Entirely per-row array expressions — keep[i] = (first occurrence index
-    of chunk i == i) via array_position, so the pass is shuffle-free and
-    pipelines into the scan at any corpus size (O(chunks²) per doc, chunks
-    is bounded by doc length / chunk_tokens).
+    Entirely per-row array expressions — shuffle-free, pipelines into the
+    scan at any corpus size. The first-occurrence filter is SORT-based
+    (O(chunks·log chunks) per doc): sort (chunk, idx) pairs, keep each
+    group's first (adjacent-distinct — O(1) element_at, not an O(n)
+    array_position per element, which made a single 40k-token document an
+    11-second straggler), then re-sort the survivors by original index.
 
     Returns (id, n_chunks, n_kept, clean_text).
     """
-    toks = tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # stage the token array as a BOUND column: a free tokens() inside the
+    # chunking lambda re-splits the whole text once per chunk (O(doc²))
+    st = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    tcol = F.col("_t")
+    n_chunks = F.ceil(F.size(tcol) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(
-            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+            " ", F.slice(tcol, i * chunk_tokens + 1, chunk_tokens)
         ),
     )
-    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(chunks)
-    s0 = df.select(F.col(id_col), chunks.alias("_ch"))
-    kept = F.filter(
-        F.col("_ch"), lambda c, i: F.array_position(F.col("_ch"), c) == i + 1
+    chunks = F.when(F.size(tcol) == 0, F.array().cast("array<string>")).otherwise(chunks)
+    s0 = st.select(F.col(id_col), chunks.alias("_ch"))
+    # (chunk, idx) sorted by chunk then idx → a chunk's first occurrence is
+    # the group head (previous element has a different chunk). For an EMPTY
+    # chunk array, sequence(0,-1) descends and arrays_zip null-pads — drop
+    # the padding (a real chunk is never NULL: concat_ws can't return null)
+    zipped = F.filter(
+        F.arrays_zip(
+            F.col("_ch"), F.sequence(F.lit(0), F.size("_ch") - 1).alias("_ix")
+        ),
+        lambda x: x["_ch"].isNotNull(),
     )
     s1 = s0.select(
         id_col,
         F.size("_ch").alias("n_chunks"),
-        kept.alias("_kept"),
+        F.array_sort(zipped).alias("_sz"),
     )
-    return s1.select(
+    # F.get is 0-based and NULL-safe: for i=0 the "previous" lookup returns
+    # NULL and the inequality short-circuits true via the i==0 branch
+    # (element_at would throw on index 0)
+    firsts = F.filter(
+        F.col("_sz"),
+        lambda x, i: (i == 0) | (x["_ch"] != F.get(F.col("_sz"), i - 1)["_ch"]),
+    )
+    s2 = s1.select(
+        id_col,
+        "n_chunks",
+        # back to document order: sort survivors by original index
+        F.transform(
+            F.array_sort(F.transform(firsts, lambda x: F.struct(x["_ix"], x["_ch"]))),
+            lambda x: x["_ch"],
+        ).alias("_kept"),
+    )
+    return s2.select(
         id_col,
         "n_chunks",
         F.size("_kept").alias("n_kept"),
