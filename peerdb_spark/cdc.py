@@ -164,9 +164,26 @@ class RawTable:
             F.col(RAW_DATA)
         )
 
+    @staticmethod
+    def _payload_bad(pay: "F.Column", value_schema: T.StructType) -> "F.Column":
+        """Poison-pill predicate for a JSON payload column: truncated/invalid
+        JSON, valid-JSON-but-not-an-object ('5', '[1,2]', 'null' — from_json
+        would still yield an all-NULL struct and upsert a NULL-pk row), or an
+        object whose fields fail to convert to value_schema's types. One
+        JVM-side from_json pass with PERMISSIVE mode + a corrupt-record
+        column covers all three classes."""
+        probe = T.StructType(
+            [*value_schema.fields, T.StructField("_peerdb_corrupt", T.StringType())]
+        )
+        corrupt = F.from_json(
+            pay, probe, {"columnNameOfCorruptRecord": "_peerdb_corrupt"}
+        )["_peerdb_corrupt"]
+        return pay.isNotNull() & corrupt.isNotNull()
+
     def dead_letters(self, start_batch: int, end_batch: int, value_schema: T.StructType) -> DataFrame:
-        """Raw DATA rows whose payload exists but does not parse as the
-        table's value schema (poison pills: truncated JSON, wrong encoding).
+        """Raw DATA rows whose payload exists but does not parse AS AN OBJECT
+        of the table's value schema (poison pills: truncated JSON, wrong
+        encoding, non-object JSON scalars/arrays, type-mismatched fields).
         raw_to_changelog silently DROPS these from the merge — a malformed
         insert would otherwise upsert a NULL-pk row — so an ops loop should
         monitor this relation (alerting threshold on its count) and
@@ -174,21 +191,17 @@ class RawTable:
         raw = self.read_batches(start_batch, end_batch).where(
             F.col(RAW_TYPE) <= N.KIND_DELETE
         )
-        pay = self._payload()
-        # from_json is PERMISSIVE (all-null struct on garbage, indistinguishable
-        # from legitimate nulls); try_parse_json gives a clean JVM-side
-        # valid-JSON test. value_schema reserved for shape-level checks.
-        del value_schema
-        return raw.where(pay.isNotNull() & F.try_parse_json(pay).isNull())
+        return raw.where(self._payload_bad(self._payload(), value_schema))
 
     def raw_to_changelog(self, raw: DataFrame, value_schema: T.StructType) -> DataFrame:
         """Typed change rows from raw JSON payloads (from_json, JVM-side).
 
-        Rows whose payload is PRESENT but unparseable are dropped here (see
-        dead_letters for the quarantine view): merging them would upsert a
-        NULL-pk row, silently corrupting the destination."""
+        Rows whose payload is PRESENT but unparseable as a schema-shaped
+        object are dropped here (see dead_letters for the quarantine view —
+        same predicate): merging them would upsert a NULL-pk row, silently
+        corrupting the destination."""
         pay = self._payload()
-        raw = raw.where(pay.isNull() | F.try_parse_json(pay).isNotNull())
+        raw = raw.where(~self._payload_bad(pay, value_schema))
         parsed = raw.select(
             F.when(F.col(RAW_TYPE) == N.KIND_INSERT, F.lit("insert"))
             .when(F.col(RAW_TYPE) == N.KIND_UPDATE, F.lit("update"))

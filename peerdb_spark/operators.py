@@ -129,6 +129,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_seconds: int,
+    suffix: str = "_right",
 ) -> DataFrame:
     """Point-in-interval join (inclusive bounds) as a bucketed equi-join.
 
@@ -138,6 +139,10 @@ def interval_join(
     epoch, which is defined for both (the driver testdata's event feed is
     NTZ; unix_timestamp-family functions reject NTZ).
 
+    Non-key interval-side columns that collide with a point-side name are
+    renamed with `suffix` (mirroring asof_join), so both sides may carry
+    e.g. an `event_id` or `ts` without producing ambiguous output columns.
+
     Scale: intervals explode to ceil(len/bucket)+1 slot rows; points map to
     one slot. The join is an equi-join on (key, slot) — shuffled hash /
     sort-merge under Catalyst, broadcastable when the interval side is small.
@@ -145,9 +150,19 @@ def interval_join(
     on the (usually far smaller) interval side buys the equi-join plan.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    taken = set(points.columns)
+    ren = {
+        c: f"{c}{suffix}" if c in taken else c
+        for c in intervals.columns
+        if c not in keys
+    }
+    intervals = intervals.select(
+        *[F.col(k) for k in keys], *[F.col(c).alias(a) for c, a in ren.items()]
+    )
+    start_col, end_col = ren[start_col], ren[end_col]
 
     def slot(col: str) -> Column:
-        secs = F.expr(f"timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', {col})")
+        secs = F.expr(f"timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', `{col}`)")
         return F.floor(secs / F.lit(bucket_seconds))
 
     iv = intervals.withColumn(

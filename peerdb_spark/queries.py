@@ -353,10 +353,16 @@ def q_mirror_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _table_diff_sql() -> str:
     sep = "chr(31)"
-    pkcat = f"concat_ws({sep}, CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))"
+
+    def canon(c: str) -> str:
+        # NULL-distinct per-column encoding, mirroring validate.table_diff:
+        # '1'||value when present, '0' when NULL ('||' propagates NULL)
+        return f"COALESCE('1' || CAST({c} AS VARCHAR), '0')"
+
+    pkcat = f"concat_ws({sep}, {canon('l_orderkey')}, {canon('l_linenumber')})"
     rowcat = (
-        f"concat_ws({sep}, CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
-        f"CAST(l_quantity AS VARCHAR))"
+        f"concat_ws({sep}, {canon('l_orderkey')}, {canon('l_linenumber')}, "
+        f"{canon('l_quantity')})"
     )
     fold = 1 << 60
     summ = """
@@ -1977,10 +1983,13 @@ def q_events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-rate burst detection (the ops-monitoring shape the reference's
     alerter evaluates, expressed as data): hourly event counts per type
     compared against the trailing 24-hour window; a bucket bursts when
-    count · trailing_buckets > 2 · trailing_sum (i.e. > 2× the trailing
-    mean — stated as an INTEGER cross-product so the rule is bit-identical
-    across engines, no float mean/stddev). One shuffle (the hourly count),
-    one per-type window pass."""
+    count · trailing_buckets > 2 · trailing_sum (i.e. > 2× the mean of the
+    OBSERVED buckets in the trailing 24 hours — stated as an INTEGER
+    cross-product so the rule is bit-identical across engines, no float
+    mean/stddev). The window is a RANGE frame over epoch seconds
+    (-86400..-1), so a quiet gap never stretches the lookback to older
+    buckets the way a 24-ROW frame over non-empty buckets would (ADVICE
+    r4). One shuffle (the hourly count), one per-type window pass."""
     (ev,) = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
@@ -1995,7 +2004,7 @@ def q_events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = (
         Window.partitionBy("event_type")
         .orderBy("window_start_s")
-        .rowsBetween(-24, -1)
+        .rangeBetween(-24 * 3600, -1)
     )
     trailing = hourly.select(
         "window_start_s",
@@ -2024,7 +2033,7 @@ t AS (
          count(*) OVER w AS trail_cnt
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s
-               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
 )
 SELECT window_start_s, event_type, n, CAST(trail_sum AS BIGINT) AS trail_sum,
        CAST(trail_cnt AS BIGINT) AS trail_cnt

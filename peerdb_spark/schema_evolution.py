@@ -150,22 +150,33 @@ def detect_payload_drift(
         .collect()
     )
     added: list[tuple[str, str]] = []
-    for r in sorted(sample, key=lambda r: r["k"]):
-        # guess the column type from the sampled document's field
-        row = raw.sparkSession.range(1).select(
-            F.schema_of_json(F.lit(r["_d"])).alias("s")
-        ).collect()
-        ddl = "string"
-        s = row[0]["s"]  # e.g. STRUCT<a: BIGINT, b: STRING>
-        import re as _re
-
-        m = _re.search(rf"{_re.escape(r['k'])}: ([A-Z]+)", s)
-        if m:
-            ddl = {
-                "BIGINT": "bigint",
-                "DOUBLE": "double",
-                "BOOLEAN": "boolean",
-                "STRING": "string",
-            }.get(m.group(1), "string")
-        added.append((r["k"], ddl))
+    ordered = sorted(sample, key=lambda r: r["k"])
+    if ordered:
+        # ONE probe job for all new keys: schema_of_json needs a foldable
+        # literal per document, so stack them as columns of a 1-row select
+        probe = raw.sparkSession.range(1).select(
+            *[
+                F.schema_of_json(F.lit(r["_d"])).alias(f"s{i}")
+                for i, r in enumerate(ordered)
+            ]
+        ).collect()[0]
+        for i, r in enumerate(ordered):
+            # parse the inferred DDL properly and look the field up by EXACT
+            # top-level name (a regex over the DDL text matched substring
+            # keys — 'a' inside 'aa: BIGINT' — yielding a type that nulls
+            # every value after auto-evolve)
+            ddl = "string"
+            try:
+                dt = T._parse_datatype_string(probe[f"s{i}"])
+                if isinstance(dt, T.StructType):
+                    fld = next((f for f in dt.fields if f.name == r["k"]), None)
+                    if fld is not None:
+                        ddl = {
+                            "bigint": "bigint",
+                            "double": "double",
+                            "boolean": "boolean",
+                        }.get(fld.dataType.simpleString(), "string")
+            except Exception:
+                pass
+            added.append((r["k"], ddl))
     return SchemaDelta(dst_table, added)

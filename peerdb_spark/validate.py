@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -210,18 +210,23 @@ def table_diff(
     and anti-join just that slice).
 
     The checksum is an order-independent SUM of per-row md5-based hashes
-    over pk + compare columns (cross-engine reproducible — NULLs render as
-    the empty string in the canonical concat).
+    over pk + compare columns. Each column is canonicalized as
+    '1'||value when present and '0' when NULL before the \\x1f-join, so a
+    NULL is distinct from every string AND from a NULL in an adjacent
+    column — (a=NULL, b='x') and (a='x', b=NULL) hash differently.
     """
     from peerdb_spark.functions.hashing import h64
 
     cols = compare_cols or sorted(set(src.columns) & set(dst.columns) - set(pk_cols))
 
+    def canon(c: str) -> Column:
+        # concat propagates NULL, so a NULL value collapses the whole
+        # '1'||v term to NULL and coalesce tags it '0'
+        return F.coalesce(F.concat(F.lit("1"), F.col(c).cast("string")), F.lit("0"))
+
     def summarize(df: DataFrame, side: str) -> DataFrame:
-        row_hash = h64(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in [*pk_cols, *cols]])
-        )
-        bucket = F.pmod(h64(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in pk_cols])), F.lit(n_buckets))
+        row_hash = h64(F.concat_ws("\x1f", *[canon(c) for c in [*pk_cols, *cols]]))
+        bucket = F.pmod(h64(F.concat_ws("\x1f", *[canon(c) for c in pk_cols])), F.lit(n_buckets))
         # a long sum of 60-bit hashes overflows under ANSI at ~2^3 rows per
         # bucket shy of the limit — sum in decimal(38,0), fold to 60 bits
         return (

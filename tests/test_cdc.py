@@ -313,3 +313,54 @@ def test_malformed_payloads_quarantined_not_merged(spark, tmp_path):
     assert got == [(1, "good"), (3, "ok")]  # poison row absent, no NULL pk
     dead = pipe.raw.dead_letters(1, 1, schema).collect()
     assert len(dead) == 1 and dead[0]["_peerdb_data"] == '{"pk": 2, "v": "trunc'
+
+
+def test_non_object_and_type_mismatch_payloads_quarantined(spark, tmp_path):
+    """ADVICE r4: valid-JSON-but-not-an-object payloads ('5', '[1,2]',
+    'null') and object payloads whose fields fail schema conversion must be
+    quarantined too — from_json yields an all-NULL struct for all of them,
+    which is exactly the NULL-pk upsert the quarantine exists to prevent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.storage import ParquetTable
+
+    schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    pipe = cdc.CdcPipeline(
+        spark,
+        str(tmp_path / "raw"),
+        [cdc.CdcTableConfig("t", ["pk"], schema, str(tmp_path / "dst"), n_buckets=4)],
+    )
+    rows = [
+        ("insert", 1, '{"pk": 1, "v": "good"}'),
+        ("insert", 2, "5"),                      # scalar
+        ("insert", 3, "[1,2]"),                  # array
+        ("insert", 4, "null"),                   # JSON null literal
+        ("insert", 5, '{"pk": "notanint", "v": "x"}'),  # type mismatch
+        ("insert", 6, '{"pk": 6, "v": "ok", "extra": 1}'),  # extra key: fine
+    ]
+    feed = spark.createDataFrame(
+        rows, "_kind string, _checkpoint_id long, _data string"
+    ).select(
+        "_kind",
+        "_checkpoint_id",
+        F.timestamp_seconds(F.col("_checkpoint_id") + 1_700_000_000).alias("_commit_ts"),
+        F.col("_checkpoint_id").alias("_txid"),
+        F.lit("t").alias("_src_table"),
+        F.lit("t").alias("_dst_table"),
+        "_data",
+        F.lit(None).cast("string").alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+    )
+    pipe.sync_batch(feed, 1)
+    pipe.normalize_batches(1, 1)
+    got = sorted(
+        (r["pk"], r["v"])
+        for r in ParquetTable(spark, str(tmp_path / "dst"), ["pk"], 4).read().collect()
+    )
+    assert got == [(1, "good"), (6, "ok")]  # no NULL-pk rows
+    dead = sorted(r["_peerdb_data"] for r in pipe.raw.dead_letters(1, 1, schema).collect())
+    assert dead == sorted(["5", "[1,2]", "null", '{"pk": "notanint", "v": "x"}'])

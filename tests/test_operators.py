@@ -202,3 +202,31 @@ def test_asof_forward_matches_pandas(spark):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+def test_interval_join_suffixes_colliding_columns(spark):
+    """ADVICE r4: both sides carrying a same-named non-key column ('ts',
+    'event_id') must not yield ambiguous duplicate output columns — the
+    interval side gets the suffix, like asof_join."""
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", "p1")],
+        "k int, ts string, event_id string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    ivs = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 00:00:10", "i1")],
+        "k int, s string, e string, event_id string",
+    ).select(
+        "k",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "event_id",
+    )
+    out = interval_join(pts, ivs, "k", "ts", "s", "e", bucket_seconds=60)
+    assert out.columns.count("event_id") == 1
+    r = out.collect()[0]
+    assert r["event_id"] == "p1" and r["event_id_right"] == "i1"
+    # start/end columns colliding with a point column get suffixed too
+    ivs2 = ivs.withColumnRenamed("s", "ts")
+    out2 = interval_join(pts, ivs2, "k", "ts", "ts", "e", bucket_seconds=60)
+    assert out2.columns.count("ts") == 1
+    assert out2.collect()[0]["event_id_right"] == "i1"

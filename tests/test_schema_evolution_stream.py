@@ -182,3 +182,21 @@ def test_auto_evolve_pipeline_picks_up_drifted_fields(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 1.5)}
     # the live parse schema evolved too
     assert "score" in [f.name for f in pipe.tables["t"].value_schema.fields]
+
+
+def test_detect_payload_drift_substring_key_types(spark):
+    """ADVICE r4: key 'a' must not pick up the type of 'aa' (the old regex
+    over schema_of_json DDL matched substring keys); and all new-key type
+    probes run as a single job."""
+    from peerdb_spark.schema_evolution import detect_payload_drift
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    raw = spark.createDataFrame(
+        [('{"id": 1, "a": "txt", "aa": 7, "flag": true}',)],
+        "_peerdb_data string",
+    )
+    delta = detect_payload_drift(raw, schema, "t")
+    got = dict(delta.added_columns)
+    assert got["a"] == "string"   # NOT bigint from the 'aa' field
+    assert got["aa"] == "bigint"
+    assert got["flag"] == "boolean"

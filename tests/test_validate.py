@@ -121,3 +121,24 @@ def test_table_diff_localizes_mismatches(spark):
     # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
     # ~cond may drop >1 row; the bucket must flag with fewer dst rows
     assert len(rows2) == 1 and rows2[0]["dst_rows"] < rows2[0]["src_rows"]
+
+
+def test_table_diff_null_shift_detected(spark):
+    """ADVICE r4: (pk, a=NULL, b='x') vs (pk, a='x', b=NULL) must mismatch.
+
+    concat_ws alone SKIPS NULL elements, collapsing both rows to the same
+    canonical string; the per-column '1'||v / '0' encoding keeps NULL
+    distinct per position."""
+    from peerdb_spark.validate import table_diff
+
+    src = spark.createDataFrame([(1, None, "x")], "pk int, a string, b string")
+    dst = spark.createDataFrame([(1, "x", None)], "pk int, a string, b string")
+    rows = table_diff(src, dst, ["pk"], compare_cols=["a", "b"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["src_checksum"] != rows[0]["dst_checksum"]
+    # NULL vs empty string must also differ
+    src2 = spark.createDataFrame([(1, None)], "pk int, a string")
+    dst2 = spark.createDataFrame([(1, "")], "pk int, a string")
+    assert table_diff(src2, dst2, ["pk"], compare_cols=["a"]).count() == 1
+    # and identical NULL-bearing rows still agree
+    assert table_diff(src, src, ["pk"], compare_cols=["a", "b"]).count() == 0

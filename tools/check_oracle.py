@@ -139,7 +139,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
-    names = [args.only] if args.only else list(qs)
+    names = args.only.split(",") if args.only else list(qs)
     failures = 0
     for name in names:
         t0 = time.time()
