@@ -376,6 +376,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     threshold_sq: tuple[int, int] = (361, 400),
     materialize: bool = True,
+    max_cell_size: int = 10_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus (inner-
     product cell assignment against a fixed codebook), then within each cell
@@ -389,9 +390,14 @@ def semantic_dedup(
 
     Scale: candidate pairs exist only inside a cell — the pair join is a cell
     equi-join, never all-pairs; cluster-size skew is governed by the codebook
-    granularity (train more centroids for finer cells). Returns
-    (id, cell, dup_of, kept) — dup_of = smallest-id near-duplicate (null if
-    none), kept = dup_of IS NULL.
+    granularity (train more centroids for finer cells), and a DEGENERATE
+    cell (all-zero embeddings, a dead cluster) is dropped from the pair
+    join outright when it exceeds `max_cell_size` — the same
+    counted-broadcast-anti-join guard every LSH pair generator uses
+    (dedup.py), mirrored in the declared oracle SQL. Members of a dropped
+    cell are never rejected (kept=1, dup_of null) — the conservative
+    direction for a dedup. Returns (id, cell, dup_of, kept) — dup_of =
+    smallest-id near-duplicate (null if none), kept = dup_of IS NULL.
 
     The celled relation feeds three branches (both pair-join sides + the
     final flag join); Catalyst does not share the k×dim-literal assignment
@@ -413,11 +419,18 @@ def semantic_dedup(
     )
     if materialize:
         c = c.localCheckpoint(eager=False)
-    a = c.select(
+    oversized = (
+        c.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .where(F.col("_csz") > max_cell_size)
+        .select("cell")
+    )
+    sized = c.join(F.broadcast(oversized), ["cell"], "left_anti")
+    a = sized.select(
         F.col(id_col).alias("_id_a"), F.col(qvec_col).alias("_va"),
         F.col("_n2").alias("_na"), "cell",
     )
-    b = c.select(
+    b = sized.select(
         F.col(id_col).alias("_id_b"), F.col(qvec_col).alias("_vb"),
         F.col("_n2").alias("_nb"), "cell",
     )

@@ -3392,8 +3392,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("qv", lambda x: x * F.lit(2).cast("long")).alias("qv"),
     )
     return semantic_dedup(
-        c.unionByName(planted), _ivf_codebook_int(), "qv", "vec_id"
+        c.unionByName(planted), _ivf_codebook_int(), "qv", "vec_id",
+        max_cell_size=_SEMDEDUP_MAX_CELL,
     )
+
+
+# shared by the declared Spark query and its oracle — the guard must be
+# identical on both engines (oracle-symmetry rule, round-3 advice)
+_SEMDEDUP_MAX_CELL = 10_000
 
 
 def _semantic_dedup_sql() -> str:
@@ -3421,9 +3427,15 @@ celled AS (
          list_sum(list_transform(qv, x -> x * x)) AS n2
   FROM qvs
 ),
+sized AS (
+  -- max_cell_size guard mirrored from similarity.semantic_dedup: a
+  -- degenerate cell is dropped from the pair join on BOTH engines
+  SELECT * FROM celled
+  QUALIFY count(*) OVER (PARTITION BY cell) <= {_SEMDEDUP_MAX_CELL}
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM sized a JOIN sized b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) > 0
     AND 400 * list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j]))
             * list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j]))

@@ -186,6 +186,30 @@ def test_semantic_dedup_chain_keeps_min_id(spark, tiny_codebook):
     assert out[7].kept == 0 and out[7].dup_of == 5
 
 
+def test_semantic_dedup_degenerate_cell_capped(spark, tiny_codebook):
+    """r4 verdict item #2: one degenerate cell (here: many exact copies
+    landing in cell 0) must not square — with max_cell_size exceeded the
+    cell is dropped from the pair join and its members are conservatively
+    KEPT, while other cells still dedup normally."""
+    rows = [Row(vec_id=i, qv=[100, 0, 0, 0]) for i in range(6)] + [
+        Row(vec_id=10, qv=[0, 100, 0, 0]),
+        Row(vec_id=11, qv=[0, 200, 0, 0]),  # scaled copy in the healthy cell
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, tiny_codebook, "qv", "vec_id",
+                          max_cell_size=5).collect()}
+    assert all(out[i].kept == 1 and out[i].dup_of is None for i in range(6))
+    assert out[10].kept == 1
+    assert out[11].kept == 0 and out[11].dup_of == 10
+    # guard off: the degenerate cell dedups down to its min id
+    out2 = {r.vec_id: r for r in
+            semantic_dedup(df, tiny_codebook, "qv", "vec_id",
+                           max_cell_size=1000).collect()}
+    assert out2[0].kept == 1
+    assert all(out2[i].kept == 0 and out2[i].dup_of == 0 for i in range(1, 6))
+
+
 # ---------------------------------------------------------------------------
 # property tests (hypothesis): operators vs plain-Python references
 # ---------------------------------------------------------------------------
