@@ -133,6 +133,8 @@ def main() -> None:
         "text_features",
         "fingerprint_dups",
         "media_features",
+        "media_resize",
+        "media_frame_sample",
         "exotic_types",
         "sim_topk",
         "ann_lsh_topk",

@@ -1,9 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are stubbed behind clearly-marked gates; everything Spark-side —
-schema, partitioning, Arrow batch shape, mapInPandas plumbing — is real and
-tested. Swap `_decode_image_stub` for a real decoder and nothing else changes.
+The pixel kernels are REAL numpy math over raw byte buffers (nearest-
+neighbor resize, chunked channel statistics, strided frame sampling) run
+inside Arrow-batched mapInPandas — the native payload format is raw
+interleaved RGB (width·height·3 bytes) and raw PCM/frame sequences, so no
+codec library is needed for the math itself. Decoding COMPRESSED formats
+(PNG/JPEG/H.264) would bolt onto `decode_encoded` below; PIL/ffmpeg are not
+in this container, so that single entry point is the only gated stub — every
+kernel after it operates on the decoded buffer and is fully exercised.
 
 Design notes for 100 TB of media:
 - media rows are large; `spark.sql.files.maxPartitionBytes` and the
@@ -18,7 +22,6 @@ Design notes for 100 TB of media:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,7 +49,7 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
-try:  # real decoders, if ever present
+try:  # compressed-format decoders, if ever present
     from PIL import Image  # noqa: F401
 
     HAVE_PIL = True
@@ -54,40 +57,38 @@ except ImportError:
     HAVE_PIL = False
 
 
-def _decode_image_stub(content: bytes) -> bytes:
-    """STUB: real impl would decode to RGB pixel buffer.
+def decode_encoded(content: bytes, mime: str) -> bytes:
+    """Decode a COMPRESSED image payload (PNG/JPEG) to a raw RGB buffer.
 
-    Without a codec library we either raise (strict mode) or produce a
-    deterministic fake derived from the bytes so the pipeline shape is
-    exercisable end-to-end. The fake chains md5 over HEX DIGEST STRINGS
-    (h1 = md5(content), h2 = md5(ascii(h1)), ...) rather than digest bytes —
-    semantically equivalent fake pixels, but expressible in ANSI SQL
-    (DuckDB's md5() takes VARCHAR only), so the mapInPandas feature path
-    gets a real value-hash oracle in the correctness gate.
+    The one gated stub in this module: PIL is not installed in this
+    container, so encoded formats cannot be decoded here — raw
+    `image/raw-rgb` payloads (the native format of every kernel below) skip
+    this entirely. Wire `PIL.Image.open(io.BytesIO(content))` here when the
+    lib is available and nothing else changes.
     """
-    if HAVE_PIL:
-        raise NotImplementedError("wire PIL decode here when the lib is available")
-    out = b""
-    seed = content or b""
-    while len(out) < 64:
-        hx = hashlib.md5(seed).hexdigest()
-        out += bytes.fromhex(hx)
-        seed = hx.encode("ascii")
-    return out[:64]
-
-
-def _features_from_pixels(pixels: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic fake feature vector from the (fake) pixel buffer."""
-    return [pixels[i * 4] / 255.0 for i in range(dim)]
+    if mime in ("image/raw-rgb", "application/octet-stream"):
+        return content
+    raise NotImplementedError(
+        f"decoding {mime!r} requires a codec library (PIL/ffmpeg) not present "
+        "in this environment; store raw-rgb payloads or install a decoder"
+    )
 
 
 def extract_features(df: DataFrame, content_col: str = "content",
                      id_col: str = "media_id", dim: int = FEATURE_DIM) -> DataFrame:
     """media → (media_id, feature array<float>) via Arrow-batched mapInPandas.
 
+    REAL kernel: the byte buffer splits into `dim` contiguous chunks
+    (chunk k = bytes[k·L//dim : (k+1)·L//dim]) and each feature is that
+    chunk's mean byte value scaled to [0, 1] — the standard cheap
+    content-signature for raw RGB/PCM buffers (a downsampled intensity
+    profile). Pure integer sums divided once at the end, so the result is
+    bit-restatable in ANSI SQL (the declared oracle recomputes the sums).
+    Buffers shorter than `dim` (or empty) yield 0.0 for the empty chunks.
+
     The UDF boundary transfers only (id, content); metadata columns are
-    pruned. Batches arrive as pandas DataFrames (Arrow), the per-row decode is
-    the only Python work.
+    pruned. Batches arrive as pandas DataFrames (Arrow); per batch the
+    kernel is one numpy reduceat over the concatenated buffer bytes.
     """
     out_schema = T.StructType(
         [
@@ -97,27 +98,32 @@ def extract_features(df: DataFrame, content_col: str = "content",
     )
 
     # self-contained closure: pickles BY VALUE so workers don't need
-    # peerdb_spark importable (module-level refs pickle by reference);
-    # mirrors _decode_image_stub/_features_from_pixels — keep in sync
+    # peerdb_spark importable (module-level refs pickle by reference)
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
+        import numpy as np
         import pandas as _pd
 
-        def _decode(content: bytes) -> bytes:
-            out = b""
-            seed = content or b""
-            while len(out) < 64:
-                hx = hashlib.md5(seed).hexdigest()
-                out += bytes.fromhex(hx)
-                seed = hx.encode("ascii")
-            return out[:64]
+        def feats(content: bytes) -> list[float]:
+            buf = np.frombuffer(content or b"", dtype=np.uint8).astype(np.int64)
+            length = len(buf)
+            if length >= dim:
+                # chunk starts are strictly increasing when L >= dim, so one
+                # vectorized reduceat computes all chunk sums
+                starts = np.arange(dim) * length // dim
+                lens = np.diff(np.append(starts, length))
+                out = np.add.reduceat(buf, starts) / (lens * 255.0)
+            else:  # degenerate short buffer: empty chunks stay 0.0
+                out = np.zeros(dim)
+                for k in range(dim):
+                    lo, hi = k * length // dim, (k + 1) * length // dim
+                    if hi > lo:
+                        out[k] = buf[lo:hi].sum() / ((hi - lo) * 255.0)
+            return [float(x) for x in out.astype(np.float32)]
 
         for pdf in batches:
-            feats = [
-                [_decode(c)[i * 4] / 255.0 for i in range(dim)] for c in pdf[content_col]
-            ]
-            yield _pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "features": [feats(c) for c in pdf[content_col]]}
+            )
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
@@ -129,14 +135,20 @@ def resize_images(
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """media → (media_id, content, meta) with resized pixel payloads.
+    """media → (media_id, content, meta) with nearest-neighbor-resampled
+    raw-RGB payloads.
 
-    Arrow-batched mapInPandas; the resize kernel is STUBBED (no codec libs in
-    this container): it produces a deterministic fake buffer of exactly
-    width·height·3 bytes derived from the source bytes, and rewrites the
-    metadata struct to the target dimensions — so downstream schema,
-    partitioning and size accounting behave exactly as with a real resampler.
-    Swap the inner `_resize` for PIL's `Image.resize` and nothing else moves.
+    REAL kernel: the source buffer (meta.width × meta.height × 3
+    interleaved RGB bytes) reshapes to (h, w, 3) and resamples by integer
+    nearest-neighbor index maps — sx = x·src_w // width, sy = y·src_h //
+    height — one numpy fancy-index per image, no Python per-pixel loop.
+    The output buffer is exactly width·height·3 bytes with metadata
+    rewritten to the target dimensions. Integer index math makes the
+    resample bit-restatable in the declared oracle SQL.
+
+    Rows must be raw RGB with consistent metadata (len(content) ==
+    meta.width·meta.height·3); anything else raises — malformed media
+    belongs in a quarantine upstream, not silently passed through.
     """
     out_schema = T.StructType(
         [
@@ -148,37 +160,98 @@ def resize_images(
     target = (width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
+        import numpy as np
         import pandas as _pd
 
         w, h = target
-        n_bytes = w * h * 3
 
-        def _resize(content: bytes) -> bytes:
-            # STUB: real impl decodes + resamples; fake is deterministic
-            # in the source bytes and exactly the target buffer size.
-            # md5 HEX-digest chain (not digest bytes) so the DuckDB oracle
-            # reproduces the buffer: b = unhex(h1)||unhex(h2)||..., h1 =
-            # md5(content), h_i = md5(ascii(h_{i-1}))
-            out = b""
-            seed = content or b""
-            while len(out) < n_bytes:
-                hx = hashlib.md5(seed).hexdigest()
-                out += bytes.fromhex(hx)
-                seed = hx.encode("ascii")
-            return out[:n_bytes]
+        def resize(content: bytes, src_w: int, src_h: int) -> bytes:
+            buf = np.frombuffer(content, dtype=np.uint8)
+            if src_w is None or src_h is None or len(buf) != src_w * src_h * 3:
+                raise ValueError(
+                    f"not a raw RGB buffer: len={len(buf)} dims={src_w}x{src_h}"
+                )
+            img = buf.reshape(src_h, src_w, 3)
+            sy = (np.arange(h) * src_h) // h
+            sx = (np.arange(w) * src_w) // w
+            return img[sy][:, sx].tobytes()
 
         for pdf in batches:
             yield _pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "content": [_resize(c) for c in pdf["content"]],
+                    "content": [
+                        resize(c, sw, sh)
+                        for c, sw, sh in zip(
+                            pdf[content_col], pdf["_src_w"], pdf["_src_h"]
+                        )
+                    ],
                     "meta": [
                         ("image/raw-rgb", w, h, None, None) for _ in range(len(pdf))
                     ],
                 }
             )
+
+    narrow = df.select(
+        id_col,
+        content_col,
+        F.col("meta.width").alias("_src_w"),
+        F.col("meta.height").alias("_src_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int,
+    stride: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame extraction: content is a sequence of fixed-size raw
+    frames (frame_bytes each); emit every `stride`-th frame as its own row
+    (media_id, frame_idx, frame).
+
+    REAL kernel: one numpy reshape to (n_frames, frame_bytes) and a strided
+    slice — no per-frame Python loop, no copy until the Arrow hand-off. A
+    trailing partial frame is dropped (a torn tail, not data). This is the
+    raw-payload analogue of ffmpeg's `select=not(mod(n\\,k))` sampling; the
+    stride math is integer-exact for the oracle.
+
+    Scale: frames multiply the row count by n_frames/stride — the explode
+    happens inside the Arrow batch, and downstream repartition controls
+    memory. Pair with frame_sample_plan when only timestamps are needed
+    (that path never reads a byte).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    fb, st = frame_bytes, stride
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                buf = np.frombuffer(c or b"", dtype=np.uint8)
+                n = len(buf) // fb
+                if n == 0:
+                    continue
+                arr = buf[: n * fb].reshape(n, fb)[::st]
+                for j, fr in enumerate(arr):
+                    ids.append(mid)
+                    idxs.append(j * st)
+                    frames.append(fr.tobytes())
+            yield _pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
@@ -186,8 +259,9 @@ def resize_images(
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000,
                       id_col: str = "media_id") -> DataFrame:
     """Video frame-sampling plumbing: (media_id, frame_ts_ms) rows from the
-    metadata duration — pure JVM explode; the decode of each frame is the
-    stubbed kernel above. Filters/limits push down before any byte is read."""
+    metadata duration — pure JVM explode; extracting the bytes of each
+    planned frame is sample_frames above. Filters/limits push down before
+    any byte is read."""
     return df.select(
         F.col(id_col),
         F.explode(

@@ -2737,37 +2737,79 @@ GROUP BY fingerprint HAVING count(*) > 1
 # ---------------------------------------------------------------------------
 
 
+# fixture constants shared by the Spark builder and every media oracle:
+# byte i of media m is (m*55 + i*177) % 256 — a deterministic raw buffer,
+# restatable in ANSI SQL, with every L divisible by 16 (uniform feature
+# chunks) and video payloads a whole number of 48-byte (4×4×3) frames
+_MEDIA_FRAME_BYTES = 48
+
+
 def synthetic_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from documents (multimodal schema:
     opaque binary content + typed metadata struct, functions/multimodal).
     The driver testdata has no media table; this derivation IS the fixture,
-    defined identically in the oracle SQL (SQL_MEDIA_BASE)."""
-    is_img = F.col("doc_id") % 3 == 0
+    defined identically in the oracle SQL (SQL_MEDIA_BASE).
+
+    Content is a REAL byte buffer (not text): byte i = (media_id·55 +
+    i·177) mod 256. Images are raw interleaved RGB of width·height·3
+    bytes (the multimodal kernels' native format); audio is raw PCM-ish
+    bytes; video is a sequence of 48-byte 4×4×3 raw frames. The numpy
+    kernels therefore do real pixel math end-to-end, and the oracle can
+    recompute any byte analytically."""
+    did = F.col("doc_id")
+    is_img = did % 3 == 0
+    is_audio = did % 3 == 1
     mime = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
+        F.when(is_img, F.lit("image/raw-rgb"))
+        .when(is_audio, F.lit("audio/raw-pcm"))
+        .otherwise(F.lit("video/raw-frames"))
+    )
+    width = F.when(is_img, F.lit(16) + (did % 4) * 4).cast("int")
+    height = F.when(is_img, F.lit(12) + ((did / 3).cast("long") % 3) * 4).cast("int")
+    n_frames = F.lit(8) + did % 8
+    n_bytes = (
+        F.when(is_img, width.cast("long") * height * 3)
+        .when(is_audio, F.lit(208) + (did % 7) * 16)
+        .otherwise(n_frames * _MEDIA_FRAME_BYTES)
+    )
+    duration = (
+        F.when(is_audio, (F.lit(208) + (did % 7) * 16) * 20)
+        .when(~is_img, n_frames * 40)  # 25 fps
+        .cast("long")
+    )
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex((did * 55 + i * 177) % 256)), 2, "0"),
+            ),
+            "",
+        )
     )
     return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
+        did.alias("media_id"),
+        content.alias("content"),
         F.struct(
             mime.alias("mime"),
-            F.when(is_img, F.lit(64) + (F.col("doc_id") % 16) * 8).cast("int").alias("width"),
-            F.when(is_img, F.lit(64) + (F.col("doc_id") % 9) * 8).cast("int").alias("height"),
-            F.when(~is_img, F.length("text").cast("long") * 20).alias("duration_ms"),
-            F.when(is_img, F.lit("rgb")).otherwise(F.lit("pcm")).alias("codec"),
+            width.alias("width"),
+            height.alias("height"),
+            duration.alias("duration_ms"),
+            F.when(is_img, F.lit("rgb")).otherwise(F.lit("raw")).alias("codec"),
         ).alias("meta"),
     )
 
 
 SQL_MEDIA_BASE = """
-  SELECT doc_id AS media_id, text,
-         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-              WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-         CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id % 16) * 8 AS INT) END AS width,
-         CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id % 9) * 8 AS INT) END AS height,
-         CASE WHEN doc_id % 3 <> 0 THEN CAST(len(text) AS BIGINT) * 20 END AS duration_ms
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/raw-rgb'
+              WHEN doc_id % 3 = 1 THEN 'audio/raw-pcm' ELSE 'video/raw-frames' END AS mime,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id % 4) * 4 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(12 + ((doc_id // 3) % 3) * 4 AS INT) END AS height,
+         CASE WHEN doc_id % 3 = 1 THEN CAST((208 + (doc_id % 7) * 16) * 20 AS BIGINT)
+              WHEN doc_id % 3 = 2 THEN CAST((8 + doc_id % 8) * 40 AS BIGINT) END AS duration_ms,
+         CASE WHEN doc_id % 3 = 0 THEN CAST((16 + (doc_id % 4) * 4) * (12 + ((doc_id // 3) % 3) * 4) * 3 AS BIGINT)
+              WHEN doc_id % 3 = 1 THEN CAST(208 + (doc_id % 7) * 16 AS BIGINT)
+              ELSE CAST((8 + doc_id % 8) * 48 AS BIGINT) END AS n_bytes
   FROM documents
 """
 
@@ -2813,69 +2855,69 @@ GROUP BY media_id
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media content
-    (functions/multimodal.extract_features). The decode kernel is the
-    documented deterministic fake (no codec libs in this container), chained
-    from md5 HEX digests so the DuckDB oracle reproduces it exactly — the
-    Python-UDF plumbing (batch shape, schema, float32 output) is value-hash
-    verified by the gate, not just row-counted."""
+    (functions/multimodal.extract_features). The kernel is REAL numpy math —
+    16 contiguous-chunk byte means over the raw buffer — and because the
+    fixture buffers are analytic ((id·55 + i·177) mod 256, length divisible
+    by 16), the oracle recomputes every chunk SUM exactly in SQL. The gate
+    transport de-quantizes each float32 mean back to its integer sum
+    (round(f·chunk_len·255) — float32 error ≪ 0.5 at these magnitudes) and
+    joins them as one comma string, value-verifying the whole Arrow path."""
     from peerdb_spark.functions import multimodal as MM
 
-    (docs,) = _t(spark, sf_dir, "documents")
-    feats = MM.extract_features(synthetic_media(docs))
-    # gate transport: quantize the float32 features back to their exact pixel
-    # bytes (x·255 round-trips exactly) and pack them as ONE hex string —
-    # array-typed output columns crash the driver's pandas canonicalizer
-    # ("unhashable type: 'list'"), hex strings are the proven transport
-    # (same trick as media_resize).
-    return feats.select(
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    media = synthetic_media(docs)
+    feats = MM.extract_features(media)
+    # buffer length re-derived from METADATA so this branch prunes the
+    # binary column instead of constructing the fixture buffers twice
+    lens = media.select(
+        "media_id",
+        F.when(F.col("meta.mime") == "image/raw-rgb",
+               F.col("meta.width").cast("long") * F.col("meta.height") * 3)
+        .when(F.col("meta.mime") == "audio/raw-pcm", F.col("meta.duration_ms") / 20)
+        .otherwise(F.col("meta.duration_ms") / 40 * _MEDIA_FRAME_BYTES)
+        .cast("long")
+        .alias("_L"),
+    )
+    return feats.join(lens, "media_id").select(
         "media_id",
         F.array_join(
             F.transform(
                 F.col("features"),
-                lambda x: F.lpad(
-                    F.lower(F.hex(F.round(x * 255).cast("long"))), 2, "0"
-                ),
+                lambda x: F.round(x * (F.col("_L") / 16) * 255).cast("long").cast("string"),
             ),
-            "",
-        ).alias("feature_hex"),
+            ",",
+        ).alias("feature_sums"),
     )
 
 
-def _media_features_sql() -> str:
-    # each feature byte is already a 2-hex-char slice of an md5 digest; the
-    # hex transport is just their concatenation (digests are lowercase hex)
-    terms = []
-    for i in range(16):
-        j = (4 * i) // 16 + 1  # digest index h1..h4 (16 bytes each)
-        pos = 2 * ((4 * i) % 16) + 1  # hex-char offset of byte (4i) % 16
-        terms.append(f"substr(h{j}, {pos}, 2)")
-    feats = " || ".join(terms)
-    return f"""
+SQL_MEDIA_FEATURES = f"""
 WITH m AS ({SQL_MEDIA_BASE}),
-h AS (SELECT media_id, md5(text) AS h1 FROM m),
-hh AS (SELECT media_id, h1, md5(h1) AS h2 FROM h),
-hhh AS (SELECT media_id, h1, h2, md5(h2) AS h3 FROM hh),
-hhhh AS (SELECT media_id, h1, h2, h3, md5(h3) AS h4 FROM hhh)
-SELECT media_id, {feats} AS feature_hex FROM hhhh
+b AS (
+  SELECT media_id, u.i AS i, (media_id * 55 + u.i * 177) % 256 AS v, n_bytes
+  FROM m, unnest(range(0, n_bytes)) u(i)
+),
+s AS (
+  SELECT media_id, i // (n_bytes // 16) AS k, sum(v) AS cs
+  FROM b GROUP BY 1, 2
+)
+SELECT media_id, string_agg(CAST(cs AS VARCHAR), ',' ORDER BY k) AS feature_sums
+FROM s GROUP BY media_id
 """
-
-
-SQL_MEDIA_FEATURES = _media_features_sql()
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize via Arrow mapInPandas (functions/multimodal.resize_images)
-    at 8×8: binary pixel buffers of exactly w·h·3 bytes plus rewritten
-    metadata. The fake resample kernel is an md5 hex-digest chain, so the
-    DuckDB oracle reproduces the 192-byte buffer bit-exactly — binary
-    payload columns through the Python UDF boundary are value-checked. The
-    buffer is transported as a hex STRING for the gate (Spark collects
-    binary as bytearray, DuckDB as bytes — a repr-based hash would diverge
-    on identical payloads)."""
+    at 8×8: REAL nearest-neighbor resampling — numpy fancy-indexing of the
+    raw w·h·3 RGB buffer by integer index maps (sx = x·w//8, sy = y·h//8).
+    The oracle recomputes every output byte analytically from the fixture's
+    pixel formula at the SOURCE index the kernel must have read, so a wrong
+    index map (off-by-one, row-major mixup, channel swap) value-mismatches.
+    Hex-string transport for the gate (binary columns hash unreliably)."""
     from peerdb_spark.functions import multimodal as MM
 
-    (docs,) = _t(spark, sf_dir, "documents")
-    out = MM.resize_images(synthetic_media(docs), 8, 8)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    imgs = synthetic_media(docs).where(F.col("meta.mime") == "image/raw-rgb")
+    out = MM.resize_images(imgs, 8, 8)
     return out.select(
         "media_id",
         F.lower(F.hex(F.col("content"))).alias("content_hex"),
@@ -2885,28 +2927,54 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_resize_sql(w: int = 8, h: int = 8) -> str:
-    # DuckDB has no BLOB slicing, so the target must be a whole number of
-    # 16-byte digests (8×8×3 = 192 = 12 digests — exact)
-    assert (w * h * 3) % 16 == 0, "resize oracle needs a digest-aligned buffer"
-    n_digests = w * h * 3 // 16
-    chain = ["SELECT media_id, md5(text) AS h1 FROM m"]
-    for i in range(2, n_digests + 1):
-        prev = ", ".join(f"h{j}" for j in range(1, i))
-        chain.append(f"SELECT media_id, {prev}, md5(h{i-1}) AS h{i} FROM c{i-1}")
-    ctes = ",\n".join(f"c{i} AS ({q})" for i, q in enumerate(chain, start=1))
-    # hex-digest concat IS the hex encoding of the byte buffer — no blob ops
-    concat = " || ".join(f"h{i}" for i in range(1, n_digests + 1))
-    return f"""
-WITH m AS ({SQL_MEDIA_BASE}),
-{ctes}
-SELECT media_id, {concat} AS content_hex,
-       'image/raw-rgb' AS mime, CAST({w} AS INT) AS width, CAST({h} AS INT) AS height
-FROM c{n_digests}
+SQL_MEDIA_RESIZE = f"""
+WITH m AS (SELECT * FROM ({SQL_MEDIA_BASE}) WHERE mime = 'image/raw-rgb'),
+px AS (
+  -- output byte i → (y, x, ch) → NN source index → fixture pixel formula
+  SELECT media_id, u.i AS i,
+         (media_id * 55
+          + ((((u.i // 24) * height // 8) * width + ((u.i % 24) // 3) * width // 8) * 3
+             + u.i % 3) * 177) % 256 AS v
+  FROM m, unnest(range(0, 192)) u(i)
+)
+SELECT media_id, string_agg(printf('%02x', v), '' ORDER BY i) AS content_hex,
+       'image/raw-rgb' AS mime, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
+FROM px GROUP BY media_id
 """
 
 
-SQL_MEDIA_RESIZE = _media_resize_sql()
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided video frame extraction (functions/multimodal.sample_frames):
+    video payloads are sequences of 48-byte 4×4×3 raw frames; every 2nd
+    frame is sliced out with one numpy reshape + stride per buffer and
+    emitted as its own row. The oracle restates the slice arithmetic byte
+    by byte from the fixture formula — a wrong stride, frame size, or
+    offset value-mismatches. Hex transport for the binary frames."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    vids = synthetic_media(docs).where(F.col("meta.mime") == "video/raw-frames")
+    frames = MM.sample_frames(vids, _MEDIA_FRAME_BYTES, stride=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH m AS (SELECT * FROM ({SQL_MEDIA_BASE}) WHERE mime = 'video/raw-frames'),
+fr AS (SELECT media_id, n_bytes, u.f AS frame_idx
+       FROM m, unnest(range(0, n_bytes // 48, 2)) u(f)),
+b AS (
+  SELECT media_id, frame_idx, u.j AS j,
+         (media_id * 55 + (frame_idx * 48 + u.j) * 177) % 256 AS v
+  FROM fr, unnest(range(0, 48)) u(j)
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       string_agg(printf('%02x', v), '' ORDER BY j) AS frame_hex
+FROM b GROUP BY media_id, frame_idx
+"""
 
 
 def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3985,6 +4053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_plan": q_media_frame_plan,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
@@ -4070,6 +4139,7 @@ ORACLES: dict[str, str] = {
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -1,52 +1,114 @@
-"""Multimodal column plumbing tests (decode kernels are deterministic stubs)."""
+"""Multimodal kernels: REAL numpy pixel math over raw byte buffers."""
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from peerdb_spark.functions import multimodal as M
 
 
-def _media_df(spark, n=10):
+def _rgb_bytes(w, h, seed):
+    return bytes((seed * 55 + i * 177) % 256 for i in range(w * h * 3))
+
+
+def _media_df(spark, n=6, w=12, h=8):
     rows = [
-        (i, bytes([i % 256]) * (100 + i), ("image/png", 64, 64, None, None))
+        (i, _rgb_bytes(w, h, i), ("image/raw-rgb", w, h, None, "rgb"))
         for i in range(n)
     ]
     return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
 
 
-def test_extract_features_shape(spark):
+def test_extract_features_chunk_means(spark):
     df = _media_df(spark)
-    out = M.extract_features(df)
-    rows = out.collect()
-    assert len(rows) == 10
+    rows = M.extract_features(df).collect()
+    assert len(rows) == 6
     assert all(len(r["features"]) == M.FEATURE_DIM for r in rows)
-    # deterministic: same bytes → same features
-    again = {r["media_id"]: r["features"] for r in M.extract_features(df).collect()}
-    first = {r["media_id"]: r["features"] for r in rows}
-    assert again == first
+    # ground truth: chunk means computed in plain python
+    by_id = {r["media_id"]: r["features"] for r in rows}
+    for mid in range(6):
+        buf = _rgb_bytes(12, 8, mid)
+        L = len(buf)
+        for k in range(M.FEATURE_DIM):
+            lo, hi = k * L // 16, (k + 1) * L // 16
+            expect = sum(buf[lo:hi]) / ((hi - lo) * 255.0)
+            assert by_id[mid][k] == pytest.approx(expect, rel=1e-6)
+
+
+def test_extract_features_short_and_empty(spark):
+    rows = [
+        (1, b"", ("application/octet-stream", None, None, None, None)),
+        (2, b"\xff" * 5, ("application/octet-stream", None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"] for r in M.extract_features(df).collect()}
+    assert out[1] == [0.0] * 16
+    # 5 bytes over 16 chunks: 5 non-empty chunks of one 0xff byte each
+    assert sum(1 for x in out[2] if x == pytest.approx(1.0)) == 5
+    assert sum(1 for x in out[2] if x == 0.0) == 11
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    w, h = 12, 8
+    df = _media_df(spark, n=4, w=w, h=h)
+    rows = {r["media_id"]: bytes(r["content"]) for r in M.resize_images(df, 8, 8).collect()}
+    for mid in range(4):
+        src = np.frombuffer(_rgb_bytes(w, h, mid), dtype=np.uint8).reshape(h, w, 3)
+        expect = bytes(
+            int(src[(y * h) // 8, (x * w) // 8, c])
+            for y in range(8)
+            for x in range(8)
+            for c in range(3)
+        )
+        assert rows[mid] == expect
+    meta = M.resize_images(df, 8, 8).collect()[0]["meta"]
+    assert meta["width"] == 8 and meta["height"] == 8 and meta["mime"] == "image/raw-rgb"
+
+
+def test_resize_rejects_malformed(spark):
+    rows = [(1, b"short", ("image/raw-rgb", 12, 8, None, "rgb"))]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="raw RGB"):
+        M.resize_images(df, 8, 8).collect()
+
+
+def test_sample_frames_stride(spark):
+    fb = 6
+    content = bytes(range(fb * 5)) + b"\x01\x02"  # 5 frames + torn tail
+    rows = [(7, content, ("video/raw-frames", None, None, 200, "raw"))]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in M.sample_frames(df, fb, stride=2).collect()
+    )
+    assert [i for i, _ in out] == [0, 2, 4]
+    assert out[0][1] == bytes(range(0, 6))
+    assert out[1][1] == bytes(range(12, 18))
+    assert out[2][1] == bytes(range(24, 30))
+    # stride 1 keeps every whole frame, drops the tail
+    assert M.sample_frames(df, fb, stride=1).count() == 5
+    # empty content → no rows
+    empty = spark.createDataFrame(
+        [(8, b"", ("video/raw-frames", None, None, 0, "raw"))], M.MEDIA_SCHEMA
+    )
+    assert M.sample_frames(empty, fb).count() == 0
 
 
 def test_frame_sample_plan(spark):
-    rows = [(1, b"x", ("video/mp4", 0, 0, 3500, "h264"))]
+    rows = [(1, b"x", ("video/raw-frames", None, None, 3500, "raw"))]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     out = M.frame_sample_plan(df, every_ms=1000)
     assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
-
-
-def test_resize_images_shape_and_meta(spark):
-    df = _media_df(spark)
-    out = M.resize_images(df, 8, 8)
-    rows = out.collect()
-    assert len(rows) == 10
-    assert all(len(bytes(r["content"])) == 8 * 8 * 3 for r in rows)
-    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 8 for r in rows)
-    # deterministic in source bytes
-    again = {r["media_id"]: bytes(r["content"]) for r in M.resize_images(df, 8, 8).collect()}
-    first = {r["media_id"]: bytes(r["content"]) for r in rows}
-    assert again == first
 
 
 def test_media_stats_prunes_content(spark):
     df = _media_df(spark)
     out = M.media_stats(df)
     r = out.collect()[0]
-    assert r["mime"] == "image/png" and r["n"] == 10
+    assert r["mime"] == "image/raw-rgb" and r["n"] == 6
+
+
+def test_decode_encoded_gate():
+    assert M.decode_encoded(b"abc", "image/raw-rgb") == b"abc"
+    with pytest.raises(NotImplementedError):
+        M.decode_encoded(b"\x89PNG", "image/png")

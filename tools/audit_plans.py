@@ -78,7 +78,10 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("single aggregate over tagged rows", r"HashAggregate", True),
     ]),
     ("dedup_incremental_lsh", [
-        ("banded bucket join with skew guard", r"LeftAnti", True),
+        # O(new) maintained-state path: join sides are selected by a
+        # broadcast SEMI join against the live (touched, non-oversized)
+        # bucket set derived from the count log — no full-relation anti
+        ("banded bucket join gated on live buckets", r"LeftSemi", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
     ("dedup_simhash_pairs", [
