@@ -222,7 +222,11 @@ def elasticsearch_bulk_payloads(
 def write_elasticsearch(
     actions: DataFrame, es_url: str, max_batch_bytes: int = 5_000_000
 ) -> None:
-    """Deliver bulk payloads — per-partition POSTs, env-gated like Kafka."""
+    """Deliver bulk payloads — per-partition POSTs, env-gated like Kafka.
+
+    The full path (flush sizing, NDJSON termination, headers, POST) runs
+    end-to-end in tests against an in-process HTTP stub
+    (tests/test_es_delivery.py); only a real cluster is absent here."""
     payloads = elasticsearch_bulk_payloads(actions, max_batch_bytes)
     if os.environ.get("PEERDB_SPARK_ES_ENABLED") != "1":
         raise NotImplementedError(
