@@ -37,6 +37,7 @@ def asof_join(
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    salt_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, attach the right row with the
     largest right_ts <= left_ts (direction="backward", the default — the
@@ -52,12 +53,30 @@ def asof_join(
     (key, ts) beforehand; this operator adds a final struct comparison so
     the winner is the max over the full right-row struct — deterministic
     for any input.
+
+    Skew guard (`salt_bucket_seconds`): the default window sorts each
+    key's rows in one partition — a mega-key holding 10% of the events
+    serializes on one task. Setting `salt_bucket_seconds=W` switches to a
+    two-phase formulation that partitions by (key, time-bucket of width
+    W): phase 1 reduces the right side to one last-payload row per (key,
+    bucket) and carries the running maximum across buckets (a window over
+    #buckets rows per key, not #events); phase 2 runs the as-of window
+    WITHIN each (key, bucket) partition, seeding it with the carried
+    state as a synthetic row at the bucket boundary. Parallelism per key
+    becomes time-range/W; output is identical to the unsalted path
+    (property-tested), at the cost of one extra (small) exchange — which
+    appears in the plan only when the option is set.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     back = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     rcols = [c for c in right.columns if c not in keys]
+    if salt_bucket_seconds is not None:
+        return _asof_join_salted(
+            left, right, keys, left_ts, right_ts, tolerance_seconds,
+            suffix, back, rcols, salt_bucket_seconds,
+        )
     # right rows become (keys, _ats, payload struct); left rows carry NULL
     # payload. Sorting by (_ats, _side) puts right rows BEFORE left rows at
     # equal timestamps → inclusive match. The payload struct leads with the
@@ -107,6 +126,126 @@ def asof_join(
         in_tol = gap <= F.lit(tolerance_seconds)
         matched = matched.withColumn(
             "_m", F.when(in_tol, F.col("_m"))  # else NULL: match too old
+        )
+    taken = set(keys) | {left_ts} | set(lcols)
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("_ats").alias(left_ts)]
+        + [F.col(c) for c in lcols]
+        + [
+            F.col(f"_m.{c}").alias(f"{c}{suffix}" if c in taken else c)
+            for c in rcols
+        ]
+    )
+    return matched.select(*out_cols)
+
+
+def _asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int | None,
+    suffix: str,
+    back: bool,
+    rcols: list[str],
+    width_seconds: int,
+) -> DataFrame:
+    """Two-phase time-bucketed as-of join (see asof_join docstring).
+
+    Both directions reduce to the BACKWARD algorithm on a monotone long
+    axis `_t` (epoch micros, negated for forward — timestampdiff keeps it
+    NTZ-safe). Phase 1: right rows collapse to max(struct(_t, payload))
+    per (key, bucket) — the same winner the window's (ts asc, payload
+    asc, last) order would pick — and a per-key window over the BUCKET
+    SUMMARIES (≤ range/W rows, never events) carries the running max of
+    strictly earlier buckets. Phase 2: the carried payload enters each
+    bucket as a synthetic row at the bucket's start with _side = -1, so
+    it sorts before any real row of the bucket and loses to any in-bucket
+    right row at or after it — byte-identical results to the unsalted
+    window (property-tested in test_operators.py)."""
+    width = width_seconds * 1_000_000
+
+    def t_of(col: str) -> Column:
+        m = F.expr(
+            f"timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', `{col}`)"
+        )
+        return m if back else -m
+
+    def bucket_of(m: Column) -> Column:
+        # exact floor division for negative axes (div truncates toward 0)
+        return ((m - F.pmod(m, F.lit(width))) / F.lit(width)).cast("long")
+
+    pay = F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in rcols]).alias("_pay")
+    r = right.select(*keys, t_of(right_ts).alias("_t"), pay)
+    r = r.withColumn("_b", bucket_of(F.col("_t")))
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    l = left.select(  # noqa: E741
+        *keys,
+        t_of(left_ts).alias("_t"),
+        F.col(left_ts).alias("_ats"),
+        *[F.col(c) for c in lcols],
+    ).withColumn("_b", bucket_of(F.col("_t")))
+
+    pay_t = r.schema["_pay"].dataType
+    mx = F.struct(F.col("_t").alias("t"), F.col("_pay").alias("p"))
+    last_in_bucket = r.groupBy(*keys, "_b").agg(F.max(mx).alias("_mx"))
+    left_buckets = l.select(*keys, "_b").distinct().withColumn(
+        "_mx", F.lit(None).cast(last_in_bucket.schema["_mx"].dataType)
+    )
+    # one row per (key, bucket) so the carry window's -1 bound means
+    # "strictly earlier buckets", then running max of bucket winners
+    bs = (
+        last_in_bucket.unionByName(left_buckets)
+        .groupBy(*keys, "_b")
+        .agg(F.max("_mx").alias("_mx"))
+    )
+    wc = Window.partitionBy(*keys).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        bs.select(*keys, "_b", F.max("_mx").over(wc).alias("_c"))
+        .where(F.col("_c").isNotNull())
+    )
+    nulls_l = [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols]
+    carry_rows = carry.select(
+        *keys, "_b",
+        (F.col("_b") * width).alias("_t"),
+        F.lit(-1).alias("_side"),
+        F.col("_c.p").alias("_pay"),
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_ats"),
+        *nulls_l,
+    )
+    r_rows = r.select(
+        *keys, "_b", "_t", F.lit(0).alias("_side"), "_pay",
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_ats"),
+        *nulls_l,
+    )
+    l_rows = l.select(
+        *keys, "_b", "_t", F.lit(1).alias("_side"),
+        F.lit(None).cast(pay_t).alias("_pay"), "_ats",
+        *[F.col(c) for c in lcols],
+    )
+    u = l_rows.unionByName(r_rows).unionByName(
+        carry_rows.select(*l_rows.columns)
+    )
+    w = (
+        Window.partitionBy(*keys, "_b")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_pay").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+    if tolerance_seconds is not None:
+        gap = (
+            F.expr("timestampdiff(SECOND, _m._rts, _ats)")
+            if back
+            else F.expr("timestampdiff(SECOND, _ats, _m._rts)")
+        )
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_seconds), F.col("_m"))
         )
     taken = set(keys) | {left_ts} | set(lcols)
     out_cols = (

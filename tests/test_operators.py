@@ -230,3 +230,58 @@ def test_interval_join_suffixes_colliding_columns(spark):
     out2 = interval_join(pts, ivs2, "k", "ts", "ts", "e", bucket_seconds=60)
     assert out2.columns.count("ts") == 1
     assert out2.collect()[0]["event_id_right"] == "i1"
+
+
+def test_asof_salted_equals_unsalted_property(spark):
+    """r4 verdict item #6: the time-bucketed (salted) as-of formulation must
+    be result-identical to the unsalted window, across directions, bucket
+    widths, tolerances, and a mega-key — randomized rounds with a fixed
+    seed."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n_l, n_r = 60, 50
+        # key 1 is the mega-key (~60% of rows); duplicate timestamps planted
+        def key():
+            return 1 if rng.random() < 0.6 else rng.randint(2, 4)
+
+        def ts():
+            return f"2024-01-01 00:{rng.randint(0, 59):02d}:{rng.choice([0, 15, 30, 30, 45]):02d}"
+
+        lrows = [(key(), ts(), f"L{i}") for i in range(n_l)]
+        rrows = [(key(), ts(), rng.randint(0, 9)) for i in range(n_r)]
+        lf = spark.createDataFrame(lrows, "k int, ts string, tag string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"), "tag"
+        )
+        rf = spark.createDataFrame(rrows, "k int, ts string, v int").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+        )
+        for direction in ("backward", "forward"):
+            for tol in (None, 120):
+                base = sorted(
+                    map(tuple, asof_join(
+                        lf, rf, "k", tolerance_seconds=tol, direction=direction
+                    ).collect())
+                )
+                for width in (7, 60, 3600):
+                    got = sorted(
+                        map(tuple, asof_join(
+                            lf, rf, "k", tolerance_seconds=tol,
+                            direction=direction, salt_bucket_seconds=width,
+                        ).collect())
+                    )
+                    assert got == base, (trial, direction, tol, width)
+
+
+def test_asof_salted_plan_partitions_by_bucket(spark):
+    lf = spark.createDataFrame([(1, "2024-01-01 00:00:05", "a")], "k int, ts string, tag string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    rf = spark.createDataFrame([(1, "2024-01-01 00:00:01", 7)], "k int, ts string, v int").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    plain = asof_join(lf, rf, "k")._jdf.queryExecution().optimizedPlan().toString()
+    salted = asof_join(lf, rf, "k", salt_bucket_seconds=60)._jdf.queryExecution().optimizedPlan().toString()
+    # the bucket column partitions the main window only in the salted plan
+    assert "_b" not in plain and "_b" in salted
+    out = asof_join(lf, rf, "k", salt_bucket_seconds=60).collect()[0]
+    assert out["v"] == 7
