@@ -228,3 +228,99 @@ def test_compact_merges_small_files(spark, tmp_path):
 
     # idempotent: second compact is a no-op
     assert t.compact()["buckets_compacted"] == 0
+
+
+def test_time_travel_stable_across_compaction_and_crash(spark, tmp_path):
+    """r4 verdict item #7: state_as_of reconstructs from the raw log while
+    compact() rewrites destination bucket files — time-travel answers (and
+    the current read) must be identical before compaction, after it, and
+    after a crash mid-compaction followed by repair."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.storage import BUCKET_COL, ParquetTable
+
+    schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    dst_path = str(tmp_path / "dst")
+    pipe = cdc.CdcPipeline(
+        spark,
+        str(tmp_path / "raw"),
+        [cdc.CdcTableConfig("t", ["pk"], schema, dst_path, n_buckets=4)],
+    )
+
+    def feed(batch, rows):
+        df = spark.createDataFrame(
+            rows, "_kind string, _checkpoint_id long, pk long, v string"
+        ).select(
+            "_kind",
+            "_checkpoint_id",
+            F.timestamp_seconds(F.col("_checkpoint_id") + 1_700_000_000).alias("_commit_ts"),
+            F.col("_checkpoint_id").alias("_txid"),
+            F.lit("t").alias("_src_table"),
+            F.lit("t").alias("_dst_table"),
+            F.when(F.col("_kind") != "delete", F.to_json(F.struct("pk", "v"))).alias("_data"),
+            F.when(F.col("_kind") == "delete", F.to_json(F.struct("pk", "v"))).alias("_old_data"),
+            F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+        )
+        pipe.sync_batch(df, batch)
+        pipe.normalize_batches(batch, batch)
+
+    feed(1, [("insert", 1, i, f"a{i}") for i in range(20)])
+    feed(2, [("update", 2, i, f"b{i}") for i in range(0, 20, 2)])
+    feed(3, [("delete", 3, i, f"b{i}") for i in range(0, 20, 4)])
+
+    def travel():
+        return {
+            k: sorted(
+                (r["pk"], r["v"])
+                for r in pipe.state_as_of("t", k).select("pk", "v").collect()
+            )
+            for k in (1, 2, 3)
+        }
+
+    t = ParquetTable(spark, dst_path, ["pk"], n_buckets=4)
+    # normalize rewrites touched buckets to one file each; pile small files
+    # the way a real mirror does — out-of-band bulk backfills appended next
+    # to the CDC rows (pks disjoint from the CDC keyspace)
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(100 + 10 * i + j, f"bf{i}-{j}") for j in range(10)],
+                "pk long, v string",
+            )
+        )
+    before_tt = travel()
+    before_rows = sorted((r["pk"], r["v"]) for r in t.read().collect())
+    assert max(t.files_per_bucket().values()) > 1  # backfills piled files
+
+    stats = t.compact()
+    assert stats["buckets_compacted"] >= 1
+    assert travel() == before_tt
+    assert sorted((r["pk"], r["v"]) for r in t.read().collect()) == before_rows
+
+    # crash mid-compaction: re-pile files, then simulate the park window
+    feed(4, [("update", 4, i, f"c{i}") for i in range(1, 20, 4)])
+    tt4 = travel()
+    tt4[4] = sorted(
+        (r["pk"], r["v"]) for r in pipe.state_as_of("t", 4).select("pk", "v").collect()
+    )
+    rows4 = sorted((r["pk"], r["v"]) for r in t.read().collect())
+    bucket_dirs = [d for d in os.listdir(dst_path) if d.startswith(f"{BUCKET_COL}=")]
+    victim = bucket_dirs[0]
+    os.rename(
+        os.path.join(dst_path, victim),
+        os.path.join(dst_path, f".swap-old-{victim}"),
+    )
+    # read path repairs the interrupted swap; state must be the pre-crash one
+    assert sorted((r["pk"], r["v"]) for r in t.read().collect()) == rows4
+    got = travel()
+    got[4] = sorted(
+        (r["pk"], r["v"]) for r in pipe.state_as_of("t", 4).select("pk", "v").collect()
+    )
+    assert got == tt4
+    # and a rerun of compaction converges
+    t.compact()
+    assert sorted((r["pk"], r["v"]) for r in t.read().collect()) == rows4
