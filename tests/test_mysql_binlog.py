@@ -375,3 +375,131 @@ def test_binlog_json_scalars_and_opaque_decimal():
     body = bytes((~b) & 0xFF for b in bytes([mag[0] ^ 0x80]) + mag[1:])
     doc = b"\x0f" + bytes([MB.TYPE_NEWDECIMAL]) + bytes([2 + len(body)]) + bytes([7, 3]) + body
     assert decode_one(doc) == "-12.345"
+
+
+# ---------------------------------------------------------------------------
+# property test: binary JSON decoder vs an independent reference packer
+# (r4 verdict item #8 — same rigor as the NEWDECIMAL / pgoutput paths)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_INLINE_SMALL = {0x04, 0x05, 0x06}
+_INLINE_LARGE = {0x04, 0x05, 0x06, 0x07, 0x08}
+
+
+def _enc_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _jb_ser(v, large: bool):
+    """Reference MySQL binary-JSON serializer (WL#8132 layout), written
+    independently of the decoder: returns (type, standalone_bytes,
+    inline_bytes_or_None)."""
+    if v is None:
+        return 0x04, b"\x00", b"\x00"
+    if v is True:
+        return 0x04, b"\x01", b"\x01"
+    if v is False:
+        return 0x04, b"\x02", b"\x02"
+    if isinstance(v, int):
+        for t, size, signed in (
+            (0x05, 2, True), (0x06, 2, False), (0x07, 4, True),
+            (0x08, 4, False), (0x09, 8, True), (0x0A, 8, False),
+        ):
+            try:
+                b = v.to_bytes(size, "little", signed=signed)
+            except OverflowError:
+                continue
+            return t, b, b
+        raise ValueError(f"int out of uint64 range: {v}")
+    if isinstance(v, float):
+        return 0x0B, struct.pack("<d", v), None
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        return 0x0C, _enc_varint(len(b)) + b, None
+    is_obj = isinstance(v, dict)
+    t = (0x01 if large else 0x00) if is_obj else (0x03 if large else 0x02)
+    w = 4 if large else 2
+    inline_set = _INLINE_LARGE if large else _INLINE_SMALL
+    items = list(v.items()) if is_obj else [(None, x) for x in v]
+    count = len(items)
+    entries = []
+    for _, x in items:
+        ct, sb, ib = _jb_ser(x, large)
+        entries.append((ct, sb, ib if ct in inline_set else None))
+    keys = [k.encode("utf-8") for k, _ in items] if is_obj else []
+    header_len = 2 * w + (count * (w + 2) if is_obj else 0) + count * (1 + w)
+    key_offsets = []
+    off = header_len
+    for kb in keys:
+        key_offsets.append(off)
+        off += len(kb)
+    val_base = off
+    blob = bytearray()
+    val_offsets = []
+    for ct, sb, ib in entries:
+        if ib is None:
+            val_offsets.append(val_base + len(blob))
+            blob.extend(sb)
+        else:
+            val_offsets.append(None)
+    total = val_base + len(blob)
+    out = bytearray()
+    out += count.to_bytes(w, "little") + total.to_bytes(w, "little")
+    for kb, ko in zip(keys, key_offsets):
+        out += ko.to_bytes(w, "little") + len(kb).to_bytes(2, "little")
+    for (ct, sb, ib), vo in zip(entries, val_offsets):
+        out.append(ct)
+        out += ib.ljust(w, b"\x00") if ib is not None else vo.to_bytes(w, "little")
+    out += b"".join(keys) + blob
+    return t, bytes(out), None
+
+
+_json_vals = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**63), max_value=2**64 - 1)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=12),
+    lambda c: st.lists(c, max_size=4)
+    | st.dictionaries(st.text(max_size=8), c, max_size=4),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=_json_vals, large=st.booleans())
+def test_json_binary_roundtrip_property(doc, large):
+    t, body, _ = _jb_ser(doc, large)
+    payload = bytes([t]) + body
+    text = MB._json_binary_to_text(payload)
+    assert json.loads(text) == json.loads(json.dumps(doc))
+
+
+def test_json_binary_nested_mixed_containers():
+    doc = {
+        "a": [1, -40000, 70000, 2**40, {"deep": [None, True, False, "x"]}],
+        "": {"empty-key": []},
+        "f": 1.5,
+        "u16": 65535,
+        "u64": 2**63 + 7,
+        "üñí": "çödé",
+    }
+    for large in (False, True):
+        t, body, _ = _jb_ser(doc, large)
+        got = json.loads(MB._json_binary_to_text(bytes([t]) + body))
+        assert got == json.loads(json.dumps(doc))
+
+
+def test_json_binary_empty_payload_is_null():
+    assert MB._json_binary_to_text(b"") is None
