@@ -108,3 +108,43 @@ def bpe_train(
             "w", "freq", _apply_merge(F.col("symbols"), a, b).alias("symbols")
         ).localCheckpoint(eager=False)
     return merges, vocab
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple], word_col: str = "w") -> DataFrame:
+    """(word, ...) → (+ tokens array<string>): apply a trained merge table
+    to each word — chained left-to-right non-overlapping folds, one per
+    merge, in training order (exactly how HF/SentencePiece apply BPE).
+
+    Vocab-sized work: call this on DISTINCT words, never the corpus — the
+    corpus then equi-joins its words to the encoded vocab (bpe_encode)."""
+    sym = _initial_symbols(F.col(word_col))
+    for m in merges:
+        a, b = m[0], m[1]
+        sym = _apply_merge(sym, a, b)
+    return words.withColumn("tokens", sym)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE merge table: per-doc token
+    rows (id, token, n) — n = occurrences of that token in the doc.
+
+    Scale shape (the tokenize-100-TB pattern): the merge folds run over
+    the DISTINCT-WORD relation only (vocab-sized, one row per unique
+    word); the corpus-sized work is one word count aggregate and one hash
+    join of (id, word, count) against the encoded vocab. The document
+    text crosses no shuffle after the initial word explode."""
+    wc = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    vocab = bpe_encode_words(wc.select("w").distinct(), merges)
+    per_word = wc.join(vocab, "w").select(
+        id_col, F.explode("tokens").alias("token"), "n_w"
+    )
+    return per_word.groupBy(id_col, "token").agg(F.sum("n_w").alias("n"))

@@ -94,3 +94,54 @@ def test_bpe_train_hypothesis_random_corpora(spark):
         assert got_vocab == want_vocab
 
     check()
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Corpus tokenization with a trained merge table: per-doc token counts
+    must equal encoding every word with the reference implementation."""
+    texts = [
+        "low low lower lowest new",
+        "new newer newest wide low",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = Counter(w for t in texts for w in t.split())
+    merges, ref_vocab = python_bpe(dict(wf), k=6)
+    from peerdb_spark.functions.bpe import bpe_encode
+
+    got = {
+        (r["doc_id"], r["token"]): r["n"]
+        for r in bpe_encode(df, merges, "text", "doc_id").collect()
+    }
+    want = Counter()
+    for i, t in enumerate(texts):
+        for w in t.split():
+            for tok in ref_vocab[w]:
+                want[(i, tok)] += 1
+    assert got == dict(want)
+    # empty doc contributes nothing
+    assert not any(d == 2 for d, _ in got)
+
+
+def test_bpe_train_then_encode_roundtrip(spark):
+    """Encoding the training corpus with its own merges reproduces the
+    trainer's final vocab token stream."""
+    texts = ["ab ab abc abc abc", "ab abcd"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, final_vocab = bpe_train(df, "text", k=4)
+    from peerdb_spark.functions.bpe import bpe_encode
+
+    enc = bpe_encode(df, merges, "text", "doc_id")
+    got_global = {
+        r["token"]: r["n"]
+        for r in enc.groupBy("token").agg(F.sum("n").alias("n")).collect()
+    }
+    want_global = Counter()
+    for r in final_vocab.collect():
+        for tok in r["symbols"]:
+            want_global[tok] += r["freq"]
+    assert got_global == dict(want_global)
