@@ -145,6 +145,7 @@ def main() -> None:
         "events_sliding_agg",
         "vocab_topk",
         "bpe_pair_counts",
+        "bpe_encode_tokens",
         "unigram_surprisal",
         "cms_heavy_hitters",
         "hll_vocab_registers",

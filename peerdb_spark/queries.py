@@ -2226,6 +2226,44 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, a string, b string, n long")
 
 
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TOKENIZATION with a trained merge table (functions/bpe.py:
+    bpe_encode): train 4 merges, encode every document, output the global
+    token frequency table (top 40, deterministic order). Two independent
+    formulations certify each other: Spark encodes the distinct-word vocab
+    and joins docs to it (the 100 TB shape — text never re-crosses a
+    shuffle); the oracle unrolls the 4 training rounds and explodes the
+    final vocab's symbol stream weighted by word frequency."""
+    from peerdb_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    merges, _ = bpe_train(docs, "text", k=4)
+    enc = bpe_encode(docs, merges, "text", "doc_id")
+    glob = enc.groupBy("token").agg(F.sum("n").alias("n"))
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        glob.select("token", F.col("n").cast("long").alias("n"),
+                    F.row_number().over(w).cast("int").alias("rank"))
+        .where(F.col("rank") <= 40)
+    )
+
+
+def _bpe_encode_sql(k: int = 4, topn: int = 40) -> str:
+    # reuse the trainer's unrolled rounds; final vocab v{k} then explodes
+    # its symbol stream weighted by freq
+    train = _bpe_train_sql(k)
+    body = train[train.index("WITH") : train.rindex("SELECT CAST(step")]
+    return f"""
+{body.rstrip()},
+tok AS (
+  SELECT u.s AS token, CAST(sum(freq) AS BIGINT) AS n
+  FROM v{k}, unnest(sym) u(s) GROUP BY 1
+)
+SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+FROM tok QUALIFY rank <= {topn}
+"""
+
+
 def _bpe_train_sql(k: int = 4) -> str:
     rounds = []
     for i in range(1, k + 1):
@@ -2262,6 +2300,7 @@ SELECT CAST(step AS INT) AS step, a, b, n FROM ({finals})
 
 
 SQL_BPE_TRAIN_MERGES = _bpe_train_sql()
+SQL_BPE_ENCODE_TOKENS = _bpe_encode_sql()
 
 
 # NOTE: sequence(1, 0) is DESCENDING in Spark, hence the greatest() guard and
@@ -4042,6 +4081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_tokens": q_bpe_encode_tokens,
     "unigram_surprisal": q_unigram_surprisal,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_vocab_registers": q_hll_vocab_registers,
@@ -4128,6 +4168,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
+    "bpe_encode_tokens": SQL_BPE_ENCODE_TOKENS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,
