@@ -162,6 +162,7 @@ def main() -> None:
         "mixture_sample",
         "repetition_scrub",
         "pii_redact",
+        "passage_dedup",
         "knn_graph",
         "length_quantiles",
         "bpe_train_merges",

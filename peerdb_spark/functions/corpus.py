@@ -484,3 +484,86 @@ def incremental_clean(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
     return accepted, fresh.select("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# cross-document passage dedup (CCNet-style corpus boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def cross_doc_passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove passages repeated ACROSS documents (the CCNet/RefinedWeb
+    paragraph-dedup rule, adapted to word windows since the corpus carries
+    no paragraph breaks): docs split into non-overlapping `window_words`
+    passages; a passage whose text occurs in >= `min_docs` DISTINCT docs is
+    corpus-level boilerplate and is dropped from every doc except its
+    lowest-id occurrence (the exact_dedup keeper rule). Distinct from
+    scrub_repeated_chunks, which is INTRA-document.
+
+    Returns (id, kept_text, n_passages, n_dropped); docs with no tokens
+    produce no row (nothing to scrub).
+
+    Scale: the passage relation shuffled for the count and the keep-list is
+    (id, pidx, hash) — three longs; passage TEXT never crosses a shuffle.
+    The rebuild re-slices the original token array by the kept passage
+    indexes (collected per doc as a sorted int array — bounded by
+    len(doc)/window_words). Duplicate-hash counts collapse with map-side
+    partials; the dup set is naturally small (boilerplate), and a
+    pathological corpus-wide passage still costs one counter, not a join
+    blow-up.
+    """
+    tk = df.select(F.col(id_col), tokens(text_col).alias("_t")).where(F.size("_t") > 0)
+    npass = F.ceil(F.size("_t") / F.lit(window_words)).cast("int")
+    passages = tk.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), npass - 1)).alias("pidx"),
+        "_t",
+    ).select(
+        id_col,
+        "pidx",
+        h64(
+            F.array_join(
+                F.slice(F.col("_t"), F.col("pidx") * window_words + 1, window_words),
+                " ",
+            )
+        ).alias("_h"),
+    )
+    stats = passages.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd"),
+        F.min(id_col).alias("_keeper"),
+    )
+    flagged = passages.join(stats, "_h").select(
+        id_col,
+        "pidx",
+        (
+            (F.col("_nd") >= min_docs) & (F.col(id_col) != F.col("_keeper"))
+        ).alias("_drop"),
+    )
+    keep = flagged.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.when(~F.col("_drop"), F.col("pidx")))
+        ).alias("_keep"),
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+    )
+    rebuilt = tk.join(keep, id_col).select(
+        id_col,
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.col("_keep"),
+                    lambda i: F.slice(F.col("_t"), i * window_words + 1, window_words),
+                )
+            ),
+            " ",
+        ).alias("kept_text"),
+        "n_passages",
+        "n_dropped",
+    )
+    return rebuilt

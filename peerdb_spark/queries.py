@@ -3776,6 +3776,74 @@ FROM k
 """
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup (corpus.py:cross_doc_passage_dedup — the
+    CCNet/RefinedWeb boilerplate rule over 10-word windows): every 5th doc
+    is planted with a shared 10-word boilerplate prefix, which must survive
+    only in its lowest-id occurrence; rebuilt text is value-verified. The
+    Spark side shuffles only (id, pidx, hash) longs and re-slices the
+    original token arrays for the rebuild; the oracle restates the full
+    slice/hash/keeper arithmetic."""
+    from peerdb_spark.functions.corpus import cross_doc_passage_dedup
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("terms of service apply to all content shown here today "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = cross_doc_passage_dedup(planted, "text", "doc_id", window_words=10, min_docs=2)
+    return out.select(
+        "doc_id", "kept_text",
+        F.col("n_passages").cast("long").alias("n_passages"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+def _passage_dedup_sql(w: int = 10, min_docs: int = 2) -> str:
+    ptext = f"array_to_string(list_slice(t, u.i*{w} + 1, u.i*{w} + {w}), ' ')"
+    h = h64_sql(ptext)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'terms of service apply to all content shown here today ' || text ELSE text END AS text
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM base WHERE len(trim(text)) > 0
+),
+p AS (
+  SELECT doc_id, u.i AS pidx, {h} AS h
+  FROM tk, unnest(range(0, CAST(ceil(len(t) / {w}.0) AS BIGINT))) u(i)
+),
+s AS (SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper FROM p GROUP BY h),
+f AS (
+  SELECT p.doc_id, p.pidx, (s.nd >= {min_docs} AND p.doc_id <> s.keeper) AS dropd
+  FROM p JOIN s USING (h)
+),
+k AS (
+  SELECT doc_id, count(*) AS n_passages,
+         CAST(sum(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM f GROUP BY doc_id
+),
+r AS (
+  SELECT f.doc_id,
+         string_agg(array_to_string(list_slice(tk.t, f.pidx*{w} + 1, f.pidx*{w} + {w}), ' '),
+                    ' ' ORDER BY f.pidx) AS kept_text
+  FROM f JOIN tk USING (doc_id) WHERE NOT dropd GROUP BY f.doc_id
+)
+SELECT k.doc_id, COALESCE(r.kept_text, '') AS kept_text,
+       CAST(k.n_passages AS BIGINT) AS n_passages, k.n_dropped
+FROM k LEFT JOIN r USING (doc_id)
+"""
+
+
+SQL_PASSAGE_DEDUP = _passage_dedup_sql()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (corpus.py:redact_pii): emails and phone numbers are
     replaced by placeholder tags with per-doc removal counts. Every doc is
@@ -4108,6 +4176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_batch_plan": q_length_batch_plan,
     "repetition_scrub": q_repetition_scrub,
     "pii_redact": q_pii_redact,
+    "passage_dedup": q_passage_dedup,
     "events_interval_join": q_events_interval_join,
     "decontaminate": q_decontaminate,
     "gopher_quality": q_gopher_quality,
@@ -4195,6 +4264,7 @@ ORACLES: dict[str, str] = {
     "length_batch_plan": SQL_LENGTH_BATCH_PLAN,
     "repetition_scrub": SQL_REPETITION_SCRUB,
     "pii_redact": SQL_PII_REDACT,
+    "passage_dedup": SQL_PASSAGE_DEDUP,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "decontaminate": SQL_DECONTAMINATE,
     "gopher_quality": SQL_GOPHER_QUALITY,

@@ -471,3 +471,45 @@ def test_length_batch_plan_padding_and_coverage(spark):
     waste = plan.agg(F.sum("pad_waste")).collect()[0][0]
     gwaste = docs.count() * gmax - plan.agg(F.sum("n_tokens")).collect()[0][0]
     assert waste < gwaste * 0.5  # at least 2x padding reduction on this corpus
+
+
+def test_cross_doc_passage_dedup(spark):
+    """Cross-document boilerplate removal: a passage shared by 3 docs
+    survives only in the lowest-id doc; unique passages always survive;
+    intra-doc repetition alone does not trigger (cross-doc rule)."""
+    from peerdb_spark.functions.corpus import cross_doc_passage_dedup
+
+    boiler = "b1 b2 b3"  # window_words=3 passage shared across docs
+    rows = [
+        (1, f"{boiler} u1 u2 u3"),
+        (2, f"{boiler} v1 v2 v3"),
+        (3, f"w1 w2 w3 {boiler}"),
+        (4, "x1 x2 x3 x1 x2 x3"),  # intra-doc repeat only: kept whole
+        (5, ""),                    # tokenless: no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_passage_dedup(df, window_words=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["kept_text"] == f"{boiler} u1 u2 u3"   # keeper keeps it
+    assert out[2]["kept_text"] == "v1 v2 v3"
+    assert out[3]["kept_text"] == "w1 w2 w3"
+    assert out[2]["n_dropped"] == 1 and out[3]["n_dropped"] == 1
+    # intra-doc duplicate passage is cross-doc too here? No: same doc twice
+    # -> count_distinct(doc)=1 -> kept whole
+    assert out[4]["kept_text"] == "x1 x2 x3 x1 x2 x3" and out[4]["n_dropped"] == 0
+    assert out[1]["n_passages"] == 2
+
+
+def test_cross_doc_passage_dedup_tail_window(spark):
+    """Trailing short passage participates like any other."""
+    from peerdb_spark.functions.corpus import cross_doc_passage_dedup
+
+    rows = [(1, "a b c d e"), (2, "z z z d e")]  # tail "d e" shared
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cross_doc_passage_dedup(df, window_words=3).collect()}
+    assert out[1]["kept_text"] == "a b c d e"
+    assert out[2]["kept_text"] == "z z z"
+    assert out[2]["n_dropped"] == 1
