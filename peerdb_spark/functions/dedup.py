@@ -203,7 +203,7 @@ def minhash_lsh_pairs(
     """
     sigs = minhash_df(df, text_col, id_col, num_hashes, n)
     if materialize:
-        sigs = sigs.localCheckpoint(eager=False)
+        sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         id_col, "minhash", F.posexplode(lsh_bands(F.col("minhash"), bands, None, num_hashes))
     ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -336,7 +336,7 @@ def incremental_lsh_ingest(
             # consumer — extra checkpoints cost a scheduler round-trip
             # each, which dominates at small scale and buys nothing at
             # large.
-            new_sigs = new_sigs.localCheckpoint(eager=False)
+            new_sigs = new_sigs.localCheckpoint(eager=True)
     new_banded = lsh_band_rows(new_sigs, id_col, num_hashes, bands)
     delta_counts = lsh_bucket_counts(new_banded)
     touched = delta_counts.select("band", "band_hash")
@@ -489,7 +489,7 @@ def lsh_verified_pairs(
             .distinct()
         )
         if materialize:
-            doc_sh = doc_sh.localCheckpoint(eager=False)
+            doc_sh = doc_sh.localCheckpoint(eager=True)
     mins = [
         F.min((F.col("shh") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"_m{j}")
         for j, (a, b) in enumerate(minhash_params(num_hashes))
@@ -532,7 +532,7 @@ def lsh_verified_pairs(
     # whole banded self-join re-runs per branch) and BROADCAST it so the
     # corpus-sized shingle relation is filtered map-side, never shuffled.
     if materialize:
-        cand = cand.localCheckpoint(eager=False)
+        cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.explode(F.array("id_a", "id_b")).alias("did")).distinct()
     )

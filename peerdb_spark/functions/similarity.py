@@ -418,7 +418,7 @@ def semantic_dedup(
         ).alias("_n2"),
     )
     if materialize:
-        c = c.localCheckpoint(eager=False)
+        c = c.localCheckpoint(eager=True)
     oversized = (
         c.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("_csz"))
@@ -592,7 +592,7 @@ def knn_graph(
     c = corpus.select(
         F.col(id_col), F.col(qvec_col),
         srp_bucket_int(qvec_col, dim, bits).alias("_bkt"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = c.select(
         F.col("_bkt"), F.col(id_col).alias("_ida"), F.col(qvec_col).alias("_va")
     )
@@ -650,7 +650,7 @@ def hard_negative_mining(
     c = corpus.select(
         F.col(id_col), F.col(qvec_col), F.col(label_col),
         srp_bucket_int(qvec_col, dim, bits).alias("_bkt"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = c.select(
         F.col("_bkt"), F.col(id_col).alias("anchor_id"),
         F.col(qvec_col).alias("_va"), F.col(label_col).alias("_la"),
@@ -698,7 +698,7 @@ def knn_label_consistency(
     c = corpus.select(
         F.col(id_col), F.col(qvec_col), F.col(label_col),
         srp_bucket_int(qvec_col, dim, bits).alias("_bkt"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = c.select(
         F.col("_bkt"), F.col(id_col).alias("_ida"),
         F.col(qvec_col).alias("_va"), F.col(label_col).alias("_la"),
