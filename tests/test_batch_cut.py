@@ -87,3 +87,61 @@ def test_add_table_mid_flow_with_backfill(spark, tmp_path):
 
     pipe.remove_table("t2")
     assert "t2" not in pipe.tables
+
+
+def test_cross_table_txn_lands_in_one_batch_and_applies_atomically(spark, tmp_path):
+    """A transaction spanning TWO destination tables must be batched as a
+    unit (the reference holds the batch cut until the txn commits across
+    all its tables) and normalize must advance both destinations together."""
+    rows = []
+    # txn 100: 3 rows into table a + 3 into table b (interleaved ckpts)
+    for i in range(3):
+        rows.append(("a", 10 + 2 * i, 100, {"id": i, "v": f"a{i}"}))
+        rows.append(("b", 11 + 2 * i, 100, {"id": i, "v": f"b{i}"}))
+    # txn 200: 4 rows into table a only
+    for i in range(4):
+        rows.append(("a", 20 + i, 200, {"id": 10 + i, "v": f"c{i}"}))
+    data = [
+        {
+            "_kind": "insert", "_checkpoint_id": c, "_commit_ts": TS, "_txid": tx,
+            "_src_table": t, "_dst_table": t,
+            "_data": json.dumps(d), "_old_data": None, "_unchanged_cols": None,
+        }
+        for (t, c, tx, d) in rows
+    ]
+    chg = spark.createDataFrame(data, cdc.CHANGELOG_SCHEMA)
+    cut = cdc.cut_batches(chg, max_batch_size=4)
+    by_txn = {
+        r["_txid"]: r["n"]
+        for r in cut.groupBy("_txid").agg(
+            F.count_distinct("_batch_no").alias("n")
+        ).collect()
+    }
+    assert by_txn == {100: 1, 200: 1}  # neither txn split, even cross-table
+    batch_of = {
+        r["_txid"]: r["b"]
+        for r in cut.groupBy("_txid").agg(F.min("_batch_no").alias("b")).collect()
+    }
+    assert batch_of[100] != batch_of[200]  # 6 rows > max 4 closed batch 0
+
+    # drive the pipeline: after normalizing txn 100's batch, BOTH tables
+    # hold exactly their slice of the txn; txn 200 not yet visible
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    pipe = cdc.CdcPipeline(
+        spark,
+        str(tmp_path / "raw"),
+        [
+            cdc.CdcTableConfig("a", ["id"], schema, str(tmp_path / "da"), n_buckets=2),
+            cdc.CdcTableConfig("b", ["id"], schema, str(tmp_path / "db"), n_buckets=2),
+        ],
+    )
+    first = batch_of[100] + 1  # sync_batch numbering is 1-based below
+    for bno in sorted(set(batch_of.values())):
+        part = cut.where(F.col("_batch_no") == bno).drop("_batch_no")
+        pipe.sync_batch(part, bno + 1)
+    pipe.normalize_batches(first, first)
+    got_a = sorted(r["v"] for r in ParquetTable(spark, str(tmp_path / "da"), ["id"], 2).read().collect())
+    got_b = sorted(r["v"] for r in ParquetTable(spark, str(tmp_path / "db"), ["id"], 2).read().collect())
+    assert got_a == ["a0", "a1", "a2"] and got_b == ["b0", "b1", "b2"]
