@@ -171,14 +171,18 @@ class RawTable:
         would still yield an all-NULL struct and upsert a NULL-pk row), or an
         object whose fields fail to convert to value_schema's types. One
         JVM-side from_json pass with PERMISSIVE mode + a corrupt-record
-        column covers all three classes."""
+        column covers the malformed classes; empty/whitespace-only payloads
+        (from_json leaves the corrupt column NULL for those) are tested
+        explicitly."""
         probe = T.StructType(
             [*value_schema.fields, T.StructField("_peerdb_corrupt", T.StringType())]
         )
         corrupt = F.from_json(
             pay, probe, {"columnNameOfCorruptRecord": "_peerdb_corrupt"}
         )["_peerdb_corrupt"]
-        return pay.isNotNull() & corrupt.isNotNull()
+        return pay.isNotNull() & (
+            (F.length(F.trim(pay)) == 0) | corrupt.isNotNull()
+        )
 
     def dead_letters(self, start_batch: int, end_batch: int, value_schema: T.StructType) -> DataFrame:
         """Raw DATA rows whose payload exists but does not parse AS AN OBJECT

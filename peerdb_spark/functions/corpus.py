@@ -497,6 +497,7 @@ def cross_doc_passage_dedup(
     id_col: str = "doc_id",
     window_words: int = 10,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Remove passages repeated ACROSS documents (the CCNet/RefinedWeb
     paragraph-dedup rule, adapted to word windows since the corpus carries
@@ -516,9 +517,15 @@ def cross_doc_passage_dedup(
     len(doc)/window_words). Duplicate-hash counts collapse with map-side
     partials; the dup set is naturally small (boilerplate), and a
     pathological corpus-wide passage still costs one counter, not a join
-    blow-up.
+    blow-up. `materialize` eager-checkpoints the token arrays (consumed by
+    the passage branch AND the rebuild) and the hashed passage relation
+    (consumed by the count aggregate AND the flag join) — without it the
+    corpus text is re-tokenized/re-hashed per branch (two AQE stages race
+    a lazy checkpoint, so eager; at 100 TB write both to parquet instead).
     """
     tk = df.select(F.col(id_col), tokens(text_col).alias("_t")).where(F.size("_t") > 0)
+    if materialize:
+        tk = tk.localCheckpoint(eager=True)
     npass = F.ceil(F.size("_t") / F.lit(window_words)).cast("int")
     passages = tk.select(
         id_col,
@@ -534,6 +541,8 @@ def cross_doc_passage_dedup(
             )
         ).alias("_h"),
     )
+    if materialize:
+        passages = passages.localCheckpoint(eager=True)
     stats = passages.groupBy("_h").agg(
         F.count_distinct(F.col(id_col)).alias("_nd"),
         F.min(id_col).alias("_keeper"),

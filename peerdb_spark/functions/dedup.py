@@ -412,28 +412,46 @@ def incremental_lsh_pairs(
     Production at 100 TB should maintain the banded table and count log as
     parquet and call incremental_lsh_ingest directly — that drops even the
     one-time corpus banding from the batch cost."""
-    # hash corpus AND batch in ONE materialized pass (a _new flag column),
-    # then hand ingest the two slices — every downstream consumer reads the
-    # checkpoint; the signature kernel runs exactly once per doc
-    all_sigs = (
-        existing_sigs.select(id_col, "minhash", F.lit(False).alias("_new"))
-        .unionByName(
-            minhash_df(new_df, text_col, id_col, num_hashes, n).select(
-                id_col, "minhash", F.lit(True).alias("_new")
-            )
+    # hash corpus AND batch in ONE pass (a _new flag column); the flagged
+    # helper materializes it once and builds the state slices
+    all_sigs = existing_sigs.select(
+        id_col, "minhash", F.lit(False).alias("_new")
+    ).unionByName(
+        minhash_df(new_df, text_col, id_col, num_hashes, n).select(
+            id_col, "minhash", F.lit(True).alias("_new")
         )
-        # EAGER: two AQE broadcast stages race to the first read of a lazy
-        # checkpoint and both compute it (measured: twin 0.8s jobs);
-        # materializing synchronously runs the signature kernel once
-        .localCheckpoint(eager=True)
     )
-    sigs_corpus = all_sigs.where(~F.col("_new")).drop("_new")
-    new_sigs = all_sigs.where(F.col("_new")).drop("_new")
+    return incremental_lsh_from_flagged(
+        all_sigs, id_col, num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def incremental_lsh_from_flagged(
+    all_sigs: DataFrame,
+    id_col: str,
+    flag_col: str = "_new",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental pairs from ONE flagged signature relation (id, minhash,
+    flag): rows with flag=true are the new batch, the rest the corpus.
+    Shared by incremental_lsh_pairs and any caller that can compute all
+    signatures in a single pass (the declared query does — its batch split
+    is a doc_id predicate). Returns (new_sigs, pairs).
+
+    EAGER checkpoint: two AQE broadcast stages race to the first read of a
+    lazy one and both compute it (measured twin 0.8s jobs); materializing
+    synchronously runs the signature kernel once for every consumer."""
+    all_sigs = all_sigs.localCheckpoint(eager=True)
+    sigs_corpus = all_sigs.where(~F.col(flag_col)).drop(flag_col)
+    new_sigs = all_sigs.where(F.col(flag_col)).drop(flag_col)
     banded_corpus = lsh_band_rows(sigs_corpus, id_col, num_hashes, bands)
     counts = lsh_bucket_counts(banded_corpus)
     _ns, _banded, _delta, pairs = incremental_lsh_ingest(
-        sigs_corpus, banded_corpus, counts, None, text_col, id_col,
-        num_hashes, bands, n, max_bucket_size,
+        sigs_corpus, banded_corpus, counts, None, None, id_col,
+        num_hashes, bands, DEFAULT_SHINGLE_N, max_bucket_size,
         materialize=False, new_sigs=new_sigs,
     )
     return new_sigs, pairs

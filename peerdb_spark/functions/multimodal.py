@@ -231,6 +231,10 @@ def sample_frames(
         ]
     )
 
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     fb, st = frame_bytes, stride
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

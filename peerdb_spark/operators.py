@@ -48,6 +48,12 @@ def asof_join(
     semantics). `tolerance_seconds` nulls out matches farther than that many
     seconds from left_ts (pandas merge_asof semantics).
 
+    NULL timestamps never participate in matching (a comparison against
+    NULL is undefined): right rows with NULL right_ts are ignored, and a
+    left row with NULL left_ts keeps NULL right columns. (DuckDB's native
+    ASOF behaves the same way; round-5 review caught the salted path
+    carrying NULL-ts right rows into every bucket.)
+
     Ties on (key, right_ts): the right row with the greatest values in its
     remaining sort order wins deterministically only if the caller dedupes
     (key, ts) beforehand; this operator adds a final struct comparison so
@@ -72,6 +78,9 @@ def asof_join(
     back = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     rcols = [c for c in right.columns if c not in keys]
+    # NULL right timestamps can never satisfy the as-of comparison; dropping
+    # them up front also keeps the salted path's bucket/carry state clean
+    right = right.where(F.col(right_ts).isNotNull())
     if salt_bucket_seconds is not None:
         return _asof_join_salted(
             left, right, keys, left_ts, right_ts, tolerance_seconds,
@@ -108,7 +117,10 @@ def asof_join(
     # forward: DESCENDING time — the same last(ignorenulls) then carries the
     # nearest FUTURE right payload. Either way right rows sort before left
     # rows at equal timestamps (inclusive match).
-    ts_ord = F.col("_ats").asc() if back else F.col("_ats").desc()
+    # NULLS FIRST in both directions: a left row with NULL left_ts must sort
+    # before every right row so last(ignorenulls) finds nothing for it
+    # (desc's default NULLS LAST would hand it the globally-last payload)
+    ts_ord = F.col("_ats").asc_nulls_first() if back else F.col("_ats").desc_nulls_first()
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_ord, F.col("_side").asc(), F.col("_pay").asc())

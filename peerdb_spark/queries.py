@@ -1187,23 +1187,14 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-corpus LSH pairs restricted to pairs touching a new id — which
     is exactly what the oracle states."""
     (docs,) = _t(spark, sf_dir, "documents")
-    # ONE signature pass over the fixture, flagged and split — standing in
-    # for the maintained signature/banded/count parquet tables plus the
-    # new batch's own hash (in production: incremental_lsh_ingest against
-    # tables on disk; per-batch cost is O(new) — see SCALING.md probe)
-    all_sigs = (
-        DD.minhash_df(docs, "text", "doc_id")
-        .withColumn("_new", F.col("doc_id") % 10 == 0)
-        .localCheckpoint(eager=True)
+    # ONE signature pass over the fixture, flagged by the batch predicate —
+    # standing in for the maintained signature/banded/count parquet tables
+    # plus the new batch's own hash (in production: incremental_lsh_ingest
+    # against tables on disk; per-batch cost is O(new) — SCALING.md probe)
+    all_sigs = DD.minhash_df(docs, "text", "doc_id").withColumn(
+        "_new", F.col("doc_id") % 10 == 0
     )
-    sigs_corpus = all_sigs.where(~F.col("_new")).drop("_new")
-    new_sigs = all_sigs.where(F.col("_new")).drop("_new")
-    banded_corpus = DD.lsh_band_rows(sigs_corpus, "doc_id")
-    counts = DD.lsh_bucket_counts(banded_corpus)
-    _ns, _nb, _dc, pairs = DD.incremental_lsh_ingest(
-        sigs_corpus, banded_corpus, counts, None, "text", "doc_id",
-        materialize=False, new_sigs=new_sigs,
-    )
+    _ns, pairs = DD.incremental_lsh_from_flagged(all_sigs, "doc_id")
     return pairs
 
 

@@ -340,6 +340,8 @@ def test_non_object_and_type_mismatch_payloads_quarantined(spark, tmp_path):
         ("insert", 3, "[1,2]"),                  # array
         ("insert", 4, "null"),                   # JSON null literal
         ("insert", 5, '{"pk": "notanint", "v": "x"}'),  # type mismatch
+        ("insert", 7, ""),                       # empty payload
+        ("insert", 8, "   "),                    # whitespace-only
         ("insert", 6, '{"pk": 6, "v": "ok", "extra": 1}'),  # extra key: fine
     ]
     feed = spark.createDataFrame(
@@ -363,4 +365,6 @@ def test_non_object_and_type_mismatch_payloads_quarantined(spark, tmp_path):
     )
     assert got == [(1, "good"), (6, "ok")]  # no NULL-pk rows
     dead = sorted(r["_peerdb_data"] for r in pipe.raw.dead_letters(1, 1, schema).collect())
-    assert dead == sorted(["5", "[1,2]", "null", '{"pk": "notanint", "v": "x"}'])
+    assert dead == sorted(
+        ["5", "[1,2]", "null", '{"pk": "notanint", "v": "x"}', "", "   "]
+    )

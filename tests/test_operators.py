@@ -285,3 +285,24 @@ def test_asof_salted_plan_partitions_by_bucket(spark):
     assert "_b" not in plain and "_b" in salted
     out = asof_join(lf, rf, "k", salt_bucket_seconds=60).collect()[0]
     assert out["v"] == 7
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """r5 review: NULL right_ts rows are ignored; NULL left_ts rows keep
+    NULL right columns — identically in unsalted and salted paths, both
+    directions."""
+    lf = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "l1"), (1, None, "lnull")],
+        "k int, ts string, tag string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    rf = spark.createDataFrame(
+        [(1, None, 99), (1, "2024-01-01 00:05:00", 7), (1, "2024-01-01 00:15:00", 8)],
+        "k int, ts string, v int",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    for direction, want in (("backward", 7), ("forward", 8)):
+        for salt in (None, 60, 3600):
+            rows = {r["tag"]: r for r in asof_join(
+                lf, rf, "k", direction=direction, salt_bucket_seconds=salt
+            ).collect()}
+            assert rows["l1"]["v"] == want, (direction, salt)
+            assert rows["lnull"]["v"] is None, (direction, salt)
