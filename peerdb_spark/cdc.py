@@ -203,10 +203,25 @@ class RawTable:
         Rows whose payload is PRESENT but unparseable as a schema-shaped
         object are dropped here (see dead_letters for the quarantine view —
         same predicate): merging them would upsert a NULL-pk row, silently
-        corrupting the destination."""
+        corrupting the destination. The quarantine test and the value parse
+        are ONE from_json pass — the payload parses into the probe schema
+        (value fields + corrupt-record column) and rows keep only when the
+        corrupt slot is NULL, so the hot path pays a single JSON parse per
+        row plus the conditional old-image parse for updates."""
         pay = self._payload()
-        raw = raw.where(~self._payload_bad(pay, value_schema))
-        parsed = raw.select(
+        probe = T.StructType(
+            [*value_schema.fields, T.StructField("_peerdb_corrupt", T.StringType())]
+        )
+        parsed0 = raw.withColumn(
+            "_vp",
+            F.from_json(pay, probe, {"columnNameOfCorruptRecord": "_peerdb_corrupt"}),
+        ).withColumn("_pay_str", pay)
+        ok = F.col("_pay_str").isNull() | (
+            (F.length(F.trim(F.col("_pay_str"))) > 0)
+            & F.col("_vp._peerdb_corrupt").isNull()
+        )
+        kept = parsed0.where(ok)
+        parsed = kept.select(
             F.when(F.col(RAW_TYPE) == N.KIND_INSERT, F.lit("insert"))
             .when(F.col(RAW_TYPE) == N.KIND_UPDATE, F.lit("update"))
             .otherwise(F.lit("delete"))
@@ -214,7 +229,9 @@ class RawTable:
             F.col("_peerdb_checkpoint_id").alias(N.COL_CHECKPOINT),
             F.timestamp_micros(F.col(RAW_TS)).alias(N.COL_COMMIT_TS),
             F.col(RAW_DST).alias(N.COL_DST),
-            F.from_json(pay, value_schema).alias("_v"),
+            F.struct(
+                *[F.col(f"_vp.{f.name}") for f in value_schema.fields]
+            ).alias("_v"),
             # updates keep their OLD row image too (when the source emitted
             # one — REPLICA IDENTITY FULL / binlog before-image): it powers
             # PK-changing-update splitting in normalize.split_pk_updates
