@@ -29,24 +29,52 @@ from peerdb_spark.storage import ParquetTable
 
 @dataclass
 class SchemaDelta:
-    """One table's added columns (ref: protos/flow.proto TableSchemaDelta)."""
+    """One table's schema changes (ref: protos/flow.proto TableSchemaDelta —
+    the reference carries added columns; widenings extend that for sources
+    whose relation messages report retyped columns)."""
 
     dst_table: str
     added_columns: list[tuple[str, str]] = field(default_factory=list)  # (name, spark ddl type)
+    widened_columns: list[tuple[str, str]] = field(default_factory=list)  # (name, new ddl type)
 
 
 def delta_from_relation_record(data_json: str, dst_table: str) -> SchemaDelta:
-    """Parse a RelationRecord payload: {"added": [{"name":..., "type":...}]}"""
+    """Parse a RelationRecord payload:
+    {"added": [{"name":..., "type":...}], "widened": [{"name":..., "type":...}]}"""
     d = json.loads(data_json or "{}")
     return SchemaDelta(
         dst_table,
         [(c["name"], c.get("type", "string")) for c in d.get("added", [])],
+        [(c["name"], c.get("type", "string")) for c in d.get("widened", [])],
     )
 
 
+# lossless type-widening lattice: every hop preserves all existing values
+# (the casts read_evolved applies to pre-widening files are exact)
+_WIDENINGS: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint", "double", "string"},
+    "smallint": {"int", "bigint", "double", "string"},
+    "int": {"bigint", "double", "string"},
+    "bigint": {"string"},  # bigint→double loses precision past 2^53: refused
+    "float": {"double", "string"},
+    "double": {"string"},
+    "date": {"timestamp", "timestamp_ntz", "string"},
+    "boolean": {"string"},
+}
+
+
+def is_safe_widening(old_ddl: str, new_ddl: str) -> bool:
+    o, n = old_ddl.strip().lower(), new_ddl.strip().lower()
+    return o == n or n in _WIDENINGS.get(o, set())
+
+
 def apply_delta(table: ParquetTable, delta: SchemaDelta) -> list[str]:
-    """Apply add-column deltas to the table's schema sidecar; returns the
-    column names actually added (repeat deltas dedup to no-ops)."""
+    """Apply add-column and type-widening deltas to the table's schema
+    sidecar; returns the column names actually changed (repeat deltas dedup
+    to no-ops). Widening never rewrites data files: read_evolved casts
+    pre-widening files to the sidecar type on read, which is exact because
+    only LOSSLESS widenings are accepted (is_safe_widening — e.g. int→
+    bigint yes, bigint→int or bigint→double refused)."""
     schema = table._load_schema()
     if schema is None:
         raise ValueError(f"cannot evolve non-existent table at {table.path}")
@@ -57,6 +85,19 @@ def apply_delta(table: ParquetTable, delta: SchemaDelta) -> list[str]:
         if name in existing:
             continue  # dedup of repeated deltas
         new_fields.append(T.StructField(name, _parse_ddl(ddl), True))
+        added.append(name)
+    for name, ddl in delta.widened_columns:
+        if name not in existing:
+            raise ValueError(f"cannot widen unknown column {name!r}")
+        idx = next(i for i, f in enumerate(new_fields) if f.name == name)
+        old_ddl = new_fields[idx].dataType.simpleString()
+        if old_ddl == _parse_ddl(ddl).simpleString():
+            continue  # dedup of repeated deltas
+        if not is_safe_widening(old_ddl, ddl):
+            raise ValueError(
+                f"refusing lossy type change {name}: {old_ddl} -> {ddl}"
+            )
+        new_fields[idx] = T.StructField(name, _parse_ddl(ddl), True)
         added.append(name)
     if added:
         import os
@@ -79,10 +120,15 @@ def replay_deltas(catalog, mirror: str, table: ParquetTable, deltas, batch_id=No
     for delta in deltas:
         seen = catalog.applied_delta_columns(mirror, delta.dst_table)
         fresh = [(n, t) for (n, t) in delta.added_columns if n not in seen]
-        if not fresh:
+        fresh_w = [
+            (n, t) for (n, t) in delta.widened_columns if f"{n}->{t}" not in seen
+        ]
+        if not fresh and not fresh_w:
             continue
-        added = apply_delta(table, SchemaDelta(delta.dst_table, fresh))
-        recorded = [(n, t) for (n, t) in fresh if n in added]
+        added = apply_delta(table, SchemaDelta(delta.dst_table, fresh, fresh_w))
+        recorded = [(n, t) for (n, t) in fresh if n in added] + [
+            (f"{n}->{t}", t) for (n, t) in fresh_w if n in added
+        ]
         if recorded:
             catalog.record_schema_delta(mirror, delta.dst_table, recorded, batch_id)
             applied_all.extend(added)
@@ -96,25 +142,22 @@ def _parse_ddl(ddl: str) -> T.DataType:
 
 
 def read_evolved(table: ParquetTable):
-    """Read with the evolved schema: files written before the delta surface
-    NULL for the added columns (mergeSchema + explicit projection)."""
+    """Read with the evolved schema: files written before a delta surface
+    NULL for added columns and upcast to widened types. The sidecar schema
+    is passed as the REQUESTED read schema — the parquet reader fills
+    missing columns with NULL and promotes lossless type differences
+    (int32 files under a bigint request), where mergeSchema would refuse
+    to merge int/bigint footers outright."""
     schema = table._load_schema()
-    df = table.spark.read.option("mergeSchema", "true").parquet(table.path)
     if schema is None:
-        return df
-    from pyspark.sql import functions as F
-
-    cols = []
-    have = set(df.columns)
-    for f in schema.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    out = df.select(*cols)
+        return table.spark.read.option("mergeSchema", "true").parquet(table.path)
     from peerdb_spark.storage import BUCKET_COL
 
-    return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out
+    req = T.StructType(
+        [*schema.fields, T.StructField(BUCKET_COL, T.IntegerType(), True)]
+    )
+    df = table.spark.read.schema(req).parquet(table.path)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
 def detect_payload_drift(

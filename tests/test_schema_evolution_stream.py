@@ -200,3 +200,39 @@ def test_detect_payload_drift_substring_key_types(spark):
     assert got["a"] == "string"   # NOT bigint from the 'aa' field
     assert got["aa"] == "bigint"
     assert got["flag"] == "boolean"
+
+
+def test_type_widening_delta_end_to_end(spark, tmp_path):
+    """Round-5: lossless type widening (int -> bigint) via a schema delta.
+    Old files stay int32 on disk; the sidecar retypes and reads cast — new
+    appends carry values past 2^31. Lossy changes are refused."""
+    from peerdb_spark.schema_evolution import (
+        SchemaDelta,
+        apply_delta,
+        delta_from_relation_record,
+        is_safe_widening,
+        read_evolved,
+    )
+    from peerdb_spark.storage import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"), ["pk"], n_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "pk long, v int"))
+
+    delta = delta_from_relation_record(
+        '{"widened": [{"name": "v", "type": "bigint"}]}', "t"
+    )
+    assert apply_delta(t, delta) == ["v"]
+    assert apply_delta(t, delta) == []  # idempotent
+
+    big = 2**40
+    t.append(spark.createDataFrame([(3, big)], "pk long, v long"))
+    got = {r["pk"]: r["v"] for r in read_evolved(t).collect()}
+    assert got == {1: 10, 2: 20, 3: big}
+    assert dict(read_evolved(t).dtypes)["v"] == "bigint"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lossy"):
+        apply_delta(t, SchemaDelta("t", widened_columns=[("v", "int")]))
+    with _pytest.raises(ValueError, match="unknown column"):
+        apply_delta(t, SchemaDelta("t", widened_columns=[("nope", "bigint")]))
+    assert is_safe_widening("int", "double") and not is_safe_widening("bigint", "double")
