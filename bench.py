@@ -167,6 +167,7 @@ def main() -> None:
         "length_quantiles",
         "bpe_train_merges",
         "events_burst_detect",
+        "events_rollup_incremental",
         "cdc_time_travel",
         "corpus_incremental_clean",
         "token_budget_sample",

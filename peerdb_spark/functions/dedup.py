@@ -842,3 +842,15 @@ def connected_components(
     assign = cur.select(F.col("u").alias("node"), F.col("v").alias("rep"))
     roots = assign.select(F.col("rep").alias("node"), F.col("rep")).distinct()
     return assign.unionByName(roots).distinct()
+
+
+def compact_bucket_counts(bucket_counts: DataFrame) -> DataFrame:
+    """Compact the incremental-LSH count LOG (multiple delta rows per key
+    after many batches) back to one row per (band, band_hash). Run
+    periodically like any append-log compaction — between compactions the
+    guard's semi-join just sums a few extra rows per touched key. The
+    compacted relation is exactly lsh_bucket_counts of the full banded
+    table (pinned by the count-log test)."""
+    return bucket_counts.groupBy("band", "band_hash").agg(
+        F.sum("cnt").alias("cnt")
+    )

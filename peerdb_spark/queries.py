@@ -2000,6 +2000,49 @@ GROUP BY 1, 2
 """
 
 
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained hourly rollup (rollup.py — the continuous-aggregate
+    pattern): the event feed arrives as 3 batch splits, each folded into
+    the maintained state via rollup_delta + rollup_merge (untouched keys
+    stream through; touched keys re-combine their mergeable measures).
+    The oracle is the ONE-SHOT hourly aggregate — certifying that
+    incremental maintenance converges to the same relation. Values are
+    pre-scaled to integers (round(value·1000)) so the sums are exact
+    under any combination order across batches."""
+    from peerdb_spark.rollup import rollup_delta, rollup_merge
+
+    (ev,) = _t(spark, sf_dir, "events")
+    ev_i = ev.select(
+        "event_id", "ts", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("v_i"),
+    )
+    state = None
+    for k in range(3):
+        batch = ev_i.where(F.col("event_id") % 3 == k)
+        state = rollup_merge(
+            state, rollup_delta(batch, "ts", 3600, ["event_type"], "v_i"),
+            ["event_type"],
+        )
+    return state.select(
+        "window_start_s", "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+    )
+
+
+SQL_EVENTS_ROLLUP_INCREMENTAL = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
+       event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v,
+       min(CAST(round(value * 1000) AS BIGINT)) AS min_v,
+       max(CAST(round(value * 1000) AS BIGINT)) AS max_v
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-rate burst detection (the ops-monitoring shape the reference's
     alerter evaluates, expressed as data): hourly event counts per type
@@ -4174,6 +4217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
     "events_burst_detect": q_events_burst_detect,
+    "events_rollup_incremental": q_events_rollup_incremental,
     "sq8_topk": q_sq8_topk,
     "knn_graph": q_knn_graph,
     "hard_negatives": q_hard_negatives,
@@ -4262,6 +4306,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
     "events_burst_detect": SQL_EVENTS_BURST_DETECT,
+    "events_rollup_incremental": SQL_EVENTS_ROLLUP_INCREMENTAL,
     "sq8_topk": SQL_SQ8_TOPK,
     "knn_graph": SQL_KNN_GRAPH,
     "hard_negatives": SQL_HARD_NEGATIVES,

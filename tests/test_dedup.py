@@ -308,3 +308,8 @@ def test_incremental_lsh_ingest_count_log_equals_full_recount(spark, tables):
     }
     assert log_tot == full_tot
     assert any(v > maxb for v in full_tot.values()), "guard never exercised"
+    # compaction collapses the log to one row per key with the same totals
+    comp = D.compact_bucket_counts(counts)
+    assert comp.groupBy("band", "band_hash").count().where("count > 1").count() == 0
+    comp_tot = {(r["band"], r["band_hash"]): r["cnt"] for r in comp.collect()}
+    assert comp_tot == full_tot

@@ -1,0 +1,55 @@
+"""Maintained windowed rollup (peerdb_spark.rollup): incremental == one-shot."""
+
+from pyspark.sql import functions as F
+
+from peerdb_spark.rollup import rollup_delta, rollup_merge
+
+
+def _key(rows):
+    return sorted(
+        (r["window_start_s"], r["event_type"], r["cnt"], round(r["sum_v"], 6),
+         r["min_v"], r["max_v"])
+        for r in rows
+    )
+
+
+def test_incremental_rollup_equals_one_shot(spark, tables):
+    ev = tables["events"]
+    one_shot = rollup_delta(ev, "ts", 3600, ["event_type"], "value")
+    # fold 3 arbitrary batch splits through merge
+    state = None
+    for k in range(3):
+        batch = ev.where(F.col("event_id") % 3 == k)
+        state = rollup_merge(state, rollup_delta(batch, "ts", 3600, ["event_type"], "value"),
+                             ["event_type"])
+    assert _key(state.collect()) == _key(one_shot.collect())
+
+
+def test_rollup_merge_only_touches_batch_keys(spark):
+    rows1 = [("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 01:10:00", "b", 2.0)]
+    rows2 = [("2024-01-01 01:20:00", "b", 5.0)]  # touches only hour-1/b
+
+    def df(rows):
+        return spark.createDataFrame(rows, "ts string, event_type string, value double") \
+            .select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+
+    s1 = rollup_delta(df(rows1), "ts", 3600, ["event_type"], "value")
+    delta = rollup_delta(df(rows2), "ts", 3600, ["event_type"], "value")
+    merged = {(r["window_start_s"], r["event_type"]): r
+              for r in rollup_merge(s1, delta, ["event_type"]).collect()}
+    h0 = 1704067200 - 1704067200 % 3600  # untouched key passes through
+    a = merged[(1704067800 - 1704067800 % 3600, "a")]
+    assert a["cnt"] == 1 and a["sum_v"] == 1.0
+    b = merged[(1704071400 - 1704071400 % 3600, "b")]
+    assert b["cnt"] == 2 and b["sum_v"] == 7.0 and b["min_v"] == 2.0 and b["max_v"] == 5.0
+    # no spurious keys
+    assert len(merged) == 2
+
+
+def test_rollup_bootstrap_from_none(spark):
+    rows = [("2024-01-01 00:10:00", "a", 1.5)]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    d = rollup_delta(df, "ts", 3600, ["event_type"], "value")
+    out = rollup_merge(None, d, ["event_type"]).collect()
+    assert len(out) == 1 and out[0]["cnt"] == 1
