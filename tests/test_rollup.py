@@ -53,3 +53,58 @@ def test_rollup_bootstrap_from_none(spark):
     d = rollup_delta(df, "ts", 3600, ["event_type"], "value")
     out = rollup_merge(None, d, ["event_type"]).collect()
     assert len(out) == 1 and out[0]["cnt"] == 1
+
+
+def test_rollup_maintained_by_structured_streaming(spark, tmp_path):
+    """The rollup as a STREAMING continuous aggregate: a file-source stream
+    drives rollup_delta + rollup_merge from foreachBatch (one micro-batch
+    per file), persisting state to parquet; the final state must equal the
+    one-shot aggregate over everything the stream saw."""
+    import os
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+
+    batches = [
+        [("2024-01-01 00:05:00", "a", 1.0), ("2024-01-01 00:45:00", "b", 2.0)],
+        [("2024-01-01 00:50:00", "a", 3.0), ("2024-01-01 01:05:00", "a", 4.0)],
+        [("2024-01-01 01:30:00", "b", 5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        mk(rows).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    def fold(batch_df, batch_id):
+        delta = rollup_delta(batch_df, "ts", 3600, ["event_type"], "value")
+        spark_ = batch_df.sparkSession
+        if os.path.isdir(state_dir):
+            state = spark_.read.parquet(state_dir)
+        else:
+            state = None
+        merged = rollup_merge(state, delta, ["event_type"])
+        # classic read-modify-write: stage then swap (the test keeps it
+        # simple with a collect-small state; production uses ParquetTable)
+        rows = merged.collect()
+        spark_.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            state_dir + ".tmp"
+        )
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(state_dir + ".tmp", state_dir)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/b*")
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    one_shot = rollup_delta(mk(all_rows), "ts", 3600, ["event_type"], "value")
+    got = _key(spark.read.parquet(state_dir).collect())
+    assert got == _key(one_shot.collect())
