@@ -247,6 +247,8 @@ def test_asof_salted_equals_unsalted_property(spark):
             return 1 if rng.random() < 0.6 else rng.randint(2, 4)
 
         def ts():
+            if rng.random() < 0.08:  # sprinkle NULL timestamps on both sides
+                return None
             return f"2024-01-01 00:{rng.randint(0, 59):02d}:{rng.choice([0, 15, 30, 30, 45]):02d}"
 
         lrows = [(key(), ts(), f"L{i}") for i in range(n_l)]
@@ -257,19 +259,24 @@ def test_asof_salted_equals_unsalted_property(spark):
         rf = spark.createDataFrame(rrows, "k int, ts string, v int").select(
             "k", F.col("ts").cast("timestamp").alias("ts"), "v"
         )
+        def skey(t):
+            return tuple((v is None, str(v)) for v in t)
+
         for direction in ("backward", "forward"):
             for tol in (None, 120):
                 base = sorted(
                     map(tuple, asof_join(
                         lf, rf, "k", tolerance_seconds=tol, direction=direction
-                    ).collect())
+                    ).collect()),
+                    key=skey,
                 )
                 for width in (7, 60, 3600):
                     got = sorted(
                         map(tuple, asof_join(
                             lf, rf, "k", tolerance_seconds=tol,
                             direction=direction, salt_bucket_seconds=width,
-                        ).collect())
+                        ).collect()),
+                        key=skey,
                     )
                     assert got == base, (trial, direction, tol, width)
 
