@@ -368,3 +368,47 @@ def test_non_object_and_type_mismatch_payloads_quarantined(spark, tmp_path):
     assert dead == sorted(
         ["5", "[1,2]", "null", '{"pk": "notanint", "v": "x"}', "", "   "]
     )
+
+
+def test_changelog_and_dead_letters_partition_the_raw_rows(spark, tmp_path):
+    """raw_to_changelog's keep rule and dead_letters' quarantine predicate
+    live in different code paths (the former fuses the probe into its value
+    parse) — they must stay complementary: every DATA row is either merged
+    or quarantined, never both, never neither."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+
+    schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    pipe = cdc.CdcPipeline(
+        spark,
+        str(tmp_path / "raw"),
+        [cdc.CdcTableConfig("t", ["pk"], schema, str(tmp_path / "dst"), n_buckets=2)],
+    )
+    payloads = [
+        '{"pk": 1, "v": "ok"}', "5", "[1]", "null", "{bad", "", "   ",
+        '{"pk": "x"}', '{"pk": 2, "v": null}', '{"extra": 9}', None,
+    ]
+    rows = [("insert" if p is not None else "delete", i, p) for i, p in enumerate(payloads)]
+    feed = spark.createDataFrame(
+        rows, "_kind string, _checkpoint_id long, _data string"
+    ).select(
+        "_kind", "_checkpoint_id",
+        F.timestamp_seconds(F.col("_checkpoint_id") + 1_700_000_000).alias("_commit_ts"),
+        F.col("_checkpoint_id").alias("_txid"),
+        F.lit("t").alias("_src_table"), F.lit("t").alias("_dst_table"),
+        "_data",
+        F.lit(None).cast("string").alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+    )
+    pipe.sync_batch(feed, 1)
+    raw = pipe.raw.read_batches(1, 1)
+    total = raw.count()
+    kept = pipe.raw.raw_to_changelog(raw, schema).count()
+    dead = pipe.raw.dead_letters(1, 1, schema).count()
+    assert kept + dead == total, (kept, dead, total)
+    # the specific split: ok / pk-null-ok / extra-key / null-payload-delete kept
+    assert kept == 4 and dead == 7
