@@ -89,7 +89,47 @@ def main() -> None:
         "sq8_encode": lambda p: SIM.sq8_encode(
             emb(p), SIM.sq8_stats(emb(p), "embedding"), "embedding", "vec_id"
         ),
+        # round-5 operators
+        "passage_dedup": lambda p: CP.cross_doc_passage_dedup(
+            docs(p), "text", "doc_id"
+        ),
+        "rollup_fold3": lambda p: _rollup3(p),
+        "bpe_encode_fixed": lambda p: BP.bpe_encode(
+            docs(p), [("e", "r"), ("t", "h"), ("i", "n"), ("a", "n")],
+            "text", "doc_id",
+        ),
     }
+
+    from peerdb_spark.functions import bpe as BP
+    from peerdb_spark.rollup import rollup_delta, rollup_merge
+
+    def _rollup3(p):
+        ev = spark.read.parquet(f"{BASE}/events.parquet") if p == BASE else None
+        if ev is None:
+            # events not replicated by id; replicate on the fly by ts shift
+            base_ev = spark.read.parquet(f"{BASE}/events.parquet")
+            copies = [
+                base_ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+                for i in range(factor)
+            ]
+            from functools import reduce
+
+            from pyspark.sql import DataFrame
+
+            ev = reduce(DataFrame.unionByName, copies)
+        ev = ensure_parallelism(
+            ev.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                      "event_type",
+                      F.round(F.col("value") * 1000).cast("long").alias("v_i"))
+        )
+        state = None
+        for k in range(3):
+            b = ev.where(F.col("event_id") % 3 == k)
+            state = rollup_merge(
+                state, rollup_delta(b, "ts", 3600, ["event_type"], "v_i"),
+                ["event_type"],
+            )
+        return state
 
     rows_base = {"documents": 5000, "embeddings": 60000}
     print(f"| operator | sf0.1 (s) | x{factor} (s) | ratio (ideal {factor}) |")
