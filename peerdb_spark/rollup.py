@@ -82,3 +82,87 @@ def rollup_merge(
         )
     )
     return cold.unionByName(merged)
+
+
+class RollupTable:
+    """Durable maintained rollup with EXACTLY-ONCE folding.
+
+    State layout: versioned snapshot dirs (`v{n}/` parquet) plus a
+    `_CURRENT` pointer file holding `{version, applied batch ids}`,
+    published with an atomic rename. A fold writes the next snapshot
+    fully, THEN swings the pointer — a crash mid-fold leaves an orphan
+    `v{n+1}` directory that the next fold overwrites, never a torn state.
+    Re-folding an applied batch id is a no-op (the redelivery guard a
+    foreachBatch caller needs: Spark replays micro-batches after restart
+    with the same batch_id).
+
+    Why full-snapshot writes are the right call HERE: rollup state is
+    (windows × dims)-sized — compact by construction, orders of magnitude
+    smaller than the event stream. O(new) applies to the EVENT-sized
+    input (read once per fold); rewriting the aggregate is cheap and buys
+    trivially correct crash semantics. If a deployment ever grows state
+    past that, rollup_merge's cold/hot split plus day-partitioned
+    overwrite is the upgrade path (the operators above already support
+    it)."""
+
+    def __init__(self, spark, path: str, dims: list[str],
+                 every_seconds: int, time_col: str, value_col: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.dims = dims
+        self.every_seconds = every_seconds
+        self.time_col = time_col
+        self.value_col = value_col
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_CURRENT")
+
+    def _meta(self) -> dict:
+        import json
+        import os
+
+        if not os.path.exists(self._pointer):
+            return {"version": 0, "applied": []}
+        with open(self._pointer) as fh:
+            return json.load(fh)
+
+    def read(self) -> DataFrame | None:
+        import os
+
+        m = self._meta()
+        if m["version"] == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{m['version']}"))
+
+    def fold(self, batch: DataFrame, batch_id: int) -> bool:
+        """Fold one batch; returns False when batch_id was already applied
+        (redelivery no-op). Publish order: snapshot fully written, then
+        pointer renamed — never a torn read."""
+        import json
+        import os
+
+        m = self._meta()
+        if batch_id in m["applied"]:
+            return False
+        delta = rollup_delta(
+            batch, self.time_col, self.every_seconds, self.dims, self.value_col
+        )
+        merged = rollup_merge(self.read(), delta, self.dims)
+        nxt = m["version"] + 1
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": nxt, "applied": sorted([*m["applied"], batch_id])}, fh)
+        os.replace(tmp, self._pointer)
+        old = os.path.join(self.path, f"v{m['version']}")
+        if m["version"] and os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        return True

@@ -108,3 +108,41 @@ def test_rollup_maintained_by_structured_streaming(spark, tmp_path):
     one_shot = rollup_delta(mk(all_rows), "ts", 3600, ["event_type"], "value")
     got = _key(spark.read.parquet(state_dir).collect())
     assert got == _key(one_shot.collect())
+
+
+def test_rollup_table_exactly_once_and_crash_safe(spark, tmp_path):
+    """Durable RollupTable: redelivered batches are no-ops; a crash that
+    leaves an orphan next-version snapshot (written but pointer not swung)
+    does not corrupt reads and the refold converges."""
+    import os
+    import shutil
+
+    from peerdb_spark.rollup import RollupTable, rollup_delta
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+
+    t = RollupTable(spark, str(tmp_path / "r"), ["event_type"], 3600, "ts", "value")
+    b1 = [("2024-01-01 00:05:00", "a", 1.0)]
+    b2 = [("2024-01-01 00:25:00", "a", 2.0), ("2024-01-01 01:05:00", "b", 3.0)]
+    assert t.fold(mk(b1), batch_id=1) is True
+    assert t.fold(mk(b1), batch_id=1) is False  # redelivery no-op
+    # crash simulation: batch 2's snapshot written but pointer NOT swung
+    rollup_delta(mk(b2), "ts", 3600, ["event_type"], "value").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "r" / "v2"))
+    got = {r["event_type"]: r["cnt"] for r in t.read().collect()}
+    assert got == {"a": 1}  # orphan snapshot invisible
+    assert t.fold(mk(b2), batch_id=2) is True  # refold overwrites the orphan
+    rows = {(r["window_start_s"], r["event_type"]): (r["cnt"], r["sum_v"])
+            for r in t.read().collect()}
+    assert rows == {
+        (1704067200, "a"): (2, 3.0),
+        (1704070800, "b"): (1, 3.0),
+    }
+    assert t.fold(mk(b2), batch_id=2) is False
+    # old snapshot garbage-collected
+    assert not os.path.isdir(str(tmp_path / "r" / "v1"))
+    shutil.rmtree(str(tmp_path / "r"))
