@@ -145,3 +145,47 @@ def test_cross_table_txn_lands_in_one_batch_and_applies_atomically(spark, tmp_pa
     got_a = sorted(r["v"] for r in ParquetTable(spark, str(tmp_path / "da"), ["id"], 2).read().collect())
     got_b = sorted(r["v"] for r in ParquetTable(spark, str(tmp_path / "db"), ["id"], 2).read().collect())
     assert got_a == ["a0", "a1", "a2"] and got_b == ["b0", "b1", "b2"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    txn_sizes=st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=12),
+    max_batch=st.integers(min_value=1, max_value=12),
+    shuffle_seed=st.integers(min_value=0, max_value=999),
+)
+def test_cut_batches_matches_python_reference(spark, txn_sizes, max_batch, shuffle_seed):
+    """Property: cut_batches == the reference packing rule — txns ordered by
+    (first checkpoint, txid), packed cumulatively, batch = floor((cum -
+    txn_rows) / max) — regardless of row arrival order, and no txn ever
+    spans two batches."""
+    import random
+
+    rows = []
+    ck = 0
+    for tx, n in enumerate(txn_sizes):
+        for _ in range(n):
+            rows.append((ck, tx))
+            ck += 1
+    rng = random.Random(shuffle_seed)
+    rng.shuffle(rows)
+    cut = cdc.cut_batches(_chg(spark, rows), max_batch_size=max_batch)
+    got = {
+        r["_txid"]: (r["b"], r["n"])
+        for r in cut.groupBy("_txid").agg(
+            F.min("_batch_no").alias("b"), F.count_distinct("_batch_no").alias("n")
+        ).collect()
+    }
+    # python reference
+    order = sorted(range(len(txn_sizes)), key=lambda tx: (tx * 0 + min(
+        c for c, t in rows if t == tx), tx))
+    cum = 0
+    want = {}
+    for tx in order:
+        cum += txn_sizes[tx]
+        want[tx] = (cum - txn_sizes[tx]) // max_batch
+    assert {t: b for t, (b, _) in got.items()} == want
+    assert all(n == 1 for _, n in got.values()), "txn split across batches"
