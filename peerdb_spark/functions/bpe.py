@@ -77,9 +77,10 @@ def _apply_merge(sym: Column, a: str, b: str) -> Column:
 
 
 def bpe_train(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     k: int = 10,
+    word_freqs: DataFrame | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train k BPE merges over a corpus. Returns (merges, final_vocab):
     merges = [(left, right, pair_count), ...] in training order — the
@@ -87,9 +88,12 @@ def bpe_train(
     all merges applied.
 
     Ties break on (count DESC, a, b) so training is deterministic on any
-    cluster layout / engine.
+    cluster layout / engine. Pass a precomputed `word_freqs` (w, freq)
+    relation to skip the corpus pass — callers that also encode should
+    tokenize once and share it (q_bpe_encode_tokens does).
     """
-    vocab = word_freq(df, text_col).select(
+    wf = word_freq(df, text_col) if word_freqs is None else word_freqs
+    vocab = wf.select(
         "w", "freq", _initial_symbols(F.col("w")).alias("symbols")
     )
     vocab = vocab.localCheckpoint(eager=False)
@@ -125,10 +129,11 @@ def bpe_encode_words(words: DataFrame, merges: list[tuple], word_col: str = "w")
 
 
 def bpe_encode(
-    df: DataFrame,
+    df: DataFrame | None,
     merges: list[tuple],
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize a corpus with a trained BPE merge table: per-doc token
     rows (id, token, n) — n = occurrences of that token in the doc.
@@ -137,13 +142,21 @@ def bpe_encode(
     the DISTINCT-WORD relation only (vocab-sized, one row per unique
     word); the corpus-sized work is one word count aggregate and one hash
     join of (id, word, count) against the encoded vocab. The document
-    text crosses no shuffle after the initial word explode."""
-    wc = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("n_w"))
-    )
-    vocab = bpe_encode_words(wc.select("w").distinct(), merges)
+    text crosses no shuffle after the initial word explode. Pass a
+    precomputed `word_counts` (id, w, n_w) relation to skip the corpus
+    pass (share it with bpe_train's word_freqs via a groupBy)."""
+    wc = word_counts
+    if wc is None:
+        wc = (
+            df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+            .groupBy(id_col, "w")
+            .agg(F.count(F.lit(1)).alias("n_w"))
+        )
+    # the merge folds are CPU-heavy per word (chained array folds); AQE
+    # coalesces the small distinct-word relation to 1-2 partitions, which
+    # serializes them — spread the vocab across the cluster first
+    n_part = wc.sparkSession.sparkContext.defaultParallelism
+    vocab = bpe_encode_words(wc.select("w").distinct().repartition(n_part), merges)
     per_word = wc.join(vocab, "w").select(
         id_col, F.explode("tokens").alias("token"), "n_w"
     )

@@ -2286,10 +2286,24 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the oracle unrolls the 4 training rounds and explodes the
     final vocab's symbol stream weighted by word frequency."""
     from peerdb_spark.functions.bpe import bpe_encode, bpe_train
+    from peerdb_spark.functions.text import tokens as _tokens
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
-    merges, _ = bpe_train(docs, "text", k=4)
-    enc = bpe_encode(docs, merges, "text", "doc_id")
+    # tokenize the corpus ONCE: the per-doc word counts feed the encode
+    # join directly and collapse to the trainer's (w, freq) relation
+    wc = (
+        docs.select("doc_id", F.explode(_tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        # pin real partitions BEFORE the checkpoint: AQE coalesces the
+        # small-bytes aggregate to 1 partition and every downstream
+        # consumer (vocab fold, encode join, token agg) would serialize
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    wf = wc.groupBy("w").agg(F.sum("n_w").alias("freq"))
+    merges, _ = bpe_train(None, "text", k=4, word_freqs=wf)
+    enc = bpe_encode(None, merges, "text", "doc_id", word_counts=wc)
     glob = enc.groupBy("token").agg(F.sum("n").alias("n"))
     w = Window.orderBy(F.desc("n"), "token")
     return (
