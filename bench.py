@@ -176,6 +176,9 @@ def main() -> None:
         "knn_label_consistency",
         "events_asof_forward",
         "mirror_table_diff",
+        "kmeans_clusters",
+        "tfidf_topk",
+        "quality_classifier",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

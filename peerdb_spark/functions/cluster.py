@@ -1,0 +1,189 @@
+"""Distributed k-means clustering over embedding columns (Lloyd's algorithm).
+
+Reference parity: the reference ships no clustering operator — this belongs to
+the LLM-training-data extension set (corpus curation pipelines cluster
+embeddings for topic balancing / SemDeDup codebooks / mixture design, e.g.
+the k-means stage in SemDeDup, Abbas et al. 2023). `ivf_train_centroids`
+(similarity.py:148) trains on a driver-side SAMPLE, which is the right call
+for an IVF coarse quantizer; this module is the full-corpus distributed
+variant for when cluster assignments of EVERY row are the product.
+
+Cross-engine exactness: float means are order-dependent under distributed
+summation, so a naive Lloyd's loop is nondeterministic at the bit level and
+can't be oracle-verified. We therefore run FIXED-POINT k-means:
+
+- vectors quantize once: qx = round(x * S) as int64 (S = 1024; exact —
+  float->double is exact and S is a power of two, round is half-away-from-
+  zero in both Spark and DuckDB)
+- centroids live at scale S^2: m_d = trunc_div(sum(qx_d) * S, count) —
+  integer sums are exact in ANY summation order, trunc-division matches
+  DuckDB's `//` (toward zero)
+- the E-step distance is the all-integer sum((qx_d*S - m_d)^2); with
+  |x| <= 8 the per-dim term is < 2^47 and a 4096-dim sum still fits int64,
+  INDEPENDENT of corpus size — the formulation is 100-TB safe.
+
+Scale shape per iteration: one map-side-combinable hash agg
+groupBy(cell, dim) over the corpus (the M-step), with only k*dim tiny rows
+collected to the driver; the E-step is per-row JVM codegen against literal
+centroid arrays (k*dim constants — broadcast-by-closure, no join). Empty
+clusters are retired (the standard degenerate-cluster rule), identically in
+the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1024
+
+
+def quantize_vec(vec: Column, scale: int = SCALE) -> Column:
+    """qx = round(x * scale) as bigint, element-wise. Exact and identical in
+    Spark and DuckDB (see module docstring)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's `//` semantics
+    (Python's // floors, which differs on negative numerators)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _assign_cell(qv: Column, centroids: list[tuple[int, list[int]]], scale: int) -> Column:
+    """Nearest-centroid id for a quantized vector, all-integer arithmetic,
+    ties -> lowest cell id (array_sort on (dist, cell) structs)."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.lit(m),
+                        lambda a, b: (a * scale - b) * (a * scale - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cell).cast("long").alias("cell"),
+            )
+            for cell, m in centroids
+        ]
+    )
+    return F.element_at(F.array_sort(dists), 1)["cell"]
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = SCALE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell): full-corpus Lloyd's for `iters` rounds, fixed-point
+    arithmetic, deterministic seeds = the first k vectors by id with
+    centroid m = qx * scale.
+
+    Per round: E-step is per-row codegen (no shuffle); M-step is ONE hash
+    aggregation groupBy(cell, dim) — partial aggregation map-side, k*dim
+    rows collected (k=8, dim=64 -> 512 rows/round, the same driver-collect
+    budget as the BPE trainer's 1-row argmax). The corpus is scanned
+    iters+1 times; cache/localCheckpoint the input upstream when iterating
+    more than a few rounds.
+    """
+    qdf = corpus.select(F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("qv"))
+
+    seeds = qdf.orderBy(id_col).limit(k).select("qv").collect()
+    centroids: list[tuple[int, list[int]]] = [
+        (i, [int(x) * scale for x in r["qv"]]) for i, r in enumerate(seeds)
+    ]
+
+    for _ in range(iters - 1):
+        assigned = qdf.select(
+            "qv", _assign_cell(F.col("qv"), centroids, scale).alias("cell")
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["c"])
+        # empty cells simply vanish (retired); surviving cells keep their id
+        centroids = [
+            (
+                cell,
+                [
+                    _trunc_div(dims[p][0] * scale, dims[p][1])
+                    for p in sorted(dims)
+                ],
+            )
+            for cell, dims in sorted(by_cell.items())
+        ]
+
+    return qdf.select(
+        F.col(id_col), _assign_cell(F.col("qv"), centroids, scale).alias("cell")
+    )
+
+
+def kmeans_assign_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = SCALE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle: the SAME fixed-point Lloyd's loop unrolled as CTEs —
+    an independent single-node implementation certifying the distributed
+    one (the bpe_train_merges pattern for iterative algorithms)."""
+
+    def assign(prev_c: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT {id_col}, qv, cell FROM (
+    SELECT q.{id_col}, q.qv, c.cell,
+      row_number() OVER (PARTITION BY q.{id_col} ORDER BY
+        list_sum(list_transform(list_zip(q.qv, c.m),
+                 z -> (z[1]*{scale} - z[2])*(z[1]*{scale} - z[2]))), c.cell) AS rn
+    FROM q, {prev_c} c
+  ) WHERE rn = 1
+)"""
+
+    def mstep(a: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT cell, list(ms ORDER BY pos) AS m FROM (
+    SELECT cell, pos, CAST((sum(v)*{scale})//count(*) AS BIGINT) AS ms
+    FROM (SELECT cell, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS pos FROM {a})
+    GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+
+    parts = [
+        f"""
+WITH q AS (
+  SELECT {id_col},
+         list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)*{scale}) AS BIGINT)) AS qv
+  FROM {table}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS BIGINT) AS cell,
+         list_transform(qv, x -> x*{scale}) AS m
+  FROM q QUALIFY row_number() OVER (ORDER BY {id_col}) <= {k}
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters):
+        parts.append("," + assign(prev, f"a{i}"))
+        parts.append("," + mstep(f"a{i}", f"c{i}"))
+        prev = f"c{i}"
+    parts.append("," + assign(prev, f"a{iters}"))
+    parts.append(f"\nSELECT {id_col}, cell FROM a{iters}")
+    return "".join(parts)

@@ -4159,6 +4159,137 @@ WHERE f.quality >= 0.8 AND f.n_tokens >= 20
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means (functions/cluster.py:kmeans_assign):
+    3 fixed-point Lloyd rounds over every embedding, k=8 deterministic seeds.
+    The oracle UNROLLS the same rounds in DuckDB SQL — two independent
+    implementations of an iterative distributed algorithm certifying each
+    other (the bpe_train_merges pattern). Corpus-curation use: topic
+    balancing / SemDeDup codebooks over training-data embeddings."""
+    from peerdb_spark.functions.cluster import kmeans_assign
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    # iters+1 jobs consume the quantized corpus -> eager checkpoint upstream
+    emb = ensure_parallelism(emb.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
+    return kmeans_assign(emb, k=8, iters=3)
+
+
+def _kmeans_sql() -> str:
+    from peerdb_spark.functions.cluster import kmeans_assign_sql
+
+    return kmeans_assign_sql("embeddings", k=8, iters=3)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-5 terms — keyword extraction for corpus
+    topic inspection. Integer-exact ranking: score = tf * N / df computed as
+    one IEEE double division (bit-identical across engines; ln-idf is
+    monotone in 1/df at fixed tf so the raw-ratio variant ranks per-term
+    identically — documented deliberately, the unigram_surprisal precedent
+    for avoiding cross-engine libm). Shape at 100 TB: two hash aggs
+    (doc-term, then term) + a broadcast of the 1-row corpus count; the
+    doc-frequency join keys on term, never on text."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "doc_id", F.col("rank").cast("int").alias("rank"), "token", "tf", "df",
+            "score",
+        )
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE len(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, score FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                                     tf.token) AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+) WHERE rank <= 5
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (the fastText-style filter used by
+    CCNet/GPT-3-era corpus pipelines, reduced to its Spark-native core):
+    each token hashes to a signed weight w = H_7(token) % 1001 - 500, the
+    document score is mean(w)/1000 and a threshold yields keep/drop. The
+    weight table is IMPLICIT in the hash (no model file needed for the
+    plumbing; swapping in trained weights = joining a broadcast weight
+    relation on the same hash key). Integer-exact: the weight sum is a
+    bigint agg (order-free), one double division at the end. At 100 TB this
+    is a single map-side-combinable aggregation — no shuffle of text."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    from peerdb_spark.functions.hashing import h64_seeded
+
+    agg = tok.groupBy("doc_id").agg(
+        F.sum(h64_seeded(F.col("token"), 7) % 1001 - 500).alias("w_sum"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    score = F.col("w_sum").cast("double") / (F.col("n_tokens").cast("double") * 1000.0)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        F.when(score >= 0.0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE len(trim(text)) > 0
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum({h64_sql("concat('7:', token)")} % 1001 - 500) AS BIGINT) AS w_sum,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(w_sum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) AS score,
+       CASE WHEN CAST(w_sum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) >= 0.0
+            THEN 'keep' ELSE 'drop' END AS label
+FROM agg
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -4251,6 +4382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_incremental_clean": q_corpus_incremental_clean,
     "corpus_clean_full": q_corpus_clean_full,
+    "kmeans_clusters": q_kmeans_clusters,
+    "tfidf_topk": q_tfidf_topk,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -4340,4 +4474,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "corpus_incremental_clean": SQL_CORPUS_INCREMENTAL_CLEAN,
     "corpus_clean_full": SQL_CORPUS_CLEAN_FULL,
+    "kmeans_clusters": _kmeans_sql(),
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

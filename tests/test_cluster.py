@@ -1,0 +1,102 @@
+"""Distributed fixed-point k-means (functions/cluster.py).
+
+The declared query `kmeans_clusters` is value-verified against the unrolled
+DuckDB oracle by the gate; these tests pin the algorithmic contract on
+hand-built inputs: a pure-Python reference implementation must agree
+exactly (same quantization / trunc-div / tiebreak rules), runs must be
+deterministic, and empty clusters must retire.
+"""
+
+from __future__ import annotations
+
+import random
+
+from peerdb_spark.functions.cluster import SCALE, _trunc_div, kmeans_assign
+
+
+def _ref_kmeans(vecs: dict[int, list[float]], k: int, iters: int, scale: int = SCALE):
+    """Single-node reference of the exact fixed-point rules."""
+    q = {
+        i: [int(round_half_away(x * scale)) for x in v] for i, v in vecs.items()
+    }
+    ids = sorted(q)
+    cents = [(j, [x * scale for x in q[ids[j]]]) for j in range(k)]
+
+    def assign(cents):
+        out = {}
+        for i in ids:
+            best = min(
+                (
+                    (
+                        sum((a * scale - b) ** 2 for a, b in zip(q[i], m)),
+                        cell,
+                    )
+                    for cell, m in cents
+                )
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(iters - 1):
+        a = assign(cents)
+        by_cell: dict[int, list[int]] = {}
+        for i, c in a.items():
+            by_cell.setdefault(c, []).append(i)
+        cents = [
+            (
+                cell,
+                [
+                    _trunc_div(sum(q[i][d] for i in members) * scale, len(members))
+                    for d in range(len(q[ids[0]]))
+                ],
+            )
+            for cell, members in sorted(by_cell.items())
+        ]
+    return assign(cents)
+
+
+def round_half_away(x: float) -> float:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_matches_pure_python_reference(spark):
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    # reference quantizes from the FLOAT32 values the DataFrame stores
+    stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(df, k=4, iters=3).collect()
+    }
+    assert got == _ref_kmeans(stored, k=4, iters=3)
+
+
+def test_deterministic_and_total(spark):
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(kmeans_assign(df, k=3, iters=2).collect())
+    b = sorted(kmeans_assign(df, k=3, iters=2).collect())
+    assert a == b
+    assert len(a) == 30
+    assert {r["cell"] for r in a} <= {0, 1, 2}
+
+
+def test_empty_cluster_retires(spark):
+    # ids 0 and 1 share a vector: the duplicate ties to cell 0 (lowest-cell
+    # tiebreak), cluster 1 receives no members and is retired; remaining
+    # rounds run with k-1 centroids.
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0])] + [
+        (i, [10.0 + (i % 3) * 0.01, 10.0]) for i in range(3, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, k=3, iters=3).collect()}
+    assert set(out.values()) == {0, 2}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 2
