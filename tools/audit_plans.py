@@ -182,6 +182,22 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("per-group window rank", r"Window", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("kmeans_clusters", [
+        # E-step is per-row codegen against literal centroids — no join, no
+        # python; the declared plan is the final assignment pass
+        ("no join in the assignment pass", r"Join", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("tfidf_topk", [
+        ("tf/df hash aggs (map-side partials)", r"HashAggregate", True),
+        ("1-row corpus count broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("quality_classifier", [
+        ("single weight-sum hash agg", r"HashAggregate", True),
+        ("no join (weights implicit in the hash)", r"Join", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these

@@ -194,6 +194,26 @@ COMMENT = {
         "scan-pipelined filter (zero exchanges before the bounded "
         "per-source aggregate)."
     ),
+    "kmeans_clusters": (
+        "Distributed fixed-point k-means, final E-step plan: per-row integer "
+        "distance codegen against the k×dim literal centroid arrays — no join, "
+        "no shuffle, no Python; the corpus streams through once. Each training "
+        "round's M-step (not shown: a groupBy(cell,dim) HashAggregate with "
+        "map-side partials) collects only k×dim rows to the driver."
+    ),
+    "tfidf_topk": (
+        "TF-IDF keyword extraction: doc-term and term hash aggregates with "
+        "map-side partials, the 1-row corpus count broadcast back, and a "
+        "per-doc window rank. Text leaves the scan only as (doc_id, token) "
+        "pairs — the heavy relation shuffles once for the tf aggregate and "
+        "the df join keys on the term."
+    ),
+    "quality_classifier": (
+        "Hashed linear scorer: ONE map-side-combinable HashAggregate per "
+        "document over per-token signed hash weights; no join (the weight "
+        "table is implicit in the hash), no Python, one exchange. The "
+        "cheapest possible shape for a corpus-wide model-scoring pass."
+    ),
 }
 
 
