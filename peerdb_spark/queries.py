@@ -2022,6 +2022,7 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = rollup_merge(
             state, rollup_delta(batch, "ts", 3600, ["event_type"], "v_i"),
             ["event_type"],
+            materialize_state=True,  # chained folds: keep the plan linear
         )
     return state.select(
         "window_start_s", "event_type",

@@ -60,14 +60,28 @@ def rollup_merge(
     state: DataFrame | None,
     delta: DataFrame,
     dims: list[str],
+    materialize_state: bool = False,
 ) -> DataFrame:
     """Fold a batch's partial rollup into the maintained state — O(new):
     untouched keys stream through without re-aggregation; touched keys
     (state rows semi-joined against the broadcast delta key set, plus the
-    delta itself) re-combine their mergeable measures."""
+    delta itself) re-combine their mergeable measures.
+
+    The delta is eager-localCheckpointed: three plan branches consume it
+    (both broadcast key probes + the union), and without pinning each
+    branch would re-aggregate the batch (the multi-consumer
+    lazy-checkpoint race documented in the perf playbook). `state` is
+    referenced twice (anti + semi) — cheap when it's a parquet scan
+    (RollupTable.fold), but a LAZY state doubles per merge level, so
+    chained in-memory folds (state = rollup_merge(state, ...) in a loop)
+    must pass materialize_state=True to keep the plan linear in the
+    number of batches instead of exponential."""
     keys = ["window_start_s", *dims]
     if state is None:
         return delta
+    delta = delta.localCheckpoint(eager=True)
+    if materialize_state:
+        state = state.localCheckpoint(eager=True)
     touched = delta.select(*keys).distinct()
     cold = state.join(F.broadcast(touched), keys, "left_anti")
     hot = state.join(F.broadcast(touched), keys, "left_semi")
@@ -84,12 +98,26 @@ def rollup_merge(
     return cold.unionByName(merged)
 
 
+def _compact_applied(m: dict) -> dict:
+    """Collapse the contiguous applied-id prefix into a watermark so the
+    pointer file stays O(gap) instead of O(batches): Structured Streaming
+    batch ids are monotone and contiguous, so in steady state the extra
+    set is empty and the pointer never grows."""
+    until, extra = m["applied_until"], sorted(set(m["applied_extra"]))
+    while extra and extra[0] <= until + 1:
+        until = max(until, extra.pop(0))
+    return {**m, "applied_until": until, "applied_extra": extra}
+
+
 class RollupTable:
     """Durable maintained rollup with EXACTLY-ONCE folding.
 
     State layout: versioned snapshot dirs (`v{n}/` parquet) plus a
-    `_CURRENT` pointer file holding `{version, applied batch ids}`,
-    published with an atomic rename. A fold writes the next snapshot
+    `_CURRENT` pointer file holding `{version, applied_until,
+    applied_extra}` — the applied-batch set compacted to a contiguous
+    watermark (ids stay monotone under Structured Streaming, so the
+    pointer is O(1) in steady state; legacy `applied`-list pointers are
+    upgraded on read) — published with an atomic rename. A fold writes the next snapshot
     fully, THEN swings the pointer — a crash mid-fold leaves an orphan
     `v{n+1}` directory that the next fold overwrites, never a torn state.
     Re-folding an applied batch id is a no-op (the redelivery guard a
@@ -128,9 +156,19 @@ class RollupTable:
         import os
 
         if not os.path.exists(self._pointer):
-            return {"version": 0, "applied": []}
+            return {"version": 0, "applied_until": -1, "applied_extra": []}
         with open(self._pointer) as fh:
-            return json.load(fh)
+            m = json.load(fh)
+        if "applied" in m:  # pre-compaction pointer layout
+            ids = sorted(m.pop("applied"))
+            m.setdefault("applied_until", -1)
+            m.setdefault("applied_extra", ids)
+            m = _compact_applied(m)
+        return m
+
+    @staticmethod
+    def _is_applied(m: dict, batch_id: int) -> bool:
+        return batch_id <= m["applied_until"] or batch_id in m["applied_extra"]
 
     def read(self) -> DataFrame | None:
         import os
@@ -148,7 +186,7 @@ class RollupTable:
         import os
 
         m = self._meta()
-        if batch_id in m["applied"]:
+        if self._is_applied(m, batch_id):
             return False
         delta = rollup_delta(
             batch, self.time_col, self.every_seconds, self.dims, self.value_col
@@ -156,9 +194,16 @@ class RollupTable:
         merged = rollup_merge(self.read(), delta, self.dims)
         nxt = m["version"] + 1
         merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
+        nm = _compact_applied(
+            {
+                "version": nxt,
+                "applied_until": m["applied_until"],
+                "applied_extra": sorted([*m["applied_extra"], batch_id]),
+            }
+        )
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": nxt, "applied": sorted([*m["applied"], batch_id])}, fh)
+            json.dump(nm, fh)
         os.replace(tmp, self._pointer)
         old = os.path.join(self.path, f"v{m['version']}")
         if m["version"] and os.path.isdir(old):

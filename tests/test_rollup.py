@@ -146,3 +146,38 @@ def test_rollup_table_exactly_once_and_crash_safe(spark, tmp_path):
     # old snapshot garbage-collected
     assert not os.path.isdir(str(tmp_path / "r" / "v1"))
     shutil.rmtree(str(tmp_path / "r"))
+
+
+def test_pointer_compaction_and_legacy_upgrade(spark, tmp_path):
+    """The applied-batch set compacts to a contiguous watermark (O(1)
+    pointer in steady state) and pre-compaction `applied`-list pointers
+    upgrade transparently."""
+    import json
+
+    from peerdb_spark.rollup import RollupTable
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts string, event_type string, value double") \
+            .withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).col("ts").cast("timestamp"))
+
+    t = RollupTable(spark, str(tmp_path / "r"), ["event_type"], 3600, "ts", "value")
+    b = [("2024-01-01 00:05:00", "a", 1.0)]
+    for i in range(5):
+        assert t.fold(mk(b), batch_id=i) is True
+    m = json.load(open(str(tmp_path / "r" / "_CURRENT")))
+    assert m["applied_until"] == 4 and m["applied_extra"] == []
+    # out-of-order id stays in the sparse extra set until the gap closes
+    assert t.fold(mk(b), batch_id=7) is True
+    m = json.load(open(str(tmp_path / "r" / "_CURRENT")))
+    assert m["applied_until"] == 4 and m["applied_extra"] == [7]
+    assert t.fold(mk(b), batch_id=5) is True
+    assert t.fold(mk(b), batch_id=6) is True
+    m = json.load(open(str(tmp_path / "r" / "_CURRENT")))
+    assert m["applied_until"] == 7 and m["applied_extra"] == []
+    for i in range(8):
+        assert t.fold(mk(b), batch_id=i) is False  # all watermarked
+    # legacy pointer layout upgrades on read
+    json.dump({"version": m["version"], "applied": [0, 1, 2]},
+              open(str(tmp_path / "r" / "_CURRENT"), "w"))
+    assert t.fold(mk(b), batch_id=1) is False
+    assert t.fold(mk(b), batch_id=3) is True

@@ -98,9 +98,21 @@ def main() -> None:
             docs(p), [("e", "r"), ("t", "h"), ("i", "n"), ("a", "n")],
             "text", "doc_id",
         ),
+        "kmeans_assign": lambda p: CL.kmeans_assign(
+            emb(p).localCheckpoint(eager=True), k=8, iters=3
+        ),
+        "quality_classifier": lambda p: (
+            docs(p)
+            .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tk"))
+            .groupBy("doc_id")
+            .agg(F.sum(HS.h64_seeded(F.col("tk"), 7) % 1001 - 500).alias("w"),
+                 F.count(F.lit(1)).alias("n"))
+        ),
     }
 
     from peerdb_spark.functions import bpe as BP
+    from peerdb_spark.functions import cluster as CL
+    from peerdb_spark.functions import hashing as HS
     from peerdb_spark.rollup import rollup_delta, rollup_merge
 
     def _rollup3(p):
@@ -128,6 +140,7 @@ def main() -> None:
             state = rollup_merge(
                 state, rollup_delta(b, "ts", 3600, ["event_type"], "v_i"),
                 ["event_type"],
+                materialize_state=True,
             )
         return state
 
