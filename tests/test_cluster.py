@@ -100,3 +100,38 @@ def test_empty_cluster_retires(spark):
     out = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, k=3, iters=3).collect()}
     assert set(out.values()) == {0, 2}
     assert out[0] == 0 and out[1] == 0 and out[2] == 2
+
+
+def test_kmeans_hypothesis_random_inputs(spark):
+    """Property: distributed fixed-point k-means == the pure-Python
+    reference on random vector sets, k, and round counts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vec = st.lists(
+        st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+        min_size=3, max_size=3,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vecs=st.lists(vec, min_size=4, max_size=20),
+        k=st.integers(min_value=2, max_value=4),
+        iters=st.integers(min_value=1, max_value=3),
+    )
+    def check(vecs, k, iters):
+        if k > len(vecs):
+            return
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+        got = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, k=k, iters=iters).collect()}
+        assert got == _ref_kmeans(stored, k=k, iters=iters)
+
+    check()

