@@ -179,6 +179,7 @@ def main() -> None:
         "kmeans_clusters",
         "tfidf_topk",
         "quality_classifier",
+        "cdc_mirror_mview",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

@@ -1,0 +1,133 @@
+"""Incremental materialized-view maintenance over a CDC mirror.
+
+The reference replicates changelogs into warehouses precisely so users can
+keep aggregates there; the warehouse then recomputes those aggregates from
+scratch on every query. This module closes the loop Spark-side: a GROUPED
+AGGREGATE VIEW over the mirrored table, maintained O(touched keys) per sync
+batch with full retraction support — the incremental-view-maintenance rule
+(insert = +row, delete = −row, update = −old +new) specialized to the
+retractable measures cnt/sum (avg = sum/cnt downstream).
+
+Contrast with rollup.py: rollups fold APPEND-ONLY event streams (all four
+measures are mergeable because rows never retract). A CDC mirror retracts —
+updates move rows between groups and deletes remove them — so min/max stop
+being foldable (removing the current min forces a re-scan of its group) and
+are deliberately absent here; a caller needing them re-aggregates the
+touched groups from the mirror (bounded by the batch's key set).
+
+Inputs are the natural by-products of any merge step: the PRE-image (mirror
+rows for the batch's keys before the merge) and the POST-image (those keys
+after). Both are O(batch), obtained with a broadcast semi-join against the
+mirror — the view maintenance itself never scans the mirror or the view
+beyond the touched groups (cold groups pass through via anti-join, the
+rollup_merge cold/hot pattern).
+
+Correctness invariant (pinned by tests + the declared oracle): folding any
+batch split, in any order the merge itself tolerates, equals the one-shot
+aggregate over the final mirror state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_contrib(rows: DataFrame, dims: list[str], value_col: str) -> DataFrame:
+    """(dims, cnt, sum_v): one batch-sized hash agg with map-side partials."""
+    return rows.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_col).alias("sum_v"),
+    )
+
+
+def mview_fold(
+    view: DataFrame | None,
+    pre_image: DataFrame,
+    post_image: DataFrame,
+    dims: list[str],
+    value_col: str,
+    materialize_state: bool = False,
+) -> DataFrame:
+    """Fold one merge batch's pre/post images into the maintained view.
+
+    delta = contrib(post) − contrib(pre), combined into the view on the
+    touched group keys only; groups whose count reaches zero disappear
+    (a group is either absent or carries live rows — no tombstones).
+
+    Materialization contract: this function takes NO checkpoints of its
+    own — the returned view is one lazy plan over its inputs (delta is
+    referenced by both key probes and the union; the references recompute,
+    which is cheap when pre/post derive from an already-materialized
+    mirror). A caller chaining folds should materialize each round's
+    RESULT (`view = mview_fold(...).localCheckpoint(eager=True)` — one job
+    per round, the cheapest linear-plan scheme) or pass
+    `materialize_state=True` to pin the incoming view instead.
+    """
+    neg = group_contrib(pre_image, dims, value_col).select(
+        *dims, (-F.col("cnt")).alias("cnt"), (-F.col("sum_v")).alias("sum_v")
+    )
+    delta = (
+        group_contrib(post_image, dims, value_col)
+        .unionByName(neg)
+        .groupBy(*dims)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_v").alias("sum_v"))
+    )
+    if view is None:
+        return delta.where(F.col("cnt") != 0)
+    if materialize_state:
+        view = view.localCheckpoint(eager=True)
+    touched = delta.select(*dims)
+    cold = view.join(F.broadcast(touched), dims, "left_anti")
+    hot = view.join(F.broadcast(touched), dims, "left_semi")
+    merged = (
+        hot.unionByName(delta)
+        .groupBy(*dims)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_v").alias("sum_v"))
+        .where(F.col("cnt") != 0)
+    )
+    return cold.unionByName(merged)
+
+
+def lww_merge_touched(
+    mirror: DataFrame | None,
+    batch: DataFrame,
+    pk_col: str,
+    ck_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """LWW-merge a change batch into a mirror that stores its winning
+    checkpoint per row, returning (pre_image, post_image, new_mirror).
+
+    Winner = greatest checkpoint — commutative across batches, so batches
+    may arrive in ANY order (delete tombstones stay in the mirror to beat
+    stragglers; filter kind != 'delete' when reading). `ck_col` must be
+    unique per pk within `mirror ∪ batch` (checkpoint ids are). pre/post
+    are the touched-pk slices the view fold consumes; the mirror updates
+    via broadcast anti-join of the touched keys + union (at scale: a
+    partitioned-overwrite of the touched pk buckets).
+
+    No checkpoints are taken here: pre/post/new_mirror are lazy slices of
+    `mirror` and the batch. A chaining caller materializes the RETURNED
+    mirror once per round (one job) and lets pre/post recompute from the
+    previous round's already-materialized mirror — the measured-cheapest
+    scheme (each extra barrier costs a scheduler round-trip).
+    """
+    cols = batch.columns
+    w = (
+        batch.groupBy(pk_col)
+        .agg(F.max_by(F.struct(*[c for c in cols if c != pk_col]), ck_col).alias("_w"))
+        .select(pk_col, "_w.*")
+    )
+    if mirror is None:
+        empty = w.where(F.lit(False))
+        return empty, w, w
+    touched = w.select(pk_col)
+    pre = mirror.join(F.broadcast(touched), pk_col, "left_semi")
+    post = (
+        pre.unionByName(w)
+        .groupBy(pk_col)
+        .agg(F.max_by(F.struct(*[c for c in cols if c != pk_col]), ck_col).alias("_w"))
+        .select(pk_col, "_w.*")
+    )
+    new_mirror = mirror.join(F.broadcast(touched), pk_col, "left_anti").unionByName(post)
+    return pre, post, new_mirror

@@ -4292,6 +4292,66 @@ FROM agg
 """
 
 
+def q_cdc_mirror_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized aggregate view over a CDC mirror, maintained
+    incrementally with RETRACTION (mview.py): the events changelog arrives
+    as 3 batches in checkpoint-interleaved order; each batch LWW-merges
+    into the mirror (tombstones retained to beat stragglers) and the
+    per-event_type (cnt, sum, avg) view folds only the touched groups —
+    insert = +row, delete = −row, update = −old +new. The oracle states
+    the ONE-SHOT aggregate over the final mirror, certifying that O(touched)
+    maintenance converges to the from-scratch answer. This is the
+    "continuous aggregate over a replicated table" loop a reference user
+    builds warehouse-side today."""
+    from peerdb_spark.mview import lww_merge_touched, mview_fold
+
+    (ev,) = _t(spark, sf_dir, "events")
+    cl = events_changelog(ev).select(
+        "pk", "ck", "kind", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("v_i"),
+    )
+    mirror, view = None, None
+    for k in range(3):
+        batch = cl.where(F.col("ck") % 3 == k)
+        pre, post, mirror = lww_merge_touched(mirror, batch, "pk", "ck")
+        live = F.col("kind") != "delete"
+        view = mview_fold(
+            view, pre.where(live), post.where(live), ["event_type"], "v_i"
+        )
+        # two jobs per round: the new mirror and the folded view — every
+        # other relation (pre/post/delta/touched) recomputes lazily from
+        # the PREVIOUS round's materialized mirror. Measured at sf0.01:
+        # barrier-per-intermediate 16s, these two 3.4s, view left lazy 6.9s
+        # (the 2^rounds cold/hot duplication out-costs one tiny-job barrier)
+        mirror = mirror.localCheckpoint(eager=True)
+        view = view.localCheckpoint(eager=True)
+    return view.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        (F.col("sum_v").cast("double") / F.col("cnt")).alias("avg_v"),
+    )
+
+
+SQL_CDC_MIRROR_MVIEW = """
+WITH cl AS (
+  SELECT user_id AS pk, event_id AS ck,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS kind,
+         event_type, CAST(round(value * 1000) AS BIGINT) AS v_i
+  FROM events
+),
+w AS (
+  SELECT * FROM cl QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ck DESC) = 1
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_i) AS BIGINT) AS sum_v,
+       CAST(sum(v_i) AS DOUBLE) / count(*) AS avg_v
+FROM w WHERE kind != 'delete' GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4386,6 +4446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "tfidf_topk": q_tfidf_topk,
     "quality_classifier": q_quality_classifier,
+    "cdc_mirror_mview": q_cdc_mirror_mview,
 }
 
 ORACLES: dict[str, str] = {
@@ -4478,4 +4539,5 @@ ORACLES: dict[str, str] = {
     "kmeans_clusters": _kmeans_sql(),
     "tfidf_topk": SQL_TFIDF_TOPK,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "cdc_mirror_mview": SQL_CDC_MIRROR_MVIEW,
 }

@@ -1,0 +1,94 @@
+"""Incremental materialized-view maintenance with retraction (mview.py).
+
+The declared query `cdc_mirror_mview` value-verifies convergence against the
+one-shot oracle; these tests pin the retraction semantics on hand-built
+changelogs: updates MOVE rows between groups, deletes remove them, groups
+vanish at count zero, and batch order doesn't matter.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from peerdb_spark.mview import group_contrib, lww_merge_touched, mview_fold
+
+SCHEMA = "pk long, ck long, kind string, grp string, v long"
+
+
+def _fold_batches(spark, batches):
+    mirror, view = None, None
+    for rows in batches:
+        batch = spark.createDataFrame(rows, SCHEMA)
+        pre, post, mirror = lww_merge_touched(mirror, batch, "pk", "ck")
+        live = F.col("kind") != "delete"
+        view = mview_fold(view, pre.where(live), post.where(live), ["grp"], "v")
+        mirror = mirror.localCheckpoint(eager=True)
+        view = view.localCheckpoint(eager=True)
+    return mirror, view
+
+
+def _view_dict(view):
+    return {r["grp"]: (r["cnt"], r["sum_v"]) for r in view.collect()}
+
+
+def test_update_moves_row_between_groups(spark):
+    batches = [
+        [(1, 10, "insert", "a", 5), (2, 11, "insert", "a", 7)],
+        [(1, 20, "update", "b", 9)],  # pk 1 leaves group a, enters b
+    ]
+    _, view = _fold_batches(spark, batches)
+    assert _view_dict(view) == {"a": (1, 7), "b": (1, 9)}
+
+
+def test_group_vanishes_at_zero(spark):
+    batches = [
+        [(1, 10, "insert", "a", 5)],
+        [(1, 20, "delete", "a", 5)],
+    ]
+    _, view = _fold_batches(spark, batches)
+    assert _view_dict(view) == {}
+
+
+def test_out_of_order_batches_converge(spark):
+    """LWW by checkpoint is commutative: a stale update arriving AFTER the
+    delete that supersedes it must not resurrect the row."""
+    newer = [(1, 30, "delete", "a", 5), (2, 31, "insert", "b", 1)]
+    stale = [(1, 20, "update", "a", 99)]
+    _, v1 = _fold_batches(spark, [newer, stale])
+    _, v2 = _fold_batches(spark, [stale, newer])
+    assert _view_dict(v1) == _view_dict(v2) == {"b": (1, 1)}
+
+
+def test_random_folds_equal_one_shot(spark):
+    rng = random.Random(13)
+    kinds = ["insert", "update", "update", "delete"]
+    rows = [
+        (rng.randrange(20), ck, rng.choice(kinds),
+         rng.choice("abc"), rng.randrange(-50, 50))
+        for ck in range(120)
+    ]
+    n_batches = 4
+    assign = [rng.randrange(n_batches) for _ in rows]
+    order = list(range(n_batches))
+    rng.shuffle(order)
+    batches = [[r for r, a in zip(rows, assign) if a == b] for b in order]
+    _, view = _fold_batches(spark, [b for b in batches if b])
+
+    full = spark.createDataFrame(rows, SCHEMA)
+    w = (
+        full.groupBy("pk")
+        .agg(F.max_by(F.struct("ck", "kind", "grp", "v"), "ck").alias("_w"))
+        .select("pk", "_w.*")
+        .where(F.col("kind") != "delete")
+    )
+    want = _view_dict(group_contrib(w, ["grp"], "v"))
+    assert _view_dict(view) == want
+
+
+def test_mirror_keeps_tombstones_view_does_not(spark):
+    batches = [[(1, 10, "insert", "a", 5), (2, 11, "delete", "a", 0)]]
+    mirror, view = _fold_batches(spark, batches)
+    assert {r["pk"]: r["kind"] for r in mirror.collect()} == {1: "insert", 2: "delete"}
+    assert _view_dict(view) == {"a": (1, 5)}

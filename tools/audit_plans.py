@@ -198,6 +198,13 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("no join (weights implicit in the hash)", r"Join", False),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("cdc_mirror_mview", [
+        # every fold round is a materialized checkpoint, so the declared
+        # plan is a projection over the final one — the cold/hot broadcast
+        # join shape inside a round is asserted by check_mview_round_plan
+        ("rounds materialized (final plan is checkpoint scan)", r"Scan ExistingRDD", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
@@ -266,6 +273,38 @@ def check_lsh_verify_composition(spark, sf_dir: str) -> list[str]:
     return msgs
 
 
+def check_mview_round_plan(spark) -> list[str]:
+    """One UNmaterialized mview fold round must show the O(touched) shape:
+    the touched-key probes into mirror and view are broadcast joins (never
+    a shuffle of the maintained state) and the whole round is Python-free."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.mview import lww_merge_touched, mview_fold
+
+    schema = "pk long, ck long, kind string, grp string, v long"
+    mirror = spark.createDataFrame(
+        [(i, 1, "insert", "a", i) for i in range(100)], schema
+    ).localCheckpoint(eager=True)
+    view = spark.createDataFrame([("a", 100, 4950)], "grp string, cnt long, sum_v long")
+    batch = spark.createDataFrame([(1, 2, "update", "b", 9)], schema)
+    pre, post, _m = lww_merge_touched(mirror, batch, "pk", "ck")
+    live = F.col("kind") != "delete"
+    plan = (
+        mview_fold(view, pre.where(live), post.where(live), ["grp"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    msgs = []
+    for label, pat, want in [
+        ("touched-key probes are broadcast joins", r"BroadcastHashJoin", True),
+        ("cold rows pass via anti-join", r"LeftAnti", True),
+        ("no sort-merge shuffle of maintained state", r"SortMergeJoin", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]:
+        ok = bool(re.search(pat, plan)) == want
+        msgs.append(f"{'ok' if ok else 'FAIL'}: {label}")
+    return msgs
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -284,6 +323,11 @@ def main() -> int:
         print(f"  {m}")
     print("lsh_verified_pairs (unmaterialized composition):")
     for m in check_lsh_verify_composition(spark, args.sf):
+        if m.startswith("FAIL"):
+            failures += 1
+        print(f"  {m}")
+    print("mview fold round (unmaterialized):")
+    for m in check_mview_round_plan(spark):
         if m.startswith("FAIL"):
             failures += 1
         print(f"  {m}")
