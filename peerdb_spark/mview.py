@@ -131,3 +131,88 @@ def lww_merge_touched(
     )
     new_mirror = mirror.join(F.broadcast(touched), pk_col, "left_anti").unionByName(post)
     return pre, post, new_mirror
+
+
+class MviewTable:
+    """Durable mirror + maintained view with EXACTLY-ONCE folding — the
+    mview analogue of rollup.RollupTable, same crash contract: each fold
+    writes the NEXT versioned snapshot (v{n}/mirror + v{n}/view parquet)
+    fully, then swings the `_CURRENT` pointer with an atomic rename; the
+    two relations commit ATOMICALLY because they share one pointer. A
+    crash mid-fold leaves an orphan v{n+1} the next fold overwrites.
+    Redelivered batch ids are no-ops (watermark-compacted applied set —
+    rollup._compact_applied); plug `fold` straight into foreachBatch.
+    """
+
+    def __init__(self, spark, path: str, pk_col: str, ck_col: str,
+                 kind_col: str, dims: list[str], value_col: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.pk_col = pk_col
+        self.ck_col = ck_col
+        self.kind_col = kind_col
+        self.dims = dims
+        self.value_col = value_col
+        os.makedirs(path, exist_ok=True)
+
+    def _meta(self) -> dict:
+        from peerdb_spark.rollup import read_pointer
+
+        return read_pointer(self._pointer)
+
+    @property
+    def _pointer(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_CURRENT")
+
+    def _read(self, which: str) -> DataFrame | None:
+        import os
+
+        m = self._meta()
+        if m["version"] == 0:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"v{m['version']}", which)
+        )
+
+    def mirror(self) -> DataFrame | None:
+        """Full mirror state incl. delete tombstones (they beat stragglers)."""
+        return self._read("mirror")
+
+    def view(self) -> DataFrame | None:
+        """The maintained grouped aggregate (live rows only)."""
+        return self._read("view")
+
+    def fold(self, batch: DataFrame, batch_id: int) -> bool:
+        import os
+
+        from peerdb_spark.rollup import is_applied, publish_pointer
+
+        m = self._meta()
+        if is_applied(m, batch_id):
+            return False
+        pre, post, new_mirror = lww_merge_touched(
+            self.mirror(), batch, self.pk_col, self.ck_col
+        )
+        live = F.col(self.kind_col) != "delete"
+        new_view = mview_fold(
+            self.view(), pre.where(live), post.where(live),
+            self.dims, self.value_col,
+        )
+        nxt = m["version"] + 1
+        vdir = os.path.join(self.path, f"v{nxt}")
+        # mirror first: the view write re-reads pre/post, whose plans scan
+        # the PREVIOUS version's parquet — both writes land before the
+        # pointer swings, so readers never see a half-published version
+        new_mirror.write.mode("overwrite").parquet(os.path.join(vdir, "mirror"))
+        new_view.write.mode("overwrite").parquet(os.path.join(vdir, "view"))
+        publish_pointer(self._pointer, {**m, "version": nxt}, batch_id)
+        old = os.path.join(self.path, f"v{m['version']}")
+        if m["version"] and os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        return True

@@ -109,6 +109,42 @@ def _compact_applied(m: dict) -> dict:
     return {**m, "applied_until": until, "applied_extra": extra}
 
 
+def read_pointer(pointer_path: str) -> dict:
+    """Read a versioned-state `_CURRENT` pointer (shared by RollupTable and
+    mview.MviewTable); upgrades legacy `applied`-list pointers."""
+    import json
+    import os
+
+    if not os.path.exists(pointer_path):
+        return {"version": 0, "applied_until": -1, "applied_extra": []}
+    with open(pointer_path) as fh:
+        m = json.load(fh)
+    if "applied" in m:  # pre-compaction pointer layout
+        ids = sorted(m.pop("applied"))
+        m.setdefault("applied_until", -1)
+        m.setdefault("applied_extra", ids)
+        m = _compact_applied(m)
+    return m
+
+
+def is_applied(m: dict, batch_id: int) -> bool:
+    return batch_id <= m["applied_until"] or batch_id in m["applied_extra"]
+
+
+def publish_pointer(pointer_path: str, m: dict, batch_id: int) -> None:
+    """Record batch_id as applied at version m['version'], atomically."""
+    import json
+    import os
+
+    nm = _compact_applied(
+        {**m, "applied_extra": sorted([*m["applied_extra"], batch_id])}
+    )
+    tmp = pointer_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(nm, fh)
+    os.replace(tmp, pointer_path)
+
+
 class RollupTable:
     """Durable maintained rollup with EXACTLY-ONCE folding.
 
@@ -152,23 +188,7 @@ class RollupTable:
         return os.path.join(self.path, "_CURRENT")
 
     def _meta(self) -> dict:
-        import json
-        import os
-
-        if not os.path.exists(self._pointer):
-            return {"version": 0, "applied_until": -1, "applied_extra": []}
-        with open(self._pointer) as fh:
-            m = json.load(fh)
-        if "applied" in m:  # pre-compaction pointer layout
-            ids = sorted(m.pop("applied"))
-            m.setdefault("applied_until", -1)
-            m.setdefault("applied_extra", ids)
-            m = _compact_applied(m)
-        return m
-
-    @staticmethod
-    def _is_applied(m: dict, batch_id: int) -> bool:
-        return batch_id <= m["applied_until"] or batch_id in m["applied_extra"]
+        return read_pointer(self._pointer)
 
     def read(self) -> DataFrame | None:
         import os
@@ -186,7 +206,7 @@ class RollupTable:
         import os
 
         m = self._meta()
-        if self._is_applied(m, batch_id):
+        if is_applied(m, batch_id):
             return False
         delta = rollup_delta(
             batch, self.time_col, self.every_seconds, self.dims, self.value_col
@@ -194,17 +214,7 @@ class RollupTable:
         merged = rollup_merge(self.read(), delta, self.dims)
         nxt = m["version"] + 1
         merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
-        nm = _compact_applied(
-            {
-                "version": nxt,
-                "applied_until": m["applied_until"],
-                "applied_extra": sorted([*m["applied_extra"], batch_id]),
-            }
-        )
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(nm, fh)
-        os.replace(tmp, self._pointer)
+        publish_pointer(self._pointer, {**m, "version": nxt}, batch_id)
         old = os.path.join(self.path, f"v{m['version']}")
         if m["version"] and os.path.isdir(old):
             import shutil

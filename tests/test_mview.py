@@ -92,3 +92,66 @@ def test_mirror_keeps_tombstones_view_does_not(spark):
     mirror, view = _fold_batches(spark, batches)
     assert {r["pk"]: r["kind"] for r in mirror.collect()} == {1: "insert", 2: "delete"}
     assert _view_dict(view) == {"a": (1, 5)}
+
+
+def test_mview_table_exactly_once_and_crash_safe(spark, tmp_path):
+    """Durable MviewTable: redelivery no-ops, mirror+view commit atomically
+    (orphan snapshot invisible after a crash mid-fold), old versions GC'd."""
+    import os
+
+    from peerdb_spark.mview import MviewTable
+
+    t = MviewTable(spark, str(tmp_path / "m"), "pk", "ck", "kind", ["grp"], "v")
+    b1 = spark.createDataFrame([(1, 10, "insert", "a", 5)], SCHEMA)
+    b2 = spark.createDataFrame([(1, 20, "update", "b", 7), (2, 21, "insert", "a", 3)], SCHEMA)
+    assert t.fold(b1, batch_id=0) is True
+    assert t.fold(b1, batch_id=0) is False  # redelivery
+    # crash simulation: v2 written (both dirs) but pointer not swung
+    b2g = b2.groupBy("pk").agg(F.max_by(F.struct("ck", "kind", "grp", "v"), "ck").alias("w"))
+    b2g.select("pk", "w.*").write.parquet(str(tmp_path / "m" / "v2" / "mirror"))
+    b2g.select("pk", "w.*").write.parquet(str(tmp_path / "m" / "v2" / "view"))
+    assert {r["grp"]: r["cnt"] for r in t.view().collect()} == {"a": 1}  # orphan invisible
+    assert t.fold(b2, batch_id=1) is True  # overwrites the orphan
+    assert {r["grp"]: (r["cnt"], r["sum_v"]) for r in t.view().collect()} == {
+        "a": (1, 3), "b": (1, 7),
+    }
+    assert {r["pk"]: r["grp"] for r in t.mirror().collect()} == {1: "b", 2: "a"}
+    assert not os.path.isdir(str(tmp_path / "m" / "v1"))  # GC'd
+    assert t.fold(b2, batch_id=1) is False
+
+
+def test_mview_table_from_structured_streaming(spark, tmp_path):
+    """MviewTable as the foreachBatch sink of a changelog STREAM: the final
+    durable view equals the one-shot aggregate over the latest-per-pk rows."""
+    import os
+
+    from peerdb_spark.mview import MviewTable
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, 10, "insert", "a", 5), (2, 11, "insert", "b", 7)],
+        [(1, 20, "update", "b", 9), (3, 21, "insert", "a", 1)],
+        [(2, 30, "delete", "b", 0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    t = MviewTable(spark, str(tmp_path / "m"), "pk", "ck", "kind", ["grp"], "v")
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        f"{src}/b*"
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda df, bid: t.fold(df, bid)
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame([r for b in batches for r in b], SCHEMA)
+    w = (
+        full.groupBy("pk")
+        .agg(F.max_by(F.struct("ck", "kind", "grp", "v"), "ck").alias("_w"))
+        .select("pk", "_w.*")
+        .where(F.col("kind") != "delete")
+    )
+    want = _view_dict(group_contrib(w, ["grp"], "v"))
+    assert _view_dict(t.view()) == want
