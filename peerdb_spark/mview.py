@@ -142,6 +142,8 @@ class MviewTable:
     crash mid-fold leaves an orphan v{n+1} the next fold overwrites.
     Redelivered batch ids are no-ops (watermark-compacted applied set —
     rollup._compact_applied); plug `fold` straight into foreachBatch.
+    SINGLE WRITER assumed (the foreachBatch contract — micro-batches are
+    serialized per query); readers only ever follow the published pointer.
     """
 
     def __init__(self, spark, path: str, pk_col: str, ck_col: str,

@@ -158,7 +158,10 @@ class RollupTable:
     `v{n+1}` directory that the next fold overwrites, never a torn state.
     Re-folding an applied batch id is a no-op (the redelivery guard a
     foreachBatch caller needs: Spark replays micro-batches after restart
-    with the same batch_id).
+    with the same batch_id). SINGLE WRITER assumed — exactly the
+    foreachBatch contract (micro-batches are serialized per query); two
+    concurrent folders would race the pointer. Readers are always safe
+    (they only follow the atomically-published pointer).
 
     Why full-snapshot writes are the right call HERE: rollup state is
     (windows × dims)-sized — compact by construction, orders of magnitude

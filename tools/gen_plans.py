@@ -214,6 +214,17 @@ COMMENT = {
         "table is implicit in the hash), no Python, one exchange. The "
         "cheapest possible shape for a corpus-wide model-scoring pass."
     ),
+    "cdc_mirror_mview": (
+        "Incrementally maintained aggregate view over a CDC mirror. Every "
+        "fold round materializes (localCheckpoint), so the declared plan is "
+        "a projection over the final checkpoint — the interesting shape is "
+        "INSIDE a round, asserted by audit_plans.check_mview_round_plan: "
+        "touched-key probes into mirror and view are BroadcastHashJoins of "
+        "the batch's key set (the maintained state is scanned, never "
+        "shuffled), cold groups pass via anti-join, retraction deltas are "
+        "batch-sized hash aggs. Measured flat per-batch cost across 10x "
+        "state growth (SCALING.md)."
+    ),
 }
 
 
