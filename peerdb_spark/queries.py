@@ -4352,6 +4352,44 @@ FROM w WHERE kind != 'delete' GROUP BY event_type
 """
 
 
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    training-order randomization step every LLM data pipeline runs before
+    writing shards (breaks source/crawl locality so batches are i.i.d.-ish).
+    Seeded-hash ordering is reproducible across runs/engines (no RNG) and
+    hash sharding balances counts without the sequential greedy pass.
+    Scale shape: shard = pmod(hash, n) is per-row codegen; pos_in_shard is
+    a window per SHARD (n_shards partitions each ~corpus/n — at 100 TB
+    use repartition(shard) + sortWithinPartitions and write directly, one
+    file per shard in shuffle order, no global sort ever)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    h = h64(F.concat(F.lit("shuffle:"), F.col("doc_id")))
+    shard = F.pmod(h, F.lit(8)).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(F.col("doc_id"), h.alias("h"), shard.alias("shard"),
+                    TX.token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos_in_shard", "n_tokens")
+    )
+
+
+SQL_CORPUS_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id,
+         {h64_sql("concat('shuffle:', doc_id)")} AS h,
+         {_tokens_sql("text")} AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT)
+         AS pos_in_shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4447,6 +4485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "quality_classifier": q_quality_classifier,
     "cdc_mirror_mview": q_cdc_mirror_mview,
+    "corpus_shuffle_shards": q_corpus_shuffle_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -4540,4 +4579,5 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "cdc_mirror_mview": SQL_CDC_MIRROR_MVIEW,
+    "corpus_shuffle_shards": SQL_CORPUS_SHUFFLE_SHARDS,
 }
