@@ -348,8 +348,21 @@ class CdcPipeline:
         # declare no relation records (Mongo/queues) and evolve like an
         # explicit delta — see schema_evolution.detect_payload_drift
         self.auto_evolve = auto_evolve
+        # dst_table -> list of attached incremental views (attach_view)
+        self._views: dict[str, list] = {}
         if catalog is not None and mirror_name:
             self._rehydrate_schema_deltas()
+
+    def attach_view(self, dst_table: str, view) -> None:
+        """Attach a maintained aggregate view (mview.ViewTable) to a
+        destination: every normalize of that table also folds the merge's
+        touched-pk pre/post images into the view — the warehouse-side
+        "continuous aggregate over the mirror" kept O(touched) per batch
+        instead of recomputed per query. Soft-deleted rows (when the table
+        is configured with soft_delete_col) are excluded from the view's
+        live set; redelivered batch ranges are no-ops via the view's own
+        applied-batch watermark."""
+        self._views.setdefault(dst_table, []).append(view)
 
     def _rehydrate_schema_deltas(self) -> None:
         """On (re)start, re-apply catalog-recorded schema deltas to the static
@@ -536,13 +549,22 @@ class CdcPipeline:
                 return
             changes = self._changes_for(raw, dst, cfg)
             table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
-            N.merge_into_table(
+            views = self._views.get(dst, ())
+            images = N.merge_into_table(
                 table,
                 changes,
                 soft_delete_col=cfg.soft_delete_col,
                 synced_at_col=cfg.synced_at_col,
                 strategy=cfg.merge_strategy,
+                return_images=bool(views),
             )
+            if views:
+                pre, post = images
+                if cfg.soft_delete_col:  # flagged rows are not live
+                    pre = pre.where(~F.coalesce(F.col(cfg.soft_delete_col), F.lit(False)))
+                    post = post.where(~F.coalesce(F.col(cfg.soft_delete_col), F.lit(False)))
+                for v in views:
+                    v.fold(pre, post, batch_id=end_batch)
 
         if parallelism <= 1 or len(dsts) <= 1:
             for dst in dsts:

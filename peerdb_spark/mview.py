@@ -133,6 +133,60 @@ def lww_merge_touched(
     return pre, post, new_mirror
 
 
+class ViewTable:
+    """Durable maintained VIEW only — for callers whose mirror already has
+    durable storage (CdcPipeline's bucketed ParquetTable destinations).
+    Folds (pre, post) touched-pk images produced by the merge step
+    (normalize.merge_into_table(return_images=True)); same versioned-
+    pointer crash contract and single-writer assumption as MviewTable."""
+
+    def __init__(self, spark, path: str, dims: list[str], value_col: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.dims = dims
+        self.value_col = value_col
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_CURRENT")
+
+    def read(self) -> DataFrame | None:
+        import os
+
+        from peerdb_spark.rollup import read_pointer
+
+        m = read_pointer(self._pointer)
+        if m["version"] == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{m['version']}"))
+
+    def fold(self, pre_image: DataFrame, post_image: DataFrame, batch_id: int) -> bool:
+        import os
+
+        from peerdb_spark.rollup import is_applied, publish_pointer, read_pointer
+
+        m = read_pointer(self._pointer)
+        if is_applied(m, batch_id):
+            return False
+        new_view = mview_fold(
+            self.read(), pre_image, post_image, self.dims, self.value_col
+        )
+        nxt = m["version"] + 1
+        new_view.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
+        publish_pointer(self._pointer, {**m, "version": nxt}, batch_id)
+        old = os.path.join(self.path, f"v{m['version']}")
+        if m["version"] and os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        return True
+
+
 class MviewTable:
     """Durable mirror + maintained view with EXACTLY-ONCE folding — the
     mview analogue of rollup.RollupTable, same crash contract: each fold

@@ -420,10 +420,18 @@ def merge_into_table(
     soft_delete_col: str | None = None,
     synced_at_col: str | None = None,
     strategy: str = "join",
-) -> None:
+    return_images: bool = False,
+) -> tuple[DataFrame, DataFrame] | None:
     """Merge a change batch into a bucketed ParquetTable, rewriting only the
     pk-hash buckets the batch touches (see storage.py module doc for the
-    scale rationale)."""
+    scale rationale).
+
+    `return_images=True` additionally returns (pre, post): the TOUCHED-pk
+    slices of the destination before and after the merge — the inputs
+    incremental view maintenance needs (mview.mview_fold). Both are lazy
+    broadcast-semi-join slices of relations this merge reads/writes anyway
+    (pre from the touched buckets, post from the just-written table), so
+    the images are free beyond one re-read of the touched buckets."""
     pk = table.pk_cols
     # Always pre-dedup with the window even for the agg strategy (which could
     # dedup inherently): the row_number filter is cheaper per row than the
@@ -432,26 +440,50 @@ def merge_into_table(
     # PK-changing updates split BEFORE dedup so the synthetic old-pk delete
     # participates in last-writer-wins under its own key.
     deduped = latest_changes(split_pk_updates(changes, pk), pk)
+    if return_images:
+        deduped = deduped.localCheckpoint(eager=True)  # merge + both key probes
+        keys = deduped.select(*pk).distinct()
     if not table.exists:
         boot = merge_changes(None, deduped, pk, data_cols, soft_delete_col, synced_at_col,
                              dedup=False, strategy=strategy)
         table.overwrite(boot)
-        return
+        if return_images:
+            post = table.read().join(F.broadcast(keys), pk, "left_semi")
+            return post.where(F.lit(False)), post
+        return None
     if table.n_buckets:
         deduped = deduped.withColumn(BUCKET_COL, bucket_expr(pk, table.n_buckets))
         # distinct buckets touched: tiny driver-side list (≤ n_buckets ints)
         buckets = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]
         dest = table.read_buckets(buckets).drop(BUCKET_COL)
+        if return_images:
+            pre = dest.join(F.broadcast(keys), pk, "left_semi").localCheckpoint(
+                eager=True  # the buckets are REWRITTEN below — snapshot first
+            )
         merged = merge_changes(dest, deduped.drop(BUCKET_COL), pk, data_cols,
                                soft_delete_col, synced_at_col, dedup=False,
                                strategy=strategy)
         merged = merged.withColumn(BUCKET_COL, bucket_expr(pk, table.n_buckets))
         table.replace_partitions(merged, buckets)
+        if return_images:
+            post = (
+                table.read_buckets(buckets).drop(BUCKET_COL)
+                .join(F.broadcast(keys), pk, "left_semi")
+            )
+            return pre, post
     else:
         dest = table.read()
+        if return_images:
+            pre = dest.join(F.broadcast(keys), pk, "left_semi").localCheckpoint(
+                eager=True  # table.overwrite below replaces the files pre reads
+            )
         merged = merge_changes(dest, deduped, pk, data_cols, soft_delete_col, synced_at_col,
                                dedup=False, strategy=strategy)
         table.overwrite(merged)
+        if return_images:
+            post = table.read().join(F.broadcast(keys), pk, "left_semi")
+            return pre, post
+    return None
 
 
 def rmt_latest_view(

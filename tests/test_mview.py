@@ -155,3 +155,76 @@ def test_mview_table_from_structured_streaming(spark, tmp_path):
     )
     want = _view_dict(group_contrib(w, ["grp"], "v"))
     assert _view_dict(t.view()) == want
+
+
+def test_cdc_pipeline_attached_view(spark, tmp_path):
+    """CdcPipeline.attach_view: the maintained per-group aggregate tracks
+    the destination table through inserts, group-moving updates, hard
+    deletes, and a redelivered normalize — always equal to the one-shot
+    aggregate over the live table state."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.mview import ViewTable
+    from peerdb_spark.storage import ParquetTable
+
+    val_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("amt", T.LongType()),
+    ])
+    TS = dt.datetime(2024, 1, 1)
+
+    def changelog(rows):
+        data = [
+            {
+                "_kind": k, "_checkpoint_id": c,
+                "_commit_ts": TS + dt.timedelta(seconds=c), "_txid": c,
+                "_src_table": "t", "_dst_table": "t",
+                # delete events carry the row in _old_data (pgoutput shape)
+                "_data": json.dumps(d) if k != "delete" else None,
+                "_old_data": json.dumps(d) if k == "delete" else None,
+                "_unchanged_cols": None,
+            }
+            for (k, c, d) in rows
+        ]
+        return spark.createDataFrame(data, cdc.CHANGELOG_SCHEMA)
+
+    cfg = cdc.CdcTableConfig("t", ["id"], val_schema, str(tmp_path / "t"), n_buckets=4)
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [cfg])
+    view = ViewTable(spark, str(tmp_path / "view"), ["grp"], "amt")
+    pipe.attach_view("t", view)
+
+    def view_dict():
+        return {r["grp"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()}
+
+    def one_shot():
+        t = ParquetTable(spark, cfg.path, ["id"], 4).read()
+        return {
+            r["grp"]: (r["cnt"], r["sum_v"])
+            for r in t.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("amt").alias("sum_v"))
+            .collect()
+        }
+
+    pipe.sync_batch(changelog([
+        ("insert", 1, {"id": 1, "grp": "a", "amt": 5}),
+        ("insert", 2, {"id": 2, "grp": "b", "amt": 7}),
+    ]), batch_id=1)
+    pipe.normalize_batches(1, 1)
+    assert view_dict() == one_shot() == {"a": (1, 5), "b": (1, 7)}
+
+    pipe.sync_batch(changelog([
+        ("update", 3, {"id": 1, "grp": "b", "amt": 9}),   # moves a -> b
+        ("delete", 4, {"id": 2, "grp": "b", "amt": 7}),   # hard delete
+        ("insert", 5, {"id": 3, "grp": "a", "amt": 2}),
+    ]), batch_id=2)
+    pipe.normalize_batches(2, 2)
+    assert view_dict() == one_shot() == {"a": (1, 2), "b": (1, 9)}
+
+    # redelivered normalize range: merge is idempotent, view must no-op
+    pipe.normalize_batches(2, 2)
+    assert view_dict() == {"a": (1, 2), "b": (1, 9)}
