@@ -207,6 +207,16 @@ def main() -> None:
         docs.select("doc_id").mapInPandas(
             _noop_batches, "doc_id long"
         ).write.format("noop").mode("overwrite").save()
+
+        # the first broadcast-hash join over array<float> embeddings pays
+        # its own codegen/broadcast warmup (~3s showing up on whichever
+        # embedding query runs first — measured on knn_graph); warm it on
+        # a 50-row slice
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        k = emb.select(F.col("vec_id").alias("k"), "embedding")
+        k.join(F.broadcast(emb.select(F.col("vec_id").alias("k"))), "k").write.format(
+            "noop"
+        ).mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warmup only
         pass
 
