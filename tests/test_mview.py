@@ -228,3 +228,27 @@ def test_cdc_pipeline_attached_view(spark, tmp_path):
     # redelivered normalize range: merge is idempotent, view must no-op
     pipe.normalize_batches(2, 2)
     assert view_dict() == {"a": (1, 2), "b": (1, 9)}
+
+
+def test_view_table_crash_and_redelivery(spark, tmp_path):
+    """ViewTable (view-only durable state): orphan snapshot from a crashed
+    fold stays invisible, refold overwrites it, applied ids no-op."""
+    import os
+
+    from peerdb_spark.mview import ViewTable
+
+    v = ViewTable(spark, str(tmp_path / "v"), ["grp"], "amt")
+    empty = spark.createDataFrame([], "id long, grp string, amt long")
+    post1 = spark.createDataFrame([(1, "a", 5)], "id long, grp string, amt long")
+    assert v.fold(empty, post1, batch_id=1) is True
+    assert v.fold(empty, post1, batch_id=1) is False  # redelivery no-op
+    # crash: v2 written, pointer not swung
+    post1.write.parquet(str(tmp_path / "v" / "v2"))
+    assert {r["grp"]: r["cnt"] for r in v.read().collect()} == {"a": 1}
+    pre2 = post1
+    post2 = spark.createDataFrame([(1, "b", 9)], "id long, grp string, amt long")
+    assert v.fold(pre2, post2, batch_id=2) is True  # overwrites orphan
+    assert {r["grp"]: (r["cnt"], r["sum_v"]) for r in v.read().collect()} == {
+        "b": (1, 9),
+    }
+    assert not os.path.isdir(str(tmp_path / "v" / "v1"))  # GC'd
