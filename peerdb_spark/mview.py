@@ -89,6 +89,37 @@ def mview_fold(
     return cold.unionByName(merged)
 
 
+def minmax_refresh(
+    view: DataFrame | None,
+    mirror_live: DataFrame,
+    touched_dims: DataFrame,
+    dims: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Maintain NON-retractable measures (min/max) next to a retractable
+    view: re-aggregate ONLY the touched groups from the live mirror rows
+    (a deletion may have removed the current extremum, so the group must
+    be re-scanned — there is no algebraic retraction for min/max).
+
+    `view` is a prior (dims, min_v, max_v) relation or None;
+    `touched_dims` is the batch's group-key set — ALL groups the batch
+    touched, including groups rows LEFT (pass the union of pre- and
+    post-image keys; a group emptied by the batch simply disappears).
+    Cost: one broadcast-semi slice of the mirror + a hash agg over the
+    touched groups' rows — bounded by group sizes, not mirror size. At
+    100 TB keep the mirror bucketed/partitioned by a dim prefix so the
+    slice prunes files."""
+    fresh = (
+        mirror_live.join(F.broadcast(touched_dims), dims, "left_semi")
+        .groupBy(*dims)
+        .agg(F.min(value_col).alias("min_v"), F.max(value_col).alias("max_v"))
+    )
+    if view is None:
+        return fresh
+    cold = view.join(F.broadcast(touched_dims), dims, "left_anti")
+    return cold.unionByName(fresh)
+
+
 def lww_merge_touched(
     mirror: DataFrame | None,
     batch: DataFrame,

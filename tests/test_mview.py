@@ -252,3 +252,29 @@ def test_view_table_crash_and_redelivery(spark, tmp_path):
         "b": (1, 9),
     }
     assert not os.path.isdir(str(tmp_path / "v" / "v1"))  # GC'd
+
+
+def test_minmax_refresh_after_extremum_deletion(spark):
+    """min/max can't retract algebraically: deleting the current max forces
+    a re-scan of the touched group — minmax_refresh does exactly that, and
+    only for touched groups (cold groups keep stale-but-correct rows)."""
+    from peerdb_spark.mview import minmax_refresh
+
+    mirror = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 9), (3, "b", 4)], "id long, grp string, v long"
+    )
+    view0 = minmax_refresh(None, mirror, mirror.select("grp").distinct(), ["grp"], "v")
+    d0 = {r["grp"]: (r["min_v"], r["max_v"]) for r in view0.collect()}
+    assert d0 == {"a": (5, 9), "b": (4, 4)}
+
+    # delete id 2 (the max of group a); group b untouched
+    mirror2 = mirror.where(F.col("id") != 2)
+    touched = spark.createDataFrame([("a",)], "grp string")
+    view1 = minmax_refresh(view0, mirror2, touched, ["grp"], "v")
+    d1 = {r["grp"]: (r["min_v"], r["max_v"]) for r in view1.collect()}
+    assert d1 == {"a": (5, 5), "b": (4, 4)}
+
+    # delete the last row of group a: the group disappears from the view
+    mirror3 = mirror2.where(F.col("id") != 1)
+    view2 = minmax_refresh(view1, mirror3, touched, ["grp"], "v")
+    assert {r["grp"] for r in view2.collect()} == {"b"}
