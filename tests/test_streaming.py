@@ -401,3 +401,60 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     # purchase@10:30 by user 1 matches clicks at 10:00 and 10:20 (not 10:50);
     # purchase@10:45 by user 2 has no click in [10:15, 10:45]
     assert got == {(1, 100, 900), (1, 101, 900)}
+
+
+def test_stream_with_attached_view(spark, tmp_path):
+    """Full streaming stack with a maintained view: file changelog →
+    CdcStreamRunner → normalize → ViewTable fold per micro-batch, across a
+    checkpoint restart. The durable view always equals the one-shot
+    aggregate over the destination's live state."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.mview import ViewTable
+
+    val = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("amt", T.LongType()),
+    ])
+    chg_dir = str(tmp_path / "chg")
+    os.makedirs(chg_dir)
+    dest = str(tmp_path / "t")
+
+    def runner():
+        r = CdcStreamRunner(
+            spark,
+            changelog_dir=chg_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            tables=[cdc.CdcTableConfig("t", ["id"], val, dest, n_buckets=4)],
+            raw_path=str(tmp_path / "raw"),
+        )
+        r.pipeline.attach_view("t", ViewTable(spark, str(tmp_path / "view"), ["grp"], "amt"))
+        return r
+
+    _write_changelog(
+        spark, chg_dir,
+        [("insert", 1, {"id": 1, "grp": "a", "amt": 5}, None),
+         ("insert", 2, {"id": 2, "grp": "b", "amt": 7}, None)],
+        "w1",
+    )
+    runner().run_available()
+
+    _write_changelog(
+        spark, chg_dir,
+        [("update", 10, {"id": 1, "grp": "b", "amt": 9}, None),
+         ("delete", 11, None, {"id": 2, "grp": "b", "amt": 7})],
+        "w2",
+    )
+    runner().run_available()  # restart from checkpoint
+
+    view = ViewTable(spark, str(tmp_path / "view"), ["grp"], "amt")
+    got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()}
+    t = ParquetTable(spark, dest, ["id"], 4).read()
+    want = {
+        r["grp"]: (r["cnt"], r["sum_v"])
+        for r in t.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("amt").alias("sum_v")
+        ).collect()
+    }
+    assert got == want == {"b": (1, 9)}
