@@ -180,6 +180,8 @@ def main() -> None:
         "tfidf_topk",
         "quality_classifier",
         "cdc_mirror_mview",
+        "cdc_enriched_mview",
+        "corpus_shuffle_shards",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

@@ -89,6 +89,27 @@ def mview_fold(
     return cold.unionByName(merged)
 
 
+def enrich_images(
+    pre_image: DataFrame,
+    post_image: DataFrame,
+    dims_df: DataFrame,
+    on: str | list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance of an ENRICHED view (fact ⋈ dimension):
+    join both touched-pk images to the dim relation before folding. The
+    dim side is constant within the batch, so Δ(fact ⋈ dim) =
+    Δfact ⋈ dim — folding the enriched images is exact (the standard IVM
+    one-sided delta rule). The dim relation broadcasts (it is the small
+    side by construction); batch-sized images probe it, so enrichment adds
+    zero shuffles. A dim UPDATE is out of scope here — that is a change to
+    the other join side and needs its own fold pass (dim deltas joined to
+    the FULL fact mirror), the classic two-sided IVM extension."""
+    return (
+        pre_image.join(F.broadcast(dims_df), on),
+        post_image.join(F.broadcast(dims_df), on),
+    )
+
+
 def minmax_refresh(
     view: DataFrame | None,
     mirror_live: DataFrame,

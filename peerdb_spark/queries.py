@@ -4352,6 +4352,83 @@ FROM w WHERE kind != 'delete' GROUP BY event_type
 """
 
 
+def q_cdc_enriched_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained ENRICHED view — revenue per nation over an
+    orders CDC stream joined to customer→nation dims (mview.enrich_images:
+    Δ(fact ⋈ dim) = Δfact ⋈ dim, the one-sided IVM rule). The synthetic
+    orders changelog has inserts for every order, customer-MOVING updates
+    for o_orderkey%5==0 (the row changes nation — full retraction across
+    groups), deletes for %7==0; three checkpoint-interleaved batches fold
+    into the view, and the oracle states the one-shot aggregate over the
+    final merged state. Dims broadcast; every per-batch relation is
+    batch-sized."""
+    from peerdb_spark.mview import enrich_images, lww_merge_touched, mview_fold
+
+    od, cust, nat = _t(spark, sf_dir, "orders", "customer", "nation")
+    n_cust = cust.count()  # custkeys are contiguous 0..n-1 at every SF
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ins = od.select(
+        F.col("o_orderkey").alias("pk"), (F.col("o_orderkey") * 2).alias("ck"),
+        F.lit("insert").alias("kind"), F.col("o_custkey").alias("custkey"),
+        cents.alias("cents"),
+    )
+    upd = od.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("pk"), (F.col("o_orderkey") * 2 + 1).alias("ck"),
+        F.lit("update").alias("kind"),
+        ((F.col("o_custkey") + 7) % n_cust).alias("custkey"),
+        (cents + 500).alias("cents"),
+    )
+    dele = od.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("pk"), (F.col("o_orderkey") * 2 + 2).alias("ck"),
+        F.lit("delete").alias("kind"), F.col("o_custkey").alias("custkey"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    cl = ins.unionByName(upd).unionByName(dele)
+    dims = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_custkey").alias("custkey"), "n_name"
+    )
+    mirror, view = None, None
+    for k in range(3):
+        batch = cl.where(F.col("ck") % 3 == k)
+        pre, post, mirror = lww_merge_touched(mirror, batch, "pk", "ck")
+        live = F.col("kind") != "delete"
+        epre, epost = enrich_images(pre.where(live), post.where(live), dims, "custkey")
+        view = mview_fold(view, epre, epost, ["n_name"], "cents")
+        mirror = mirror.localCheckpoint(eager=True)
+        view = view.localCheckpoint(eager=True)
+    return view.select(
+        "n_name",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_v").cast("long").alias("sum_cents"),
+    )
+
+
+SQL_CDC_ENRICHED_MVIEW = """
+WITH cl AS (
+  SELECT o_orderkey AS pk, o_orderkey*2 AS ck, 'insert' AS kind,
+         o_custkey AS custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderkey*2+1, 'update',
+         (o_custkey + 7) % (SELECT count(*) FROM customer),
+         CAST(round(o_totalprice*100) AS BIGINT) + 500
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderkey*2+2, 'delete', o_custkey, 0
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+w AS (
+  SELECT * FROM cl QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ck DESC) = 1
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM w
+JOIN customer ON custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE kind != 'delete'
+GROUP BY n_name
+"""
+
+
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle + shard assignment — the
     training-order randomization step every LLM data pipeline runs before
@@ -4486,6 +4563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "cdc_mirror_mview": q_cdc_mirror_mview,
     "corpus_shuffle_shards": q_corpus_shuffle_shards,
+    "cdc_enriched_mview": q_cdc_enriched_mview,
 }
 
 ORACLES: dict[str, str] = {
@@ -4580,4 +4658,5 @@ ORACLES: dict[str, str] = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "cdc_mirror_mview": SQL_CDC_MIRROR_MVIEW,
     "corpus_shuffle_shards": SQL_CORPUS_SHUFFLE_SHARDS,
+    "cdc_enriched_mview": SQL_CDC_ENRICHED_MVIEW,
 }

@@ -278,3 +278,26 @@ def test_minmax_refresh_after_extremum_deletion(spark):
     mirror3 = mirror2.where(F.col("id") != 1)
     view2 = minmax_refresh(view1, mirror3, touched, ["grp"], "v")
     assert {r["grp"] for r in view2.collect()} == {"b"}
+
+
+def test_enriched_view_dim_join_folds(spark):
+    """enrich_images: Δ(fact ⋈ dim) = Δfact ⋈ dim — a customer-moving
+    update retracts from the old nation group and lands in the new one."""
+    from peerdb_spark.mview import enrich_images, lww_merge_touched, mview_fold
+
+    dims = spark.createDataFrame(
+        [(1, "US"), (2, "DE")], "custkey long, n_name string"
+    )
+    sch = "pk long, ck long, kind string, custkey long, cents long"
+    b1 = spark.createDataFrame([(10, 1, "insert", 1, 100), (11, 2, "insert", 2, 50)], sch)
+    b2 = spark.createDataFrame([(10, 3, "update", 2, 100)], sch)  # moves US -> DE
+    mirror, view = None, None
+    for b in (b1, b2):
+        pre, post, mirror = lww_merge_touched(mirror, b, "pk", "ck")
+        live = F.col("kind") != "delete"
+        epre, epost = enrich_images(pre.where(live), post.where(live), dims, "custkey")
+        view = mview_fold(view, epre, epost, ["n_name"], "cents")
+        mirror = mirror.localCheckpoint(eager=True)
+        view = view.localCheckpoint(eager=True)
+    got = {r["n_name"]: (r["cnt"], r["sum_v"]) for r in view.collect()}
+    assert got == {"DE": (2, 150)}
