@@ -101,12 +101,34 @@ def enrich_images(
     Δfact ⋈ dim — folding the enriched images is exact (the standard IVM
     one-sided delta rule). The dim relation broadcasts (it is the small
     side by construction); batch-sized images probe it, so enrichment adds
-    zero shuffles. A dim UPDATE is out of scope here — that is a change to
-    the other join side and needs its own fold pass (dim deltas joined to
-    the FULL fact mirror), the classic two-sided IVM extension."""
+    zero shuffles. For a change on the DIM side use `dim_update_images`
+    (the other half of two-sided IVM)."""
     return (
         pre_image.join(F.broadcast(dims_df), on),
         post_image.join(F.broadcast(dims_df), on),
+    )
+
+
+def dim_update_images(
+    fact_live: DataFrame,
+    dim_pre: DataFrame,
+    dim_post: DataFrame,
+    on: str | list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Two-sided IVM, dim half: for a DIMENSION change the join delta is
+    fact ⋈ Δdim — every live fact row of a touched dim key contributes its
+    OLD enrichment negatively and its NEW enrichment positively. Returns
+    (pre, post) contribution images to feed mview_fold: the fact mirror
+    joined to the dim pre-image and post-image respectively.
+
+    Cost: the (batch-sized) dim images broadcast; the fact mirror is
+    probed, never shuffled — at scale partition/bucket the mirror by the
+    join key so the probe prunes files. A dim DELETE removes its fact
+    rows' contributions entirely (they vanish from the view, matching
+    inner-join semantics); a dim insert adds previously-dangling facts."""
+    return (
+        fact_live.join(F.broadcast(dim_pre), on),
+        fact_live.join(F.broadcast(dim_post), on),
     )
 
 

@@ -301,3 +301,36 @@ def test_enriched_view_dim_join_folds(spark):
         view = view.localCheckpoint(eager=True)
     got = {r["n_name"]: (r["cnt"], r["sum_v"]) for r in view.collect()}
     assert got == {"DE": (2, 150)}
+
+
+def test_dim_update_moves_all_fact_rows(spark):
+    """Two-sided IVM: a dim-side change (customer moves nation) re-homes
+    every live fact row of that key; a dim delete removes them (inner-join
+    semantics); untouched dim keys stay put."""
+    from peerdb_spark.mview import dim_update_images, enrich_images, mview_fold
+
+    facts = spark.createDataFrame(
+        [(10, 1, 100), (11, 1, 40), (12, 2, 50)], "pk long, custkey long, cents long"
+    )
+    dims = spark.createDataFrame([(1, "US"), (2, "DE")], "custkey long, n_name string")
+    empty = facts.where(F.lit(False))
+    epre, epost = enrich_images(empty, facts, dims, "custkey")
+    view = mview_fold(None, epre, epost, ["n_name"], "cents").localCheckpoint(eager=True)
+    as_dict = lambda v: {r["n_name"]: (r["cnt"], r["sum_v"]) for r in v.collect()}
+    assert as_dict(view) == {"US": (2, 140), "DE": (1, 50)}
+
+    # customer 1 moves US -> FR: both its fact rows re-home
+    dim_pre = dims.where(F.col("custkey") == 1)
+    dim_post = spark.createDataFrame([(1, "FR")], "custkey long, n_name string")
+    p, q = dim_update_images(facts, dim_pre, dim_post, "custkey")
+    view = mview_fold(view, p, q, ["n_name"], "cents").localCheckpoint(eager=True)
+    assert as_dict(view) == {"FR": (2, 140), "DE": (1, 50)}
+
+    # customer 2 deleted from dims: its fact rows leave the view
+    p, q = dim_update_images(
+        facts, dim_post.where(F.lit(False)).unionByName(
+            spark.createDataFrame([(2, "DE")], "custkey long, n_name string")),
+        dim_post.where(F.lit(False)), "custkey",
+    )
+    view = mview_fold(view, p, q, ["n_name"], "cents")
+    assert as_dict(view) == {"FR": (2, 140)}
