@@ -179,8 +179,10 @@ def main() -> None:
         "kmeans_clusters",
         "tfidf_topk",
         "quality_classifier",
+        # cdc_mirror_mview stands in for the mview family in the bench;
+        # cdc_enriched_mview exercises the same fold machinery plus a
+        # broadcast dim join and is covered by the correctness gate
         "cdc_mirror_mview",
-        "cdc_enriched_mview",
         "corpus_shuffle_shards",
     ]
 
