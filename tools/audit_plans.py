@@ -205,6 +205,15 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("rounds materialized (final plan is checkpoint scan)", r"Scan ExistingRDD", True),
         ("no python udf", r"BatchEvalPython", False),
     ]),
+    ("cdc_enriched_mview", [
+        ("rounds materialized (final plan is checkpoint scan)", r"Scan ExistingRDD", True),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
+    ("corpus_shuffle_shards", [
+        ("per-shard window rank (no global sort)", r"Window", True),
+        ("no single-partition exchange", r"Exchange SinglePartition", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ]),
 ]
 
 # ceilings on shuffle counts: a regression that adds an exchange to these
