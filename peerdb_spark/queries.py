@@ -3511,7 +3511,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.bm25_topk(docs, _BM25_TERMS, "text", "doc_id", k=10)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = 10) -> str:
     from peerdb_spark.functions.corpus import BM25_B, BM25_K1
 
     tf_cols = ", ".join(
@@ -3541,11 +3541,76 @@ scored AS (
 )
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, score
 FROM scored
-QUALIFY rank <= 10
+QUALIFY rank <= {k}
 """
 
 
 SQL_BM25_TOPK = _bm25_sql()
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-curation composition: BM25 retrieves the
+    top-20 LEXICAL candidates for a fixed keyword query, then the
+    embedding stack re-ranks them SEMANTICALLY against a reference query
+    vector (vec_id 0, embeddings align with doc_ids) by quantized-integer
+    dot product (exact in both engines, the sim_topk rule). Scale shape:
+    the candidate set is k-bounded, so the re-rank stage joins 20 rows
+    against the embedding table (broadcast candidates, never a corpus
+    shuffle) — lexical recall at corpus scale, vector precision at
+    candidate scale."""
+    from peerdb_spark.functions import corpus as CP
+
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    docs = ensure_parallelism(docs)
+    cands = CP.bm25_topk(docs, _BM25_TERMS, "text", "doc_id", k=20).select(
+        "doc_id", F.col("rank").alias("bm25_rank"), F.col("score").alias("bm25_score")
+    )
+    qv = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    qvec = qv.where(F.col("vec_id") == 0).select(F.col("qv").alias("qq"))
+    scored = (
+        qv.join(F.broadcast(cands), qv.vec_id == cands.doc_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id", "bm25_rank", "bm25_score",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("qq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("dot_q"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "rank", "bm25_rank", "bm25_score", "dot_q")
+    )
+
+
+def _hybrid_retrieval_sql() -> str:
+    bm25 = _bm25_sql(k=20)
+    body = bm25[bm25.index("WITH") : bm25.rindex("SELECT doc_id")]
+    return f"""
+{body.rstrip().rstrip(',')},
+cands AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS bm25_rank,
+         score AS bm25_score
+  FROM scored QUALIFY bm25_rank <= 20
+),
+qvt AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qref AS (SELECT qv AS qq FROM qvt WHERE vec_id = 0),
+rescored AS (
+  SELECT c.doc_id, c.bm25_rank, c.bm25_score,
+         CAST(list_sum(list_transform(range(1, len(v.qv) + 1), i -> v.qv[i] * qref.qq[i])) AS BIGINT) AS dot_q
+  FROM cands c JOIN qvt v ON v.vec_id = c.doc_id CROSS JOIN qref
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY dot_q DESC, doc_id) AS INT) AS rank,
+       bm25_rank, bm25_score, dot_q
+FROM rescored QUALIFY rank <= 5
+"""
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4564,6 +4629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_mirror_mview": q_cdc_mirror_mview,
     "corpus_shuffle_shards": q_corpus_shuffle_shards,
     "cdc_enriched_mview": q_cdc_enriched_mview,
+    "hybrid_retrieval": q_hybrid_retrieval,
 }
 
 ORACLES: dict[str, str] = {
@@ -4659,4 +4725,5 @@ ORACLES: dict[str, str] = {
     "cdc_mirror_mview": SQL_CDC_MIRROR_MVIEW,
     "corpus_shuffle_shards": SQL_CORPUS_SHUFFLE_SHARDS,
     "cdc_enriched_mview": SQL_CDC_ENRICHED_MVIEW,
+    "hybrid_retrieval": _hybrid_retrieval_sql(),
 }
