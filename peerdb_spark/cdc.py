@@ -353,7 +353,7 @@ class CdcPipeline:
         if catalog is not None and mirror_name:
             self._rehydrate_schema_deltas()
 
-    def attach_view(self, dst_table: str, view) -> None:
+    def attach_view(self, dst_table: str, view, backfill: bool = False) -> None:
         """Attach a maintained aggregate view (mview.ViewTable) to a
         destination: every normalize of that table also folds the merge's
         touched-pk pre/post images into the view — the warehouse-side
@@ -361,7 +361,25 @@ class CdcPipeline:
         instead of recomputed per query. Soft-deleted rows (when the table
         is configured with soft_delete_col) are excluded from the view's
         live set; redelivered batch ranges are no-ops via the view's own
-        applied-batch watermark."""
+        applied-batch watermark.
+
+        Attaching to a table that ALREADY has rows requires
+        `backfill=True` (or a prior view.backfill call): the view seeds
+        from the one-shot aggregate over current live state, then folds
+        incrementally — without it, pre-existing rows never enter the
+        view. Overlapping/replayed normalize ranges are safe either way:
+        images are STATE-based, so re-merged batches produce pre==post
+        and net to zero."""
+        if backfill:
+            cfg = self.tables.get(dst_table)
+            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+            if table.exists and view.read() is None:
+                live = table.read()
+                if cfg.soft_delete_col:
+                    live = live.where(
+                        ~F.coalesce(F.col(cfg.soft_delete_col), F.lit(False))
+                    )
+                view.backfill(live)
         self._views.setdefault(dst_table, []).append(view)
 
     def _rehydrate_schema_deltas(self) -> None:

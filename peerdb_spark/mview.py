@@ -54,6 +54,10 @@ def mview_fold(
     delta = contrib(post) − contrib(pre), combined into the view on the
     touched group keys only; groups whose count reaches zero disappear
     (a group is either absent or carries live rows — no tombstones).
+    `view=None` bootstraps and assumes `pre_image` is EMPTY (a fresh
+    mirror); to start a view over a mirror that already has rows, seed it
+    with the one-shot aggregate first (ViewTable.backfill) — folding
+    deltas into None would silently drop the pre-existing contributions.
 
     Materialization contract: this function takes NO checkpoints of its
     own — the returned view is one lazy plan over its inputs (delta is
@@ -238,6 +242,32 @@ class ViewTable:
         if m["version"] == 0:
             return None
         return self.spark.read.parquet(os.path.join(self.path, f"v{m['version']}"))
+
+    def backfill(self, live_rows: DataFrame) -> bool:
+        """Seed the view from EXISTING table state (attaching mid-life):
+        the one-shot aggregate becomes the first version; subsequent folds
+        are incremental. Consumes NO batch id — a later replayed normalize
+        whose effects the backfill already contains folds pre==post and
+        nets to zero (images are state-based, so this is self-correcting).
+        No-op when the view already has a version."""
+        import os
+
+        from peerdb_spark.rollup import read_pointer
+
+        m = read_pointer(self._pointer)
+        if m["version"] > 0:
+            return False
+        contrib = group_contrib(live_rows, self.dims, self.value_col)
+        nxt = m["version"] + 1
+        contrib.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
+        # publish without marking any batch id applied
+        import json
+
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({**m, "version": nxt}, fh)
+        os.replace(tmp, self._pointer)
+        return True
 
     def fold(self, pre_image: DataFrame, post_image: DataFrame, batch_id: int) -> bool:
         import os

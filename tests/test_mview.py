@@ -334,3 +334,62 @@ def test_dim_update_moves_all_fact_rows(spark):
     )
     view = mview_fold(view, p, q, ["n_name"], "cents")
     assert as_dict(view) == {"FR": (2, 140)}
+
+
+def test_attach_view_backfill_on_populated_table(spark, tmp_path):
+    """Attaching a view to a table that ALREADY has rows must seed from the
+    one-shot aggregate (backfill=True) — and a replayed normalize range
+    whose effects the backfill already contains nets to zero."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.mview import ViewTable
+
+    val_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("amt", T.LongType()),
+    ])
+    TS = dt.datetime(2024, 1, 1)
+
+    def changelog(rows):
+        data = [
+            {
+                "_kind": k, "_checkpoint_id": c,
+                "_commit_ts": TS + dt.timedelta(seconds=c), "_txid": c,
+                "_src_table": "t", "_dst_table": "t",
+                "_data": json.dumps(d) if k != "delete" else None,
+                "_old_data": json.dumps(d) if k == "delete" else None,
+                "_unchanged_cols": None,
+            }
+            for (k, c, d) in rows
+        ]
+        return spark.createDataFrame(data, cdc.CHANGELOG_SCHEMA)
+
+    cfg = cdc.CdcTableConfig("t", ["id"], val_schema, str(tmp_path / "t"), n_buckets=4)
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [cfg])
+    # populate BEFORE any view exists
+    pipe.sync_batch(changelog([
+        ("insert", 1, {"id": 1, "grp": "a", "amt": 5}),
+        ("insert", 2, {"id": 2, "grp": "b", "amt": 7}),
+    ]), batch_id=1)
+    pipe.normalize_batches(1, 1)
+
+    view = ViewTable(spark, str(tmp_path / "view"), ["grp"], "amt")
+    pipe.attach_view("t", view, backfill=True)
+    got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()}
+    assert got == {"a": (1, 5), "b": (1, 7)}  # pre-existing rows present
+
+    # replayed range: merge no-ops (LWW idempotent) -> images net to zero
+    pipe.normalize_batches(1, 1)
+    got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()}
+    assert got == {"a": (1, 5), "b": (1, 7)}
+
+    # and incremental folding continues from the backfilled base
+    pipe.sync_batch(changelog([("update", 9, {"id": 2, "grp": "a", "amt": 1})]), batch_id=2)
+    pipe.normalize_batches(2, 2)
+    got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()}
+    assert got == {"a": (2, 6)}
