@@ -500,9 +500,16 @@ class CdcPipeline:
             # column exclusion (ref: TableMapping.exclude, applied during
             # tuple processing — flow/connectors/postgres/cdc.go:335-386)
             changes = changes.drop(*cfg.exclude)
-        for src_name, dst_name in cfg.renames.items():
-            if src_name in changes.columns:
-                changes = changes.withColumnRenamed(src_name, dst_name)
+        if cfg.renames:
+            # ALL renames in one atomic projection: sequential
+            # withColumnRenamed calls make a→b while b exists duplicate the
+            # name (and a swap a↔b unrecoverable); simultaneous aliasing
+            # gives every config whose RESULTING names are distinct
+            # (validate_mirror's rename_no_collision) well-defined
+            # semantics, swaps and chains included
+            changes = changes.select(
+                *[F.col(c).alias(cfg.renames.get(c, c)) for c in changes.columns]
+            )
         for col_name, ddl in cfg.type_overrides.items():
             if col_name in changes.columns:
                 # destination-type override; try_cast mirrors the

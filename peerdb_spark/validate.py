@@ -121,15 +121,15 @@ def validate_mirror(
         out.append(CheckResult(
             "rename_resolves", name, not bad_ren,
             f"renamed columns not in schema: {bad_ren}" if bad_ren else "ok"))
-        ren_targets = list((cfg.renames or {}).values())
-        collisions = [
-            t for t in ren_targets
-            if ren_targets.count(t) > 1
-            or (t in fields and t not in (cfg.renames or {}))
-        ]
+        # renames apply as ONE atomic projection (cdc._changes_for), so the
+        # only invalid configs are those whose RESULTING column names
+        # collide — swaps (a↔b) and chains (a→b, b→c) are well-defined
+        ren = cfg.renames or {}
+        final_names = [ren.get(c, c) for c in fields]
+        collisions = sorted({n for n in final_names if final_names.count(n) > 1})
         out.append(CheckResult(
             "rename_no_collision", name, not collisions,
-            f"rename targets collide: {sorted(set(collisions))}" if collisions else "ok"))
+            f"rename targets collide: {collisions}" if collisions else "ok"))
 
         # meta column names must not shadow data columns
         shadows = [c for c in (cfg.soft_delete_col, cfg.synced_at_col)

@@ -142,3 +142,52 @@ def test_table_diff_null_shift_detected(spark):
     assert table_diff(src2, dst2, ["pk"], compare_cols=["a"]).count() == 1
     # and identical NULL-bearing rows still agree
     assert table_diff(src, src, ["pk"], compare_cols=["a", "b"]).count() == 0
+
+
+def test_rename_swap_is_valid_and_applies_atomically(spark, tmp_path):
+    """Renames apply as one atomic projection: a swap (a<->b) validates and
+    produces a well-formed destination; only configs whose RESULTING names
+    collide are rejected."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from peerdb_spark import cdc
+    from peerdb_spark.validate import validate_mirror
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.StringType()),
+    ])
+    cfg = cdc.CdcTableConfig(
+        "t", ["id"], schema, str(tmp_path / "t"), n_buckets=2,
+        renames={"a": "b", "b": "a"},
+    )
+    res = validate_mirror(spark, [cfg])
+    assert all(r.ok for r in res if r.check == "rename_no_collision")
+
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [cfg])
+    data = [{
+        "_kind": "insert", "_checkpoint_id": 1,
+        "_commit_ts": dt.datetime(2024, 1, 1), "_txid": 1,
+        "_src_table": "t", "_dst_table": "t",
+        "_data": json.dumps({"id": 1, "a": "A", "b": "B"}),
+        "_old_data": None, "_unchanged_cols": None,
+    }]
+    pipe.sync_batch(spark.createDataFrame(data, cdc.CHANGELOG_SCHEMA), batch_id=1)
+    pipe.normalize_batches(1, 1)
+    from peerdb_spark.storage import ParquetTable
+
+    row = ParquetTable(spark, cfg.path, ["id"], 2).read().collect()[0]
+    assert (row["a"], row["b"]) == ("B", "A")  # swapped, not corrupted
+
+    bad = cdc.CdcTableConfig(
+        "t2", ["id"], schema, str(tmp_path / "t2"), n_buckets=2,
+        renames={"a": "b"},  # resulting names: id, b, b -> collision
+    )
+    res = validate_mirror(spark, [bad])
+    assert any(
+        r.check == "rename_no_collision" and not r.ok for r in res
+    )
