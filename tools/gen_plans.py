@@ -214,6 +214,13 @@ COMMENT = {
         "table is implicit in the hash), no Python, one exchange. The "
         "cheapest possible shape for a corpus-wide model-scoring pass."
     ),
+    "hybrid_retrieval": (
+        "BM25 → embedding re-rank composition: the corpus-scale stage is the "
+        "single-projection BM25 pass (1-row stats broadcast back); the "
+        "20-row candidate set then broadcasts into the embedding table for "
+        "the quantized-int dot re-rank — lexical recall at corpus scale, "
+        "vector precision at candidate scale, no corpus shuffle anywhere."
+    ),
     "cdc_mirror_mview": (
         "Incrementally maintained aggregate view over a CDC mirror. Every "
         "fold round materializes (localCheckpoint), so the declared plan is "
