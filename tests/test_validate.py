@@ -191,3 +191,58 @@ def test_rename_swap_is_valid_and_applies_atomically(spark, tmp_path):
     assert any(
         r.check == "rename_no_collision" and not r.ok for r in res
     )
+
+
+def test_table_diff_hypothesis_random_drift(spark):
+    """Property: table_diff flags a mismatched bucket IFF the tables differ
+    — over random tables with NULL-heavy columns and random mutations
+    (value edits incl. NULL<->value and NULL column-shifts, row drops, row
+    additions). The no-drift direction guards against false positives; the
+    drift direction guards against checksum false negatives (the round-4
+    concat_ws NULL defect class)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from peerdb_spark.validate import table_diff
+
+    val = st.one_of(st.none(), st.text(alphabet="xy", min_size=0, max_size=2))
+    rowst = st.tuples(val, val)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(rowst, min_size=1, max_size=12),
+        mutation=st.sampled_from(["none", "edit", "swap_nulls", "drop", "add"]),
+        idx=st.integers(min_value=0, max_value=11),
+        data=st.data(),
+    )
+    def check(rows, mutation, idx, data):
+        src_rows = [(i, a, b) for i, (a, b) in enumerate(rows)]
+        dst_rows = list(src_rows)
+        i = idx % len(dst_rows)
+        pk, a, b = dst_rows[i]
+        drifted = False
+        if mutation == "edit":
+            new_a = data.draw(val, label="new_a")
+            drifted = new_a != a
+            dst_rows[i] = (pk, new_a, b)
+        elif mutation == "swap_nulls":
+            # the classic false-negative shape: (NULL, v) vs (v, NULL)
+            dst_rows[i] = (pk, b, a)
+            drifted = a != b
+        elif mutation == "drop":
+            dst_rows.pop(i)
+            drifted = True
+        elif mutation == "add":
+            dst_rows.append((1000 + i, a, b))
+            drifted = True
+        schema = "pk long, a string, b string"
+        src = spark.createDataFrame(src_rows, schema)
+        dst = spark.createDataFrame(dst_rows, schema)
+        n_bad = table_diff(src, dst, ["pk"], ["a", "b"], n_buckets=8).count()
+        assert (n_bad > 0) == drifted, (mutation, src_rows, dst_rows)
+
+    check()
