@@ -103,3 +103,40 @@ def test_predicate_wm_type_cast_ntz(spark):
     parts = minmax_partitions(df, "wm", rows_per_partition=10)
     covered = sum(df.where(p.predicate("wm", "timestamp_ntz")).count() for p in parts)
     assert covered == 48
+
+
+def test_partitions_tile_exactly_once_hypothesis(spark):
+    """Property: for random watermark datasets (duplicates, negatives, skew)
+    BOTH partitioners' predicates pull every row EXACTLY once across
+    partitions — no holes, no double-pulls (the hazard half-open NTILE
+    ranges exist for)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from peerdb_spark.partition import minmax_partitions, ntile_partitions
+    from pyspark.sql import functions as F
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        wms=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+        rpp=st.integers(min_value=1, max_value=10),
+        nb=st.integers(min_value=1, max_value=6),
+    )
+    def check(wms, rpp, nb):
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(wms)], "id long, wm long"
+        )
+        for parts in (
+            minmax_partitions(df, "wm", rows_per_partition=rpp),
+            ntile_partitions(df, "wm", nb, tiebreakers=["id"]),
+        ):
+            pulled = []
+            for p in parts:
+                pulled += [r["id"] for r in df.where(p.predicate("wm")).collect()]
+            assert sorted(pulled) == list(range(len(wms))), (wms, rpp, nb, parts)
+
+    check()
