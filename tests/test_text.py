@@ -128,3 +128,42 @@ def test_text_ops_null_and_unicode_safe(spark):
     # fingerprint/scrub/pii propagate NULL without crashing
     assert TX.fingerprint_df(df).where(F.col("doc_id") == 1).collect()[0]["fingerprint"] is None
     assert CP.redact_pii(df).count() == 3
+
+
+def test_pack_plan_hypothesis_matches_reference(spark):
+    """Property: per-shard concat-then-chunk placement equals a plain-Python
+    prefix-sum over the same deterministic (shard, id) order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from peerdb_spark.functions.sampling import pack_plan
+    from pyspark.sql import functions as F
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+        window=st.integers(min_value=1, max_value=40),
+        n_shards=st.integers(min_value=1, max_value=4),
+    )
+    def check(lens, window, n_shards):
+        rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+            for r in pack_plan(df, "text", "doc_id", window=window, n_shards=n_shards).collect()
+        }
+        want = {}
+        for s in range(n_shards):
+            cum = 0
+            for i, n in enumerate(lens):
+                if i % n_shards != s:
+                    continue
+                want[i] = (s, cum // window, cum % window)
+                cum += n
+        assert got == want, (lens, window, n_shards)
+
+    check()
