@@ -90,8 +90,12 @@ def interval_to_json(col: Column) -> Column:
 # hstore
 # ---------------------------------------------------------------------------
 
-_HS_KEY = r'"((?:[^"\\]|\\.)*)"\s*=>'
-_HS_VAL = r'=>\s*("(?:[^"\\]|\\.)*"|NULL)'
+# ONE pair-level pattern (key group 1, value group 2): independent key/value
+# scans desynchronize when a VALUE is followed by text that looks like a key
+# terminator — e.g. '""=>"", "=>"=>NULL' (a key containing '=>'); matching
+# whole pairs consumes each value before the next key is considered
+# (hypothesis roundtrip test pins this).
+_HS_PAIR = r'"((?:[^"\\]|\\.)*)"\s*=>\s*("(?:[^"\\]|\\.)*"|NULL)'
 
 
 def _unescape(col: Column) -> Column:
@@ -103,9 +107,9 @@ def parse_hstore(col: Column) -> Column:
 
     Parses the subset hstore_out emits — '"k"=>"v", "k2"=>NULL' with
     backslash escapes inside quotes (ref: flow/shared/datatypes/hstore.go)."""
-    keys = F.transform(F.regexp_extract_all(col, F.lit(_HS_KEY), F.lit(1)), _unescape)
+    keys = F.transform(F.regexp_extract_all(col, F.lit(_HS_PAIR), F.lit(1)), _unescape)
     vals = F.transform(
-        F.regexp_extract_all(col, F.lit(_HS_VAL), F.lit(1)),
+        F.regexp_extract_all(col, F.lit(_HS_PAIR), F.lit(2)),
         lambda v: F.when(v == "NULL", F.lit(None).cast("string")).otherwise(
             _unescape(v.substr(F.lit(2), F.length(v) - 2))
         ),
@@ -116,9 +120,9 @@ def parse_hstore(col: Column) -> Column:
 def hstore_pairs(col: Column) -> Column:
     """Deterministic sorted 'key=>value' array (NULL value → 'key=>NULL') —
     the order-stable projection used by oracles and tests."""
-    keys = F.transform(F.regexp_extract_all(col, F.lit(_HS_KEY), F.lit(1)), _unescape)
+    keys = F.transform(F.regexp_extract_all(col, F.lit(_HS_PAIR), F.lit(1)), _unescape)
     vals = F.transform(
-        F.regexp_extract_all(col, F.lit(_HS_VAL), F.lit(1)),
+        F.regexp_extract_all(col, F.lit(_HS_PAIR), F.lit(2)),
         lambda v: F.when(v == "NULL", F.lit("NULL")).otherwise(
             _unescape(v.substr(F.lit(2), F.length(v) - 2))
         ),

@@ -916,9 +916,11 @@ iv1 AS (
 ),
 hs1 AS (
   SELECT *,
-    list_transform(regexp_extract_all(hs, '"((?:[^"\\]|\\.)*)"\s*=>', 1),
+    -- pair-level pattern mirroring exotic._HS_PAIR (independent key/value
+    -- scans desync on values followed by key-like text)
+    list_transform(regexp_extract_all(hs, '"((?:[^"\\]|\\.)*)"\s*=>\s*("(?:[^"\\]|\\.)*"|NULL)', 1),
                    x -> regexp_replace(x, '\\(.)', '\1', 'g')) AS hkeys,
-    list_transform(regexp_extract_all(hs, '=>\s*("(?:[^"\\]|\\.)*"|NULL)', 1),
+    list_transform(regexp_extract_all(hs, '"((?:[^"\\]|\\.)*)"\s*=>\s*("(?:[^"\\]|\\.)*"|NULL)', 2),
                    x -> CASE WHEN x = 'NULL' THEN 'NULL'
                              ELSE regexp_replace(substr(x, 2, len(x) - 2), '\\(.)', '\1', 'g') END) AS hvals
   FROM iv1

@@ -201,3 +201,34 @@ def test_money_roundtrip_property(spark):
     got = df.select(X.parse_money_cents(F.col("m")).alias("g"), "expect").collect()
     for r in got:
         assert r["g"] == r["expect"], (r["g"], r["expect"])
+
+
+def test_parse_hstore_hypothesis_roundtrip(spark):
+    """Property: rendering a random dict in hstore_out text form (quoted
+    keys/values, backslash escapes, NULLs) and parsing it back yields the
+    dict — over keys/values containing quotes, backslashes, and commas."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def render(d):
+        def esc(s):
+            return s.replace("\\", "\\\\").replace('"', '\\"')
+
+        return ", ".join(
+            f'"{esc(k)}"=>' + ("NULL" if v is None else f'"{esc(v)}"')
+            for k, v in d.items()
+        )
+
+    txt = st.text(alphabet='ab", \\=>', min_size=0, max_size=6)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(d=st.dictionaries(txt, st.one_of(st.none(), txt), min_size=0, max_size=5))
+    def check(d):
+        got = _one(spark, X.parse_hstore(F.lit(render(d))))
+        assert (got or {}) == d, (render(d), got, d)
+
+    check()
