@@ -164,8 +164,14 @@ def parse_timetz_micros(col: Column) -> Column:
 
 _OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 INET4_RE = rf"^{_OCTET}(\.{_OCTET}){{3}}(/(3[0-2]|[12]?\d))?$"
-# pragmatic IPv6 subset: hex groups and colons (incl. '::'), optional prefix
-INET6_RE = r"^[0-9A-Fa-f]{0,4}(:[0-9A-Fa-f]{0,4}){1,7}(/(12[0-8]|1[01]\d|\d{1,2}))?$"
+# pragmatic IPv6 subset: hex groups and colons (incl. '::'), optional
+# IPv4-mapped tail ('::ffff:1.2.3.4' — inet_out emits the dotted form),
+# optional prefix
+INET6_RE = (
+    r"^[0-9A-Fa-f]{0,4}(:[0-9A-Fa-f]{0,4}){0,6}"
+    rf"(:[0-9A-Fa-f]{{0,4}}|:{_OCTET}(\.{_OCTET}){{3}})"
+    r"(/(12[0-8]|1[01]\d|\d{1,2}))?$"
+)
 MACADDR_RE = r"^([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}$"
 
 

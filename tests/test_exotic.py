@@ -232,3 +232,69 @@ def test_parse_hstore_hypothesis_roundtrip(spark):
         assert (got or {}) == d, (render(d), got, d)
 
     check()
+
+
+def test_parse_interval_hypothesis_pg_rendering(spark):
+    """Property: parse_interval decodes every interval rendered the way
+    `interval_out` (postgres style) renders it — random signed components,
+    optional fractional seconds, any subset of units present."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def render(y, mo, d, neg_time, hh, mm, ss, frac, with_time):
+        parts = []
+        if y:
+            parts.append(f"{y} year" + ("s" if abs(y) != 1 else ""))
+        if mo:
+            parts.append(f"{mo} mon" + ("s" if abs(mo) != 1 else ""))
+        if d:
+            parts.append(f"{d} day" + ("s" if abs(d) != 1 else ""))
+        if with_time:
+            t = f"{'-' if neg_time else ''}{hh:02d}:{mm:02d}:{ss:02d}"
+            if frac:
+                t += f".{frac:06d}"
+            parts.append(t)
+        return " ".join(parts) if parts else "00:00:00"
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        y=st.integers(min_value=-20, max_value=20),
+        mo=st.integers(min_value=-11, max_value=11),
+        d=st.integers(min_value=-40, max_value=40),
+        neg_time=st.booleans(),
+        hh=st.integers(min_value=0, max_value=23),
+        mm=st.integers(min_value=0, max_value=59),
+        ss=st.integers(min_value=0, max_value=59),
+        frac=st.integers(min_value=0, max_value=999999),
+        with_time=st.booleans(),
+    )
+    def check(y, mo, d, neg_time, hh, mm, ss, frac, with_time):
+        txt = render(y, mo, d, neg_time, hh, mm, ss, frac, with_time)
+        got = _one(spark, X.parse_interval(F.lit(txt)))
+        sign = -1 if (neg_time and with_time) else 1
+        want_ss = float(sign * (ss + (frac if frac else 0) / 1e6)) if with_time else 0.0
+        assert (got["years"], got["months"], got["days"]) == (y, mo, d) or (
+            # absent units parse as 0
+            (got["years"], got["months"], got["days"])
+            == (y or 0, mo or 0, d or 0)
+        ), (txt, got)
+        if with_time:
+            assert (got["hours"], got["minutes"]) == (sign * hh, sign * mm), (txt, got)
+        assert float(got["seconds"]) == want_ss, (txt, got)
+
+    check()
+
+
+def test_valid_inet_ipv4_mapped(spark):
+    """inet_out emits IPv4-mapped IPv6 with a dotted tail — accepted; a
+    mapped tail with out-of-range octets is rejected."""
+    ok = ["::ffff:192.168.0.1", "::ffff:1.2.3.4/128", "64:ff9b::0.0.0.0"]
+    bad = ["::ffff:999.1.1.1", "::ffff:1.2.3", "1.2.3.4:5"]
+    for s in ok:
+        assert _one(spark, X.valid_inet(F.lit(s))) == s, s
+    for s in bad:
+        assert _one(spark, X.valid_inet(F.lit(s))) is None, s
