@@ -91,6 +91,24 @@ def changelog_to_raw(changelog: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+# schema of an empty raw read (all-heartbeat raw table): matches
+# changelog_to_raw's output with the default integer checkpoint — the type
+# only matters for 0 rows, where every downstream transform is a no-op
+_RAW_EMPTY_SCHEMA = T.StructType(
+    [
+        T.StructField(RAW_UID, T.StringType()),
+        T.StructField(RAW_TS, T.LongType()),
+        T.StructField(RAW_DST, T.StringType()),
+        T.StructField(RAW_DATA, T.StringType()),
+        T.StructField(RAW_TYPE, T.IntegerType()),
+        T.StructField(RAW_MATCH, T.StringType()),
+        T.StructField(RAW_BATCH, T.IntegerType()),
+        T.StructField(RAW_UNCHANGED, T.StringType()),
+        T.StructField("_peerdb_checkpoint_id", T.LongType()),
+    ]
+)
+
+
 class RawTable:
     """Append-only raw staging table, parquet partitioned by batch id.
 
@@ -129,6 +147,12 @@ class RawTable:
         changelog_to_raw(ensure_parallelism(changelog), batch_id).write.mode(
             "append"
         ).partitionBy(RAW_BATCH).parquet(self.path)
+        # an EMPTY batch (heartbeat / idle micro-batch) writes no partition
+        # dir at all — create it so the commit marker still lands and the
+        # batch id is durably recorded as synced (the reference records
+        # empty sync batches the same way; normalize over the range is a
+        # no-op)
+        os.makedirs(part, exist_ok=True)
         with open(os.path.join(part, self.MARKER), "w") as fh:
             fh.write("")
 
@@ -154,6 +178,15 @@ class RawTable:
         return dropped
 
     def read_batches(self, start_batch: int, end_batch: int) -> DataFrame:
+        # a raw table holding ONLY empty (heartbeat) batches has committed
+        # partition dirs but no parquet files — schema inference would fail;
+        # normalize over such a range is a no-op on an empty typed frame
+        if not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(self.path)
+            for f in fs
+        ):
+            return self.spark.createDataFrame([], _RAW_EMPTY_SCHEMA)
         df = self.spark.read.parquet(self.path)
         # partition-pruned: RAW_BATCH is a directory partition column
         return df.where(F.col(RAW_BATCH).between(start_batch, end_batch))

@@ -412,3 +412,79 @@ def test_changelog_and_dead_letters_partition_the_raw_rows(spark, tmp_path):
     assert kept + dead == total, (kept, dead, total)
     # the specific split: ok / pk-null-ok / extra-key / null-payload-delete kept
     assert kept == 4 and dead == 7
+
+
+def test_state_as_of_hypothesis_random_prefixes(spark, tmp_path):
+    """Property: for a random insert/update/delete changelog split into
+    batches, state_as_of(t, k) equals the LWW fold of every change with
+    batch id <= k — at EVERY prefix, not just the fixed points the
+    earlier tests pin."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    opst = st.tuples(
+        st.sampled_from(["insert", "update", "update", "delete"]),
+        st.integers(min_value=0, max_value=6),   # pk
+        st.integers(min_value=0, max_value=99),  # value
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(opst, min_size=1, max_size=18),
+           n_batches=st.integers(min_value=1, max_value=3),
+           seed=st.integers(min_value=0, max_value=99))
+    def check(ops, n_batches, seed):
+        import random as _r
+        import shutil
+        import tempfile
+
+        work = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            schema = T.StructType(
+                [T.StructField("pk", T.LongType()), T.StructField("v", T.LongType())]
+            )
+            pipe = cdc.CdcPipeline(
+                spark, f"{work}/raw",
+                [cdc.CdcTableConfig("t", ["pk"], schema, f"{work}/t", n_buckets=2)],
+            )
+            rng = _r.Random(seed)
+            assign = sorted(rng.randrange(n_batches) for _ in ops)  # ck order respects batches
+            rows_by_batch = {}
+            for ck, ((kind, pk, v), b) in enumerate(zip(ops, assign)):
+                rows_by_batch.setdefault(b, []).append((kind, ck, pk, v))
+            for b in range(n_batches):
+                rows = rows_by_batch.get(b, [])
+                data = [
+                    {
+                        "_kind": k, "_checkpoint_id": ck,
+                        "_commit_ts": TS + dt.timedelta(seconds=ck), "_txid": ck,
+                        "_src_table": "t", "_dst_table": "t",
+                        "_data": json.dumps({"pk": pk, "v": v}) if k != "delete" else None,
+                        "_old_data": json.dumps({"pk": pk, "v": v}) if k == "delete" else None,
+                        "_unchanged_cols": None,
+                    }
+                    for (k, ck, pk, v) in rows
+                ]
+                pipe.sync_batch(spark.createDataFrame(data, cdc.CHANGELOG_SCHEMA), batch_id=b)
+            for k_prefix in range(n_batches):
+                # reference: sequential LWW replay of every op in batches <= k
+                state = {}
+                for ck, ((kind, pk, v), b) in enumerate(zip(ops, assign)):
+                    if b > k_prefix:
+                        continue
+                    if kind == "delete":
+                        state.pop(pk, None)
+                    else:
+                        state[pk] = v
+                got = {
+                    r["pk"]: r["v"]
+                    for r in pipe.state_as_of("t", k_prefix).select("pk", "v").collect()
+                }
+                assert got == state, (ops, assign, k_prefix, got, state)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
