@@ -117,3 +117,55 @@ def test_watermark_from_pulled_partitions_not_rescan(spark, tables, catalog, tmp
     src_max = li.agg(F.max("l_orderkey")).collect()[0][0]
     assert catalog.get_last_watermark(cfg.name) == expected
     assert catalog.get_last_watermark(cfg.name) < src_max
+
+
+def test_qrep_append_hypothesis_random_growth(spark, catalog, tmp_path):
+    """Property: over random source-growth histories (append-only with a
+    monotone watermark; arbitrary batch sizes incl. empty growth between
+    runs), repeated QRepEngine.run passes leave the destination EQUAL to
+    the source — every row exactly once, across any partitioning the
+    engine chose."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from peerdb_spark.registry import MirrorConfig
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        growth=st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=4),
+        rpp=st.integers(min_value=1, max_value=9),
+        uid=st.uuids(),
+    )
+    def check(growth, rpp, uid):
+        import shutil
+
+        work = str(tmp_path / f"g{uid.hex[:10]}")
+        cfg = MirrorConfig(
+            name=f"m_{uid.hex[:10]}", kind="qrep", watermark_column="wm",
+            write_mode="append", num_rows_per_partition=rpp,
+        )
+        catalog.create_mirror(cfg)
+        eng = QRepEngine(spark, catalog)
+        rows = []
+        nxt = 0
+        try:
+            for g in growth:
+                rows += [(nxt + i, (nxt + i) % 7) for i in range(g)]
+                nxt += g
+                if not rows:
+                    continue
+                src = spark.createDataFrame(rows, "wm long, val long")
+                eng.run(cfg, src, work)
+                got = sorted(
+                    (r["wm"], r["val"])
+                    for r in spark.read.parquet(work).collect()
+                )
+                assert got == sorted(rows), (growth, rpp, len(got), len(rows))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
