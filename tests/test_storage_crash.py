@@ -324,3 +324,63 @@ def test_time_travel_stable_across_compaction_and_crash(spark, tmp_path):
     # and a rerun of compaction converges
     t.compact()
     assert sorted((r["pk"], r["v"]) for r in t.read().collect()) == rows4
+
+
+def test_fault_injection_sweep_every_swap_step(spark, tmp_path):
+    """REAL fault injection (not hand-built states): interrupt
+    replace_partitions at every os.rename / shutil.move call index in turn,
+    then run the recovery path (repair via read + idempotent merge re-run)
+    and assert the final state always equals the no-crash outcome."""
+    from unittest import mock
+
+    from peerdb_spark import normalize as N
+    from peerdb_spark import storage as S
+
+    changes_rows = [
+        (i, f"new{i}", "update", 100 + i, None) for i in range(0, 40, 3)
+    ]
+    expected = sorted(
+        (i, f"new{i}" if i % 3 == 0 else f"old{i}") for i in range(40)
+    )
+    chg_schema = "id long, v string, _kind string, _checkpoint_id long, _commit_ts timestamp"
+
+    step = 0
+    while True:
+        path = str(tmp_path / f"t{step}")
+        t = _mk_table(spark, path, [(i, f"old{i}") for i in range(40)])
+        changes = spark.createDataFrame(changes_rows, chg_schema)
+
+        calls = {"n": 0}
+        real_rename, real_move = os.rename, shutil.move
+
+        def failing_rename(a, b, _step=step, _calls=calls):
+            if _calls["n"] == _step:
+                raise OSError("injected crash")
+            _calls["n"] += 1
+            return real_rename(a, b)
+
+        def failing_move(a, b, _step=step, _calls=calls):
+            if _calls["n"] == _step:
+                raise OSError("injected crash")
+            _calls["n"] += 1
+            return real_move(a, b)
+
+        crashed = False
+        # os is a module-level import in storage; shutil is function-local →
+        # patch the global shutil module for the move hook
+        with mock.patch.object(S.os, "rename", failing_rename), mock.patch(
+            "shutil.move", failing_move
+        ):
+            try:
+                N.merge_into_table(t, changes)
+            except OSError:
+                crashed = True
+        # recovery: repair happens on read; merge re-run is idempotent
+        if crashed:
+            N.merge_into_table(t, spark.createDataFrame(changes_rows, chg_schema))
+        got = sorted((r["id"], r["v"]) for r in t.read().collect())
+        assert got == expected, (step, crashed, len(got))
+        if not crashed:
+            break  # step index beyond the last rename — full sweep done
+        step += 1
+    assert step >= 2  # the sweep actually exercised multiple crash windows
