@@ -384,3 +384,47 @@ def test_fault_injection_sweep_every_swap_step(spark, tmp_path):
             break  # step index beyond the last rename — full sweep done
         step += 1
     assert step >= 2  # the sweep actually exercised multiple crash windows
+
+
+def test_fault_injection_sweep_overwrite_path(spark, tmp_path):
+    """Same real-injection sweep over the full-overwrite park/promote
+    protocol: after any crash window, a plain read returns a CONSISTENT
+    state (old or new, never lost/mixed) and re-running the overwrite
+    converges to the new state."""
+    from unittest import mock
+
+    from peerdb_spark import storage as S
+
+    old_rows = [(i, f"old{i}") for i in range(30)]
+    new_rows = [(i, f"new{i}") for i in range(30)]
+    old_sorted = sorted(old_rows)
+    new_sorted = sorted(new_rows)
+
+    step = 0
+    while True:
+        path = str(tmp_path / f"o{step}")
+        t = _mk_table(spark, path, old_rows)
+        calls = {"n": 0}
+        real_rename = os.rename
+
+        def failing_rename(a, b, _step=step, _calls=calls):
+            if _calls["n"] == _step:
+                raise OSError("injected crash")
+            _calls["n"] += 1
+            return real_rename(a, b)
+
+        crashed = False
+        with mock.patch.object(S.os, "rename", failing_rename):
+            try:
+                t.overwrite(spark.createDataFrame(new_rows, "id long, v string"))
+            except OSError:
+                crashed = True
+        mid = sorted((r["id"], r["v"]) for r in t.read().collect())
+        assert mid in (old_sorted, new_sorted), (step, len(mid))  # never torn
+        t.overwrite(spark.createDataFrame(new_rows, "id long, v string"))
+        got = sorted((r["id"], r["v"]) for r in t.read().collect())
+        assert got == new_sorted, (step, crashed)
+        if not crashed:
+            break
+        step += 1
+    assert step >= 1
