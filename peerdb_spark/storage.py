@@ -21,6 +21,17 @@ sides of the merge join are already co-partitioned by bucket. With table-size
 ~100 TB and n_buckets sized so a bucket is a few GB, each bucket merge is an
 independent task-sized unit — exactly the property a 1000-executor cluster
 needs.
+
+Read visibility: each bucket swap is atomic (two renames, crash-repairable —
+fault-injection-swept in tests), but a reader scanning DURING a multi-bucket
+replace can observe bucket A post-batch while bucket B is still pre-batch.
+That matches the reference's ClickHouse destination (parts become visible as
+they merge; only single-statement reads of one part are atomic) — per-ROW
+states are always consistent (a pk lives in exactly one bucket). Readers
+needing a cross-bucket-atomic view read a VERSIONED table instead
+(mview.MviewTable / rollup.RollupTable publish whole snapshots behind one
+pointer); wiring that manifest protocol under ParquetTable is the upgrade
+path if a deployment needs MVCC-style reads of the raw mirror.
 """
 
 from __future__ import annotations
