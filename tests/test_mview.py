@@ -393,3 +393,35 @@ def test_attach_view_backfill_on_populated_table(spark, tmp_path):
     pipe.normalize_batches(2, 2)
     got = {r["grp"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()}
     assert got == {"a": (2, 6)}
+
+
+def test_pointer_publish_crash_injection(spark, tmp_path):
+    """Interrupt the atomic pointer publish itself (os.replace fails after
+    the snapshot is fully written): the fold raises, readers keep the OLD
+    version, and a refold of the same batch converges with no double-count."""
+    from unittest import mock
+
+    from peerdb_spark.mview import MviewTable
+
+    t = MviewTable(spark, str(tmp_path / "m"), "pk", "ck", "kind", ["grp"], "v")
+    b1 = spark.createDataFrame([(1, 10, "insert", "a", 5)], SCHEMA)
+    b2 = spark.createDataFrame([(2, 20, "insert", "a", 7)], SCHEMA)
+    assert t.fold(b1, batch_id=0)
+
+    def failing(a, b):
+        raise OSError("injected crash at pointer publish")
+
+    # publish_pointer imports os locally -> patch the global os module
+    with mock.patch("os.replace", failing):
+        try:
+            t.fold(b2, batch_id=1)
+            raised = False
+        except OSError:
+            raised = True
+    assert raised
+    # old version still visible (snapshot v2 written but never published)
+    assert {r["grp"]: (r["cnt"], r["sum_v"]) for r in t.view().collect()} == {"a": (1, 5)}
+    # refold converges, no double-count
+    assert t.fold(b2, batch_id=1) is True
+    assert {r["grp"]: (r["cnt"], r["sum_v"]) for r in t.view().collect()} == {"a": (2, 12)}
+    assert t.fold(b2, batch_id=1) is False
