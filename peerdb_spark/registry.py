@@ -129,6 +129,12 @@ class Catalog:
         return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
 
     # ---- mirrors ----
+    def list_mirrors(self) -> list[str]:
+        d = self._path("mirrors")
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
     def create_mirror(self, cfg: MirrorConfig) -> None:
         self._write(f"mirrors/{cfg.name}.json", asdict(cfg))
 

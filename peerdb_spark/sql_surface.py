@@ -48,6 +48,7 @@ _RESYNC_MIRROR = re.compile(
 _MIRROR_SIGNAL = re.compile(
     r"^\s*(PAUSE|RESUME|EXECUTE)\s+MIRROR\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
+_SHOW = re.compile(r"^\s*SHOW\s+(MIRRORS|PEERS)\s*;?\s*$", re.IGNORECASE)
 _DECLARE_CURSOR = re.compile(
     r"^\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.*?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
@@ -187,6 +188,7 @@ class SqlSurface:
             (_DROP_MIRROR, self._drop_mirror),
             (_RESYNC_MIRROR, self._resync_mirror),
             (_MIRROR_SIGNAL, self._mirror_signal),
+            (_SHOW, self._show),
             (_DECLARE_CURSOR, self._declare_cursor),
             (_FETCH, self._fetch),
             (_CLOSE, self._close),
@@ -271,6 +273,43 @@ class SqlSurface:
         self.catalog.create_mirror(cfg)
         self.catalog.set_batch_id(f"{name}/initial_copy", 0)
         return {"ok": True, "mirror": name, "resync": True}
+
+    def _show(self, m) -> DataFrame:
+        """SHOW MIRRORS / SHOW PEERS — the operational introspection the
+        reference serves from its catalog tables (nexus routes catalog
+        queries to the Postgres catalog; one engine here, so these are
+        first-class statements). Returns a DataFrame like any query."""
+        what = m.group(1).lower()
+        if what == "peers":
+            rows = []
+            for name in self.catalog.list_peers():
+                p = self.catalog.get_peer(name)
+                rows.append((p.name, p.kind, p.path))
+            return self.spark.createDataFrame(
+                rows, "peer string, kind string, path string"
+            )
+        rows = []
+        for name in self.catalog.list_mirrors():
+            cfg = self.catalog.get_mirror(name)
+            st = self.mirror_state.get(name)
+            last_wm = self.catalog.get_last_watermark(name)
+            rows.append(
+                (
+                    cfg.name,
+                    cfg.kind,
+                    cfg.source_peer,
+                    cfg.destination_peer,
+                    st.status if st else "unknown",
+                    str(last_wm) if last_wm is not None else None,
+                    len(cfg.table_mappings or []),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "mirror string, kind string, source_peer string, "
+            "destination_peer string, status string, last_watermark string, "
+            "n_tables int",
+        )
 
     def _mirror_signal(self, m) -> dict:
         action, name = m.group(1).lower(), m.group(2)

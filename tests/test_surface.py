@@ -608,3 +608,28 @@ def test_resync_mirror_statement(surface, spark, tmp_path):
     assert out["result"]["snapshots"] == 1
     got = sorted((r["id"], r["v"]) for r in t.read().collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_show_mirrors_and_peers(spark, tmp_path):
+    """SHOW MIRRORS / SHOW PEERS return catalog state as DataFrames (the
+    reference's operational introspection surface)."""
+    from peerdb_spark.registry import Catalog
+    from peerdb_spark.sql_surface import SqlSurface
+
+    surf = SqlSurface(spark, Catalog(str(tmp_path / "cat")))
+    assert surf.execute("SHOW MIRRORS").count() == 0
+    surf.execute(f"CREATE PEER src FROM parquet WITH (path = '{tmp_path}/s')")
+    surf.execute(f"CREATE PEER dst FROM parquet WITH (path = '{tmp_path}/d')")
+    surf.execute(
+        "CREATE MIRROR m1 FROM src TO dst WITH TABLE MAPPING (t1, t2:t2x) "
+        "WITH (max_batch_size = 100)"
+    )
+    surf.execute("PAUSE MIRROR m1")
+    peers = {r["peer"]: r["kind"] for r in surf.execute("SHOW PEERS").collect()}
+    assert peers == {"src": "parquet", "dst": "parquet"}
+    mirrors = surf.execute("SHOW MIRRORS").collect()
+    assert len(mirrors) == 1
+    row = mirrors[0]
+    assert (row["mirror"], row["kind"], row["status"], row["n_tables"]) == (
+        "m1", "cdc", "paused", 2,
+    )
