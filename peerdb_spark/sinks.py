@@ -174,6 +174,28 @@ def write_kafka(
     kafka_write_spec(batch, bootstrap_servers, default_topic, producer_options).save()
 
 
+def write_kafka_wire(
+    batch: DataFrame,
+    host: str,
+    port: int,
+    default_topic: str = "events",
+) -> None:
+    """Deliver WITHOUT the spark-sql-kafka connector: per-executor-partition
+    plain-TCP Produce requests built by kafka_wire.py (the public protocol,
+    implemented from scratch; record batches CRC32C-verified end-to-end in
+    tests against an independent decoder + stub broker). Same row contract
+    as the connector path — validate through kafka_write_spec first. Scope:
+    acks=1 at-least-once to a single broker/proxy address; idempotent merge
+    downstream absorbs redelivery (see kafka_wire module doc)."""
+    from peerdb_spark.kafka_wire import deliver_kafka_wire
+
+    kafka_write_spec(batch, f"{host}:{port}", default_topic)  # contract check
+    cols = [c for c in ("topic", "key", "value") if c in batch.columns]
+    batch.select(*cols).foreachPartition(
+        lambda rows: deliver_kafka_wire(rows, host, port, default_topic)
+    )
+
+
 def elasticsearch_actions(
     changes: DataFrame, pk_cols: list[str], index: str
 ) -> DataFrame:
