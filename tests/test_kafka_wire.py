@@ -182,3 +182,20 @@ def test_write_kafka_wire_full_sink_path(spark, broker):
     ids = sorted(json.loads(v.decode())["id"] for (_t, _k, v) in broker.received)
     assert ids == list(range(20))
     assert {t for t, _k, _v in broker.received} == {"orders"}
+
+
+def test_deliver_chunks_large_partitions(broker):
+    """deliver_kafka_wire splits oversized partitions into multiple produce
+    requests (one record batch each) without loss or reorder-within-chunk."""
+    host, port = broker.server_address
+
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    rows = [R(topic="t", key=str(i).encode(), value=b"v%d" % i) for i in range(2500)]
+    n = KW.deliver_kafka_wire(iter(rows), host, port, "fb", chunk=1000)
+    assert n == 2500
+    assert len(broker.received) == 2500
+    keys = [int(k.decode()) for (_t, k, _v) in broker.received]
+    assert sorted(keys) == list(range(2500))
