@@ -236,3 +236,64 @@ def test_type_widening_delta_end_to_end(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown column"):
         apply_delta(t, SchemaDelta("t", widened_columns=[("nope", "bigint")]))
     assert is_safe_widening("int", "double") and not is_safe_widening("bigint", "double")
+
+
+def test_payload_drift_hypothesis_random_keys(spark):
+    """Property: random flat JSON payloads with new keys (incl. names that
+    are substrings/superstrings of each other — the r4 regex defect class)
+    are detected with the right inferred type, and values survive the
+    evolved parse (no silent NULLing)."""
+    import json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_spark.schema_evolution import detect_payload_drift
+
+    name = st.sampled_from(["a", "aa", "ab", "b", "ba", "x_1"])
+    val = st.one_of(
+        st.integers(min_value=-1000, max_value=1000),
+        st.text(alphabet="pq", min_size=1, max_size=4),
+        st.floats(min_value=-5, max_value=5, allow_nan=False).map(lambda f: round(f, 3)),
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(extra=st.dictionaries(name, val, min_size=1, max_size=4))
+    def check(extra):
+        base_schema = T.StructType([T.StructField("pk", T.LongType())])
+        payload = {"pk": 1, **extra}
+        raw = spark.createDataFrame(
+            [(json.dumps(payload),)], "_peerdb_data string"
+        )
+        delta = detect_payload_drift(raw, base_schema, "t")
+        got = dict(delta.added_columns)
+        assert set(got) == set(extra), (payload, got)
+        # evolved parse keeps every value (the silent-NULL defect class)
+        evolved = T.StructType(
+            list(base_schema.fields)
+            + [T.StructField(k, _parse(t)) for k, t in delta.added_columns]
+        )
+        row = (
+            raw.select(F.from_json("_peerdb_data", evolved).alias("r"))
+            .select("r.*")
+            .collect()[0]
+        )
+        for k, v in extra.items():
+            assert row[k] is not None, (k, payload, got)
+            if isinstance(v, int):
+                assert int(row[k]) == v
+            elif isinstance(v, str):
+                assert row[k] == v
+
+    def _parse(ddl):
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(ddl)
+
+    check()
