@@ -317,13 +317,20 @@ def deliver_kafka_wire(
             return bytes(x)
         return str(x).encode()
 
-    by_topic: dict[str, list] = {}
+    by_dest: dict[tuple[str, int], list] = {}
     n = 0
     for r in rows:
         t = r["topic"] if r["topic"] is not None else fallback_topic
-        by_topic.setdefault(t, []).append((as_bytes(r["key"]), as_bytes(r["value"])))
+        # honor emit_kafka_rows' hash-routed partition column when present
+        # (the reference's partition-hash routing); absent/None → 0
+        try:
+            p = r["partition"]
+        except (KeyError, ValueError, IndexError):
+            p = None
+        p = 0 if p is None else int(p)
+        by_dest.setdefault((t, p), []).append((as_bytes(r["key"]), as_bytes(r["value"])))
         n += 1
-    for t, recs in by_topic.items():
+    for (t, p), recs in by_dest.items():
         for i in range(0, len(recs), chunk):
-            produce(host, port, t, 0, recs[i : i + chunk])
+            produce(host, port, t, p, recs[i : i + chunk])
     return n
