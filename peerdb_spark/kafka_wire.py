@@ -103,7 +103,8 @@ def dec_varint(buf: bytes, pos: int) -> tuple[int, int]:
 # -- record batch v2 --------------------------------------------------------
 
 def encode_record(offset_delta: int, ts_delta: int, key: bytes | None,
-                  value: bytes | None) -> bytes:
+                  value: bytes | None,
+                  headers: list[tuple[str, bytes | None]] = ()) -> bytes:
     body = bytearray()
     body += b"\x00"  # record attributes
     body += enc_varint(ts_delta)
@@ -114,15 +115,26 @@ def encode_record(offset_delta: int, ts_delta: int, key: bytes | None,
         else:
             body += enc_varint(len(blob))
             body += blob
-    body += enc_varint(0)  # headers
+    body += enc_varint(len(headers))
+    for hk, hv in headers:
+        hkb = hk.encode()
+        body += enc_varint(len(hkb))
+        body += hkb
+        if hv is None:
+            body += enc_varint(-1)
+        else:
+            body += enc_varint(len(hv))
+            body += hv
     return enc_varint(len(body)) + bytes(body)
 
 
-def encode_record_batch(records: list[tuple[bytes | None, bytes | None]],
+def encode_record_batch(records: list[tuple],
                         first_timestamp_ms: int = 0) -> bytes:
-    """records = [(key, value), ...] → one uncompressed record batch."""
+    """records = [(key, value)] or [(key, value, headers)] → one
+    uncompressed record batch (headers = [(str, bytes|None), ...])."""
     recs = b"".join(
-        encode_record(i, 0, k, v) for i, (k, v) in enumerate(records)
+        encode_record(i, 0, r[0], r[1], r[2] if len(r) > 2 else ())
+        for i, r in enumerate(records)
     )
     after_crc = struct.pack(
         ">hiqqqhii",
@@ -140,9 +152,10 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes | None]],
     return struct.pack(">qi", 0, len(tail)) + tail      # baseOffset, batchLength
 
 
-def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes | None]]:
+def decode_record_batch(buf: bytes) -> list[tuple]:
     """Independent struct-level decoder (used by the test stub): validates
-    magic + CRC32C and returns [(key, value), ...]."""
+    magic + CRC32C and returns [(key, value, headers), ...] with
+    headers = [(str, bytes|None), ...]."""
     base_offset, batch_len = struct.unpack_from(">qi", buf, 0)
     epoch, magic, crc = struct.unpack_from(">ibI", buf, 12)
     if magic != 2:
@@ -168,13 +181,17 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes | None]]:
         val = None if vlen < 0 else after[pos : pos + vlen]
         pos += max(vlen, 0)
         nh, pos = dec_varint(after, pos)
+        headers = []
         for _h in range(nh):
             hklen, pos = dec_varint(after, pos)
+            hk = after[pos : pos + hklen].decode()
             pos += max(hklen, 0)
             hvlen, pos = dec_varint(after, pos)
+            hv = None if hvlen < 0 else after[pos : pos + hvlen]
             pos += max(hvlen, 0)
+            headers.append((hk, hv))
         assert pos == end, "record length mismatch"
-        out.append((key, val))
+        out.append((key, val, headers))
     return out
 
 
@@ -317,18 +334,25 @@ def deliver_kafka_wire(
             return bytes(x)
         return str(x).encode()
 
+    def field(r, name):
+        try:
+            return r[name]
+        except (KeyError, ValueError, IndexError):
+            return None
+
     by_dest: dict[tuple[str, int], list] = {}
     n = 0
     for r in rows:
         t = r["topic"] if r["topic"] is not None else fallback_topic
         # honor emit_kafka_rows' hash-routed partition column when present
         # (the reference's partition-hash routing); absent/None → 0
-        try:
-            p = r["partition"]
-        except (KeyError, ValueError, IndexError):
-            p = None
+        p = field(r, "partition")
         p = 0 if p is None else int(p)
-        by_dest.setdefault((t, p), []).append((as_bytes(r["key"]), as_bytes(r["value"])))
+        hs = field(r, "headers") or ()
+        headers = [(h["key"], as_bytes(h["value"])) for h in hs]
+        by_dest.setdefault((t, p), []).append(
+            (as_bytes(r["key"]), as_bytes(r["value"]), headers)
+        )
         n += 1
     for (t, p), recs in by_dest.items():
         for i in range(0, len(recs), chunk):

@@ -190,7 +190,7 @@ def write_kafka_wire(
     from peerdb_spark.kafka_wire import deliver_kafka_wire
 
     kafka_write_spec(batch, f"{host}:{port}", default_topic)  # contract check
-    cols = [c for c in ("topic", "key", "value", "partition") if c in batch.columns]
+    cols = [c for c in ("topic", "key", "value", "partition", "headers") if c in batch.columns]
     batch.select(*cols).foreachPartition(
         lambda rows: deliver_kafka_wire(rows, host, port, default_topic)
     )

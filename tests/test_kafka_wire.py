@@ -53,8 +53,12 @@ def test_record_batch_roundtrip_hypothesis():
 
     blob = st.one_of(st.none(), st.binary(min_size=0, max_size=40))
 
+    header = st.tuples(st.text(alphabet="hk", min_size=0, max_size=4),
+                       st.one_of(st.none(), st.binary(max_size=8)))
+
     @settings(max_examples=50, deadline=None)
-    @given(records=st.lists(st.tuples(blob, blob), min_size=1, max_size=10))
+    @given(records=st.lists(
+        st.tuples(blob, blob, st.lists(header, max_size=3)), min_size=1, max_size=10))
     def check(records):
         assert KW.decode_record_batch(KW.encode_record_batch(records)) == records
 
@@ -99,8 +103,11 @@ class _StubHandler(socketserver.BaseRequestHandler):
             rows = KW.decode_record_batch(req["batch"])
             with self.server._lock:
                 self.server.received += [
-                    (req["topic"], k, v) for k, v in rows
+                    (req["topic"], k, v) for k, v, _h in rows
                 ]
+                self.server.received_headers = getattr(
+                    self.server, "received_headers", []
+                ) + [h for _k, _v, h in rows]
             self.request.sendall(
                 KW.encode_produce_response(
                     req["correlation_id"], req["topic"], req["partition"],
@@ -236,7 +243,7 @@ def test_partition_hash_routing_honored(spark, broker):
 
     def capture(frame):
         req = orig(frame)
-        for k, _v in KW.decode_record_batch(req["batch"]):
+        for k, _v, _h in KW.decode_record_batch(req["batch"]):
             received_parts[k] = req["partition"]
         return req
 
@@ -249,3 +256,24 @@ def test_partition_hash_routing_honored(spark, broker):
     got = {bytes(k): p for k, p in received_parts.items()}
     want = {bytes(k): p for k, p in expected.items()}
     assert got == want
+
+
+def test_headers_delivered_end_to_end(spark, broker):
+    """Per-record kafka headers flow through emit_kafka_rows → wire encode →
+    stub decode byte-exactly (the reference's Lua scripts attach headers)."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark import sinks
+
+    host, port = broker.server_address
+    df = spark.createDataFrame([(1, "t")], "id long, _dst_table string")
+    rows = sinks.emit_kafka_rows(
+        df.withColumn("_kind", F.lit("insert")),
+        pk_cols=["id"],
+        headers=F.array(
+            F.struct(F.lit("src").alias("key"), F.lit(b"pg").alias("value")),
+            F.struct(F.lit("empty").alias("key"), F.lit(None).cast("binary").alias("value")),
+        ),
+    )
+    sinks.write_kafka_wire(rows, host, port)
+    assert broker.received_headers == [[("src", b"pg"), ("empty", None)]]
