@@ -300,21 +300,29 @@ def _read_frame(sock: socket.socket) -> bytes:
     return buf
 
 
-def produce(host: str, port: int, topic: str, partition: int,
-            records: list[tuple[bytes | None, bytes | None]],
-            timeout_s: float = 30.0) -> None:
-    """Deliver one record batch over a fresh socket; raises on a non-zero
-    Kafka error code (at-least-once: the caller's replay converges via the
-    engine's idempotent merge, same as the reference's acks=1 posture)."""
+def produce_on(sock: socket.socket, topic: str, partition: int,
+               records: list, correlation_id: int = 1) -> None:
+    """One Produce round-trip on an existing connection; raises on a
+    non-zero Kafka error code."""
     if not records:
         return
     batch = encode_record_batch(records)
-    req = encode_produce_request(topic, partition, batch)
+    sock.sendall(encode_produce_request(topic, partition, batch,
+                                        correlation_id=correlation_id))
+    err = _parse_produce_response(_read_frame(sock))
+    if err != 0:
+        raise RuntimeError(f"kafka produce failed: error_code={err}")
+
+
+def produce(host: str, port: int, topic: str, partition: int,
+            records: list, timeout_s: float = 30.0) -> None:
+    """Deliver one record batch over a fresh socket (at-least-once: the
+    caller's replay converges via the engine's idempotent merge, same as
+    the reference's acks=1 posture)."""
+    if not records:
+        return
     with socket.create_connection((host, port), timeout=timeout_s) as sock:
-        sock.sendall(req)
-        err = _parse_produce_response(_read_frame(sock))
-        if err != 0:
-            raise RuntimeError(f"kafka produce failed: error_code={err}")
+        produce_on(sock, topic, partition, records)
 
 
 def deliver_kafka_wire(
@@ -354,7 +362,15 @@ def deliver_kafka_wire(
             (as_bytes(r["key"]), as_bytes(r["value"]), headers)
         )
         n += 1
-    for (t, p), recs in by_dest.items():
-        for i in range(0, len(recs), chunk):
-            produce(host, port, t, p, recs[i : i + chunk])
+    if not by_dest:
+        return 0
+    # ONE connection per executor partition, reused across every
+    # (topic, partition) batch — the producer-connection model real clients
+    # use; a fresh socket per batch would TCP-handshake per chunk
+    cid = 0
+    with socket.create_connection((host, port), timeout=30.0) as sock:
+        for (t, p), recs in by_dest.items():
+            for i in range(0, len(recs), chunk):
+                cid += 1
+                produce_on(sock, t, p, recs[i : i + chunk], correlation_id=cid)
     return n
