@@ -175,3 +175,99 @@ SELECT CAST({h} % {1 << p} AS INT) AS bucket,
                 ELSE length(bin({rest})) END) + 1) AS INT) AS rho
 FROM {src} GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+#
+# The incremental-ingestion primitive the CDC/corpus layers lean on at scale:
+# "have we ever seen this key/document before?" answered from m bits instead
+# of a full anti-join against the accumulated corpus. k seeded 60-bit hashes
+# (functions/hashing.py — cross-engine md5 core) set k bits; a membership
+# probe ANDs them. No false negatives ever; false positives at rate
+# ~(1 - e^(-kn/m))^k. Reference parity: beyond the reference's surface
+# (SURVEY §2.5 — it has no approximate aggregates); this belongs to the
+# training-data-pipeline layer next to HLL/CMS above.
+#
+# Engine shape: the filter is a DataFrame of (word, bits) — m/32 words of
+# 32 bits each packed into BIGINTs (bit 31 max keeps every word positive, so
+# Spark and DuckDB agree without two's-complement edge cases). Build is one
+# explode (k cells/row) + one bit_or hash agg with map-side partials; two
+# filters over the same (k, m) merge by re-OR-ing — every executor can build
+# a partial filter independently, the same mergeability argument as CMS/HLL.
+
+_BLOOM_SEED = 9000
+_WORD = 32
+
+
+def bloom_positions(col: Column, k: int, m_bits: int) -> list[Column]:
+    """The k bit positions of a value (seeded 60-bit hash mod m)."""
+    return [
+        (h64_seeded(col, _BLOOM_SEED + i) % m_bits).cast("int") for i in range(k)
+    ]
+
+
+def _pos_to_word_bit(pos: Column) -> tuple[Column, Column]:
+    return F.shiftright(pos, 5), pos.bitwiseAND(F.lit(_WORD - 1))
+
+
+def bloom_build(df: DataFrame, value_col: str, k: int = 4, m_bits: int = 8192) -> DataFrame:
+    """Build a Bloom filter over a column: returns (word, bits) rows.
+
+    m_bits must be a multiple of 32. Output is at most m/32 rows regardless
+    of input size; absent words are implicitly zero (the probe treats a
+    missing word as no-bits-set)."""
+    assert m_bits % _WORD == 0
+    c = F.col(value_col)
+    pos = df.select(
+        F.explode(F.array(*bloom_positions(c, k, m_bits))).alias("pos")
+    )
+    word, bit = _pos_to_word_bit(F.col("pos"))
+    return (
+        pos.select(word.alias("word"), bit.alias("_bit"))
+        # column-amount shifts need the SQL expression form (the Python
+        # wrapper only takes int literals)
+        .select("word", F.expr("shiftleft(CAST(1 AS BIGINT), _bit)").alias("_m"))
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge filters built with identical (k, m): OR words."""
+    out = filters[0]
+    for s in filters[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame, items: DataFrame, value_col: str, k: int = 4, m_bits: int = 8192
+) -> DataFrame:
+    """Membership probe: returns (value_col, maybe) with maybe ∈ {0,1}.
+
+    maybe=1 iff all k bits are set — guaranteed 1 for every inserted value
+    (no false negatives). The filter is ≤ m/32 rows → broadcast equi-join;
+    a probe word absent from the filter means those bits are zero."""
+    c = F.col(value_col)
+    probes = items.select(
+        value_col,
+        F.explode(F.array(*bloom_positions(c, k, m_bits))).alias("pos"),
+    )
+    word, bit = _pos_to_word_bit(F.col("pos"))
+    probes = probes.select(value_col, word.alias("word"), bit.alias("bit"))
+    hit = F.expr("shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) & CAST(1 AS BIGINT)")
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(value_col, hit.alias("_hit"))
+        .groupBy(value_col)
+        .agg(F.min("_hit").cast("long").alias("maybe"))
+    )
+
+
+def bloom_pos_sql(expr: str, i: int, m_bits: int) -> str:
+    """DuckDB text for bit position i of a value (oracle parity)."""
+    from peerdb_spark.functions.hashing import h64_seeded_sql
+
+    return f"CAST({h64_seeded_sql(expr, _BLOOM_SEED + i)} % {m_bits} AS INT)"

@@ -2606,6 +2606,79 @@ def _hll_sql() -> str:
 SQL_HLL_VOCAB_REGISTERS = _hll_sql()
 
 
+_BLOOM_K, _BLOOM_M = 4, 8192
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (functions/sketch.py:bloom_build/bloom_probe):
+    insert the even-doc_id half of the corpus (by text), probe EVERY
+    document. Output (doc_id, truth, maybe) certifies the whole filter
+    bit-for-bit through the probe: maybe=1 for every inserted text (no
+    false negatives — the property incremental ingestion relies on), and
+    any maybe>truth rows are the filter's false positives, reproduced
+    exactly by the oracle because the k seeded hashes share the md5 core.
+
+    Scale shape: build is one explode (k cells/row) + one bit_or hash agg
+    into ≤ m/32 words; the probe broadcasts those words. Per-text dedup
+    happens BEFORE probing so a text is hashed once however many docs
+    carry it."""
+    from peerdb_spark.functions import sketch as SK
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    ins = docs.where(F.col("doc_id") % 2 == 0).select("text")
+    bloom = SK.bloom_build(ins, "text", k=_BLOOM_K, m_bits=_BLOOM_M)
+    texts = docs.groupBy("text").agg(
+        F.max(F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("truth")
+    )
+    probed = SK.bloom_probe(bloom, texts, "text", k=_BLOOM_K, m_bits=_BLOOM_M)
+    return (
+        docs.select("doc_id", "text")
+        .join(texts, "text")
+        .join(probed, "text")
+        .select("doc_id", "truth", "maybe")
+    )
+
+
+def _bloom_sql() -> str:
+    from peerdb_spark.functions.sketch import bloom_pos_sql
+
+    ins_pos = " UNION ALL ".join(
+        f"SELECT {bloom_pos_sql('text', i, _BLOOM_M)} AS pos FROM ins"
+        for i in range(_BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT text, {bloom_pos_sql('text', i, _BLOOM_M)} AS pos FROM texts"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH ins AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+words AS (
+  SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+  FROM ({ins_pos}) GROUP BY 1
+),
+texts AS (
+  SELECT text,
+         CAST(max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS truth
+  FROM documents GROUP BY text
+),
+hits AS (
+  SELECT p.text,
+         CAST(min((coalesce(w.bits, 0) >> (p.pos % 32)) & 1) AS BIGINT) AS maybe
+  FROM ({probe_pos}) p
+  LEFT JOIN words w ON w.word = p.pos // 32
+  GROUP BY p.text
+)
+SELECT d.doc_id, t.truth, h.maybe
+FROM documents d JOIN texts t USING (text) JOIN hits h ON h.text = d.text
+"""
+
+
+SQL_BLOOM_MEMBERSHIP = _bloom_sql()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -4592,6 +4665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_surprisal": q_unigram_surprisal,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_vocab_registers": q_hll_vocab_registers,
+    "bloom_membership": q_bloom_membership,
     "mongo_changestream_decode": q_mongo_changestream_decode,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
@@ -4688,6 +4762,7 @@ ORACLES: dict[str, str] = {
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,
+    "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "mongo_changestream_decode": SQL_MONGO_CHANGESTREAM_DECODE,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,

@@ -77,3 +77,65 @@ def test_hll_duplicates_do_not_inflate(spark):
     tenx = SK.hll_registers(_items(spark, uniq * 10), "w", p=8)
     assert {(r.bucket, r.rho) for r in once.collect()} == \
            {(r.bucket, r.rho) for r in tenx.collect()}
+
+
+# --- bloom filter ---
+
+
+def test_bloom_no_false_negatives(spark):
+    inserted = [f"k{i}" for i in range(200)]
+    df = _items(spark, inserted)
+    bl = SK.bloom_build(df, "w", k=4, m_bits=4096)
+    got = {r.w: r.maybe for r in SK.bloom_probe(bl, df, "w", k=4, m_bits=4096).collect()}
+    assert all(got[w] == 1 for w in inserted)
+
+
+def test_bloom_fp_rate_sane_and_word_range(spark):
+    inserted = [f"k{i}" for i in range(200)]
+    bl = SK.bloom_build(_items(spark, inserted), "w", k=4, m_bits=4096)
+    rows = bl.collect()
+    # packed 32-bit words: every value positive, word index within m/32
+    assert all(0 <= r.word < 4096 // 32 for r in rows)
+    assert all(0 < r.bits < (1 << 32) for r in rows)
+    probes = _items(spark, [f"absent{i}" for i in range(500)])
+    fp = sum(
+        r.maybe for r in SK.bloom_probe(bl, probes, "w", k=4, m_bits=4096).collect()
+    )
+    # kn/m ≈ 0.2 → fp ≈ (1-e^-0.2)^4 ≈ 0.1%; 500 probes → expect ~0, allow slack
+    assert fp <= 10
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = [f"a{i}" for i in range(80)]
+    b = [f"b{i}" for i in range(80)]
+    merged = SK.bloom_merge(
+        SK.bloom_build(_items(spark, a), "w", k=4, m_bits=2048),
+        SK.bloom_build(_items(spark, b), "w", k=4, m_bits=2048),
+    )
+    whole = SK.bloom_build(_items(spark, a + b), "w", k=4, m_bits=2048)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bloom_probe_matches_python_reference(spark):
+    import hashlib
+
+    def h(seed, s):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    inserted = [f"v{i}" for i in range(50)]
+    m, k = 1024, 3
+    bits = set()
+    for w in inserted:
+        for i in range(k):
+            bits.add(h(SK._BLOOM_SEED + i, w) % m)
+    probes = inserted + [f"p{i}" for i in range(300)]
+    expect = {
+        w: int(all(h(SK._BLOOM_SEED + i, w) % m in bits for i in range(k)))
+        for w in probes
+    }
+    bl = SK.bloom_build(_items(spark, inserted), "w", k=k, m_bits=m)
+    got = {
+        r.w: r.maybe
+        for r in SK.bloom_probe(bl, _items(spark, probes), "w", k=k, m_bits=m).collect()
+    }
+    assert got == expect
