@@ -187,3 +187,168 @@ c0 AS (
     parts.append("," + assign(prev, f"a{iters}"))
     parts.append(f"\nSELECT {id_col}, cell FROM a{iters}")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# PCA — dominant principal component by fixed-point power iteration
+# ---------------------------------------------------------------------------
+#
+# Training-data pipelines whiten / project embeddings before clustering and
+# near-dup detection (SemDeDup normalizes against dominant directions; ANN
+# quality improves after decorrelation). Spark MLlib's PCA needs a vector UDT
+# and float SVD — order-dependent, not oracle-verifiable. This is the
+# fixed-point analogue of the k-means trick above:
+#
+# 1. Distributed, exact: Gram matrix G[i][j] = Σ qv_i·qv_j and column sums
+#    s_i = Σ qv_i — ONE doubly-exploded hash agg (d² cells, map-side
+#    partials) + one d-cell agg. With |x| ≤ 2 and scale 256, per-row terms
+#    are < 2^20, so int64 holds G exactly up to ~2^43 rows — 100-TB safe.
+# 2. Driver, tiny: the centered matrix C = n·G − s·sᵀ (covariance × n²,
+#    exact integers) and `iters` rounds of power iteration at scale 2^20
+#    with infinity-norm normalization — Python's unbounded ints mirror the
+#    oracle's HUGEINT lane exactly; the same rounds unroll as SQL CTEs in
+#    pca_project_sql (the kmeans/BPE iterative-oracle pattern).
+# 3. Distributed again: per-row integer projection pc1 = ⟨qv, v⟩.
+#
+# The result after k rounds is the k-round power-iteration ESTIMATE of the
+# top eigenvector direction (deterministic, both engines identical); the
+# test suite checks it aligns with numpy's true PC1 on planted data.
+
+PCA_SCALE = 256
+PCA_VSCALE = 1 << 20
+
+
+def gramian(corpus: DataFrame, vec_col: str = "embedding", scale: int = PCA_SCALE) -> DataFrame:
+    """(i, j, g): exact integer Gram matrix of the quantized vectors,
+    1-based indices. d² output rows via one map-side-combinable hash agg."""
+    qdf = corpus.select(quantize_vec(F.col(vec_col), scale).alias("qv"))
+    a = qdf.select(F.posexplode("qv").alias("i0", "vi"), "qv")
+    b = a.select("i0", "vi", F.posexplode("qv").alias("j0", "vj"))
+    return b.groupBy(
+        (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+    ).agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
+
+
+def power_iteration(
+    cmat: dict[tuple[int, int], int], dim: int, iters: int = 4, vscale: int = PCA_VSCALE
+) -> list[int]:
+    """Fixed-point power iteration over an exact integer matrix (driver-side;
+    unbounded Python ints ≡ the oracle's HUGEINT lane). Infinity-norm
+    normalization: v' = trunc_div(w · vscale, max|w|) — all-integer and
+    sign-preserving, so the k-round result is bit-identical across engines."""
+    v = [vscale] * dim
+    for _ in range(iters):
+        w = [
+            sum(cmat.get((i, j), 0) * v[j - 1] for j in range(1, dim + 1))
+            for i in range(1, dim + 1)
+        ]
+        m = max(abs(x) for x in w)
+        if m == 0:  # zero matrix — direction undefined, keep current v
+            return v
+        v = [_trunc_div(x * vscale, m) for x in w]
+    return v
+
+
+def pca_project(
+    corpus: DataFrame,
+    dim: int,
+    iters: int = 4,
+    scale: int = PCA_SCALE,
+    vscale: int = PCA_VSCALE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pc1_q): integer projection of every vector onto the k-round
+    power-iteration estimate of the top principal component of the CENTERED
+    data (C = n·G − s·sᵀ — covariance scaled by n², exact from the Gram
+    matrix and column sums, no float mean subtraction).
+
+    Scale shape: two scans (Gram agg + projection); d²+d tiny rows collected
+    (64-dim → 4 160 values, the kmeans driver-collect budget); projection is
+    per-row codegen against the d literal eigenvector entries."""
+    g_rows = gramian(corpus, vec_col, scale).collect()
+    qdf = corpus.select(F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("qv"))
+    sums = (
+        qdf.select(F.posexplode("qv").alias("i0", "v"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sums[0]["c"] if sums else 0
+    s = {r["i"]: r["s"] for r in sums}
+    cmat = {(r["i"], r["j"]): n * r["g"] - s[r["i"]] * s[r["j"]] for r in g_rows}
+    v = power_iteration(cmat, dim, iters, vscale)
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.array(*[F.lit(x).cast("long") for x in v]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qdf.select(F.col(id_col), proj.alias("pc1_q"))
+
+
+def pca_project_sql(
+    table: str = "embeddings",
+    dim: int = 64,
+    iters: int = 4,
+    scale: int = PCA_SCALE,
+    vscale: int = PCA_VSCALE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle: the SAME fixed-point pipeline — exact integer Gram +
+    centering + `iters` unrolled power-iteration CTEs in the HUGEINT lane —
+    certifying the distributed implementation end-to-end."""
+    d1 = dim + 1
+    parts = [
+        f"""
+WITH q AS (
+  SELECT {id_col},
+         list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)*{scale}) AS BIGINT)) AS qv
+  FROM {table}
+),
+cells AS (
+  SELECT i, j, CAST(sum(qv[i]*qv[j]) AS BIGINT) AS g
+  FROM q, range(1,{d1}) r1(i), range(1,{d1}) r2(j) GROUP BY i, j
+),
+sums AS (
+  SELECT i, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS n
+  FROM q, range(1,{d1}) r1(i) GROUP BY i
+),
+gc AS (
+  SELECT c.i, c.j,
+         CAST(si.n AS HUGEINT)*c.g - CAST(si.s AS HUGEINT)*sj.s AS g
+  FROM cells c JOIN sums si ON si.i = c.i JOIN sums sj ON sj.i = c.j
+),
+gmat AS (
+  SELECT list(row ORDER BY i) AS G
+  FROM (SELECT i, list(g ORDER BY j) AS row FROM gc GROUP BY i)
+),
+v0 AS (SELECT list_transform(range(1,{d1}), x -> CAST({vscale} AS HUGEINT)) AS v)"""
+    ]
+    prev = "v0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+w{t} AS (
+  SELECT list_transform(range(1,{d1}), i ->
+           list_sum(list_transform(range(1,{d1}), j -> G[i][j]*v[j]))) AS w
+  FROM gmat, {prev}
+),
+v{t} AS (
+  SELECT list_transform(w, x ->
+           (x*{vscale}) // list_max(list_transform(w, y -> abs(y)))) AS v
+  FROM w{t}
+)"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"""
+SELECT q.{id_col},
+       CAST(list_sum(list_transform(range(1,{d1}), j -> CAST(q.qv[j] AS HUGEINT)*v[j])) AS BIGINT) AS pc1_q
+FROM q, {prev}"""
+    )
+    return "".join(parts)

@@ -4323,6 +4323,31 @@ def _kmeans_sql() -> str:
     return kmeans_assign_sql("embeddings", k=8, iters=3)
 
 
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, top component (functions/cluster.py:pca_project):
+    exact integer Gram matrix + column sums in ONE doubly-exploded hash agg
+    (d² cells, 100-TB-safe bounds in the module docstring), centering and 4
+    fixed-point power-iteration rounds driver-side over unbounded ints, then
+    a per-row integer projection. The oracle unrolls the SAME rounds as
+    HUGEINT CTEs — the third iterative algorithm certified by an independent
+    single-node unroll (after BPE training and k-means). Corpus-curation
+    use: whitening/decorrelating embeddings before SemDeDup & ANN."""
+    from peerdb_spark.functions.cluster import pca_project
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    # two scans (Gram agg, projection) -> eager checkpoint upstream
+    emb = ensure_parallelism(emb.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
+    return pca_project(emb, dim=64, iters=4)
+
+
+def _pca_sql() -> str:
+    from peerdb_spark.functions.cluster import pca_project_sql
+
+    return pca_project_sql("embeddings", dim=64, iters=4)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF top-5 terms — keyword extraction for corpus
     topic inspection. Integer-exact ranking: score = tf * N / df computed as
@@ -4700,6 +4725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_incremental_clean": q_corpus_incremental_clean,
     "corpus_clean_full": q_corpus_clean_full,
     "kmeans_clusters": q_kmeans_clusters,
+    "pca_projection": q_pca_projection,
     "tfidf_topk": q_tfidf_topk,
     "quality_classifier": q_quality_classifier,
     "cdc_mirror_mview": q_cdc_mirror_mview,
@@ -4797,6 +4823,7 @@ ORACLES: dict[str, str] = {
     "corpus_incremental_clean": SQL_CORPUS_INCREMENTAL_CLEAN,
     "corpus_clean_full": SQL_CORPUS_CLEAN_FULL,
     "kmeans_clusters": _kmeans_sql(),
+    "pca_projection": _pca_sql(),
     "tfidf_topk": SQL_TFIDF_TOPK,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "cdc_mirror_mview": SQL_CDC_MIRROR_MVIEW,

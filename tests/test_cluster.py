@@ -135,3 +135,86 @@ def test_kmeans_hypothesis_random_inputs(spark):
         assert got == _ref_kmeans(stored, k=k, iters=iters)
 
     check()
+
+
+# --- PCA power iteration ---
+
+
+def test_pca_aligns_with_numpy_on_planted_direction(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.cluster import (
+        PCA_SCALE,
+        PCA_VSCALE,
+        pca_project,
+        power_iteration,
+        gramian,
+    )
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    # strong planted component + small noise
+    data = np.outer(rng.randn(300) * 2.0, direction) + rng.randn(300, 16) * 0.05
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in row]) for i, row in enumerate(data)]
+    )
+
+    got = {r.vec_id: r.pc1_q for r in pca_project(df, dim=16, iters=5).collect()}
+
+    centered = data - data.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    true_pc = vt[0]
+    true_proj = centered @ true_pc
+    fixed = np.array([got[i] for i in range(300)], dtype=float)
+    corr = abs(np.corrcoef(fixed, true_proj)[0, 1])
+    assert corr > 0.999, corr
+
+
+def test_power_iteration_zero_matrix_keeps_seed(spark):
+    from peerdb_spark.functions.cluster import PCA_VSCALE, power_iteration
+
+    assert power_iteration({}, 4, iters=3) == [PCA_VSCALE] * 4
+
+
+def test_pca_matches_pure_python_reference(spark):
+    """Spark distributed Gram+projection ≡ a NumPy-free integer reference."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.cluster import (
+        PCA_SCALE,
+        PCA_VSCALE,
+        _trunc_div,
+        pca_project,
+        power_iteration,
+    )
+
+    rng = np.random.RandomState(3)
+    data = rng.randn(40, 8) * 0.4
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in row]) for i, row in enumerate(data)]
+    )
+    got = {r.vec_id: r.pc1_q for r in pca_project(df, dim=8, iters=4).collect()}
+
+    def q(x):
+        # round half away from zero, like Spark/DuckDB round()
+        import decimal
+
+        return int(
+            decimal.Decimal(x * PCA_SCALE).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    qv = [[q(x) for x in row] for row in data]
+    n, d = len(qv), 8
+    G = {
+        (i, j): sum(r[i - 1] * r[j - 1] for r in qv)
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    }
+    s = {i: sum(r[i - 1] for r in qv) for i in range(1, d + 1)}
+    cmat = {(i, j): n * G[(i, j)] - s[i] * s[j] for (i, j) in G}
+    v = power_iteration(cmat, d, iters=4)
+    expect = {i: sum(a * b for a, b in zip(qv[i], v)) for i in range(n)}
+    assert got == expect
