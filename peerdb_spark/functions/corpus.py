@@ -576,3 +576,94 @@ def cross_doc_passage_dedup(
         "n_dropped",
     )
     return rebuilt
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span coverage (Lee et al. 2022 exact-substring dedup measure)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 12,
+    min_count: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-span coverage, the exact-substring dedup
+    measure of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): every OVERLAPPING `window`-token span is hashed across
+    the whole corpus; a span whose text occurs >= `min_count` times anywhere
+    (any alignment, any document, including elsewhere in the same document)
+    is duplicated. Returns (id, n_tokens, dup_windows, covered_tokens) where
+    covered_tokens is the length of the UNION of flagged [p, p+window)
+    intervals — the token count an exact-substring deduper would cut.
+
+    Distinct from cross_doc_passage_dedup (non-overlapping passages): the
+    rolling window catches duplication at ANY alignment, which is why the
+    suffix-array formulation is the published gold standard; the rolling
+    window is its bounded-length approximation.
+
+    Scale shape: the span relation is (id, p, h) — three longs, text never
+    shuffles; the count collapses with map-side partials; interval union is
+    one lead() window per doc over only the FLAGGED spans. Cost is O(T·W)
+    character hashing for corpus token count T (each token enters W window
+    hashes); at extreme scale swap h64 for a Rabin–Karp rolling hash inside
+    one pass per document — kept md5 here for cross-engine oracle parity.
+    Docs shorter than `window` carry no spans and report zero coverage.
+    `materialize` pins the token arrays (consumed by the span branch and the
+    base row) and the hashed span relation (consumed by the duplicate count
+    AND the flag join); see cross_doc_passage_dedup for the AQE rationale.
+    """
+    tk = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    if materialize:
+        tk = tk.localCheckpoint(eager=True)
+    base = tk.select(id_col, F.size("_t").cast("long").alias("n_tokens"), "_t")
+    wins = (
+        base.where(F.col("n_tokens") >= window)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), (F.col("n_tokens") - window).cast("int"))).alias("p"),
+            "_t",
+        )
+        .select(
+            id_col,
+            "p",
+            h64(F.array_join(F.slice(F.col("_t"), F.col("p") + 1, window), " ")).alias("_h"),
+        )
+    )
+    if materialize:
+        wins = wins.localCheckpoint(eager=True)
+    dups = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    cover = (
+        wins.join(dups, "_h")
+        .select(id_col, "p", F.lead("p").over(w).alias("_np"))
+        .select(
+            id_col,
+            F.least(
+                F.coalesce(F.col("_np") - F.col("p"), F.lit(window)), F.lit(window)
+            ).cast("long").alias("_cov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_windows"),
+            F.sum("_cov").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.drop("_t")
+        .join(cover, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0).cast("long")).alias("dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias("covered_tokens"),
+        )
+    )

@@ -2679,6 +2679,62 @@ FROM documents d JOIN texts t USING (text) JOIN hits h ON h.text = d.text
 SQL_BLOOM_MEMBERSHIP = _bloom_sql()
 
 
+_SPAN_W = 12
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated-span coverage (functions/corpus.py:
+    dup_span_coverage — Lee et al. 2022): overlapping 12-token rolling
+    windows hashed corpus-wide; covered_tokens = interval-union length of
+    flagged spans per doc, i.e. exactly how many tokens an exact-substring
+    deduper would cut. Distinct from the non-overlapping passage dedup —
+    the rolling window catches duplication at any alignment."""
+    from peerdb_spark.functions.corpus import dup_span_coverage
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dup_span_coverage(
+        ensure_parallelism(docs), window=_SPAN_W, min_count=2
+    )
+
+
+def _dup_span_sql() -> str:
+    from peerdb_spark.functions.hashing import h64_sql
+
+    w = _SPAN_W
+    h = h64_sql(f"array_to_string(t[p+1:p+{w}], ' ')")
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM tk),
+wins AS (
+  SELECT doc_id, p, {h} AS h
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {w} + 1)) AS p
+        FROM base WHERE n_tokens >= {w})
+),
+dups AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+cover AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS dup_windows,
+         CAST(sum(least(coalesce(np - p, {w}), {w})) AS BIGINT) AS covered_tokens
+  FROM (
+    SELECT doc_id, p, lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+    FROM wins JOIN dups USING (h)
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(c.dup_windows, 0) AS dup_windows,
+       coalesce(c.covered_tokens, 0) AS covered_tokens
+FROM base b LEFT JOIN cover c USING (doc_id)
+"""
+
+
+SQL_DUP_SPAN_COVERAGE = _dup_span_sql()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -4691,6 +4747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_vocab_registers": q_hll_vocab_registers,
     "bloom_membership": q_bloom_membership,
+    "dup_span_coverage": q_dup_span_coverage,
     "mongo_changestream_decode": q_mongo_changestream_decode,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
@@ -4789,6 +4846,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
+    "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
     "mongo_changestream_decode": SQL_MONGO_CHANGESTREAM_DECODE,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,

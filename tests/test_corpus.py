@@ -513,3 +513,65 @@ def test_cross_doc_passage_dedup_tail_window(spark):
     assert out[1]["kept_text"] == "a b c d e"
     assert out[2]["kept_text"] == "z z z"
     assert out[2]["n_dropped"] == 1
+
+
+# --- duplicated-span coverage (Lee et al. exact-substring measure) ---
+
+
+def test_dup_span_interval_union(spark):
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.corpus import dup_span_coverage
+
+    shared = "q w e r t"  # 5-token span shared by two docs at different offsets
+    docs = [
+        Row(doc_id=0, text=f"a b c {shared} x y z"),          # 11 tokens, span at p=3
+        Row(doc_id=1, text=f"{shared} m n o p u v"),          # 11 tokens, span at p=0
+        Row(doc_id=2, text="h i j k l aa bb cc dd ee ff"),    # no dup
+        Row(doc_id=3, text="tiny"),                           # shorter than window
+    ]
+    df = spark.createDataFrame(docs)
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_windows, r.covered_tokens)
+        for r in dup_span_coverage(df, window=5, min_count=2, materialize=False).collect()
+    }
+    # only the exact shared 5-gram window duplicates (offsets differ for others)
+    assert got[0] == (11, 1, 5)
+    assert got[1] == (11, 1, 5)
+    assert got[2] == (11, 0, 0)
+    assert got[3] == (1, 0, 0)
+
+
+def test_dup_span_overlapping_windows_union_not_sum(spark):
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.corpus import dup_span_coverage
+
+    # duplicated 6-token run → with window=5, two overlapping flagged windows
+    # per doc (p and p+1): union = 6 tokens, NOT 10
+    run = "r1 r2 r3 r4 r5 r6"
+    docs = [
+        Row(doc_id=0, text=f"{run} pad0 pad1"),
+        Row(doc_id=1, text=f"lead0 {run} tail0"),
+    ]
+    df = spark.createDataFrame(docs)
+    got = {
+        r.doc_id: (r.dup_windows, r.covered_tokens)
+        for r in dup_span_coverage(df, window=5, min_count=2, materialize=False).collect()
+    }
+    assert got[0] == (2, 6)
+    assert got[1] == (2, 6)
+
+
+def test_dup_span_intra_doc_repeat_counts(spark):
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.corpus import dup_span_coverage
+
+    # the same 5-gram twice WITHIN one doc also flags (min_count counts
+    # occurrences, not distinct docs — Lee et al. semantics)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="s1 s2 s3 s4 s5 mid s1 s2 s3 s4 s5")]
+    )
+    (r,) = dup_span_coverage(df, window=5, min_count=2, materialize=False).collect()
+    assert (r.dup_windows, r.covered_tokens) == (2, 10)
