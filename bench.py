@@ -184,6 +184,9 @@ def main() -> None:
         # broadcast dim join and is covered by the correctness gate
         "cdc_mirror_mview",
         "corpus_shuffle_shards",
+        "bloom_membership",
+        "pca_projection",
+        "dup_span_coverage",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,
