@@ -108,9 +108,24 @@ def main() -> None:
             .agg(F.sum(HS.h64_seeded(F.col("tk"), 7) % 1001 - 500).alias("w"),
                  F.count(F.lit(1)).alias("n"))
         ),
+        # round-5 session-3 operators
+        "bloom_member": lambda p: SK.bloom_probe(
+            SK.bloom_build(
+                docs(p).where(F.col("doc_id") % 2 == 0).select("text"), "text"
+            ),
+            docs(p).select("text"),
+            "text",
+        ),
+        "pca_project": lambda p: CL.pca_project(
+            emb(p).select("vec_id", "embedding").localCheckpoint(eager=True),
+            dim=64,
+            iters=4,
+        ),
+        "dup_span_coverage": lambda p: CP.dup_span_coverage(docs(p)),
     }
 
     from peerdb_spark.functions import bpe as BP
+    from peerdb_spark.functions import sketch as SK
     from peerdb_spark.functions import cluster as CL
     from peerdb_spark.functions import hashing as HS
     from peerdb_spark.rollup import rollup_delta, rollup_merge
@@ -147,7 +162,13 @@ def main() -> None:
     rows_base = {"documents": 5000, "embeddings": 60000}
     print(f"| operator | sf0.1 (s) | x{factor} (s) | ratio (ideal {factor}) |")
     print("|---|---|---|---|")
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     for name, fn in Q.items():
+        if only and name not in only:
+            continue
         fn(BASE).write.mode("overwrite").format("noop").save()  # warm
         tb = t(lambda: fn(BASE))
         ts = t(lambda: fn(WORK))
