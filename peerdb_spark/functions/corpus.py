@@ -442,6 +442,9 @@ def incremental_clean(
     id_col: str = "doc_id",
     min_quality: float = 0.8,
     min_tokens: int = 20,
+    state_bloom: DataFrame | None = None,
+    bloom_k: int = 4,
+    bloom_m: int = 1 << 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Clean ONE new crawl batch against maintained corpus state — the
     ingestion-time counterpart of the one-shot pipeline: per-row features
@@ -459,6 +462,14 @@ def incremental_clean(
       fails the floors, so later re-crawls of the same content must not get
       a second chance. With batch ids monotone, incremental ≡ one-shot on
       the union (pinned by test).
+
+    `state_bloom` (optional): a Bloom filter over the state's content hashes
+    (sketch.py:bloom_build on the hash column, maintained batch-over-batch
+    with bloom_merge). At 100 TB the state table dwarfs every batch and the
+    exact anti-join reads/shuffles it; the filter has NO false negatives, so
+    rows probing maybe=0 are DEFINITELY new and bypass the anti-join — only
+    the maybe=1 sliver (true repeats + the fp rate) touches the state table.
+    Result-identical to the exact path (pinned by test).
     """
     from peerdb_spark.functions.dedup import content_hash
     from peerdb_spark.functions.text import lang_id, quality_score, token_count
@@ -477,9 +488,28 @@ def incremental_clean(
         .where(F.col(id_col) == F.col("_m"))
         .drop("_m")
     )
-    fresh = keeper.join(
-        state_hashes.select("content_hash"), "content_hash", "left_anti"
-    )
+    if state_bloom is not None:
+        from peerdb_spark.functions.sketch import bloom_probe
+
+        probed = bloom_probe(
+            state_bloom,
+            keeper.select("content_hash"),
+            "content_hash",
+            k=bloom_k,
+            m_bits=bloom_m,
+        )
+        keeper = keeper.join(probed, "content_hash")
+        definite_new = keeper.where(F.col("maybe") == 0).drop("maybe")
+        suspects = keeper.where(F.col("maybe") == 1).drop("maybe")
+        fresh = definite_new.unionByName(
+            suspects.join(
+                state_hashes.select("content_hash"), "content_hash", "left_anti"
+            )
+        )
+    else:
+        fresh = keeper.join(
+            state_hashes.select("content_hash"), "content_hash", "left_anti"
+        )
     accepted = fresh.where(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )

@@ -575,3 +575,48 @@ def test_dup_span_intra_doc_repeat_counts(spark):
     )
     (r,) = dup_span_coverage(df, window=5, min_count=2, materialize=False).collect()
     assert (r.dup_windows, r.covered_tokens) == (2, 10)
+
+
+def test_incremental_clean_bloom_prefilter_identical(spark):
+    """The Bloom state-prefilter path (maybe=0 rows skip the exact anti-join)
+    returns the SAME (accepted, new_hashes) as the exact path, and the
+    maintained filter (bloom_merge of per-batch builds) keeps working
+    batch-over-batch."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.corpus import incremental_clean
+    from peerdb_spark.functions.sketch import bloom_build, bloom_merge
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b2 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" fresh crawl extra words here")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    empty_state = spark.createDataFrame([], "content_hash long")
+
+    # exact path
+    acc1e, h1e = incremental_clean(empty_state, docs)
+    acc2e, h2e = incremental_clean(h1e, b2)
+
+    # bloom-prefiltered path: filter maintained by OR-merge per batch
+    k, m = 4, 1 << 16
+    empty_bloom = spark.createDataFrame([], "word int, bits long")
+    acc1b, h1b = incremental_clean(
+        empty_state, docs, state_bloom=empty_bloom, bloom_k=k, bloom_m=m
+    )
+    bloom = bloom_merge(empty_bloom, bloom_build(h1b, "content_hash", k=k, m_bits=m))
+    acc2b, h2b = incremental_clean(
+        h1b, b2, state_bloom=bloom, bloom_k=k, bloom_m=m
+    )
+
+    for exact, bloomed in ((acc1e, acc1b), (acc2e, acc2b), (h1e, h1b), (h2e, h2b)):
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, bloomed.collect())
+        )
