@@ -48,3 +48,102 @@ def group_quantiles(
         F.explode(hits).alias("q"),
         F.col(value_col).alias("value"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs_bp: Sequence[int],
+    nbins: int = 256,
+) -> DataFrame:
+    """Approximate global quantiles at scale — the two-pass histogram plan
+    the group_quantiles docstring points at for 100 TB: pass 1 is a 1-row
+    (min, max, count) agg; pass 2 is an nbins-cell histogram hash agg
+    (mergeable by summing cells once (min, max) are fixed, map-side
+    partials, bounded output). No global sort anywhere — the exact windowed
+    rank in group_quantiles costs a full per-group sort, which is the thing
+    this avoids.
+
+    All-integer bin math over an INTEGER value column, so both engines agree
+    bit-for-bit: bin(v) = (v − mn)·nbins div (range+1); the q-quantile (q in
+    BASIS POINTS — integer, no float literal drift) lands in the first bin
+    whose cumulative count reaches rank ceil(q·n/10⁴). Returns
+    (q_bp, bin, est_lo, est_hi): the true quantile is GUARANTEED inside
+    [est_lo, est_hi] (the bin's exact value range, width ≈ range/nbins —
+    tighten by recursing into the bin with a second histogram pass).
+    """
+    assert all(0 < q <= 10_000 for q in qs_bp)
+    v = F.col(value_col)
+    stats = df.agg(
+        F.min(v).cast("long").alias("_mn"),
+        F.max(v).cast("long").alias("_mx"),
+        F.count(v).alias("_n"),
+    )
+    binned = (
+        df.select(v.cast("long").alias("_v"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(_v - _mn) * {nbins} div (_mx - _mn + 1)").alias("bin")
+        )
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    qrows = (
+        stats.select(
+            F.explode(F.array(*[F.lit(int(q)).cast("long") for q in qs_bp])).alias("q_bp"),
+            "_mn",
+            "_mx",
+            "_n",
+        )
+        .withColumn("_rank", F.expr("(q_bp * _n + 9999) div 10000"))
+    )
+    picked = (
+        qrows.join(cum, F.col("cum") >= F.col("_rank"))
+        .groupBy("q_bp", "_mn", "_mx")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return picked.select(
+        "q_bp",
+        "bin",
+        F.expr(f"_mn + (bin * (_mx - _mn + 1) + {nbins} - 1) div {nbins}").alias("est_lo"),
+        F.expr(
+            f"_mn + ((bin + 1) * (_mx - _mn + 1) + {nbins} - 1) div {nbins} - 1"
+        ).alias("est_hi"),
+    )
+
+
+def histogram_quantiles_sql(
+    src: str, value_expr: str, qs_bp: Sequence[int], nbins: int = 256
+) -> str:
+    """DuckDB oracle text for histogram_quantiles (same integer bin math)."""
+    qs = ", ".join(f"({int(q)})" for q in qs_bp)
+    return f"""
+WITH stats AS (
+  SELECT CAST(min({value_expr}) AS BIGINT) AS mn,
+         CAST(max({value_expr}) AS BIGINT) AS mx,
+         count({value_expr}) AS n
+  FROM {src}
+),
+hist AS (
+  SELECT ((CAST({value_expr} AS BIGINT) - mn) * {nbins}) // (mx - mn + 1) AS bin,
+         count(*) AS cnt
+  FROM {src}, stats GROUP BY 1
+),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+qr AS (
+  SELECT CAST(q_bp AS BIGINT) AS q_bp, mn, mx,
+         (q_bp * n + 9999) // 10000 AS rank
+  FROM (VALUES {qs}) t(q_bp), stats
+),
+picked AS (
+  SELECT q_bp, mn, mx, min(bin) AS bin
+  FROM qr JOIN cum ON cum.cum >= qr.rank GROUP BY q_bp, mn, mx
+)
+SELECT q_bp, bin,
+       mn + (bin * (mx - mn + 1) + {nbins} - 1) // {nbins} AS est_lo,
+       mn + ((bin + 1) * (mx - mn + 1) + {nbins} - 1) // {nbins} - 1 AS est_hi
+FROM picked
+"""

@@ -2735,6 +2735,30 @@ FROM base b LEFT JOIN cover c USING (doc_id)
 SQL_DUP_SPAN_COVERAGE = _dup_span_sql()
 
 
+_HQ_BP = [100, 2500, 5000, 7500, 9900]
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile estimation (functions/stats.py:histogram_quantiles)
+    — the at-scale companion to the exact windowed-rank length_quantiles: a
+    1-row stats agg + a 256-cell mergeable histogram agg, NO sort anywhere;
+    all-integer bin math so the bracket [est_lo, est_hi] (guaranteed to
+    contain the exact quantile) is bit-identical across engines."""
+    from peerdb_spark.functions.stats import histogram_quantiles
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return histogram_quantiles(docs, "n_chars", _HQ_BP, nbins=256)
+
+
+def _hist_q_sql() -> str:
+    from peerdb_spark.functions.stats import histogram_quantiles_sql
+
+    return histogram_quantiles_sql("documents", "n_chars", _HQ_BP, nbins=256)
+
+
+SQL_HIST_QUANTILES = _hist_q_sql()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale path: SRP-bucket join then
     exact check within buckets. Quantized-integer scoring for oracle parity:
@@ -4748,6 +4772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_vocab_registers": q_hll_vocab_registers,
     "bloom_membership": q_bloom_membership,
     "dup_span_coverage": q_dup_span_coverage,
+    "hist_quantiles": q_hist_quantiles,
     "mongo_changestream_decode": q_mongo_changestream_decode,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
@@ -4847,6 +4872,7 @@ ORACLES: dict[str, str] = {
     "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
+    "hist_quantiles": SQL_HIST_QUANTILES,
     "mongo_changestream_decode": SQL_MONGO_CHANGESTREAM_DECODE,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,

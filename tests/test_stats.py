@@ -45,3 +45,52 @@ def test_group_quantiles_matches_sorted_python(spark):
         vals.sort()
         for q in qs:
             assert got[(g, q)] == vals[math.ceil(q * len(vals)) - 1][0]
+
+
+# --- histogram quantiles (mergeable, at-scale path) ---
+
+
+def test_histogram_quantiles_bracket_exact(spark):
+    """The [est_lo, est_hi] bin range always contains the exact type-1
+    quantile, and narrows with more bins."""
+    import random
+
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.stats import histogram_quantiles
+
+    rng = random.Random(11)
+    vals = [rng.randint(0, 100_000) for _ in range(5000)]
+    df = spark.createDataFrame([Row(g="a", v=x, i=i) for i, x in enumerate(vals)])
+    qs = [100, 2500, 5000, 7500, 9900]
+    svals = sorted(vals)
+    import math
+
+    exact = {q: svals[math.ceil(q / 10_000 * len(vals)) - 1] for q in qs}
+    for nbins in (64, 1024):
+        got = {
+            r.q_bp: (r.est_lo, r.est_hi)
+            for r in histogram_quantiles(df, "v", qs, nbins=nbins).collect()
+        }
+        for q in qs:
+            lo, hi = got[q]
+            assert lo <= exact[q] <= hi, (nbins, q, got[q], exact[q])
+    wide = {
+        r.q_bp: r.est_hi - r.est_lo
+        for r in histogram_quantiles(df, "v", qs, nbins=64).collect()
+    }
+    narrow = {
+        r.q_bp: r.est_hi - r.est_lo
+        for r in histogram_quantiles(df, "v", qs, nbins=1024).collect()
+    }
+    assert all(narrow[q] <= wide[q] for q in qs)
+
+
+def test_histogram_quantiles_constant_column(spark):
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.stats import histogram_quantiles
+
+    df = spark.createDataFrame([Row(v=42)] * 10)
+    rows = histogram_quantiles(df, "v", [5000, 10000]).collect()
+    assert all(r.est_lo == 42 and r.est_hi == 42 and r.bin == 0 for r in rows)
