@@ -352,3 +352,141 @@ SELECT q.{id_col},
 FROM q, {prev}"""
     )
     return "".join(parts)
+
+
+# -- second component via exact integer deflation ---------------------------
+#
+# Deflating with the Rayleigh quotient keeps everything integer: for the
+# power-iteration result v (any scale), C2 = C − (vᵀCv)·vvᵀ/(vᵀv)² has the
+# same eigenvectors as d²·C − (vᵀCv)·vvᵀ (d = vᵀv) — scaling a matrix never
+# moves its eigenvectors. Bounds force two rescales to stay inside the
+# oracle's HUGEINT (< 2^127) lane: v is coarsened to scale 2^10 before
+# deflation (vd = v div 2^10), and the deflated matrix is right-shifted by
+# 2^53 before the second iteration chain — both trunc-divisions, identical
+# in Python (trunc_div) and DuckDB (//).
+
+PCA_DEFL_SHIFT = 1 << 53
+PCA_VD_DIV = 1 << 10
+
+
+def deflate(
+    cmat: dict[tuple[int, int], int], v: list[int], dim: int
+) -> dict[tuple[int, int], int]:
+    """Integer deflation of the dominant direction (module comment above)."""
+    vd = [_trunc_div(x, PCA_VD_DIV) for x in v]
+    d = sum(x * x for x in vd)
+    nr = sum(
+        vd[i - 1] * sum(cmat.get((i, j), 0) * vd[j - 1] for j in range(1, dim + 1))
+        for i in range(1, dim + 1)
+    )
+    return {
+        (i, j): _trunc_div(
+            d * d * cmat.get((i, j), 0) - nr * vd[i - 1] * vd[j - 1], PCA_DEFL_SHIFT
+        )
+        for i in range(1, dim + 1)
+        for j in range(1, dim + 1)
+    }
+
+
+def pca_project2(
+    corpus: DataFrame,
+    dim: int,
+    iters: int = 4,
+    scale: int = PCA_SCALE,
+    vscale: int = PCA_VSCALE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pc1_q, pc2_q): integer projections onto the top TWO power-
+    iteration directions (pca_project + one exact integer deflation) — the
+    2-D embedding-cloud map (visualization, whitening, stratification by
+    dominant axes). Same scale shape as pca_project: the second component
+    costs no extra corpus scan — only driver arithmetic on the d² matrix."""
+    g_rows = gramian(corpus, vec_col, scale).collect()
+    qdf = corpus.select(F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("qv"))
+    sums = (
+        qdf.select(F.posexplode("qv").alias("i0", "v"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sums[0]["c"] if sums else 0
+    s = {r["i"]: r["s"] for r in sums}
+    cmat = {(r["i"], r["j"]): n * r["g"] - s[r["i"]] * s[r["j"]] for r in g_rows}
+    v1 = power_iteration(cmat, dim, iters, vscale)
+    v2 = power_iteration(deflate(cmat, v1, dim), dim, iters, vscale)
+
+    def proj(v: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(x).cast("long") for x in v]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return qdf.select(
+        F.col(id_col), proj(v1).alias("pc1_q"), proj(v2).alias("pc2_q")
+    )
+
+
+def pca_project2_sql(
+    table: str = "embeddings",
+    dim: int = 64,
+    iters: int = 4,
+    scale: int = PCA_SCALE,
+    vscale: int = PCA_VSCALE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for pca_project2: the pca_project_sql CTE chain, then
+    the deflation (vd coarsen → d, Rayleigh numerator, shifted deflated
+    matrix as a second list-of-lists) and a second unrolled iteration chain
+    — every step in the HUGEINT lane with the bounds noted above."""
+    base = pca_project_sql(table, dim, iters, scale, vscale, vec_col, id_col)
+    head, _ = base.rsplit("\nSELECT", 1)
+    d1 = dim + 1
+    parts = [
+        head,
+        f""",
+vd AS (SELECT list_transform(v, x -> x // {PCA_VD_DIV}) AS vd FROM v{iters}),
+defl AS (
+  SELECT list_sum(list_transform(vd, x -> x*x)) AS d,
+         list_sum(list_transform(range(1,{d1}), i ->
+           vd[i] * list_sum(list_transform(range(1,{d1}), j -> G[i][j]*vd[j])))) AS nr
+  FROM gmat, vd
+),
+g2 AS (
+  SELECT list_transform(range(1,{d1}), i ->
+           list_transform(range(1,{d1}), j ->
+             (d*d*G[i][j] - nr*vd[i]*vd[j]) // {PCA_DEFL_SHIFT})) AS G
+  FROM gmat, vd, defl
+),
+u0 AS (SELECT list_transform(range(1,{d1}), x -> CAST({vscale} AS HUGEINT)) AS v)""",
+    ]
+    prev = "u0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+x{t} AS (
+  SELECT list_transform(range(1,{d1}), i ->
+           list_sum(list_transform(range(1,{d1}), j -> G[i][j]*v[j]))) AS w
+  FROM g2, {prev}
+),
+u{t} AS (
+  SELECT list_transform(w, x ->
+           (x*{vscale}) // list_max(list_transform(w, y -> abs(y)))) AS v
+  FROM x{t}
+)"""
+        )
+        prev = f"u{t}"
+    parts.append(
+        f"""
+SELECT q.{id_col},
+       CAST(list_sum(list_transform(range(1,{d1}), j -> CAST(q.qv[j] AS HUGEINT)*v1.v[j])) AS BIGINT) AS pc1_q,
+       CAST(list_sum(list_transform(range(1,{d1}), j -> CAST(q.qv[j] AS HUGEINT)*v2.v[j])) AS BIGINT) AS pc2_q
+FROM q, v{iters} v1, {prev} v2"""
+    )
+    return "".join(parts)

@@ -4428,6 +4428,27 @@ def _pca_sql() -> str:
     return pca_project_sql("embeddings", dim=64, iters=4)
 
 
+def q_pca_projection2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TWO principal components (functions/cluster.py:pca_project2):
+    pca_projection plus one EXACT integer deflation (Rayleigh-quotient
+    scaled through — eigenvectors invariant under matrix scaling, so no
+    rational arithmetic) and a second unrolled iteration chain. The 2-D
+    embedding-cloud map; the second component costs no extra corpus scan."""
+    from peerdb_spark.functions.cluster import pca_project2
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(emb.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
+    return pca_project2(emb, dim=64, iters=4)
+
+
+def _pca2_sql() -> str:
+    from peerdb_spark.functions.cluster import pca_project2_sql
+
+    return pca_project2_sql("embeddings", dim=64, iters=4)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF top-5 terms — keyword extraction for corpus
     topic inspection. Integer-exact ranking: score = tf * N / df computed as
@@ -4808,6 +4829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_full": q_corpus_clean_full,
     "kmeans_clusters": q_kmeans_clusters,
     "pca_projection": q_pca_projection,
+    "pca_projection2": q_pca_projection2,
     "tfidf_topk": q_tfidf_topk,
     "quality_classifier": q_quality_classifier,
     "cdc_mirror_mview": q_cdc_mirror_mview,
@@ -4908,6 +4930,7 @@ ORACLES: dict[str, str] = {
     "corpus_clean_full": SQL_CORPUS_CLEAN_FULL,
     "kmeans_clusters": _kmeans_sql(),
     "pca_projection": _pca_sql(),
+    "pca_projection2": _pca2_sql(),
     "tfidf_topk": SQL_TFIDF_TOPK,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "cdc_mirror_mview": SQL_CDC_MIRROR_MVIEW,

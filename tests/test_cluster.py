@@ -218,3 +218,32 @@ def test_pca_matches_pure_python_reference(spark):
     v = power_iteration(cmat, d, iters=4)
     expect = {i: sum(a * b for a, b in zip(qv[i], v)) for i in range(n)}
     assert got == expect
+
+
+def test_pca2_second_component_aligns_with_numpy(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.cluster import pca_project2
+
+    rng = np.random.RandomState(21)
+    d1 = rng.randn(16); d1 /= np.linalg.norm(d1)
+    # second direction orthogonal to the first, weaker but clearly above noise
+    d2 = rng.randn(16); d2 -= d2 @ d1 * d1; d2 /= np.linalg.norm(d2)
+    data = (
+        np.outer(rng.randn(400) * 3.0, d1)
+        + np.outer(rng.randn(400) * 1.2, d2)
+        + rng.randn(400, 16) * 0.03
+    )
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in row]) for i, row in enumerate(data)]
+    )
+    got = {r.vec_id: (r.pc1_q, r.pc2_q) for r in pca_project2(df, dim=16, iters=6).collect()}
+    centered = data - data.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    p1 = centered @ vt[0]
+    p2 = centered @ vt[1]
+    f1 = np.array([got[i][0] for i in range(400)], dtype=float)
+    f2 = np.array([got[i][1] for i in range(400)], dtype=float)
+    assert abs(np.corrcoef(f1, p1)[0, 1]) > 0.999
+    assert abs(np.corrcoef(f2, p2)[0, 1]) > 0.99
