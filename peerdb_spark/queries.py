@@ -1854,6 +1854,39 @@ WHERE t.ida < t.idb
 SQL_KNN_GRAPH = _knn_graph_sql()
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (functions/graph.py) over the mutual-kNN
+    similarity graph — graph centrality for corpus curation (canonical-page
+    surfacing, spam down-weighting). 3 integer rounds, each one equi-join +
+    one hash agg; the oracle embeds the knn-graph SQL as the edge relation
+    and unrolls the same rounds (fourth independently-certified iterative
+    algorithm after BPE, k-means, PCA)."""
+    from peerdb_spark.functions.graph import pagerank
+    from peerdb_spark.functions.similarity import knn_graph
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")[0])
+    c = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    knn = knn_graph(c, "vec_id", "qv", dim=64, bits=8, k=3)
+    edges = knn.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(knn.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_sql() -> str:
+    from peerdb_spark.functions.graph import pagerank_sql
+
+    edges = (
+        f"(WITH knn AS ({SQL_KNN_GRAPH}) "
+        "SELECT id_a AS src, id_b AS dst FROM knn "
+        "UNION ALL SELECT id_b AS src, id_a AS dst FROM knn)"
+    )
+    return pagerank_sql(edges, iters=3)
+
+
+SQL_GRAPH_PAGERANK = _pagerank_sql()
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard negatives (similarity.py:
     hard_negative_mining): for each anchor, the 3 most similar same-SRP-
@@ -2757,6 +2790,131 @@ def _hist_q_sql() -> str:
 
 
 SQL_HIST_QUANTILES = _hist_q_sql()
+
+
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user: step k
+    counts only events strictly AFTER the user's step-(k−1) time and within
+    24h of step 1 (the classic warehouse funnel the reference's users run
+    on the synced destination). Time carried as MICROSECOND epochs
+    (timestampdiff on the NTZ column ≡ DuckDB epoch_us — integer-exact, no
+    second-truncation ambiguity). Plan: one min-agg per step, each joined
+    on user_id — three hash aggs over per-step slices, no windows, no
+    explode; step relations shrink monotonically."""
+    (ev,) = _t(spark, sf_dir, "events")
+    es = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    )
+    ev = ev.select("user_id", "event_type", es.alias("es"))
+    s1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("es").alias("t1_us")
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(
+            (F.col("es") > F.col("t1_us"))
+            & (F.col("es") <= F.col("t1_us") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t2_us"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .where(
+            (F.col("es") > F.col("t2_us"))
+            & (F.col("es") <= F.col("t1_us") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t3_us"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1_us",
+            "t2_us",
+            "t3_us",
+            (
+                F.lit(1)
+                + F.col("t2_us").isNotNull().cast("int")
+                + F.col("t3_us").isNotNull().cast("int")
+            ).cast("long").alias("reached"),
+        )
+    )
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS es FROM events),
+s1 AS (SELECT user_id, min(es) AS t1_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT ev.user_id, min(es) AS t2_us
+  FROM ev JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND es > t1_us AND es <= t1_us + {_FUNNEL_WINDOW_US}
+  GROUP BY ev.user_id
+),
+s3 AS (
+  SELECT ev.user_id, min(es) AS t3_us
+  FROM ev JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND es > t2_us AND es <= t1_us + {_FUNNEL_WINDOW_US}
+  GROUP BY ev.user_id
+)
+SELECT s1.user_id, t1_us, t2_us, t3_us,
+       CAST(1 + (t2_us IS NOT NULL)::INT + (t3_us IS NOT NULL)::INT AS BIGINT) AS reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their signup week (epoch-week of
+    the first 'signup' event), counted as retained in each later week they
+    produced ANY event — the (cohort_week, week_offset, users) triangle
+    every product-analytics warehouse derives from a CDC-synced events
+    table. Integer epoch-week arithmetic (es div week) on both engines;
+    two hash aggs + one join, no windows."""
+    (ev,) = _t(spark, sf_dir, "events")
+    es = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    )
+    ev = ev.select("user_id", "event_type", es.alias("es"))
+    first = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr(f"min(es) div {_WEEK_US}").alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.expr(f"es div {_WEEK_US}").alias("week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
+SQL_EVENTS_COHORT = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS es FROM events),
+first AS (
+  SELECT user_id, min(es) // {_WEEK_US} AS cohort_week
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, es // {_WEEK_US} AS week FROM ev)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM activity JOIN first USING (user_id)
+WHERE week >= cohort_week
+GROUP BY cohort_week, week_offset
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4794,6 +4952,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_membership": q_bloom_membership,
     "dup_span_coverage": q_dup_span_coverage,
     "hist_quantiles": q_hist_quantiles,
+    "events_funnel": q_events_funnel,
+    "events_cohort_retention": q_events_cohort_retention,
+    "graph_pagerank": q_graph_pagerank,
     "mongo_changestream_decode": q_mongo_changestream_decode,
     "qrep_null_partition": q_qrep_null_partition,
     "qrep_date_partition": q_qrep_date_partition,
@@ -4895,6 +5056,9 @@ ORACLES: dict[str, str] = {
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
     "hist_quantiles": SQL_HIST_QUANTILES,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_cohort_retention": SQL_EVENTS_COHORT,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
     "mongo_changestream_decode": SQL_MONGO_CHANGESTREAM_DECODE,
     "qrep_null_partition": SQL_QREP_NULL_PARTITION,
     "qrep_date_partition": SQL_QREP_DATE_PARTITION,
