@@ -220,7 +220,9 @@ def bloom_build(df: DataFrame, value_col: str, k: int = 4, m_bits: int = 8192) -
     missing word as no-bits-set)."""
     assert m_bits % _WORD == 0
     c = F.col(value_col)
-    pos = df.select(
+    # NULL values hash to NULL positions and would emit a garbage NULL word;
+    # a NULL is "no value" — skip it (probe NULLs report maybe=NULL likewise)
+    pos = df.where(c.isNotNull()).select(
         F.explode(F.array(*bloom_positions(c, k, m_bits))).alias("pos")
     )
     word, bit = _pos_to_word_bit(F.col("pos"))

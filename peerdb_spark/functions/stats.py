@@ -79,8 +79,12 @@ def histogram_quantiles(
         F.max(v).cast("long").alias("_mx"),
         F.count(v).alias("_n"),
     )
+    # NULLs: count(v) already skips them; drop them from the histogram too —
+    # otherwise the NULL bin sorts FIRST in Spark's window and LAST in
+    # DuckDB's, silently shifting every cumulative count
     binned = (
         df.select(v.cast("long").alias("_v"))
+        .where(F.col("_v").isNotNull())
         .crossJoin(F.broadcast(stats))
         .select(
             F.expr(f"(_v - _mn) * {nbins} div (_mx - _mn + 1)").alias("bin")
@@ -130,7 +134,7 @@ WITH stats AS (
 hist AS (
   SELECT ((CAST({value_expr} AS BIGINT) - mn) * {nbins}) // (mx - mn + 1) AS bin,
          count(*) AS cnt
-  FROM {src}, stats GROUP BY 1
+  FROM {src}, stats WHERE {value_expr} IS NOT NULL GROUP BY 1
 ),
 cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
 qr AS (

@@ -139,3 +139,14 @@ def test_bloom_probe_matches_python_reference(spark):
         for r in SK.bloom_probe(bl, _items(spark, probes), "w", k=k, m_bits=m).collect()
     }
     assert got == expect
+
+
+def test_bloom_null_values_skipped(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "w string")
+    bl = SK.bloom_build(df, "w", k=3, m_bits=512)
+    assert all(r.word is not None for r in bl.collect())
+    # and the filter matches a NULL-free build exactly
+    clean = SK.bloom_build(
+        spark.createDataFrame([("a",), ("b",)], "w string"), "w", k=3, m_bits=512
+    )
+    assert sorted(map(tuple, bl.collect())) == sorted(map(tuple, clean.collect()))

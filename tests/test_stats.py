@@ -94,3 +94,16 @@ def test_histogram_quantiles_constant_column(spark):
     df = spark.createDataFrame([Row(v=42)] * 10)
     rows = histogram_quantiles(df, "v", [5000, 10000]).collect()
     assert all(r.est_lo == 42 and r.est_hi == 42 and r.bin == 0 for r in rows)
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.stats import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [Row(v=i) for i in range(1, 101)] + [Row(v=None)] * 50
+    )
+    got = {r.q_bp: (r.est_lo, r.est_hi) for r in histogram_quantiles(df, "v", [5000]).collect()}
+    lo, hi = got[5000]
+    assert lo <= 50 <= hi
