@@ -232,6 +232,37 @@ COMMENT = {
         "batch-sized hash aggs. Measured flat per-batch cost across 10x "
         "state growth (SCALING.md)."
     ),
+    "bloom_membership": (
+        "Bloom build+probe. The build is one explode + a bit_or HashAggregate "
+        "with map-side partials (output bounded by m/32 words regardless of "
+        "corpus size); the probe joins those words as a BroadcastHashJoin — "
+        "the corpus-sized probe side never shuffles for the filter."
+    ),
+    "pca_projection": (
+        "Distributed PCA. The Gram matrix is a doubly-exploded HashAggregate "
+        "with map-side combine (d² bounded output); the projection is per-row "
+        "codegen against d literal eigenvector entries — no join, no shuffle "
+        "beyond the two bounded aggs. Power iteration is driver-side over "
+        "4 160 collected integers."
+    ),
+    "dup_span_coverage": (
+        "Exact-substring span coverage. Only (id, p, hash) longs cross the "
+        "shuffle (text stays columnar at the scan); duplicate detection is a "
+        "map-side-combinable count; the interval union is one lead() window "
+        "over FLAGGED spans only (duplicated spans, a small fraction of the "
+        "corpus)."
+    ),
+    "hist_quantiles": (
+        "Histogram quantiles. Two bounded HashAggregates (1-row stats, "
+        "256-cell histogram) — NO sort at any scale, unlike the exact "
+        "windowed-rank path; the stats row broadcasts back for bin math."
+    ),
+    "graph_pagerank": (
+        "Fixed-point PageRank (3 rounds over the mutual-kNN edges). Each "
+        "round is one equi-join of ranks to edges plus one hash agg by dst; "
+        "per-round localCheckpoint keeps lineage flat so round k's plan is "
+        "independent of k."
+    ),
 }
 
 
