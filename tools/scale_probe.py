@@ -122,7 +122,30 @@ def main() -> None:
             iters=4,
         ),
         "dup_span_coverage": lambda p: CP.dup_span_coverage(docs(p)),
+        "pagerank_knn": lambda p: GR.pagerank(_knn_edges(p), iters=3),
+        "hist_quantiles": lambda p: ST.histogram_quantiles(
+            docs(p).select(F.length("text").alias("n")), "n",
+            [100, 2500, 5000, 7500, 9900],
+        ),
     }
+
+    from peerdb_spark.functions import graph as GR
+    from peerdb_spark.functions import stats as ST
+    from peerdb_spark.functions.similarity import knn_graph
+
+    def _knn_edges(p):
+        c = emb(p).select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 400).cast("long")
+            ).alias("qv"),
+        )
+        knn = knn_graph(c, "vec_id", "qv", dim=64, bits=8, k=3)
+        return knn.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(
+            knn.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
 
     from peerdb_spark.functions import bpe as BP
     from peerdb_spark.functions import sketch as SK
