@@ -187,6 +187,10 @@ def main() -> None:
         "bloom_membership",
         "pca_projection",
         "dup_span_coverage",
+        "hist_quantiles",
+        "events_funnel",
+        "events_cohort_retention",
+        "graph_pagerank",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

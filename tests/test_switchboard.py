@@ -1,0 +1,91 @@
+"""Switchboard parity: read-only statement gating + streamed guardrails
+(peerdb_spark/switchboard.py vs flow/switchboard/)."""
+
+import pytest
+
+from peerdb_spark.switchboard import (
+    GuardrailError,
+    Guardrails,
+    check_query,
+    split_statements,
+    stream_query,
+)
+
+
+def test_allowlist_accepts_read_statements():
+    for q in [
+        "SELECT 1",
+        "  with x as (select 1) select * from x",
+        "EXPLAIN SELECT 2",
+        "SHOW TABLES",
+        "VALUES (1), (2)",
+        "BEGIN; SELECT 1; COMMIT",
+        "RESET search_path",
+        "DISCARD PLANS",
+    ]:
+        check_query(q)  # must not raise
+
+
+def test_allowlist_rejects_writes_and_ddl():
+    for q, kw in [
+        ("INSERT INTO t VALUES (1)", "INSERT"),
+        ("UPDATE t SET a = 1", "UPDATE"),
+        ("DELETE FROM t", "DELETE"),
+        ("DROP TABLE t", "DROP"),
+        ("CREATE TABLE t (a int)", "CREATE"),
+        ("COPY t FROM '/x'", "COPY"),
+        ("GRANT ALL ON t TO u", "GRANT"),
+        ("SELECT 1; DROP TABLE t", "DROP"),  # smuggled second statement
+    ]:
+        with pytest.raises(GuardrailError, match=f"not allowed: {kw}"):
+            check_query(q)
+
+
+def test_readonly_bypass_attempts_blocked():
+    with pytest.raises(GuardrailError, match="read-only"):
+        check_query("SET default_transaction_read_only = off")
+    with pytest.raises(GuardrailError, match="set_config"):
+        check_query("SELECT set_config('transaction_read_only', 'off', false)")
+    with pytest.raises(GuardrailError, match="RESET ALL"):
+        check_query("RESET ALL")
+    with pytest.raises(GuardrailError, match="DISCARD ALL"):
+        check_query("DISCARD all")
+
+
+def test_read_only_false_is_passthrough():
+    check_query("DROP TABLE t", read_only=False)  # no gate
+
+
+def test_split_respects_quotes_and_comments():
+    q = "SELECT 'a;b'; SELECT \"c;d\" -- trailing; comment\n; SELECT 'it''s'"
+    assert split_statements(q) == [
+        "SELECT 'a;b'",
+        'SELECT "c;d"',
+        "SELECT 'it''s'",
+    ]
+
+
+def test_stream_row_budget_trips_mid_stream(spark):
+    g = Guardrails(max_rows=10)
+    got = []
+    with pytest.raises(GuardrailError, match="row limit exceeded: 11"):
+        for r in stream_query(spark, "SELECT id FROM range(100)", g):
+            got.append(r.id)
+    assert len(got) == 10  # exactly the budget was delivered, then the trip
+
+
+def test_stream_byte_budget_and_stats(spark):
+    g = Guardrails(max_bytes=50)
+    with pytest.raises(GuardrailError, match="byte limit exceeded"):
+        for _ in stream_query(
+            spark, "SELECT repeat('x', 30) AS s FROM range(10)", g
+        ):
+            pass
+    rows, nbytes = g.stats()
+    assert rows == 2 and nbytes == 60  # second row crossed the 50-byte cap
+
+
+def test_stream_unlimited_and_gated(spark):
+    assert len(list(stream_query(spark, "SELECT id FROM range(7)"))) == 7
+    with pytest.raises(GuardrailError, match="not allowed: DROP"):
+        list(stream_query(spark, "DROP TABLE nope"))
