@@ -171,12 +171,18 @@ class SqlSurface:
     """The psql-facing layer: execute() takes one statement, returns a
     DataFrame (queries/FETCH) or a status dict (DDL/signals)."""
 
-    def __init__(self, spark: SparkSession, catalog: Catalog):
+    def __init__(self, spark: SparkSession, catalog: Catalog, read_only: bool = False):
         self.spark = spark
         self.catalog = catalog
         self.cursors: dict[str, Cursor] = {}
         self.mirror_state: dict[str, MirrorState] = {}
         self.executors: dict[str, Any] = {}  # mirror name → callable
+        # Switchboard operator mode (flow/switchboard/): a read-only surface
+        # gates every PASSTHROUGH statement through the first-keyword
+        # allowlist + bypass detection; the engine's own mirror/peer/cursor
+        # statements stay available (they are the control plane the operator
+        # console exists to reach)
+        self.read_only = read_only
 
     # -- statement router (ref: nexus/query-router/src/lib.rs Route) ------
     def execute(self, stmt: str):
@@ -198,6 +204,10 @@ class SqlSurface:
                 return fn(m)
         # pass-through: Catalyst handles standard SQL (ref: §3.2 — our "peer"
         # is the Spark catalog itself, so no dialect rewrite is needed)
+        if self.read_only:
+            from peerdb_spark.switchboard import check_query
+
+            check_query(stmt, read_only=True)
         return self.spark.sql(stmt)
 
     # -- peers ------------------------------------------------------------

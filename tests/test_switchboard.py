@@ -89,3 +89,15 @@ def test_stream_unlimited_and_gated(spark):
     assert len(list(stream_query(spark, "SELECT id FROM range(7)"))) == 7
     with pytest.raises(GuardrailError, match="not allowed: DROP"):
         list(stream_query(spark, "DROP TABLE nope"))
+
+
+def test_sql_surface_read_only_mode(spark):
+    from peerdb_spark.registry import Catalog
+    from peerdb_spark.sql_surface import SqlSurface
+
+    surf = SqlSurface(spark, Catalog(), read_only=True)
+    assert [r[0] for r in surf.execute("SELECT 41 + 1").collect()] == [42]
+    with pytest.raises(GuardrailError, match="not allowed: DROP"):
+        surf.execute("DROP TABLE victim")
+    # control-plane statements stay available in operator mode
+    assert surf.execute("SHOW MIRRORS").count() == 0
