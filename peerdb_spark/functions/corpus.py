@@ -697,3 +697,95 @@ def dup_span_coverage(
             F.coalesce("covered_tokens", F.lit(0).cast("long")).alias("covered_tokens"),
         )
     )
+
+
+def incremental_span_coverage(
+    state_counts: DataFrame | None,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 12,
+    min_count: int = 2,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingestion-time dup_span_coverage: score ONE new crawl batch against
+    the accumulated corpus without ever re-hashing it — the same maintained-
+    state pattern as incremental_clean (content hashes) and the incremental
+    LSH count log (band buckets). State is a (h, cnt) span-count table
+    (two longs per distinct span; bucket it by h at scale so the join
+    prunes).
+
+    A new-batch span is duplicated when state_cnt + batch_cnt >= min_count —
+    EXACTLY the union-corpus occurrence count, so the returned coverage rows
+    equal a full dup_span_coverage over (corpus ∪ batch) restricted to the
+    batch's ids (pinned by test). Returns (coverage, delta):
+    - coverage: (id, n_tokens, dup_windows, covered_tokens) for the batch;
+    - delta: the batch's (h, cnt) rows — APPEND to the state table (counts
+      merge by sum; re-aggregate lazily or at read, like the LSH count log).
+
+    Retro-flagging is deliberately out of scope: a span that becomes
+    duplicated only when a LATER batch re-crawls it flags in that later
+    batch; already-ingested docs keep their at-ingest score (re-run the
+    one-shot operator for a retroactive sweep) — the incremental_clean
+    one-shot-keeper rule applied to spans.
+    """
+    tk = new_docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    if materialize:
+        tk = tk.localCheckpoint(eager=True)
+    base = tk.select(id_col, F.size("_t").cast("long").alias("n_tokens"), "_t")
+    wins = (
+        base.where(F.col("n_tokens") >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_tokens") - window).cast("int"))
+            ).alias("p"),
+            "_t",
+        )
+        .select(
+            id_col,
+            "p",
+            h64(F.array_join(F.slice(F.col("_t"), F.col("p") + 1, window), " ")).alias("_h"),
+        )
+    )
+    if materialize:
+        wins = wins.localCheckpoint(eager=True)
+    delta = wins.groupBy(F.col("_h").alias("h")).agg(F.count(F.lit(1)).alias("cnt"))
+    if materialize:
+        delta = delta.localCheckpoint(eager=True)
+    if state_counts is not None:
+        prior = state_counts.groupBy("h").agg(F.sum("cnt").alias("_prior"))
+        total = delta.join(prior, "h", "left").select(
+            "h",
+            (F.col("cnt") + F.coalesce("_prior", F.lit(0))).alias("_total"),
+        )
+    else:
+        total = delta.select("h", F.col("cnt").alias("_total"))
+    dups = total.where(F.col("_total") >= min_count).select(F.col("h").alias("_h"))
+    w = Window.partitionBy(id_col).orderBy("p")
+    cover = (
+        wins.join(dups, "_h")
+        .select(id_col, "p", F.lead("p").over(w).alias("_np"))
+        .select(
+            id_col,
+            F.least(
+                F.coalesce(F.col("_np") - F.col("p"), F.lit(window)), F.lit(window)
+            ).cast("long").alias("_cov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_windows"),
+            F.sum("_cov").alias("covered_tokens"),
+        )
+    )
+    coverage = (
+        base.drop("_t")
+        .join(cover, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0).cast("long")).alias("dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias("covered_tokens"),
+        )
+    )
+    return coverage, delta

@@ -620,3 +620,39 @@ def test_incremental_clean_bloom_prefilter_identical(spark):
         assert sorted(map(tuple, exact.collect())) == sorted(
             map(tuple, bloomed.collect())
         )
+
+
+def test_incremental_span_coverage_equals_union_recompute(spark):
+    """Batch-2 incremental coverage ≡ the one-shot operator over the UNION
+    corpus restricted to batch-2 ids (state_cnt + batch_cnt is exactly the
+    union occurrence count); batch-1 against empty state ≡ standalone."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.corpus import (
+        dup_span_coverage,
+        incremental_span_coverage,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    # batch 2 re-crawls some batch-1 docs (cross-batch spans) + new docs
+    b2 = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        b1.where(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        )
+    )
+
+    cov1, d1 = incremental_span_coverage(None, b1, window=12)
+    assert sorted(map(tuple, cov1.collect())) == sorted(
+        map(tuple, dup_span_coverage(b1, window=12).collect())
+    )
+
+    cov2, _ = incremental_span_coverage(d1, b2, window=12)
+    union_ids = {r.doc_id for r in b2.select("doc_id").collect()}
+    full = dup_span_coverage(b1.unionByName(b2), window=12)
+    expect = sorted(
+        tuple(r) for r in full.collect() if r.doc_id in union_ids
+    )
+    assert sorted(map(tuple, cov2.collect())) == expect
