@@ -101,3 +101,26 @@ def test_sql_surface_read_only_mode(spark):
         surf.execute("DROP TABLE victim")
     # control-plane statements stay available in operator mode
     assert surf.execute("SHOW MIRRORS").count() == 0
+
+
+def test_split_statements_property_random_quoting():
+    """Property: for randomly generated statement lists whose quoted literals
+    may contain ';' and '--', splitting the ';'-joined text recovers exactly
+    the original statements."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = ["abc", "x;y", "it''s", "--not a comment", "se;mi", "plain"]
+    for _ in range(200):
+        stmts = []
+        for _s in range(rng.randint(1, 5)):
+            parts = ["SELECT"]
+            for _w in range(rng.randint(1, 4)):
+                w = rng.choice(alphabet)
+                if ";" in w or "-" in w or "'" in w:
+                    parts.append(f"'{w}'")
+                else:
+                    parts.append(w)
+            stmts.append(" ".join(parts))
+        joined = "; ".join(stmts) + (";" if rng.random() < 0.5 else "")
+        assert split_statements(joined) == stmts, (joined, stmts)
