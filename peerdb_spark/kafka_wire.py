@@ -348,29 +348,46 @@ def deliver_kafka_wire(
         except (KeyError, ValueError, IndexError):
             return None
 
+    # Stream as we iterate: each (topic, partition) buffer flushes the
+    # moment it reaches `chunk` records, so memory is bounded by
+    # chunk × live destinations — NOT by the Spark partition size (a 100-TB
+    # feed hands this function multi-GB partitions; buffering them whole
+    # before the first send was the one non-streaming step in the path).
+    # ONE connection per executor partition, reused across every batch —
+    # the producer-connection model real clients use; a fresh socket per
+    # batch would TCP-handshake per chunk.
     by_dest: dict[tuple[str, int], list] = {}
     n = 0
-    for r in rows:
-        t = r["topic"] if r["topic"] is not None else fallback_topic
-        # honor emit_kafka_rows' hash-routed partition column when present
-        # (the reference's partition-hash routing); absent/None → 0
-        p = field(r, "partition")
-        p = 0 if p is None else int(p)
-        hs = field(r, "headers") or ()
-        headers = [(h["key"], as_bytes(h["value"])) for h in hs]
-        by_dest.setdefault((t, p), []).append(
-            (as_bytes(r["key"]), as_bytes(r["value"]), headers)
-        )
-        n += 1
-    if not by_dest:
-        return 0
-    # ONE connection per executor partition, reused across every
-    # (topic, partition) batch — the producer-connection model real clients
-    # use; a fresh socket per batch would TCP-handshake per chunk
+    sock: socket.socket | None = None
     cid = 0
-    with socket.create_connection((host, port), timeout=30.0) as sock:
+
+    def flush(t: str, p: int, recs: list) -> None:
+        nonlocal sock, cid
+        if not recs:
+            return
+        if sock is None:
+            sock = socket.create_connection((host, port), timeout=30.0)
+        cid += 1
+        produce_on(sock, t, p, recs, correlation_id=cid)
+
+    try:
+        for r in rows:
+            t = r["topic"] if r["topic"] is not None else fallback_topic
+            # honor emit_kafka_rows' hash-routed partition column when present
+            # (the reference's partition-hash routing); absent/None → 0
+            p = field(r, "partition")
+            p = 0 if p is None else int(p)
+            hs = field(r, "headers") or ()
+            headers = [(h["key"], as_bytes(h["value"])) for h in hs]
+            buf = by_dest.setdefault((t, p), [])
+            buf.append((as_bytes(r["key"]), as_bytes(r["value"]), headers))
+            n += 1
+            if len(buf) >= chunk:
+                flush(t, p, buf)
+                buf.clear()
         for (t, p), recs in by_dest.items():
-            for i in range(0, len(recs), chunk):
-                cid += 1
-                produce_on(sock, t, p, recs[i : i + chunk], correlation_id=cid)
+            flush(t, p, recs)
+    finally:
+        if sock is not None:
+            sock.close()
     return n

@@ -208,6 +208,26 @@ def test_deliver_chunks_large_partitions(broker):
     assert sorted(keys) == list(range(2500))
 
 
+def test_deliver_streams_before_iterator_exhausts(broker):
+    """The producer flushes full chunks WHILE still consuming the row
+    iterator (bounded memory on multi-GB Spark partitions) — a generator
+    observes sends happening before it finishes yielding."""
+    host, port = broker.server_address
+
+    sent_at: list[int] = []
+
+    def gen():
+        for i in range(2000):
+            if broker.received:
+                sent_at.append(i)
+            yield {"topic": "t", "key": str(i).encode(), "value": b"x"}
+
+    n = KW.deliver_kafka_wire(gen(), host, port, "fb", chunk=500)
+    assert n == 2000 and len(broker.received) == 2000
+    # the first flush happened no later than one chunk past the boundary
+    assert sent_at and sent_at[0] <= 501
+
+
 def test_partition_hash_routing_honored(spark, broker):
     """emit_kafka_rows(num_partitions=N) hash-routes records; the wire
     producer must deliver each record to its computed partition."""
