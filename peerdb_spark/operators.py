@@ -325,3 +325,88 @@ def interval_join(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
     )
     return joined.drop("_slot")
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel (+ incremental maintenance)
+# ---------------------------------------------------------------------------
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    es_col: str = "es",
+) -> DataFrame:
+    """Ordered strict-sequence funnel: per user, step k's time is the
+    earliest event of steps[k] strictly AFTER step k−1's time and within
+    `window_us` of step 1. Returns (user, t1_us..tk_us, reached) with NULL
+    times for unreached steps. Time column `es_col` is integer epoch
+    MICROSECONDS (exact on any engine — see q_events_funnel).
+
+    Plan: one min-agg per step over that step's slice, joined on the user
+    key — k hash aggs, relations shrink monotonically down the funnel; no
+    windows, no explode."""
+    ev = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_ty"), F.col(es_col).alias("_es")
+    )
+    acc = (
+        ev.where(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_es").alias("t1_us"))
+    )
+    prev = "t1_us"
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("_ty") == step)
+            .join(acc.select("_u", "t1_us", F.col(prev).alias("_tp")), "_u")
+            .where(
+                (F.col("_es") > F.col("_tp"))
+                & (F.col("_es") <= F.col("t1_us") + window_us)
+            )
+            .groupBy("_u")
+            .agg(F.min("_es").alias(f"t{k}_us"))
+        )
+        acc = acc.join(nxt, "_u", "left")
+        prev = f"t{k}_us"
+    reached = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        reached = reached + F.col(f"t{k}_us").isNotNull().cast("int")
+    return acc.select(
+        F.col("_u").alias(user_col),
+        *[f"t{k}_us" for k in range(1, len(steps) + 1)],
+        reached.cast("long").alias("reached"),
+    )
+
+
+def funnel_refresh(
+    view: DataFrame | None,
+    events_live: DataFrame,
+    touched_users: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    es_col: str = "es",
+) -> DataFrame:
+    """Incrementally maintain a funnel view — the touched-group
+    re-aggregation pattern (mview.minmax_refresh): a funnel is NOT
+    algebraically foldable (a late, EARLIER step-1 event shifts t1 and can
+    invalidate previously-matched later steps), so the batch's touched
+    users are re-derived from the live event history while every other
+    user's row streams through untouched.
+
+    `touched_users` is the batch's distinct user set (broadcast); cost is
+    bounded by those users' event history, not the events table — at scale
+    keep events bucketed by user so the semi-join prunes. Works under
+    late/out-of-order arrivals AND CDC deletes (the recompute sees only
+    live rows); users whose step-1 events all vanish drop from the view.
+    Result ≡ funnel_times over the full live history (pinned by test)."""
+    slice_ = events_live.join(F.broadcast(touched_users), user_col, "left_semi")
+    fresh = funnel_times(slice_, steps, window_us, user_col, type_col, es_col)
+    if view is None:
+        return fresh
+    cold = view.join(F.broadcast(touched_users), user_col, "left_anti")
+    return cold.unionByName(fresh)

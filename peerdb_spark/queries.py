@@ -2804,50 +2804,14 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     second-truncation ambiguity). Plan: one min-agg per step, each joined
     on user_id — three hash aggs over per-step slices, no windows, no
     explode; step relations shrink monotonically."""
+    from peerdb_spark.operators import funnel_times
+
     (ev,) = _t(spark, sf_dir, "events")
     es = F.expr(
         "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
     )
     ev = ev.select("user_id", "event_type", es.alias("es"))
-    s1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("es").alias("t1_us")
-    )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(
-            (F.col("es") > F.col("t1_us"))
-            & (F.col("es") <= F.col("t1_us") + _FUNNEL_WINDOW_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t2_us"))
-    )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s1, "user_id")
-        .join(s2, "user_id")
-        .where(
-            (F.col("es") > F.col("t2_us"))
-            & (F.col("es") <= F.col("t1_us") + _FUNNEL_WINDOW_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t3_us"))
-    )
-    return (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
-        .select(
-            "user_id",
-            "t1_us",
-            "t2_us",
-            "t3_us",
-            (
-                F.lit(1)
-                + F.col("t2_us").isNotNull().cast("int")
-                + F.col("t3_us").isNotNull().cast("int")
-            ).cast("long").alias("reached"),
-        )
-    )
+    return funnel_times(ev, ["view", "click", "purchase"], _FUNNEL_WINDOW_US)
 
 
 SQL_EVENTS_FUNNEL = f"""

@@ -313,3 +313,64 @@ def test_asof_null_timestamps_never_match(spark):
             ).collect()}
             assert rows["l1"]["v"] == want, (direction, salt)
             assert rows["lnull"]["v"] is None, (direction, salt)
+
+
+# --- funnel: core + incremental refresh ---
+
+
+def _ev_df(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    es = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+    return ev.select("event_id", "user_id", "event_type", es.alias("es"))
+
+
+def test_funnel_refresh_folds_to_one_shot(spark):
+    """Folding the event feed in 3 batches through funnel_refresh ≡
+    funnel_times over the whole history — including users whose early
+    batches only reached step 1."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.operators import funnel_refresh, funnel_times
+
+    ev = _ev_df(spark)
+    W = 24 * 3600 * 1_000_000
+    steps = ["view", "click", "purchase"]
+    view = None
+    live = None
+    for k in range(3):
+        b = ev.where(F.col("event_id") % 3 == k)
+        live = b if live is None else live.unionByName(b)
+        live = live.localCheckpoint(eager=True)
+        touched = b.select("user_id").distinct()
+        view = funnel_refresh(view, live, touched, steps, W).localCheckpoint(
+            eager=True
+        )
+    expect = sorted(map(tuple, funnel_times(ev, steps, W).collect()))
+    assert sorted(map(tuple, view.drop("event_id").collect())) == expect
+
+
+def test_funnel_refresh_handles_late_earlier_step1(spark):
+    """A LATE batch delivering an EARLIER step-1 event re-times the whole
+    funnel for that user (the non-foldable case the recompute covers)."""
+    from peerdb_spark.operators import funnel_refresh, funnel_times
+
+    W = 1000
+    steps = ["a", "b"]
+    b1 = spark.createDataFrame(
+        [(1, "a", 5000), (1, "b", 5100)], "user_id long, event_type string, es long"
+    )
+    view = funnel_refresh(None, b1, b1.select("user_id").distinct(), steps, W)
+    assert [tuple(r) for r in view.collect()] == [(1, 5000, 5100, 2)]
+    # late batch: an 'a' at 100 — window 1000 now ends at 1100, so the old
+    # 'b' at 5100 no longer qualifies: reached drops to 1
+    b2 = spark.createDataFrame(
+        [(1, "a", 100)], "user_id long, event_type string, es long"
+    )
+    live = b1.unionByName(b2)
+    view2 = funnel_refresh(view, live, b2.select("user_id").distinct(), steps, W)
+    assert [tuple(r) for r in view2.collect()] == [(1, 100, None, 1)]
+    assert sorted(map(tuple, view2.collect())) == sorted(
+        map(tuple, funnel_times(live, steps, W).collect())
+    )
