@@ -107,3 +107,32 @@ def test_histogram_quantiles_ignores_nulls(spark):
     got = {r.q_bp: (r.est_lo, r.est_hi) for r in histogram_quantiles(df, "v", [5000]).collect()}
     lo, hi = got[5000]
     assert lo <= 50 <= hi
+
+
+def test_histogram_quantiles_negative_values_property(spark):
+    """Hypothesis-style sweep over random integer datasets INCLUDING
+    negatives: the bracket always contains the exact type-1 quantile
+    (the div/ceil-div arithmetic must stay floor-correct when mn < 0)."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from peerdb_spark.functions.stats import histogram_quantiles
+
+    rng = random.Random(17)
+    for trial in range(5):
+        n = rng.randint(3, 400)
+        lo, hi = rng.randint(-100_000, 0), rng.randint(1, 100_000)
+        vals = [rng.randint(lo, hi) for _ in range(n)]
+        df = spark.createDataFrame([Row(v=x) for x in vals])
+        qs = [1, 500, 5000, 9999, 10000]
+        svals = sorted(vals)
+        got = {
+            r.q_bp: (r.est_lo, r.est_hi)
+            for r in histogram_quantiles(df, "v", qs, nbins=64).collect()
+        }
+        for q in qs:
+            exact = svals[max(0, math.ceil(q / 10_000 * n) - 1)]
+            blo, bhi = got[q]
+            assert blo <= exact <= bhi, (trial, q, got[q], exact, n)
