@@ -208,13 +208,24 @@ class PgOutputDecoder:
     transactions (records are stamped with the Begin's xid + commit_ts, like
     the reference stamps from the stream state)."""
 
-    def __init__(self):
+    def __init__(self, child_to_parent: dict[str, str] | None = None):
         self.relations: dict[int, _Relation] = {}
         # latest raw 'R' payload per oid — the preamble for resumed decode
         # (see decode_pgoutput.relation_preamble)
         self.relation_messages: dict[int, bytes] = {}
         self.xid: int | None = None
         self.commit_ts: dt.datetime | None = None
+        # Partitioned-table support (deep-dive §1.6, cdc.go
+        # childToParentRelIDMapping): leaf partitions stream under their OWN
+        # relation ids; with a qualified child→parent name mapping their
+        # events are ATTRIBUTED to the parent destination (the reference
+        # resolves the mapping from pg_inherits; engine-side it arrives with
+        # the mirror's table config). Row JSON is keyed by column NAME, so
+        # children whose column ORDER differs from the parent merge
+        # correctly. Without a mapping (or with publish_via_partition_root,
+        # where the stream already carries the parent) behavior is
+        # unchanged.
+        self.child_to_parent = dict(child_to_parent or {})
 
     def _row_json(self, rel: _Relation, tup) -> str:
         vals = {}
@@ -339,8 +350,10 @@ class PgOutputDecoder:
             "_checkpoint_id": lsn,
             "_commit_ts": self.commit_ts,
             "_txid": self.xid,
+            # provenance keeps the leaf partition; attribution (what
+            # normalize groups by) maps leaf → parent when configured
             "_src_table": rel.qualified,
-            "_dst_table": rel.qualified,
+            "_dst_table": self.child_to_parent.get(rel.qualified, rel.qualified),
             "_data": self._row_json(rel, new_tup) if new_tup is not None else None,
             "_old_data": self._row_json(rel, old_tup) if old_tup is not None else None,
             "_unchanged_cols": self._unchanged(rel, new_tup) if new_tup is not None else None,
@@ -379,7 +392,8 @@ class PgOutputDecoder:
 
 def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
                     payload_col: str = "payload",
-                    relation_preamble: list[bytes] | None = None):
+                    relation_preamble: list[bytes] | None = None,
+                    child_to_parent: dict[str, str] | None = None):
     """Distributed decode: DataFrame(slot, lsn, payload binary) → changelog
     rows (CHANGELOG_SCHEMA columns). Each slot's messages decode sequentially
     in WAL (lsn) order inside one applyInPandas group — the slot IS the unit
@@ -399,12 +413,13 @@ def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
 
     out_schema = CHANGELOG_SCHEMA
     preamble = [bytes(p) for p in (relation_preamble or [])]
+    c2p = dict(child_to_parent or {})
 
     def _decode(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(lsn_col)
-        dec = PgOutputDecoder()
+        dec = PgOutputDecoder(child_to_parent=c2p)
         for p in preamble:
             dec.replay(p)
         rows = dec.decode_all(zip(pdf[lsn_col], pdf[payload_col]))

@@ -391,3 +391,62 @@ def test_message_maps_to_kind_code_4(spark):
     df = spark.createDataFrame(rows, schema=CHANGELOG_SCHEMA)
     raw = changelog_to_raw(df, batch_id=0).collect()
     assert raw[0]["_peerdb_record_type"] == 4
+
+
+def test_partitioned_table_children_attribute_to_parent():
+    """Deep-dive §1.6 (cdc.go childToParentRelIDMapping): leaf partitions
+    stream under their own relation oids; the child→parent mapping
+    attributes their events to the parent destination — including children
+    whose column ORDER differs (row JSON is keyed by name)."""
+    from peerdb_spark.sources.pgoutput import PgOutputDecoder
+
+    dec = PgOutputDecoder(
+        child_to_parent={
+            "public.orders_2024_01": "public.orders",
+            "public.orders_2024_02": "public.orders",
+        }
+    )
+    msgs = [
+        enc_begin(7, PG_EPOCH),
+        enc_relation(101, "public", "orders_2024_01", ["id", "amt"], ("id",)),
+        # second child declares columns in a DIFFERENT order
+        enc_relation(102, "public", "orders_2024_02", ["amt", "id"], ("id",)),
+        enc_relation(103, "public", "standalone", ["id"], ("id",)),
+        enc_insert(101, ["1", "10"]),
+        enc_insert(102, ["20", "2"]),   # amt=20, id=2
+        enc_insert(103, ["3"]),
+        enc_commit(PG_EPOCH),
+    ]
+    rows = dec.decode_all((i, m) for i, m in enumerate(msgs))
+    assert [r["_dst_table"] for r in rows] == [
+        "public.orders", "public.orders", "public.standalone"
+    ]
+    # provenance keeps the leaf
+    assert [r["_src_table"] for r in rows] == [
+        "public.orders_2024_01", "public.orders_2024_02", "public.standalone"
+    ]
+    import json
+
+    assert json.loads(rows[0]["_data"]) == {"id": "1", "amt": "10"}
+    assert json.loads(rows[1]["_data"]) == {"amt": "20", "id": "2"}
+
+
+def test_partitioned_mapping_through_distributed_decode(spark):
+    """The same mapping flows through the applyInPandas decode path."""
+    from pyspark.sql import Row
+
+    from peerdb_spark.sources.pgoutput import decode_pgoutput
+
+    msgs = [
+        enc_begin(9, PG_EPOCH),
+        enc_relation(201, "public", "ev_p0", ["id"], ("id",)),
+        enc_insert(201, ["5"]),
+        enc_commit(PG_EPOCH),
+    ]
+    df = spark.createDataFrame(
+        [Row(slot="s", lsn=i, payload=bytearray(m)) for i, m in enumerate(msgs)]
+    )
+    out = decode_pgoutput(
+        df, child_to_parent={"public.ev_p0": "public.ev"}
+    ).collect()
+    assert [r["_dst_table"] for r in out if r["_kind"] == "insert"] == ["public.ev"]
