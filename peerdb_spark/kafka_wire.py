@@ -18,9 +18,12 @@ Scope (deliberately minimal, documented):
   at-least-once profile the engine's redelivery-tolerant merge expects.
 - One connection per executor partition (`deliver_kafka_wire` uses
   foreachPartition); batching = one record batch per Spark partition chunk.
-- Metadata/routing: the caller supplies host:port of the partition leader
-  (single-broker deployments / a fronting proxy); cluster-aware routing
-  belongs to a real client library, not an engine built-in.
+- Metadata v1 (api_key 3) IS implemented: `ClusterProducer` bootstraps from
+  any broker, routes each (topic, partition) batch to its leader, and
+  refreshes on NOT_LEADER errors — the franz-go behavior the reference
+  relies on (flow/connectors/kafka/kafka.go client setup). The plain
+  `produce()`/`deliver_kafka_wire()` path keeps the caller-supplied-leader
+  model for single-broker deployments.
 
 Encoding summary (protocol guide):
 - RecordBatch v2: baseOffset i64, batchLength i32, partitionLeaderEpoch i32,
@@ -283,6 +286,119 @@ def _parse_produce_response(frame: bytes) -> int:
     return error_code
 
 
+# -- Metadata request/response (api_key 3, version 1) ------------------------
+#
+# v1 response carries (brokers, controller, topics→partitions→leader) —
+# everything a producer needs to route batches; rack (nullable string) is
+# parsed and ignored. Protocol guide: Metadata API, kafka.apache.org/protocol.
+
+ERR_UNKNOWN_TOPIC = 3
+ERR_NOT_LEADER = 6
+
+
+def encode_metadata_request(topics: list[str] | None,
+                            correlation_id: int = 1,
+                            client_id: str = "peerdb-spark") -> bytes:
+    """topics=None → all topics (null array)."""
+    body = (
+        struct.pack(">hhi", 3, 1, correlation_id)
+        + _str(client_id)
+    )
+    if topics is None:
+        body += struct.pack(">i", -1)
+    else:
+        body += struct.pack(">i", len(topics))
+        for t in topics:
+            body += _str(t)
+    return struct.pack(">i", len(body)) + body
+
+
+def decode_metadata_request(frame: bytes) -> dict:
+    """Stub-broker side: {correlation_id, topics (None = all)}."""
+    api_key, api_version, cid = struct.unpack_from(">hhi", frame, 0)
+    assert (api_key, api_version) == (3, 1), (api_key, api_version)
+    pos = 8
+    cl_len = struct.unpack_from(">h", frame, pos)[0]
+    pos += 2 + max(cl_len, 0)
+    n = struct.unpack_from(">i", frame, pos)[0]
+    pos += 4
+    if n < 0:
+        return {"correlation_id": cid, "topics": None}
+    topics = []
+    for _ in range(n):
+        t_len = struct.unpack_from(">h", frame, pos)[0]
+        pos += 2
+        topics.append(frame[pos : pos + t_len].decode())
+        pos += t_len
+    return {"correlation_id": cid, "topics": topics}
+
+
+def encode_metadata_response(
+    correlation_id: int,
+    brokers: list[tuple[int, str, int]],
+    topic_leaders: dict[str, dict[int, int]],
+) -> bytes:
+    """brokers = [(node_id, host, port)]; topic_leaders =
+    {topic: {partition: leader_node_id}}."""
+    body = struct.pack(">ii", correlation_id, len(brokers))
+    for node_id, host, port in brokers:
+        body += struct.pack(">i", node_id) + _str(host) + struct.pack(">i", port)
+        body += _str(None)  # rack
+    body += struct.pack(">i", brokers[0][0] if brokers else -1)  # controller_id
+    body += struct.pack(">i", len(topic_leaders))
+    for topic, parts in topic_leaders.items():
+        body += struct.pack(">h", 0) + _str(topic) + struct.pack(">?", False)
+        body += struct.pack(">i", len(parts))
+        for pid, leader in parts.items():
+            body += struct.pack(">hiii", 0, pid, leader, 1)  # err, id, leader, #replicas
+            body += struct.pack(">i", leader)                # replicas
+            body += struct.pack(">ii", 1, leader)            # isr
+    return struct.pack(">i", len(body)) + body
+
+
+def decode_metadata_response(frame: bytes) -> tuple[dict, dict]:
+    """→ ({node_id: (host, port)}, {topic: {partition: leader_node_id}})."""
+    pos = 4  # correlation id
+    n_brokers = struct.unpack_from(">i", frame, pos)[0]
+    pos += 4
+    brokers: dict[int, tuple[str, int]] = {}
+    for _ in range(n_brokers):
+        node_id = struct.unpack_from(">i", frame, pos)[0]
+        pos += 4
+        h_len = struct.unpack_from(">h", frame, pos)[0]
+        pos += 2
+        host = frame[pos : pos + h_len].decode()
+        pos += h_len
+        port = struct.unpack_from(">i", frame, pos)[0]
+        pos += 4
+        r_len = struct.unpack_from(">h", frame, pos)[0]  # rack (nullable)
+        pos += 2 + max(r_len, 0)
+        brokers[node_id] = (host, port)
+    pos += 4  # controller_id
+    n_topics = struct.unpack_from(">i", frame, pos)[0]
+    pos += 4
+    leaders: dict[str, dict[int, int]] = {}
+    for _ in range(n_topics):
+        _terr = struct.unpack_from(">h", frame, pos)[0]
+        pos += 2
+        t_len = struct.unpack_from(">h", frame, pos)[0]
+        pos += 2
+        topic = frame[pos : pos + t_len].decode()
+        pos += t_len
+        pos += 1  # is_internal
+        n_parts = struct.unpack_from(">i", frame, pos)[0]
+        pos += 4
+        parts: dict[int, int] = {}
+        for _p in range(n_parts):
+            _perr, pid, leader, n_rep = struct.unpack_from(">hiii", frame, pos)
+            pos += 14 + 4 * n_rep
+            n_isr = struct.unpack_from(">i", frame, pos)[0]
+            pos += 4 + 4 * n_isr
+            parts[pid] = leader
+        leaders[topic] = parts
+    return brokers, leaders
+
+
 def _read_frame(sock: socket.socket) -> bytes:
     head = b""
     while len(head) < 4:
@@ -325,16 +441,178 @@ def produce(host: str, port: int, topic: str, partition: int,
         produce_on(sock, topic, partition, records)
 
 
+def fetch_metadata(sock: socket.socket, topics: list[str] | None,
+                   correlation_id: int = 1) -> tuple[dict, dict]:
+    """One Metadata round-trip on an existing connection."""
+    sock.sendall(encode_metadata_request(topics, correlation_id=correlation_id))
+    return decode_metadata_response(_read_frame(sock))
+
+
+class ClusterProducer:
+    """Leader-routed producer over the wire protocol (multi-broker clusters).
+
+    The franz-go behavior the reference's kafka sink gets for free
+    (flow/connectors/kafka/kafka.go): bootstrap-connect to any broker,
+    Metadata v1 discovers per-(topic, partition) leaders, each Produce goes
+    to its leader's connection, and a NOT_LEADER / UNKNOWN_TOPIC error
+    triggers one metadata refresh + retry (leadership moved mid-produce —
+    broker restart, rebalance). One socket per broker, reused; O(#brokers)
+    connections per executor partition, not per batch."""
+
+    def __init__(self, bootstrap: list[tuple[str, int]], timeout_s: float = 30.0):
+        if not bootstrap:
+            raise ValueError("bootstrap list is empty")
+        self.bootstrap = list(bootstrap)
+        self.timeout_s = timeout_s
+        self.brokers: dict[int, tuple[str, int]] = {}
+        self.leaders: dict[str, dict[int, int]] = {}
+        self._conns: dict[tuple[str, int], socket.socket] = {}
+        self._cid = 0
+
+    def _connect(self, addr: tuple[str, int]) -> socket.socket:
+        sock = self._conns.get(addr)
+        if sock is None:
+            sock = socket.create_connection(addr, timeout=self.timeout_s)
+            self._conns[addr] = sock
+        return sock
+
+    def _next_cid(self) -> int:
+        self._cid += 1
+        return self._cid
+
+    def refresh(self, topics: list[str]) -> None:
+        """Fetch metadata for `topics` from the first reachable broker
+        (bootstrap list first, then known brokers)."""
+        last_err: Exception | None = None
+        candidates = list(self.bootstrap) + [
+            a for a in self.brokers.values() if a not in self.bootstrap
+        ]
+        for addr in candidates:
+            try:
+                sock = self._connect(addr)
+                brokers, leaders = fetch_metadata(sock, topics, self._next_cid())
+            except OSError as e:
+                # broker down: drop the dead connection, try the next
+                self._drop(addr)
+                last_err = e
+                continue
+            self.brokers.update(brokers)
+            self.leaders.update(leaders)
+            return
+        raise ConnectionError(f"no reachable broker for metadata: {last_err}")
+
+    def _drop(self, addr: tuple[str, int]) -> None:
+        sock = self._conns.pop(addr, None)
+        if sock is not None:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _leader_addr(self, topic: str, partition: int) -> tuple[str, int]:
+        leader = self.leaders.get(topic, {}).get(partition)
+        if leader is None or leader not in self.brokers:
+            self.refresh([topic])
+            leader = self.leaders.get(topic, {}).get(partition)
+            if leader is None or leader not in self.brokers:
+                raise RuntimeError(f"no leader for {topic}[{partition}]")
+        return self.brokers[leader]
+
+    def produce(self, topic: str, partition: int, records: list) -> None:
+        """Leader-routed produce; one refresh+retry on routing errors."""
+        if not records:
+            return
+        addr = self._leader_addr(topic, partition)
+        try:
+            sock = self._connect(addr)
+            produce_on(sock, topic, partition, records,
+                       correlation_id=self._next_cid())
+            return
+        except RuntimeError as e:
+            if f"error_code={ERR_NOT_LEADER}" not in str(e) and \
+               f"error_code={ERR_UNKNOWN_TOPIC}" not in str(e):
+                raise
+        except OSError:
+            self._drop(addr)
+        # leadership moved (or the connection died): refresh, retry ONCE on
+        # the new leader — a second failure propagates (at-least-once:
+        # Spark's task retry replays the partition; merge is idempotent)
+        self.refresh([topic])
+        addr = self._leader_addr(topic, partition)
+        sock = self._connect(addr)
+        produce_on(sock, topic, partition, records,
+                   correlation_id=self._next_cid())
+
+    def close(self) -> None:
+        for addr in list(self._conns):
+            self._drop(addr)
+
+
+def deliver_kafka_wire_routed(
+    rows,
+    bootstrap: list[tuple[str, int]],
+    fallback_topic: str,
+    chunk: int = 10_000,
+    chunk_bytes: int = 900_000,
+) -> int:
+    """deliver_kafka_wire with cluster-aware leader routing: same streaming
+    chunk/byte-budget buffering, but each flush goes to the partition
+    leader via a ClusterProducer (metadata-refreshing on leader moves)."""
+    producer = ClusterProducer(bootstrap)
+    try:
+        return _deliver_loop(rows, producer.produce, fallback_topic,
+                             chunk, chunk_bytes)
+    finally:
+        producer.close()
+
+
 def deliver_kafka_wire(
     rows,  # iterable of pyspark Rows with topic/key/value columns
     host: str,
     port: int,
     fallback_topic: str,
     chunk: int = 10_000,
+    chunk_bytes: int = 900_000,
 ) -> int:
     """foreachPartition body: group rows by topic, produce in chunks.
     Returns records sent (per partition). Partition id 0 — single-broker
-    scope (see module doc)."""
+    scope (see module doc).
+
+    A buffer flushes at `chunk` records OR `chunk_bytes` accumulated
+    key+value+header bytes, whichever first — brokers reject Produce
+    requests above message.max.bytes (1 MB default), so wide rows must
+    cut batches by bytes, not count (10k × 1 KB rows already exceeds
+    the default cap)."""
+    # ONE connection per executor partition, reused across every batch —
+    # the producer-connection model real clients use; a fresh socket per
+    # batch would TCP-handshake per chunk.
+    sock: socket.socket | None = None
+    cid = 0
+
+    def produce_fn(t: str, p: int, recs: list) -> None:
+        nonlocal sock, cid
+        if sock is None:
+            sock = socket.create_connection((host, port), timeout=30.0)
+        cid += 1
+        produce_on(sock, t, p, recs, correlation_id=cid)
+
+    try:
+        return _deliver_loop(rows, produce_fn, fallback_topic, chunk, chunk_bytes)
+    finally:
+        if sock is not None:
+            sock.close()
+
+
+def _deliver_loop(rows, produce_fn, fallback_topic: str,
+                  chunk: int, chunk_bytes: int) -> int:
+    """Shared streaming buffer loop for the wire delivery paths.
+
+    Streams as it iterates: each (topic, partition) buffer flushes the
+    moment it reaches `chunk` records or `chunk_bytes` accumulated bytes,
+    so memory is bounded by budget × live destinations — NOT by the Spark
+    partition size (a 100-TB feed hands this function multi-GB partitions;
+    buffering them whole before the first send was the one non-streaming
+    step in the path)."""
     def as_bytes(x) -> bytes | None:
         if x is None:
             return None
@@ -348,46 +626,43 @@ def deliver_kafka_wire(
         except (KeyError, ValueError, IndexError):
             return None
 
-    # Stream as we iterate: each (topic, partition) buffer flushes the
-    # moment it reaches `chunk` records, so memory is bounded by
-    # chunk × live destinations — NOT by the Spark partition size (a 100-TB
-    # feed hands this function multi-GB partitions; buffering them whole
-    # before the first send was the one non-streaming step in the path).
-    # ONE connection per executor partition, reused across every batch —
-    # the producer-connection model real clients use; a fresh socket per
-    # batch would TCP-handshake per chunk.
     by_dest: dict[tuple[str, int], list] = {}
+    dest_bytes: dict[tuple[str, int], int] = {}
     n = 0
-    sock: socket.socket | None = None
-    cid = 0
 
     def flush(t: str, p: int, recs: list) -> None:
-        nonlocal sock, cid
-        if not recs:
-            return
-        if sock is None:
-            sock = socket.create_connection((host, port), timeout=30.0)
-        cid += 1
-        produce_on(sock, t, p, recs, correlation_id=cid)
+        if recs:
+            produce_fn(t, p, recs)
 
-    try:
-        for r in rows:
-            t = r["topic"] if r["topic"] is not None else fallback_topic
-            # honor emit_kafka_rows' hash-routed partition column when present
-            # (the reference's partition-hash routing); absent/None → 0
-            p = field(r, "partition")
-            p = 0 if p is None else int(p)
-            hs = field(r, "headers") or ()
-            headers = [(h["key"], as_bytes(h["value"])) for h in hs]
-            buf = by_dest.setdefault((t, p), [])
-            buf.append((as_bytes(r["key"]), as_bytes(r["value"]), headers))
-            n += 1
-            if len(buf) >= chunk:
-                flush(t, p, buf)
-                buf.clear()
-        for (t, p), recs in by_dest.items():
-            flush(t, p, recs)
-    finally:
-        if sock is not None:
-            sock.close()
+    for r in rows:
+        t = r["topic"] if r["topic"] is not None else fallback_topic
+        # honor emit_kafka_rows' hash-routed partition column when present
+        # (the reference's partition-hash routing); absent/None → 0
+        p = field(r, "partition")
+        p = 0 if p is None else int(p)
+        hs = field(r, "headers") or ()
+        headers = [(h["key"], as_bytes(h["value"])) for h in hs]
+        key, val = as_bytes(r["key"]), as_bytes(r["value"])
+        rec_bytes = (
+            (len(key) if key else 0)
+            + (len(val) if val else 0)
+            + sum(len(hk.encode()) + (len(hv) if hv else 0) for hk, hv in headers)
+        )
+        dest = (t, p)
+        buf = by_dest.setdefault(dest, [])
+        # a single over-budget record still goes out alone (its own
+        # batch); the byte cut only prevents ACCUMULATING past budget
+        if buf and dest_bytes.get(dest, 0) + rec_bytes > chunk_bytes:
+            flush(t, p, buf)
+            buf.clear()
+            dest_bytes[dest] = 0
+        buf.append((key, val, headers))
+        dest_bytes[dest] = dest_bytes.get(dest, 0) + rec_bytes
+        n += 1
+        if len(buf) >= chunk:
+            flush(t, p, buf)
+            buf.clear()
+            dest_bytes[dest] = 0
+    for (t, p), recs in by_dest.items():
+        flush(t, p, recs)
     return n

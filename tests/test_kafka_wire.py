@@ -297,3 +297,230 @@ def test_headers_delivered_end_to_end(spark, broker):
     )
     sinks.write_kafka_wire(rows, host, port)
     assert broker.received_headers == [[("src", b"pg"), ("empty", None)]]
+
+
+def test_byte_budget_cuts_batches(broker):
+    """Wide rows cut record batches by accumulated bytes, not count: brokers
+    reject Produce requests above message.max.bytes (1 MB default), so a
+    10k-record chunk of 1 KB values must not build one giant request."""
+    host, port = broker.server_address
+
+    frames: list[int] = []
+    orig = KW.decode_produce_request
+
+    def capture(frame):
+        frames.append(len(frame))
+        return orig(frame)
+
+    KW.decode_produce_request = capture
+    try:
+        rows = [
+            {"topic": "t", "key": str(i).encode(), "value": b"x" * 400_000}
+            for i in range(5)
+        ]
+        n = KW.deliver_kafka_wire(
+            iter(rows), host, port, "fb", chunk=1000, chunk_bytes=900_000
+        )
+    finally:
+        KW.decode_produce_request = orig
+    assert n == 5 and len(broker.received) == 5
+    # 5 × 400 KB under a 900 KB budget → batches of 2/2/1, never 3+
+    assert len(frames) == 3
+    assert all(f < 1_000_000 for f in frames)
+    keys = sorted(int(k.decode()) for (_t, k, _v) in broker.received)
+    assert keys == list(range(5))
+
+
+def test_single_over_budget_record_still_sent(broker):
+    """One record larger than the byte budget goes out alone rather than
+    looping forever or being dropped."""
+    host, port = broker.server_address
+    rows = [{"topic": "t", "key": b"big", "value": b"y" * 1_500_000}]
+    n = KW.deliver_kafka_wire(
+        iter(rows), host, port, "fb", chunk=1000, chunk_bytes=900_000
+    )
+    assert n == 1 and len(broker.received) == 1
+    assert broker.received[0][2] == b"y" * 1_500_000
+
+
+# ---------------------------------------------------------------------------
+# Metadata API + cluster routing (ClusterProducer)
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_request_roundtrip():
+    req = KW.encode_metadata_request(["t1", "t2"], correlation_id=7)
+    dec = KW.decode_metadata_request(req[4:])
+    assert dec == {"correlation_id": 7, "topics": ["t1", "t2"]}
+    # null array = all topics
+    dec = KW.decode_metadata_request(KW.encode_metadata_request(None)[4:])
+    assert dec["topics"] is None
+
+
+def test_metadata_response_roundtrip():
+    resp = KW.encode_metadata_response(
+        9,
+        [(1, "hostA", 9001), (2, "hostB", 9002)],
+        {"events": {0: 1, 1: 2}, "orders": {0: 2}},
+    )
+    brokers, leaders = KW.decode_metadata_response(resp[4:])
+    assert brokers == {1: ("hostA", 9001), 2: ("hostB", 9002)}
+    assert leaders == {"events": {0: 1, 1: 2}, "orders": {0: 2}}
+
+
+class _ClusterState:
+    """Shared cluster truth for multi-broker stubs: mutable leadership."""
+
+    def __init__(self):
+        self.brokers: list[tuple[int, str, int]] = []
+        self.leaders: dict[str, dict[int, int]] = {}
+        self.lock = threading.Lock()
+
+
+class _ClusterBroker(socketserver.ThreadingTCPServer):
+    """Stub broker that answers Metadata AND Produce; accepts a Produce
+    only while it is the partition leader, else NOT_LEADER (6)."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, node_id: int, state: _ClusterState):
+        self.node_id = node_id
+        self.state = state
+        self.received: list[tuple[str, bytes | None, bytes | None]] = []
+        self.rejected = 0
+        super().__init__(("127.0.0.1", 0), _ClusterHandler)
+
+
+class _ClusterHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        while True:
+            head = b""
+            while len(head) < 4:
+                chunk = self.request.recv(4 - len(head))
+                if not chunk:
+                    return
+                head += chunk
+            (n,) = struct.unpack(">i", head)
+            frame = b""
+            while len(frame) < n:
+                frame += self.request.recv(n - len(frame))
+            api_key = struct.unpack_from(">h", frame, 0)[0]
+            srv: _ClusterBroker = self.server
+            if api_key == 3:
+                req = KW.decode_metadata_request(frame)
+                with srv.state.lock:
+                    resp = KW.encode_metadata_response(
+                        req["correlation_id"], srv.state.brokers,
+                        dict(srv.state.leaders),
+                    )
+                self.request.sendall(resp)
+                continue
+            req = KW.decode_produce_request(frame)
+            with srv.state.lock:
+                leader = srv.state.leaders.get(req["topic"], {}).get(
+                    req["partition"]
+                )
+            if leader != srv.node_id:
+                srv.rejected += 1
+                self.request.sendall(
+                    KW.encode_produce_response(
+                        req["correlation_id"], req["topic"],
+                        req["partition"], error_code=KW.ERR_NOT_LEADER,
+                    )
+                )
+                continue
+            rows = KW.decode_record_batch(req["batch"])
+            srv.received += [(req["topic"], k, v) for k, v, _h in rows]
+            self.request.sendall(
+                KW.encode_produce_response(
+                    req["correlation_id"], req["topic"], req["partition"]
+                )
+            )
+
+
+@pytest.fixture()
+def cluster():
+    state = _ClusterState()
+    a, b = _ClusterBroker(1, state), _ClusterBroker(2, state)
+    for srv in (a, b):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    state.brokers = [
+        (1, "127.0.0.1", a.server_address[1]),
+        (2, "127.0.0.1", b.server_address[1]),
+    ]
+    yield state, a, b
+    for srv in (a, b):
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cluster_producer_routes_to_leaders(cluster):
+    """Two topics with different leaders: each batch lands only on its
+    leader, discovered via Metadata from a single bootstrap address."""
+    state, a, b = cluster
+    state.leaders = {"t1": {0: 1}, "t2": {0: 2}}
+    p = KW.ClusterProducer([("127.0.0.1", a.server_address[1])])
+    try:
+        p.produce("t1", 0, [(b"k1", b"v1")])
+        p.produce("t2", 0, [(b"k2", b"v2")])
+    finally:
+        p.close()
+    assert a.received == [("t1", b"k1", b"v1")]
+    assert b.received == [("t2", b"k2", b"v2")]
+    assert a.rejected == 0 and b.rejected == 0
+
+
+def test_cluster_producer_follows_leadership_move(cluster):
+    """Leadership moves mid-produce: the old leader answers NOT_LEADER, the
+    producer refreshes metadata and retries on the new leader — every
+    record delivered exactly once to the CURRENT leader."""
+    state, a, b = cluster
+    state.leaders = {"events": {0: 1}}
+    p = KW.ClusterProducer([("127.0.0.1", a.server_address[1])])
+    try:
+        p.produce("events", 0, [(b"k0", b"v0")])
+        assert a.received == [("events", b"k0", b"v0")]
+        # leadership moves to node 2 (broker restart / rebalance)
+        with state.lock:
+            state.leaders["events"][0] = 2
+        p.produce("events", 0, [(b"k1", b"v1")])
+        p.produce("events", 0, [(b"k2", b"v2")])
+    finally:
+        p.close()
+    assert a.received == [("events", b"k0", b"v0")]  # nothing after the move
+    assert a.rejected == 1  # exactly one NOT_LEADER'd attempt, then rerouted
+    assert b.received == [("events", b"k1", b"v1"), ("events", b"k2", b"v2")]
+
+
+def test_cluster_producer_bootstrap_failover(cluster):
+    """First bootstrap address dead → metadata comes from the next one."""
+    state, a, b = cluster
+    state.leaders = {"t": {0: 2}}
+    # port 1 is unroutable-fast on localhost (connection refused)
+    p = KW.ClusterProducer(
+        [("127.0.0.1", 1), ("127.0.0.1", a.server_address[1])], timeout_s=5.0
+    )
+    try:
+        p.produce("t", 0, [(None, b"v")])
+    finally:
+        p.close()
+    assert b.received == [("t", None, b"v")]
+
+
+def test_deliver_routed_splits_by_destination(cluster):
+    """deliver_kafka_wire_routed: the shared chunk loop + leader routing —
+    rows for differently-led (topic, partition) pairs land correctly."""
+    state, a, b = cluster
+    state.leaders = {"t1": {0: 1, 1: 2}}
+    rows = [
+        {"topic": "t1", "partition": 0, "key": b"a", "value": b"1"},
+        {"topic": "t1", "partition": 1, "key": b"b", "value": b"2"},
+        {"topic": "t1", "partition": 0, "key": b"c", "value": b"3"},
+    ]
+    n = KW.deliver_kafka_wire_routed(
+        iter(rows), [("127.0.0.1", a.server_address[1])], "fb"
+    )
+    assert n == 3
+    assert sorted(a.received) == [("t1", b"a", b"1"), ("t1", b"c", b"3")]
+    assert b.received == [("t1", b"b", b"2")]
