@@ -180,12 +180,28 @@ class RawTable:
     def read_batches(self, start_batch: int, end_batch: int) -> DataFrame:
         # a raw table holding ONLY empty (heartbeat) batches has committed
         # partition dirs but no parquet files — schema inference would fail;
-        # normalize over such a range is a no-op on an empty typed frame
-        if not any(
-            f.endswith(".parquet")
-            for _r, _d, fs in os.walk(self.path)
-            for f in fs
-        ):
+        # normalize over such a range is a no-op on an empty typed frame.
+        # The existence probe is scoped to the REQUESTED batch range's
+        # partition dirs (O(range), not O(total retained files) — a raw
+        # table ages unboundedly under retention, and walking it all on
+        # every normalize is driver-side work that grows with table age).
+        # If the range has no files its result is empty regardless of what
+        # other partitions hold, so the typed-empty frame is exact; if it
+        # has any file, root-level schema inference succeeds (file-less
+        # sibling partition dirs contribute no leaf files and no rows).
+        def _has_parquet(root: str) -> bool:
+            return any(
+                f.endswith(".parquet")
+                for _r, _d, fs in os.walk(root)
+                for f in fs
+            )
+
+        range_has_files = any(
+            _has_parquet(os.path.join(self.path, f"{RAW_BATCH}={b}"))
+            for b in range(start_batch, end_batch + 1)
+            if os.path.isdir(os.path.join(self.path, f"{RAW_BATCH}={b}"))
+        )
+        if not range_has_files:
             return self.spark.createDataFrame([], _RAW_EMPTY_SCHEMA)
         df = self.spark.read.parquet(self.path)
         # partition-pruned: RAW_BATCH is a directory partition column

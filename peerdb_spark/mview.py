@@ -283,11 +283,9 @@ class ViewTable:
         nxt = m["version"] + 1
         new_view.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
         publish_pointer(self._pointer, {**m, "version": nxt}, batch_id)
-        old = os.path.join(self.path, f"v{m['version']}")
-        if m["version"] and os.path.isdir(old):
-            import shutil
+        from peerdb_spark.rollup import retire_snapshot
 
-            shutil.rmtree(old, ignore_errors=True)
+        retire_snapshot(self.path, nxt)
         return True
 
 
@@ -370,9 +368,7 @@ class MviewTable:
         new_mirror.write.mode("overwrite").parquet(os.path.join(vdir, "mirror"))
         new_view.write.mode("overwrite").parquet(os.path.join(vdir, "view"))
         publish_pointer(self._pointer, {**m, "version": nxt}, batch_id)
-        old = os.path.join(self.path, f"v{m['version']}")
-        if m["version"] and os.path.isdir(old):
-            import shutil
+        from peerdb_spark.rollup import retire_snapshot
 
-            shutil.rmtree(old, ignore_errors=True)
+        retire_snapshot(self.path, nxt)
         return True

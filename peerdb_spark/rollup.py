@@ -145,6 +145,25 @@ def publish_pointer(pointer_path: str, m: dict, batch_id: int) -> None:
     os.replace(tmp, pointer_path)
 
 
+def retire_snapshot(table_path: str, published_version: int) -> None:
+    """Grace-window snapshot retention: when v{n} is published, delete
+    v{n-2} and keep v{n-1}. A reader that resolved `_CURRENT` → v{n-1}
+    just before the pointer swung can still finish scanning its parquet
+    files; a reader two folds stale has had a full fold's duration to
+    complete (document: reads must not outlive TWO folds). Deleting the
+    just-replaced version immediately — the old behavior — raced exactly
+    that reader."""
+    import os
+    import shutil
+
+    stale = published_version - 2
+    if stale < 1:
+        return
+    old = os.path.join(table_path, f"v{stale}")
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
 class RollupTable:
     """Durable maintained rollup with EXACTLY-ONCE folding.
 
@@ -160,8 +179,11 @@ class RollupTable:
     foreachBatch caller needs: Spark replays micro-batches after restart
     with the same batch_id). SINGLE WRITER assumed — exactly the
     foreachBatch contract (micro-batches are serialized per query); two
-    concurrent folders would race the pointer. Readers are always safe
-    (they only follow the atomically-published pointer).
+    concurrent folders would race the pointer. Readers follow the
+    atomically-published pointer and get a one-fold grace window: v{n-1}
+    survives until v{n+1} publishes (retire_snapshot), so a read that
+    resolved the pointer just before a fold finishes its scan; a read
+    must not span TWO folds.
 
     Why full-snapshot writes are the right call HERE: rollup state is
     (windows × dims)-sized — compact by construction, orders of magnitude
@@ -218,9 +240,5 @@ class RollupTable:
         nxt = m["version"] + 1
         merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
         publish_pointer(self._pointer, {**m, "version": nxt}, batch_id)
-        old = os.path.join(self.path, f"v{m['version']}")
-        if m["version"] and os.path.isdir(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
+        retire_snapshot(self.path, nxt)
         return True

@@ -171,7 +171,13 @@ class SqlSurface:
     """The psql-facing layer: execute() takes one statement, returns a
     DataFrame (queries/FETCH) or a status dict (DDL/signals)."""
 
-    def __init__(self, spark: SparkSession, catalog: Catalog, read_only: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        read_only: bool = False,
+        allow_control: bool = False,
+    ):
         self.spark = spark
         self.catalog = catalog
         self.cursors: dict[str, Cursor] = {}
@@ -179,13 +185,23 @@ class SqlSurface:
         self.executors: dict[str, Any] = {}  # mirror name → callable
         # Switchboard operator mode (flow/switchboard/): a read-only surface
         # gates every PASSTHROUGH statement through the first-keyword
-        # allowlist + bypass detection; the engine's own mirror/peer/cursor
-        # statements stay available (they are the control plane the operator
-        # console exists to reach)
+        # allowlist + bypass detection, AND refuses the engine's own
+        # destructive control-plane statements (CREATE/DROP PEER,
+        # CREATE/DROP/RESYNC MIRROR) — the reference's CheckQuery rejects
+        # everything outside its allowlist, and "DROP MIRROR by accident" is
+        # exactly the fat-finger class this mode exists for. Introspection
+        # (SHOW, DECLARE/FETCH/CLOSE) and PAUSE/RESUME signals stay
+        # available; pass allow_control=True for an operator console that
+        # should keep mutating powers while queries stay read-only.
         self.read_only = read_only
+        self.allow_control = allow_control
 
     # -- statement router (ref: nexus/query-router/src/lib.rs Route) ------
     def execute(self, stmt: str):
+        destructive = {
+            self._create_peer, self._drop_peer, self._create_mirror_qrep,
+            self._create_mirror_cdc, self._drop_mirror, self._resync_mirror,
+        }
         for pat, fn in [
             (_CREATE_PEER, self._create_peer),
             (_DROP_PEER, self._drop_peer),
@@ -201,6 +217,13 @@ class SqlSurface:
         ]:
             m = pat.match(stmt)
             if m:
+                if self.read_only and not self.allow_control and fn in destructive:
+                    from peerdb_spark.switchboard import GuardrailError
+
+                    raise GuardrailError(
+                        "destructive control-plane statement not allowed in "
+                        "read-only mode (pass allow_control=True to permit)"
+                    )
                 return fn(m)
         # pass-through: Catalyst handles standard SQL (ref: §3.2 — our "peer"
         # is the Spark catalog itself, so no dialect rewrite is needed)

@@ -26,6 +26,7 @@ deterministic proxy documented here rather than hidden.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -158,7 +159,7 @@ def check_query(query: str, read_only: bool = True) -> None:
         rest = stmt[len(fields[0]):].strip()
         if keyword not in ALLOWED_FIRST_KEYWORDS:
             raise GuardrailError(f"statement not allowed: {keyword}")
-        if keyword in ("RESET", "DISCARD") and rest[:3].upper() == "ALL":
+        if keyword in ("RESET", "DISCARD") and re.match(r"(?i)^ALL\b", rest):
             raise GuardrailError(
                 f"{keyword} ALL not allowed: would disable read-only mode"
             )

@@ -116,8 +116,13 @@ def test_mview_table_exactly_once_and_crash_safe(spark, tmp_path):
         "a": (1, 3), "b": (1, 7),
     }
     assert {r["pk"]: r["grp"] for r in t.mirror().collect()} == {1: "b", 2: "a"}
-    assert not os.path.isdir(str(tmp_path / "m" / "v1"))  # GC'd
+    # grace-window retention: v1 survives the fold that published v2
+    assert os.path.isdir(str(tmp_path / "m" / "v1"))
     assert t.fold(b2, batch_id=1) is False
+    b3 = spark.createDataFrame([(3, 30, "insert", "c", 1)], SCHEMA)
+    assert t.fold(b3, batch_id=2) is True
+    assert not os.path.isdir(str(tmp_path / "m" / "v1"))  # GC'd at v3
+    assert os.path.isdir(str(tmp_path / "m" / "v2"))
 
 
 def test_mview_table_from_structured_streaming(spark, tmp_path):
@@ -251,7 +256,14 @@ def test_view_table_crash_and_redelivery(spark, tmp_path):
     assert {r["grp"]: (r["cnt"], r["sum_v"]) for r in v.read().collect()} == {
         "b": (1, 9),
     }
-    assert not os.path.isdir(str(tmp_path / "v" / "v1"))  # GC'd
+    # grace-window retention: v1 survives until v3 publishes
+    assert os.path.isdir(str(tmp_path / "v" / "v1"))
+    pre3, post3 = post2, spark.createDataFrame(
+        [(1, "c", 4)], "id long, grp string, amt long"
+    )
+    assert v.fold(pre3, post3, batch_id=3) is True
+    assert not os.path.isdir(str(tmp_path / "v" / "v1"))  # GC'd at v3
+    assert os.path.isdir(str(tmp_path / "v" / "v2"))
 
 
 def test_minmax_refresh_after_extremum_deletion(spark):

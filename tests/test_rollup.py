@@ -143,8 +143,18 @@ def test_rollup_table_exactly_once_and_crash_safe(spark, tmp_path):
         (1704070800, "b"): (1, 3.0),
     }
     assert t.fold(mk(b2), batch_id=2) is False
-    # old snapshot garbage-collected
+    # grace-window retention: the immediately-replaced snapshot v1 SURVIVES
+    # the fold that published v2 (a reader that resolved _CURRENT→v1 just
+    # before the pointer swung can finish its scan) …
+    assert os.path.isdir(str(tmp_path / "r" / "v1"))
+    b3 = [("2024-01-01 02:05:00", "c", 9.0)]
+    assert t.fold(mk(b3), batch_id=3) is True
+    # … and is garbage-collected only when v3 publishes (keep v2, drop v1)
     assert not os.path.isdir(str(tmp_path / "r" / "v1"))
+    assert os.path.isdir(str(tmp_path / "r" / "v2"))
+    # a reader pinned to the retained previous version still scans cleanly
+    prev = spark.read.parquet(str(tmp_path / "r" / "v2"))
+    assert prev.count() == 2
     shutil.rmtree(str(tmp_path / "r"))
 
 

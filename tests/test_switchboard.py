@@ -56,6 +56,17 @@ def test_read_only_false_is_passthrough():
     check_query("DROP TABLE t", read_only=False)  # no gate
 
 
+def test_reset_named_guc_allowed():
+    # ALL detection is word-boundary: a GUC merely STARTING with "all"
+    # ("RESET allow_system_table_mods" is a real PG setting) must pass,
+    # while every casing/spacing of the bare ALL keyword is refused.
+    check_query("RESET allow_system_table_mods")
+    check_query("RESET allowed_custom_guc")
+    for bad in ["RESET ALL", "RESET all", "RESET  All", "DISCARD ALL;"]:
+        with pytest.raises(GuardrailError, match="ALL not allowed"):
+            check_query(bad)
+
+
 def test_split_respects_quotes_and_comments():
     q = "SELECT 'a;b'; SELECT \"c;d\" -- trailing; comment\n; SELECT 'it''s'"
     assert split_statements(q) == [
@@ -99,8 +110,33 @@ def test_sql_surface_read_only_mode(spark):
     assert [r[0] for r in surf.execute("SELECT 41 + 1").collect()] == [42]
     with pytest.raises(GuardrailError, match="not allowed: DROP"):
         surf.execute("DROP TABLE victim")
-    # control-plane statements stay available in operator mode
+    # introspection stays available in operator mode
     assert surf.execute("SHOW MIRRORS").count() == 0
+    # destructive control-plane statements are gated too (the reference's
+    # CheckQuery rejects everything outside the read-only allowlist; an
+    # accidental DROP MIRROR is the exact fat-finger this mode guards)
+    for stmt in [
+        "DROP MIRROR m1",
+        "RESYNC MIRROR m1",
+        "CREATE PEER p FROM postgres WITH (path = '/tmp/x')",
+        "DROP PEER p",
+    ]:
+        with pytest.raises(GuardrailError, match="read-only"):
+            surf.execute(stmt)
+
+
+def test_sql_surface_read_only_allow_control(spark):
+    from peerdb_spark.registry import Catalog
+    from peerdb_spark.sql_surface import SqlSurface
+
+    surf = SqlSurface(spark, Catalog(), read_only=True, allow_control=True)
+    # queries still gated …
+    with pytest.raises(GuardrailError, match="not allowed: DELETE"):
+        surf.execute("DELETE FROM t")
+    # … but the operator keeps mirror-management powers
+    r = surf.execute("CREATE PEER p FROM postgres WITH (path = '/tmp/x')")
+    assert r == {"ok": True, "peer": "p"}
+    assert surf.execute("DROP PEER p") == {"ok": True}
 
 
 def test_split_statements_property_random_quoting():
