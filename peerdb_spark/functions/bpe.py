@@ -114,18 +114,107 @@ def bpe_train(
     return merges, vocab
 
 
-def bpe_encode_words(words: DataFrame, merges: list[tuple], word_col: str = "w") -> DataFrame:
-    """(word, ...) → (+ tokens array<string>): apply a trained merge table
-    to each word — chained left-to-right non-overlapping folds, one per
-    merge, in training order (exactly how HF/SentencePiece apply BPE).
+# Above this merge-table size the chained-fold plan stops being the right
+# physical shape: each merge adds one array fold to the projection, so plan
+# construction, analysis, and codegen all grow linearly in |merges| (JVM
+# method bodies cap at 64 KB — a real 32k-merge vocab would fall off
+# whole-stage codegen long before that, or fail to build the plan at all).
+_FOLD_MAX_MERGES = 64
 
-    Vocab-sized work: call this on DISTINCT words, never the corpus — the
-    corpus then equi-joins its words to the encoded vocab (bpe_encode)."""
-    sym = _initial_symbols(F.col(word_col))
-    for m in merges:
-        a, b = m[0], m[1]
-        sym = _apply_merge(sym, a, b)
-    return words.withColumn("tokens", sym)
+
+def _ranked_encoder(merges: list[tuple]):
+    """Plain-Python BPE word encoder over a pair→rank dict: repeatedly fuse
+    ALL left-to-right non-overlapping occurrences of the LOWEST-RANK
+    adjacent pair present (the GPT-2/HF encode algorithm). O(len(word)²)
+    worst case per word, independent of |merges|.
+
+    Equivalent to applying the merge table sequentially in training order
+    (the fold path) for any TRAINED table: a pair whose parts include the
+    token produced by merge i can only have been learned after i, so every
+    pair a fusion creates outranks the pair just fused — the min-rank-first
+    order visits merges exactly in training order. (An arbitrary
+    hand-crafted table with rank inversions can diverge; trained tables —
+    the only thing bpe_train emits — cannot.)"""
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def encode(word: str) -> list[str]:
+        sym = list(word)
+        while len(sym) > 1:
+            best = None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best][0], merges[best][1]
+            fused, out, i, n = a + b, [], 0, len(sym)
+            while i < n:
+                if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    return encode
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple],
+    word_col: str = "w",
+    strategy: str = "auto",
+) -> DataFrame:
+    """(word, ...) → (+ tokens array<string>): apply a trained merge table
+    to each word (left-to-right non-overlapping, training order — exactly
+    how HF/SentencePiece apply BPE).
+
+    Two physical strategies, same output:
+    - ``fold``: one chained JVM array fold per merge. Zero Python, fastest
+      for small tables, but plan size is O(|merges|) — it cannot carry a
+      real 32k-merge vocab (codegen limits; see _FOLD_MAX_MERGES).
+    - ``ranked``: one Arrow-batched ``mapInPandas`` pass with the pair→rank
+      dict shipped in the task closure. O(1) plan size in |merges|; the
+      deliberate-Python exception, justified because a per-word ranked
+      fixpoint has no constant-size JVM-expression form.
+    - ``auto`` (default): fold for small tables, ranked above
+      _FOLD_MAX_MERGES.
+
+    Vocab-sized work either way: call this on DISTINCT words, never the
+    corpus — the corpus then equi-joins its words to the encoded vocab
+    (bpe_encode)."""
+    if strategy == "auto":
+        strategy = "fold" if len(merges) <= _FOLD_MAX_MERGES else "ranked"
+    if strategy == "fold":
+        sym = _initial_symbols(F.col(word_col))
+        for m in merges:
+            a, b = m[0], m[1]
+            sym = _apply_merge(sym, a, b)
+        return words.withColumn("tokens", sym)
+    if strategy != "ranked":
+        raise ValueError(f"unknown bpe encode strategy: {strategy}")
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(words.schema.fields)
+        + [StructField("tokens", ArrayType(StringType()))]
+    )
+    mlist = [(m[0], m[1]) for m in merges]
+
+    def batches(it):
+        enc = _ranked_encoder(mlist)
+        for pdf in it:
+            pdf = pdf.copy()
+            # match the fold path on the degenerate empty word:
+            # split('', '') yields [''] in Spark, list('') yields []
+            pdf["tokens"] = [enc(w) if w else [""] for w in pdf[word_col]]
+            yield pdf
+
+    return words.mapInPandas(batches, out_schema)
 
 
 def bpe_encode(
@@ -134,6 +223,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     word_counts: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Tokenize a corpus with a trained BPE merge table: per-doc token
     rows (id, token, n) — n = occurrences of that token in the doc.
@@ -156,7 +246,9 @@ def bpe_encode(
     # coalesces the small distinct-word relation to 1-2 partitions, which
     # serializes them — spread the vocab across the cluster first
     n_part = wc.sparkSession.sparkContext.defaultParallelism
-    vocab = bpe_encode_words(wc.select("w").distinct().repartition(n_part), merges)
+    vocab = bpe_encode_words(
+        wc.select("w").distinct().repartition(n_part), merges, strategy=strategy
+    )
     per_word = wc.join(vocab, "w").select(
         id_col, F.explode("tokens").alias("token"), "n_w"
     )

@@ -125,6 +125,85 @@ def test_bpe_encode_matches_python_reference(spark):
     assert not any(d == 2 for d, _ in got)
 
 
+def test_bpe_encode_ranked_equals_fold_on_trained_tables(spark):
+    """Property: the O(1)-plan-size ranked encoder (mapInPandas over a
+    pair→rank dict) produces EXACTLY the chained-fold path's tokens for any
+    TRAINED merge table — the rank-monotonicity argument in
+    _ranked_encoder's docstring, exercised over random corpora."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from peerdb_spark.functions.bpe import bpe_encode_words
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=7)
+    corpus = st.lists(word, min_size=3, max_size=30)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(words=corpus, k=st.integers(min_value=1, max_value=12))
+    def check(words, k):
+        wf = Counter(words)
+        merges, ref_vocab = python_bpe(dict(wf), k=k)
+        wdf = spark.createDataFrame([(w,) for w in set(words)], "w string")
+        fold = {
+            r["w"]: r["tokens"]
+            for r in bpe_encode_words(wdf, merges, strategy="fold").collect()
+        }
+        ranked = {
+            r["w"]: r["tokens"]
+            for r in bpe_encode_words(wdf, merges, strategy="ranked").collect()
+        }
+        assert ranked == fold
+        assert ranked == {w: ref_vocab[w] for w in ranked}
+
+    check()
+
+
+def test_bpe_encode_ranked_large_merge_table(spark):
+    """The scale path: a ≥1,000-merge trained table (the fold path's plan
+    would be 1,000 chained array folds — unbuildable at real vocab sizes)
+    encodes the full distinct-word relation correctly via the ranked
+    mapInPandas pass, whose plan is O(1) in |merges|."""
+    import random
+
+    from peerdb_spark.functions.bpe import bpe_encode_words
+
+    rng = random.Random(17)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrst") for _ in range(12))
+        for _ in range(600)
+    ]
+    wf = Counter({w: rng.randint(1, 9) for w in words})
+    merges, ref_vocab = python_bpe(dict(wf), k=1000)
+    assert len(merges) >= 1000
+    wdf = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    out = bpe_encode_words(wdf, merges)  # auto → ranked above threshold
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    got = {r["w"]: r["tokens"] for r in out.collect()}
+    assert got == {w: ref_vocab[w] for w in got}
+
+
+def test_bpe_encode_ranked_plan_size_flat_in_merges(spark):
+    """Plan size must not grow with the merge table: 16 merges vs 2,048
+    merges produce (near-)identical physical plans — the table rides in the
+    task closure, never the plan."""
+    from peerdb_spark.functions.bpe import bpe_encode_words
+
+    wdf = spark.createDataFrame([("abcd",), ("bcda",)], "w string")
+
+    def plan_len(n_merges):
+        merges = [(chr(97 + i % 26), chr(97 + (i // 26) % 26)) for i in range(n_merges)]
+        df = bpe_encode_words(wdf, merges, strategy="ranked")
+        return len(df._jdf.queryExecution().executedPlan().toString())
+
+    small, big = plan_len(16), plan_len(2048)
+    assert big <= small * 1.1
+
+
 def test_bpe_train_then_encode_roundtrip(spark):
     """Encoding the training corpus with its own merges reproduces the
     trainer's final vocab token stream."""

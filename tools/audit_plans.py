@@ -282,6 +282,40 @@ def check_lsh_verify_composition(spark, sf_dir: str) -> list[str]:
     return msgs
 
 
+def check_bpe_ranked_plan_flat(spark) -> list[str]:
+    """The ranked BPE encoder's plan must be O(1) in the merge-table size
+    (the table ships in the task closure, never the plan) and Arrow-batched
+    — the property that lets a real 32k-merge vocab tokenize at all."""
+    from peerdb_spark.functions.bpe import bpe_encode_words
+
+    wdf = spark.createDataFrame([("abcd",), ("bcda",)], "w string")
+
+    def plan(n):
+        merges = [
+            (chr(97 + i % 26), chr(97 + (i // 26) % 26)) for i in range(n)
+        ]
+        return (
+            bpe_encode_words(wdf, merges, strategy="ranked")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    small, big = plan(16), plan(4096)
+    msgs = []
+    msgs.append(
+        ("ok" if len(big) <= len(small) * 1.1 else "FAIL")
+        + f": plan size flat in |merges| ({len(small)} B @16 vs {len(big)} B @4096)"
+    )
+    msgs.append(
+        ("ok" if "MapInPandas" in big else "FAIL")
+        + ": Arrow-batched mapInPandas encode"
+    )
+    msgs.append(
+        ("ok" if "BatchEvalPython" not in big else "FAIL")
+        + ": no row-at-a-time python udf"
+    )
+    return msgs
+
+
 def check_mview_round_plan(spark) -> list[str]:
     """One UNmaterialized mview fold round must show the O(touched) shape:
     the touched-key probes into mirror and view are broadcast joins (never
@@ -337,6 +371,11 @@ def main() -> int:
         print(f"  {m}")
     print("mview fold round (unmaterialized):")
     for m in check_mview_round_plan(spark):
+        if m.startswith("FAIL"):
+            failures += 1
+        print(f"  {m}")
+    print("bpe_encode_words (ranked strategy):")
+    for m in check_bpe_ranked_plan_flat(spark):
         if m.startswith("FAIL"):
             failures += 1
         print(f"  {m}")

@@ -98,6 +98,14 @@ def main() -> None:
             docs(p), [("e", "r"), ("t", "h"), ("i", "n"), ("a", "n")],
             "text", "doc_id",
         ),
+        # the scale path: 1,000-merge table through the ranked mapInPandas
+        # encoder (plan O(1) in |merges|); perf-only probe, so a synthetic
+        # deterministic table is fine
+        "bpe_encode_ranked1k": lambda p: BP.bpe_encode(
+            docs(p),
+            [(chr(97 + i % 26), chr(97 + (i // 26) % 26)) for i in range(1000)],
+            "text", "doc_id", strategy="ranked",
+        ),
         "kmeans_assign": lambda p: CL.kmeans_assign(
             emb(p).localCheckpoint(eager=True), k=8, iters=3
         ),
