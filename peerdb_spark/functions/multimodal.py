@@ -4,10 +4,10 @@ The pixel kernels are REAL numpy math over raw byte buffers (nearest-
 neighbor resize, chunked channel statistics, strided frame sampling) run
 inside Arrow-batched mapInPandas — the native payload format is raw
 interleaved RGB (width·height·3 bytes) and raw PCM/frame sequences, so no
-codec library is needed for the math itself. Decoding COMPRESSED formats
-(PNG/JPEG/H.264) would bolt onto `decode_encoded` below; PIL/ffmpeg are not
-in this container, so that single entry point is the only gated stub — every
-kernel after it operates on the decoded buffer and is fully exercised.
+codec library is needed for the math itself. PNG payloads decode for real
+via the from-scratch codec in functions/png.py (stdlib zlib + numpy filter
+math — `decode_images` below); JPEG/H.264 remain the gated formats
+(entropy-coded DCT needs a codec lib not present in this container).
 
 Design notes for 100 TB of media:
 - media rows are large; `spark.sql.files.maxPartitionBytes` and the
@@ -58,20 +58,116 @@ except ImportError:
 
 
 def decode_encoded(content: bytes, mime: str) -> bytes:
-    """Decode a COMPRESSED image payload (PNG/JPEG) to a raw RGB buffer.
+    """Decode a COMPRESSED image payload to a raw RGB buffer.
 
-    The one gated stub in this module: PIL is not installed in this
-    container, so encoded formats cannot be decoded here — raw
-    `image/raw-rgb` payloads (the native format of every kernel below) skip
-    this entirely. Wire `PIL.Image.open(io.BytesIO(content))` here when the
-    lib is available and nothing else changes.
+    PNG decodes for real — a from-scratch stdlib-zlib codec
+    (functions/png.py: chunk CRCs, all five scanline filters, gray/RGB/
+    palette/alpha color types) — so every kernel below runs on encoded
+    payloads end-to-end. JPEG remains the one gated format (entropy-coded
+    DCT needs a real codec lib); raw `image/raw-rgb` passes through.
     """
     if mime in ("image/raw-rgb", "application/octet-stream"):
         return content
+    if mime == "image/png":
+        from peerdb_spark.functions.png import decode_png
+
+        return decode_png(content)[2]
     raise NotImplementedError(
         f"decoding {mime!r} requires a codec library (PIL/ffmpeg) not present "
-        "in this environment; store raw-rgb payloads or install a decoder"
+        "in this environment; store raw-rgb or PNG payloads"
     )
+
+
+def decode_images(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Encoded media → (media_id, content raw-RGB, meta rewritten) via
+    Arrow-batched mapInPandas. Dimensions come from the DECODED stream
+    (PNG IHDR), not trusted metadata; mime rewrites to image/raw-rgb so the
+    downstream kernels (resize/features) compose directly. Raw-RGB rows
+    pass through with their metadata intact."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.png import decode_png
+
+        for pdf in batches:
+            contents, metas = [], []
+            for c, mime, w0, h0, dur, codec in zip(
+                pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"],
+                pdf["_dur"], pdf["_codec"],
+            ):
+                if mime == "image/png":
+                    w, h, rgb = decode_png(c)
+                    contents.append(rgb)
+                    metas.append(("image/raw-rgb", w, h, None, "rgb"))
+                else:
+                    contents.append(c)
+                    metas.append((mime, w0, h0, dur, codec))
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "content": contents, "meta": metas}
+            )
+
+    narrow = df.select(
+        id_col,
+        content_col,
+        F.col("meta.mime").alias("_mime"),
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
+        F.col("meta.duration_ms").alias("_dur"),
+        F.col("meta.codec").alias("_codec"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
+def encode_images_png(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    vary_filters: bool = True,
+) -> DataFrame:
+    """raw-RGB media → PNG payloads (functions/png.py encoder) via Arrow
+    batches; meta rewrites to image/png. `vary_filters` picks scanline
+    filter (media_id + y) mod 5 so a corpus round-trips through ALL five
+    PNG filter paths — the declared gate query uses exactly this to pin
+    every unfilter branch against the analytic pixel oracle."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+    vary = vary_filters
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.png import encode_png
+
+        for pdf in batches:
+            contents, metas = [], []
+            for mid, c, w, h in zip(
+                pdf[id_col], pdf[content_col], pdf["_w"], pdf["_h"]
+            ):
+                fr = (lambda y, m=mid: int(m + y) % 5) if vary else None
+                contents.append(encode_png(bytes(c), int(w), int(h), fr))
+                metas.append(("image/png", int(w), int(h), None, "png"))
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "content": contents, "meta": metas}
+            )
+
+    narrow = df.select(
+        id_col, content_col,
+        F.col("meta.width").alias("_w"), F.col("meta.height").alias("_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
 
 
 def extract_features(df: DataFrame, content_col: str = "content",

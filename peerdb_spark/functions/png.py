@@ -1,0 +1,216 @@
+"""Pure-Python PNG codec (stdlib zlib + numpy filter math) — no PIL.
+
+Implements the public PNG specification (W3C PNG, RFC 2083): signature,
+chunk framing with CRC-32, IHDR/PLTE/IDAT/IEND, zlib-deflated scanlines,
+and all five filter types (None/Sub/Up/Average/Paeth). This unlocks
+`multimodal.decode_encoded` for ENCODED image payloads — a real training
+corpus ships PNG/JPEG, not raw RGB — without any codec library. JPEG stays
+out of scope (entropy-coded DCT; documented gate).
+
+Decoder scope (raises on anything else, never guesses):
+- bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA); non-interlaced. Output always expands to interleaved RGB —
+  the native format of every kernel in functions/multimodal — dropping
+  alpha (compositing policy belongs upstream).
+
+Encoder exists for fixtures/tests and the declared roundtrip query: RGB in,
+any per-scanline filter type out (the declared query varies the filter by
+row, so every unfilter path is exercised end-to-end on the gate).
+
+Scale notes: per-image decode cost only; called from Arrow-batched
+mapInPandas (multimodal.decode_images) so the work is embarrassingly
+parallel and never touches a shuffle. Sub/None/Up unfilter are vectorized
+numpy; Average/Paeth walk pixels per scanline (left-neighbor data
+dependence is inherent to the format) with the bpp lanes vectorized.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type → channels in the scanline
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int32 arrays (spec §6.6 pseudocode, ties a,b,c)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(
+    rgb: bytes, width: int, height: int, filter_for_row=None, color_type: int = 2
+) -> bytes:
+    """RGB888 buffer → PNG bytes. `filter_for_row(y) -> 0..4` picks the
+    per-scanline filter (default: 0/None). color_type 2 writes the pixels
+    verbatim; 6 pads an opaque alpha; 0 writes the red channel as gray
+    (caller guarantees r==g==b if roundtrip equality matters); 3 builds a
+    palette of the distinct pixels (≤256 required)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"rgb buffer is {len(rgb)} B, want {width * height * 3}")
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    plte = b""
+    if color_type == 2:
+        raw = img
+    elif color_type == 6:
+        raw = np.concatenate(
+            [img, np.full((height, width, 1), 255, dtype=np.uint8)], axis=2
+        )
+    elif color_type == 0:
+        raw = img[:, :, :1]
+    elif color_type == 4:
+        raw = np.concatenate(
+            [img[:, :, :1], np.full((height, width, 1), 255, dtype=np.uint8)], axis=2
+        )
+    elif color_type == 3:
+        flat = img.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(f"palette encode needs <=256 colors, got {len(pal)}")
+        plte = _chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+        raw = inv.astype(np.uint8).reshape(height, width, 1)
+    else:
+        raise ValueError(f"unsupported encoder color type {color_type}")
+
+    bpp = raw.shape[2]
+    out = bytearray()
+    prev = np.zeros((width, bpp), dtype=np.int32)
+    for y in range(height):
+        row = raw[y].astype(np.int32)  # (width, bpp)
+        ft = 0 if filter_for_row is None else int(filter_for_row(y))
+        left = np.vstack([np.zeros((1, bpp), dtype=np.int32), row[:-1]])
+        upleft = np.vstack([np.zeros((1, bpp), dtype=np.int32), prev[:-1]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        elif ft == 4:
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + plte
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """PNG bytes → (width, height, interleaved RGB888 buffer).
+
+    Validates the signature and every chunk CRC; raises ValueError on
+    corruption and NotImplementedError on out-of-scope features (bit depth
+    ≠ 8, interlacing) — a torn or exotic payload must never decode to
+    silently-wrong pixels."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated chunk {tag!r}")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in chunk {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        # ancillary chunks (tEXt, gAMA, …) are skipped
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("no IHDR chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported (only 8)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"invalid color type {color_type}")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+
+    bpp = _CHANNELS[color_type]
+    rowbytes = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (rowbytes + 1):
+        raise ValueError(
+            f"decompressed {len(raw)} B, want {height * (rowbytes + 1)}"
+        )
+
+    recon = np.empty((height, width, bpp), dtype=np.uint8)
+    prev = np.zeros((width, bpp), dtype=np.int32)
+    for y in range(height):
+        base = y * (rowbytes + 1)
+        ft = raw[base]
+        row = np.frombuffer(raw, dtype=np.uint8, count=rowbytes, offset=base + 1)
+        row = row.reshape(width, bpp).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-lane cumulative sum (vectorized)
+            cur = np.cumsum(row, axis=0) % 256
+        elif ft == 2:  # Up (vectorized)
+            cur = (row + prev) % 256
+        elif ft == 3:  # Average: left-dependence → pixel walk, lanes vector
+            cur = np.empty_like(row)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                left = (row[x] + (left + prev[x]) // 2) % 256
+                cur[x] = left
+        elif ft == 4:  # Paeth: pixel walk, lanes vector
+            cur = np.empty_like(row)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                left = (row[x] + _paeth(left, prev[x], upleft)) % 256
+                cur[x] = left
+                upleft = prev[x]
+        else:
+            raise ValueError(f"invalid filter type {ft} in scanline {y}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+
+    if color_type == 2:
+        rgb = recon
+    elif color_type == 6:
+        rgb = recon[:, :, :3]
+    elif color_type == 0:
+        rgb = np.repeat(recon, 3, axis=2)
+    elif color_type == 4:
+        rgb = np.repeat(recon[:, :, :1], 3, axis=2)
+    else:  # 3: palette lookup
+        rgb = plte[recon[:, :, 0]]
+    return width, height, np.ascontiguousarray(rgb).tobytes()

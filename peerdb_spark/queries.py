@@ -3359,6 +3359,42 @@ FROM b GROUP BY media_id, frame_idx
 """
 
 
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG encode→decode roundtrip over the analytic image fixture
+    (functions/png.py — the from-scratch stdlib-zlib codec): every fixture
+    image is PNG-encoded with its scanline filter VARYING per row
+    ((media_id + y) mod 5, so all five filter paths — None/Sub/Up/Average/
+    Paeth — are exercised on the gate), then decoded back to raw RGB by
+    multimodal.decode_images, whose dimensions come from the PNG IHDR, not
+    trusted metadata. The oracle restates every decoded byte analytically
+    from the fixture pixel formula — one wrong unfilter branch, CRC slip,
+    or dimension mixup value-mismatches. Hex transport for the gate."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    imgs = synthetic_media(docs).where(F.col("meta.mime") == "image/raw-rgb")
+    decoded = MM.decode_images(MM.encode_images_png(imgs))
+    return decoded.select(
+        "media_id",
+        F.lower(F.hex(F.col("content"))).alias("content_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+SQL_MEDIA_DECODE_PNG = f"""
+WITH m AS (SELECT * FROM ({SQL_MEDIA_BASE}) WHERE mime = 'image/raw-rgb'),
+px AS (
+  SELECT media_id, width, height, u.i AS i,
+         (media_id * 55 + u.i * 177) % 256 AS v
+  FROM m, unnest(range(0, n_bytes)) u(i)
+)
+SELECT media_id, string_agg(printf('%02x', v), '' ORDER BY i) AS content_hex,
+       CAST(min(width) AS INT) AS width, CAST(min(height) AS INT) AS height
+FROM px GROUP BY media_id
+"""
+
+
 def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator (streaming.session_event_aggregation)
     under the gate, not just the manual lag+cumsum formulation: same 30-minute
@@ -4928,6 +4964,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "media_decode_png": q_media_decode_png,
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
@@ -5032,6 +5069,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
@@ -5121,7 +5159,9 @@ _NEVER_VERIFIED_THROUGH_R5 = [
     "qrep_date_partition",
 ]
 
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "media_decode_png",
+]
 
 _GATE_GREEN_THROUGH_R5 = [
     "unigram_surprisal",
