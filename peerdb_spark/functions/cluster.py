@@ -53,6 +53,63 @@ def _trunc_div(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
+# codebook-size boundary for the literal-centroid E-step: embedding k×dim
+# literals in the plan is fastest at small k (zero joins, whole-stage
+# codegen) but plan size grows O(k·dim) — at the codebook sizes a 100 TB
+# corpus wants (tens of thousands of cells) the plan blows past JVM codegen
+# limits or fails to build. Above this budget the assignment switches to a
+# broadcast-join formulation with O(1) plan size (strategy="join").
+LITERAL_CODEBOOK_MAX = 4096
+
+
+def assign_cells(
+    qdf: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    scale: int,
+    strategy: str = "auto",
+) -> DataFrame:
+    """qdf(…, qv) → qdf + `cell`: nearest centroid by all-integer L2, ties →
+    lowest cell id — identical output under both strategies (equivalence-
+    tested):
+
+    - ``literal``: per-row codegen against k×dim literal constants. No
+      join, no shuffle; plan size O(k·dim).
+    - ``join``: broadcast the (cell, m) codebook relation, score the n×k
+      cross product, keep the per-row min(struct(dist, cell)). The cross
+      join is a deliberate BroadcastNestedLoopJoin of k tiny rows (an
+      exact nearest-centroid assignment is O(n·k·dim) under ANY physical
+      shape); the min-aggregate is map-side partial, so the shuffle
+      carries ~n rows. Plan size O(1) in k.
+    - ``auto``: literal while k·dim ≤ LITERAL_CODEBOOK_MAX, else join.
+    """
+    if strategy == "auto":
+        kd = len(centroids) * (len(centroids[0][1]) if centroids else 0)
+        strategy = "literal" if kd <= LITERAL_CODEBOOK_MAX else "join"
+    if strategy == "literal":
+        return qdf.select(
+            "*", _assign_cell(F.col("qv"), centroids, scale).alias("cell")
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown assign strategy: {strategy}")
+    spark = qdf.sparkSession
+    cent = spark.createDataFrame(
+        [(int(c), [int(x) for x in m]) for c, m in centroids],
+        "cell bigint, _m array<bigint>",
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("_m"),
+            lambda a, b: (a * scale - b) * (a * scale - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qdf.crossJoin(F.broadcast(cent)).withColumn("_d", d)
+    return scored.groupBy(*qdf.columns).agg(
+        F.min(F.struct(F.col("_d"), F.col("cell")))["cell"].alias("cell")
+    )
+
+
 def _assign_cell(qv: Column, centroids: list[tuple[int, list[int]]], scale: int) -> Column:
     """Nearest-centroid id for a quantized vector, all-integer arithmetic,
     ties -> lowest cell id (array_sort on (dist, cell) structs)."""
@@ -83,17 +140,19 @@ def kmeans_assign(
     scale: int = SCALE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """(id, cell): full-corpus Lloyd's for `iters` rounds, fixed-point
     arithmetic, deterministic seeds = the first k vectors by id with
     centroid m = qx * scale.
 
-    Per round: E-step is per-row codegen (no shuffle); M-step is ONE hash
-    aggregation groupBy(cell, dim) — partial aggregation map-side, k*dim
-    rows collected (k=8, dim=64 -> 512 rows/round, the same driver-collect
-    budget as the BPE trainer's 1-row argmax). The corpus is scanned
-    iters+1 times; cache/localCheckpoint the input upstream when iterating
-    more than a few rounds.
+    Per round: E-step is assign_cells (literal codegen at small k,
+    broadcast-join codebook above LITERAL_CODEBOOK_MAX — same output);
+    M-step is ONE hash aggregation groupBy(cell, dim) — partial
+    aggregation map-side, k*dim rows collected (k=8, dim=64 -> 512
+    rows/round, the same driver-collect budget as the BPE trainer's 1-row
+    argmax). The corpus is scanned iters+1 times; cache/localCheckpoint
+    the input upstream when iterating more than a few rounds.
     """
     qdf = corpus.select(F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("qv"))
 
@@ -103,8 +162,8 @@ def kmeans_assign(
     ]
 
     for _ in range(iters - 1):
-        assigned = qdf.select(
-            "qv", _assign_cell(F.col("qv"), centroids, scale).alias("cell")
+        assigned = assign_cells(
+            qdf.select("qv", F.col(id_col)), centroids, scale, assign_strategy
         )
         sums = (
             assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
@@ -127,8 +186,8 @@ def kmeans_assign(
             for cell, dims in sorted(by_cell.items())
         ]
 
-    return qdf.select(
-        F.col(id_col), _assign_cell(F.col("qv"), centroids, scale).alias("cell")
+    return assign_cells(qdf, centroids, scale, assign_strategy).select(
+        F.col(id_col), "cell"
     )
 
 

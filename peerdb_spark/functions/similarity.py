@@ -205,12 +205,46 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """(id, vec, cell): each vector assigned to its nearest centroid. The cell
     id is the IVF partition key — at scale, write the corpus partitioned by
-    cell so probes read only nprobe/k of the data."""
-    cell = F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1)
-    return corpus.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    cell so probes read only nprobe/k of the data.
+
+    `strategy` mirrors cluster.assign_cells: 'literal' embeds k×dim centroid
+    constants in the plan (fastest at small k, plan size O(k·dim)); 'join'
+    broadcasts the codebook relation and keeps the per-row
+    min(struct(dist, cell)) — O(1) plan size for the tens-of-thousands-cell
+    codebooks a 100 TB IVF index wants. Identical output (ties → lowest
+    cell, both paths)."""
+    from peerdb_spark.functions.cluster import LITERAL_CODEBOOK_MAX
+
+    if strategy == "auto":
+        kd = len(centroids) * (len(centroids[0]) if centroids else 0)
+        strategy = "literal" if kd <= LITERAL_CODEBOOK_MAX else "join"
+    if strategy == "literal":
+        cell = F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1)
+        return corpus.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    if strategy != "join":
+        raise ValueError(f"unknown assign strategy: {strategy}")
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _c array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("_c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    narrow = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = narrow.crossJoin(F.broadcast(cent)).withColumn("_d", d)
+    return scored.groupBy(id_col, vec_col).agg(
+        F.min(F.struct(F.col("_d"), F.col("cell")))["cell"].alias("cell")
+    )
 
 
 def ivf_topk(
@@ -369,6 +403,44 @@ def dot_cell_assign(
     )
 
 
+def dot_cell_assign_df(
+    df: DataFrame,
+    centroids: list[list[int]],
+    qvec_col: str = "qv",
+    strategy: str = "auto",
+) -> DataFrame:
+    """df → df + `cell` by max inner product against an integer codebook —
+    the DataFrame-level twin of dot_cell_assign with a broadcast-join
+    strategy for large k (same auto boundary as cluster.assign_cells:
+    literal k×dim constants only while they fit the codegen budget).
+    Identical output both ways: all-integer dots, ties → lowest cell."""
+    from peerdb_spark.functions.cluster import LITERAL_CODEBOOK_MAX
+
+    if strategy == "auto":
+        kd = len(centroids) * (len(centroids[0]) if centroids else 0)
+        strategy = "literal" if kd <= LITERAL_CODEBOOK_MAX else "join"
+    if strategy == "literal":
+        return df.select(
+            "*", dot_cell_assign(centroids, qvec_col).alias("cell")
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown assign strategy: {strategy}")
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _m array<bigint>",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(qvec_col), F.col("_m"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(F.broadcast(cent)).withColumn("_negdot", -dot)
+    return scored.groupBy(*df.columns).agg(
+        F.min(F.struct(F.col("_negdot"), F.col("cell")))["cell"].alias("cell")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[list[int]],
@@ -377,6 +449,7 @@ def semantic_dedup(
     threshold_sq: tuple[int, int] = (361, 400),
     materialize: bool = True,
     max_cell_size: int = 10_000,
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus (inner-
     product cell assignment against a fixed codebook), then within each cell
@@ -407,15 +480,18 @@ def semantic_dedup(
     parquet instead (it IS the cluster index — ivf_write_index shape).
     """
     num, den = threshold_sq
-    c = corpus.select(
-        F.col(id_col),
-        F.col(qvec_col),
-        dot_cell_assign(centroids, qvec_col).alias("cell"),
+    c = dot_cell_assign_df(
+        corpus.select(F.col(id_col), F.col(qvec_col)),
+        centroids,
+        qvec_col,
+        assign_strategy,
+    ).withColumn(
+        "_n2",
         F.aggregate(
             F.transform(F.col(qvec_col), lambda x: x * x),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        ).alias("_n2"),
+        ),
     )
     if materialize:
         c = c.localCheckpoint(eager=True)

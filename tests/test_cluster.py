@@ -102,6 +102,52 @@ def test_empty_cluster_retires(spark):
     assert out[0] == 0 and out[1] == 0 and out[2] == 2
 
 
+def test_assign_strategy_join_equals_literal(spark):
+    """The broadcast-join E-step must reproduce the literal-centroid path
+    exactly — including lowest-cell tiebreaks on duplicate vectors."""
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(50)]
+    rows += [(100 + i, rows[i][1]) for i in range(8)]  # exact duplicates
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = sorted(
+        kmeans_assign(df, k=5, iters=3, assign_strategy="literal").collect()
+    )
+    jn = sorted(kmeans_assign(df, k=5, iters=3, assign_strategy="join").collect())
+    assert lit == jn and len(lit) == 58
+
+
+def test_assign_join_plan_flat_at_large_k(spark):
+    """k=4096 codebook: the literal plan would embed k·dim constants (codegen
+    blowup); the join plan's size and build time are flat in k, and 'auto'
+    switches to it above LITERAL_CODEBOOK_MAX."""
+    import time
+
+    from peerdb_spark.functions.cluster import LITERAL_CODEBOOK_MAX, assign_cells
+
+    qdf = spark.createDataFrame(
+        [(i, [i % 7, -(i % 5), 3, 1]) for i in range(20)],
+        "vec_id long, qv array<bigint>",
+    )
+
+    def build(k):
+        cents = [(j, [j % 11, j % 13, -j % 7, 5]) for j in range(k)]
+        t0 = time.time()
+        df = assign_cells(qdf, cents, SCALE, "auto")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return time.time() - t0, len(plan), plan
+
+    assert 64 * 4 <= LITERAL_CODEBOOK_MAX < 4096 * 4
+    t_small, n_small, _ = build(2048 // 4)  # still literal path
+    t_big, n_big, plan_big = build(4096)
+    assert "BroadcastNestedLoopJoin" in plan_big  # deliberate k-row broadcast
+    assert n_big < max(n_small, 20_000)  # join plan never scales with k
+    assert t_big < max(t_small * 3, 10.0)
+    # output stays correct at large k: every row assigned exactly once
+    small_out = assign_cells(qdf, [(j, [j, j, j, j]) for j in range(4096)],
+                             SCALE, "join")
+    assert small_out.count() == 20
+
+
 def test_kmeans_hypothesis_random_inputs(spark):
     """Property: distributed fixed-point k-means == the pure-Python
     reference on random vector sets, k, and round counts."""

@@ -159,6 +159,25 @@ def test_semantic_dedup_rejects_scaled_copies(spark, tiny_codebook):
     assert out[0].cell == out[1].cell != out[2].cell
 
 
+def test_semantic_dedup_join_assign_same_output(spark, tiny_codebook):
+    rows = [
+        Row(vec_id=0, qv=[100, 1, 0, 0]),
+        Row(vec_id=1, qv=[200, 2, 0, 0]),
+        Row(vec_id=2, qv=[0, 100, 5, 0]),
+        Row(vec_id=3, qv=[0, 300, 15, 0]),
+    ]
+    df = spark.createDataFrame(rows)
+    lit = sorted(
+        semantic_dedup(df, tiny_codebook, "qv", "vec_id",
+                       assign_strategy="literal").collect()
+    )
+    jn = sorted(
+        semantic_dedup(df, tiny_codebook, "qv", "vec_id",
+                       assign_strategy="join").collect()
+    )
+    assert lit == jn and len(lit) == 4
+
+
 def test_semantic_dedup_below_threshold_kept(spark, tiny_codebook):
     # same cell but cosine < 0.95 → both kept
     rows = [

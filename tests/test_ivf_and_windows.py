@@ -29,6 +29,31 @@ def test_ivf_assign_covers_all(spark, emb):
     assert all(0 <= c < 8 for c in cells) and len(cells) > 1
 
 
+def test_ivf_assign_join_equals_literal(spark, emb):
+    cents = S.ivf_train_centroids(emb, dim=64, k=8, iters=3, sample=300)
+    sub = emb.limit(400)
+    lit = {r["vec_id"]: r["cell"]
+           for r in S.ivf_assign(sub, cents, strategy="literal").collect()}
+    jn = {r["vec_id"]: r["cell"]
+          for r in S.ivf_assign(sub, cents, strategy="join").collect()}
+    assert lit == jn and len(lit) == 400
+
+
+def test_dot_cell_assign_df_join_equals_literal(spark, emb):
+    from peerdb_spark.functions.cluster import quantize_vec
+    from peerdb_spark.functions.similarity import dot_cell_assign_df
+
+    qdf = emb.limit(300).select(
+        "vec_id", quantize_vec(F.col("embedding"), 64).alias("qv")
+    )
+    book = [r["qv"] for r in qdf.orderBy("vec_id").limit(6).collect()]
+    lit = {r["vec_id"]: r["cell"]
+           for r in dot_cell_assign_df(qdf, book, strategy="literal").collect()}
+    jn = {r["vec_id"]: r["cell"]
+          for r in dot_cell_assign_df(qdf, book, strategy="join").collect()}
+    assert lit == jn and len(lit) == 300 and len(set(lit.values())) > 1
+
+
 def test_ivf_topk_recall(spark, emb):
     cents = S.ivf_train_centroids(emb, dim=64, k=8, iters=3, sample=300)
     queries = emb.where("vec_id < 10").select(F.col("vec_id").alias("query_id"), "embedding")
