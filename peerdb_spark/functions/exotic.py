@@ -17,12 +17,14 @@ Reference behavior (studied, not copied):
   destinations; invalid input → NULL like the reference's conversion-failure
   nulling).
 - geometry hex-WKB → coordinates (flow/shared/datatypes/geo.go GeoValidate:
-  hex → WKB → validate → WKT, SRID-prefixed). Points (the dominant case,
-  QValueKindPoint qvalue_convert.go:725-731) decode here in PURE Spark
-  expressions — the IEEE-754 bit decode is exact integer/power-of-two
-  arithmetic, reproducible bit-for-bit in any engine. Non-point geometries
-  return NULL coordinates (a GEOS-style full decoder is a binary kernel,
-  out of scope for built-in expressions).
+  hex → WKB → validate → WKT, SRID-prefixed). Points, LINESTRINGs, and
+  POLYGONs all decode in PURE Spark expressions — the IEEE-754 bit decode
+  is exact integer/power-of-two arithmetic, reproducible bit-for-bit in
+  any engine; variable-length layouts use dynamic-offset substr +
+  transform, and the polygon's data-dependent ring offsets are one
+  aggregate fold. wkb_geometry_wkt renders the geo.go WKT surface
+  (SRID=n; prefix). Multi-geometries/collections return NULL (documented
+  scope; the three implemented kinds cover PeerDB's shipped test types).
 
 Everything is JVM built-in expressions — no Python UDFs — so the parsers
 whole-stage-codegen and run at scan throughput at 100 TB.
@@ -267,6 +269,198 @@ def wkb_point_wkt(col: Column) -> Column:
                F.concat(F.lit("SRID="), p["srid"].cast("string"), F.lit(";"), body)
                ).otherwise(body),
     )
+
+
+# -- variable-length geometries (LINESTRING / POLYGON) ----------------------
+#
+# The reference converts EVERY geometry kind via WKB→validate→WKT
+# (flow/shared/datatypes/geo.go GeoValidate, used from
+# flow/connectors/postgres/qvalue_convert.go:725-731); points alone covered
+# only the dominant case. These decoders handle the variable-length layouts
+# with pure expressions: dynamic offsets via substr(col, posColumn, len),
+# per-point decode via transform over an index sequence, and the polygon's
+# ring-by-ring offsets via ONE aggregate fold (each ring's start depends on
+# every prior ring's point count). Structural validity is strict — wrong
+# type, wrong total length, non-hex, NaN/Inf coordinate → NULL geometry,
+# mirroring GeoValidate's reject-don't-guess behavior.
+
+_GEO_POINT_T = "array<struct<x:double,y:double>>"
+
+
+def _rev_pairs_dyn(col: Column, n_bytes: int, start: Column) -> Column:
+    """_rev_pairs with a DYNAMIC 1-based start position (Column)."""
+    parts = [
+        F.substr(col, start + F.lit(2 * i), F.lit(2))
+        for i in range(n_bytes - 1, -1, -1)
+    ]
+    return F.concat(*parts)
+
+
+def _hex_slice_dyn(col: Column, le: Column, start: Column, n_bytes: int) -> Column:
+    raw = F.substr(col, start, F.lit(2 * n_bytes))
+    return F.when(le, _rev_pairs_dyn(col, n_bytes, start)).otherwise(raw)
+
+
+def _geo_header(col: Column):
+    """(h, le, base_type, has_srid, srid, body_pos): the shared (E)WKB
+    header decode — body_pos is the 1-based hex position right after the
+    header (and SRID when present)."""
+    h = F.upper(F.trim(col))
+    le = F.substring(h, 1, 2) == "01"
+    type_val = F.conv(_hex_slice(h, le, 3, 4), 16, 10).cast("long")
+    has_srid = (F.floor(type_val / F.lit(0x20000000)) % 2) == 1
+    base_type = type_val % F.lit(0x20000000)
+    srid = F.when(
+        has_srid, F.conv(_hex_slice(h, le, 11, 4), 16, 10).cast("int")
+    ).otherwise(F.lit(0))
+    body_pos = F.when(has_srid, F.lit(19)).otherwise(F.lit(11))
+    structural = F.substring(h, 1, 2).isin("00", "01") & h.rlike("^[0-9A-F]*$")
+    return h, le, base_type, has_srid, srid, body_pos, structural
+
+
+def _points_at(h: Column, le: Column, base: Column, n: Column) -> Column:
+    """n points of 16 bytes each starting at hex position `base` (Column) →
+    array<struct<x,y>>. Guarded sequence: n=0 yields [] (sequence(0,-1)
+    would count DOWN)."""
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            _ieee754(_hex_slice_dyn(h, le, base + i * 32, 8)).alias("x"),
+            _ieee754(_hex_slice_dyn(h, le, base + i * 32 + 16, 8)).alias("y"),
+        ),
+    )
+
+
+def _no_bad_coords(pts: Column) -> Column:
+    return ~F.exists(pts, lambda p: p["x"].isNull() | p["y"].isNull())
+
+
+def wkb_linestring(col: Column) -> Column:
+    """Hex-WKB/EWKB LINESTRING → struct(srid int, points array<struct<x,y>>).
+    points is NULL for anything malformed (wrong type, truncated/overlong
+    payload, NaN/Inf coordinate)."""
+    h, le, base_type, _hs, srid, body_pos, structural = _geo_header(col)
+    n = F.conv(_hex_slice_dyn(h, le, body_pos, 4), 16, 10).cast("int")
+    pts_base = body_pos + 8
+    ok = (
+        structural
+        & (base_type == 2)
+        & n.isNotNull()
+        & (F.length(h) == pts_base - 1 + n * 32)
+    )
+    pts = F.when(ok, _points_at(h, le, pts_base, n))
+    valid = ok & _no_bad_coords(pts)
+    return F.struct(
+        F.when(valid, srid).alias("srid"),
+        F.when(valid, pts).alias("points"),
+    )
+
+
+def wkb_polygon(col: Column) -> Column:
+    """Hex-WKB/EWKB POLYGON → struct(srid int, rings array<array<struct<x,y>>>).
+
+    Ring offsets are data-dependent (ring r starts after all points of
+    rings 0..r-1), so the decode is one aggregate fold over the ring index
+    carrying (next position, rings so far, malformed flag); the final
+    position must land exactly at end-of-hex."""
+    h, le, base_type, _hs, srid, body_pos, structural = _geo_header(col)
+    nrings = F.conv(_hex_slice_dyn(h, le, body_pos, 4), 16, 10).cast("int")
+    ring_idx = F.when(nrings > 0, F.sequence(F.lit(1), nrings)).otherwise(
+        F.array().cast("array<int>")
+    )
+    init = F.struct(
+        (body_pos + 8).alias("pos"),
+        F.array().cast(f"array<{_GEO_POINT_T}>").alias("rings"),
+        F.lit(False).alias("bad"),
+    )
+
+    def step(acc, _i):
+        np_ = F.conv(_hex_slice_dyn(h, le, acc["pos"], 4), 16, 10).cast("int")
+        # a ring that would run past the buffer marks the geometry bad
+        # (substr past the end yields short slices → conv garbage, so the
+        # final exact-length check alone could miss compensating errors)
+        fits = np_.isNotNull() & (
+            acc["pos"] + 8 + np_ * 32 - 1 <= F.length(h)
+        )
+        ring = F.when(fits, _points_at(h, le, acc["pos"] + 8, np_))
+        return F.struct(
+            F.when(fits, acc["pos"] + 8 + np_ * 32).otherwise(acc["pos"]).alias("pos"),
+            F.when(fits, F.concat(acc["rings"], F.array(ring)))
+            .otherwise(acc["rings"])
+            .alias("rings"),
+            (acc["bad"] | ~fits).alias("bad"),
+        )
+
+    folded = F.when(
+        structural & (base_type == 3) & nrings.isNotNull(),
+        F.aggregate(ring_idx, init, step),
+    )
+    ok = (
+        folded.isNotNull()
+        & ~folded["bad"]
+        & (folded["pos"] - 1 == F.length(h))
+        & ~F.exists(folded["rings"], lambda r: ~_no_bad_coords(r))
+    )
+    return F.struct(
+        F.when(ok, srid).alias("srid"),
+        F.when(ok, folded["rings"]).alias("rings"),
+    )
+
+
+def wkb_geometry_wkt(col: Column) -> Column:
+    """Any supported hex-WKB geometry → WKT with the reference's SRID
+    prefix convention ('SRID=n;…' when SRID != 0 — geo.go:29-34). Points,
+    linestrings, polygons; NULL otherwise. Double→string formatting is
+    engine-specific, so (like wkb_point_wkt) this is the API surface —
+    oracles compare typed/integer-scaled coordinates instead."""
+    _h, _le, base_type, _hs, srid, _bp, _ok = _geo_header(col)
+
+    def pt_txt(p):
+        return F.concat(p["x"].cast("string"), F.lit(" "), p["y"].cast("string"))
+
+    ls = wkb_linestring(col)
+    pg = wkb_polygon(col)
+    body = (
+        F.when(base_type == 1, wkb_point_wkt(col))
+        .when(
+            base_type == 2,
+            F.concat(
+                F.lit("LINESTRING("),
+                F.array_join(F.transform(ls["points"], pt_txt), ", "),
+                F.lit(")"),
+            ),
+        )
+        .when(
+            base_type == 3,
+            F.concat(
+                F.lit("POLYGON("),
+                F.array_join(
+                    F.transform(
+                        pg["rings"],
+                        lambda r: F.concat(
+                            F.lit("("),
+                            F.array_join(F.transform(r, pt_txt), ", "),
+                            F.lit(")"),
+                        ),
+                    ),
+                    ", ",
+                ),
+                F.lit(")"),
+            ),
+        )
+    )
+    # point WKT already carries its own SRID prefix; add it for ls/pg
+    prefixed = F.when(
+        (base_type != 1) & (srid > 0),
+        F.concat(F.lit("SRID="), srid.cast("string"), F.lit(";"), body),
+    ).otherwise(body)
+    invalid = (
+        (base_type == 2) & ls["points"].isNull()
+    ) | ((base_type == 3) & pg["rings"].isNull())
+    return F.when(~invalid, prefixed)
 
 
 # ---------------------------------------------------------------------------

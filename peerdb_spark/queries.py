@@ -793,6 +793,89 @@ _WKB_LITS = [
 ]
 
 
+def _wkb_geom_hex(kind: int, rings: list[list[tuple]], srid=None, little=True) -> str:
+    """Hex-(E)WKB LINESTRING (kind=2, one 'ring') / POLYGON (kind=3) literal
+    — driver-side fixture constant, same layout the tests build."""
+    import struct as _s
+
+    fmt, bo = ("<", b"\x01") if little else (">", b"\x00")
+    b = bo + _s.pack(fmt + "I", kind | (0x20000000 if srid else 0))
+    if srid:
+        b += _s.pack(fmt + "I", srid)
+    if kind == 3:
+        b += _s.pack(fmt + "I", len(rings))
+    for ring in rings:
+        b += _s.pack(fmt + "I", len(ring))
+        for x, y in ring:
+            b += _s.pack(fmt + "dd", x, y)
+    return b.hex().upper()
+
+
+# coordinates are multiples of 1/1024, so x*1024 is an exact integer in any
+# engine — the canonical projection below compares integers, never
+# engine-formatted doubles. (lists of (coords, srid); None = malformed slot)
+_WKB_LS_FIXT = [
+    ([(1.5, -2.25), (0.0, 3.75), (-10.125, 0.0009765625)], None, True),
+    ([(100.0, 200.5)], 4326, True),
+    ([(-1.0, -2.0), (3.0, 4.0)], 3857, False),  # big-endian
+    ([], None, True),  # empty linestring: valid, zero points
+    (None, None, True),  # malformed (truncated)
+]
+_WKB_PG_FIXT = [
+    ([[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)],
+      [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0), (1.0, 1.0)]], 4326, True),
+    ([[(0.5, 0.5), (2.5, 0.5), (1.5, 3.5), (0.5, 0.5)]], None, False),
+    (None, None, True),  # malformed (wrong inner layout)
+]
+
+
+def _ls_hexes() -> list[str]:
+    out = []
+    for pts, srid, little in _WKB_LS_FIXT:
+        if pts is None:
+            out.append(_wkb_geom_hex(2, [[(1.0, 2.0)]], None, True)[:-4])
+        else:
+            out.append(_wkb_geom_hex(2, [pts], srid, little))
+    return out
+
+
+def _pg_hexes() -> list[str]:
+    out = []
+    for rings, srid, little in _WKB_PG_FIXT:
+        if rings is None:
+            out.append(_wkb_geom_hex(3, [[(1.0, 2.0)]], None, True) + "00")
+        else:
+            out.append(_wkb_geom_hex(3, rings, srid, little))
+    return out
+
+
+def _ls_canon_truth() -> list:
+    """Ground-truth canonical strings ('srid:qx qy,qx qy' with q = c*1024)
+    for each linestring fixture slot — what a CORRECT decode must emit."""
+    out = []
+    for pts, srid, _l in _WKB_LS_FIXT:
+        if pts is None:
+            out.append(None)
+        else:
+            body = ",".join(f"{int(x * 1024)} {int(y * 1024)}" for x, y in pts)
+            out.append(f"{srid or 0}:{body}")
+    return out
+
+
+def _pg_canon_truth() -> list:
+    out = []
+    for rings, srid, _l in _WKB_PG_FIXT:
+        if rings is None:
+            out.append(None)
+        else:
+            body = "|".join(
+                ",".join(f"{int(x * 1024)} {int(y * 1024)}" for x, y in ring)
+                for ring in rings
+            )
+            out.append(f"{srid or 0}:{body}")
+    return out
+
+
 def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exotic Postgres type ingestion (ref: qvalue_convert.go ~900 LoC +
     shared/datatypes parsers): interval text decomposition, hstore parsing,
@@ -828,6 +911,14 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             F.array(*[F.lit(s) for s in _WKB_LITS]), (k % len(_WKB_LITS)).cast("int") + 1
         ).alias("wkb"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _ls_hexes()]),
+            (k % len(_WKB_LS_FIXT)).cast("int") + 1,
+        ).alias("wkb_ls"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _pg_hexes()]),
+            (k % len(_WKB_PG_FIXT)).cast("int") + 1,
+        ).alias("wkb_pg"),
         F.format_string(
             "%s$%d,%03d.%02d",
             F.when(k % 3 == 0, F.lit("-")).otherwise(F.lit("")),
@@ -839,6 +930,43 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iv = X.parse_interval(F.col("iv"))
     pt = X.wkb_point(F.col("wkb"))
+    ls = X.wkb_linestring(F.col("wkb_ls"))
+    pg = X.wkb_polygon(F.col("wkb_pg"))
+
+    def _q(c):  # exact: coords are multiples of 1/1024 by fixture design
+        return F.round(c * 1024).cast("long").cast("string")
+
+    ls_canon = F.when(
+        ls["points"].isNotNull(),
+        F.concat(
+            ls["srid"].cast("string"), F.lit(":"),
+            F.array_join(
+                F.transform(
+                    ls["points"],
+                    lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"])),
+                ),
+                ",",
+            ),
+        ),
+    )
+    pg_canon = F.when(
+        pg["rings"].isNotNull(),
+        F.concat(
+            pg["srid"].cast("string"), F.lit(":"),
+            F.array_join(
+                F.transform(
+                    pg["rings"],
+                    lambda r: F.array_join(
+                        F.transform(
+                            r, lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"]))
+                        ),
+                        ",",
+                    ),
+                ),
+                "|",
+            ),
+        ),
+    )
     return src.select(
         "pk",
         iv["years"].alias("iv_years"),
@@ -853,6 +981,8 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt["x"].alias("geo_x"),
         pt["y"].alias("geo_y"),
         pt["srid"].alias("geo_srid"),
+        ls_canon.alias("geo_ls"),
+        pg_canon.alias("geo_pg"),
         X.parse_money_cents(F.col("money_raw")).alias("money_cents"),
         X.valid_bit(F.col("bit_raw")).alias("bit_str"),
     )
@@ -874,6 +1004,22 @@ def _sql_ieee(head: str, m: str) -> str:
 
 
 _WKB_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _WKB_LITS) + "]"
+
+
+def _sql_truth_case(mod: int, truths: list) -> str:
+    """GROUND-TRUTH oracle projection for the variable-length geometries:
+    the fixture's coordinate lists ARE the truth (the hex literals were
+    packed from them), so the oracle states the expected canonical strings
+    outright — fully independent of any decode formulation."""
+    whens = " ".join(
+        f"WHEN {i} THEN " + ("NULL" if t is None else f"'{t}'")
+        for i, t in enumerate(truths)
+    )
+    return f"(CASE CAST(pk % {mod} AS INT) {whens} END)"
+
+
+_GEO_LS_SQL = _sql_truth_case(len(_WKB_LS_FIXT), _ls_canon_truth())
+_GEO_PG_SQL = _sql_truth_case(len(_WKB_PG_FIXT), _pg_canon_truth())
 
 SQL_EXOTIC_TYPES = rf"""
 WITH src AS (
@@ -982,6 +1128,8 @@ SELECT pk,
   CASE WHEN ok THEN {_sql_ieee("xhead", "xm")} END AS geo_x,
   CASE WHEN ok THEN {_sql_ieee("yhead", "ym")} END AS geo_y,
   CASE WHEN ok THEN CAST(srid_v AS INT) END AS geo_srid,
+  {_GEO_LS_SQL} AS geo_ls,
+  {_GEO_PG_SQL} AS geo_pg,
   CAST(round(CAST(regexp_replace(money_raw, '[$,]', '', 'g') AS DOUBLE) * 100) AS BIGINT)
     AS money_cents,
   CASE WHEN regexp_matches(bit_raw, '^[01]+$') THEN bit_raw END AS bit_str

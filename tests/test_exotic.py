@@ -298,3 +298,122 @@ def test_valid_inet_ipv4_mapped(spark):
         assert _one(spark, X.valid_inet(F.lit(s))) == s, s
     for s in bad:
         assert _one(spark, X.valid_inet(F.lit(s))) is None, s
+
+
+# -- variable-length geometries ----------------------------------------------
+
+
+def wkb_ls_hex(pts, srid=None, little=True):
+    bo = b"\x01" if little else b"\x00"
+    fmt = "<" if little else ">"
+    t = 2 | (0x20000000 if srid else 0)
+    b = bo + struct.pack(fmt + "I", t)
+    if srid:
+        b += struct.pack(fmt + "I", srid)
+    b += struct.pack(fmt + "I", len(pts))
+    for x, y in pts:
+        b += struct.pack(fmt + "dd", x, y)
+    return b.hex().upper()
+
+
+def wkb_pg_hex(rings, srid=None, little=True):
+    bo = b"\x01" if little else b"\x00"
+    fmt = "<" if little else ">"
+    t = 3 | (0x20000000 if srid else 0)
+    b = bo + struct.pack(fmt + "I", t)
+    if srid:
+        b += struct.pack(fmt + "I", srid)
+    b += struct.pack(fmt + "I", len(rings))
+    for ring in rings:
+        b += struct.pack(fmt + "I", len(ring))
+        for x, y in ring:
+            b += struct.pack(fmt + "dd", x, y)
+    return b.hex().upper()
+
+
+def test_wkb_linestring_roundtrip(spark):
+    pts = [(1.5, -2.25), (0.0, 3.75), (-10.125, 1e-3)]
+    for srid in (None, 4326):
+        for little in (True, False):
+            v = _one(spark, X.wkb_linestring(F.lit(wkb_ls_hex(pts, srid, little))))
+            assert [(p["x"], p["y"]) for p in v["points"]] == pts, (srid, little)
+            assert v["srid"] == (srid or 0)
+    # empty linestring is valid WKB
+    v = _one(spark, X.wkb_linestring(F.lit(wkb_ls_hex([]))))
+    assert v["points"] == [] and v["srid"] == 0
+
+
+def test_wkb_linestring_invalid(spark):
+    # a POINT payload is not a linestring
+    assert _one(spark, X.wkb_linestring(F.lit(wkb_hex(1.0, 2.0))))["points"] is None
+    # truncated: drop last 2 hex chars
+    h = wkb_ls_hex([(1.0, 2.0), (3.0, 4.0)])
+    assert _one(spark, X.wkb_linestring(F.lit(h[:-2])))["points"] is None
+    # overlong: trailing junk
+    assert _one(spark, X.wkb_linestring(F.lit(h + "00")))["points"] is None
+    # NaN coordinate → whole geometry rejected
+    h = wkb_ls_hex([(1.0, float("nan"))])
+    assert _one(spark, X.wkb_linestring(F.lit(h)))["points"] is None
+
+
+def test_wkb_polygon_roundtrip(spark):
+    outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0), (1.0, 1.0)]
+    for srid in (None, 3857):
+        for little in (True, False):
+            v = _one(spark, X.wkb_polygon(F.lit(wkb_pg_hex([outer, hole], srid, little))))
+            got = [[(p["x"], p["y"]) for p in r] for r in v["rings"]]
+            assert got == [outer, hole], (srid, little)
+            assert v["srid"] == (srid or 0)
+
+
+def test_wkb_polygon_invalid(spark):
+    h = wkb_pg_hex([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])
+    assert _one(spark, X.wkb_polygon(F.lit(h[:-2])))["rings"] is None
+    assert _one(spark, X.wkb_polygon(F.lit(h + "FF")))["rings"] is None
+    # a ring count pointing past the buffer must not decode garbage
+    bad = h[:18] + "05000000" + h[26:]  # claim 5 points, supply 4
+    assert _one(spark, X.wkb_polygon(F.lit(bad)))["rings"] is None
+    # linestring payload is not a polygon
+    assert _one(spark, X.wkb_polygon(F.lit(wkb_ls_hex([(1.0, 2.0)]))))["rings"] is None
+
+
+def test_wkb_geometry_wkt_all_kinds(spark):
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(wkb_hex(1.5, -2.5, 4326)))) == \
+        "SRID=4326;POINT(1.5 -2.5)"
+    h = wkb_ls_hex([(1.5, 2.5), (3.0, -4.0)], srid=4326)
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
+        "SRID=4326;LINESTRING(1.5 2.5, 3.0 -4.0)"
+    h = wkb_pg_hex([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
+        "POLYGON((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0))"
+    # invalid → NULL, never partial text
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(h[:-2]))) is None
+
+
+def test_wkb_linestring_property(spark):
+    """decode(encode(points)) == points exactly for arbitrary finite doubles,
+    both byte orders, batched into one Spark job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(allow_nan=False, allow_infinity=False)
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(finite, finite), min_size=0, max_size=5),
+           st.sampled_from([None, 4326]), st.booleans())
+    def collect(pts, srid, little):
+        cases.append((pts, srid, little))
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, wkb_ls_hex(p, s, l)) for i, (p, s, l) in enumerate(cases)],
+        "i long, h string",
+    )
+    rows = {r["i"]: r["v"] for r in
+            df.select("i", X.wkb_linestring(F.col("h")).alias("v")).collect()}
+    for i, (pts, srid, _l) in enumerate(cases):
+        v = rows[i]
+        assert [(p["x"], p["y"]) for p in v["points"]] == pts, cases[i]
+        assert v["srid"] == (srid or 0)
