@@ -14,7 +14,8 @@ broker socket and re-parses every batch with struct-level code that shares
 nothing with the encoder).
 
 Scope (deliberately minimal, documented):
-- Produce v3, acks=1, no compression, no idempotence/transactions — the
+- Produce v3, acks=1, optional gzip record-batch compression (stdlib
+  zlib; snappy/lz4/zstd need codec libs), no idempotence/transactions — the
   at-least-once profile the engine's redelivery-tolerant merge expects.
 - One connection per executor partition (`deliver_kafka_wire` uses
   foreachPartition); batching = one record batch per Spark partition chunk.
@@ -131,17 +132,33 @@ def encode_record(offset_delta: int, ts_delta: int, key: bytes | None,
     return enc_varint(len(body)) + bytes(body)
 
 
+# attributes bits 0-2: compression codec (Kafka protocol; snappy/lz4/zstd
+# need codec libs — gzip is stdlib, and it's what the reference's franz-go
+# client negotiates by default when compression is enabled)
+_CODECS = {"none": 0, "gzip": 1}
+
+
 def encode_record_batch(records: list[tuple],
-                        first_timestamp_ms: int = 0) -> bytes:
-    """records = [(key, value)] or [(key, value, headers)] → one
-    uncompressed record batch (headers = [(str, bytes|None), ...])."""
+                        first_timestamp_ms: int = 0,
+                        compression: str = "none") -> bytes:
+    """records = [(key, value)] or [(key, value, headers)] → one record
+    batch (headers = [(str, bytes|None), ...]). With compression='gzip'
+    the concatenated records section is gzip-deflated (mtime pinned to 0
+    so identical input → identical bytes) and the codec bit set in the
+    batch attributes; the header itself stays uncompressed and the CRC32C
+    covers attributes..compressed-records per the spec."""
+    codec = _CODECS[compression]
     recs = b"".join(
         encode_record(i, 0, r[0], r[1], r[2] if len(r) > 2 else ())
         for i, r in enumerate(records)
     )
+    if codec == 1:
+        import gzip as _gzip
+
+        recs = _gzip.compress(recs, mtime=0)
     after_crc = struct.pack(
         ">hiqqqhii",
-        0,                      # attributes: no compression
+        codec,                  # attributes: compression codec bits
         len(records) - 1,       # lastOffsetDelta
         first_timestamp_ms,     # firstTimestamp
         first_timestamp_ms,     # maxTimestamp
@@ -166,10 +183,18 @@ def decode_record_batch(buf: bytes) -> list[tuple]:
     after = buf[21 : 12 + batch_len]
     if crc32c(after) != crc:
         raise ValueError("crc32c mismatch")
-    (_attrs, last_delta, _fts, _mts, _pid, _pep, _bseq, count) = struct.unpack_from(
+    (attrs, last_delta, _fts, _mts, _pid, _pep, _bseq, count) = struct.unpack_from(
         ">hiqqqhii", after, 0
     )
-    pos = struct.calcsize(">hiqqqhii")
+    hdr = struct.calcsize(">hiqqqhii")
+    codec = attrs & 0x7
+    if codec == 1:
+        import gzip as _gzip
+
+        after = after[:hdr] + _gzip.decompress(after[hdr:])
+    elif codec != 0:
+        raise ValueError(f"unsupported compression codec {codec}")
+    pos = hdr
     out = []
     for _ in range(count):
         rec_len, pos = dec_varint(after, pos)
@@ -417,12 +442,13 @@ def _read_frame(sock: socket.socket) -> bytes:
 
 
 def produce_on(sock: socket.socket, topic: str, partition: int,
-               records: list, correlation_id: int = 1) -> None:
+               records: list, correlation_id: int = 1,
+               compression: str = "none") -> None:
     """One Produce round-trip on an existing connection; raises on a
     non-zero Kafka error code."""
     if not records:
         return
-    batch = encode_record_batch(records)
+    batch = encode_record_batch(records, compression=compression)
     sock.sendall(encode_produce_request(topic, partition, batch,
                                         correlation_id=correlation_id))
     err = _parse_produce_response(_read_frame(sock))
@@ -459,11 +485,13 @@ class ClusterProducer:
     broker restart, rebalance). One socket per broker, reused; O(#brokers)
     connections per executor partition, not per batch."""
 
-    def __init__(self, bootstrap: list[tuple[str, int]], timeout_s: float = 30.0):
+    def __init__(self, bootstrap: list[tuple[str, int]], timeout_s: float = 30.0,
+                 compression: str = "none"):
         if not bootstrap:
             raise ValueError("bootstrap list is empty")
         self.bootstrap = list(bootstrap)
         self.timeout_s = timeout_s
+        self.compression = compression
         self.brokers: dict[int, tuple[str, int]] = {}
         self.leaders: dict[str, dict[int, int]] = {}
         self._conns: dict[tuple[str, int], socket.socket] = {}
@@ -526,7 +554,8 @@ class ClusterProducer:
         try:
             sock = self._connect(addr)
             produce_on(sock, topic, partition, records,
-                       correlation_id=self._next_cid())
+                       correlation_id=self._next_cid(),
+                       compression=self.compression)
             return
         except RuntimeError as e:
             if f"error_code={ERR_NOT_LEADER}" not in str(e) and \
@@ -541,7 +570,8 @@ class ClusterProducer:
         addr = self._leader_addr(topic, partition)
         sock = self._connect(addr)
         produce_on(sock, topic, partition, records,
-                   correlation_id=self._next_cid())
+                   correlation_id=self._next_cid(),
+                   compression=self.compression)
 
     def close(self) -> None:
         for addr in list(self._conns):
@@ -554,11 +584,12 @@ def deliver_kafka_wire_routed(
     fallback_topic: str,
     chunk: int = 10_000,
     chunk_bytes: int = 900_000,
+    compression: str = "none",
 ) -> int:
     """deliver_kafka_wire with cluster-aware leader routing: same streaming
     chunk/byte-budget buffering, but each flush goes to the partition
     leader via a ClusterProducer (metadata-refreshing on leader moves)."""
-    producer = ClusterProducer(bootstrap)
+    producer = ClusterProducer(bootstrap, compression=compression)
     try:
         return _deliver_loop(rows, producer.produce, fallback_topic,
                              chunk, chunk_bytes)
@@ -573,6 +604,7 @@ def deliver_kafka_wire(
     fallback_topic: str,
     chunk: int = 10_000,
     chunk_bytes: int = 900_000,
+    compression: str = "none",
 ) -> int:
     """foreachPartition body: group rows by topic, produce in chunks.
     Returns records sent (per partition). Partition id 0 — single-broker
@@ -594,7 +626,8 @@ def deliver_kafka_wire(
         if sock is None:
             sock = socket.create_connection((host, port), timeout=30.0)
         cid += 1
-        produce_on(sock, t, p, recs, correlation_id=cid)
+        produce_on(sock, t, p, recs, correlation_id=cid,
+                   compression=compression)
 
     try:
         return _deliver_loop(rows, produce_fn, fallback_topic, chunk, chunk_bytes)

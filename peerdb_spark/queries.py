@@ -2497,6 +2497,38 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH tokenizer under the gate: identical pipeline to
+    bpe_encode_tokens but the vocab encode is forced through the RANKED
+    strategy — the O(1)-plan-size Arrow mapInPandas kernel that carries
+    real 32k-merge tables (functions/bpe.py _ranked_encoder). Shares
+    bpe_encode_tokens' oracle, so the gate value-verifies the Python
+    kernel against the unrolled SQL training rounds, not just against the
+    fold path (which tests/test_bpe.py already pins it to)."""
+    from peerdb_spark.functions.bpe import bpe_encode, bpe_train
+    from peerdb_spark.functions.text import tokens as _tokens
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    wc = (
+        docs.select("doc_id", F.explode(_tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    wf = wc.groupBy("w").agg(F.sum("n_w").alias("freq"))
+    merges, _ = bpe_train(None, "text", k=4, word_freqs=wf)
+    enc = bpe_encode(None, merges, "text", "doc_id", word_counts=wc,
+                     strategy="ranked")
+    glob = enc.groupBy("token").agg(F.sum("n").alias("n"))
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        glob.select("token", F.col("n").cast("long").alias("n"),
+                    F.row_number().over(w).cast("int").alias("rank"))
+        .where(F.col("rank") <= 40)
+    )
+
+
 def _bpe_encode_sql(k: int = 4, topn: int = 40) -> str:
     # reuse the trainer's unrolled rounds; final vocab v{k} then explodes
     # its symbol stream weighted by freq
@@ -5094,6 +5126,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_encode_tokens": q_bpe_encode_tokens,
+    "bpe_encode_ranked": q_bpe_encode_ranked,
     "unigram_surprisal": q_unigram_surprisal,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_vocab_registers": q_hll_vocab_registers,
@@ -5199,6 +5232,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "bpe_encode_tokens": SQL_BPE_ENCODE_TOKENS,
+    "bpe_encode_ranked": SQL_BPE_ENCODE_TOKENS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_vocab_registers": SQL_HLL_VOCAB_REGISTERS,
@@ -5309,6 +5343,7 @@ _NEVER_VERIFIED_THROUGH_R5 = [
 
 _NEW_THIS_ROUND: list[str] = [
     "media_decode_png",
+    "bpe_encode_ranked",
 ]
 
 _GATE_GREEN_THROUGH_R5 = [
