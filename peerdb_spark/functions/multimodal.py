@@ -72,9 +72,13 @@ def decode_encoded(content: bytes, mime: str) -> bytes:
         from peerdb_spark.functions.png import decode_png
 
         return decode_png(content)[2]
+    if mime == "image/jpeg":
+        from peerdb_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(content)[2]
     raise NotImplementedError(
-        f"decoding {mime!r} requires a codec library (PIL/ffmpeg) not present "
-        "in this environment; store raw-rgb or PNG payloads"
+        f"decoding {mime!r} requires a codec library not present in this "
+        "environment; store raw-rgb, PNG, or baseline-JPEG payloads"
     )
 
 
@@ -97,6 +101,7 @@ def decode_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        from peerdb_spark.functions.jpeg import decode_jpeg
         from peerdb_spark.functions.png import decode_png
 
         for pdf in batches:
@@ -105,8 +110,9 @@ def decode_images(
                 pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"],
                 pdf["_dur"], pdf["_codec"],
             ):
-                if mime == "image/png":
-                    w, h, rgb = decode_png(c)
+                if mime in ("image/png", "image/jpeg"):
+                    dec = decode_png if mime == "image/png" else decode_jpeg
+                    w, h, rgb = dec(bytes(c))
                     contents.append(rgb)
                     metas.append(("image/raw-rgb", w, h, None, "rgb"))
                 else:
@@ -159,6 +165,45 @@ def encode_images_png(
                 fr = (lambda y, m=mid: int(m + y) % 5) if vary else None
                 contents.append(encode_png(bytes(c), int(w), int(h), fr))
                 metas.append(("image/png", int(w), int(h), None, "png"))
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "content": contents, "meta": metas}
+            )
+
+    narrow = df.select(
+        id_col, content_col,
+        F.col("meta.width").alias("_w"), F.col("meta.height").alias("_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
+def encode_images_jpeg(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    quality: int = 90, mode: str = "444", restart_interval: int = 0,
+) -> DataFrame:
+    """raw-RGB media → baseline-JPEG payloads (functions/jpeg.py encoder)
+    via Arrow batches; meta rewrites to image/jpeg. mode: 'gray'/'444'/
+    '420' (see encode_jpeg)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+    q, m, ri = quality, mode, restart_interval
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            contents, metas = [], []
+            for c, w, h in zip(pdf[content_col], pdf["_w"], pdf["_h"]):
+                contents.append(
+                    encode_jpeg(bytes(c), int(w), int(h), q, m, ri)
+                )
+                metas.append(("image/jpeg", int(w), int(h), None, "jpeg"))
             yield _pd.DataFrame(
                 {id_col: pdf[id_col], "content": contents, "meta": metas}
             )

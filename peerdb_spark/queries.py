@@ -3575,6 +3575,88 @@ FROM px GROUP BY media_id
 """
 
 
+def _jpeg_tile_media(docs: DataFrame) -> DataFrame:
+    """Tile-constant even-gray image fixture for the JPEG roundtrip gate:
+    8×8 tiles of value v = 2·((id·31 + ty·8 + tx·3) mod 128), dims multiples
+    of 8. Chosen so baseline-JPEG encode(quality=50, gray) is PROVABLY
+    lossless: a constant block's only DCT coefficient is 8·(v−128),
+    divisible by the Q50 luma DC step (16) for even v — so the analytic
+    pixel formula IS the expected decode output, byte for byte."""
+    did = F.col("doc_id")
+    w = (F.lit(16) + (did % 2) * 8).cast("int")
+    h = F.lit(16).cast("int")
+    n_bytes = w.cast("long") * h * 3
+    tile_v = (
+        lambda i: (
+            (did * 31
+             + F.floor(F.floor(i / (w * 3)) / 8) * 8
+             + F.floor((i % (w * 3)) / 3 / 8) * 3) % 128
+        ) * 2
+    )
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex(tile_v(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    return docs.select(
+        did.alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG encode→decode roundtrip through the from-scratch codec
+    (functions/jpeg.py: Huffman entropy coding, byte stuffing, DCT): the
+    tile-constant fixture is grayscale-JPEG-encoded with restart markers
+    every 2 MCUs (exercising RSTn resync + DC-predictor reset on the gate),
+    decoded back by multimodal.decode_images (dims from SOF0, not trusted
+    metadata), and every byte value-verified against the analytic pixel
+    formula — the fixture is constructed so quantization provably loses
+    nothing (see _jpeg_tile_media). Hex transport for the gate."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    imgs = _jpeg_tile_media(docs.where(F.col("doc_id") % 3 == 0))
+    enc = MM.encode_images_jpeg(imgs, quality=50, mode="gray",
+                                restart_interval=2)
+    decoded = MM.decode_images(enc)
+    return decoded.select(
+        "media_id",
+        F.lower(F.hex(F.col("content"))).alias("content_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+SQL_MEDIA_DECODE_JPEG = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + (doc_id % 2) * 8 AS INT) AS width,
+         CAST(16 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id, width, height, u.i AS i,
+         2 * ((media_id * 31
+               + ((u.i // (width * 3)) // 8) * 8
+               + (((u.i % (width * 3)) // 3) // 8) * 3) % 128) AS v
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height * 3)) u(i)
+)
+SELECT media_id, string_agg(printf('%02x', v), '' ORDER BY i) AS content_hex,
+       CAST(min(width) AS INT) AS width, CAST(min(height) AS INT) AS height
+FROM px GROUP BY media_id
+"""
+
+
 def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator (streaming.session_event_aggregation)
     under the gate, not just the manual lag+cumsum formulation: same 30-minute
@@ -5146,6 +5228,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_decode_png": q_media_decode_png,
+    "media_decode_jpeg": q_media_decode_jpeg,
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
@@ -5252,6 +5335,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
+    "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
@@ -5344,6 +5428,7 @@ _NEVER_VERIFIED_THROUGH_R5 = [
 _NEW_THIS_ROUND: list[str] = [
     "media_decode_png",
     "bpe_encode_ranked",
+    "media_decode_jpeg",
 ]
 
 _GATE_GREEN_THROUGH_R5 = [

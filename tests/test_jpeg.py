@@ -1,0 +1,189 @@
+"""From-scratch baseline JPEG codec (functions/jpeg.py).
+
+The decoder is pinned three independent ways: (1) a HAND-ASSEMBLED minimal
+stream whose entropy bits and expected pixels are computed on paper from
+T.81 (DC-only block: pixel = dequantized_DC/8 + 128), (2) exact roundtrips
+on constant tiles where quantization provably loses nothing, (3) tolerance
+roundtrips through the full Huffman/DCT path on gradients, all modes, with
+and without restart markers. Spark path: decode_images over Arrow batches.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from peerdb_spark.functions.jpeg import (
+    _AC_BITS,
+    _AC_VALS,
+    _DC_BITS,
+    _DC_VALS,
+    ZIGZAG,
+    _extend,
+    _magnitude,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _seg(marker, payload):
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _manual_gray_jpeg(scan_bits: str, qval: int = 16, w: int = 8, h: int = 8):
+    """Hand-assembled 1-component baseline stream: flat quant table qval,
+    the module's DHT specs (carried IN the stream, as any real file), and
+    caller-supplied entropy bits (string of '0'/'1', 1-padded here)."""
+    dqt = bytes([0x00]) + bytes([qval] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (bytes([0x00] + _DC_BITS) + bytes(_DC_VALS)
+           + bytes([0x10] + _AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    bits = scan_bits + "1" * (-len(scan_bits) % 8)
+    scan = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    # destuffing safety: the chosen vectors produce no 0xFF bytes
+    assert b"\xff" not in scan
+    return (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof)
+            + _seg(0xC4, dht) + _seg(0xDA, sos) + scan + b"\xff\xd9")
+
+
+def test_extend_spec_vectors():
+    # T.81 F.2.2.1 table: size 2 → raw 0..3 maps to -3,-2,2,3
+    assert [_extend(v, 2) for v in range(4)] == [-3, -2, 2, 3]
+    assert _extend(0, 0) == 0
+    assert [_extend(v, 1) for v in (0, 1)] == [-1, 1]
+    for v in (-255, -1, 1, 77, 1023):
+        s, raw = _magnitude(v)
+        assert _extend(raw, s) == v
+
+
+def test_decode_hand_assembled_dc_only():
+    """One 8×8 gray MCU, DC diff +8, quant 16: pixels = (8·16)/8 + 128 =
+    144 everywhere. Entropy bits on paper from the canonical tables:
+    DC size-4 symbol = '101' (3rd code of length 3), raw '1000',
+    AC EOB = first length-8 code = '00000000'."""
+    png = _manual_gray_jpeg("101" + "1000" + "00000000")
+    w, h, rgb = decode_jpeg(png)
+    assert (w, h) == (8, 8)
+    assert set(rgb) == {144}
+
+
+def test_decode_hand_assembled_with_ac():
+    """DC 0 ('00' size-0 code, no raw bits) + one AC coefficient:
+    canonical codes put EOB (the only length-8 symbol) at '00000000';
+    length-9 codes then start at value 2, so ZRL='000000010' and
+    (run=0, size=1)=0x01 → '000000011'. Raw bit '1' → +1 at zigzag
+    index 1 (= coef (0,1)), then EOB. Expected block: IDCT of F[0,1]=16
+    → row-constant cos-profile, computed with the public basis formula."""
+    bits = "00" + "000000011" + "1" + "00000000"
+    jpg = _manual_gray_jpeg(bits)
+    _, _, rgb = decode_jpeg(jpg)
+    got = np.frombuffer(rgb, np.uint8).reshape(8, 8, 3)[:, :, 0].astype(float)
+    x = np.arange(8)
+    # f(y,x) = C[0,y]·F·C[1,x] with C[0,·]=1/(2√2), C[1,x]=cos((2x+1)π/16)/2
+    # → amplitude 16/(4√2) = 2√2
+    want = np.clip(np.round(
+        128 + 16 / (4 * np.sqrt(2)) * np.cos((2 * x + 1) * np.pi / 16)
+    ), 0, 255)
+    assert np.array_equal(got, np.tile(want, (8, 1)))
+    # rows identical (coef varies only along x)
+    assert np.array_equal(got[0], got[7])
+
+
+def test_constant_even_gray_roundtrips_exactly():
+    # Q50 luma DC step is 16; a constant block's only coefficient is
+    # 8·(v−128), divisible by 16 for even v → lossless roundtrip
+    for v in (0, 84, 128, 254):
+        rgb = bytes([v] * (16 * 24 * 3))
+        out = decode_jpeg(encode_jpeg(rgb, 24, 16, quality=50, mode="gray"))
+        assert out == (24, 16, rgb), v
+
+
+def test_roundtrip_tolerance_all_modes():
+    w, h = 24, 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx * 5) % 256, (yy * 7) % 256], axis=2
+    ).astype(np.uint8)
+    rgb = img.tobytes()
+    for mode, tol in (("444", 8), ("420", 48)):
+        W, H, dec = decode_jpeg(encode_jpeg(rgb, w, h, quality=95, mode=mode))
+        assert (W, H) == (w, h)
+        err = np.abs(
+            np.frombuffer(dec, np.uint8).astype(int).reshape(h, w, 3)
+            - img.astype(int)
+        )
+        assert err.max() <= tol, (mode, err.max())
+    # gray mode reproduces the luma plane
+    W, H, dec = decode_jpeg(encode_jpeg(rgb, w, h, quality=95, mode="gray"))
+    luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    got = np.frombuffer(dec, np.uint8).reshape(h, w, 3)[:, :, 0].astype(float)
+    assert np.abs(got - luma).max() <= 6
+
+
+def test_restart_markers_roundtrip():
+    w, h = 40, 24
+    rng = np.random.RandomState(3)
+    # smooth image (random would stress quantization, not restarts)
+    base = rng.randint(0, 32, size=(h // 8, w // 8, 3))
+    img = np.repeat(np.repeat(base * 8, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = img.tobytes()
+    plain = decode_jpeg(encode_jpeg(rgb, w, h, quality=90, mode="444"))
+    rst = decode_jpeg(
+        encode_jpeg(rgb, w, h, quality=90, mode="444", restart_interval=2)
+    )
+    assert plain == rst  # restart plumbing must not change a single pixel
+    enc = encode_jpeg(rgb, w, h, quality=90, mode="444", restart_interval=2)
+    assert any(
+        enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7 for i in range(2, len(enc) - 2)
+    )
+
+
+def test_decoder_rejects_out_of_scope():
+    rgb = bytes(8 * 8 * 3)
+    good = encode_jpeg(rgb, 8, 8)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + good)
+    # progressive: flip SOF0 marker to SOF2
+    idx = good.index(b"\xff\xc0")
+    prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+    # truncated scan hits end-of-data
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(good[: len(good) - 6])
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG) == list(range(64))
+    # spot anchors from the published order
+    assert ZIGZAG[:8] == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert ZIGZAG[-3:] == [47, 55, 62, 63][-3:]
+
+
+def test_decode_images_jpeg_mixed(spark):
+    from peerdb_spark.functions.multimodal import (
+        decode_images,
+        encode_images_jpeg,
+    )
+
+    rows = []
+    want = {}
+    for i in range(4):
+        w, h = 16, 8
+        # tile-constant even gray → exact through q50 gray JPEG
+        v = 2 * ((i * 37) % 128)
+        rgb = bytes([v] * (w * h * 3))
+        want[i] = (rgb, w, h)
+        rows.append((i, rgb, ("image/raw-rgb", w, h, None, "rgb")))
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    enc = encode_images_jpeg(df, quality=50, mode="gray")
+    out = {r["media_id"]: r for r in decode_images(enc).collect()}
+    for i, (rgb, w, h) in want.items():
+        assert bytes(out[i]["content"]) == rgb
+        assert out[i]["meta"]["mime"] == "image/raw-rgb"
+        assert (out[i]["meta"]["width"], out[i]["meta"]["height"]) == (w, h)
