@@ -100,18 +100,22 @@ class Guardrails:
         return self.rows, self.bytes
 
 
+_DOLLAR_TAG = re.compile(r"\$[A-Za-z_][A-Za-z_0-9]*\$|\$\$")
+
+
 def split_statements(query: str) -> list[str]:
     """Split a multi-statement string on ';' outside quotes (the engine
     analogue of the reference's pgsplit). Handles single/double quotes with
-    '' escaping and line comments; nested dollar-quoting is out of scope for
-    an operator console and rejected implicitly (the ';' splits)."""
+    '' escaping, line comments, and Postgres dollar-quoting ($$…$$ and
+    $tag$…$tag$ — a ';' inside a dollar-quoted body, the DO-block/function-
+    definition case, does not split)."""
     out: list[str] = []
     buf: list[str] = []
-    quote: str | None = None
+    quote: str | None = None  # "'" / '"' / a full dollar tag like "$fn$"
     i, n = 0, len(query)
     while i < n:
         ch = query[i]
-        if quote:
+        if quote in ("'", '"'):
             buf.append(ch)
             if ch == quote:
                 if i + 1 < n and query[i + 1] == quote:  # doubled-quote escape
@@ -119,9 +123,24 @@ def split_statements(query: str) -> list[str]:
                     i += 1
                 else:
                     quote = None
+        elif quote:  # inside dollar-quoting: scan for the exact closing tag
+            if ch == "$" and query.startswith(quote, i):
+                buf.append(quote)
+                i += len(quote) - 1
+                quote = None
+            else:
+                buf.append(ch)
         elif ch in ("'", '"'):
             quote = ch
             buf.append(ch)
+        elif ch == "$":
+            m = _DOLLAR_TAG.match(query, i)
+            if m:
+                quote = m.group(0)
+                buf.append(quote)
+                i += len(quote) - 1
+            else:
+                buf.append(ch)
         elif ch == "-" and i + 1 < n and query[i + 1] == "-":
             while i < n and query[i] != "\n":
                 i += 1

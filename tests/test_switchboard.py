@@ -67,6 +67,27 @@ def test_reset_named_guc_allowed():
             check_query(bad)
 
 
+def test_split_respects_dollar_quoting():
+    # a ';' inside $$…$$ or $tag$…$tag$ must not split (DO blocks,
+    # function bodies — the pgsplit behavior)
+    q = "DO $$ BEGIN PERFORM 1; END $$; SELECT 2"
+    assert split_statements(q) == ["DO $$ BEGIN PERFORM 1; END $$", "SELECT 2"]
+    q = "CREATE FUNCTION f() AS $fn$ SELECT ';'; $fn$ LANGUAGE sql; SELECT 3"
+    assert split_statements(q) == [
+        "CREATE FUNCTION f() AS $fn$ SELECT ';'; $fn$ LANGUAGE sql",
+        "SELECT 3",
+    ]
+    # nested different tags: inner $$ is literal text inside $a$…$a$
+    q = "SELECT $a$ x $$ ; $$ y $a$; SELECT 4"
+    assert split_statements(q) == ["SELECT $a$ x $$ ; $$ y $a$", "SELECT 4"]
+    # a bare '$' (positional param / money) is not a tag
+    assert split_statements("SELECT $1; SELECT 2") == ["SELECT $1", "SELECT 2"]
+    # dollar-quote inside a regular string stays inert
+    assert split_statements("SELECT '$$;$$'; SELECT 5") == [
+        "SELECT '$$;$$'", "SELECT 5",
+    ]
+
+
 def test_split_respects_quotes_and_comments():
     q = "SELECT 'a;b'; SELECT \"c;d\" -- trailing; comment\n; SELECT 'it''s'"
     assert split_statements(q) == [
