@@ -209,19 +209,45 @@ def _hex_slice(col: Column, le: Column, start: int, n_bytes: int) -> Column:
     return F.when(le, _rev_pairs(col, n_bytes, start)).otherwise(raw)
 
 
+def _let(bindings: dict, body) -> Column:
+    """Single-evaluation let-binding: wrap the bindings in a one-element
+    array<struct> and reference them through a higher-order-function lambda
+    variable. Each binding's expression tree then appears ONCE in the plan
+    no matter how many times `body` uses it — the Column API inlines plain
+    reuse, and the geometry decoders nest helpers deep enough that naive
+    inlining stacks multiplicatively (the linestring decoder's physical
+    plan measured 272 KB / ~8 s of analysis before this, ~2 KB after).
+    Conditional laziness is preserved: a _let under a When branch is only
+    evaluated when the branch is taken."""
+    keys = list(bindings)
+    arr = F.array(F.struct(*[bindings[k].alias(k) for k in keys]))
+    return F.get(F.transform(arr, lambda s: body(*[s[k] for k in keys])), 0)
+
+
 def _ieee754(hex16: Column) -> Column:
     """Big-endian 16-hex-char IEEE-754 double decode — exact integer and
     power-of-two arithmetic (reproducible in any engine; Inf/NaN → NULL)."""
-    head = F.conv(F.substring(hex16, 1, 3), 16, 10).cast("long")  # sign + 11-bit exponent
-    sign = F.when(head >= 2048, F.lit(-1.0)).otherwise(F.lit(1.0))
-    e = head % 2048
-    m = F.conv(F.substring(hex16, 4, 13), 16, 10).cast("long")  # 52-bit mantissa
-    frac = m.cast("double") / F.lit(_P52)
-    return (
-        F.when(e == 2047, F.lit(None).cast("double"))  # Inf/NaN → invalid
-        .when((e == 0) & (m == 0), sign * F.lit(0.0))
-        .when(e == 0, sign * frac * F.pow(F.lit(2.0), F.lit(-1022)))
-        .otherwise(sign * (frac + F.lit(1.0)) * F.pow(F.lit(2.0), e - 1023))
+
+    def decode(head: Column, m: Column) -> Column:
+        sign = F.when(head >= 2048, F.lit(-1.0)).otherwise(F.lit(1.0))
+        e = head % 2048
+        frac = m.cast("double") / F.lit(_P52)
+        return (
+            F.when(e == 2047, F.lit(None).cast("double"))  # Inf/NaN → invalid
+            .when((e == 0) & (m == 0), sign * F.lit(0.0))
+            .when(e == 0, sign * frac * F.pow(F.lit(2.0), F.lit(-1022)))
+            .otherwise(sign * (frac + F.lit(1.0)) * F.pow(F.lit(2.0), e - 1023))
+        )
+
+    return _let(
+        {"hx": hex16},
+        lambda hx: _let(
+            {
+                "head": F.conv(F.substring(hx, 1, 3), 16, 10).cast("long"),
+                "m": F.conv(F.substring(hx, 4, 13), 16, 10).cast("long"),
+            },
+            decode,
+        ),
     )
 
 
@@ -297,8 +323,12 @@ def _rev_pairs_dyn(col: Column, n_bytes: int, start: Column) -> Column:
 
 
 def _hex_slice_dyn(col: Column, le: Column, start: Column, n_bytes: int) -> Column:
-    raw = F.substr(col, start, F.lit(2 * n_bytes))
-    return F.when(le, _rev_pairs_dyn(col, n_bytes, start)).otherwise(raw)
+    return _let(
+        {"st": start},
+        lambda st: F.when(le, _rev_pairs_dyn(col, n_bytes, st)).otherwise(
+            F.substr(col, st, F.lit(2 * n_bytes))
+        ),
+    )
 
 
 def _geo_header(col: Column):
@@ -327,9 +357,12 @@ def _points_at(h: Column, le: Column, base: Column, n: Column) -> Column:
     )
     return F.transform(
         idx,
-        lambda i: F.struct(
-            _ieee754(_hex_slice_dyn(h, le, base + i * 32, 8)).alias("x"),
-            _ieee754(_hex_slice_dyn(h, le, base + i * 32 + 16, 8)).alias("y"),
+        lambda i: _let(
+            {"o": base + i * 32},
+            lambda o: F.struct(
+                _ieee754(_hex_slice_dyn(h, le, o, 8)).alias("x"),
+                _ieee754(_hex_slice_dyn(h, le, o + 16, 8)).alias("y"),
+            ),
         ),
     )
 
@@ -341,21 +374,37 @@ def _no_bad_coords(pts: Column) -> Column:
 def wkb_linestring(col: Column) -> Column:
     """Hex-WKB/EWKB LINESTRING → struct(srid int, points array<struct<x,y>>).
     points is NULL for anything malformed (wrong type, truncated/overlong
-    payload, NaN/Inf coordinate)."""
-    h, le, base_type, _hs, srid, body_pos, structural = _geo_header(col)
-    n = F.conv(_hex_slice_dyn(h, le, body_pos, 4), 16, 10).cast("int")
-    pts_base = body_pos + 8
-    ok = (
-        structural
-        & (base_type == 2)
-        & n.isNotNull()
-        & (F.length(h) == pts_base - 1 + n * 32)
-    )
-    pts = F.when(ok, _points_at(h, le, pts_base, n))
-    valid = ok & _no_bad_coords(pts)
-    return F.struct(
-        F.when(valid, srid).alias("srid"),
-        F.when(valid, pts).alias("points"),
+    payload, NaN/Inf coordinate). Every shared subterm is _let-bound —
+    header, point count, decoded points — so the plan stays ~KB-sized."""
+    h0, le0, base_type, _hs, srid0, body_pos, structural = _geo_header(col)
+
+    def with_header(h, le, bt, srid, bp, ok0):
+        def with_n(n):
+            pts_raw = F.when(
+                ok0 & (bt == 2) & n.isNotNull()
+                & (F.length(h) == bp + 7 + n * 32),
+                _points_at(h, le, bp + 8, n),
+            )
+            return _let(
+                {"pts": pts_raw},
+                lambda pts: _let(
+                    {"valid": pts.isNotNull() & _no_bad_coords(pts)},
+                    lambda valid: F.struct(
+                        F.when(valid, srid).alias("srid"),
+                        F.when(valid, pts).alias("points"),
+                    ),
+                ),
+            )
+
+        return _let(
+            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).cast("int")},
+            with_n,
+        )
+
+    return _let(
+        {"h": h0, "le": le0, "bt": base_type, "srid": srid0,
+         "bp": body_pos, "ok0": structural},
+        with_header,
     )
 
 
@@ -366,47 +415,75 @@ def wkb_polygon(col: Column) -> Column:
     rings 0..r-1), so the decode is one aggregate fold over the ring index
     carrying (next position, rings so far, malformed flag); the final
     position must land exactly at end-of-hex."""
-    h, le, base_type, _hs, srid, body_pos, structural = _geo_header(col)
-    nrings = F.conv(_hex_slice_dyn(h, le, body_pos, 4), 16, 10).cast("int")
-    ring_idx = F.when(nrings > 0, F.sequence(F.lit(1), nrings)).otherwise(
-        F.array().cast("array<int>")
-    )
-    init = F.struct(
-        (body_pos + 8).alias("pos"),
-        F.array().cast(f"array<{_GEO_POINT_T}>").alias("rings"),
-        F.lit(False).alias("bad"),
-    )
+    h0, le0, base_type, _hs, srid0, body_pos, structural = _geo_header(col)
 
-    def step(acc, _i):
-        np_ = F.conv(_hex_slice_dyn(h, le, acc["pos"], 4), 16, 10).cast("int")
-        # a ring that would run past the buffer marks the geometry bad
-        # (substr past the end yields short slices → conv garbage, so the
-        # final exact-length check alone could miss compensating errors)
-        fits = np_.isNotNull() & (
-            acc["pos"] + 8 + np_ * 32 - 1 <= F.length(h)
-        )
-        ring = F.when(fits, _points_at(h, le, acc["pos"] + 8, np_))
-        return F.struct(
-            F.when(fits, acc["pos"] + 8 + np_ * 32).otherwise(acc["pos"]).alias("pos"),
-            F.when(fits, F.concat(acc["rings"], F.array(ring)))
-            .otherwise(acc["rings"])
-            .alias("rings"),
-            (acc["bad"] | ~fits).alias("bad"),
+    def with_header(h, le, bt, srid, bp, ok0):
+        def step(acc, _i):
+            def with_np(np_):
+                # a ring that would run past the buffer marks the geometry
+                # bad (substr past the end yields short slices → conv
+                # garbage, so the final exact-length check alone could miss
+                # compensating errors)
+                return _let(
+                    {"fits": np_.isNotNull()
+                             & (acc["pos"] + 7 + np_ * 32 <= F.length(h))},
+                    lambda fits: F.struct(
+                        F.when(fits, acc["pos"] + 8 + np_ * 32)
+                        .otherwise(acc["pos"]).alias("pos"),
+                        F.when(
+                            fits,
+                            F.concat(
+                                acc["rings"],
+                                F.array(_points_at(h, le, acc["pos"] + 8, np_)),
+                            ),
+                        ).otherwise(acc["rings"]).alias("rings"),
+                        (acc["bad"] | ~fits).alias("bad"),
+                    ),
+                )
+
+            return _let(
+                {"np": F.conv(_hex_slice_dyn(h, le, acc["pos"], 4), 16, 10)
+                       .cast("int")},
+                with_np,
+            )
+
+        def with_n(nrings):
+            ring_idx = F.when(nrings > 0, F.sequence(F.lit(1), nrings)).otherwise(
+                F.array().cast("array<int>")
+            )
+            init = F.struct(
+                (bp + 8).alias("pos"),
+                F.array().cast(f"array<{_GEO_POINT_T}>").alias("rings"),
+                F.lit(False).alias("bad"),
+            )
+            folded_raw = F.when(
+                ok0 & (bt == 3) & nrings.isNotNull(),
+                F.aggregate(ring_idx, init, step),
+            )
+            return _let(
+                {"folded": folded_raw},
+                lambda folded: _let(
+                    {"ok": folded.isNotNull()
+                           & ~folded["bad"]
+                           & (folded["pos"] - 1 == F.length(h))
+                           & ~F.exists(folded["rings"],
+                                       lambda r: ~_no_bad_coords(r))},
+                    lambda ok: F.struct(
+                        F.when(ok, srid).alias("srid"),
+                        F.when(ok, folded["rings"]).alias("rings"),
+                    ),
+                ),
+            )
+
+        return _let(
+            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).cast("int")},
+            with_n,
         )
 
-    folded = F.when(
-        structural & (base_type == 3) & nrings.isNotNull(),
-        F.aggregate(ring_idx, init, step),
-    )
-    ok = (
-        folded.isNotNull()
-        & ~folded["bad"]
-        & (folded["pos"] - 1 == F.length(h))
-        & ~F.exists(folded["rings"], lambda r: ~_no_bad_coords(r))
-    )
-    return F.struct(
-        F.when(ok, srid).alias("srid"),
-        F.when(ok, folded["rings"]).alias("rings"),
+    return _let(
+        {"h": h0, "le": le0, "bt": base_type, "srid": srid0,
+         "bp": body_pos, "ok0": structural},
+        with_header,
     )
 
 
@@ -421,20 +498,23 @@ def wkb_geometry_wkt(col: Column) -> Column:
     def pt_txt(p):
         return F.concat(p["x"].cast("string"), F.lit(" "), p["y"].cast("string"))
 
-    ls = wkb_linestring(col)
-    pg = wkb_polygon(col)
-    body = (
-        F.when(base_type == 1, wkb_point_wkt(col))
-        .when(
-            base_type == 2,
+    # each kind's text is NULL when that kind's decode is NULL — so the
+    # final When chain is also the validity gate, with every decode bound once
+    ls_txt = _let(
+        {"ls": wkb_linestring(col)},
+        lambda ls: F.when(
+            ls["points"].isNotNull(),
             F.concat(
                 F.lit("LINESTRING("),
                 F.array_join(F.transform(ls["points"], pt_txt), ", "),
                 F.lit(")"),
             ),
-        )
-        .when(
-            base_type == 3,
+        ),
+    )
+    pg_txt = _let(
+        {"pg": wkb_polygon(col)},
+        lambda pg: F.when(
+            pg["rings"].isNotNull(),
             F.concat(
                 F.lit("POLYGON("),
                 F.array_join(
@@ -450,17 +530,21 @@ def wkb_geometry_wkt(col: Column) -> Column:
                 ),
                 F.lit(")"),
             ),
-        )
+        ),
+    )
+    body = (
+        F.when(base_type == 1, wkb_point_wkt(col))
+        .when(base_type == 2, ls_txt)
+        .when(base_type == 3, pg_txt)
     )
     # point WKT already carries its own SRID prefix; add it for ls/pg
-    prefixed = F.when(
-        (base_type != 1) & (srid > 0),
-        F.concat(F.lit("SRID="), srid.cast("string"), F.lit(";"), body),
-    ).otherwise(body)
-    invalid = (
-        (base_type == 2) & ls["points"].isNull()
-    ) | ((base_type == 3) & pg["rings"].isNull())
-    return F.when(~invalid, prefixed)
+    return _let(
+        {"bt": base_type, "sr": srid, "b": body},
+        lambda bt, sr, b: F.when(
+            (bt != 1) & (sr > 0) & b.isNotNull(),
+            F.concat(F.lit("SRID="), sr.cast("string"), F.lit(";"), b),
+        ).otherwise(b),
+    )
 
 
 # ---------------------------------------------------------------------------

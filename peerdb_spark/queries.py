@@ -928,42 +928,51 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.bin(k + 2))
         .alias("bit_raw"),
     )
+    from peerdb_spark.functions.exotic import _let
+
     iv = X.parse_interval(F.col("iv"))
     pt = X.wkb_point(F.col("wkb"))
-    ls = X.wkb_linestring(F.col("wkb_ls"))
-    pg = X.wkb_polygon(F.col("wkb_pg"))
 
     def _q(c):  # exact: coords are multiples of 1/1024 by fixture design
         return F.round(c * 1024).cast("long").cast("string")
 
-    ls_canon = F.when(
-        ls["points"].isNotNull(),
-        F.concat(
-            ls["srid"].cast("string"), F.lit(":"),
-            F.array_join(
-                F.transform(
-                    ls["points"],
-                    lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"])),
+    # decode structs _let-bound so each decoder's tree appears once in the
+    # projection (three field references would otherwise triple it)
+    ls_canon = _let(
+        {"ls": X.wkb_linestring(F.col("wkb_ls"))},
+        lambda ls: F.when(
+            ls["points"].isNotNull(),
+            F.concat(
+                ls["srid"].cast("string"), F.lit(":"),
+                F.array_join(
+                    F.transform(
+                        ls["points"],
+                        lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"])),
+                    ),
+                    ",",
                 ),
-                ",",
             ),
         ),
     )
-    pg_canon = F.when(
-        pg["rings"].isNotNull(),
-        F.concat(
-            pg["srid"].cast("string"), F.lit(":"),
-            F.array_join(
-                F.transform(
-                    pg["rings"],
-                    lambda r: F.array_join(
-                        F.transform(
-                            r, lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"]))
+    pg_canon = _let(
+        {"pg": X.wkb_polygon(F.col("wkb_pg"))},
+        lambda pg: F.when(
+            pg["rings"].isNotNull(),
+            F.concat(
+                pg["srid"].cast("string"), F.lit(":"),
+                F.array_join(
+                    F.transform(
+                        pg["rings"],
+                        lambda r: F.array_join(
+                            F.transform(
+                                r,
+                                lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"])),
+                            ),
+                            ",",
                         ),
-                        ",",
                     ),
+                    "|",
                 ),
-                "|",
             ),
         ),
     )

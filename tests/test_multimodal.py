@@ -110,5 +110,13 @@ def test_media_stats_prunes_content(spark):
 
 def test_decode_encoded_gate():
     assert M.decode_encoded(b"abc", "image/raw-rgb") == b"abc"
+    # PNG and baseline JPEG decode for real now (functions/png.py, jpeg.py);
+    # malformed payloads are a hard error, never silent passthrough
+    from peerdb_spark.functions.png import encode_png
+
+    assert M.decode_encoded(encode_png(bytes(3), 1, 1), "image/png") == bytes(3)
+    with pytest.raises(ValueError):
+        M.decode_encoded(b"\x89PNG", "image/png")  # truncated
+    # formats with no codec stay explicitly gated
     with pytest.raises(NotImplementedError):
-        M.decode_encoded(b"\x89PNG", "image/png")
+        M.decode_encoded(b"\x00\x00", "video/h264")

@@ -74,6 +74,15 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("Arrow-batched mapInPandas decode", r"MapInPandas", True),
         ("no row-at-a-time python udf", r"BatchEvalPython", False),
     ]),
+    ("media_decode_png", [
+        # encode→decode are Arrow-batched stages, never row-at-a-time
+        ("Arrow-batched codec stages", r"MapInPandas", True),
+        ("no row-at-a-time python udf", r"BatchEvalPython", False),
+    ]),
+    ("media_decode_jpeg", [
+        ("Arrow-batched codec stages", r"MapInPandas", True),
+        ("no row-at-a-time python udf", r"BatchEvalPython", False),
+    ]),
     ("qrep_null_partition", [
         ("single aggregate over tagged rows", r"HashAggregate", True),
     ]),
