@@ -22,9 +22,11 @@ Reference behavior (studied, not copied):
   is exact integer/power-of-two arithmetic, reproducible bit-for-bit in
   any engine; variable-length layouts use dynamic-offset substr +
   transform, and the polygon's data-dependent ring offsets are one
-  aggregate fold. wkb_geometry_wkt renders the geo.go WKT surface
-  (SRID=n; prefix). Multi-geometries/collections return NULL (documented
-  scope; the three implemented kinds cover PeerDB's shipped test types).
+  aggregate fold; MULTI* kinds decompose into complete nested blobs (one
+  length-computing fold + substr slices) that the single-geometry decoders
+  re-parse. wkb_geometry_wkt renders the geo.go WKT surface (SRID=n;
+  prefix) for all six kinds; GEOMETRYCOLLECTION returns NULL (documented
+  scope).
 
 Everything is JVM built-in expressions — no Python UDFs — so the parsers
 whole-stage-codegen and run at scan throughput at 100 TB.
@@ -487,12 +489,203 @@ def wkb_polygon(col: Column) -> Column:
     )
 
 
+# -- MULTI* geometries --------------------------------------------------------
+#
+# A MULTIPOINT/MULTILINESTRING/MULTIPOLYGON body is a count followed by
+# COMPLETE nested WKB blobs (each with its own byte-order + type header).
+# Decomposition: one fold walks the nested blobs computing each one's hex
+# LENGTH (points are fixed-size; linestrings read their point count;
+# polygons run an inner ring-length fold), slicing the blob out as a
+# string — then the EXISTING single-geometry decoders run on each slice
+# via transform. Validity is strict: every nested blob must parse, carry
+# the kind its container promises, and the lengths must tile the buffer
+# exactly.
+
+
+def _sub_geo_len(h: Column, pos: Column) -> Column:
+    """Hex length of the complete nested WKB blob starting at 1-based `pos`
+    (NULL when the header is unreadable / kind unsupported). Nested blobs
+    never carry an EWKB SRID flag (SRID lives on the container)."""
+
+    def with_type(le, t):
+        # linestring: 1+4+4 bytes + 16n;  point: 1+4+16;  polygon: inner fold
+        n = F.conv(_hex_slice_dyn(h, le, pos + 10, 4), 16, 10).cast("long")
+
+        def ring_fold(nr):
+            init = F.struct(F.lit(18).cast("long").alias("ln"),
+                            F.lit(False).alias("bad"))
+
+            def step(acc, _i):
+                return _let(
+                    {"m": F.conv(
+                        _hex_slice_dyn(h, le, pos + acc["ln"], 4), 16, 10
+                    ).cast("long")},
+                    lambda m: F.struct(
+                        F.when(m.isNotNull(), acc["ln"] + 8 + 32 * m)
+                        .otherwise(acc["ln"]).alias("ln"),
+                        (acc["bad"] | m.isNull()).alias("bad"),
+                    ),
+                )
+
+            idx = F.when(nr > 0, F.sequence(F.lit(1), nr.cast("int"))).otherwise(
+                F.array().cast("array<int>")
+            )
+            return _let(
+                {"f": F.aggregate(idx, init, step)},
+                lambda f: F.when(~f["bad"], f["ln"]),
+            )
+
+        return (
+            F.when(t == 1, F.lit(42).cast("long"))
+            .when(t == 2, F.when(n.isNotNull(), 18 + 32 * n))
+            .when(t == 3, F.when(n.isNotNull(), ring_fold(n)))
+        )
+
+    return _let(
+        {"le": F.substr(h, pos, F.lit(2)) == "01",
+         "bo_ok": F.substr(h, pos, F.lit(2)).isin("00", "01")},
+        lambda le, bo_ok: F.when(
+            bo_ok,
+            _let(
+                {"t": F.conv(_hex_slice_dyn(h, le, pos + 2, 4), 16, 10)
+                      .cast("long")},
+                lambda t: with_type(le, t),
+            ),
+        ),
+    )
+
+
+def _wkb_parts(col: Column, container_type: int) -> Column:
+    """struct(srid, parts array<string>): the nested blobs of a MULTI*
+    geometry as hex strings (NULL when malformed). container_type ∈
+    {4: multipoint, 5: multilinestring, 6: multipolygon}."""
+    h0, le0, base_type, _hs, srid0, body_pos, structural = _geo_header(col)
+
+    def with_header(h, le, bt, srid, bp, ok0):
+        def with_n(n):
+            init = F.struct(
+                (bp + 8).cast("long").alias("pos"),
+                F.array().cast("array<string>").alias("parts"),
+                F.lit(False).alias("bad"),
+            )
+
+            def step(acc, _i):
+                return _let(
+                    {"ln": _sub_geo_len(h, acc["pos"])},
+                    lambda ln: _let(
+                        {"fits": ln.isNotNull()
+                                 & (acc["pos"] + ln - 1 <= F.length(h))},
+                        lambda fits: F.struct(
+                            F.when(fits, acc["pos"] + ln)
+                            .otherwise(acc["pos"]).alias("pos"),
+                            F.when(
+                                fits,
+                                F.concat(acc["parts"],
+                                         F.array(F.substr(h, acc["pos"], ln))),
+                            ).otherwise(acc["parts"]).alias("parts"),
+                            (acc["bad"] | ~fits).alias("bad"),
+                        ),
+                    ),
+                )
+
+            idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            )
+            folded_raw = F.when(
+                ok0 & (bt == container_type) & n.isNotNull(),
+                F.aggregate(idx, init, step),
+            )
+            return _let(
+                {"f": folded_raw},
+                lambda f: _let(
+                    {"ok": f.isNotNull() & ~f["bad"]
+                           & (f["pos"] - 1 == F.length(h))},
+                    lambda ok: F.struct(
+                        F.when(ok, srid).alias("srid"),
+                        F.when(ok, f["parts"]).alias("parts"),
+                    ),
+                ),
+            )
+
+        return _let(
+            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).cast("int")},
+            with_n,
+        )
+
+    return _let(
+        {"h": h0, "le": le0, "bt": base_type, "srid": srid0,
+         "bp": body_pos, "ok0": structural},
+        with_header,
+    )
+
+
+def wkb_multipoint(col: Column) -> Column:
+    """MULTIPOINT → struct(srid int, points array<struct<x,y>>)."""
+    return _let(
+        {"ps": _wkb_parts(col, 4)},
+        lambda ps: _let(
+            {"pts": F.transform(ps["parts"], lambda p: wkb_point(p))},
+            lambda pts: _let(
+                {"bad": ps["parts"].isNull()
+                        | F.exists(pts, lambda p: p["x"].isNull())},
+                lambda bad: F.struct(
+                    F.when(~bad, ps["srid"]).alias("srid"),
+                    F.when(
+                        ~bad,
+                        F.transform(pts, lambda p: F.struct(
+                            p["x"].alias("x"), p["y"].alias("y"))),
+                    ).alias("points"),
+                ),
+            ),
+        ),
+    )
+
+
+def wkb_multilinestring(col: Column) -> Column:
+    """MULTILINESTRING → struct(srid int, lines array<array<struct<x,y>>>)."""
+    return _let(
+        {"ps": _wkb_parts(col, 5)},
+        lambda ps: _let(
+            {"ls": F.transform(ps["parts"], lambda p: wkb_linestring(p))},
+            lambda ls: _let(
+                {"bad": ps["parts"].isNull()
+                        | F.exists(ls, lambda x: x["points"].isNull())},
+                lambda bad: F.struct(
+                    F.when(~bad, ps["srid"]).alias("srid"),
+                    F.when(~bad, F.transform(ls, lambda x: x["points"]))
+                    .alias("lines"),
+                ),
+            ),
+        ),
+    )
+
+
+def wkb_multipolygon(col: Column) -> Column:
+    """MULTIPOLYGON → struct(srid int, polys array<array<array<struct<x,y>>>>)."""
+    return _let(
+        {"ps": _wkb_parts(col, 6)},
+        lambda ps: _let(
+            {"pg": F.transform(ps["parts"], lambda p: wkb_polygon(p))},
+            lambda pg: _let(
+                {"bad": ps["parts"].isNull()
+                        | F.exists(pg, lambda x: x["rings"].isNull())},
+                lambda bad: F.struct(
+                    F.when(~bad, ps["srid"]).alias("srid"),
+                    F.when(~bad, F.transform(pg, lambda x: x["rings"]))
+                    .alias("polys"),
+                ),
+            ),
+        ),
+    )
+
+
 def wkb_geometry_wkt(col: Column) -> Column:
     """Any supported hex-WKB geometry → WKT with the reference's SRID
     prefix convention ('SRID=n;…' when SRID != 0 — geo.go:29-34). Points,
-    linestrings, polygons; NULL otherwise. Double→string formatting is
-    engine-specific, so (like wkb_point_wkt) this is the API surface —
-    oracles compare typed/integer-scaled coordinates instead."""
+    linestrings, polygons, and the three MULTI* kinds; GEOMETRYCOLLECTION
+    and anything else → NULL. Double→string formatting is engine-specific,
+    so (like wkb_point_wkt) this is the API surface — oracles compare
+    typed/integer-scaled coordinates instead."""
     _h, _le, base_type, _hs, srid, _bp, _ok = _geo_header(col)
 
     def pt_txt(p):
@@ -532,10 +725,61 @@ def wkb_geometry_wkt(col: Column) -> Column:
             ),
         ),
     )
+    def ring_txt(r):
+        return F.concat(
+            F.lit("("), F.array_join(F.transform(r, pt_txt), ", "), F.lit(")")
+        )
+
+    mp_txt = _let(
+        {"mp": wkb_multipoint(col)},
+        lambda mp: F.when(
+            mp["points"].isNotNull(),
+            F.concat(
+                F.lit("MULTIPOINT("),
+                F.array_join(F.transform(mp["points"], pt_txt), ", "),
+                F.lit(")"),
+            ),
+        ),
+    )
+    mls_txt = _let(
+        {"ml": wkb_multilinestring(col)},
+        lambda ml: F.when(
+            ml["lines"].isNotNull(),
+            F.concat(
+                F.lit("MULTILINESTRING("),
+                F.array_join(F.transform(ml["lines"], ring_txt), ", "),
+                F.lit(")"),
+            ),
+        ),
+    )
+    mpg_txt = _let(
+        {"mg": wkb_multipolygon(col)},
+        lambda mg: F.when(
+            mg["polys"].isNotNull(),
+            F.concat(
+                F.lit("MULTIPOLYGON("),
+                F.array_join(
+                    F.transform(
+                        mg["polys"],
+                        lambda rings: F.concat(
+                            F.lit("("),
+                            F.array_join(F.transform(rings, ring_txt), ", "),
+                            F.lit(")"),
+                        ),
+                    ),
+                    ", ",
+                ),
+                F.lit(")"),
+            ),
+        ),
+    )
     body = (
         F.when(base_type == 1, wkb_point_wkt(col))
         .when(base_type == 2, ls_txt)
         .when(base_type == 3, pg_txt)
+        .when(base_type == 4, mp_txt)
+        .when(base_type == 5, mls_txt)
+        .when(base_type == 6, mpg_txt)
     )
     # point WKT already carries its own SRID prefix; add it for ls/pg
     return _let(

@@ -417,3 +417,101 @@ def test_wkb_linestring_property(spark):
         v = rows[i]
         assert [(p["x"], p["y"]) for p in v["points"]] == pts, cases[i]
         assert v["srid"] == (srid or 0)
+
+
+def wkb_multi_hex(kind, items, srid=None, little=True):
+    """kind 4/5/6; items = list of (pts | rings) built by the single-geom
+    builders; each nested blob keeps its OWN byte order (mixed below)."""
+    bo = b"\x01" if little else b"\x00"
+    fmt = "<" if little else ">"
+    t = kind | (0x20000000 if srid else 0)
+    b = bo + struct.pack(fmt + "I", t)
+    if srid:
+        b += struct.pack(fmt + "I", srid)
+    b += struct.pack(fmt + "I", len(items))
+    for i, item in enumerate(items):
+        sub_little = (i % 2 == 0)  # alternate nested byte order
+        if kind == 4:
+            b += bytes.fromhex(wkb_hex(*item, None, sub_little))
+        elif kind == 5:
+            b += bytes.fromhex(wkb_ls_hex(item, None, sub_little))
+        else:
+            b += bytes.fromhex(wkb_pg_hex(item, None, sub_little))
+    return b.hex().upper()
+
+
+def test_wkb_multipoint_roundtrip(spark):
+    pts = [(1.5, -2.25), (0.0, 3.75), (100.0, -0.5)]
+    for srid in (None, 4326):
+        v = _one(spark, X.wkb_multipoint(F.lit(wkb_multi_hex(4, pts, srid))))
+        assert [(p["x"], p["y"]) for p in v["points"]] == pts
+        assert v["srid"] == (srid or 0)
+    # wrong container kind and truncation reject
+    assert _one(spark, X.wkb_multipoint(F.lit(wkb_ls_hex(pts))))["points"] is None
+    h = wkb_multi_hex(4, pts)
+    assert _one(spark, X.wkb_multipoint(F.lit(h[:-2])))["points"] is None
+    assert _one(spark, X.wkb_multipoint(F.lit(h + "00")))["points"] is None
+
+
+def test_wkb_multilinestring_roundtrip(spark):
+    lines = [[(0.0, 1.0), (2.0, 3.0)], [(5.5, -6.5), (7.0, 8.0), (9.0, 0.25)]]
+    v = _one(spark, X.wkb_multilinestring(F.lit(wkb_multi_hex(5, lines, 3857))))
+    assert [[(p["x"], p["y"]) for p in ln] for ln in v["lines"]] == lines
+    assert v["srid"] == 3857
+    # a NaN inside ANY nested line rejects the whole geometry
+    bad = [[(0.0, 1.0)], [(float("nan"), 2.0)]]
+    assert _one(spark, X.wkb_multilinestring(F.lit(wkb_multi_hex(5, bad))))["lines"] is None
+
+
+def test_wkb_multipolygon_roundtrip(spark):
+    polys = [
+        [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)],
+         [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0), (1.0, 1.0)]],
+        [[(10.0, 10.0), (12.0, 10.0), (11.0, 12.0), (10.0, 10.0)]],
+    ]
+    v = _one(spark, X.wkb_multipolygon(F.lit(wkb_multi_hex(6, polys, 4326))))
+    got = [[[(p["x"], p["y"]) for p in r] for r in rings] for rings in v["polys"]]
+    assert got == polys and v["srid"] == 4326
+    h = wkb_multi_hex(6, polys)
+    assert _one(spark, X.wkb_multipolygon(F.lit(h[:-2])))["polys"] is None
+
+
+def test_wkb_geometry_wkt_multi_kinds(spark):
+    h = wkb_multi_hex(4, [(1.5, 2.5), (3.0, -4.0)], srid=4326)
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
+        "SRID=4326;MULTIPOINT(1.5 2.5, 3.0 -4.0)"
+    h = wkb_multi_hex(5, [[(0.0, 1.0), (2.0, 3.0)]])
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
+        "MULTILINESTRING((0.0 1.0, 2.0 3.0))"
+    h = wkb_multi_hex(6, [[[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]])
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
+        "MULTIPOLYGON(((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)))"
+    # geometrycollection (7) stays out of scope → NULL
+    gc = "01" + struct.pack("<I", 7).hex() + struct.pack("<I", 0).hex()
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(gc.upper()))) is None
+
+
+def test_wkb_multilinestring_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(allow_nan=False, allow_infinity=False)
+    line = st.lists(st.tuples(finite, finite), min_size=0, max_size=3)
+    cases = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(line, min_size=0, max_size=3), st.sampled_from([None, 4326]))
+    def collect(lines, srid):
+        cases.append((lines, srid))
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, wkb_multi_hex(5, ls, s)) for i, (ls, s) in enumerate(cases)],
+        "i long, h string",
+    )
+    rows = {r["i"]: r["v"] for r in
+            df.select("i", X.wkb_multilinestring(F.col("h")).alias("v")).collect()}
+    for i, (lines, srid) in enumerate(cases):
+        v = rows[i]
+        assert [[(p["x"], p["y"]) for p in ln] for ln in v["lines"]] == lines, cases[i]
+        assert v["srid"] == (srid or 0)
