@@ -849,6 +849,59 @@ def _pg_hexes() -> list[str]:
     return out
 
 
+# MULTIPOLYGON fixture (the deepest nesting: geometry → polygons → rings →
+# points); None = malformed slot. Coordinates again multiples of 1/1024.
+_WKB_MPG_FIXT = [
+    ([[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)],
+       [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0), (1.0, 1.0)]],
+      [[(10.5, 10.5), (12.0, 10.0), (11.0, 12.25), (10.5, 10.5)]]], 4326),
+    ([[[(0.5, 0.5), (2.5, 0.5), (1.5, 3.5), (0.5, 0.5)]]], None),
+    (None, None),
+]
+
+
+def _mpg_hexes() -> list[str]:
+    import struct as _s
+
+    out = []
+    for polys, srid in _WKB_MPG_FIXT:
+        if polys is None:
+            out.append(_wkb_geom_hex(3, [[(1.0, 2.0)]], None, True))  # not a multi
+            continue
+        b = b"\x01" + _s.pack("<I", 6 | (0x20000000 if srid else 0))
+        if srid:
+            b += _s.pack("<I", srid)
+        b += _s.pack("<I", len(polys))
+        for i, rings in enumerate(polys):
+            # alternate nested byte order to pin both paths on the gate
+            little = i % 2 == 0
+            fmt, bo = ("<", b"\x01") if little else (">", b"\x00")
+            b += bo + _s.pack(fmt + "I", 3) + _s.pack(fmt + "I", len(rings))
+            for ring in rings:
+                b += _s.pack(fmt + "I", len(ring))
+                for x, y in ring:
+                    b += _s.pack(fmt + "dd", x, y)
+        out.append(b.hex().upper())
+    return out
+
+
+def _mpg_canon_truth() -> list:
+    out = []
+    for polys, srid in _WKB_MPG_FIXT:
+        if polys is None:
+            out.append(None)
+            continue
+        body = "/".join(
+            "|".join(
+                ",".join(f"{int(x * 1024)} {int(y * 1024)}" for x, y in ring)
+                for ring in rings
+            )
+            for rings in polys
+        )
+        out.append(f"{srid or 0}:{body}")
+    return out
+
+
 def _ls_canon_truth() -> list:
     """Ground-truth canonical strings ('srid:qx qy,qx qy' with q = c*1024)
     for each linestring fixture slot — what a CORRECT decode must emit."""
@@ -919,6 +972,10 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(s) for s in _pg_hexes()]),
             (k % len(_WKB_PG_FIXT)).cast("int") + 1,
         ).alias("wkb_pg"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _mpg_hexes()]),
+            (k % len(_WKB_MPG_FIXT)).cast("int") + 1,
+        ).alias("wkb_mpg"),
         F.format_string(
             "%s$%d,%03d.%02d",
             F.when(k % 3 == 0, F.lit("-")).otherwise(F.lit("")),
@@ -976,6 +1033,36 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    mpg_canon = _let(
+        {"mg": X.wkb_multipolygon(F.col("wkb_mpg"))},
+        lambda mg: F.when(
+            mg["polys"].isNotNull(),
+            F.concat(
+                mg["srid"].cast("string"), F.lit(":"),
+                F.array_join(
+                    F.transform(
+                        mg["polys"],
+                        lambda rings: F.array_join(
+                            F.transform(
+                                rings,
+                                lambda r: F.array_join(
+                                    F.transform(
+                                        r,
+                                        lambda p: F.concat(
+                                            _q(p["x"]), F.lit(" "), _q(p["y"])
+                                        ),
+                                    ),
+                                    ",",
+                                ),
+                            ),
+                            "|",
+                        ),
+                    ),
+                    "/",
+                ),
+            ),
+        ),
+    )
     return src.select(
         "pk",
         iv["years"].alias("iv_years"),
@@ -992,6 +1079,7 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt["srid"].alias("geo_srid"),
         ls_canon.alias("geo_ls"),
         pg_canon.alias("geo_pg"),
+        mpg_canon.alias("geo_mpg"),
         X.parse_money_cents(F.col("money_raw")).alias("money_cents"),
         X.valid_bit(F.col("bit_raw")).alias("bit_str"),
     )
@@ -1029,6 +1117,7 @@ def _sql_truth_case(mod: int, truths: list) -> str:
 
 _GEO_LS_SQL = _sql_truth_case(len(_WKB_LS_FIXT), _ls_canon_truth())
 _GEO_PG_SQL = _sql_truth_case(len(_WKB_PG_FIXT), _pg_canon_truth())
+_GEO_MPG_SQL = _sql_truth_case(len(_WKB_MPG_FIXT), _mpg_canon_truth())
 
 SQL_EXOTIC_TYPES = rf"""
 WITH src AS (
@@ -1139,6 +1228,7 @@ SELECT pk,
   CASE WHEN ok THEN CAST(srid_v AS INT) END AS geo_srid,
   {_GEO_LS_SQL} AS geo_ls,
   {_GEO_PG_SQL} AS geo_pg,
+  {_GEO_MPG_SQL} AS geo_mpg,
   CAST(round(CAST(regexp_replace(money_raw, '[$,]', '', 'g') AS DOUBLE) * 100) AS BIGINT)
     AS money_cents,
   CASE WHEN regexp_matches(bit_raw, '^[01]+$') THEN bit_raw END AS bit_str
