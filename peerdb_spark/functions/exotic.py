@@ -25,8 +25,8 @@ Reference behavior (studied, not copied):
   aggregate fold; MULTI* kinds decompose into complete nested blobs (one
   length-computing fold + substr slices) that the single-geometry decoders
   re-parse. wkb_geometry_wkt renders the geo.go WKT surface (SRID=n;
-  prefix) for all six kinds; GEOMETRYCOLLECTION returns NULL (documented
-  scope).
+  prefix) for all seven kinds, incl. GEOMETRYCOLLECTION of simple members
+  (only collections nesting MULTI*/collections stay NULL — documented).
 
 Everything is JVM built-in expressions — no Python UDFs — so the parsers
 whole-stage-codegen and run at scan throughput at 100 TB.
@@ -679,11 +679,88 @@ def wkb_multipolygon(col: Column) -> Column:
     )
 
 
+def _simple_wkt(col: Column) -> Column:
+    """WKT for the three simple kinds only (no SRID prefix — used for the
+    nested members of a GEOMETRYCOLLECTION, which carry no SRID flag)."""
+    _h, _le, base_type, _hs, _sr, _bp, _ok = _geo_header(col)
+
+    def pt_txt(p):
+        return F.concat(p["x"].cast("string"), F.lit(" "), p["y"].cast("string"))
+
+    ls_txt = _let(
+        {"ls": wkb_linestring(col)},
+        lambda ls: F.when(
+            ls["points"].isNotNull(),
+            F.concat(
+                F.lit("LINESTRING("),
+                F.array_join(F.transform(ls["points"], pt_txt), ", "),
+                F.lit(")"),
+            ),
+        ),
+    )
+    pg_txt = _let(
+        {"pg": wkb_polygon(col)},
+        lambda pg: F.when(
+            pg["rings"].isNotNull(),
+            F.concat(
+                F.lit("POLYGON("),
+                F.array_join(
+                    F.transform(
+                        pg["rings"],
+                        lambda r: F.concat(
+                            F.lit("("),
+                            F.array_join(F.transform(r, pt_txt), ", "),
+                            F.lit(")"),
+                        ),
+                    ),
+                    ", ",
+                ),
+                F.lit(")"),
+            ),
+        ),
+    )
+    return (
+        F.when(base_type == 1, wkb_point_wkt(col))
+        .when(base_type == 2, ls_txt)
+        .when(base_type == 3, pg_txt)
+    )
+
+
+def wkb_geometrycollection_wkt(col: Column) -> Column:
+    """GEOMETRYCOLLECTION → WKT ('GEOMETRYCOLLECTION(POINT(…), …)'; empty →
+    'GEOMETRYCOLLECTION EMPTY'). Members are the simple kinds — a
+    collection holding MULTI* or nested collections returns NULL
+    (documented scope: the member-length fold handles kinds 1-3)."""
+    return _let(
+        {"ps": _wkb_parts(col, 7)},
+        lambda ps: _let(
+            {"txt": F.transform(ps["parts"], lambda p: _simple_wkt(p))},
+            lambda txt: _let(
+                {"bad": ps["parts"].isNull()
+                        | F.exists(txt, lambda t: t.isNull())},
+                lambda bad: F.when(
+                    ~bad,
+                    F.when(
+                        F.size(txt) == 0, F.lit("GEOMETRYCOLLECTION EMPTY")
+                    ).otherwise(
+                        F.concat(
+                            F.lit("GEOMETRYCOLLECTION("),
+                            F.array_join(txt, ", "),
+                            F.lit(")"),
+                        )
+                    ),
+                ),
+            ),
+        ),
+    )
+
+
 def wkb_geometry_wkt(col: Column) -> Column:
     """Any supported hex-WKB geometry → WKT with the reference's SRID
-    prefix convention ('SRID=n;…' when SRID != 0 — geo.go:29-34). Points,
-    linestrings, polygons, and the three MULTI* kinds; GEOMETRYCOLLECTION
-    and anything else → NULL. Double→string formatting is engine-specific,
+    prefix convention ('SRID=n;…' when SRID != 0 — geo.go:29-34). All
+    seven kinds: point/linestring/polygon, the three MULTI* kinds, and
+    GEOMETRYCOLLECTION of simple members (nested collections → NULL).
+    Double→string formatting is engine-specific,
     so (like wkb_point_wkt) this is the API surface — oracles compare
     typed/integer-scaled coordinates instead."""
     _h, _le, base_type, _hs, srid, _bp, _ok = _geo_header(col)
@@ -780,6 +857,7 @@ def wkb_geometry_wkt(col: Column) -> Column:
         .when(base_type == 4, mp_txt)
         .when(base_type == 5, mls_txt)
         .when(base_type == 6, mpg_txt)
+        .when(base_type == 7, wkb_geometrycollection_wkt(col))
     )
     # point WKT already carries its own SRID prefix; add it for ls/pg
     return _let(

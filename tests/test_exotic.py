@@ -515,3 +515,34 @@ def test_wkb_multilinestring_property(spark):
         v = rows[i]
         assert [[(p["x"], p["y"]) for p in ln] for ln in v["lines"]] == lines, cases[i]
         assert v["srid"] == (srid or 0)
+
+
+def test_wkb_geometrycollection_wkt(spark):
+    # GC of simple members (point + linestring + polygon), nested blobs only
+    parts = (
+        bytes.fromhex(wkb_hex(1.5, -2.5, None, True))
+        + bytes.fromhex(wkb_ls_hex([(0.0, 1.0), (2.0, 3.0)], None, False))
+        + bytes.fromhex(wkb_pg_hex([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]))
+    )
+    for srid, prefix in ((None, ""), (4326, "SRID=4326;")):
+        t = 7 | (0x20000000 if srid else 0)
+        b = b"\x01" + struct.pack("<I", t)
+        if srid:
+            b += struct.pack("<I", srid)
+        b += struct.pack("<I", 3) + parts
+        got = _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper())))
+        assert got == (
+            prefix + "GEOMETRYCOLLECTION(POINT(1.5 -2.5), "
+            "LINESTRING(0.0 1.0, 2.0 3.0), "
+            "POLYGON((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)))"
+        ), got
+    # empty collection
+    b = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 0)
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper()))) == \
+        "GEOMETRYCOLLECTION EMPTY"
+    # truncated → NULL; GC nesting a MULTI* member → NULL (documented scope)
+    b = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 3) + parts[:-2]
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper()))) is None
+    nested_multi = bytes.fromhex(wkb_multi_hex(4, [(1.0, 2.0)]))
+    b = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 1) + nested_multi
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper()))) is None
