@@ -135,6 +135,8 @@ def main() -> None:
         "media_features",
         "media_resize",
         "media_frame_sample",
+        "media_decode_png",
+        "media_decode_jpeg",
         "exotic_types",
         "sim_topk",
         "ann_lsh_topk",
