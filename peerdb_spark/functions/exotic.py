@@ -1,5 +1,5 @@
 """Exotic Postgres type ingestion: text-format parsers for interval, hstore,
-TIMETZ, inet/cidr/macaddr, and hex-WKB geometry points.
+TIMETZ, inet/cidr/macaddr, and hex-WKB geometry (all seven kinds).
 
 Reference behavior (studied, not copied):
 - interval → {years, months, days, hours, minutes, seconds} decomposition
