@@ -298,7 +298,8 @@ def _plane_blocks(plane: np.ndarray, bx: int, by: int) -> np.ndarray:
 def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
                 mode: str = "444", restart_interval: int = 0) -> bytes:
     """RGB888 → baseline JPEG. mode: 'gray' (1 component, from luma),
-    '444' (no subsampling), '420' (2×2 chroma box-average).
+    '444' (no subsampling), '422' (horizontal-only 2:1 chroma), or
+    '420' (2×2 chroma box-average).
     restart_interval > 0 writes a DRI segment and RSTn markers every that
     many MCUs (DC predictors reset) — the resync machinery long scans use."""
     if len(rgb) != width * height * 3:
@@ -329,6 +330,8 @@ def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
         comps = [(1, 0x11, 0)]
     elif mode == "444":
         comps = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    elif mode == "422":
+        comps = [(1, 0x21, 0), (2, 0x11, 1), (3, 0x11, 1)]
     elif mode == "420":
         comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
     else:
@@ -397,6 +400,28 @@ def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
                 for ci, plane, q in ((0, y, qlz), (1, cb, qcz), (2, cr, qcz)):
                     preds[ci] = _encode_block(q_block(plane, bxi, byi, q),
                                               preds[ci], w, dc_enc, ac_enc)
+                maybe_restart(preds)
+    elif mode == "422":
+        # horizontal-only chroma box-average
+        def hhalf(p: np.ndarray) -> np.ndarray:
+            hh, ww = p.shape
+            pe = np.pad(p, ((0, 0), (0, ww % 2)), mode="edge")
+            return (pe[:, 0::2] + pe[:, 1::2]) / 2.0
+
+        cbh, crh = hhalf(cb), hhalf(cr)
+        nmx, nmy = (width + 15) // 16, (height + 7) // 8
+        total_mcus = nmx * nmy
+        preds = [0, 0, 0]
+        for myi in range(nmy):
+            for mxi in range(nmx):
+                for dx in range(2):
+                    preds[0] = _encode_block(
+                        q_block(y, mxi * 2 + dx, myi, qlz),
+                        preds[0], w, dc_enc, ac_enc)
+                preds[1] = _encode_block(q_block(cbh, mxi, myi, qcz),
+                                         preds[1], w, dc_enc, ac_enc)
+                preds[2] = _encode_block(q_block(crh, mxi, myi, qcz),
+                                         preds[2], w, dc_enc, ac_enc)
                 maybe_restart(preds)
     else:  # 420
         # chroma box-average over 2×2 (pad odd dims by edge replication)
@@ -511,10 +536,13 @@ def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     layout = tuple(sorted((c["h"], c["v"]) for c in comps))
-    if not (all((c["h"], c["v"]) == (1, 1) for c in comps)
-            or (len(comps) == 3 and comps[0]["h"] == comps[0]["v"] == 2
-                and all(c["h"] == c["v"] == 1 for c in comps[1:]))):
-        raise NotImplementedError(f"unsupported sampling layout {layout}")
+    # the MCU walk and repeat-upsampling are generic in (h, v); accept any
+    # baseline-legal factors where every component divides the maxima
+    # (covers 4:4:4, 4:2:2, 4:2:0, 4:1:1 and gray)
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
+                and hmax % c["h"] == 0 and vmax % c["v"] == 0):
+            raise NotImplementedError(f"unsupported sampling layout {layout}")
     mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = {

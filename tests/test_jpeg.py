@@ -106,7 +106,7 @@ def test_roundtrip_tolerance_all_modes():
         [(xx * 3 + yy * 2) % 256, (xx * 5) % 256, (yy * 7) % 256], axis=2
     ).astype(np.uint8)
     rgb = img.tobytes()
-    for mode, tol in (("444", 8), ("420", 48)):
+    for mode, tol in (("444", 8), ("422", 32), ("420", 48)):
         W, H, dec = decode_jpeg(encode_jpeg(rgb, w, h, quality=95, mode=mode))
         assert (W, H) == (w, h)
         err = np.abs(
@@ -119,6 +119,19 @@ def test_roundtrip_tolerance_all_modes():
     luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
     got = np.frombuffer(dec, np.uint8).reshape(h, w, 3)[:, :, 0].astype(float)
     assert np.abs(got - luma).max() <= 6
+
+
+def test_422_exact_on_horizontal_pairs():
+    """4:2:2 halves chroma horizontally only: an image whose chroma is
+    constant across each horizontal pixel pair (and whose blocks are
+    tile-constant even grays) survives exactly — pins the (2,1)+(1,1)
+    sampling geometry, not just tolerance."""
+    w, h = 32, 8
+    v = np.repeat(np.arange(4) * 60 + 2, 8).astype(np.uint8)  # 8-wide tiles
+    img = np.tile(v[None, :, None], (h, 1, 3))
+    rgb = img.tobytes()
+    out = decode_jpeg(encode_jpeg(rgb, w, h, quality=50, mode="422"))
+    assert out == (w, h, rgb)
 
 
 def test_restart_markers_roundtrip():
