@@ -106,6 +106,10 @@ def main() -> None:
             [(chr(97 + i % 26), chr(97 + (i // 26) % 26)) for i in range(1000)],
             "text", "doc_id", strategy="ranked",
         ),
+        # r6 image codecs: PNG encode→decode roundtrip over the analytic
+        # fixture (per-image Python, embarrassingly parallel — the probe
+        # pins that the Arrow batching keeps it linear, no driver funnel)
+        "media_decode_png": lambda p: _media_png_roundtrip(p),
         "kmeans_assign": lambda p: CL.kmeans_assign(
             emb(p).localCheckpoint(eager=True), k=8, iters=3
         ),
@@ -153,6 +157,17 @@ def main() -> None:
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         ).unionByName(
             knn.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+
+    def _media_png_roundtrip(p):
+        from peerdb_spark.functions import multimodal as MM
+        from peerdb_spark.queries import synthetic_media
+
+        imgs = synthetic_media(docs(p)).where(
+            F.col("meta.mime") == "image/raw-rgb"
+        )
+        return MM.decode_images(MM.encode_images_png(imgs)).select(
+            "media_id", F.length("content").alias("n")
         )
 
     from peerdb_spark.functions import bpe as BP
