@@ -486,9 +486,13 @@ def test_wkb_geometry_wkt_multi_kinds(spark):
     h = wkb_multi_hex(6, [[[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]])
     assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
         "MULTIPOLYGON(((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)))"
-    # geometrycollection (7) stays out of scope → NULL
+    # geometrycollection dispatches too (full coverage in
+    # test_wkb_geometrycollection_wkt); unknown kind 8 → NULL
     gc = "01" + struct.pack("<I", 7).hex() + struct.pack("<I", 0).hex()
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(gc.upper()))) is None
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(gc.upper()))) == \
+        "GEOMETRYCOLLECTION EMPTY"
+    unk = "01" + struct.pack("<I", 8).hex() + struct.pack("<I", 0).hex()
+    assert _one(spark, X.wkb_geometry_wkt(F.lit(unk.upper()))) is None
 
 
 def test_wkb_multilinestring_property(spark):
