@@ -200,3 +200,16 @@ def test_decode_images_jpeg_mixed(spark):
         assert bytes(out[i]["content"]) == rgb
         assert out[i]["meta"]["mime"] == "image/raw-rgb"
         assert (out[i]["meta"]["width"], out[i]["meta"]["height"]) == (w, h)
+
+
+def test_decoder_skips_app_and_comment_segments():
+    """Real-world files carry APP0/JFIF, APPn (EXIF), and COM segments our
+    encoder never writes — splice them in after SOI; decode must be
+    byte-identical to the plain stream's."""
+    rgb = bytes(range(48)) * (16 * 16 * 3 // 48)
+    plain = encode_jpeg(rgb, 16, 16, quality=90, mode="444")
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    app1 = _seg(0xE1, b"Exif\x00\x00" + bytes(20))
+    com = _seg(0xFE, b"written by spark-peerflow tests")
+    spliced = plain[:2] + app0 + app1 + com + plain[2:]
+    assert decode_jpeg(spliced) == decode_jpeg(plain)

@@ -192,3 +192,22 @@ def test_decode_images_mixed_mimes(spark):
     feats = extract_features(decode_images(df))
     assert feats.count() == 6
     assert feats.where(F.size("features") == 16).count() == 6
+
+
+def test_decoder_skips_ancillary_chunks():
+    """tEXt/gAMA/pHYs chunks (every real PNG has some) must be skipped;
+    a corrupt ancillary CRC still fails loudly (never silent)."""
+    rgb = bytes(range(6 * 4 * 3))
+    plain = encode_png(rgb, 6, 4)
+    ihdr_end = plain.index(b"IDAT") - 4
+    extra = (_chunk(b"tEXt", b"Comment\x00spark-peerflow")
+             + _chunk(b"gAMA", (45455).to_bytes(4, "big"))
+             + _chunk(b"pHYs", bytes(9)))
+    spliced = plain[:ihdr_end] + extra + plain[ihdr_end:]
+    assert decode_png(spliced) == decode_png(plain) == (6, 4, rgb)
+    # ancillary chunk with a bad CRC is still a hard error
+    bad = bytearray(spliced)
+    i = spliced.index(b"tEXt") + 6
+    bad[i] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
