@@ -247,6 +247,60 @@ def ivf_assign(
     )
 
 
+def probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    strategy: str = "auto",
+) -> DataFrame:
+    """(query_id, _qvec, cell) — each query exploded to its nprobe nearest
+    cells. 'literal' sorts a k-struct literal array per row (plan O(k·dim));
+    'join' broadcasts the codebook, scores queries×k, and window-ranks the
+    top nprobe per query — O(1) plan size, the probe-side twin of
+    ivf_assign's large-k path (queries are few, so the k-fanout rows are
+    cheap). Identical output: ties → lowest cell index, both paths."""
+    from peerdb_spark.functions.cluster import LITERAL_CODEBOOK_MAX
+
+    if strategy == "auto":
+        kd = len(centroids) * (len(centroids[0]) if centroids else 0)
+        strategy = "literal" if kd <= LITERAL_CODEBOOK_MAX else "join"
+    if strategy == "literal":
+        return queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(
+                _nearest_cells(F.col(vec_col), centroids, nprobe)
+            ).alias("cell"),
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown probe strategy: {strategy}")
+    spark = queries.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _c array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("_qvec"), F.col("_c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    narrow = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = narrow.crossJoin(F.broadcast(cent)).withColumn("_d", d)
+    w = Window.partitionBy(query_id_col).orderBy("_d", "cell")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= nprobe)
+        .select(query_id_col, "_qvec", "cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -256,17 +310,17 @@ def ivf_topk(
     query_id_col: str = "query_id",
     k: int = 10,
     nprobe: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest cells per query, exact
     cosine re-rank within them. Recall grows with nprobe (nprobe=len(centroids)
     degenerates to exact search). Join is an equi-join on the cell id; per-query
-    cost scales with nprobe/k of the corpus, never all of it."""
-    c = ivf_assign(corpus, centroids, vec_col, id_col)
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
-    )
+    cost scales with nprobe/k of the corpus, never all of it. `strategy`
+    selects the literal vs broadcast-codebook formulation for BOTH the
+    corpus assignment and the query probe (auto switches above
+    LITERAL_CODEBOOK_MAX — codebooks in the tens of thousands of cells)."""
+    c = ivf_assign(corpus, centroids, vec_col, id_col, strategy)
+    q = probe_cells(queries, centroids, nprobe, vec_col, query_id_col, strategy)
     scored = c.join(F.broadcast(q), "cell").select(
         query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("score")
     )

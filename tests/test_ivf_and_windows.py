@@ -39,6 +39,26 @@ def test_ivf_assign_join_equals_literal(spark, emb):
     assert lit == jn and len(lit) == 400
 
 
+def test_ivf_topk_join_strategy_equals_literal(spark, emb):
+    """The broadcast-codebook formulation of BOTH the corpus assignment and
+    the query probe must reproduce the literal path's top-k exactly
+    (incl. the lowest-cell tiebreak inside probe_cells' window rank)."""
+    cents = S.ivf_train_centroids(emb, dim=64, k=8, iters=3, sample=300)
+    corpus = emb.limit(500)
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lit = sorted(
+        S.ivf_topk(corpus, queries, cents, k=5, nprobe=3,
+                   strategy="literal").collect()
+    )
+    jn = sorted(
+        S.ivf_topk(corpus, queries, cents, k=5, nprobe=3,
+                   strategy="join").collect()
+    )
+    assert lit == jn and len(lit) == 25
+
+
 def test_dot_cell_assign_df_join_equals_literal(spark, emb):
     from peerdb_spark.functions.cluster import quantize_vec
     from peerdb_spark.functions.similarity import dot_cell_assign_df
