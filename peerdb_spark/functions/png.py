@@ -152,8 +152,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     if ihdr is None:
         raise ValueError("no IHDR chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} not supported (only 8)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"bit depth {depth} not supported (8/16)")
+    if depth == 16 and color_type == 3:
+        raise ValueError("palette images cannot be 16-bit")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid color type {color_type}")
     if comp != 0 or filt != 0:
@@ -163,7 +165,9 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     if color_type == 3 and plte is None:
         raise ValueError("palette image without PLTE")
 
-    bpp = _CHANNELS[color_type]
+    # filters operate on BYTES with the byte-level pixel stride (spec §6):
+    # at depth 16 each channel is two bytes, so bpp doubles
+    bpp = _CHANNELS[color_type] * (depth // 8)
     rowbytes = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != height * (rowbytes + 1):
@@ -202,6 +206,11 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"invalid filter type {ft} in scanline {y}")
         recon[y] = cur.astype(np.uint8)
         prev = cur
+
+    if depth == 16:
+        # 16→8: keep the most-significant byte of each big-endian sample
+        # (the standard reduction; PNG stores 16-bit samples network-order)
+        recon = recon.reshape(height, width, _CHANNELS[color_type], 2)[:, :, :, 0]
 
     if color_type == 2:
         rgb = recon

@@ -97,10 +97,10 @@ def test_decode_rejects_bad_inputs():
     ) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="interlacing"):
         decode_png(png)
-    # 16-bit depth → NotImplementedError
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    # sub-byte depths (1/2/4) → NotImplementedError (16 decodes since r6)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
     png = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(
-        b"IDAT", zlib.compress(bytes([0, 1, 1]))
+        b"IDAT", zlib.compress(bytes([0, 1]))
     ) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(png)
@@ -211,3 +211,35 @@ def test_decoder_skips_ancillary_chunks():
     bad[i] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
+
+
+def _manual_png16(width, height, color_type, scanlines):
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color_type, 0, 0, 0)
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+            + _chunk(b"IEND", b""))
+
+
+def test_decode_16bit_samples():
+    """16-bit depth: samples are big-endian u16, filters run at the BYTE
+    level with a doubled pixel stride, output keeps the high byte."""
+    # gray16 2x1, no filter: samples 0x1234, 0xABCD → gray 0x12, 0xAB
+    png = _manual_png16(2, 1, 0, bytes([0, 0x12, 0x34, 0xAB, 0xCD]))
+    assert list(decode_png(png)[2]) == [0x12, 0x12, 0x12, 0xAB, 0xAB, 0xAB]
+    # rgb16 2x1, Sub filter: stride is 6 BYTES — second pixel's bytes add
+    # to the first pixel's SAME-channel bytes
+    row = bytes([1,
+                 0x10, 0x00, 0x20, 0x00, 0x30, 0x00,   # pixel 1 raw
+                 0x01, 0x00, 0x02, 0x00, 0x03, 0x00])  # pixel 2 filtered
+    png = _manual_png16(2, 1, 2, row)
+    assert list(decode_png(png)[2]) == [0x10, 0x20, 0x30, 0x11, 0x22, 0x33]
+    # rgba16: alpha dropped, high bytes kept
+    row = bytes([0, 0x77, 0xFF, 0x88, 0x00, 0x99, 0x01, 0xFF, 0xFF])
+    png = _manual_png16(1, 1, 6, row)
+    assert list(decode_png(png)[2]) == [0x77, 0x88, 0x99]
+    # 16-bit palette is illegal
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    bad = (_SIGNATURE + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(3))) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_png(bad)
