@@ -4,12 +4,13 @@ Implements the public PNG specification (W3C PNG, RFC 2083): signature,
 chunk framing with CRC-32, IHDR/PLTE/IDAT/IEND, zlib-deflated scanlines,
 and all five filter types (None/Sub/Up/Average/Paeth). This unlocks
 `multimodal.decode_encoded` for ENCODED image payloads — a real training
-corpus ships PNG/JPEG, not raw RGB — without any codec library. JPEG stays
-out of scope (entropy-coded DCT; documented gate).
+corpus ships PNG/JPEG, not raw RGB — without any codec library. (Baseline
+JPEG has its own from-scratch codec in functions/jpeg.py.)
 
 Decoder scope (raises on anything else, never guesses):
-- bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-  6 (RGBA); non-interlaced. Output always expands to interleaved RGB —
+- bit depths 8 and 16 (16-bit reduces to the high byte); color types 0
+  (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); sequential AND
+  Adam7-interlaced. Output always expands to interleaved RGB —
   the native format of every kernel in functions/multimodal — dropping
   alpha (compositing policy belongs upstream).
 
@@ -120,12 +121,61 @@ def encode_png(
     )
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, off: int, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters of one (sub-)image whose filtered
+    bytes start at `off`; returns (height, width, bpp) uint8. Sub/None/Up
+    are vectorized; Average/Paeth walk pixels (left-neighbor dependence)
+    with the bpp lanes vectorized."""
+    rowbytes = width * bpp
+    if off + height * (rowbytes + 1) > len(raw):
+        raise ValueError("filtered data shorter than the image demands")
+    recon = np.empty((height, width, bpp), dtype=np.uint8)
+    prev = np.zeros((width, bpp), dtype=np.int32)
+    for y in range(height):
+        base = off + y * (rowbytes + 1)
+        ft = raw[base]
+        row = np.frombuffer(raw, dtype=np.uint8, count=rowbytes, offset=base + 1)
+        row = row.reshape(width, bpp).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-lane cumulative sum (vectorized)
+            cur = np.cumsum(row, axis=0) % 256
+        elif ft == 2:  # Up (vectorized)
+            cur = (row + prev) % 256
+        elif ft == 3:  # Average: left-dependence → pixel walk, lanes vector
+            cur = np.empty_like(row)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                left = (row[x] + (left + prev[x]) // 2) % 256
+                cur[x] = left
+        elif ft == 4:  # Paeth: pixel walk, lanes vector
+            cur = np.empty_like(row)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                left = (row[x] + _paeth(left, prev[x], upleft)) % 256
+                cur[x] = left
+                upleft = prev[x]
+        else:
+            raise ValueError(f"invalid filter type {ft} in scanline {y}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon
+
+
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
     """PNG bytes → (width, height, interleaved RGB888 buffer).
 
     Validates the signature and every chunk CRC; raises ValueError on
-    corruption and NotImplementedError on out-of-scope features (bit depth
-    ≠ 8, interlacing) — a torn or exotic payload must never decode to
+    corruption and NotImplementedError on out-of-scope features (sub-byte
+    bit depths) — a torn or exotic payload must never decode to
     silently-wrong pixels."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
@@ -160,52 +210,38 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"invalid color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid interlace method {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("palette image without PLTE")
 
     # filters operate on BYTES with the byte-level pixel stride (spec §6):
     # at depth 16 each channel is two bytes, so bpp doubles
     bpp = _CHANNELS[color_type] * (depth // 8)
-    rowbytes = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (rowbytes + 1):
-        raise ValueError(
-            f"decompressed {len(raw)} B, want {height * (rowbytes + 1)}"
-        )
 
-    recon = np.empty((height, width, bpp), dtype=np.uint8)
-    prev = np.zeros((width, bpp), dtype=np.int32)
-    for y in range(height):
-        base = y * (rowbytes + 1)
-        ft = raw[base]
-        row = np.frombuffer(raw, dtype=np.uint8, count=rowbytes, offset=base + 1)
-        row = row.reshape(width, bpp).astype(np.int32)
-        if ft == 0:
-            cur = row
-        elif ft == 1:  # Sub: per-lane cumulative sum (vectorized)
-            cur = np.cumsum(row, axis=0) % 256
-        elif ft == 2:  # Up (vectorized)
-            cur = (row + prev) % 256
-        elif ft == 3:  # Average: left-dependence → pixel walk, lanes vector
-            cur = np.empty_like(row)
-            left = np.zeros(bpp, dtype=np.int32)
-            for x in range(width):
-                left = (row[x] + (left + prev[x]) // 2) % 256
-                cur[x] = left
-        elif ft == 4:  # Paeth: pixel walk, lanes vector
-            cur = np.empty_like(row)
-            left = np.zeros(bpp, dtype=np.int32)
-            upleft = np.zeros(bpp, dtype=np.int32)
-            for x in range(width):
-                left = (row[x] + _paeth(left, prev[x], upleft)) % 256
-                cur[x] = left
-                upleft = prev[x]
-        else:
-            raise ValueError(f"invalid filter type {ft} in scanline {y}")
-        recon[y] = cur.astype(np.uint8)
-        prev = cur
+    if interlace == 0:
+        rowbytes = width * bpp
+        if len(raw) != height * (rowbytes + 1):
+            raise ValueError(
+                f"decompressed {len(raw)} B, want {height * (rowbytes + 1)}"
+            )
+        recon = _unfilter(raw, 0, width, height, bpp)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        recon = np.empty((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass contributes no bytes
+            sub = _unfilter(raw, off, wp, hp, bpp)
+            recon[y0::dy, x0::dx] = sub
+            off += hp * (wp * bpp + 1)
+        if off != len(raw):
+            raise ValueError(
+                f"decompressed {len(raw)} B, interlaced passes want {off}"
+            )
 
     if depth == 16:
         # 16→8: keep the most-significant byte of each big-endian sample

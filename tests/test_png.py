@@ -90,12 +90,12 @@ def test_decode_rejects_bad_inputs():
     bad = good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1 :]
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bad)
-    # interlaced → explicit NotImplementedError, never wrong pixels
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    # invalid interlace method (2) → hard error (Adam7=1 decodes since r6)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
     png = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(
         b"IDAT", zlib.compress(bytes([0, 1]))
     ) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlacing"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(png)
     # sub-byte depths (1/2/4) → NotImplementedError (16 decodes since r6)
     ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
@@ -242,4 +242,75 @@ def test_decode_16bit_samples():
     bad = (_SIGNATURE + _chunk(b"IHDR", ihdr)
            + _chunk(b"IDAT", zlib.compress(bytes(3))) + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="16-bit"):
+        decode_png(bad)
+
+
+# -- Adam7 interlacing --------------------------------------------------------
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _interlaced_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Test-side Adam7 serializer (independent spec implementation): slice
+    each pass from the full image, filter its scanlines, concatenate."""
+    h, w, _ = img.shape
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue
+        prev = np.zeros((wp, 3), dtype=np.int32)
+        for y in range(hp):
+            row = sub[y].astype(np.int32)
+            if filter_type == 0:
+                filt = row
+            elif filter_type == 2:  # Up (per-pass prev resets!)
+                filt = row - prev
+            else:
+                raise ValueError(filter_type)
+            out.append(filter_type)
+            out += (filt % 256).astype(np.uint8).tobytes()
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _chunk(b"IEND", b""))
+
+
+def test_adam7_tiny_hand_layout():
+    """2x2 image: pass 1 carries (0,0), pass 6 carries (1,0), pass 7 the
+    bottom row — passes 2-5 are EMPTY and contribute zero bytes (the spec
+    matrix, checkable by hand)."""
+    img = np.array([[[1, 2, 3], [4, 5, 6]],
+                    [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8)
+    png = _interlaced_png(img)
+    assert decode_png(png) == (2, 2, img.tobytes())
+    # the serialized stream really holds 1+1+2 pixels in pass order
+    raw = zlib.decompress(png[png.index(b"IDAT") + 4 : -16])
+    assert len(raw) == (1 + 3) + (1 + 3) + (1 + 6)
+    assert raw[1:4] == bytes([1, 2, 3]) and raw[5:8] == bytes([4, 5, 6])
+
+
+def test_adam7_roundtrip_various_sizes():
+    rng = np.random.RandomState(9)
+    for w, h in ((1, 1), (3, 5), (8, 8), (13, 9), (16, 17)):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in (0, 2):
+            assert decode_png(_interlaced_png(img, ft)) == (w, h, img.tobytes())
+
+
+def test_adam7_truncated_rejects():
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    png = _interlaced_png(img)
+    raw = zlib.decompress(png[png.index(b"IDAT") + 4 : -16])
+    short = zlib.compress(raw[:-4])
+    bad = (_SIGNATURE
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1))
+           + _chunk(b"IDAT", short) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
         decode_png(bad)
