@@ -40,7 +40,8 @@ ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63,
 ]
-_UNZIGZAG = np.argsort(np.array(ZIGZAG))
+_ZZ = np.array(ZIGZAG)
+_UNZIGZAG = np.argsort(_ZZ)
 
 # Annex-K-style quantization tables (quality 50 base). These ship in the
 # DQT segment; the decoder reads whatever the stream declares.
@@ -579,7 +580,9 @@ def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
             zz[k] = _extend(reader.receive(s), s)
             k += 1
         coef = np.zeros(64, dtype=np.float64)
-        coef[np.array(ZIGZAG)] = (zz * q).astype(np.float64)
+        # zz[i] is the i-th ZIGZAG-order coefficient; its quant step lives at
+        # natural position ZIGZAG[i] of the (natural-order) table q.
+        coef[_ZZ] = (zz * q[_ZZ]).astype(np.float64)
         return _idct(coef.reshape(8, 8)) + 128.0
 
     for my in range(mcuy):

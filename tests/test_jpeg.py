@@ -213,3 +213,24 @@ def test_decoder_skips_app_and_comment_segments():
     com = _seg(0xFE, b"written by spark-peerflow tests")
     spliced = plain[:2] + app0 + app1 + com + plain[2:]
     assert decode_jpeg(spliced) == decode_jpeg(plain)
+
+
+def test_nonflat_quant_dequant_order():
+    """Regression: the decoder must pair zigzag-order coefficient i with
+    quant step ZIGZAG[i] of the natural-order table. With the pairing
+    wrong, sharp high-frequency content at mid quality (non-flat scaled
+    Annex-K tables) decodes to pixels off by >100; correct pairing keeps
+    the roundtrip error within normal lossy bounds."""
+    w, h = 64, 48
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, ::2] = 255  # vertical stripes: strong AC energy everywhere
+    img[::3, :, 1] = 40
+    rgb = img.tobytes()
+    for q, tol in ((75, 48), (80, 48), (90, 32)):
+        W, H, dec = decode_jpeg(encode_jpeg(rgb, w, h, quality=q, mode="444"))
+        assert (W, H) == (w, h)
+        err = np.abs(
+            np.frombuffer(dec, np.uint8).astype(int).reshape(h, w, 3)
+            - img.astype(int)
+        )
+        assert err.max() <= tol, (q, err.max())
