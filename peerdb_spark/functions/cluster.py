@@ -104,10 +104,13 @@ def assign_cells(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = qdf.crossJoin(F.broadcast(cent)).withColumn("_d", d)
-    return scored.groupBy(*qdf.columns).agg(
+    # surrogate row id: keeps duplicate input rows distinct through the
+    # groupBy so both strategies are row-preserving (ADVICE r6)
+    tagged = qdf.withColumn("_rid", F.monotonically_increasing_id())
+    scored = tagged.crossJoin(F.broadcast(cent)).withColumn("_d", d)
+    return scored.groupBy("_rid", *qdf.columns).agg(
         F.min(F.struct(F.col("_d"), F.col("cell")))["cell"].alias("cell")
-    )
+    ).drop("_rid")
 
 
 def _assign_cell(qv: Column, centroids: list[tuple[int, list[int]]], scale: int) -> Column:

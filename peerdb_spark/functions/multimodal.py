@@ -4,10 +4,11 @@ The pixel kernels are REAL numpy math over raw byte buffers (nearest-
 neighbor resize, chunked channel statistics, strided frame sampling) run
 inside Arrow-batched mapInPandas — the native payload format is raw
 interleaved RGB (width·height·3 bytes) and raw PCM/frame sequences, so no
-codec library is needed for the math itself. PNG payloads decode for real
-via the from-scratch codec in functions/png.py (stdlib zlib + numpy filter
-math — `decode_images` below); JPEG/H.264 remain the gated formats
-(entropy-coded DCT needs a codec lib not present in this container).
+codec library is needed for the math itself. PNG and baseline JPEG payloads
+decode for real via the from-scratch codecs in functions/png.py (stdlib
+zlib + numpy filter math) and functions/jpeg.py (Huffman entropy decode +
+numpy IDCT) — `decode_images` below; only H.264 video remains gated
+(needs a codec lib not present in this container).
 
 Design notes for 100 TB of media:
 - media rows are large; `spark.sql.files.maxPartitionBytes` and the
@@ -60,11 +61,12 @@ except ImportError:
 def decode_encoded(content: bytes, mime: str) -> bytes:
     """Decode a COMPRESSED image payload to a raw RGB buffer.
 
-    PNG decodes for real — a from-scratch stdlib-zlib codec
+    PNG and baseline JPEG decode for real — from-scratch codecs
     (functions/png.py: chunk CRCs, all five scanline filters, gray/RGB/
-    palette/alpha color types) — so every kernel below runs on encoded
-    payloads end-to-end. JPEG remains the one gated format (entropy-coded
-    DCT needs a real codec lib); raw `image/raw-rgb` passes through.
+    palette/alpha color types; functions/jpeg.py: stream-carried Huffman
+    tables, restart intervals, 4:4:4/4:2:2/4:2:0) — so every kernel below
+    runs on encoded payloads end-to-end. Only video (H.264) remains gated
+    behind a codec lib; raw `image/raw-rgb` passes through.
     """
     if mime in ("image/raw-rgb", "application/octet-stream"):
         return content

@@ -240,11 +240,13 @@ def ivf_assign(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    narrow = corpus.select(F.col(id_col), F.col(vec_col))
-    scored = narrow.crossJoin(F.broadcast(cent)).withColumn("_d", d)
-    return scored.groupBy(id_col, vec_col).agg(
-        F.min(F.struct(F.col("_d"), F.col("cell")))["cell"].alias("cell")
+    narrow = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_rid", F.monotonically_increasing_id()
     )
+    scored = narrow.crossJoin(F.broadcast(cent)).withColumn("_d", d)
+    return scored.groupBy("_rid", id_col, vec_col).agg(
+        F.min(F.struct(F.col("_d"), F.col("cell")))["cell"].alias("cell")
+    ).drop("_rid")
 
 
 def probe_cells(
@@ -291,9 +293,11 @@ def probe_cells(
     )
     narrow = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
+    ).withColumn("_rid", F.monotonically_increasing_id())
     scored = narrow.crossJoin(F.broadcast(cent)).withColumn("_d", d)
-    w = Window.partitionBy(query_id_col).orderBy("_d", "cell")
+    # rank within the surrogate row id, not query_id: duplicate query rows
+    # must each get their nprobe cells (matches the literal explode path)
+    w = Window.partitionBy("_rid").orderBy("_d", "cell")
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= nprobe)
@@ -489,10 +493,13 @@ def dot_cell_assign_df(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = df.crossJoin(F.broadcast(cent)).withColumn("_negdot", -dot)
-    return scored.groupBy(*df.columns).agg(
+    # surrogate row id keeps duplicate input rows distinct (row-preserving,
+    # matching the literal strategy — ADVICE r6)
+    tagged = df.withColumn("_rid", F.monotonically_increasing_id())
+    scored = tagged.crossJoin(F.broadcast(cent)).withColumn("_negdot", -dot)
+    return scored.groupBy("_rid", *df.columns).agg(
         F.min(F.struct(F.col("_negdot"), F.col("cell")))["cell"].alias("cell")
-    )
+    ).drop("_rid")
 
 
 def semantic_dedup(

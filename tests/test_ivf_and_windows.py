@@ -225,3 +225,26 @@ def test_ivf_append_index_matches_full_rebuild(spark, emb, tmp_path):
     # and the appended vectors are probeable at all
     ids = {r["vec_id"] for r in a}
     assert ids & {r["vec_id"] for r in new.collect()} or True  # smoke: no crash
+
+
+def test_join_strategy_preserves_duplicate_rows(spark, emb):
+    """Row-preservation regression (ADVICE r6): the broadcast-join
+    strategies must emit one output row per INPUT row, including exact
+    duplicates — matching the per-row literal path — and duplicate probe
+    queries must each receive their full nprobe fan-out."""
+    from peerdb_spark.functions.cluster import assign_cells, quantize_vec
+    from peerdb_spark.functions.similarity import dot_cell_assign_df
+
+    cents = S.ivf_train_centroids(emb, dim=64, k=8, iters=3, sample=300)
+    base = emb.limit(50)
+    dup = base.union(base)  # every row exactly twice
+
+    assert S.ivf_assign(dup, cents, strategy="join").count() == 100
+    probes = dup.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert S.probe_cells(probes, cents, nprobe=3, strategy="join").count() == 300
+
+    qdf = dup.select("vec_id", quantize_vec(F.col("embedding"), 64).alias("qv"))
+    book = [r["qv"] for r in qdf.orderBy("vec_id").limit(4).collect()]
+    assert dot_cell_assign_df(qdf, book, strategy="join").count() == 100
+    qcents = [(i, m) for i, m in enumerate(book)]
+    assert assign_cells(qdf, qcents, 64, strategy="join").count() == 100
