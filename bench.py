@@ -137,6 +137,7 @@ def main() -> None:
         "media_frame_sample",
         "media_decode_png",
         "media_decode_jpeg",
+        "media_decode_jpeg_progressive",
         "exotic_types",
         "sim_topk",
         "ann_lsh_topk",

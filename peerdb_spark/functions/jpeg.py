@@ -1,20 +1,26 @@
-"""Pure-Python baseline JPEG codec (numpy DCT math, stdlib only — no PIL).
+"""Pure-Python JPEG codec (numpy DCT math, stdlib only — no PIL).
 
-Implements the public JPEG standard (ITU-T T.81 / ISO 10918-1, baseline
-sequential DCT): marker parsing (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/RSTn/
-EOI), Huffman entropy decode with byte-destuffing and restart intervals,
-dequantization, zigzag, 8×8 IDCT via an orthonormal cosine basis matrix,
-chroma upsampling, and JFIF YCbCr→RGB. The encoder (for fixtures, tests,
-and JPEG sink output) writes grayscale, 4:4:4, or 4:2:0 baseline streams
+Implements the public JPEG standard (ITU-T T.81 / ISO 10918-1): baseline
+sequential DCT (SOF0) AND progressive DCT (SOF2, spectral selection +
+successive approximation per Annex G) — marker parsing (SOI/APPn/COM/DQT/
+SOF0/SOF2/DHT/DRI/SOS/RSTn/EOI), Huffman entropy decode with
+byte-destuffing and restart intervals, progressive coefficient
+accumulation across scans (DC first/refine, AC first with EOB runs, AC
+refine with correction bits), dequantization, zigzag, 8×8 IDCT via an
+orthonormal cosine basis matrix, chroma upsampling, and JFIF YCbCr→RGB.
+The encoder (for fixtures, tests, and JPEG sink output) writes grayscale,
+4:4:4, 4:2:2, or 4:2:0 streams in either baseline or progressive form,
 with Annex-K-style tables embedded in DQT/DHT — the decoder always reads
 tables FROM the stream, so decode correctness never depends on any
-built-in table.
+built-in table. Progressive and baseline encodings carry the same
+quantized coefficients, so both decode to byte-identical pixels — the
+cross-check every progressive test pins.
 
 Scope (strict rejects, never wrong pixels):
-- baseline sequential (SOF0) only; progressive (SOF2) and arithmetic
-  coding raise NotImplementedError.
-- 8-bit samples; 1-component (gray) and 3-component (YCbCr) scans;
-  sampling factors 1×1 (4:4:4) and the 2×2-luma 4:2:0 layout.
+- DCT with Huffman entropy coding only; arithmetic coding, hierarchical,
+  and lossless SOFs raise NotImplementedError.
+- 8-bit samples; 1-component (gray) and 3-component (YCbCr) scans; any
+  baseline-legal sampling layout where each factor divides the maxima.
 
 Perf stance: the entropy loop is per-symbol Python — correct and
 deterministic, sized for fixture/test payloads and metadata-scale media;
@@ -98,6 +104,11 @@ def _canonical_bits(nvals: int) -> list[int]:
 
 _AC_VALS = _ac_vals()
 _AC_BITS = _canonical_bits(len(_AC_VALS))
+# progressive scans additionally use EOBn symbols (r<<4, r=1..14: EOB runs
+# of 2..32767 blocks); the baseline table stays untouched so SOF0 output
+# is byte-stable
+_AC_VALS_PROG = _AC_VALS + [r << 4 for r in range(1, 15)]
+_AC_BITS_PROG = _canonical_bits(len(_AC_VALS_PROG))
 
 
 def _build_codes(bits: list[int], vals: list[int]):
@@ -297,12 +308,17 @@ def _plane_blocks(plane: np.ndarray, bx: int, by: int) -> np.ndarray:
 
 
 def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
-                mode: str = "444", restart_interval: int = 0) -> bytes:
+                mode: str = "444", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """RGB888 → baseline JPEG. mode: 'gray' (1 component, from luma),
     '444' (no subsampling), '422' (horizontal-only 2:1 chroma), or
     '420' (2×2 chroma box-average).
     restart_interval > 0 writes a DRI segment and RSTn markers every that
-    many MCUs (DC predictors reset) — the resync machinery long scans use."""
+    many MCUs (DC predictors reset) — the resync machinery long scans use.
+    progressive=True writes an SOF2 stream (spectral selection + one
+    successive-approximation refinement pass) carrying the SAME quantized
+    coefficients as the baseline encoding — decoded pixels are
+    byte-identical to the SOF0 stream's at the same quality/mode."""
     if len(rgb) != width * height * 3:
         raise ValueError(f"rgb buffer is {len(rgb)} B, want {width * height * 3}")
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
@@ -313,6 +329,11 @@ def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
 
     ql = _scale_quant(QUANT_LUMA, quality)
     qc = _scale_quant(QUANT_CHROMA, quality)
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart intervals unsupported in the "
+                             "progressive encoder (decode supports them)")
+        return _encode_progressive(width, height, mode, y, cb, cr, ql, qc)
     dc_dec, dc_enc = _build_codes(_DC_BITS, _DC_VALS)
     ac_dec, ac_enc = _build_codes(_AC_BITS, _AC_VALS)
 
@@ -453,11 +474,276 @@ def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
     return bytes(out)
 
 
+# -- progressive (SOF2) encoder -----------------------------------------------
+# Scan script: DC first (interleaved, Al=1) → AC first per component
+# (luma split into two spectral bands) → DC refine (one bit per block) →
+# AC refine per component. One successive-approximation level exercises
+# all four T.81 G.2 decode procedures, and the quantized coefficients are
+# the SAME as the baseline encoder's, so decoded pixels are byte-identical
+# to the SOF0 stream's at the same quality/mode.
+
+
+def _emit_ac_first(c: dict, ss: int, se: int, al: int, ac_enc: dict) -> bytes:
+    """AC first pass (Ah=0) over the component's true block grid: band
+    coefficients point-transformed by Al (magnitude shift = truncation
+    toward zero), trailing-zero bands folded into accumulated EOB runs."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            w.write(code, ln)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            blk = c["coef"][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, ln = ac_enc[0xF0]  # ZRL
+                    w.write(code, ln)
+                    r -= 16
+                size, raw = _magnitude(t if v > 0 else -t)
+                code, ln = ac_enc[(r << 4) | size]
+                w.write(code, ln)
+                w.write(raw, size)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def _emit_ac_refine(c: dict, ss: int, se: int, al: int, ac_enc: dict) -> bytes:
+    """AC refinement pass (Ah=Al+1): one correction bit per already-nonzero
+    (history) coefficient, (run, 1)+sign for newly-significant ones.
+    Correction bits buffer in two queues mirroring the decoder's read
+    order: `be` (bits owned by the pending EOB run, emitted after the
+    eventual EOBn symbol) and `br` (bits of the current block since the
+    last symbol, emitted right after the next ZRL/coefficient symbol)."""
+    w = _BitWriter()
+    eobrun = 0
+    be: list[int] = []
+    br: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            w.write(code, ln)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for bit in be:
+                w.write(bit, 1)
+            be.clear()
+
+    def emit_br() -> None:
+        for bit in br:
+            w.write(bit, 1)
+        br.clear()
+
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            blk = c["coef"][by, bx]
+            ts = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1  # index (in band space) of last newly-significant
+            for i, t in enumerate(ts):
+                if t == 1:
+                    eobpos = i
+            r = 0
+            for i, t in enumerate(ts):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs only when a newly-significant coef still lies ahead;
+                # otherwise the trailing run folds into the EOB run
+                while r > 15 and i <= eobpos:
+                    flush_eob()
+                    code, ln = ac_enc[0xF0]
+                    w.write(code, ln)
+                    r -= 16
+                    emit_br()
+                if t > 1:  # history coefficient: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_enc[(r << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+                emit_br()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                br.clear()
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def _encode_progressive(width: int, height: int, mode: str,
+                        y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                        ql: np.ndarray, qc: np.ndarray) -> bytes:
+    def hhalf(p: np.ndarray) -> np.ndarray:
+        pe = np.pad(p, ((0, 0), (0, p.shape[1] % 2)), mode="edge")
+        return (pe[:, 0::2] + pe[:, 1::2]) / 2.0
+
+    def half(p: np.ndarray) -> np.ndarray:
+        pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+        return (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2]
+                + pe[1::2, 1::2]) / 4.0
+
+    if mode == "gray":
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y}]
+    elif mode == "444":
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr}]
+    elif mode == "422":
+        comps = [{"id": 1, "h": 2, "v": 1, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": hhalf(cb)},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": hhalf(cr)}]
+    elif mode == "420":
+        comps = [{"id": 1, "h": 2, "v": 2, "tq": 0, "plane": y},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": half(cb)},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": half(cr)}]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    qlz = ql.reshape(64)[ZIGZAG]
+    qcz = qc.reshape(64)[ZIGZAG]
+
+    # quantized zigzag coefficients: padded MCU grid (DC scans are
+    # interleaved) + true block grid dims (AC scans are single-component)
+    for c in comps:
+        qz = (qlz if c["tq"] == 0 else qcz).astype(np.float64)
+        nby, nbx = mcuy * c["v"], mcux * c["h"]
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = _fdct(_plane_blocks(c["plane"], bx, by) - 128.0)
+                arr[by, bx] = np.round(
+                    coef.reshape(64)[ZIGZAG] / qz
+                ).astype(np.int64)
+        c["coef"] = arr
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["nbx"], c["nby"] = -(-cw // 8), -(-ch // 8)
+
+    _dc_dec, dc_enc = _build_codes(_DC_BITS, _DC_VALS)
+    _ac_dec, ac_enc = _build_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload)
+
+    seg(0xDB, b"\x00" + bytes(int(ql[z]) for z in ZIGZAG))
+    if mode != "gray":
+        seg(0xDB, b"\x01" + bytes(int(qc[z]) for z in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for c in comps:
+        sof += struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"])
+    seg(0xC2, sof)
+
+    def dht(cls_id: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([cls_id] + bits) + bytes(vals)
+
+    seg(0xC4, dht(0x00, _DC_BITS, _DC_VALS)
+        + dht(0x10, _AC_BITS_PROG, _AC_VALS_PROG))
+    if mode != "gray":
+        seg(0xC4, dht(0x01, _DC_BITS, _DC_VALS)
+            + dht(0x11, _AC_BITS_PROG, _AC_VALS_PROG))
+
+    AL = 1
+
+    def sos(scan_comps: list[dict], ss: int, se: int, ah: int, al: int) -> None:
+        body = bytes([len(scan_comps)])
+        for c in scan_comps:
+            tid = 0 if c["tq"] == 0 else 1
+            body += bytes([c["id"], (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    def bands_for(c: dict) -> list[tuple[int, int]]:
+        return [(1, 5), (6, 63)] if c["tq"] == 0 else [(1, 63)]
+
+    # scan 1: DC first, interleaved, point transform AL
+    sos(comps, 0, 0, 0, AL)
+    w = _BitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        dc = int(c["coef"][my * c["v"] + dy,
+                                           mx * c["h"] + dx, 0]) >> AL
+                        size, raw = _magnitude(dc - preds[c["id"]])
+                        code, ln = dc_enc[size]
+                        w.write(code, ln)
+                        if size:
+                            w.write(raw, size)
+                        preds[c["id"]] = dc
+    out.extend(w.flush())
+
+    # AC first passes
+    for c in comps:
+        for ss, se in bands_for(c):
+            sos([c], ss, se, 0, AL)
+            out.extend(_emit_ac_first(c, ss, se, AL, ac_enc))
+
+    # DC refine: one bit per block, interleaved
+    sos(comps, 0, 0, AL, 0)
+    w = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        dc = int(c["coef"][my * c["v"] + dy, mx * c["h"] + dx, 0])
+                        w.write(dc & 1, 1)
+    out.extend(w.flush())
+
+    # AC refine passes
+    for c in comps:
+        for ss, se in bands_for(c):
+            sos([c], ss, se, AL, 0)
+            out.extend(_emit_ac_refine(c, ss, se, 0, ac_enc))
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 # -- decoder ------------------------------------------------------------------
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Baseline JPEG → (width, height, interleaved RGB888)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → (width, height,
+    interleaved RGB888). Progressive streams accumulate coefficients
+    across scans (spectral selection + successive approximation, T.81
+    Annex G) and reconstruct at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -465,12 +751,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
     frame = None
     restart_interval = 0
+    coefs = None  # progressive per-component coefficient accumulators
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if coefs is not None:
+                return _reconstruct_progressive(frame, quant, coefs)
             raise ValueError("no scan data before EOI")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -490,7 +779,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 else:
                     vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[np.array(ZIGZAG)] = vals  # stream order is zigzag
+                tbl[_ZZ] = vals  # stream order is zigzag
                 quant[tq] = tbl
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
@@ -501,7 +790,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 vals = list(body[p + 17 : p + 17 + n])
                 huff[(cls, tid)], _ = _build_codes(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit samples not supported")
@@ -509,26 +798,49 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            frame = {"w": w_, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w_, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) supported, got SOF{marker & 0xF}"
+                "only baseline sequential (SOF0) and progressive (SOF2) "
+                f"supported, got SOF{marker & 0xF}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan_tabs = {}
+            scan_order = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan_tabs[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(data, pos, frame, quant, huff, scan_tabs,
-                                restart_interval)
+                scan_order.append(cid)
+            if not frame["progressive"]:
+                return _decode_scan(data, pos, frame, quant, huff, scan_tabs,
+                                    restart_interval)
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if coefs is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = -(-frame["w"] // (8 * hmax))
+                mcuy = -(-frame["h"] // (8 * vmax))
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    )
+                    for c in frame["comps"]
+                }
+            pos = _decode_scan_progressive(
+                data, pos, frame, huff, scan_order, scan_tabs,
+                ss, se, ah, al, restart_interval, coefs,
+            )
         # APPn / COM / others: skipped
-    raise ValueError("no SOS marker found")
+    raise ValueError("truncated stream: no EOI" if coefs is not None
+                     else "no SOS marker found")
 
 
 def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
@@ -606,7 +918,12 @@ def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
                 ) from None
             mcu_count += 1
 
-    # crop to nominal size, upsample chroma to full resolution
+    return _planes_to_rgb(planes, comps, w_, h, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, w_, h, hmax, vmax):
+    """Crop MCU-padded component planes to nominal size, repeat-upsample
+    chroma, and color-convert (JFIF YCbCr→RGB, or gray replication)."""
     full = {}
     for c in comps:
         p = planes[c["id"]]
@@ -629,3 +946,224 @@ def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
         axis=2,
     )
     return w_, h, rgb.tobytes()
+
+
+# -- progressive (SOF2) decode ------------------------------------------------
+# T.81 Annex G.2: four scan procedures — DC first, DC refine (one bit per
+# block), AC first (band coefficients + EOB run lengths), AC refine
+# (correction bits for history coefficients + newly-significant ±1·2^Al).
+# Coefficients accumulate in zigzag order across scans; reconstruction
+# (dequant + batched IDCT) happens once at EOI.
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the first real marker at/after `pos` (skips stuffed
+    FF00, optional FF fill bytes, and stray RSTn)."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated stream: no marker after scan")
+
+
+def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
+                             ss, se, ah, al, restart_interval, coefs):
+    """Decode one progressive scan into the coefficient accumulators;
+    returns the position of the marker that follows the entropy data."""
+    w_, h = frame["w"], frame["h"]
+    fcomps = {c["id"]: c for c in frame["comps"]}
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    scan_list = []
+    for cid in scan_order:
+        if cid not in fcomps:
+            raise ValueError(f"scan references unknown component {cid}")
+        scan_list.append((fcomps[cid], *scan_tabs[cid]))
+    # scan-header validation (T.81 G.1.1.1.1)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if not (ss <= se <= 63):
+            raise ValueError(f"bad spectral band {ss}..{se}")
+        if len(scan_list) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+    if ah > 13 or al > 13:
+        raise ValueError("bad successive-approximation bits")
+
+    reader = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c, _d, _a in scan_list}
+    eobrun = 0
+    p1 = 1 << al
+
+    def dc_first(c, dct, by, bx):
+        s = _decode_huff(reader, dct)
+        diff = _extend(reader.receive(s), s)
+        preds[c["id"]] += diff
+        coefs[c["id"]][by, bx, 0] = preds[c["id"]] << al
+
+    def dc_refine(c, by, bx):
+        if reader.bit():
+            coefs[c["id"]][by, bx, 0] |= p1
+
+    def ac_first(c, act, by, bx):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        blk = coefs[c["id"]][by, bx]
+        k = ss
+        while k <= se:
+            rs = _decode_huff(reader, act)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC index past band end")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+            else:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += 16  # ZRL
+        return
+
+    def ac_refine(c, act, by, bx):
+        # T.81 G.2.2 correction-bit procedure (the libjpeg-documented form:
+        # history coefficients read one bit each during run walks; runs
+        # count zero-history positions only; EOB runs refine whole bands)
+        nonlocal eobrun
+        blk = coefs[c["id"]][by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, act)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break  # rest of this block refined below
+                    # else ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refine magnitude must be 1")
+                    newval = p1 if reader.bit() else -p1
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v > 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                k += 1
+            eobrun -= 1
+
+    interleaved = len(scan_list) > 1
+    if interleaved:
+        mcux = -(-w_ // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        nmcu = mcux * mcuy
+    else:
+        c0 = scan_list[0][0]
+        cw = -(-w_ * c0["h"] // hmax)
+        ch = -(-h * c0["v"] // vmax)
+        nbx = -(-cw // 8)
+        nby = -(-ch // 8)
+        nmcu = nbx * nby
+
+    next_rst = 0
+    for i in range(nmcu):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.align_after_restart(0xD0 + next_rst)
+            next_rst = (next_rst + 1) % 8
+            for cid in preds:
+                preds[cid] = 0
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(i, mcux)
+            for c, dct, _act in scan_list:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        by, bx = my * c["v"] + dy, mx * c["h"] + dx
+                        if ah == 0:
+                            tab = huff.get((0, dct))
+                            if tab is None:
+                                raise ValueError("missing DC huffman table")
+                            dc_first(c, tab, by, bx)
+                        else:
+                            dc_refine(c, by, bx)
+        else:
+            c, dct, act = scan_list[0]
+            by, bx = divmod(i, nbx)
+            if ss == 0:
+                if ah == 0:
+                    tab = huff.get((0, dct))
+                    if tab is None:
+                        raise ValueError("missing DC huffman table")
+                    dc_first(c, tab, by, bx)
+                else:
+                    dc_refine(c, by, bx)
+            else:
+                tab = huff.get((1, act))
+                if tab is None:
+                    raise ValueError("missing AC huffman table")
+                if ah == 0:
+                    ac_first(c, tab, by, bx)
+                else:
+                    ac_refine(c, tab, by, bx)
+    return _next_marker_pos(data, reader.pos)
+
+
+def _reconstruct_progressive(frame, quant, coefs):
+    """Accumulated zigzag coefficients → pixels: dequantize (zigzag value i
+    pairs with natural-order quant step ZIGZAG[i]), un-zigzag, batched
+    8×8 IDCT (one numpy matmul pair for ALL blocks of a component), then
+    the shared crop/upsample/color-convert tail."""
+    w_, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        if c["tq"] not in quant:
+            raise ValueError(f"missing quant table {c['tq']}")
+        arr = coefs[c["id"]]  # (nby, nbx, 64) zigzag order
+        q = quant[c["tq"]]    # natural order
+        nby, nbx = arr.shape[:2]
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, _ZZ] = arr * q[_ZZ].astype(np.float64)
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        # associate exactly like the per-block _idct ((C.T @ X) @ C) so
+        # float rounding matches the baseline decoder bit-for-bit
+        px = np.matmul(np.matmul(_C.T, blocks), _C) + 128.0
+        planes[c["id"]] = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return _planes_to_rgb(planes, comps, w_, h, hmax, vmax)

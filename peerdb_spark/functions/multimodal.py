@@ -181,10 +181,11 @@ def encode_images_png(
 def encode_images_jpeg(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id",
     quality: int = 90, mode: str = "444", restart_interval: int = 0,
+    progressive: bool = False,
 ) -> DataFrame:
-    """raw-RGB media → baseline-JPEG payloads (functions/jpeg.py encoder)
-    via Arrow batches; meta rewrites to image/jpeg. mode: 'gray'/'444'/
-    '420' (see encode_jpeg)."""
+    """raw-RGB media → JPEG payloads (functions/jpeg.py encoder) via Arrow
+    batches; meta rewrites to image/jpeg. mode: 'gray'/'444'/'422'/'420';
+    progressive=True writes SOF2 multi-scan streams (see encode_jpeg)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -192,7 +193,7 @@ def encode_images_jpeg(
             T.StructField("meta", MEDIA_META),
         ]
     )
-    q, m, ri = quality, mode, restart_interval
+    q, m, ri, prog = quality, mode, restart_interval, progressive
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -203,7 +204,8 @@ def encode_images_jpeg(
             contents, metas = [], []
             for c, w, h in zip(pdf[content_col], pdf["_w"], pdf["_h"]):
                 contents.append(
-                    encode_jpeg(bytes(c), int(w), int(h), q, m, ri)
+                    encode_jpeg(bytes(c), int(w), int(h), q, m, ri,
+                                progressive=prog)
                 )
                 metas.append(("image/jpeg", int(w), int(h), None, "jpeg"))
             yield _pd.DataFrame(

@@ -3756,6 +3756,96 @@ FROM px GROUP BY media_id
 """
 
 
+def _textured_media(docs: DataFrame) -> DataFrame:
+    """Noise-like image fixture (same dims as _jpeg_tile_media, pixel
+    formula (id·55 + i·177) mod 256): every 8×8 block carries a full
+    spread of AC coefficients, so a progressive encode exercises AC-first
+    coefficients, ZRL runs, AND refinement correction bits — the paths a
+    tile-constant fixture's all-zero AC bands never touch."""
+    did = F.col("doc_id")
+    w = (F.lit(16) + (did % 2) * 8).cast("int")
+    h = F.lit(16).cast("int")
+    n_bytes = w.cast("long") * h * 3
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(
+                    F.lower(F.hex((did * 55 + i * 177) % 256)), 2, "0"
+                ),
+            ),
+            "",
+        )
+    )
+    return docs.select(
+        did.alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def q_media_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG (SOF2) encode→decode roundtrip through the
+    from-scratch codec (functions/jpeg.py Annex-G scans: DC first/refine,
+    AC first with EOB runs, AC refine with correction bits). Two pins per
+    row: (1) the provably-lossless tile fixture is progressive-encoded and
+    decoded, every byte verified against the analytic pixel formula;
+    (2) a noise-like fixture (full AC spread) is encoded BOTH progressive
+    and baseline at quality 75 — the two encodings carry identical
+    quantized coefficients, so their decodes must be byte-identical, and
+    the oracle pins that equality flag TRUE. A broken refinement pass,
+    EOB-run slip, or mis-paired dequant flips one of the two."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    base = docs.where(F.col("doc_id") % 3 == 1)
+    tiles = _jpeg_tile_media(base)
+    dec_p = MM.decode_images(
+        MM.encode_images_jpeg(tiles, quality=50, mode="gray", progressive=True)
+    )
+    tex = _textured_media(base)
+    dp = MM.decode_images(
+        MM.encode_images_jpeg(tex, quality=75, mode="444", progressive=True)
+    ).select("media_id", F.col("content").alias("_cp"))
+    db = MM.decode_images(
+        MM.encode_images_jpeg(tex, quality=75, mode="444")
+    ).select("media_id", F.col("content").alias("_cb"))
+    eq = dp.join(db, "media_id").select(
+        "media_id", (F.col("_cp") == F.col("_cb")).alias("prog_eq_base")
+    )
+    return dec_p.select(
+        "media_id",
+        F.lower(F.hex(F.col("content"))).alias("content_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).join(eq, "media_id")
+
+
+SQL_MEDIA_DECODE_JPEG_PROGRESSIVE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + (doc_id % 2) * 8 AS INT) AS width,
+         CAST(16 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT media_id, width, height, u.i AS i,
+         2 * ((media_id * 31
+               + ((u.i // (width * 3)) // 8) * 8
+               + (((u.i % (width * 3)) // 3) // 8) * 3) % 128) AS v
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height * 3)) u(i)
+)
+SELECT media_id, string_agg(printf('%02x', v), '' ORDER BY i) AS content_hex,
+       CAST(min(width) AS INT) AS width, CAST(min(height) AS INT) AS height,
+       TRUE AS prog_eq_base
+FROM px GROUP BY media_id
+"""
+
+
 def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator (streaming.session_event_aggregation)
     under the gate, not just the manual lag+cumsum formulation: same 30-minute
@@ -5328,6 +5418,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
+    "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
     "events_session_native": q_events_session_native,
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
@@ -5435,6 +5526,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
+    "media_decode_jpeg_progressive": SQL_MEDIA_DECODE_JPEG_PROGRESSIVE,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
@@ -5535,6 +5627,7 @@ _GATE_GREEN_R6 = [
 ]
 
 _NEW_THIS_ROUND: list[str] = [
+    "media_decode_jpeg_progressive",
 ]
 
 _GATE_GREEN_THROUGH_R5 = [

@@ -157,11 +157,16 @@ def test_decoder_rejects_out_of_scope():
     good = encode_jpeg(rgb, 8, 8)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG" + good)
-    # progressive: flip SOF0 marker to SOF2
+    # flipping SOF0→SOF2 leaves a baseline scan header (Ss=0, Se=63),
+    # which is malformed in a progressive frame (DC scans must have Se=0)
     idx = good.index(b"\xff\xc0")
     prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
+    # arithmetic-coded progressive (SOF10) stays out of scope
+    arith = good[:idx] + b"\xff\xca" + good[idx + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(arith)
     # truncated scan hits end-of-data
     with pytest.raises((ValueError, IndexError)):
         decode_jpeg(good[: len(good) - 6])
@@ -234,3 +239,65 @@ def test_nonflat_quant_dequant_order():
             - img.astype(int)
         )
         assert err.max() <= tol, (q, err.max())
+
+
+def _test_image(style: str, w: int, h: int, rng) -> np.ndarray:
+    if style == "noise":
+        return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    if style == "sparse":  # isolated dots on flat ground → ZRL-heavy
+        img = np.full((h, w, 3), 128, np.uint8)
+        img[::7, ::7] = 255
+        img[3::11, 5::11] = 0
+        return img
+    if style == "smooth":  # blockwise-constant → long EOB runs
+        base = rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8, 3))
+        return np.repeat(np.repeat(base, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]  # gradient / texture
+    return np.stack(
+        [(xx * 7) % 256, (yy * 5) % 256, ((xx ^ yy) * 3) % 256], 2
+    ).astype(np.uint8)
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Progressive and baseline encodings carry the same quantized
+    coefficients, so decoded pixels must be byte-identical — this pins all
+    four G.2 scan procedures (DC first/refine, AC first with EOB runs, AC
+    refine with correction bits) against the verified baseline decoder."""
+    rng = np.random.RandomState(5)
+    cases = [
+        ("noise", 24, 16, "444", 80),
+        ("noise", 36, 16, "422", 70),
+        ("smooth", 64, 48, "444", 80),   # EOB runs spanning many blocks
+        ("sparse", 48, 48, "420", 92),   # ZRL runs >15
+        ("grad", 17, 13, "444", 90),     # non-multiple-of-8 dims
+        ("grad", 33, 18, "420", 60),     # non-multiple-of-16 dims
+        ("noise", 41, 20, "gray", 70),   # regression: batched-IDCT rounding
+    ]
+    for style, w, h, mode, q in cases:
+        img = _test_image(style, w, h, rng)
+        rgb = img.tobytes()
+        base = decode_jpeg(encode_jpeg(rgb, w, h, quality=q, mode=mode))
+        prog = decode_jpeg(
+            encode_jpeg(rgb, w, h, quality=q, mode=mode, progressive=True)
+        )
+        assert prog == base, (style, w, h, mode, q)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    rgb = _test_image("noise", 24, 16, np.random.RandomState(1)).tobytes()
+    data = encode_jpeg(rgb, 24, 16, quality=80, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # scan script: DC first + (2 luma + 2 chroma) AC first + DC refine +
+    # (2 luma + 2 chroma) AC refine = 10 SOS markers (entropy data is
+    # stuffed, so FF DA can't occur inside a scan)
+    assert data.count(b"\xff\xda") == 10
+
+
+def test_progressive_rejects_malformed_scans():
+    rgb = bytes(8 * 8 * 3)
+    data = encode_jpeg(rgb, 8, 8, quality=80, progressive=True)
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(rgb, 8, 8, progressive=True, restart_interval=2)
+    # truncating mid-scan loses the EOI → decoder reports truncation
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(data[: len(data) // 2])
