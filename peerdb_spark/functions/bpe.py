@@ -114,6 +114,83 @@ def bpe_train(
     return merges, vocab
 
 
+def bpe_train_batched(
+    df: DataFrame | None,
+    text_col: str = "text",
+    k: int = 10,
+    batch: int = 32,
+    word_freqs: DataFrame | None = None,
+    stats: dict | None = None,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Batched-greedy BPE training (the YouTokenToMe/fastBPE-style scale
+    variant): each Spark round counts pairs ONCE and merges up to `batch`
+    pairwise-DISJOINT pairs from that snapshot, so a 32k-merge vocab
+    trains in ~|vocab|/batch rounds instead of 32k sequential jobs — the
+    round-per-merge structure is the only thing bpe_train cannot scale.
+
+    Disjointness rule: a candidate (a, b) is skipped if a, b, or the fused
+    token a+b collides with any already-chosen pair's symbols or fused
+    token. Merging (a, b) only changes adjacencies that touch a or b and
+    only creates pairs involving the new token a+b, so disjoint pairs
+    neither invalidate each other's snapshot counts nor interact when
+    applied — the batch is order-independent and each recorded count is
+    exactly what the sequential trainer would have seen had it picked that
+    pair at this snapshot. With batch=1 the output equals bpe_train's
+    exactly (same count/tiebreak order). Larger batches may diverge from
+    the strict greedy table when a merge would have promoted a brand-new
+    pair above a later batch member — the documented, industry-standard
+    tradeoff.
+
+    The ranked encoder's invariant survives batching: pairs created by a
+    round's merges involve that round's new tokens, which can only be
+    learned in LATER rounds (higher rank), and within-round pairs are
+    disjoint, so no rank inversion is reachable.
+
+    Returns (merges, final_vocab) like bpe_train; merges carry snapshot
+    counts in (count DESC, a, b) order within each round. Pass a dict as
+    `stats` to receive {"rounds": n} (scale probes assert the
+    rounds ≪ merges ratio)."""
+    wf = word_freq(df, text_col) if word_freqs is None else word_freqs
+    vocab = wf.select(
+        "w", "freq", _initial_symbols(F.col("w")).alias("symbols")
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    rounds = 0
+    while len(merges) < k:
+        m = min(batch, k - len(merges))
+        pairs = vocab.select(
+            F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "freq"
+        )
+        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+        # candidate window: bounded driver state (a few·batch rows); the
+        # disjointness filter may reject some, later rounds recount anyway
+        top = counts.orderBy(F.desc("n"), "a", "b").limit(4 * m + 16).collect()
+        if not top:
+            break
+        rounds += 1
+        taken: set[str] = set()  # symbols + fused tokens of chosen pairs
+        chosen: list[tuple[str, str, int]] = []
+        for r in top:
+            a, b, n = r["a"], r["b"], int(r["n"])
+            if a in taken or b in taken or (a + b) in taken:
+                continue
+            chosen.append((a, b, n))
+            taken.update((a, b, a + b))
+            if len(chosen) == m:
+                break
+        merges.extend(chosen)
+        sym = F.col("symbols")
+        for a, b, _n in chosen:
+            sym = _apply_merge(sym, a, b)
+        vocab = vocab.select(
+            "w", "freq", sym.alias("symbols")
+        ).localCheckpoint(eager=False)
+    if stats is not None:
+        stats["rounds"] = rounds
+    return merges, vocab
+
+
 # Above this merge-table size the chained-fold plan stops being the right
 # physical shape: each merge adds one array fold to the projection, so plan
 # construction, analysis, and codegen all grow linearly in |merges| (JVM

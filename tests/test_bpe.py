@@ -224,3 +224,113 @@ def test_bpe_train_then_encode_roundtrip(spark):
         for tok in r["symbols"]:
             want_global[tok] += r["freq"]
     assert got_global == dict(want_global)
+
+
+def python_bpe_batched(word_freqs: dict[str, int], k: int, batch: int):
+    """Reference for the batched-greedy trainer: same snapshot ordering
+    and symbol/fused-token disjointness rule as bpe_train_batched."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    while len(merges) < k:
+        m = min(batch, k - len(merges))
+        counts = Counter()
+        for w, sym in vocab.items():
+            f = word_freqs[w]
+            for x, y in zip(sym, sym[1:]):
+                counts[(x, y)] += f
+        if not counts:
+            break
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        taken, chosen = set(), []
+        for (a, b), n in ranked[: 4 * m + 16]:
+            if a in taken or b in taken or (a + b) in taken:
+                continue
+            chosen.append((a, b, n))
+            taken.update((a, b, a + b))
+            if len(chosen) == m:
+                break
+        merges.extend(chosen)
+        for a, b, _n in chosen:
+            for w, sym in vocab.items():
+                out = []
+                for x in sym:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_batched_batch1_equals_sequential(spark):
+    from peerdb_spark.functions.bpe import bpe_train_batched
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    seq_merges, seq_vocab_df = bpe_train(df, "text", k=6)
+    bat_merges, bat_vocab_df = bpe_train_batched(df, "text", k=6, batch=1)
+    assert bat_merges == seq_merges
+    assert (
+        {r["w"]: r["symbols"] for r in bat_vocab_df.collect()}
+        == {r["w"]: r["symbols"] for r in seq_vocab_df.collect()}
+    )
+
+
+def test_bpe_train_batched_matches_python_reference(spark):
+    from peerdb_spark.functions.bpe import bpe_train_batched
+
+    texts = [
+        "aaab aab ab abc abcd",
+        "low lower lowest newest new",
+        "xy xyz zyx yxz xzy zxy",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wf = Counter(w for t in texts for w in t.split())
+    for batch in (2, 4, 8):
+        want_merges, want_vocab = python_bpe_batched(dict(wf), k=10, batch=batch)
+        got_merges, got_vocab_df = bpe_train_batched(df, "text", k=10, batch=batch)
+        assert got_merges == want_merges, batch
+        got_vocab = {r["w"]: r["symbols"] for r in got_vocab_df.collect()}
+        assert got_vocab == want_vocab, batch
+
+
+def test_bpe_train_batched_disjointness_invariants(spark):
+    """Within any round, chosen pairs share no symbols and no fused token
+    doubles as another pair's symbol — the property that makes the batch
+    order-independent. Verified via the python reference on a corpus
+    engineered with chained dominant pairs (ab, bc, cd all frequent)."""
+    wf = {"abcd": 50, "ab": 40, "bc": 39, "cd": 38, "da": 5}
+    merges, _ = python_bpe_batched(wf, k=6, batch=4)
+    # the corpus exhausts after 5 merges (every word fully fused)
+    assert [m[:2] for m in merges] == [
+        ("a", "b"), ("c", "d"), ("ab", "cd"), ("b", "c"), ("d", "a")
+    ]
+    # first round: (a,b) taken; (b,c) shares b → skipped; (c,d) disjoint →
+    # taken; (d,a) shares d → skipped
+    assert merges[0][:2] == ("a", "b") and merges[1][:2] == ("c", "d")
+
+
+def test_bpe_encode_ranked_works_on_batched_tables(spark):
+    """The ranked encoder's no-rank-inversion invariant must survive
+    batched training (within-round pairs are disjoint; created pairs only
+    involve later-round tokens)."""
+    from peerdb_spark.functions.bpe import bpe_encode_words, bpe_train_batched
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, _ = bpe_train_batched(docs.limit(80), "text", k=24, batch=8)
+    assert len(merges) == 24
+    words = (
+        docs.limit(80)
+        .select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+    fold = {r["w"]: r["tokens"]
+            for r in bpe_encode_words(words, merges, strategy="fold").collect()}
+    ranked = {r["w"]: r["tokens"]
+              for r in bpe_encode_words(words, merges, strategy="ranked").collect()}
+    assert fold == ranked
