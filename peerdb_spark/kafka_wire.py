@@ -132,10 +132,10 @@ def encode_record(offset_delta: int, ts_delta: int, key: bytes | None,
     return enc_varint(len(body)) + bytes(body)
 
 
-# attributes bits 0-2: compression codec (Kafka protocol; snappy/lz4/zstd
-# need codec libs — gzip is stdlib, and it's what the reference's franz-go
-# client negotiates by default when compression is enabled)
-_CODECS = {"none": 0, "gzip": 1}
+# attributes bits 0-2: compression codec (Kafka protocol). gzip is stdlib;
+# snappy is the from-scratch raw-block codec in snappy_codec.py (record
+# batches v2 use raw blocks, not xerial framing); lz4/zstd need codec libs.
+_CODECS = {"none": 0, "gzip": 1, "snappy": 2}
 
 
 def encode_record_batch(records: list[tuple],
@@ -156,6 +156,10 @@ def encode_record_batch(records: list[tuple],
         import gzip as _gzip
 
         recs = _gzip.compress(recs, mtime=0)
+    elif codec == 2:
+        from peerdb_spark.snappy_codec import snappy_compress
+
+        recs = snappy_compress(recs)
     after_crc = struct.pack(
         ">hiqqqhii",
         codec,                  # attributes: compression codec bits
@@ -192,6 +196,10 @@ def decode_record_batch(buf: bytes) -> list[tuple]:
         import gzip as _gzip
 
         after = after[:hdr] + _gzip.decompress(after[hdr:])
+    elif codec == 2:
+        from peerdb_spark.snappy_codec import snappy_decompress
+
+        after = after[:hdr] + snappy_decompress(after[hdr:])
     elif codec != 0:
         raise ValueError(f"unsupported compression codec {codec}")
     pos = hdr
@@ -546,32 +554,41 @@ class ClusterProducer:
                 raise RuntimeError(f"no leader for {topic}[{partition}]")
         return self.brokers[leader]
 
-    def produce(self, topic: str, partition: int, records: list) -> None:
-        """Leader-routed produce; one refresh+retry on routing errors."""
+    def produce(self, topic: str, partition: int, records: list,
+                retries: int = 2) -> None:
+        """Leader-routed produce with a BOUNDED refresh+retry loop: each
+        routing failure (NOT_LEADER / UNKNOWN_TOPIC response, or the
+        connection dying mid-produce) triggers one metadata refresh and a
+        retry on the new leader, up to `retries` times; the final failure
+        propagates (at-least-once: Spark's task retry replays the
+        partition; the downstream merge is idempotent). Non-routing broker
+        errors raise immediately — retrying them blind would duplicate
+        records without fixing anything."""
         if not records:
             return
-        addr = self._leader_addr(topic, partition)
-        try:
-            sock = self._connect(addr)
-            produce_on(sock, topic, partition, records,
-                       correlation_id=self._next_cid(),
-                       compression=self.compression)
-            return
-        except RuntimeError as e:
-            if f"error_code={ERR_NOT_LEADER}" not in str(e) and \
-               f"error_code={ERR_UNKNOWN_TOPIC}" not in str(e):
-                raise
-        except OSError:
-            self._drop(addr)
-        # leadership moved (or the connection died): refresh, retry ONCE on
-        # the new leader — a second failure propagates (at-least-once:
-        # Spark's task retry replays the partition; merge is idempotent)
-        self.refresh([topic])
-        addr = self._leader_addr(topic, partition)
-        sock = self._connect(addr)
-        produce_on(sock, topic, partition, records,
-                   correlation_id=self._next_cid(),
-                   compression=self.compression)
+        last_err: Exception | None = None
+        for attempt in range(retries + 1):
+            if attempt:
+                self.refresh([topic])
+            addr = self._leader_addr(topic, partition)
+            try:
+                sock = self._connect(addr)
+                produce_on(sock, topic, partition, records,
+                           correlation_id=self._next_cid(),
+                           compression=self.compression)
+                return
+            except RuntimeError as e:
+                if f"error_code={ERR_NOT_LEADER}" not in str(e) and \
+                   f"error_code={ERR_UNKNOWN_TOPIC}" not in str(e):
+                    raise
+                last_err = e
+            except OSError as e:
+                self._drop(addr)
+                last_err = e
+        raise RuntimeError(
+            f"produce to {topic}[{partition}] failed after {retries} "
+            f"refresh+retry rounds"
+        ) from last_err
 
     def close(self) -> None:
         for addr in list(self._conns):

@@ -179,21 +179,42 @@ def write_kafka_wire(
     host: str,
     port: int,
     default_topic: str = "events",
+    compression: str = "none",
+    routed: bool = True,
 ) -> None:
     """Deliver WITHOUT the spark-sql-kafka connector: per-executor-partition
     plain-TCP Produce requests built by kafka_wire.py (the public protocol,
     implemented from scratch; record batches CRC32C-verified end-to-end in
     tests against an independent decoder + stub broker). Same row contract
-    as the connector path — validate through kafka_write_spec first. Scope:
-    acks=1 at-least-once to a single broker/proxy address; idempotent merge
-    downstream absorbs redelivery (see kafka_wire module doc)."""
-    from peerdb_spark.kafka_wire import deliver_kafka_wire
+    as the connector path — validate through kafka_write_spec first.
+
+    DEFAULT path is leader-routed: (host, port) seeds a ClusterProducer
+    bootstrap, Metadata v1 discovers per-partition leaders, and produce
+    errors get a bounded metadata-refresh retry loop (leadership moves are
+    followed mid-write — the franz-go behavior). routed=False keeps the
+    single-socket scope (a proxy/single-broker address that may not answer
+    Metadata). acks=1 at-least-once either way; the idempotent merge
+    downstream absorbs redelivery. compression: none/gzip (stdlib) /
+    snappy (from-scratch raw-block codec, snappy_codec.py)."""
+    from peerdb_spark.kafka_wire import (
+        deliver_kafka_wire,
+        deliver_kafka_wire_routed,
+    )
 
     kafka_write_spec(batch, f"{host}:{port}", default_topic)  # contract check
     cols = [c for c in ("topic", "key", "value", "partition", "headers") if c in batch.columns]
-    batch.select(*cols).foreachPartition(
-        lambda rows: deliver_kafka_wire(rows, host, port, default_topic)
-    )
+    if routed:
+        batch.select(*cols).foreachPartition(
+            lambda rows: deliver_kafka_wire_routed(
+                rows, [(host, port)], default_topic, compression=compression
+            )
+        )
+    else:
+        batch.select(*cols).foreachPartition(
+            lambda rows: deliver_kafka_wire(
+                rows, host, port, default_topic, compression=compression
+            )
+        )
 
 
 def elasticsearch_actions(

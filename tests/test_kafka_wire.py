@@ -133,6 +133,18 @@ class _StubHandler(socketserver.BaseRequestHandler):
             frame = b""
             while len(frame) < n:
                 frame += self.request.recv(n - len(frame))
+            api_key = struct.unpack_from(">h", frame, 0)[0]
+            if api_key == 3:  # Metadata: advertise self as sole leader
+                mreq = KW.decode_metadata_request(frame)
+                host, port = self.server.server_address
+                self.request.sendall(
+                    KW.encode_metadata_response(
+                        mreq["correlation_id"], [(0, host, port)],
+                        {t: {p: 0 for p in range(8)}
+                         for t in mreq["topics"]},
+                    )
+                )
+                continue
             req = KW.decode_produce_request(frame)
             rows = KW.decode_record_batch(req["batch"])
             with self.server._lock:
@@ -558,3 +570,71 @@ def test_deliver_routed_splits_by_destination(cluster):
     assert n == 3
     assert sorted(a.received) == [("t1", b"a", b"1"), ("t1", b"c", b"3")]
     assert b.received == [("t1", b"b", b"2")]
+
+
+def test_cluster_producer_retry_bound_exhausts(cluster):
+    """A leader that never materializes exhausts the bounded refresh+retry
+    loop and raises (no infinite metadata spin)."""
+    state, a, b = cluster
+    # metadata names node 3 as leader, but node 3 is not in the broker list
+    state.leaders = {"t": {0: 1}}
+    p = KW.ClusterProducer([("127.0.0.1", a.server_address[1])])
+    try:
+        # every produce gets NOT_LEADER (leader truth changes to node 2 only
+        # in the shared state AFTER metadata was served, so broker 1 keeps
+        # rejecting while metadata keeps naming it)
+        a.node_id = 99  # broker 1 now rejects everything as NOT_LEADER
+        with pytest.raises(RuntimeError, match="refresh\\+retry"):
+            p.produce("t", 0, [(b"k", b"v")], retries=2)
+        assert a.rejected == 3  # initial + 2 bounded retries
+    finally:
+        p.close()
+
+
+def test_write_kafka_wire_routed_follows_leadership_move(spark, cluster):
+    """The SINKS entry point drives the leader-routed path end-to-end: a
+    leadership move between two Spark writes is followed via metadata
+    refresh — records only ever land on the current leader."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark import sinks
+
+    state, a, b = cluster
+    state.leaders = {"events": {0: 1}}
+    host, port = a.server_address
+
+    def batch(tag):
+        return spark.createDataFrame(
+            [(f"k{tag}{i}", f"v{tag}{i}") for i in range(4)], "key string, value string"
+        ).repartition(1).select(
+            F.lit("events").alias("topic"), F.col("key").cast("binary"),
+            F.col("value").cast("binary"),
+        )
+
+    sinks.write_kafka_wire(batch("a"), host, port)  # routed by default
+    assert len(a.received) == 4 and not b.received
+    with state.lock:
+        state.leaders["events"][0] = 2  # broker restart / rebalance
+    sinks.write_kafka_wire(batch("b"), host, port)
+    assert len(a.received) == 4  # nothing more on the old leader
+    assert sorted(v.decode() for _t, _k, v in b.received) == [
+        "vb0", "vb1", "vb2", "vb3"
+    ]
+
+
+def test_produce_snappy_end_to_end_stub_broker(broker):
+    """From-scratch snappy compression over the wire: the stub broker's
+    independent decoder (decode_record_batch) destuffs codec bits and
+    decompresses the records section."""
+    import socket
+
+    host, port = broker.server_address
+    recs = [(b"k%d" % i, b'{"pad":"' + b"y" * 300 + b'"}') for i in range(30)]
+    sock = socket.create_connection((host, port), timeout=10)
+    try:
+        KW.produce_on(sock, "t", 0, recs, correlation_id=7,
+                      compression="snappy")
+    finally:
+        sock.close()
+    assert [(t, k) for t, k, _v in broker.received] == [("t", b"k%d" % i) for i in range(30)]
+    assert all(v == recs[0][1] for _t, _k, v in broker.received)
