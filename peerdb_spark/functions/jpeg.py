@@ -32,8 +32,9 @@ aligned, predictors reset), so a future per-segment fan-out needs no
 format work. The remaining per-symbol Python is the honest floor for a
 pure-Python codec; a production 100 TB image pipeline can still plug a
 codec lib into the same `multimodal.decode_encoded` entry point without
-touching any Spark plumbing. Progressive scans keep the simpler per-bit
-reader (they are multi-pass by design; same entry point applies).
+touching any Spark plumbing. Progressive scans use the same table-driven
+reader and segment accounting (they are multi-pass by design, so the
+per-scan destuff runs once per scan).
 """
 
 from __future__ import annotations
@@ -181,56 +182,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    """Reads the entropy-coded segment: destuffs FF00; an FF followed by a
-    non-zero marker byte ends the segment (the caller handles RSTn)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_after_restart(self, marker: int) -> None:
-        # consume the FF Dn and reset bit state
-        assert self.data[self.pos] == 0xFF and self.data[self.pos + 1] == marker
-        self.pos += 2
-        self.acc = 0
-        self.n = 0
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int):
-        self.marker = marker
-
-
 def _extend(v: int, size: int) -> int:
     """DC/AC magnitude sign extension (T.81 F.2.2.1)."""
     if size == 0:
@@ -245,17 +196,6 @@ def _magnitude(v: int) -> tuple[int, int]:
     size = int(v if v > 0 else -v).bit_length()
     raw = v if v >= 0 else v + (1 << size) - 1
     return size, raw
-
-
-def _decode_huff(reader: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code in scan")
 
 
 # -- encoder ------------------------------------------------------------------
@@ -853,7 +793,8 @@ def _destuff_scan(data: bytes, pos: int):
     """One numpy pass over a scan's entropy bytes: destuff FF00, split on
     RSTn markers, stop at the first real marker. Returns (destuffed uint8
     buffer, restart-segment start offsets in BITS of that buffer, the RSTn
-    marker byte for each segment)."""
+    marker byte for each segment, absolute position of the terminating
+    marker in `data`)."""
     arr = np.frombuffer(data, np.uint8)[pos:]
     ffs = np.where(arr[:-1] == 0xFF)[0]
     nxt = arr[ffs + 1]
@@ -871,7 +812,10 @@ def _destuff_scan(data: bytes, pos: int):
         8 * int(p + 2 - np.searchsorted(drop, p + 2)) for p in rst
     ]
     seg_markers = [int(arr[p + 1]) for p in rst]
-    return buf, seg_bits, seg_markers
+    end_abs = pos + end
+    while end_abs + 1 < len(data) and data[end_abs + 1] == 0xFF:
+        end_abs += 1  # skip optional FF fill bytes before the marker
+    return buf, seg_bits, seg_markers, end_abs
 
 
 def _lut_from_table(table: dict) -> list[int]:
@@ -915,6 +859,11 @@ class _FastReader:
         r = ((self.W[self.bp >> 3] >> (16 - (self.bp & 7))) & 0xFFFF) >> (16 - s)
         self.bp += s
         return r
+
+    def bit(self) -> int:
+        b = (self.W[self.bp >> 3] >> (31 - (self.bp & 7))) & 1
+        self.bp += 1
+        return b
 
 
 def _coefs_to_planes(comps, quant, coefs):
@@ -970,7 +919,7 @@ def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
                 luts[key] = _lut_from_table(huff[key])
         per_comp.append((c, luts[(0, dct)], luts[(1, act)]))
 
-    buf, seg_bits, seg_markers = _destuff_scan(data, pos)
+    buf, seg_bits, seg_markers, _end = _destuff_scan(data, pos)
     rd = _FastReader(buf)
     # hot loop: bind the window list and bit position to locals — one list
     # index + a few int ops per Huffman symbol (W[i] holds the 32 bits
@@ -1088,27 +1037,6 @@ def _planes_to_rgb(planes, comps, w_, h, hmax, vmax):
 # (dequant + batched IDCT) happens once at EOI.
 
 
-def _next_marker_pos(data: bytes, pos: int) -> int:
-    """Position of the first real marker at/after `pos` (skips stuffed
-    FF00, optional FF fill bytes, and stray RSTn)."""
-    p = pos
-    while p + 1 < len(data):
-        if data[p] == 0xFF:
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                p += 2
-                continue
-            if nxt == 0xFF:
-                p += 1
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                p += 2
-                continue
-            return p
-        p += 1
-    raise ValueError("truncated stream: no marker after scan")
-
-
 def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
                              ss, se, ah, al, restart_interval, coefs):
     """Decode one progressive scan into the coefficient accumulators;
@@ -1134,13 +1062,26 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
     if ah > 13 or al > 13:
         raise ValueError("bad successive-approximation bits")
 
-    reader = _BitReader(data, pos)
+    buf, seg_bits, seg_markers, end_abs = _destuff_scan(data, pos)
+    reader = _FastReader(buf)
+    luts: dict[tuple[int, int], list[int]] = {}
+    for c, dct, act in scan_list:
+        keys = []
+        if ss == 0 and ah == 0:
+            keys.append((0, dct))
+        if ss > 0:
+            keys.append((1, act))
+        for key in keys:
+            if key not in huff:
+                raise ValueError("scan references missing huffman table")
+            if key not in luts:
+                luts[key] = _lut_from_table(huff[key])
     preds = {c["id"]: 0 for c, _d, _a in scan_list}
     eobrun = 0
     p1 = 1 << al
 
     def dc_first(c, dct, by, bx):
-        s = _decode_huff(reader, dct)
+        s = reader.huff(luts[(0, dct)])
         diff = _extend(reader.receive(s), s)
         preds[c["id"]] += diff
         coefs[c["id"]][by, bx, 0] = preds[c["id"]] << al
@@ -1155,9 +1096,10 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
             eobrun -= 1
             return
         blk = coefs[c["id"]][by, bx]
+        lut = luts[(1, act)]
         k = ss
         while k <= se:
-            rs = _decode_huff(reader, act)
+            rs = reader.huff(lut)
             r, s = rs >> 4, rs & 0xF
             if s:
                 k += r
@@ -1180,10 +1122,11 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
         # count zero-history positions only; EOB runs refine whole bands)
         nonlocal eobrun
         blk = coefs[c["id"]][by, bx]
+        lut = luts[(1, act)]
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = _decode_huff(reader, act)
+                rs = reader.huff(lut)
                 r, s = rs >> 4, rs & 0xF
                 newval = 0
                 if s == 0:
@@ -1233,13 +1176,26 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
         nmcu = nbx * nby
 
     next_rst = 0
+    seg_idx = 0
     for i in range(nmcu):
         if restart_interval and i and i % restart_interval == 0:
-            reader.align_after_restart(0xD0 + next_rst)
+            if seg_idx >= len(seg_bits):
+                raise ValueError("missing restart marker in scan")
+            if seg_markers[seg_idx] != 0xD0 + next_rst:
+                raise ValueError(
+                    f"restart marker out of sequence: got "
+                    f"FF{seg_markers[seg_idx]:02X}, want FF{0xD0 + next_rst:02X}"
+                )
+            if reader.bp > seg_bits[seg_idx]:
+                raise ValueError("scan data overruns its restart segment")
+            reader.bp = seg_bits[seg_idx]
+            seg_idx += 1
             next_rst = (next_rst + 1) % 8
             for cid in preds:
                 preds[cid] = 0
             eobrun = 0
+        if reader.bp > reader.nbits:
+            raise ValueError("truncated scan")
         if interleaved:
             my, mx = divmod(i, mcux)
             for c, dct, _act in scan_list:
@@ -1247,10 +1203,7 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
                     for dx in range(c["h"]):
                         by, bx = my * c["v"] + dy, mx * c["h"] + dx
                         if ah == 0:
-                            tab = huff.get((0, dct))
-                            if tab is None:
-                                raise ValueError("missing DC huffman table")
-                            dc_first(c, tab, by, bx)
+                            dc_first(c, dct, by, bx)
                         else:
                             dc_refine(c, by, bx)
         else:
@@ -1258,21 +1211,19 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
             by, bx = divmod(i, nbx)
             if ss == 0:
                 if ah == 0:
-                    tab = huff.get((0, dct))
-                    if tab is None:
-                        raise ValueError("missing DC huffman table")
-                    dc_first(c, tab, by, bx)
+                    dc_first(c, dct, by, bx)
                 else:
                     dc_refine(c, by, bx)
             else:
-                tab = huff.get((1, act))
-                if tab is None:
-                    raise ValueError("missing AC huffman table")
                 if ah == 0:
-                    ac_first(c, tab, by, bx)
+                    ac_first(c, act, by, bx)
                 else:
-                    ac_refine(c, tab, by, bx)
-    return _next_marker_pos(data, reader.pos)
+                    ac_refine(c, act, by, bx)
+    if reader.bp > reader.nbits:
+        raise ValueError("truncated scan")
+    if seg_idx != len(seg_bits):
+        raise ValueError("unexpected restart markers in scan")
+    return end_abs
 
 
 def _reconstruct_progressive(frame, quant, coefs):
