@@ -1,9 +1,20 @@
-"""Empirical scaling probe: replicate the sf0.1 tables N× (shifted ids) into
-/tmp and re-run the heavy operators, reporting per-row throughput vs the base
-run. Linear operators hold throughput; anything super-linear (all-pairs
-leakage, driver collects, skewed buckets) shows up as a collapsing ratio.
+"""Empirical scaling probe: grow the sf0.1 tables N× and re-run the heavy
+operators, reporting per-row throughput vs the base run. Linear operators
+hold throughput; anything super-linear (all-pairs leakage, driver collects,
+skewed buckets) shows up as a collapsing ratio.
 
-Usage: python tools/scale_probe.py [N] [--keep]
+Two growth modes:
+- default (replication): union N shifted-id copies. Scales VOLUME but not
+  cardinality — value distributions, vocab, buckets, and watermark ranges
+  repeat N×, which flatters operators keyed on distinct values.
+- --cardinality: SYNTHESIZE genuinely-new keys — documents get new doc_ids
+  over a vocabulary that grows with N (hash-derived words, ~10% planted
+  near-dups so dedup still finds structure), embeddings get new
+  hash-derived directions. Dedup/ANN/encode ratios here reflect real
+  distinct-key growth, not replicated structure. Both ×1 and ×N are
+  synthesized by the same generator so the ratio is generator-vs-generator.
+
+Usage: python tools/scale_probe.py [N] [--keep] [--cardinality]
 Writes a markdown table to stdout; SCALING.md records a vetted run.
 """
 
@@ -41,6 +52,66 @@ def replicate(spark, table: str, factor: int, id_cols: dict[str, int]) -> str:
     return out
 
 
+def synthesize_documents(spark, factor: int, out_dir: str) -> str:
+    """5k·N docs over a 200·N-word hash vocabulary. Word j of doc d is
+    vocab[xxhash64(d, j) % V] — every factor step adds genuinely-new words
+    (new shingles, new minhash bands, new BPE pairs). Docs with
+    doc_id % 10 == 9 repeat doc_id-1's word stream plus a suffix word, so
+    near-dup operators still have planted structure to find."""
+    from pyspark.sql import functions as F
+
+    out = f"{out_dir}/documents.parquet"
+    if os.path.exists(out):
+        return out
+    n = 5_000 * factor
+    vocab = 200 * factor
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    seed = F.when(F.col("doc_id") % 10 == 9, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    word = lambda j: F.substring(  # noqa: E731 — tight generator lambda
+        F.md5(
+            F.pmod(F.xxhash64(seed, j), F.lit(vocab)).cast("string")
+        ), 1, (F.pmod(F.xxhash64(seed, j, F.lit(1)), F.lit(6)) + 3).cast("int"),
+    )
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(54)), word), " "
+    )
+    text = F.when(
+        F.col("doc_id") % 10 == 9, F.concat(text, F.lit(" zq"),
+                                            (F.col("doc_id") % 97).cast("string"))
+    ).otherwise(text)
+    df = base.select(
+        "doc_id", text.alias("text"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(5)).cast("int").alias("lang_id"),
+    )
+    df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def synthesize_embeddings(spark, factor: int, out_dir: str) -> str:
+    """2k·N vectors, 64 hash-derived dims in [-1, 1] — every id is a NEW
+    direction, so SRP buckets, IVF cells, and near-dup cosine structure
+    grow with N instead of repeating."""
+    from pyspark.sql import functions as F
+
+    out = f"{out_dir}/embeddings.parquet"
+    if os.path.exists(out):
+        return out
+    n = 2_000 * factor
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: ((F.pmod(F.xxhash64(F.col("vec_id"), d), F.lit(2001))
+                    - 1000) / 1000.0).cast("float"),
+    )
+    df = spark.range(n).select(F.col("id").alias("vec_id")).select(
+        "vec_id", vec.alias("embedding"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(7)).cast("int").alias("label"),
+    )
+    df.write.mode("overwrite").parquet(out)
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
     from pyspark.sql import functions as F
@@ -55,9 +126,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(WORK, exist_ok=True)
 
-    replicate(spark, "documents", factor, {"doc_id": 10_000_000})
-    replicate(spark, "embeddings", factor, {"vec_id": 10_000_000})
-    replicate(spark, "lineitem", factor, {"l_orderkey": 100_000_000})
+    cardinality = "--cardinality" in sys.argv
+    if cardinality:
+        base_dir, big_dir = f"{WORK}/card1", f"{WORK}/card{factor}"
+        for d, f_ in ((base_dir, 1), (big_dir, factor)):
+            os.makedirs(d, exist_ok=True)
+            synthesize_documents(spark, f_, d)
+            synthesize_embeddings(spark, f_, d)
+    else:
+        base_dir, big_dir = BASE, WORK
+        replicate(spark, "documents", factor, {"doc_id": 10_000_000})
+        replicate(spark, "embeddings", factor, {"vec_id": 10_000_000})
+        replicate(spark, "lineitem", factor, {"l_orderkey": 100_000_000})
 
     def t(fn) -> float:
         t0 = time.time()
@@ -205,8 +285,9 @@ def main() -> None:
             )
         return state
 
-    rows_base = {"documents": 5000, "embeddings": 60000}
-    print(f"| operator | sf0.1 (s) | x{factor} (s) | ratio (ideal {factor}) |")
+    mode = "cardinality" if cardinality else "replication"
+    base_label = "card ×1" if cardinality else "sf0.1"
+    print(f"| operator ({mode}) | {base_label} (s) | x{factor} (s) | ratio (ideal {factor}) |")
     print("|---|---|---|---|")
     only = None
     for a in sys.argv[1:]:
@@ -215,9 +296,11 @@ def main() -> None:
     for name, fn in Q.items():
         if only and name not in only:
             continue
-        fn(BASE).write.mode("overwrite").format("noop").save()  # warm
-        tb = t(lambda: fn(BASE))
-        ts = t(lambda: fn(WORK))
+        if cardinality and name == "rollup_fold3":
+            continue  # events are not synthesized in cardinality mode
+        fn(base_dir).write.mode("overwrite").format("noop").save()  # warm
+        tb = t(lambda: fn(base_dir))
+        ts = t(lambda: fn(big_dir))
         ratio = ts / tb if tb > 0 else float("inf")
         flag = "" if ratio <= factor * 1.6 else "  ⚠ SUPER-LINEAR"
         print(f"| {name} | {tb:.2f} | {ts:.2f} | {ratio:.1f}{flag} |")
