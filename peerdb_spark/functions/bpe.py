@@ -121,6 +121,7 @@ def bpe_train_batched(
     batch: int = 32,
     word_freqs: DataFrame | None = None,
     stats: dict | None = None,
+    rounds: int | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Batched-greedy BPE training (the YouTokenToMe/fastBPE-style scale
     variant): each Spark round counts pairs ONCE and merges up to `batch`
@@ -148,17 +149,21 @@ def bpe_train_batched(
 
     Returns (merges, final_vocab) like bpe_train; merges carry snapshot
     counts in (count DESC, a, b) order within each round. Pass a dict as
-    `stats` to receive {"rounds": n} (scale probes assert the
-    rounds ≪ merges ratio)."""
+    `stats` to receive {"rounds": n, "round_of": [round index per merge]}
+    (scale probes assert the rounds ≪ merges ratio; the gate query labels
+    merges by round). `rounds=r` runs EXACTLY r count rounds taking
+    whatever each yields (≤ batch) — the shape an unrolled SQL oracle can
+    mirror — instead of looping until k merges."""
     wf = word_freq(df, text_col) if word_freqs is None else word_freqs
     vocab = wf.select(
         "w", "freq", _initial_symbols(F.col("w")).alias("symbols")
     )
     vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
-    rounds = 0
-    while len(merges) < k:
-        m = min(batch, k - len(merges))
+    round_of: list[int] = []
+    done = 0
+    while (done < rounds) if rounds is not None else (len(merges) < k):
+        m = batch if rounds is not None else min(batch, k - len(merges))
         pairs = vocab.select(
             F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "freq"
         )
@@ -168,7 +173,7 @@ def bpe_train_batched(
         top = counts.orderBy(F.desc("n"), "a", "b").limit(4 * m + 16).collect()
         if not top:
             break
-        rounds += 1
+        done += 1
         taken: set[str] = set()  # symbols + fused tokens of chosen pairs
         chosen: list[tuple[str, str, int]] = []
         for r in top:
@@ -180,6 +185,7 @@ def bpe_train_batched(
             if len(chosen) == m:
                 break
         merges.extend(chosen)
+        round_of.extend([done] * len(chosen))
         sym = F.col("symbols")
         for a, b, _n in chosen:
             sym = _apply_merge(sym, a, b)
@@ -187,7 +193,8 @@ def bpe_train_batched(
             "w", "freq", sym.alias("symbols")
         ).localCheckpoint(eager=False)
     if stats is not None:
-        stats["rounds"] = rounds
+        stats["rounds"] = done
+        stats["round_of"] = round_of
     return merges, vocab
 
 

@@ -2560,6 +2560,92 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, a string, b string, n long")
 
 
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED-greedy BPE trainer (functions/bpe.py:bpe_train_batched)
+    under the gate: 3 count rounds, up to 2 pairwise-DISJOINT merges per
+    round (a candidate is skipped if its symbols or fused token collide
+    with the round's earlier pick). Output = (round, pick, left, right,
+    snapshot count). The oracle unrolls the same 3 rounds in SQL — per
+    round: rank pairs, take #1, take the best rank ≤ 24 candidate passing
+    the nine disjointness inequalities (the same 4·m+16 candidate window
+    the Spark trainer scans), apply both merges (the second via a
+    null-safe LEFT JOIN so a round that yields one merge still mirrors) —
+    so the batched selection rule itself is value-verified end-to-end."""
+    from peerdb_spark.functions.bpe import bpe_train_batched
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    stats: dict = {}
+    merges, _ = bpe_train_batched(docs, "text", batch=2, rounds=3,
+                                  stats=stats)
+    rows, per_round = [], {}
+    for (a, b, n), r in zip(merges, stats["round_of"]):
+        per_round[r] = per_round.get(r, 0) + 1
+        rows.append((r, per_round[r], a, b, int(n)))
+    return spark.createDataFrame(
+        rows, "round int, pick int, a string, b string, n long"
+    )
+
+
+def _bpe_train_batched_sql(rounds: int = 3, window: int = 24) -> str:
+    rs = []
+    for i in range(1, rounds + 1):
+        prev = "v0" if i == 1 else f"v{i-1}"
+        rs.append(f"""
+p{i} AS (
+  SELECT sym[j] AS a, sym[j + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+  FROM {prev}, unnest(range(1, len(sym))) t(j)
+  GROUP BY 1, 2
+),
+r{i} AS (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rk FROM p{i}),
+sa{i} AS (SELECT a, b, n FROM r{i} WHERE rk = 1),
+sb{i} AS (
+  SELECT r.a, r.b, r.n FROM r{i} r, sa{i} f
+  WHERE r.rk > 1 AND r.rk <= {window}
+    AND r.a <> f.a AND r.a <> f.b AND r.a <> f.a || f.b
+    AND r.b <> f.a AND r.b <> f.b AND r.b <> f.a || f.b
+    AND r.a || r.b <> f.a AND r.a || r.b <> f.b AND r.a || r.b <> f.a || f.b
+  ORDER BY r.n DESC, r.a, r.b LIMIT 1
+),
+m{i} AS (
+  SELECT v.w, v.freq,
+    list_reduce(list_transform(v.sym, s -> [s]),
+      (acc, x) -> CASE WHEN acc[-1] = f.a AND x[1] = f.b
+                  THEN list_append(acc[1:len(acc)-1], f.a || f.b)
+                  ELSE list_concat(acc, x) END) AS sym
+  FROM {prev} v, sa{i} f
+),
+v{i} AS (
+  SELECT m.w, m.freq,
+    CASE WHEN g.a IS NULL THEN m.sym
+    ELSE list_reduce(list_transform(m.sym, s -> [s]),
+      (acc, x) -> CASE WHEN acc[-1] = g.a AND x[1] = g.b
+                  THEN list_append(acc[1:len(acc)-1], g.a || g.b)
+                  ELSE list_concat(acc, x) END)
+    END AS sym
+  FROM m{i} m LEFT JOIN sb{i} g ON TRUE
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS round, 1 AS pick, a, b, n FROM sa{i} UNION ALL "
+        f"SELECT {i} AS round, 2 AS pick, a, b, n FROM sb{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH wf AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents WHERE len(trim(text)) > 0
+  ) GROUP BY w
+),
+v0 AS (SELECT w, freq, string_split(w, '') AS sym FROM wf),
+{",".join(rs)}
+SELECT CAST(round AS INT) AS round, CAST(pick AS INT) AS pick, a, b, n
+FROM ({finals})
+"""
+
+
+SQL_BPE_TRAIN_BATCHED = _bpe_train_batched_sql()
+
+
 def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TOKENIZATION with a trained merge table (functions/bpe.py:
     bpe_encode): train 4 merges, encode every document, output the global
@@ -5396,6 +5482,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_train_batched_merges": q_bpe_train_batched,
     "bpe_encode_tokens": q_bpe_encode_tokens,
     "bpe_encode_ranked": q_bpe_encode_ranked,
     "unigram_surprisal": q_unigram_surprisal,
@@ -5504,6 +5591,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
+    "bpe_train_batched_merges": SQL_BPE_TRAIN_BATCHED,
     "bpe_encode_tokens": SQL_BPE_ENCODE_TOKENS,
     "bpe_encode_ranked": SQL_BPE_ENCODE_TOKENS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
@@ -5628,6 +5716,7 @@ _GATE_GREEN_R6 = [
 
 _NEW_THIS_ROUND: list[str] = [
     "media_decode_jpeg_progressive",
+    "bpe_train_batched_merges",
 ]
 
 _GATE_GREEN_THROUGH_R5 = [
