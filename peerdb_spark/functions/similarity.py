@@ -177,27 +177,29 @@ def ivf_train_centroids(
     return [[float(x) for x in c] for c in cent]
 
 
-def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+def _nearest_cells(vec_col: str, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the nprobe nearest centroid indices (deterministic tiebreak
-    on centroid index via struct ordering). JVM arithmetic only."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    on centroid index via struct ordering). JVM arithmetic only.
+
+    Built as ONE SQL-text expression (a single parse on the JVM):
+    instantiating the k×dim literals as individual Column objects costs
+    k·dim py4j round-trips — measured in MINUTES of driver time at k=1024
+    — while the text form parses in seconds (same trick as
+    dot_cell_assign). Double literals use the `D` suffix so Spark SQL does
+    not read them as decimals; repr() round-trips the exact float."""
+    structs = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        structs.append(f"named_struct('d', {d}, 'cell', {i})")
+    return F.expr(
+        "transform(slice(array_sort(array(" + ", ".join(structs)
+        + f")), 1, {nprobe}), s -> s.cell)"
     )
-    return F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cell"])
 
 
 def ivf_assign(
@@ -223,7 +225,7 @@ def ivf_assign(
         kd = len(centroids) * (len(centroids[0]) if centroids else 0)
         strategy = "literal" if kd <= LITERAL_CODEBOOK_MAX else "join"
     if strategy == "literal":
-        cell = F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1)
+        cell = F.element_at(_nearest_cells(vec_col, centroids, 1), 1)
         return corpus.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
     if strategy != "join":
         raise ValueError(f"unknown assign strategy: {strategy}")
@@ -273,7 +275,7 @@ def probe_cells(
             F.col(query_id_col),
             F.col(vec_col).alias("_qvec"),
             F.explode(
-                _nearest_cells(F.col(vec_col), centroids, nprobe)
+                _nearest_cells(vec_col, centroids, nprobe)
             ).alias("cell"),
         )
     if strategy != "join":
@@ -395,7 +397,7 @@ def ivf_topk_indexed(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+        F.explode(_nearest_cells(vec_col, centroids, nprobe)).alias("cell"),
     )
     cells = sorted(r[0] for r in q.select("cell").distinct().collect())
     c = spark.read.parquet(path).where(F.col("cell").isin(cells))
