@@ -134,8 +134,10 @@ def encode_record(offset_delta: int, ts_delta: int, key: bytes | None,
 
 # attributes bits 0-2: compression codec (Kafka protocol). gzip is stdlib;
 # snappy is the from-scratch raw-block codec in snappy_codec.py (record
-# batches v2 use raw blocks, not xerial framing); lz4/zstd need codec libs.
-_CODECS = {"none": 0, "gzip": 1, "snappy": 2}
+# batches v2 use raw blocks, not xerial framing); lz4 is the from-scratch
+# FRAME codec in lz4_codec.py (v2 uses the real frame format — the broken
+# legacy-HC variant applied only to v0/v1 message sets); zstd needs a lib.
+_CODECS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3}
 
 
 def encode_record_batch(records: list[tuple],
@@ -160,6 +162,10 @@ def encode_record_batch(records: list[tuple],
         from peerdb_spark.snappy_codec import snappy_compress
 
         recs = snappy_compress(recs)
+    elif codec == 3:
+        from peerdb_spark.lz4_codec import lz4_frame_compress
+
+        recs = lz4_frame_compress(recs)
     after_crc = struct.pack(
         ">hiqqqhii",
         codec,                  # attributes: compression codec bits
@@ -200,6 +206,10 @@ def decode_record_batch(buf: bytes) -> list[tuple]:
         from peerdb_spark.snappy_codec import snappy_decompress
 
         after = after[:hdr] + snappy_decompress(after[hdr:])
+    elif codec == 3:
+        from peerdb_spark.lz4_codec import lz4_frame_decompress
+
+        after = after[:hdr] + lz4_frame_decompress(after[hdr:])
     elif codec != 0:
         raise ValueError(f"unsupported compression codec {codec}")
     pos = hdr

@@ -194,8 +194,9 @@ def write_kafka_wire(
     followed mid-write — the franz-go behavior). routed=False keeps the
     single-socket scope (a proxy/single-broker address that may not answer
     Metadata). acks=1 at-least-once either way; the idempotent merge
-    downstream absorbs redelivery. compression: none/gzip (stdlib) /
-    snappy (from-scratch raw-block codec, snappy_codec.py)."""
+    downstream absorbs redelivery. compression: none / gzip (stdlib) /
+    snappy (from-scratch raw-block codec, snappy_codec.py) / lz4
+    (from-scratch frame codec + XXH32, lz4_codec.py)."""
     from peerdb_spark.kafka_wire import (
         deliver_kafka_wire,
         deliver_kafka_wire_routed,

@@ -638,3 +638,19 @@ def test_produce_snappy_end_to_end_stub_broker(broker):
         sock.close()
     assert [(t, k) for t, k, _v in broker.received] == [("t", b"k%d" % i) for i in range(30)]
     assert all(v == recs[0][1] for _t, _k, v in broker.received)
+
+
+def test_produce_lz4_end_to_end_stub_broker(broker):
+    """From-scratch LZ4-frame compression over the wire, decoded by the
+    stub broker's independent decoder."""
+    import socket
+
+    host, port = broker.server_address
+    recs = [(b"k%d" % i, b'{"pad":"' + b"w" * 300 + b'"}') for i in range(30)]
+    sock = socket.create_connection((host, port), timeout=10)
+    try:
+        KW.produce_on(sock, "t", 0, recs, correlation_id=9,
+                      compression="lz4")
+    finally:
+        sock.close()
+    assert [(t, k) for t, k, _v in broker.received] == [("t", b"k%d" % i) for i in range(30)]
