@@ -1,11 +1,15 @@
-"""From-scratch baseline JPEG codec (functions/jpeg.py).
+"""From-scratch JPEG codec (functions/jpeg.py), baseline + progressive.
 
-The decoder is pinned three independent ways: (1) a HAND-ASSEMBLED minimal
-stream whose entropy bits and expected pixels are computed on paper from
-T.81 (DC-only block: pixel = dequantized_DC/8 + 128), (2) exact roundtrips
-on constant tiles where quantization provably loses nothing, (3) tolerance
-roundtrips through the full Huffman/DCT path on gradients, all modes, with
-and without restart markers. Spark path: decode_images over Arrow batches.
+The decoder is pinned four independent ways: (1) HAND-ASSEMBLED minimal
+streams — baseline AND a 4-scan progressive one — whose entropy bits and
+expected pixels are computed on paper from T.81 (DC-only block: pixel =
+dequantized_DC/8 + 128), so the wire format is verified independent of
+our encoder; (2) exact roundtrips on constant tiles where quantization
+provably loses nothing; (3) tolerance roundtrips through the full
+Huffman/DCT path on gradients, all modes, with and without restart
+markers; (4) progressive==baseline byte-identity (both encodings carry
+the same quantized coefficients). Spark path: decode_images over Arrow
+batches.
 """
 
 import struct
@@ -301,3 +305,49 @@ def test_progressive_rejects_malformed_scans():
     # truncating mid-scan loses the EOI → decoder reports truncation
     with pytest.raises((ValueError, IndexError)):
         decode_jpeg(data[: len(data) // 2])
+
+
+def test_decode_hand_assembled_progressive():
+    """Hand-assembled 4-scan SOF2 stream with on-paper pixels — pins the
+    progressive WIRE format (scan headers, point transforms, refinement
+    bit semantics, EOB-run refinement reads) independent of our encoder:
+
+    scan 1  DC first  (Ss=0 Se=0 Ah=0 Al=1): diff 4  → coef0 = 4<<1 = 8
+    scan 2  AC first  (Ss=1 Se=63 Ah=0 Al=1): (r=0,s=1) raw 1 at k=1 →
+            coef1 = extend(1,1)<<1 = 2, then EOB
+    scan 3  DC refine (Ah=1 Al=0): bit 1     → coef0 = 8|1 = 9
+    scan 4  AC refine (Ah=1 Al=0): EOB run 1, then the correction bit for
+            the nonzero coef1: bit 1 and (2 & 1)==0 → coef1 = 3
+
+    Flat quant 16 → DC dequant 144 → base pixel 144/8 + 128 = 146;
+    AC (0,1) dequant 48 → amplitude 48/(4√2)·cos((2x+1)π/16), row-constant.
+    Canonical codes from the module tables (carried in DHT, as any real
+    file): DC size-3 = '100', AC (0,1) = '000000011', AC EOB = '00000000'.
+    """
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht = (bytes([0x00] + _DC_BITS) + bytes(_DC_VALS)
+           + bytes([0x10] + _AC_BITS) + bytes(_AC_VALS))
+
+    def sos(ss, se, ah, al):
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    def bits(s):
+        s = s + "1" * (-len(s) % 8)
+        raw = bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    jpg = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof2) + _seg(0xC4, dht)
+           + sos(0, 0, 0, 1) + bits("100" + "100")          # DC first: size 3, raw 4
+           + sos(1, 63, 0, 1) + bits("000000011" + "1" + "00000000")  # AC first
+           + sos(0, 0, 1, 0) + bits("1")                    # DC refine
+           + sos(1, 63, 1, 0) + bits("00000000" + "1")      # AC refine
+           + b"\xff\xd9")
+    w, h, rgb = decode_jpeg(jpg)
+    assert (w, h) == (8, 8)
+    got = np.frombuffer(rgb, np.uint8).reshape(8, 8, 3)[:, :, 0].astype(float)
+    x = np.arange(8)
+    want = np.clip(np.round(
+        146 + 48 / (4 * np.sqrt(2)) * np.cos((2 * x + 1) * np.pi / 16)
+    ), 0, 255)
+    assert np.array_equal(got, np.tile(want, (8, 1)))
