@@ -698,6 +698,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     frame = None
     restart_interval = 0
     coefs = None  # progressive per-component coefficient accumulators
+    lut_cache: dict[int, list[int]] = {}  # id(decode table) → peek-16 LUT
+    # (a DHT redefinition replaces the table object, so its id drops out)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -744,6 +746,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            # sampling-factor validation at FRAME level so both the
+            # baseline and progressive paths reject h/v of 0, >4, or
+            # non-dividing layouts (which would crash or silently
+            # mis-upsample chroma) before any scan decodes
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
+                        and hmax % c["h"] == 0 and vmax % c["v"] == 0):
+                    layout = tuple(sorted((c["h"], c["v"]) for c in comps))
+                    raise NotImplementedError(
+                        f"unsupported sampling layout {layout}"
+                    )
             frame = {"w": w_, "h": h, "comps": comps,
                      "progressive": marker == 0xC2}
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -765,8 +780,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 scan_tabs[cid] = (tt >> 4, tt & 0xF)
                 scan_order.append(cid)
             if not frame["progressive"]:
-                return _decode_scan(data, pos, frame, quant, huff, scan_tabs,
-                                    restart_interval)
+                try:
+                    return _decode_scan(data, pos, frame, quant, huff,
+                                        scan_tabs, restart_interval)
+                except IndexError as e:
+                    # entropy data ran out mid-MCU deep enough to outrun
+                    # the reader's zero padding — same strict reject as
+                    # the in-loop truncation checks
+                    raise ValueError("truncated scan") from e
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             if coefs is None:
@@ -780,10 +801,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                     )
                     for c in frame["comps"]
                 }
-            pos = _decode_scan_progressive(
-                data, pos, frame, huff, scan_order, scan_tabs,
-                ss, se, ah, al, restart_interval, coefs,
-            )
+            try:
+                pos = _decode_scan_progressive(
+                    data, pos, frame, huff, scan_order, scan_tabs,
+                    ss, se, ah, al, restart_interval, coefs, lut_cache,
+                )
+            except IndexError as e:
+                raise ValueError("truncated scan") from e
         # APPn / COM / others: skipped
     raise ValueError("truncated stream: no EOI" if coefs is not None
                      else "no SOS marker found")
@@ -890,16 +914,12 @@ def _coefs_to_planes(comps, quant, coefs):
 def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
     w_, h = frame["w"], frame["h"]
     comps = frame["comps"]
+    # sampling factors validated at SOF parse (decode_jpeg); the MCU walk
+    # and repeat-upsampling are generic in (h, v) — any baseline-legal
+    # layout where every factor divides the maxima (4:4:4/4:2:2/4:2:0/
+    # 4:1:1/gray) decodes here
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    layout = tuple(sorted((c["h"], c["v"]) for c in comps))
-    # the MCU walk and repeat-upsampling are generic in (h, v); accept any
-    # baseline-legal factors where every component divides the maxima
-    # (covers 4:4:4, 4:2:2, 4:2:0, 4:1:1 and gray)
-    for c in comps:
-        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
-                and hmax % c["h"] == 0 and vmax % c["v"] == 0):
-            raise NotImplementedError(f"unsupported sampling layout {layout}")
     mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     coefs = {
@@ -1038,7 +1058,8 @@ def _planes_to_rgb(planes, comps, w_, h, hmax, vmax):
 
 
 def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
-                             ss, se, ah, al, restart_interval, coefs):
+                             ss, se, ah, al, restart_interval, coefs,
+                             lut_cache=None):
     """Decode one progressive scan into the coefficient accumulators;
     returns the position of the marker that follows the entropy data."""
     w_, h = frame["w"], frame["h"]
@@ -1064,6 +1085,7 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
 
     buf, seg_bits, seg_markers, end_abs = _destuff_scan(data, pos)
     reader = _FastReader(buf)
+    cache = lut_cache if lut_cache is not None else {}
     luts: dict[tuple[int, int], list[int]] = {}
     for c, dct, act in scan_list:
         keys = []
@@ -1074,8 +1096,10 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
         for key in keys:
             if key not in huff:
                 raise ValueError("scan references missing huffman table")
-            if key not in luts:
-                luts[key] = _lut_from_table(huff[key])
+            tbl = huff[key]
+            if id(tbl) not in cache:  # shared across scans of one image
+                cache[id(tbl)] = _lut_from_table(tbl)
+            luts[key] = cache[id(tbl)]
     preds = {c["id"]: 0 for c, _d, _a in scan_list}
     eobrun = 0
     p1 = 1 << al

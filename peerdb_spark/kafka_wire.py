@@ -545,7 +545,11 @@ class ClusterProducer:
             self.brokers.update(brokers)
             self.leaders.update(leaders)
             return
-        raise ConnectionError(f"no reachable broker for metadata: {last_err}")
+        raise ConnectionError(
+            f"no reachable broker for metadata: {last_err} (if this address "
+            "is a proxy/tunnel or a broker that does not serve Metadata v1, "
+            "use the single-socket path: write_kafka_wire(..., routed=False))"
+        )
 
     def _drop(self, addr: tuple[str, int]) -> None:
         sock = self._conns.pop(addr, None)

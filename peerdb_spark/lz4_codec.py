@@ -228,6 +228,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
         pos += 8
     if has_dict:
         pos += 4
+    if pos >= len(data):  # optional descriptor fields extend the header
+        raise ValueError("lz4: truncated frame header")
     hc = data[pos]
     if (xxh32(data[4:pos]) >> 8) & 0xFF != hc:
         raise ValueError("lz4: frame header checksum mismatch")

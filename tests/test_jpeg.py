@@ -351,3 +351,49 @@ def test_decode_hand_assembled_progressive():
         146 + 48 / (4 * np.sqrt(2)) * np.cos((2 * x + 1) * np.pi / 16)
     ), 0, 255)
     assert np.array_equal(got, np.tile(want, (8, 1)))
+
+
+def test_truncated_entropy_rejects_with_valueerror():
+    """Entropy data far shorter than the declared MCU count must reject as
+    ValueError (never IndexError / never wrong pixels), even when the
+    zero-padding overrun happens deep inside an MCU (code-review repro:
+    64×64 4:4:4 with 4 bytes of scan data)."""
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    good = encode_jpeg(img.tobytes(), 64, 64, quality=80, mode="444")
+    sos = good.index(b"\xff\xda")
+    hdr_len = struct.unpack_from(">H", good, sos + 2)[0]
+    cut = good[: sos + 2 + hdr_len + 4] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(cut)
+    # progressive twin
+    goodp = encode_jpeg(img.tobytes(), 64, 64, quality=80, mode="444",
+                        progressive=True)
+    sos = goodp.index(b"\xff\xda")
+    hdr_len = struct.unpack_from(">H", goodp, sos + 2)[0]
+    cutp = goodp[: sos + 2 + hdr_len + 2] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(cutp)
+
+
+def test_bad_sampling_factors_reject_on_both_paths():
+    """h or v of 0, or non-dividing layouts, must reject at SOF parse —
+    the progressive path previously skipped the check (ZeroDivisionError /
+    silent chroma mis-upsampling; code-review finding)."""
+    rgb = bytes(8 * 8 * 3)
+    good = encode_jpeg(rgb, 8, 8, quality=80, mode="444")
+    sof = good.index(b"\xff\xc0")
+    # component 1's sampling byte sits at SOF body offset 6+1
+    samp_off = sof + 4 + 6 + 1
+    assert good[samp_off] == 0x11
+    for marker in (b"\xff\xc0", b"\xff\xc2"):
+        base = good[:sof] + marker + good[sof + 2 :]
+        zero_h = base[:samp_off] + b"\x01" + base[samp_off + 1 :]  # h=0
+        with pytest.raises(NotImplementedError, match="sampling"):
+            decode_jpeg(zero_h)
+        # luma h=3, chroma h=2: 2 does not divide hmax=3 → mis-upsample
+        nondiv = bytearray(base)
+        nondiv[samp_off] = 0x31
+        nondiv[samp_off + 3] = 0x21
+        with pytest.raises(NotImplementedError, match="sampling"):
+            decode_jpeg(bytes(nondiv))

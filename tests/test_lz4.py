@@ -147,3 +147,14 @@ def test_kafka_record_batch_lz4_roundtrip():
     assert attrs & 0x7 == 3
     assert len(batch) < len(plain) // 2
     assert [(k, v) for k, v, _h in KW.decode_record_batch(batch)] == recs
+
+
+def test_frame_truncated_optional_descriptor_fields():
+    """A header whose FLG advertises content-size/dict-id fields but is cut
+    short must reject as ValueError, not IndexError (code-review repro:
+    7-byte frame with the content-size bit set)."""
+    flg_csize = (1 << 6) | (1 << 5) | (1 << 3)
+    frame = struct.pack("<I", 0x184D2204) + bytes([flg_csize, 4 << 4, 0])
+    assert len(frame) == 7
+    with pytest.raises(ValueError, match="truncated frame header"):
+        lz4_frame_decompress(frame)
