@@ -54,7 +54,6 @@ ZIGZAG = [
     53, 60, 61, 54, 47, 55, 62, 63,
 ]
 _ZZ = np.array(ZIGZAG)
-_UNZIGZAG = np.argsort(_ZZ)
 
 # Annex-K-style quantization tables (quality 50 base). These ship in the
 # DQT segment; the decoder reads whatever the stream declares.
@@ -212,34 +211,28 @@ def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
 def _encode_block(coefq: np.ndarray, dc_pred: int, w: _BitWriter,
                   dc_enc: dict, ac_enc: dict) -> int:
     """Quantized zigzag coefficients (len 64) → entropy bits; returns new
-    DC predictor."""
+    DC predictor. Walks only the NONZERO AC positions (most blocks are
+    sparse after quantization), deriving zero runs from index gaps."""
     dc = int(coefq[0])
     size, raw = _magnitude(dc - dc_pred)
     code, ln = dc_enc[size]
     w.write(code, ln)
     if size:
         w.write(raw, size)
-    run = 0
-    last_nz = 0
-    for i in range(63, 0, -1):
-        if coefq[i]:
-            last_nz = i
-            break
-    for i in range(1, last_nz + 1):
-        v = int(coefq[i])
-        if v == 0:
-            run += 1
-            continue
+    prev = 0
+    for idx in np.nonzero(coefq[1:])[0]:
+        k = int(idx) + 1
+        run = k - prev - 1
         while run > 15:
             code, ln = ac_enc[0xF0]  # ZRL
             w.write(code, ln)
             run -= 16
-        size, raw = _magnitude(v)
+        size, raw = _magnitude(int(coefq[k]))
         code, ln = ac_enc[(run << 4) | size]
         w.write(code, ln)
         w.write(raw, size)
-        run = 0
-    if last_nz < 63:
+        prev = k
+    if prev < 63:
         code, ln = ac_enc[0x00]  # EOB
         w.write(code, ln)
     return dc
@@ -251,6 +244,22 @@ def _plane_blocks(plane: np.ndarray, bx: int, by: int) -> np.ndarray:
     ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
     xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
     return plane[np.ix_(ys, xs)]
+
+
+def _quantized_blocks(plane: np.ndarray, nbx: int, nby: int,
+                      qz: np.ndarray) -> np.ndarray:
+    """ALL 8×8 blocks of a plane → quantized zigzag coefficients
+    (nby, nbx, 64): edge-pad once, one batched FDCT matmul pair
+    (associated exactly like the per-block _fdct, (C @ X) @ C.T, so the
+    quantized values — and therefore the encoded bytes — are identical to
+    the per-block path this replaces), divide by the zigzag-ordered table,
+    round."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge") - 128.0
+    blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.matmul(np.matmul(_C, blocks), _C.T)
+    zz = coef.reshape(nby, nbx, 64)[:, :, _ZZ]
+    return np.round(zz / qz.astype(np.float64)).astype(np.int64)
 
 
 def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
@@ -343,30 +352,28 @@ def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
             for i in range(len(preds)):
                 preds[i] = 0
 
-    def q_block(plane, bx, by, q) -> np.ndarray:
-        coef = _fdct(_plane_blocks(plane, bx, by) - 128.0)
-        zz = coef.reshape(64)[ZIGZAG]
-        return np.round(zz / q.astype(np.float64)).astype(np.int64)
-
     qlz = ql.reshape(64)[ZIGZAG]
     qcz = qc.reshape(64)[ZIGZAG]
     if mode == "gray":
         nbx, nby = (width + 7) // 8, (height + 7) // 8
         total_mcus = nbx * nby
+        ya = _quantized_blocks(y, nbx, nby, qlz)
         preds = [0]
         for byi in range(nby):
             for bxi in range(nbx):
-                preds[0] = _encode_block(q_block(y, bxi, byi, qlz), preds[0],
+                preds[0] = _encode_block(ya[byi, bxi], preds[0],
                                          w, dc_enc, ac_enc)
                 maybe_restart(preds)
     elif mode == "444":
         nbx, nby = (width + 7) // 8, (height + 7) // 8
         total_mcus = nbx * nby
+        arrs = [_quantized_blocks(p, nbx, nby, q)
+                for p, q in ((y, qlz), (cb, qcz), (cr, qcz))]
         preds = [0, 0, 0]
         for byi in range(nby):
             for bxi in range(nbx):
-                for ci, plane, q in ((0, y, qlz), (1, cb, qcz), (2, cr, qcz)):
-                    preds[ci] = _encode_block(q_block(plane, bxi, byi, q),
+                for ci in range(3):
+                    preds[ci] = _encode_block(arrs[ci][byi, bxi],
                                               preds[ci], w, dc_enc, ac_enc)
                 maybe_restart(preds)
     elif mode == "422":
@@ -376,19 +383,20 @@ def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
             pe = np.pad(p, ((0, 0), (0, ww % 2)), mode="edge")
             return (pe[:, 0::2] + pe[:, 1::2]) / 2.0
 
-        cbh, crh = hhalf(cb), hhalf(cr)
         nmx, nmy = (width + 15) // 16, (height + 7) // 8
         total_mcus = nmx * nmy
+        ya = _quantized_blocks(y, nmx * 2, nmy, qlz)
+        cba = _quantized_blocks(hhalf(cb), nmx, nmy, qcz)
+        cra = _quantized_blocks(hhalf(cr), nmx, nmy, qcz)
         preds = [0, 0, 0]
         for myi in range(nmy):
             for mxi in range(nmx):
                 for dx in range(2):
-                    preds[0] = _encode_block(
-                        q_block(y, mxi * 2 + dx, myi, qlz),
-                        preds[0], w, dc_enc, ac_enc)
-                preds[1] = _encode_block(q_block(cbh, mxi, myi, qcz),
+                    preds[0] = _encode_block(ya[myi, mxi * 2 + dx],
+                                             preds[0], w, dc_enc, ac_enc)
+                preds[1] = _encode_block(cba[myi, mxi],
                                          preds[1], w, dc_enc, ac_enc)
-                preds[2] = _encode_block(q_block(crh, mxi, myi, qcz),
+                preds[2] = _encode_block(cra[myi, mxi],
                                          preds[2], w, dc_enc, ac_enc)
                 maybe_restart(preds)
     else:  # 420
@@ -399,20 +407,22 @@ def encode_jpeg(rgb: bytes, width: int, height: int, quality: int = 90,
             return (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2]
                     + pe[1::2, 1::2]) / 4.0
 
-        cbh, crh = half(cb), half(cr)
         nmx, nmy = (width + 15) // 16, (height + 15) // 16
         total_mcus = nmx * nmy
+        ya = _quantized_blocks(y, nmx * 2, nmy * 2, qlz)
+        cba = _quantized_blocks(half(cb), nmx, nmy, qcz)
+        cra = _quantized_blocks(half(cr), nmx, nmy, qcz)
         preds = [0, 0, 0]
         for myi in range(nmy):
             for mxi in range(nmx):
                 for dy in range(2):
                     for dx in range(2):
                         preds[0] = _encode_block(
-                            q_block(y, mxi * 2 + dx, myi * 2 + dy, qlz),
+                            ya[myi * 2 + dy, mxi * 2 + dx],
                             preds[0], w, dc_enc, ac_enc)
-                preds[1] = _encode_block(q_block(cbh, mxi, myi, qcz),
+                preds[1] = _encode_block(cba[myi, mxi],
                                          preds[1], w, dc_enc, ac_enc)
-                preds[2] = _encode_block(q_block(crh, mxi, myi, qcz),
+                preds[2] = _encode_block(cra[myi, mxi],
                                          preds[2], w, dc_enc, ac_enc)
                 maybe_restart(preds)
     out.extend(w.flush())
@@ -583,16 +593,9 @@ def _encode_progressive(width: int, height: int, mode: str,
     # quantized zigzag coefficients: padded MCU grid (DC scans are
     # interleaved) + true block grid dims (AC scans are single-component)
     for c in comps:
-        qz = (qlz if c["tq"] == 0 else qcz).astype(np.float64)
+        qz = qlz if c["tq"] == 0 else qcz
         nby, nbx = mcuy * c["v"], mcux * c["h"]
-        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
-        for by in range(nby):
-            for bx in range(nbx):
-                coef = _fdct(_plane_blocks(c["plane"], bx, by) - 128.0)
-                arr[by, bx] = np.round(
-                    coef.reshape(64)[ZIGZAG] / qz
-                ).astype(np.int64)
-        c["coef"] = arr
+        c["coef"] = _quantized_blocks(c["plane"], nbx, nby, qz)
         cw = -(-width * c["h"] // hmax)
         ch = -(-height * c["v"] // vmax)
         c["nbx"], c["nby"] = -(-cw // 8), -(-ch // 8)
