@@ -692,7 +692,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     """Baseline (SOF0) or progressive (SOF2) JPEG → (width, height,
     interleaved RGB888). Progressive streams accumulate coefficients
     across scans (spectral selection + successive approximation, T.81
-    Annex G) and reconstruct at EOI."""
+    Annex G) and reconstruct at EOI.
+
+    Exception contract (a codec fed 100 TB of crawl data WILL see garbage):
+    every malformed input rejects with ValueError or NotImplementedError —
+    the low-level escapes a corrupt stream can trigger inside the parser
+    (short reads, dangling table/component references) convert here."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

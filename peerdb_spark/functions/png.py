@@ -198,7 +198,16 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     Validates the signature and every chunk CRC; raises ValueError on
     corruption and NotImplementedError on out-of-scope features (sub-byte
     bit depths) — a torn or exotic payload must never decode to
-    silently-wrong pixels."""
+    silently-wrong pixels, and the low-level escapes corruption can
+    trigger (short chunk reads, broken deflate streams) convert to
+    ValueError at this boundary."""
+    try:
+        return _decode_png(data)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG stream ({type(e).__name__})") from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, bytes]:
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, plte, idat = 8, None, None, bytearray()

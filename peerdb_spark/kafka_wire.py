@@ -185,7 +185,15 @@ def encode_record_batch(records: list[tuple],
 def decode_record_batch(buf: bytes) -> list[tuple]:
     """Independent struct-level decoder (used by the test stub): validates
     magic + CRC32C and returns [(key, value, headers), ...] with
-    headers = [(str, bytes|None), ...]."""
+    headers = [(str, bytes|None), ...]. Malformed input always rejects
+    with ValueError (short reads convert at this boundary)."""
+    try:
+        return _decode_record_batch(buf)
+    except (struct.error, IndexError, AssertionError) as e:
+        raise ValueError(f"corrupt record batch ({type(e).__name__})") from e
+
+
+def _decode_record_batch(buf: bytes) -> list[tuple]:
     base_offset, batch_len = struct.unpack_from(">qi", buf, 0)
     epoch, magic, crc = struct.unpack_from(">ibI", buf, 12)
     if magic != 2:

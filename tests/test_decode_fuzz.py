@@ -1,0 +1,85 @@
+"""Exception-hygiene fuzz for every byte-stream decoder boundary.
+
+A 100 TB crawl WILL contain torn, bit-flipped, and garbage payloads; the
+engine's contract is that every decoder rejects them with ValueError (or
+NotImplementedError for out-of-scope-but-valid features) — never a raw
+IndexError/KeyError/struct.error/zlib.error escaping into a Spark task,
+and never silent wrong output for streams whose integrity checks fail.
+
+Seeded and bounded: 250 mutations (byte flips, truncations, garbage
+insertions) per decoder per run.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from peerdb_spark import kafka_wire as KW
+from peerdb_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from peerdb_spark.functions.png import decode_png, encode_png
+from peerdb_spark.lz4_codec import lz4_frame_compress, lz4_frame_decompress
+from peerdb_spark.snappy_codec import snappy_compress, snappy_decompress
+
+
+def _img():
+    return np.random.RandomState(0).randint(0, 256, (24, 24, 3), dtype=np.uint8)
+
+
+_SEEDS = {
+    "jpeg_baseline": (
+        decode_jpeg,
+        lambda: encode_jpeg(_img().tobytes(), 24, 24, quality=80,
+                            mode="420", restart_interval=2),
+    ),
+    "jpeg_progressive": (
+        decode_jpeg,
+        lambda: encode_jpeg(_img().tobytes(), 24, 24, quality=80,
+                            progressive=True),
+    ),
+    "png": (
+        decode_png,
+        lambda: encode_png(_img().tobytes(), 24, 24, lambda y: y % 5),
+    ),
+    "snappy": (
+        snappy_decompress,
+        lambda: snappy_compress(b"the quick brown fox " * 50),
+    ),
+    "lz4_frame": (
+        lz4_frame_decompress,
+        lambda: lz4_frame_compress(b"the quick brown fox " * 50),
+    ),
+    "kafka_record_batch": (
+        KW.decode_record_batch,
+        lambda: KW.encode_record_batch([(b"k", b"v" * 50)] * 5,
+                                       compression="snappy"),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SEEDS))
+def test_mutated_streams_reject_cleanly(name):
+    decode, make = _SEEDS[name]
+    data = make()
+    rng = random.Random(hash(name) & 0xFFFF)
+    escapes = []
+    for trial in range(250):
+        b = bytearray(data)
+        op = rng.randrange(3)
+        if op == 0:  # flip 1-3 random bytes
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:  # truncate anywhere
+            b = b[: rng.randrange(1, len(b))]
+        else:  # insert 1-7 garbage bytes anywhere
+            i = rng.randrange(len(b))
+            b = (b[:i]
+                 + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 8)))
+                 + b[i:])
+        try:
+            decode(bytes(b))  # surviving decode is fine (benign mutation)
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as e:  # noqa: BLE001 — the assertion target
+            escapes.append((trial, type(e).__name__, str(e)[:60]))
+    assert not escapes, escapes[:5]
