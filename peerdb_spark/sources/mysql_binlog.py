@@ -500,6 +500,21 @@ class BinlogDecoder:
         self.txid: int | None = None
 
     def feed(self, payload: bytes):
+        """Decode one binlog event. Malformed payloads reject as ValueError
+        (low-level escapes from torn reads convert at this boundary)."""
+        try:
+            # _feed is a generator: drain it HERE so decode errors surface
+            # inside this try, not lazily at the caller's iteration
+            out = self._feed(payload)
+            return list(out) if out is not None else None
+        except (struct.error, IndexError, OverflowError, UnicodeDecodeError,
+                OSError) as e:
+            # OSError: datetime.fromtimestamp on a garbage epoch value
+            raise ValueError(
+                f"corrupt binlog event ({type(e).__name__})"
+            ) from e
+
+    def _feed(self, payload: bytes):
         r = _Reader(payload)
         ts = r.u32()
         etype = r.u8()
@@ -570,6 +585,7 @@ class BinlogDecoder:
         checkpoint = self.gtid if self.gtid else f"pos:{log_pos:012d}"
         n = 0
         while not r.at_end():
+            row_start = r.pos
             if etype == WRITE_ROWS_V2:
                 kind, old, new = "insert", None, _read_row(r, tm, present1)
             elif etype == DELETE_ROWS_V2:
@@ -592,6 +608,11 @@ class BinlogDecoder:
                 "_unchanged_cols": None,
             }
             n += 1
+            if r.pos == row_start:
+                # a corrupt event (e.g. lenenc ncols of 0) could parse a
+                # "row" that consumes no bytes — without this guard the
+                # rows loop never terminates
+                raise ValueError("rows event makes no progress (corrupt)")
 
     def decode_all(self, payloads) -> list[dict]:
         out: list[dict] = []

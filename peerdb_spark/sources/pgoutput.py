@@ -244,6 +244,24 @@ class PgOutputDecoder:
         return [c for (k, _), c in zip(tup, rel.columns) if k == "u"]
 
     def feed(self, lsn: int, payload: bytes):
+        """Decode one WAL message. Malformed payloads (torn reads, replays
+        of half-written segments) reject as ValueError with the LSN — the
+        low-level escapes corruption triggers convert at this boundary so
+        a Spark task sees a clean per-message error, not a raw
+        struct/index fault."""
+        try:
+            # _feed is a generator: drain it HERE so decode errors surface
+            # inside this try, not lazily at the caller's iteration
+            out = self._feed(lsn, payload)
+            return list(out) if out is not None else None
+        except (struct.error, IndexError, OverflowError,
+                UnicodeDecodeError) as e:
+            raise ValueError(
+                f"corrupt pgoutput message at lsn={lsn} "
+                f"({type(e).__name__})"
+            ) from e
+
+    def _feed(self, lsn: int, payload: bytes):
         r = _Reader(payload)
         tag = chr(r.u8())
         if tag == "B":

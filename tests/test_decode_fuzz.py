@@ -83,3 +83,66 @@ def test_mutated_streams_reject_cleanly(name):
         except Exception as e:  # noqa: BLE001 — the assertion target
             escapes.append((trial, type(e).__name__, str(e)[:60]))
     assert not escapes, escapes[:5]
+
+
+def _mutations(rng, data):
+    b = bytearray(data)
+    op = rng.randrange(3)
+    if op == 0:
+        for _ in range(rng.randrange(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+    elif op == 1:
+        b = b[: rng.randrange(1, len(b))]
+    else:
+        i = rng.randrange(len(b))
+        b = (b[:i]
+             + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 5)))
+             + b[i:])
+    return bytes(b)
+
+
+def test_pgoutput_mutated_wal_rejects_cleanly():
+    """CDC twin of the codec fuzz: torn/corrupt WAL messages reject as
+    ValueError per message, never a raw struct/index fault killing the
+    executor task."""
+    from test_pgoutput import _stream
+
+    from peerdb_spark.sources.pgoutput import PgOutputDecoder
+
+    rng = random.Random(11)
+    msgs = _stream()
+    escapes = []
+    for trial in range(400):
+        mut = [(lsn, _mutations(rng, p) if rng.random() < 0.5 else p)
+               for lsn, p in msgs]
+        try:
+            PgOutputDecoder().decode_all(mut)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            escapes.append((trial, type(e).__name__))
+    assert not escapes, escapes[:5]
+
+
+def test_binlog_mutated_events_reject_cleanly_and_terminate():
+    """Corrupt binlog events must reject as ValueError AND terminate —
+    a mutated lenenc column count of 0 previously made the rows loop spin
+    forever (zero bytes consumed per 'row'); the progress guard pins it."""
+    from test_mysql_binlog import _stream
+
+    from peerdb_spark.sources.mysql_binlog import BinlogDecoder
+
+    rng = random.Random(12)
+    msgs = _stream()
+    payloads = msgs if not isinstance(msgs[0], tuple) else [p for _, p in msgs]
+    escapes = []
+    for trial in range(400):
+        mut = [_mutations(rng, p) if rng.random() < 0.5 else p
+               for p in payloads]
+        try:
+            BinlogDecoder().decode_all(mut)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            escapes.append((trial, type(e).__name__))
+    assert not escapes, escapes[:5]
