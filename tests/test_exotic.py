@@ -273,10 +273,17 @@ def test_parse_interval_hypothesis_pg_rendering(spark):
         with_time=st.booleans(),
     )
     def check(y, mo, d, neg_time, hh, mm, ss, frac, with_time):
+        from decimal import Decimal
+
         txt = render(y, mo, d, neg_time, hh, mm, ss, frac, with_time)
         got = _one(spark, X.parse_interval(F.lit(txt)))
         sign = -1 if (neg_time and with_time) else 1
-        want_ss = float(sign * (ss + (frac if frac else 0) / 1e6)) if with_time else 0.0
+        # exact decimal expectation: a float SUM (ss + frac/1e6) can land
+        # one ULP away from the directly-parsed decimal and flake
+        want_ss = (
+            Decimal(sign) * (Decimal(ss) + Decimal(frac) / Decimal(1_000_000))
+            if with_time else Decimal(0)
+        )
         assert (got["years"], got["months"], got["days"]) == (y, mo, d) or (
             # absent units parse as 0
             (got["years"], got["months"], got["days"])
@@ -284,7 +291,7 @@ def test_parse_interval_hypothesis_pg_rendering(spark):
         ), (txt, got)
         if with_time:
             assert (got["hours"], got["minutes"]) == (sign * hh, sign * mm), (txt, got)
-        assert float(got["seconds"]) == want_ss, (txt, got)
+        assert Decimal(got["seconds"]) == want_ss, (txt, got)
 
     check()
 
