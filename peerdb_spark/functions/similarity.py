@@ -186,7 +186,23 @@ def _nearest_cells(vec_col: str, centroids: list[list[float]], nprobe: int) -> C
     k·dim py4j round-trips — measured in MINUTES of driver time at k=1024
     — while the text form parses in seconds (same trick as
     dot_cell_assign). Double literals use the `D` suffix so Spark SQL does
-    not read them as decimals; repr() round-trips the exact float."""
+    not read them as decimals; repr() round-trips the exact float.
+
+    Inputs are validated up front because they are spliced into SQL text:
+    a nan/inf centroid would render as `nanD`/`infD` (invalid Spark SQL →
+    opaque parse error) and a backtick inside vec_col would escape its
+    quoting. Both raise a descriptive ValueError instead."""
+    import math
+
+    if "`" in vec_col:
+        raise ValueError(f"vec_col must not contain backticks: {vec_col!r}")
+    for i, c in enumerate(centroids):
+        for x in c:
+            if not math.isfinite(float(x)):
+                raise ValueError(
+                    f"centroid {i} contains non-finite value {x!r}; "
+                    "IVF centroids must be finite (check training input)"
+                )
     structs = []
     for i, c in enumerate(centroids):
         arr = "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"

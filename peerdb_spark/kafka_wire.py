@@ -14,9 +14,11 @@ broker socket and re-parses every batch with struct-level code that shares
 nothing with the encoder).
 
 Scope (deliberately minimal, documented):
-- Produce v3, acks=1, optional gzip record-batch compression (stdlib
-  zlib; snappy/lz4/zstd need codec libs), no idempotence/transactions — the
-  at-least-once profile the engine's redelivery-tolerant merge expects.
+- Produce v3, acks=1, optional record-batch compression covering the full
+  franz-go default codec matrix — gzip (stdlib zlib), snappy
+  (snappy_codec.py), lz4 (lz4_codec.py), zstd (zstd_codec.py; spec-minimal
+  Raw/RLE frames, valid for any decoder) — no idempotence/transactions:
+  the at-least-once profile the engine's redelivery-tolerant merge expects.
 - One connection per executor partition (`deliver_kafka_wire` uses
   foreachPartition); batching = one record batch per Spark partition chunk.
 - Metadata v1 (api_key 3) IS implemented: `ClusterProducer` bootstraps from
@@ -133,11 +135,13 @@ def encode_record(offset_delta: int, ts_delta: int, key: bytes | None,
 
 
 # attributes bits 0-2: compression codec (Kafka protocol). gzip is stdlib;
-# snappy is the from-scratch raw-block codec in snappy_codec.py (record
-# batches v2 use raw blocks, not xerial framing); lz4 is the from-scratch
-# FRAME codec in lz4_codec.py (v2 uses the real frame format — the broken
-# legacy-HC variant applied only to v0/v1 message sets); zstd needs a lib.
-_CODECS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3}
+# snappy is the from-scratch codec in snappy_codec.py (we EMIT raw blocks;
+# decode auto-detects xerial framing, which Java producers still use for
+# v2); lz4 is the from-scratch FRAME codec in lz4_codec.py (v2 uses the
+# real frame format — the broken legacy-HC variant applied only to v0/v1
+# message sets); zstd is the from-scratch spec-minimal RFC 8878 codec in
+# zstd_codec.py (raw/RLE-block frames — valid zstd any decoder reads).
+_CODECS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
 
 
 def encode_record_batch(records: list[tuple],
@@ -166,6 +170,10 @@ def encode_record_batch(records: list[tuple],
         from peerdb_spark.lz4_codec import lz4_frame_compress
 
         recs = lz4_frame_compress(recs)
+    elif codec == 4:
+        from peerdb_spark.zstd_codec import zstd_compress
+
+        recs = zstd_compress(recs)
     after_crc = struct.pack(
         ">hiqqqhii",
         codec,                  # attributes: compression codec bits
@@ -211,13 +219,19 @@ def _decode_record_batch(buf: bytes) -> list[tuple]:
 
         after = after[:hdr] + _gzip.decompress(after[hdr:])
     elif codec == 2:
-        from peerdb_spark.snappy_codec import snappy_decompress
+        # auto-detect framing: Java producers wrap v2 batches in xerial
+        # stream framing; this sink (and franz-go) emit raw blocks
+        from peerdb_spark.snappy_codec import snappy_decompress_auto
 
-        after = after[:hdr] + snappy_decompress(after[hdr:])
+        after = after[:hdr] + snappy_decompress_auto(after[hdr:])
     elif codec == 3:
         from peerdb_spark.lz4_codec import lz4_frame_decompress
 
         after = after[:hdr] + lz4_frame_decompress(after[hdr:])
+    elif codec == 4:
+        from peerdb_spark.zstd_codec import zstd_decompress
+
+        after = after[:hdr] + zstd_decompress(after[hdr:])
     elif codec != 0:
         raise ValueError(f"unsupported compression codec {codec}")
     pos = hdr
@@ -627,8 +641,22 @@ def deliver_kafka_wire_routed(
 ) -> int:
     """deliver_kafka_wire with cluster-aware leader routing: same streaming
     chunk/byte-budget buffering, but each flush goes to the partition
-    leader via a ClusterProducer (metadata-refreshing on leader moves)."""
+    leader via a ClusterProducer (metadata-refreshing on leader moves).
+
+    If the BOOTSTRAP metadata probe itself fails (the seed address is a
+    proxy/tunnel or a broker that does not serve Metadata v1), this falls
+    back to the single-socket path against the first seed — the probe runs
+    before any record is produced, so the fallback never duplicates.
+    Mid-stream metadata failures still propagate (falling back after a
+    partial routed delivery would silently re-send)."""
     producer = ClusterProducer(bootstrap, compression=compression)
+    try:
+        producer.refresh([fallback_topic])  # eager probe, nothing sent yet
+    except ConnectionError:
+        producer.close()
+        host, port = bootstrap[0]
+        return deliver_kafka_wire(rows, host, port, fallback_topic,
+                                  chunk, chunk_bytes, compression=compression)
     try:
         return _deliver_loop(rows, producer.produce, fallback_topic,
                              chunk, chunk_bytes)

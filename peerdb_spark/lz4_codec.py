@@ -223,6 +223,7 @@ def lz4_frame_decompress(data: bytes) -> bytes:
     has_csize = bool(flg & (1 << 3))
     has_ccksum = bool(flg & (1 << 2))
     has_dict = bool(flg & 1)
+    bd = data[5]
     pos = 6
     if has_csize:
         pos += 8
@@ -234,6 +235,17 @@ def lz4_frame_decompress(data: bytes) -> bytes:
     if (xxh32(data[4:pos]) >> 8) & 0xFF != hc:
         raise ValueError("lz4: frame header checksum mismatch")
     pos += 1
+    # reserved-bit validation AFTER the header checksum: a corrupt
+    # descriptor reports as a checksum mismatch, a well-checksummed but
+    # spec-invalid one as the specific violation
+    if flg & (1 << 1):  # FLG bit 1 is reserved, must be 0 per the spec
+        raise ValueError("lz4: reserved FLG bit set")
+    if bd & 0x8F:  # BD bits 7 and 3-0 are reserved, must be 0
+        raise ValueError("lz4: reserved BD bits set")
+    bmax_code = (bd >> 4) & 0x7
+    if bmax_code < 4:
+        raise ValueError(f"lz4: invalid block max size code {bmax_code}")
+    bmax = 1 << (8 + 2 * bmax_code)  # 4→64 KiB .. 7→4 MiB
     out = bytearray()
     while True:
         if pos + 4 > len(data):
@@ -244,6 +256,10 @@ def lz4_frame_decompress(data: bytes) -> bytes:
             break  # EndMark
         stored = bool(bsize & 0x80000000)
         bsize &= 0x7FFFFFFF
+        if bsize > bmax:
+            raise ValueError(
+                f"lz4: block size {bsize} exceeds declared BD max {bmax}"
+            )
         if pos + bsize > len(data):
             raise ValueError("lz4: truncated block")
         block = data[pos : pos + bsize]
@@ -255,7 +271,15 @@ def lz4_frame_decompress(data: bytes) -> bytes:
             pos += 4
             if xxh32(block) != bc:
                 raise ValueError("lz4: block checksum mismatch")
-        out += block if stored else lz4_block_decompress(block)
+        if stored:
+            out += block
+        else:
+            dec = lz4_block_decompress(block, max_size=bmax)
+            if len(dec) > bmax:
+                raise ValueError(
+                    "lz4: decompressed block exceeds declared BD max"
+                )
+            out += dec
     if has_ccksum:
         if pos + 4 > len(data):
             raise ValueError("lz4: truncated content checksum")

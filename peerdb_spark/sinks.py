@@ -191,12 +191,15 @@ def write_kafka_wire(
     DEFAULT path is leader-routed: (host, port) seeds a ClusterProducer
     bootstrap, Metadata v1 discovers per-partition leaders, and produce
     errors get a bounded metadata-refresh retry loop (leadership moves are
-    followed mid-write — the franz-go behavior). routed=False keeps the
-    single-socket scope (a proxy/single-broker address that may not answer
-    Metadata). acks=1 at-least-once either way; the idempotent merge
-    downstream absorbs redelivery. compression: none / gzip (stdlib) /
-    snappy (from-scratch raw-block codec, snappy_codec.py) / lz4
-    (from-scratch frame codec + XXH32, lz4_codec.py)."""
+    followed mid-write — the franz-go behavior). If the bootstrap Metadata
+    probe fails (proxy/tunnel seed), the routed path automatically falls
+    back to single-socket before anything is sent; routed=False forces the
+    single-socket scope up front. acks=1 at-least-once either way; the
+    idempotent merge downstream absorbs redelivery. compression: none /
+    gzip (stdlib) / snappy (from-scratch raw-block codec, snappy_codec.py;
+    decode also unwraps Java's xerial framing) / lz4 (from-scratch frame
+    codec + XXH32, lz4_codec.py) / zstd (from-scratch spec-minimal RFC
+    8878 frames, zstd_codec.py)."""
     from peerdb_spark.kafka_wire import (
         deliver_kafka_wire,
         deliver_kafka_wire_routed,

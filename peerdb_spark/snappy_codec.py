@@ -1,12 +1,15 @@
 """Raw-block Snappy codec, implemented from scratch (public format spec:
 google/snappy format_description.txt).
 
-Kafka record batches (magic v2) compress the records section with the RAW
-snappy block format — the xerial "\\x82SNAPPY\\x00" stream framing applies
-only to the legacy v0/v1 message sets, so it is deliberately absent here.
-The reference's franz-go client negotiates snappy as one of its default
-codecs (flow/connectors/kafka/kafka.go — studied, not copied); this module
-lets the wire sink speak it with stdlib only.
+Kafka's own protocol docs describe the v2 records section as a raw snappy
+block, and that is what this sink EMITS — but Java clients and brokers
+still wrap v2 batches in the xerial "\\x82SNAPPY\\x00" stream framing
+(interop works only because xerial decoders auto-detect raw blocks), so
+the DECODE path sniffs the xerial magic and unwraps its framing
+(xerial_decompress below). The reference's franz-go client negotiates
+snappy as one of its default codecs (flow/connectors/kafka/kafka.go —
+studied, not copied); this module lets the wire sink speak it with stdlib
+only.
 
 Format recap (little-endian throughout):
 - preamble: uvarint uncompressed length;
@@ -157,3 +160,40 @@ def snappy_decompress(data: bytes) -> bytes:
             f"snappy: declared {expect} bytes, decoded {len(out)}"
         )
     return bytes(out)
+
+
+XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def xerial_decompress(data: bytes) -> bytes:
+    """Xerial (snappy-java) stream framing → bytes. Layout: 8-byte magic
+    "\\x82SNAPPY\\x00", two big-endian int32 version fields, then a
+    sequence of [int32-BE block length][raw snappy block]. Java Kafka
+    producers emit this framing even for v2 record batches; strict rejects
+    on truncation or a bad inner block."""
+    if not data.startswith(XERIAL_MAGIC):
+        raise ValueError("xerial: bad magic")
+    pos = len(XERIAL_MAGIC) + 8  # skip version + compat-version
+    if pos > len(data):
+        raise ValueError("xerial: truncated header")
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("xerial: truncated block length")
+        blen = int.from_bytes(data[pos : pos + 4], "big")
+        pos += 4
+        if pos + blen > n:
+            raise ValueError("xerial: truncated block")
+        out += snappy_decompress(data[pos : pos + blen])
+        pos += blen
+    return bytes(out)
+
+
+def snappy_decompress_auto(data: bytes) -> bytes:
+    """Decode either framing: xerial stream if the magic matches, raw
+    block otherwise — mirroring xerial's own auto-detection, which is what
+    makes raw-block producers interoperate with Java consumers."""
+    if data.startswith(XERIAL_MAGIC):
+        return xerial_decompress(data)
+    return snappy_decompress(data)

@@ -20,6 +20,7 @@ from peerdb_spark.functions.jpeg import decode_jpeg, encode_jpeg
 from peerdb_spark.functions.png import decode_png, encode_png
 from peerdb_spark.lz4_codec import lz4_frame_compress, lz4_frame_decompress
 from peerdb_spark.snappy_codec import snappy_compress, snappy_decompress
+from peerdb_spark.zstd_codec import zstd_compress, zstd_decompress
 
 
 def _img():
@@ -48,6 +49,10 @@ _SEEDS = {
     "lz4_frame": (
         lz4_frame_decompress,
         lambda: lz4_frame_compress(b"the quick brown fox " * 50),
+    ),
+    "zstd_frame": (
+        zstd_decompress,
+        lambda: zstd_compress(b"the quick brown fox " * 50 + b"z" * 400),
     ),
     "kafka_record_batch": (
         KW.decode_record_batch,

@@ -158,3 +158,38 @@ def test_frame_truncated_optional_descriptor_fields():
     assert len(frame) == 7
     with pytest.raises(ValueError, match="truncated frame header"):
         lz4_frame_decompress(frame)
+
+
+def test_frame_rejects_reserved_bits_and_oversized_blocks():
+    """Strict-reject contract symmetry (round-8 review item): FLG reserved
+    bit, BD reserved bits, and blocks above the declared BD maximum all
+    reject instead of decoding spec-invalid frames."""
+    from peerdb_spark.lz4_codec import xxh32 as _xxh32
+
+    def frame_with(flg, bd, blocks):
+        desc = bytes([flg, bd])
+        hc = (_xxh32(desc) >> 8) & 0xFF
+        out = struct.pack("<I", 0x184D2204) + desc + bytes([hc])
+        for stored, payload in blocks:
+            size = len(payload) | (0x80000000 if stored else 0)
+            out += struct.pack("<I", size) + payload
+        return out + struct.pack("<I", 0)
+
+    base_flg = (1 << 6) | (1 << 5)  # v01, independent blocks, no checksums
+    # reserved FLG bit 1
+    with pytest.raises(ValueError, match="reserved FLG"):
+        lz4_frame_decompress(frame_with(base_flg | 2, 4 << 4, []))
+    # reserved BD bits (low nibble / high bit)
+    with pytest.raises(ValueError, match="reserved BD"):
+        lz4_frame_decompress(frame_with(base_flg, (4 << 4) | 1, []))
+    with pytest.raises(ValueError, match="reserved BD"):
+        lz4_frame_decompress(frame_with(base_flg, (4 << 4) | 0x80, []))
+    # block max size codes 0-3 are invalid
+    with pytest.raises(ValueError, match="block max size code"):
+        lz4_frame_decompress(frame_with(base_flg, 3 << 4, []))
+    # a stored block larger than the declared 64 KiB maximum rejects
+    big = b"x" * 65537
+    with pytest.raises(ValueError, match="exceeds declared BD max"):
+        lz4_frame_decompress(frame_with(base_flg, 4 << 4, [(True, big)]))
+    # valid frames still decode under the stricter checks
+    assert lz4_frame_decompress(lz4_frame_compress(big)) == big

@@ -102,3 +102,58 @@ def test_kafka_record_batch_snappy_roundtrip():
     assert len(batch) < len(plain) // 2  # padded JSON compresses well
     out = KW.decode_record_batch(batch)
     assert [(k, v) for k, v, _h in out] == recs
+
+
+def test_xerial_framing_unwrap():
+    """Java Kafka producers wrap v2 record batches in xerial stream framing
+    (\\x82SNAPPY\\x00 magic, BE version fields, BE-length-prefixed raw
+    blocks); the decode path must auto-detect and unwrap it."""
+    import struct
+
+    from peerdb_spark.snappy_codec import (
+        XERIAL_MAGIC,
+        snappy_decompress_auto,
+        xerial_decompress,
+    )
+
+    payload = b"the quick brown fox " * 500
+    # frame it the way snappy-java does: two blocks
+    half = len(payload) // 2
+    frame = XERIAL_MAGIC + struct.pack(">ii", 1, 1)
+    for part in (payload[:half], payload[half:]):
+        blk = snappy_compress(part)
+        frame += struct.pack(">i", len(blk)) + blk
+    assert xerial_decompress(frame) == payload
+    # auto-detect picks the right framing for both producers
+    assert snappy_decompress_auto(frame) == payload
+    assert snappy_decompress_auto(snappy_compress(payload)) == payload
+    # strict rejects
+    with pytest.raises(ValueError, match="magic"):
+        xerial_decompress(b"not a frame")
+    with pytest.raises(ValueError, match="truncated"):
+        xerial_decompress(frame[:-3])
+
+
+def test_kafka_decodes_java_producer_snappy_batch():
+    """A v2 record batch whose records section was compressed by a Java
+    client (xerial framing) must decode — rebuild one by re-framing the
+    records section of our own batch and recomputing the CRC."""
+    import struct
+
+    from peerdb_spark import kafka_wire as KW
+    from peerdb_spark.snappy_codec import XERIAL_MAGIC
+
+    recs = [(b"k%d" % i, b"v" * 100) for i in range(20)]
+    plain = KW.encode_record_batch(recs, compression="none")
+    hdr_len = struct.calcsize(">hiqqqhii")
+    after = plain[21:]
+    attrs = struct.unpack_from(">h", after, 0)[0] | 2  # codec bits → snappy
+    recs_section = after[hdr_len:]
+    xerial = XERIAL_MAGIC + struct.pack(">ii", 1, 1)
+    xerial += struct.pack(">i", len(snappy_compress(recs_section)))
+    xerial += snappy_compress(recs_section)
+    new_after = struct.pack(">h", attrs) + after[2:hdr_len] + xerial
+    crc = KW.crc32c(new_after)
+    tail = struct.pack(">ibI", -1, 2, crc) + new_after
+    batch = struct.pack(">qi", 0, len(tail)) + tail
+    assert [(k, v) for k, v, _h in KW.decode_record_batch(batch)] == recs
