@@ -266,7 +266,7 @@ def wkb_point(col: Column) -> Column:
     has_srid = (F.floor(type_val / F.lit(0x20000000)) % 2) == 1
     base_type = type_val % F.lit(0x20000000)
     srid = F.when(
-        has_srid, F.conv(_hex_slice(h, le, 11, 4), 16, 10).cast("int")
+        has_srid, F.conv(_hex_slice(h, le, 11, 4), 16, 10).try_cast("int")
     ).otherwise(F.lit(0))
     xh = F.when(has_srid, _hex_slice(h, le, 19, 8)).otherwise(_hex_slice(h, le, 11, 8))
     yh = F.when(has_srid, _hex_slice(h, le, 35, 8)).otherwise(_hex_slice(h, le, 27, 8))
@@ -343,7 +343,7 @@ def _geo_header(col: Column):
     has_srid = (F.floor(type_val / F.lit(0x20000000)) % 2) == 1
     base_type = type_val % F.lit(0x20000000)
     srid = F.when(
-        has_srid, F.conv(_hex_slice(h, le, 11, 4), 16, 10).cast("int")
+        has_srid, F.conv(_hex_slice(h, le, 11, 4), 16, 10).try_cast("int")
     ).otherwise(F.lit(0))
     body_pos = F.when(has_srid, F.lit(19)).otherwise(F.lit(11))
     structural = F.substring(h, 1, 2).isin("00", "01") & h.rlike("^[0-9A-F]*$")
@@ -384,7 +384,7 @@ def wkb_linestring(col: Column) -> Column:
         def with_n(n):
             pts_raw = F.when(
                 ok0 & (bt == 2) & n.isNotNull()
-                & (F.length(h) == bp + 7 + n * 32),
+                & (F.length(h) == bp + 7 + n.cast("long") * 32),
                 _points_at(h, le, bp + 8, n),
             )
             return _let(
@@ -399,7 +399,7 @@ def wkb_linestring(col: Column) -> Column:
             )
 
         return _let(
-            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).cast("int")},
+            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).try_cast("int")},
             with_n,
         )
 
@@ -428,7 +428,8 @@ def wkb_polygon(col: Column) -> Column:
                 # compensating errors)
                 return _let(
                     {"fits": np_.isNotNull()
-                             & (acc["pos"] + 7 + np_ * 32 <= F.length(h))},
+                             & (acc["pos"] + 7 + np_.cast("long") * 32
+                                <= F.length(h))},
                     lambda fits: F.struct(
                         F.when(fits, acc["pos"] + 8 + np_ * 32)
                         .otherwise(acc["pos"]).alias("pos"),
@@ -445,7 +446,7 @@ def wkb_polygon(col: Column) -> Column:
 
             return _let(
                 {"np": F.conv(_hex_slice_dyn(h, le, acc["pos"], 4), 16, 10)
-                       .cast("int")},
+                       .try_cast("int")},
                 with_np,
             )
 
@@ -458,8 +459,14 @@ def wkb_polygon(col: Column) -> Column:
                 F.array().cast(f"array<{_GEO_POINT_T}>").alias("rings"),
                 F.lit(False).alias("bad"),
             )
+            # nrings sanity: every ring needs ≥ 8 hex chars (its count
+            # field alone), so a count that cannot fit the buffer is
+            # rejected BEFORE sequence() materializes it — a hostile
+            # header declaring 2^31 rings in a 20-char buffer would
+            # otherwise allocate the index array
             folded_raw = F.when(
-                ok0 & (bt == 3) & nrings.isNotNull(),
+                ok0 & (bt == 3) & nrings.isNotNull()
+                & (nrings.cast("long") * 8 <= F.length(h)),
                 F.aggregate(ring_idx, init, step),
             )
             return _let(
@@ -478,7 +485,7 @@ def wkb_polygon(col: Column) -> Column:
             )
 
         return _let(
-            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).cast("int")},
+            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).try_cast("int")},
             with_n,
         )
 
@@ -527,9 +534,11 @@ def _sub_geo_len(h: Column, pos: Column) -> Column:
                     ),
                 )
 
-            idx = F.when(nr > 0, F.sequence(F.lit(1), nr.cast("int"))).otherwise(
-                F.array().cast("array<int>")
-            )
+            # ≥ 8 hex chars per ring; oversized counts reject pre-sequence
+            idx = F.when(
+                (nr > 0) & (nr * 8 <= F.length(h)),
+                F.sequence(F.lit(1), nr.try_cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
             return _let(
                 {"f": F.aggregate(idx, init, step)},
                 lambda f: F.when(~f["bad"], f["ln"]),
@@ -591,8 +600,12 @@ def _wkb_parts(col: Column, container_type: int) -> Column:
             idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
                 F.array().cast("array<int>")
             )
+            # same sanity as the polygon fold: a nested blob is ≥ 10 hex
+            # chars (byte order + type header), so an n that cannot fit
+            # rejects before sequence() materializes the index array
             folded_raw = F.when(
-                ok0 & (bt == container_type) & n.isNotNull(),
+                ok0 & (bt == container_type) & n.isNotNull()
+                & (n.cast("long") * 10 <= F.length(h)),
                 F.aggregate(idx, init, step),
             )
             return _let(
@@ -608,7 +621,7 @@ def _wkb_parts(col: Column, container_type: int) -> Column:
             )
 
         return _let(
-            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).cast("int")},
+            {"n": F.conv(_hex_slice_dyn(h, le, bp, 4), 16, 10).try_cast("int")},
             with_n,
         )
 

@@ -985,84 +985,18 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.bin(k + 2))
         .alias("bit_raw"),
     )
-    from peerdb_spark.functions.exotic import _let
+    from peerdb_spark.functions import exotic_sql as XS
 
     iv = X.parse_interval(F.col("iv"))
-    pt = X.wkb_point(F.col("wkb"))
-
-    def _q(c):  # exact: coords are multiples of 1/1024 by fixture design
-        return F.round(c * 1024).cast("long").cast("string")
-
-    # decode structs _let-bound so each decoder's tree appears once in the
-    # projection (three field references would otherwise triple it)
-    ls_canon = _let(
-        {"ls": X.wkb_linestring(F.col("wkb_ls"))},
-        lambda ls: F.when(
-            ls["points"].isNotNull(),
-            F.concat(
-                ls["srid"].cast("string"), F.lit(":"),
-                F.array_join(
-                    F.transform(
-                        ls["points"],
-                        lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"])),
-                    ),
-                    ",",
-                ),
-            ),
-        ),
-    )
-    pg_canon = _let(
-        {"pg": X.wkb_polygon(F.col("wkb_pg"))},
-        lambda pg: F.when(
-            pg["rings"].isNotNull(),
-            F.concat(
-                pg["srid"].cast("string"), F.lit(":"),
-                F.array_join(
-                    F.transform(
-                        pg["rings"],
-                        lambda r: F.array_join(
-                            F.transform(
-                                r,
-                                lambda p: F.concat(_q(p["x"]), F.lit(" "), _q(p["y"])),
-                            ),
-                            ",",
-                        ),
-                    ),
-                    "|",
-                ),
-            ),
-        ),
-    )
-    mpg_canon = _let(
-        {"mg": X.wkb_multipolygon(F.col("wkb_mpg"))},
-        lambda mg: F.when(
-            mg["polys"].isNotNull(),
-            F.concat(
-                mg["srid"].cast("string"), F.lit(":"),
-                F.array_join(
-                    F.transform(
-                        mg["polys"],
-                        lambda rings: F.array_join(
-                            F.transform(
-                                rings,
-                                lambda r: F.array_join(
-                                    F.transform(
-                                        r,
-                                        lambda p: F.concat(
-                                            _q(p["x"]), F.lit(" "), _q(p["y"])
-                                        ),
-                                    ),
-                                    ",",
-                                ),
-                            ),
-                            "|",
-                        ),
-                    ),
-                    "/",
-                ),
-            ),
-        ),
-    )
+    # geometry decodes are the SQL-TEXT mirrors (exotic_sql.py): building
+    # the Column versions costs ~4.5 s of py4j round-trips PER invocation
+    # (measured; the dominant cost of this query), while one F.expr parse
+    # is milliseconds. tests/test_exotic.py pins text==Column equivalence
+    # over every fixture including the malformed ones.
+    pt = F.expr(XS.wkb_point_sql("wkb"))
+    ls_canon = F.expr(XS.linestring_canon_sql("wkb_ls"))
+    pg_canon = F.expr(XS.polygon_canon_sql("wkb_pg"))
+    mpg_canon = F.expr(XS.multipolygon_canon_sql("wkb_mpg"))
     return src.select(
         "pk",
         iv["years"].alias("iv_years"),

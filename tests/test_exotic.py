@@ -557,3 +557,71 @@ def test_wkb_geometrycollection_wkt(spark):
     nested_multi = bytes.fromhex(wkb_multi_hex(4, [(1.0, 2.0)]))
     b = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 1) + nested_multi
     assert _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper()))) is None
+
+
+def test_sql_text_mirrors_match_column_decoders(spark):
+    """exotic_sql.py renders the geometry decoders as one SQL string per
+    column (the py4j-free fast path used by q_exotic_types). Pin value
+    equality against the canonical Column implementations over every
+    fixture literal PLUS malformed/adversarial inputs — including the
+    ANSI-overflow shapes (count/srid slices above INT_MAX) that the
+    round-8 try_cast fix turned from crashes into NULL geometries."""
+    from peerdb_spark.functions import exotic_sql as XS
+    from peerdb_spark.queries import _WKB_LITS, _ls_hexes, _mpg_hexes, _pg_hexes
+
+    vals = (
+        list(_WKB_LITS) + _ls_hexes() + _pg_hexes() + _mpg_hexes() + [
+            "", "00", "zz", "01", "0101000000", "0" * 100,
+            "01020000000200000000000000000000f03f000000000000f03f",
+            "010300000000000000",          # polygon, zero rings, short
+            "010600000000000000",          # multipolygon, truncated
+            "0102000000ffffffff",          # linestring, count > INT_MAX
+            "0103000000ffffffff",          # polygon, ring count > INT_MAX
+            "0101000020ffffffff" + "00" * 16,  # EWKB srid > INT_MAX
+            None,
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, wkb string"
+    )
+    col_rows = df.select(
+        "i",
+        X.wkb_point(F.col("wkb")).alias("pt"),
+        X.wkb_linestring(F.col("wkb")).alias("ls"),
+        X.wkb_polygon(F.col("wkb")).alias("pg"),
+        X.wkb_multipolygon(F.col("wkb")).alias("mpg"),
+    ).collect()
+    sql_rows = df.select(
+        "i",
+        F.expr(XS.wkb_point_sql("wkb")).alias("pt"),
+        F.expr(XS.wkb_linestring_sql("wkb")).alias("ls"),
+        F.expr(XS.wkb_polygon_sql("wkb")).alias("pg"),
+        F.expr(XS.wkb_multipolygon_sql("wkb")).alias("mpg"),
+    ).collect()
+    a = {r["i"]: r for r in col_rows}
+    b = {r["i"]: r for r in sql_rows}
+    assert len(a) == len(vals)
+    for i in a:
+        assert a[i] == b[i], f"mismatch at fixture {i}: {a[i]} != {b[i]}"
+
+
+def test_hostile_counts_reject_not_crash(spark):
+    """Adversarial headers declaring counts near/above INT_MAX (or ring
+    counts that cannot fit the buffer) must yield NULL geometry — not an
+    ANSI cast error or a 2^31-element sequence allocation."""
+    hostile = [
+        "0102000000ffffffff",               # ls count 4294967295
+        "0102000000ffffff7f" + "00" * 8,    # ls count INT_MAX, tiny buffer
+        "0103000000ffffff7f" + "00" * 8,    # pg ring count INT_MAX
+        "0106000000ffffff7f" + "00" * 8,    # mpg part count INT_MAX
+        "0101000020ffffffff" + "00" * 32,   # srid 4294967295
+    ]
+    df = spark.createDataFrame([(v,) for v in hostile], "wkb string")
+    out = df.select(
+        X.wkb_point(F.col("wkb")).alias("pt"),
+        X.wkb_linestring(F.col("wkb"))["points"].alias("ls"),
+        X.wkb_polygon(F.col("wkb"))["rings"].alias("pg"),
+        X.wkb_multipolygon(F.col("wkb"))["polys"].alias("mpg"),
+    ).collect()
+    for r in out:
+        assert r["ls"] is None and r["pg"] is None and r["mpg"] is None
