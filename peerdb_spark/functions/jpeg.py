@@ -810,10 +810,14 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 vmax = max(c["v"] for c in frame["comps"])
                 mcux = -(-frame["w"] // (8 * hmax))
                 mcuy = -(-frame["h"] // (8 * vmax))
+                # plain-int list-of-lists, NOT numpy: the scan loops do
+                # per-coefficient reads/writes, where list indexing is
+                # ~10x a numpy scalar op; one np.asarray at EOI
                 coefs = {
-                    c["id"]: np.zeros(
-                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
-                    )
+                    c["id"]: [
+                        [[0] * 64 for _bx in range(mcux * c["h"])]
+                        for _by in range(mcuy * c["v"])
+                    ]
                     for c in frame["comps"]
                 }
             try:
@@ -1118,101 +1122,40 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
     preds = {c["id"]: 0 for c, _d, _a in scan_list}
     eobrun = 0
     p1 = 1 << al
+    m1 = -p1
 
-    def dc_first(c, dct, by, bx):
-        s = reader.huff(luts[(0, dct)])
-        diff = _extend(reader.receive(s), s)
-        preds[c["id"]] += diff
-        coefs[c["id"]][by, bx, 0] = preds[c["id"]] << al
-
-    def dc_refine(c, by, bx):
-        if reader.bit():
-            coefs[c["id"]][by, bx, 0] |= p1
-
-    def ac_first(c, act, by, bx):
-        nonlocal eobrun
-        if eobrun > 0:
-            eobrun -= 1
-            return
-        blk = coefs[c["id"]][by, bx]
-        lut = luts[(1, act)]
-        k = ss
-        while k <= se:
-            rs = reader.huff(lut)
-            r, s = rs >> 4, rs & 0xF
-            if s:
-                k += r
-                if k > se:
-                    raise ValueError("AC index past band end")
-                blk[k] = _extend(reader.receive(s), s) << al
-                k += 1
-            else:
-                if r < 15:
-                    eobrun = (1 << r) - 1
-                    if r:
-                        eobrun += reader.receive(r)
-                    break
-                k += 16  # ZRL
-        return
-
-    def ac_refine(c, act, by, bx):
-        # T.81 G.2.2 correction-bit procedure (the libjpeg-documented form:
-        # history coefficients read one bit each during run walks; runs
-        # count zero-history positions only; EOB runs refine whole bands)
-        nonlocal eobrun
-        blk = coefs[c["id"]][by, bx]
-        lut = luts[(1, act)]
-        k = ss
-        if eobrun == 0:
-            while k <= se:
-                rs = reader.huff(lut)
-                r, s = rs >> 4, rs & 0xF
-                newval = 0
-                if s == 0:
-                    if r < 15:
-                        eobrun = 1 << r
-                        if r:
-                            eobrun += reader.receive(r)
-                        break  # rest of this block refined below
-                    # else ZRL: skip 16 zero-history coefficients
-                else:
-                    if s != 1:
-                        raise ValueError("AC refine magnitude must be 1")
-                    newval = p1 if reader.bit() else -p1
-                while k <= se:
-                    v = int(blk[k])
-                    if v != 0:
-                        if reader.bit() and (v & p1) == 0:
-                            blk[k] = v + (p1 if v > 0 else -p1)
-                    else:
-                        if r == 0:
-                            break
-                        r -= 1
-                    k += 1
-                if newval and k <= se:
-                    blk[k] = newval
-                k += 1
-        if eobrun > 0:
-            while k <= se:
-                v = int(blk[k])
-                if v != 0:
-                    if reader.bit() and (v & p1) == 0:
-                        blk[k] = v + (p1 if v > 0 else -p1)
-                k += 1
-            eobrun -= 1
+    # Hot-loop state inlined as locals — the same trick that made the
+    # baseline _decode_scan table-driven (8.5x): W[i] holds the 32 bits
+    # starting at byte i, a Huffman symbol is one LUT peek-16 list lookup,
+    # a refinement bit is one shift. The four Annex-G scan procedures are
+    # specialized inline below instead of per-block closure calls, and the
+    # coefficient accumulators are plain int lists (see _decode_jpeg) so
+    # every per-coefficient read/write is a list op, not a numpy scalar.
+    W = reader.W
+    nbits = reader.nbits
+    bp = 0
 
     interleaved = len(scan_list) > 1
     if interleaved:
         mcux = -(-w_ // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
         nmcu = mcux * mcuy
+        comp_units = [
+            (c["id"], coefs[c["id"]],
+             luts[(0, dct)] if ah == 0 else None, c["v"], c["h"])
+            for c, dct, _act in scan_list
+        ]
     else:
-        c0 = scan_list[0][0]
+        c0, dct0, act0 = scan_list[0]
         cw = -(-w_ * c0["h"] // hmax)
         ch = -(-h * c0["v"] // vmax)
         nbx = -(-cw // 8)
         nby = -(-ch // 8)
         nmcu = nbx * nby
+        cid0 = c0["id"]
+        carr0 = coefs[cid0]
+        dlut0 = luts[(0, dct0)] if ss == 0 and ah == 0 else None
+        alut0 = luts[(1, act0)] if ss > 0 else None
 
     next_rst = 0
     seg_idx = 0
@@ -1225,40 +1168,165 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
                     f"restart marker out of sequence: got "
                     f"FF{seg_markers[seg_idx]:02X}, want FF{0xD0 + next_rst:02X}"
                 )
-            if reader.bp > seg_bits[seg_idx]:
+            if bp > seg_bits[seg_idx]:
                 raise ValueError("scan data overruns its restart segment")
-            reader.bp = seg_bits[seg_idx]
+            bp = seg_bits[seg_idx]
             seg_idx += 1
             next_rst = (next_rst + 1) % 8
             for cid in preds:
                 preds[cid] = 0
             eobrun = 0
-        if reader.bp > reader.nbits:
+        if bp > nbits:
             raise ValueError("truncated scan")
-        if interleaved:
+        if interleaved:  # DC scan, interleaved components (Ss=0 validated)
             my, mx = divmod(i, mcux)
-            for c, dct, _act in scan_list:
-                for dy in range(c["v"]):
-                    for dx in range(c["h"]):
-                        by, bx = my * c["v"] + dy, mx * c["h"] + dx
-                        if ah == 0:
-                            dc_first(c, dct, by, bx)
-                        else:
-                            dc_refine(c, by, bx)
+            for cid, carr, dlut, cv, chh in comp_units:
+                for dy in range(cv):
+                    for dx in range(chh):
+                        row = carr[my * cv + dy]
+                        bx = mx * chh + dx
+                        if ah == 0:  # DC first
+                            v = dlut[(W[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                            if v == 0:
+                                raise ValueError("invalid huffman code in scan")
+                            bp += v >> 16
+                            s = v & 0xFFFF
+                            if s:
+                                raw = ((W[bp >> 3] >> (16 - (bp & 7)))
+                                       & 0xFFFF) >> (16 - s)
+                                bp += s
+                                preds[cid] += (raw if raw >= (1 << (s - 1))
+                                               else raw - (1 << s) + 1)
+                            row[bx][0] = preds[cid] << al
+                        else:  # DC refine: one appended bit per block
+                            if (W[bp >> 3] >> (31 - (bp & 7))) & 1:
+                                row[bx][0] |= p1
+                            bp += 1
         else:
-            c, dct, act = scan_list[0]
             by, bx = divmod(i, nbx)
             if ss == 0:
-                if ah == 0:
-                    dc_first(c, dct, by, bx)
+                if ah == 0:  # DC first, single component
+                    v = dlut0[(W[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                    if v == 0:
+                        raise ValueError("invalid huffman code in scan")
+                    bp += v >> 16
+                    s = v & 0xFFFF
+                    if s:
+                        raw = ((W[bp >> 3] >> (16 - (bp & 7)))
+                               & 0xFFFF) >> (16 - s)
+                        bp += s
+                        preds[cid0] += (raw if raw >= (1 << (s - 1))
+                                        else raw - (1 << s) + 1)
+                    carr0[by][bx][0] = preds[cid0] << al
+                else:  # DC refine
+                    if (W[bp >> 3] >> (31 - (bp & 7))) & 1:
+                        carr0[by][bx][0] |= p1
+                    bp += 1
+            elif ah == 0:  # AC first (T.81 G.2.1): band coefs + EOB runs
+                if eobrun > 0:
+                    eobrun -= 1
                 else:
-                    dc_refine(c, by, bx)
-            else:
-                if ah == 0:
-                    ac_first(c, act, by, bx)
+                    blk = carr0[by][bx]
+                    k = ss
+                    while k <= se:
+                        v = alut0[(W[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                        if v == 0:
+                            raise ValueError("invalid huffman code in scan")
+                        bp += v >> 16
+                        rs = v & 0xFFFF
+                        r = rs >> 4
+                        sz = rs & 0xF
+                        if sz:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index past band end")
+                            raw = ((W[bp >> 3] >> (16 - (bp & 7)))
+                                   & 0xFFFF) >> (16 - sz)
+                            bp += sz
+                            blk[k] = ((raw if raw >= (1 << (sz - 1))
+                                       else raw - (1 << sz) + 1) << al)
+                            k += 1
+                        else:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    raw = ((W[bp >> 3] >> (16 - (bp & 7)))
+                                           & 0xFFFF) >> (16 - r)
+                                    bp += r
+                                    eobrun += raw
+                                break
+                            k += 16  # ZRL
+            else:  # AC refine (T.81 G.2.2): correction bits + new +-1*2^Al
+                blk = carr0[by][bx]
+                if eobrun == 0:
+                    # Huffman-coded runs interleaved with history-
+                    # coefficient correction bits
+                    k = ss
+                    while k <= se:
+                        v = alut0[(W[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                        if v == 0:
+                            raise ValueError("invalid huffman code in scan")
+                        bp += v >> 16
+                        rs = v & 0xFFFF
+                        r = rs >> 4
+                        sz = rs & 0xF
+                        newval = 0
+                        if sz == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    raw = ((W[bp >> 3] >> (16 - (bp & 7)))
+                                           & 0xFFFF) >> (16 - r)
+                                    bp += r
+                                    eobrun += raw
+                                break  # rest of this block refined below
+                            # else ZRL: skip 16 zero-history coefficients
+                        else:
+                            if sz != 1:
+                                raise ValueError("AC refine magnitude must be 1")
+                            newval = (p1 if (W[bp >> 3] >> (31 - (bp & 7))) & 1
+                                      else m1)
+                            bp += 1
+                        while k <= se:
+                            hv = blk[k]
+                            if hv != 0:
+                                if ((W[bp >> 3] >> (31 - (bp & 7))) & 1
+                                        and (hv & p1) == 0):
+                                    blk[k] = hv + (p1 if hv > 0 else m1)
+                                bp += 1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                    if eobrun > 0:  # tail of the block after an EOB entry
+                        while k <= se:
+                            hv = blk[k]
+                            if hv != 0:
+                                if ((W[bp >> 3] >> (31 - (bp & 7))) & 1
+                                        and (hv & p1) == 0):
+                                    blk[k] = hv + (p1 if hv > 0 else m1)
+                                bp += 1
+                            k += 1
+                        eobrun -= 1
                 else:
-                    ac_refine(c, act, by, bx)
-    if reader.bp > reader.nbits:
+                    # whole block inside an EOB run: one correction bit per
+                    # nonzero history coefficient
+                    k = ss
+                    while k <= se:
+                        hv = blk[k]
+                        if hv != 0:
+                            if ((W[bp >> 3] >> (31 - (bp & 7))) & 1
+                                    and (hv & p1) == 0):
+                                blk[k] = hv + (p1 if hv > 0 else m1)
+                            bp += 1
+                        k += 1
+                    eobrun -= 1
+
+    if bp > nbits:
         raise ValueError("truncated scan")
     if seg_idx != len(seg_bits):
         raise ValueError("unexpected restart markers in scan")
@@ -1271,5 +1339,6 @@ def _reconstruct_progressive(frame, quant, coefs):
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    planes = _coefs_to_planes(comps, quant, coefs)
+    arrs = {cid: np.asarray(v, dtype=np.int64) for cid, v in coefs.items()}
+    planes = _coefs_to_planes(comps, quant, arrs)
     return _planes_to_rgb(planes, comps, frame["w"], frame["h"], hmax, vmax)
