@@ -122,6 +122,7 @@ def bpe_train_batched(
     word_freqs: DataFrame | None = None,
     stats: dict | None = None,
     rounds: int | None = None,
+    recount: str = "delta",
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Batched-greedy BPE training (the YouTokenToMe/fastBPE-style scale
     variant): each Spark round counts pairs ONCE and merges up to `batch`
@@ -153,21 +154,36 @@ def bpe_train_batched(
     (scale probes assert the rounds ≪ merges ratio; the gate query labels
     merges by round). `rounds=r` runs EXACTLY r count rounds taking
     whatever each yields (≤ batch) — the shape an unrolled SQL oracle can
-    mirror — instead of looping until k merges."""
+    mirror — instead of looping until k merges.
+
+    `recount` (round-8): "delta" (default) maintains the pair-count
+    relation incrementally — a round re-counts pairs ONLY for words that
+    contain a chosen pair (merging (a, b) changes no other word's pair
+    multiset), folding (new − old) pair counts of the touched words into
+    the cached relation. Per-round cost drops from O(vocab pairs) to
+    O(touched pairs) + one count-relation join; output is IDENTICAL to
+    "full" (the r7 full-recount path, kept for the equivalence test) —
+    the maintained counts equal a fresh aggregate by construction."""
     wf = word_freq(df, text_col) if word_freqs is None else word_freqs
     vocab = wf.select(
         "w", "freq", _initial_symbols(F.col("w")).alias("symbols")
     )
     vocab = vocab.localCheckpoint(eager=False)
+    if recount not in ("delta", "full"):
+        raise ValueError(f"unknown recount mode: {recount}")
     merges: list[tuple[str, str, int]] = []
     round_of: list[int] = []
     done = 0
+    counts: DataFrame | None = None
     while (done < rounds) if rounds is not None else (len(merges) < k):
         m = batch if rounds is not None else min(batch, k - len(merges))
-        pairs = vocab.select(
-            F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "freq"
-        )
-        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+        if counts is None or recount == "full":
+            pairs = vocab.select(
+                F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "freq"
+            )
+            counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+            if recount == "delta":
+                counts = counts.localCheckpoint(eager=False)
         # candidate window: bounded driver state (a few·batch rows); the
         # disjointness filter may reject some, later rounds recount anyway
         top = counts.orderBy(F.desc("n"), "a", "b").limit(4 * m + 16).collect()
@@ -189,13 +205,61 @@ def bpe_train_batched(
         sym = F.col("symbols")
         for a, b, _n in chosen:
             sym = _apply_merge(sym, a, b)
-        vocab = vocab.select(
-            "w", "freq", sym.alias("symbols")
-        ).localCheckpoint(eager=False)
+        if recount == "delta":
+            # a word is touched iff some chosen (a, b) occurs adjacently in
+            # it — merging cannot change any other word's pair multiset
+            touch = F.exists(
+                _adjacent_pairs(F.col("symbols")),
+                lambda p: F.lit(False) if not chosen else (
+                    _any_of([
+                        (p["a"] == F.lit(a)) & (p["b"] == F.lit(b))
+                        for a, b, _n in chosen
+                    ])
+                ),
+            )
+            touched = vocab.where(touch)
+            oldp = touched.select(
+                F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
+                (-F.col("freq")).alias("d"),
+            ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "d")
+            newp = touched.select(
+                F.explode(_adjacent_pairs(sym)).alias("p"),
+                F.col("freq").alias("d"),
+            ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "d")
+            delta = (
+                oldp.unionByName(newp)
+                .groupBy("a", "b")
+                .agg(F.sum("d").alias("d"))
+            )
+            counts = (
+                counts.join(delta, ["a", "b"], "full_outer")
+                .select(
+                    "a", "b",
+                    (F.coalesce(F.col("n"), F.lit(0))
+                     + F.coalesce(F.col("d"), F.lit(0))).alias("n"),
+                )
+                .where(F.col("n") != 0)
+                .localCheckpoint(eager=False)
+            )
+            vocab = vocab.select(
+                "w", "freq",
+                F.when(touch, sym).otherwise(F.col("symbols")).alias("symbols"),
+            ).localCheckpoint(eager=False)
+        else:
+            vocab = vocab.select(
+                "w", "freq", sym.alias("symbols")
+            ).localCheckpoint(eager=False)
     if stats is not None:
         stats["rounds"] = done
         stats["round_of"] = round_of
     return merges, vocab
+
+
+def _any_of(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 # Above this merge-table size the chained-fold plan stops being the right

@@ -334,3 +334,32 @@ def test_bpe_encode_ranked_works_on_batched_tables(spark):
     ranked = {r["w"]: r["tokens"]
               for r in bpe_encode_words(words, merges, strategy="ranked").collect()}
     assert fold == ranked
+
+
+def test_bpe_train_batched_delta_equals_full_recount(spark):
+    """Round-8 delta recounting: maintaining the pair-count relation
+    incrementally (re-count only words containing a chosen pair) must
+    produce IDENTICAL merges, counts, and final vocab to the full
+    per-round recount — on corpora exercising overlaps ('aaaa'),
+    multi-round batches, and words untouched for many rounds."""
+    from peerdb_spark.functions.bpe import bpe_train_batched
+
+    texts = [
+        "aaaa aaa aa ab abc abcd aab",
+        "low lower lowest newest new newer",
+        "xy xyz zyx yxz xzy zxy quiet quiet",
+        "repetition repetition repetitions",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for batch in (1, 3, 8):
+        sd, sf_ = {}, {}
+        d_merges, d_vocab = bpe_train_batched(
+            df, "text", k=14, batch=batch, stats=sd, recount="delta")
+        f_merges, f_vocab = bpe_train_batched(
+            df, "text", k=14, batch=batch, stats=sf_, recount="full")
+        assert d_merges == f_merges, batch
+        assert sd == sf_, batch
+        assert (
+            {r["w"]: r["symbols"] for r in d_vocab.collect()}
+            == {r["w"]: r["symbols"] for r in f_vocab.collect()}
+        ), batch
