@@ -1342,3 +1342,75 @@ def _reconstruct_progressive(frame, quant, coefs):
     arrs = {cid: np.asarray(v, dtype=np.int64) for cid, v in coefs.items()}
     planes = _coefs_to_planes(comps, quant, arrs)
     return _planes_to_rgb(planes, comps, frame["w"], frame["h"], hmax, vmax)
+
+
+# -- MJPEG container ----------------------------------------------------------
+# Motion-JPEG "raw" container: concatenated complete JPEG streams, one per
+# frame (the format .mjpeg files and multipart/x-mixed-replace cameras
+# emit; ref parity note: the reference has no video decode at all — this
+# gives frame extraction a real compressed format without a codec lib,
+# shrinking the H.264 gate to codecs that genuinely need one).
+
+
+def jpeg_stream_length(data: bytes, start: int = 0) -> int:
+    """Byte length of the complete JPEG stream starting at `start` — a
+    marker-structure walk (segment lengths + entropy-data scan, no entropy
+    decode), which is exactly the parse an MJPEG frame split needs.
+    Handles multi-scan (progressive) streams, restart markers, stuffed
+    bytes, and FF fill; ValueError on malformed structure."""
+    n = len(data)
+    pos = start
+    if pos + 2 > n or data[pos] != 0xFF or data[pos + 1] != 0xD8:
+        raise ValueError("mjpeg: missing SOI")
+    pos += 2
+    while True:
+        # optional FF fill bytes before a marker
+        while pos + 1 < n and data[pos] == 0xFF and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            raise ValueError("mjpeg: truncated stream (no EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"mjpeg: expected marker at {pos}")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            return pos - start
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone TEM/RSTn
+            continue
+        if pos + 2 > n:
+            raise ValueError("mjpeg: truncated segment header")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("mjpeg: bad segment length")
+        is_sos = m == 0xDA
+        pos += seglen
+        if is_sos:
+            # entropy-coded data: scan to the next real marker (FF00 is a
+            # stuffed byte, FF D0-D7 are restart markers inside the scan)
+            while True:
+                if pos + 1 >= n:
+                    raise ValueError("mjpeg: truncated scan data")
+                if data[pos] == 0xFF:
+                    nxt = data[pos + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        pos += 2
+                        continue
+                    if nxt == 0xFF:
+                        pos += 1
+                        continue
+                    break  # real marker; outer loop classifies it
+                pos += 1
+
+
+def split_mjpeg(content: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of each complete JPEG frame in a raw MJPEG
+    concatenation. Strict: the frames must tile the buffer exactly
+    (a torn tail raises, mirroring the wire decoders' reject contract)."""
+    out: list[tuple[int, int]] = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        ln = jpeg_stream_length(content, pos)
+        out.append((pos, ln))
+        pos += ln
+    return out

@@ -61,12 +61,14 @@ except ImportError:
 def decode_encoded(content: bytes, mime: str) -> bytes:
     """Decode a COMPRESSED image payload to a raw RGB buffer.
 
-    PNG and baseline JPEG decode for real — from-scratch codecs
-    (functions/png.py: chunk CRCs, all five scanline filters, gray/RGB/
-    palette/alpha color types; functions/jpeg.py: stream-carried Huffman
-    tables, restart intervals, 4:4:4/4:2:2/4:2:0) — so every kernel below
-    runs on encoded payloads end-to-end. Only video (H.264) remains gated
-    behind a codec lib; raw `image/raw-rgb` passes through.
+    PNG and JPEG (baseline + progressive) decode for real — from-scratch
+    codecs (functions/png.py: chunk CRCs, all five scanline filters,
+    gray/RGB/palette/alpha color types; functions/jpeg.py: stream-carried
+    Huffman tables, restart intervals, 4:4:4/4:2:2/4:2:0, SOF2) — so every
+    kernel below runs on encoded payloads end-to-end, and MJPEG video
+    splits/decodes via sample_frames_mjpeg. Only inter-frame video codecs
+    (H.264 etc.) remain gated behind a codec lib; raw `image/raw-rgb`
+    passes through.
     """
     if mime in ("image/raw-rgb", "application/octet-stream"):
         return content
@@ -401,6 +403,66 @@ def sample_frames(
                     idxs.append(j * st)
                     frames.append(fr.tobytes())
             yield _pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def sample_frames_mjpeg(
+    df: DataFrame,
+    stride: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Compressed-video frame extraction for the MJPEG container (raw
+    concatenated JPEG streams — what .mjpeg files and multipart camera
+    feeds carry): split frames by marker-structure walk
+    (jpeg.split_mjpeg — segment lengths + entropy scan, no full decode for
+    skipped frames), decode every `stride`-th frame with the from-scratch
+    JPEG codec, and emit (media_id, frame_idx, width, height, frame) with
+    frame as raw RGB.
+
+    This is the compressed twin of sample_frames (fixed-size raw frames);
+    with it, the only video formats still gated behind a codec lib are the
+    inter-frame codecs (H.264 etc.) that genuinely need one. Arrow-batched
+    mapInPandas; frames multiply rows inside the batch, downstream
+    repartition controls memory — same scale shape as sample_frames."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    st = stride
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.jpeg import decode_jpeg, split_mjpeg
+
+        for pdf in batches:
+            ids, idxs, ws, hs, frames = [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(c or b"")
+                if not blob:
+                    continue
+                for j, (off, ln) in enumerate(split_mjpeg(blob)):
+                    if j % st:
+                        continue  # skipped frames are never entropy-decoded
+                    w, h, rgb = decode_jpeg(blob[off : off + ln])
+                    ids.append(mid)
+                    idxs.append(j)
+                    ws.append(w)
+                    hs.append(h)
+                    frames.append(rgb)
+            yield _pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "width": ws, "height": hs,
+                 "frame": frames}
+            )
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 

@@ -3732,6 +3732,106 @@ def _jpeg_tile_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG container frame sampling (round 8): each media is a raw
+    Motion-JPEG concatenation of 4 complete JPEG streams (the .mjpeg /
+    multipart-camera format), assembled IN SPARK — per-frame tile fixtures
+    encoded by the from-scratch JPEG encoder (q50 gray, provably lossless
+    for the even-valued tile formula, see _jpeg_tile_media), ordered
+    binary-fold concatenated per media — then every 2nd frame is split out
+    by marker-structure walk (jpeg.split_mjpeg; skipped frames are never
+    entropy-decoded) and decoded back. Every byte of the sampled frames
+    value-verifies against the analytic per-frame pixel formula. With
+    this, only inter-frame codecs (H.264) remain gated behind a codec
+    lib."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    base = docs.where(did % 3 == 1).select(
+        did.alias("mid"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+    )
+    w = (F.lit(16) + (F.col("mid") % 2) * 8).cast("int")
+    h = F.lit(16).cast("int")
+    n_bytes = w.cast("long") * h * 3
+    tile_v = (
+        lambda i: (
+            (F.col("mid") * 31 + F.col("frame_idx") * 5
+             + F.floor(F.floor(i / (w * 3)) / 8) * 8
+             + F.floor((i % (w * 3)) / 3 / 8) * 3) % 128
+        ) * 2
+    )
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex(tile_v(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    frames = base.select(
+        (F.col("mid") * 4 + F.col("frame_idx")).alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+    enc = MM.encode_images_jpeg(frames, quality=50, mode="gray")
+    mjpeg = (
+        enc.select(
+            (F.col("media_id") / 4).cast("long").alias("media_id"),
+            F.pmod(F.col("media_id"), F.lit(4)).cast("int").alias("fidx"),
+            "content",
+        )
+        .groupBy("media_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("fidx"), F.col("content")))
+                    ),
+                    lambda s: s["content"],
+                ),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x),
+            ).alias("content")
+        )
+    )
+    sampled = MM.sample_frames_mjpeg(mjpeg, stride=2)
+    return sampled.select(
+        "media_id", "frame_idx", "width", "height",
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE_MJPEG = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + (doc_id % 2) * 8 AS INT) AS w
+  FROM documents WHERE doc_id % 3 = 1
+),
+f AS (
+  SELECT media_id, w, CAST(u.f AS INT) AS frame_idx
+  FROM m, unnest([0, 2]) u(f)
+),
+px AS (
+  SELECT media_id, frame_idx, w, u.i AS i,
+         2 * ((media_id * 31 + frame_idx * 5
+               + ((u.i // (w * 3)) // 8) * 8
+               + (((u.i % (w * 3)) // 3) // 8) * 3) % 128) AS v
+  FROM f, unnest(range(0, CAST(w AS BIGINT) * 16 * 3)) u(i)
+)
+SELECT media_id, frame_idx, CAST(min(w) AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       string_agg(printf('%02x', v), '' ORDER BY i) AS frame_hex
+FROM px GROUP BY media_id, frame_idx
+"""
+
+
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG encode→decode roundtrip through the from-scratch codec
     (functions/jpeg.py: Huffman entropy coding, byte stuffing, DCT): the
@@ -5437,6 +5537,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
@@ -5546,6 +5647,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
     "media_decode_jpeg_progressive": SQL_MEDIA_DECODE_JPEG_PROGRESSIVE,
@@ -5622,7 +5724,9 @@ _REGATE_THIS_ROUND = [
     "kmeans_clusters",
 ]
 
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "media_frame_sample_mjpeg",
+]
 
 # Provenance of the most recent green driver row for everything else
 # (kept for the judge's audit trail; relative order preserved).

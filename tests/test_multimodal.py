@@ -120,3 +120,68 @@ def test_decode_encoded_gate():
     # formats with no codec stay explicitly gated
     with pytest.raises(NotImplementedError):
         M.decode_encoded(b"\x00\x00", "video/h264")
+
+
+def test_mjpeg_split_and_stream_length():
+    """split_mjpeg walks marker structure (segment lengths + entropy scan):
+    exact frame boundaries across baseline, restart-interval, and
+    progressive member streams; strict reject of torn tails and garbage."""
+    import numpy as np
+    import pytest
+
+    from peerdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_stream_length,
+        split_mjpeg,
+    )
+
+    rng = np.random.RandomState(1)
+    frames = []
+    for f in range(4):
+        img = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+        frames.append(encode_jpeg(img.tobytes(), 24, 16, quality=70,
+                                  restart_interval=2 if f == 1 else 0,
+                                  progressive=(f == 3)))
+    blob = b"".join(frames)
+    offs = split_mjpeg(blob)
+    assert [blob[o : o + ln] for o, ln in offs] == frames
+    for o, ln in offs:
+        decode_jpeg(blob[o : o + ln])  # every member is a complete stream
+    assert jpeg_stream_length(blob) == len(frames[0])
+    with pytest.raises(ValueError, match="missing SOI"):
+        split_mjpeg(blob + b"\x12\x34")
+    with pytest.raises(ValueError, match="truncated"):
+        split_mjpeg(blob[:-2])
+    with pytest.raises(ValueError):
+        jpeg_stream_length(b"\xff\xd8\xff")
+
+
+def test_sample_frames_mjpeg_spark(spark):
+    """Arrow-path MJPEG sampling: build a 5-frame MJPEG per media in
+    pandas, sample stride=2, verify exact frame indices and that decoded
+    frames equal decoding each member stream directly."""
+    import numpy as np
+
+    from peerdb_spark.functions import multimodal as MM
+    from peerdb_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    rows = []
+    want = {}
+    for mid in range(3):
+        members = []
+        for f in range(5):
+            img = rng.randint(0, 256, (8, 16, 3), dtype=np.uint8)
+            members.append(encode_jpeg(img.tobytes(), 16, 8, quality=60))
+        rows.append((mid, bytearray(b"".join(members))))
+        for f in (0, 2, 4):
+            want[(mid, f)] = decode_jpeg(members[f])
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = MM.sample_frames_mjpeg(df, stride=2)
+    got = {(r["media_id"], r["frame_idx"]):
+           (r["width"], r["height"], bytes(r["frame"]))
+           for r in out.collect()}
+    assert got == want
+    # stride=1 yields every frame
+    assert MM.sample_frames_mjpeg(df, stride=1).count() == 15

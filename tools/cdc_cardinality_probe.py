@@ -1,0 +1,143 @@
+"""Cardinality-mode CDC probe (round-8 verdict #7): drive the sync+merge
+path with a GENUINELY GROWING pk space — every batch inserts brand-new keys
+(plus updates to a sample of earlier keys), so touched-bucket pruning is
+exercised under worst-case fan-out (uniformly-hashed new keys touch every
+bucket every batch) and the destination table grows monotonically.
+
+The r6 throughput probe (288k ev/s at 10.2M events) replicated a fixed key
+set, which under-exercises two things this probe measures directly:
+  - buckets touched per batch (reported per batch; worst case = n_buckets)
+  - ev/s as the DESTINATION grows (the merge rereads touched buckets, so
+    per-batch cost includes O(existing rows in touched buckets))
+
+Usage: python tools/cdc_cardinality_probe.py [keys_per_batch] [n_batches]
+       default 100_000 keys x 6 batches, then 1_000_000 x 2 (the x10 row).
+Prints one JSON line per batch and a summary; paste the table into
+SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def make_feed(spark, start_key: int, n_new: int, n_upd: int, batch_id: int):
+    """n_new inserts of brand-new pks [start_key, start_key+n_new) plus
+    n_upd updates sampled across [0, start_key) (earlier keys)."""
+    ins = spark.range(start_key, start_key + n_new).select(
+        F.lit("insert").alias("_kind"), F.col("id").alias("pk")
+    )
+    if n_upd and start_key:
+        upd = spark.range(n_upd).select(
+            F.lit("update").alias("_kind"),
+            (F.pmod(F.xxhash64("id") + batch_id, F.lit(start_key))).alias("pk"),
+        )
+        ins = ins.unionByName(upd)
+    payload = F.to_json(
+        F.struct(
+            F.col("pk"),
+            (F.col("pk") % 97).cast("double").alias("qty"),
+            (F.col("pk") % 1009).cast("double").alias("price"),
+            F.lit("N").alias("flag"),
+        )
+    )
+    return ins.select(
+        "_kind",
+        (F.lit(batch_id) * 100_000_000 + F.col("pk")).alias("_checkpoint_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("pk") % 1000).alias(
+            "_commit_ts"
+        ),
+        F.col("pk").alias("_txid"),
+        F.lit("lineitem").alias("_src_table"),
+        F.lit("lineitem").alias("_dst_table"),
+        payload.alias("_data"),
+        F.lit(None).cast("string").alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+    )
+
+
+def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
+        n_buckets: int = 32):
+    from peerdb_spark import cdc
+    from peerdb_spark.storage import BUCKET_COL, ParquetTable, bucket_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("qty", T.DoubleType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("flag", T.StringType()),
+        ]
+    )
+    cfg = cdc.CdcTableConfig(
+        "lineitem", ["pk"], schema, f"{wd}/{label}/dst", n_buckets=n_buckets
+    )
+    pipe = cdc.CdcPipeline(spark, f"{wd}/{label}/raw", [cfg])
+    rows = []
+    next_key = 0
+    for b in range(1, n_batches + 1):
+        n_upd = keys_per_batch // 4 if next_key else 0
+        feed = make_feed(spark, next_key, keys_per_batch, n_upd, b)
+        feed.write.parquet(f"{wd}/{label}/feed_{b}")  # untimed: workload gen
+        feed_src = spark.read.parquet(f"{wd}/{label}/feed_{b}")
+        n_ev = feed_src.count()
+        t0 = time.time()
+        pipe.sync_batch(feed_src, b)
+        t1 = time.time()
+        pipe.normalize_batches(b, b)
+        t2 = time.time()
+        # buckets the batch actually touched (same expr the merge uses)
+        touched = (
+            feed_src.select(
+                F.get_json_object("_data", "$.pk").cast("long").alias("pk")
+            )
+            .select(bucket_expr(["pk"], n_buckets).alias(BUCKET_COL))
+            .distinct()
+            .count()
+        )
+        next_key += keys_per_batch
+        row = {
+            "label": label,
+            "batch": b,
+            "events": n_ev,
+            "sync_s": round(t1 - t0, 2),
+            "norm_s": round(t2 - t1, 2),
+            "ev_s": int(n_ev / (t2 - t0)),
+            "buckets_touched": touched,
+            "dest_keys": next_key,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    dst = ParquetTable(spark, cfg.path, ["pk"], n_buckets)
+    print(json.dumps({"label": label, "final_rows": dst.read().count()}),
+          flush=True)
+    return rows
+
+
+def main():
+    from peerdb_spark import get_spark
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    nb = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    spark = get_spark("cdc-card-probe", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    wd = tempfile.mkdtemp(prefix="cdc_card_")
+    try:
+        run(spark, k, nb, wd, f"x1_{k}")
+        run(spark, k * 10, max(2, nb // 3), wd, f"x10_{k * 10}")
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
