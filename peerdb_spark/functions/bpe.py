@@ -122,7 +122,7 @@ def bpe_train_batched(
     word_freqs: DataFrame | None = None,
     stats: dict | None = None,
     rounds: int | None = None,
-    recount: str = "delta",
+    recount: str = "auto",
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Batched-greedy BPE training (the YouTokenToMe/fastBPE-style scale
     variant): each Spark round counts pairs ONCE and merges up to `batch`
@@ -156,19 +156,29 @@ def bpe_train_batched(
     whatever each yields (≤ batch) — the shape an unrolled SQL oracle can
     mirror — instead of looping until k merges.
 
-    `recount` (round-8): "delta" (default) maintains the pair-count
-    relation incrementally — a round re-counts pairs ONLY for words that
-    contain a chosen pair (merging (a, b) changes no other word's pair
-    multiset), folding (new − old) pair counts of the touched words into
-    the cached relation. Per-round cost drops from O(vocab pairs) to
-    O(touched pairs) + one count-relation join; output is IDENTICAL to
-    "full" (the r7 full-recount path, kept for the equivalence test) —
-    the maintained counts equal a fresh aggregate by construction."""
+    `recount` (round-8): "delta" maintains the pair-count relation
+    incrementally — a round re-counts pairs ONLY for words that contain a
+    chosen pair (merging (a, b) changes no other word's pair multiset),
+    folding (new − old) pair counts of the touched words into the cached
+    relation via one full-outer join. Per-round SCAN cost drops from
+    O(vocab pairs) to O(touched pairs), but each round runs ~2x the Spark
+    jobs (counts + vocab both checkpoint), so on SMALL vocabularies the
+    fixed job overhead loses to the cheap full recount. Measured
+    (local[16], batch=32, SCALING.md): 46k-word Zipf vocab — full 141 s,
+    delta 202 s for 1,000 merges; 1M-word vocab — full 444 s, delta 307 s
+    for 200 merges (1.45x), identical merge tables in every case.
+    "auto" (default) picks delta above _DELTA_RECOUNT_MIN_VOCAB distinct
+    words (one cheap count of the word_freqs relation), full below — at a
+    real web-corpus vocab (10M+ words) delta is the only viable shape.
+    Output is IDENTICAL across modes (equivalence-tested): the maintained
+    counts equal a fresh aggregate by construction."""
     wf = word_freq(df, text_col) if word_freqs is None else word_freqs
     vocab = wf.select(
         "w", "freq", _initial_symbols(F.col("w")).alias("symbols")
     )
     vocab = vocab.localCheckpoint(eager=False)
+    if recount == "auto":
+        recount = "delta" if wf.count() >= _DELTA_RECOUNT_MIN_VOCAB else "full"
     if recount not in ("delta", "full"):
         raise ValueError(f"unknown recount mode: {recount}")
     merges: list[tuple[str, str, int]] = []
@@ -253,6 +263,12 @@ def bpe_train_batched(
         stats["rounds"] = done
         stats["round_of"] = round_of
     return merges, vocab
+
+
+# measured crossover (SCALING.md, round 8): full recount wins at 46k words,
+# delta wins by 1.45x at 1M; the break-even sits between — 200k is the
+# conservative switch point (the cost of being wrong near it is small)
+_DELTA_RECOUNT_MIN_VOCAB = 200_000
 
 
 def _any_of(conds: list[Column]) -> Column:
