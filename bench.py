@@ -135,6 +135,7 @@ def main() -> None:
         "media_features",
         "media_resize",
         "media_frame_sample",
+        "media_frame_sample_mjpeg",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",
