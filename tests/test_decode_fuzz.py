@@ -50,6 +50,13 @@ _SEEDS = {
         lz4_frame_decompress,
         lambda: lz4_frame_compress(b"the quick brown fox " * 50),
     ),
+    "mjpeg_container": (
+        lambda b: __import__("peerdb_spark.functions.jpeg",
+                             fromlist=["split_mjpeg"]).split_mjpeg(b),
+        lambda: encode_jpeg(_img().tobytes(), 24, 24, quality=80)
+        + encode_jpeg(_img().tobytes(), 24, 24, quality=60,
+                      progressive=True),
+    ),
     "zstd_frame": (
         zstd_decompress,
         lambda: zstd_compress(b"the quick brown fox " * 50 + b"z" * 400),

@@ -654,3 +654,73 @@ def test_produce_lz4_end_to_end_stub_broker(broker):
     finally:
         sock.close()
     assert [(t, k) for t, k, _v in broker.received] == [("t", b"k%d" % i) for i in range(30)]
+
+
+class _NoMetadataBroker(socketserver.ThreadingTCPServer):
+    """Proxy-shaped stub: accepts TCP, answers Produce, but DROPS the
+    connection on any Metadata request — the seed shape that must trigger
+    the routed path's automatic single-socket fallback."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        self.received: list[tuple[str, bytes | None, bytes | None]] = []
+        self.metadata_attempts = 0
+        self._lock = threading.Lock()
+        super().__init__(("127.0.0.1", 0), _NoMetadataHandler)
+
+
+class _NoMetadataHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        while True:
+            head = b""
+            while len(head) < 4:
+                chunk = self.request.recv(4 - len(head))
+                if not chunk:
+                    return
+                head += chunk
+            (n,) = struct.unpack(">i", head)
+            frame = b""
+            while len(frame) < n:
+                frame += self.request.recv(n - len(frame))
+            api_key = struct.unpack_from(">h", frame, 0)[0]
+            if api_key == 3:
+                with self.server._lock:
+                    self.server.metadata_attempts += 1
+                return  # drop the connection: no Metadata service here
+            req = KW.decode_produce_request(frame)
+            rows = KW.decode_record_batch(req["batch"])
+            with self.server._lock:
+                self.server.received += [
+                    (req["topic"], k, v) for k, v, _h in rows
+                ]
+            self.request.sendall(
+                KW.encode_produce_response(
+                    req["correlation_id"], req["topic"], req["partition"], 0
+                )
+            )
+
+
+def test_routed_falls_back_when_bootstrap_metadata_fails():
+    """deliver_kafka_wire_routed against a Metadata-refusing seed must fall
+    back to the single-socket path BEFORE producing anything (no
+    duplicates) and still deliver every record."""
+    b = _NoMetadataBroker()
+    t = threading.Thread(target=b.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = b.server_address
+        rows = [{"topic": "t", "key": b"k%d" % i, "value": b"v%d" % i}
+                for i in range(40)]
+        n = KW.deliver_kafka_wire_routed(
+            rows, [(host, port)], "t", compression="zstd"
+        )
+        assert n == 40
+        assert b.metadata_attempts >= 1
+        assert sorted(b.received) == sorted(
+            [("t", r["key"], r["value"]) for r in rows]
+        )
+    finally:
+        b.shutdown()
+        b.server_close()
