@@ -244,8 +244,10 @@ def main() -> None:
 
     def _calibrate() -> float:
         t0 = time.time()
-        spark.range(100_000_000, numPartitions=cpus).select(
-            _F.sum(_F.xxhash64("id"))
+        # bit_xor: overflow-free under ANSI (sum of 1B hashes overflows);
+        # 1B rows keeps the signal ~1 s — long enough to be stable
+        spark.range(1_000_000_000, numPartitions=cpus).select(
+            _F.bit_xor(_F.xxhash64("id"))
         ).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
