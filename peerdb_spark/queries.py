@@ -3748,7 +3748,10 @@ def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     did = F.col("doc_id")
-    base = docs.where(did % 3 == 1).select(
+    # % 6 keeps the fixture-encode cost (4 JPEG encodes per media — the
+    # dominant, not-under-test stage) at half the media while the sampled
+    # set stays hundreds of frames at the gate SF
+    base = docs.where(did % 6 == 1).select(
         did.alias("mid"),
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
     )
@@ -3812,7 +3815,7 @@ SQL_MEDIA_FRAME_SAMPLE_MJPEG = """
 WITH m AS (
   SELECT doc_id AS media_id,
          CAST(16 + (doc_id % 2) * 8 AS INT) AS w
-  FROM documents WHERE doc_id % 3 = 1
+  FROM documents WHERE doc_id % 6 = 1
 ),
 f AS (
   SELECT media_id, w, CAST(u.f AS INT) AS frame_idx
