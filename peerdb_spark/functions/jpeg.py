@@ -880,7 +880,15 @@ class _FastReader:
     __slots__ = ("W", "bp", "nbits")
 
     def __init__(self, buf: np.ndarray):
-        b = np.concatenate([buf.astype(np.uint32), np.zeros(68, np.uint32)])
+        # zero padding covers the worst single-check-interval overrun: bp
+        # is validated once per MCU/block, and one hostile block can read
+        # ~16 blocks x (DC + 63 AC) x 32 bits ≈ 4.2 KB past the end before
+        # the next check (a crafted DHT whose all-zeros code is valid
+        # keeps decoding over zeros). The decode boundary converts the
+        # resulting IndexError to ValueError either way; sizing the pad to
+        # the bound makes the EXPLICIT bp check the enforcing mechanism,
+        # not exception conversion (regression test: hostile-short-code)
+        b = np.concatenate([buf.astype(np.uint32), np.zeros(8260, np.uint32)])
         w = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
         self.W = w.tolist()  # W[i] = the 32 bits starting at byte i
         self.bp = 0

@@ -14,7 +14,9 @@ broker socket and re-parses every batch with struct-level code that shares
 nothing with the encoder).
 
 Scope (deliberately minimal, documented):
-- Produce v3, acks=1, optional record-batch compression covering the full
+- Produce v3 (v7 negotiated automatically for zstd batches — KIP-110:
+  brokers reject zstd below Produce v7), acks=1, optional record-batch
+  compression covering the full
   franz-go default codec matrix — gzip (stdlib zlib), snappy
   (snappy_codec.py), lz4 (lz4_codec.py), zstd (zstd_codec.py; spec-minimal
   Raw/RLE frames, valid for any decoder) — no idempotence/transactions:
@@ -276,9 +278,18 @@ def encode_produce_request(topic: str, partition: int, batch: bytes,
                            correlation_id: int = 1,
                            client_id: str = "peerdb-spark",
                            acks: int = 1,
-                           timeout_ms: int = 30_000) -> bytes:
+                           timeout_ms: int = 30_000,
+                           version: int = 3) -> bytes:
+    """Produce request. The body layout is IDENTICAL for v3-v8 (flexible
+    encoding starts at v9); the version matters to the BROKER: zstd
+    compression is only accepted on Produce v7+ (KIP-110 — older brokers
+    return UNSUPPORTED_COMPRESSION_TYPE), so produce_on negotiates v7 for
+    zstd batches and stays at v3 otherwise (broker-compatible back to
+    0.11)."""
+    if version not in (3, 7):
+        raise ValueError(f"unsupported produce version {version}")
     body = (
-        struct.pack(">hhi", 0, 3, correlation_id)  # api_key, version, cid
+        struct.pack(">hhi", 0, version, correlation_id)  # api_key, ver, cid
         + _str(client_id)
         + _str(None)                               # transactional_id
         + struct.pack(">hi", acks, timeout_ms)
@@ -293,10 +304,11 @@ def encode_produce_request(topic: str, partition: int, batch: bytes,
 
 
 def decode_produce_request(frame: bytes) -> dict:
-    """Stub-broker side parse of a Produce v3 frame (after the length
-    prefix): returns {correlation_id, topic, partition, batch_bytes}."""
+    """Stub-broker side parse of a Produce v3/v7 frame (identical body;
+    after the length prefix): returns {correlation_id, topic, partition,
+    batch_bytes, api_version}."""
     api_key, api_version, cid = struct.unpack_from(">hhi", frame, 0)
-    assert (api_key, api_version) == (0, 3), (api_key, api_version)
+    assert api_key == 0 and api_version in (3, 7), (api_key, api_version)
     pos = 8
     cl_len = struct.unpack_from(">h", frame, pos)[0]
     pos += 2 + max(cl_len, 0)
@@ -322,6 +334,7 @@ def decode_produce_request(frame: bytes) -> dict:
         "topic": topic,
         "partition": partition,
         "batch": batch,
+        "api_version": api_version,
     }
 
 
@@ -489,8 +502,11 @@ def produce_on(sock: socket.socket, topic: str, partition: int,
     if not records:
         return
     batch = encode_record_batch(records, compression=compression)
+    # KIP-110: brokers reject zstd on Produce below v7
+    ver = 7 if compression == "zstd" else 3
     sock.sendall(encode_produce_request(topic, partition, batch,
-                                        correlation_id=correlation_id))
+                                        correlation_id=correlation_id,
+                                        version=ver))
     err = _parse_produce_response(_read_frame(sock))
     if err != 0:
         raise RuntimeError(f"kafka produce failed: error_code={err}")
@@ -559,8 +575,14 @@ class ClusterProducer:
             try:
                 sock = self._connect(addr)
                 brokers, leaders = fetch_metadata(sock, topics, self._next_cid())
-            except OSError as e:
-                # broker down: drop the dead connection, try the next
+            except (OSError, ValueError, AssertionError, KeyError,
+                    IndexError, struct.error, UnicodeDecodeError) as e:
+                # broker down, or it answered with something that is not a
+                # parseable Metadata v1 response (proxy, newer-only broker
+                # replying UNSUPPORTED_VERSION in an alien frame shape):
+                # either way this candidate is useless — drop the
+                # connection and try the next, so the caller's documented
+                # ConnectionError fallback path actually triggers
                 self._drop(addr)
                 last_err = e
                 continue

@@ -3755,7 +3755,10 @@ def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         did.alias("mid"),
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
     )
-    w = (F.lit(16) + (F.col("mid") % 2) * 8).cast("int")
+    # width varies on (mid // 6) % 2: doc_id % 6 == 1 selects only ODD
+    # ids, so a plain mid % 2 would be constant and the two-width (16 vs
+    # 24 px, differing MCU geometry) coverage silently dead
+    w = (F.lit(16) + (F.floor(F.col("mid") / 6) % 2) * 8).cast("int")
     h = F.lit(16).cast("int")
     n_bytes = w.cast("long") * h * 3
     tile_v = (
@@ -3814,7 +3817,7 @@ def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIA_FRAME_SAMPLE_MJPEG = """
 WITH m AS (
   SELECT doc_id AS media_id,
-         CAST(16 + (doc_id % 2) * 8 AS INT) AS w
+         CAST(16 + ((doc_id // 6) % 2) * 8 AS INT) AS w
   FROM documents WHERE doc_id % 6 = 1
 ),
 f AS (

@@ -398,3 +398,23 @@ def test_bad_sampling_factors_reject_on_both_paths():
         nondiv[samp_off + 3] = 0x21
         with pytest.raises(NotImplementedError, match="sampling"):
             decode_jpeg(bytes(nondiv))
+
+
+def test_hostile_short_code_overrun_rejects_with_valueerror():
+    """Round-8 review repro: a crafted DHT whose ALL-ZEROS code is valid
+    and maps to (r=0, s=15) makes one AC block consume ~1 KB past the end
+    of a truncated scan before the per-block bound check runs — with the
+    old 68-byte reader padding that surfaced as IndexError from a Spark
+    task instead of the decoders' documented ValueError reject."""
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: 1-bit code -> size 0; AC table: 1-bit code -> 0x0F (s=15)
+    dc_bits = [1] + [0] * 15
+    ac_bits = [1] + [0] * 15
+    dht = (bytes([0x00] + dc_bits) + bytes([0x00])
+           + bytes([0x10] + ac_bits) + bytes([0x0F]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC first, Ss=1..63
+    jpg = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof2)
+           + _seg(0xC4, dht) + sos + b"\xff\xd9")  # EMPTY entropy section
+    with pytest.raises(ValueError):
+        decode_jpeg(jpg)

@@ -154,6 +154,9 @@ class _StubHandler(socketserver.BaseRequestHandler):
                 self.server.received_headers = getattr(
                     self.server, "received_headers", []
                 ) + [h for _k, _v, h in rows]
+                self.server.api_versions = getattr(
+                    self.server, "api_versions", []
+                ) + [req["api_version"]]
             self.request.sendall(
                 KW.encode_produce_response(
                     req["correlation_id"], req["topic"], req["partition"],
@@ -724,3 +727,18 @@ def test_routed_falls_back_when_bootstrap_metadata_fails():
     finally:
         b.shutdown()
         b.server_close()
+
+
+def test_zstd_negotiates_produce_v7(broker):
+    """KIP-110: brokers reject zstd-compressed batches on Produce below
+    v7 — the wire producer must send v7 for zstd and stay at v3 for the
+    broker-compatible codecs."""
+    host, port = broker.server_address
+    import socket as _socket
+
+    KW.produce(host, port, "t", 0, [(b"k", b"v" * 100)] * 5)
+    with _socket.create_connection((host, port)) as sock:
+        KW.produce_on(sock, "t", 0, [(b"k", b"v" * 100)] * 5,
+                      compression="zstd")
+    assert broker.api_versions == [3, 7]
+    assert len(broker.received) == 10

@@ -52,7 +52,11 @@ def make_feed(spark, start_key: int, n_new: int, n_upd: int, batch_id: int):
     )
     return ins.select(
         "_kind",
-        (F.lit(batch_id) * 100_000_000 + F.col("pk")).alias("_checkpoint_id"),
+        # 10^12 stride: checkpoint ids must stay strictly ordered by batch
+        # for LWW to resolve correctly — pk may reach billions at large
+        # CLI arguments (10^8 collided above 100M accumulated keys)
+        (F.lit(batch_id) * 1_000_000_000_000 + F.col("pk"))
+        .alias("_checkpoint_id"),
         F.timestamp_seconds(F.lit(1_700_000_000) + F.col("pk") % 1000).alias(
             "_commit_ts"
         ),
