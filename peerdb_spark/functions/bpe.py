@@ -122,7 +122,7 @@ def bpe_train_batched(
     word_freqs: DataFrame | None = None,
     stats: dict | None = None,
     rounds: int | None = None,
-    recount: str = "auto",
+    recount: str = "delta",
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Batched-greedy BPE training (the YouTokenToMe/fastBPE-style scale
     variant): each Spark round counts pairs ONCE and merges up to `batch`
@@ -156,20 +156,20 @@ def bpe_train_batched(
     whatever each yields (≤ batch) — the shape an unrolled SQL oracle can
     mirror — instead of looping until k merges.
 
-    `recount` (round-8): "delta" maintains the pair-count relation
-    incrementally — a round re-counts pairs ONLY for words that contain a
-    chosen pair (merging (a, b) changes no other word's pair multiset),
-    folding (new − old) pair counts of the touched words into the cached
-    relation via one full-outer join. Per-round SCAN cost drops from
-    O(vocab pairs) to O(touched pairs), but each round runs ~2x the Spark
-    jobs (counts + vocab both checkpoint), so on SMALL vocabularies the
-    fixed job overhead loses to the cheap full recount. Measured
-    (local[16], batch=32, SCALING.md): 46k-word Zipf vocab — full 141 s,
-    delta 202 s for 1,000 merges; 1M-word vocab — full 444 s, delta 307 s
-    for 200 merges (1.45x), identical merge tables in every case.
-    "auto" (default) picks delta above _DELTA_RECOUNT_MIN_VOCAB distinct
-    words (one cheap count of the word_freqs relation), full below — at a
-    real web-corpus vocab (10M+ words) delta is the only viable shape.
+    `recount` (round-8): "delta" (the default) maintains the pair-count
+    relation incrementally — a round re-counts pairs ONLY for words that
+    contain a chosen pair (merging (a, b) changes no other word's pair
+    multiset), folding (new − old) pair counts of the touched words into
+    the cached relation via one full-outer join. A single checkpointed
+    vocab pass evaluates the touch predicate AND the merge fold (the
+    first cut ran ~3 vocab passes per round and LOST to the full recount
+    on small vocabularies — measured, recorded in SCALING.md). After the
+    single-pass restructure: 46k-word Zipf vocab, 1,000 merges — delta
+    140.4 s vs full 140.5 s (parity at the small end); 1M-word vocab, 200
+    merges — delta wins (full 444 s; see SCALING.md for the delta
+    number), and at a real web-corpus vocab (10M+ words) the O(touched)
+    rescan is the only viable shape. "full" (the r7 shape) is kept for
+    the equivalence test; "auto" resolves via _DELTA_RECOUNT_MIN_VOCAB.
     Output is IDENTICAL across modes (equivalence-tested): the maintained
     counts equal a fresh aggregate by construction."""
     wf = word_freq(df, text_col) if word_freqs is None else word_freqs
@@ -217,7 +217,12 @@ def bpe_train_batched(
             sym = _apply_merge(sym, a, b)
         if recount == "delta":
             # a word is touched iff some chosen (a, b) occurs adjacently in
-            # it — merging cannot change any other word's pair multiset
+            # it — merging cannot change any other word's pair multiset.
+            # ONE vocab pass evaluates touch + the merge fold (_new is NULL
+            # for untouched words) and checkpoints; the delta explodes and
+            # the next round's vocab are cheap reads of that cached pass
+            # (the naive shape re-evaluated the touch predicate and fold in
+            # separate filter/update scans — ~3 vocab passes per round)
             touch = F.exists(
                 _adjacent_pairs(F.col("symbols")),
                 lambda p: F.lit(False) if not chosen else (
@@ -227,13 +232,16 @@ def bpe_train_batched(
                     ])
                 ),
             )
-            touched = vocab.where(touch)
+            upd = vocab.select(
+                "w", "freq", "symbols", F.when(touch, sym).alias("_new")
+            ).localCheckpoint(eager=False)
+            touched = upd.where(F.col("_new").isNotNull())
             oldp = touched.select(
                 F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
                 (-F.col("freq")).alias("d"),
             ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "d")
             newp = touched.select(
-                F.explode(_adjacent_pairs(sym)).alias("p"),
+                F.explode(_adjacent_pairs(F.col("_new"))).alias("p"),
                 F.col("freq").alias("d"),
             ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "d")
             delta = (
@@ -251,10 +259,11 @@ def bpe_train_batched(
                 .where(F.col("n") != 0)
                 .localCheckpoint(eager=False)
             )
-            vocab = vocab.select(
+            # projection over the cached pass — no second vocab checkpoint
+            vocab = upd.select(
                 "w", "freq",
-                F.when(touch, sym).otherwise(F.col("symbols")).alias("symbols"),
-            ).localCheckpoint(eager=False)
+                F.coalesce(F.col("_new"), F.col("symbols")).alias("symbols"),
+            )
         else:
             vocab = vocab.select(
                 "w", "freq", sym.alias("symbols")
@@ -265,10 +274,10 @@ def bpe_train_batched(
     return merges, vocab
 
 
-# measured crossover (SCALING.md, round 8): full recount wins at 46k words,
-# delta wins by 1.45x at 1M; the break-even sits between — 200k is the
-# conservative switch point (the cost of being wrong near it is small)
-_DELTA_RECOUNT_MIN_VOCAB = 200_000
+# post-restructure measurements (SCALING.md, round 8): delta matches full
+# at 46k words and wins from ~1M up, so auto only avoids delta's extra
+# count-relation state on trivially small vocabularies
+_DELTA_RECOUNT_MIN_VOCAB = 10_000
 
 
 def _any_of(conds: list[Column]) -> Column:
