@@ -83,6 +83,13 @@ CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
         ("Arrow-batched codec stages", r"MapInPandas", True),
         ("no row-at-a-time python udf", r"BatchEvalPython", False),
     ]),
+    ("media_frame_sample_mjpeg", [
+        # encode / split+decode are Arrow-batched; the per-media frame
+        # assembly is ONE hash aggregate (ordered binary fold), no sort
+        ("Arrow-batched codec stages", r"MapInPandas", True),
+        ("no row-at-a-time python udf", r"BatchEvalPython", False),
+        ("fold assembly is a hash agg, not a global sort", r"Sort \[", False),
+    ]),
     ("qrep_null_partition", [
         ("single aggregate over tagged rows", r"HashAggregate", True),
     ]),
