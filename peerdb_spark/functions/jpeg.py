@@ -1311,27 +1311,26 @@ def _decode_scan_progressive(data, pos, frame, huff, scan_order, scan_tabs,
                             blk[k] = newval
                         k += 1
                     if eobrun > 0:  # tail of the block after an EOB entry
-                        while k <= se:
-                            hv = blk[k]
-                            if hv != 0:
+                        for off, hv in enumerate(blk[k : se + 1]):
+                            if hv:
                                 if ((W[bp >> 3] >> (31 - (bp & 7))) & 1
                                         and (hv & p1) == 0):
-                                    blk[k] = hv + (p1 if hv > 0 else m1)
+                                    blk[k + off] = hv + (p1 if hv > 0 else m1)
                                 bp += 1
-                            k += 1
                         eobrun -= 1
                 else:
                     # whole block inside an EOB run: one correction bit per
-                    # nonzero history coefficient
-                    k = ss
-                    while k <= se:
-                        hv = blk[k]
-                        if hv != 0:
-                            if ((W[bp >> 3] >> (31 - (bp & 7))) & 1
-                                    and (hv & p1) == 0):
-                                blk[k] = hv + (p1 if hv > 0 else m1)
-                            bp += 1
-                        k += 1
+                    # nonzero history coefficient. any() skips the common
+                    # all-zero high-band block at C speed; enumerate over
+                    # the band slice beats a manual bounds-checked walk
+                    band = blk[ss : se + 1]
+                    if any(band):
+                        for off, hv in enumerate(band):
+                            if hv:
+                                if ((W[bp >> 3] >> (31 - (bp & 7))) & 1
+                                        and (hv & p1) == 0):
+                                    blk[ss + off] = hv + (p1 if hv > 0 else m1)
+                                bp += 1
                     eobrun -= 1
 
     if bp > nbits:
