@@ -268,6 +268,15 @@ def bpe_train_batched(
             vocab = vocab.select(
                 "w", "freq", sym.alias("symbols")
             ).localCheckpoint(eager=False)
+        if done % 16 == 0:
+            # periodic HARD truncation: lazy localCheckpoints alone let
+            # task-serialized lineage creep across many rounds — a 90+
+            # round run died with StackOverflowError in task
+            # deserialization before this. One eager checkpoint every 16
+            # rounds bounds lineage depth at a fixed constant.
+            vocab = vocab.localCheckpoint(eager=True)
+            if recount == "delta" and counts is not None:
+                counts = counts.localCheckpoint(eager=True)
     if stats is not None:
         stats["rounds"] = done
         stats["round_of"] = round_of
