@@ -363,3 +363,40 @@ def test_bpe_train_batched_delta_equals_full_recount(spark):
             {r["w"]: r["symbols"] for r in d_vocab.collect()}
             == {r["w"]: r["symbols"] for r in f_vocab.collect()}
         ), batch
+
+
+def test_bpe_delta_equals_full_hypothesis(spark):
+    """Property: delta recounting == full recount on RANDOM corpora (the
+    fixed-fixture equivalence test plus generative coverage of overlap
+    runs, single-char words, and sparse pair distributions)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from peerdb_spark.functions.bpe import bpe_train_batched
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=corpus, batch=st.integers(min_value=1, max_value=6))
+    def check(texts, batch):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        d_m, d_v = bpe_train_batched(df, "text", k=8, batch=batch,
+                                     recount="delta")
+        f_m, f_v = bpe_train_batched(df, "text", k=8, batch=batch,
+                                     recount="full")
+        assert d_m == f_m
+        assert (
+            {r["w"]: r["symbols"] for r in d_v.collect()}
+            == {r["w"]: r["symbols"] for r in f_v.collect()}
+        )
+
+    check()
