@@ -5706,8 +5706,10 @@ _ORACLES_IMPL: dict[str, str] = {
 #
 # Round-8 window:
 # - exotic_types: geometry decoders rewritten as SQL text (exotic_sql.py)
-# - media_decode_jpeg / media_decode_jpeg_progressive / media_frame_sample:
-#   progressive scan decoder rewritten (inline loops, list accumulators)
+# - media_decode_jpeg / media_decode_jpeg_progressive: progressive scan
+#   decoder rewritten (inline loops, list accumulators); media_frame_sample
+#   rides along for free (raw-frame path, module shared with the new
+#   sample_frames_mjpeg)
 # - bpe_train_batched_merges: delta pair-recounting is now the default
 # - ivf_topk, ann_lsh_topk, ann_srp_buckets, sim_topk, embedding_near_dup:
 #   code rewritten in r7 (similarity.py SQL-text codebooks) but their
