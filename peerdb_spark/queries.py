@@ -3786,7 +3786,20 @@ def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("rgb").alias("codec"),
         ).alias("meta"),
     )
-    enc = MM.encode_images_jpeg(frames, quality=50, mode="gray")
+    # odd members encode PROGRESSIVE (SOF2 multi-scan): stride-2 sampling
+    # never decodes them, but the container walker must still traverse
+    # their multi-scan structure exactly to find members 0 and 2 — the
+    # gate thereby exercises the trickiest split path, while the sampled
+    # frames stay baseline (same lossless-tile pixel oracle)
+    fid = F.pmod(F.col("media_id"), F.lit(4))
+    enc = MM.encode_images_jpeg(
+        frames.where(fid % 2 == 0), quality=50, mode="gray"
+    ).unionByName(
+        MM.encode_images_jpeg(
+            frames.where(fid % 2 == 1), quality=50, mode="gray",
+            progressive=True,
+        )
+    )
     mjpeg = (
         enc.select(
             (F.col("media_id") / 4).cast("long").alias("media_id"),
