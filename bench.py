@@ -78,21 +78,33 @@ def _bench_cdc_pipeline(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
         )
         warm.sync_batch(feed_src.limit(20_000), 1)
         warm.normalize_batches(1, 1)
-        pipe = cdc.CdcPipeline(
-            spark,
-            f"{wd}/raw",
-            [cdc.CdcTableConfig("lineitem", ["pk"], schema, f"{wd}/dst", n_buckets=32)],
-        )
         # per-stage split (the reference reports sync and normalize as
         # separate activities — flow/activities/flowable.go SyncFlow /
-        # StartNormalize — so regressions localize to a stage)
-        t0 = time.time()
-        pipe.sync_batch(feed_src, 1)
-        t1 = time.time()
-        pipe.normalize_batches(1, 1)
-        t2 = time.time()
-        stages = {"sync": round(t1 - t0, 3), "normalize": round(t2 - t1, 3)}
-        return round(t2 - t0, 3), stages
+        # StartNormalize — so regressions localize to a stage), timed as
+        # warm BEST-OF-2 like the per-query loop (round-9 protocol): the
+        # single-run stage numbers manufactured a phantom sync 0.83→1.33 s
+        # in r8 with cdc.py untouched. Each rep is a fresh pipeline over
+        # fresh dirs so the merge always starts from an empty destination.
+        best: dict[str, float] = {}
+        for rep in range(2):
+            pipe = cdc.CdcPipeline(
+                spark,
+                f"{wd}/raw{rep}",
+                [
+                    cdc.CdcTableConfig(
+                        "lineitem", ["pk"], schema, f"{wd}/dst{rep}", n_buckets=32
+                    )
+                ],
+            )
+            t0 = time.time()
+            pipe.sync_batch(feed_src, 1)
+            t1 = time.time()
+            pipe.normalize_batches(1, 1)
+            t2 = time.time()
+            for stage, dt in (("sync", t1 - t0), ("normalize", t2 - t1)):
+                best[stage] = min(best.get(stage, dt), dt)
+        stages = {k: round(v, 3) for k, v in best.items()}
+        return round(sum(best.values()), 3), stages
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 

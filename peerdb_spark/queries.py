@@ -3733,37 +3733,48 @@ def _jpeg_tile_media(docs: DataFrame) -> DataFrame:
 
 
 def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MJPEG container frame sampling (round 8): each media is a raw
-    Motion-JPEG concatenation of 4 complete JPEG streams (the .mjpeg /
-    multipart-camera format), assembled IN SPARK — per-frame tile fixtures
-    encoded by the from-scratch JPEG encoder (q50 gray, provably lossless
-    for the even-valued tile formula, see _jpeg_tile_media), ordered
-    binary-fold concatenated per media — then every 2nd frame is split out
-    by marker-structure walk (jpeg.split_mjpeg; skipped frames are never
-    entropy-decoded) and decoded back. Every byte of the sampled frames
-    value-verifies against the analytic per-frame pixel formula. With
-    this, only inter-frame codecs (H.264) remain gated behind a codec
-    lib."""
+    """MJPEG container frame sampling (round 8; fixture restructured round
+    9 per verdict #4): each media is a raw Motion-JPEG concatenation of 4
+    complete JPEG streams (the .mjpeg / multipart-camera format); every
+    2nd frame is split out by marker-structure walk (jpeg.split_mjpeg;
+    skipped frames are never entropy-decoded) and decoded back. Every byte
+    of the sampled frames value-verifies against the analytic per-frame
+    pixel formula.
+
+    The r8 cut encoded 4 JPEG streams PER media in-executor, so ~⅔ of the
+    gate's cost was fixture assembly, not the walker+decode under test.
+    The pixel formula now depends on media_id only through (media_id % 8)
+    — and the selected ids (doc_id % 6 == 1, i.e. 6k+1) realize exactly 4
+    distinct (pixel-base, width) classes keyed by k mod 4 — so the gate
+    encodes 16 JPEG streams TOTAL (4 containers), broadcast-joins a
+    container to every media, and spends its time on the per-media
+    marker walk + strided decode it exists to gate. Byte-verification
+    strength is unchanged: the per-frame analytic pixel oracle restates
+    the same (media_id % 8) formula. With this, only inter-frame codecs
+    (H.264) remain gated behind a codec lib."""
     from peerdb_spark.functions import multimodal as MM
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     did = F.col("doc_id")
-    # % 6 keeps the fixture-encode cost (4 JPEG encodes per media — the
-    # dominant, not-under-test stage) at half the media while the sampled
-    # set stays hundreds of frames at the gate SF
-    base = docs.where(did % 6 == 1).select(
-        did.alias("mid"),
+    # the 4 variant generators: representative ids 6*vk+1 for vk=0..3
+    # cover every (pixel-base = mid%8 ∈ {1,7,5,3}, width) class the
+    # selection below can produce
+    base = spark.range(4).select(
+        F.col("id").alias("vk"),
+        (F.col("id") * 6 + 1).alias("mid"),
+    ).select(
+        "vk", "mid",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
     )
-    # width varies on (mid // 6) % 2: doc_id % 6 == 1 selects only ODD
-    # ids, so a plain mid % 2 would be constant and the two-width (16 vs
-    # 24 px, differing MCU geometry) coverage silently dead
+    # width varies on (mid // 6) % 2 = vk % 2: 16 vs 24 px, differing MCU
+    # geometry — doc_id % 6 == 1 selects only ODD ids, so a plain mid % 2
+    # would be constant and the two-width coverage silently dead
     w = (F.lit(16) + (F.floor(F.col("mid") / 6) % 2) * 8).cast("int")
     h = F.lit(16).cast("int")
     n_bytes = w.cast("long") * h * 3
     tile_v = (
         lambda i: (
-            (F.col("mid") * 31 + F.col("frame_idx") * 5
+            ((F.col("mid") % 8) * 31 + F.col("frame_idx") * 5
              + F.floor(F.floor(i / (w * 3)) / 8) * 8
              + F.floor((i % (w * 3)) / 3 / 8) * 3) % 128
         ) * 2
@@ -3778,7 +3789,7 @@ def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     frames = base.select(
-        (F.col("mid") * 4 + F.col("frame_idx")).alias("media_id"),
+        (F.col("vk") * 4 + F.col("frame_idx")).alias("media_id"),
         content.alias("content"),
         F.struct(
             F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
@@ -3800,13 +3811,13 @@ def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             progressive=True,
         )
     )
-    mjpeg = (
+    containers = (
         enc.select(
-            (F.col("media_id") / 4).cast("long").alias("media_id"),
+            (F.col("media_id") / 4).cast("long").alias("vk"),
             F.pmod(F.col("media_id"), F.lit(4)).cast("int").alias("fidx"),
             "content",
         )
-        .groupBy("media_id")
+        .groupBy("vk")
         .agg(
             F.aggregate(
                 F.transform(
@@ -3819,6 +3830,17 @@ def q_media_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: F.concat(acc, x),
             ).alias("content")
         )
+    )
+    # one container row per class → broadcast; the per-media work under
+    # test (marker walk + strided decode) runs for EVERY media row
+    mjpeg = (
+        docs.where(did % 6 == 1)
+        .select(
+            did.alias("media_id"),
+            F.pmod(F.floor(did / 6), F.lit(4)).cast("long").alias("vk"),
+        )
+        .join(F.broadcast(containers), "vk")
+        .select("media_id", "content")
     )
     sampled = MM.sample_frames_mjpeg(mjpeg, stride=2)
     return sampled.select(
@@ -3839,7 +3861,7 @@ f AS (
 ),
 px AS (
   SELECT media_id, frame_idx, w, u.i AS i,
-         2 * ((media_id * 31 + frame_idx * 5
+         2 * (((media_id % 8) * 31 + frame_idx * 5
                + ((u.i // (w * 3)) // 8) * 8
                + (((u.i % (w * 3)) // 3) // 8) * 3) % 128) AS v
   FROM f, unnest(range(0, CAST(w AS BIGINT) * 16 * 3)) u(i)
