@@ -8,12 +8,12 @@ a real broker's libzstd) reads it — which is exactly the trick the LZ4
 frame codec used for interop without a codec lib. This encoder emits
 single-segment frames with a frame-content-size field, run-splitting
 RLE/Raw blocks, and the optional XXH64 content checksum; the decoder reads
-everything this encoder can emit plus non-single-segment window
-descriptors, with strict rejects (reserved bits, block-size bounds, FCS
-and checksum mismatches). Frames using Compressed blocks or dictionaries
-reject with a descriptive ValueError — an honest scope gate: entropy
-decoding needs the full FSE/Huffman machinery and no producer in this repo
-emits it.
+everything a conformant ENCODER can emit: Raw/RLE blocks here, Compressed
+(FSE/Huffman) blocks through zstd_entropy (round 9 — the consume path now
+interops with real libzstd/franz-go producers; pinned against pyarrow's
+bundled libzstd in tests), with strict rejects (reserved bits, block-size
+bounds, FCS and checksum mismatches). Dictionary frames keep a descriptive
+ValueError scope gate.
 
 The reference's franz-go client negotiates zstd in its default codec set
 (flow/connectors/kafka/kafka.go — studied, not copied); this module lets
@@ -178,11 +178,12 @@ def zstd_compress(data: bytes) -> bytes:
 
 
 def zstd_decompress(data: bytes, max_size: int = 1 << 27) -> bytes:
-    """Zstd frame → bytes, for frames built from Raw/RLE blocks (what this
-    encoder — and nothing else in this repo — emits). Strict rejects on
-    reserved bits/block types, block-size bounds, truncation, FCS and
-    checksum mismatches; Compressed blocks and dictionary frames reject
-    with a descriptive scope error rather than wrong output."""
+    """Zstd frame → bytes. Raw and RLE blocks decode here; Compressed
+    (FSE/Huffman) blocks decode through zstd_entropy (round 9 — the consume
+    path now interops with real producers: libzstd/franz-go emit Compressed
+    blocks for any non-trivial payload). Strict rejects on reserved
+    bits/block types, block-size bounds, truncation, FCS and checksum
+    mismatches; dictionary frames keep the descriptive scope reject."""
     if len(data) < 5:
         raise ValueError("zstd: truncated frame header")
     (magic,) = struct.unpack_from("<I", data, 0)
@@ -229,6 +230,7 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 27) -> bytes:
     bmax = min(window if window else _BLOCK_MAX, _BLOCK_MAX)
     bmax = max(bmax, 1)  # a zero-FCS single-segment frame still has a block
     out = bytearray()
+    ctx = None  # entropy state threads across a frame's Compressed blocks
     last = False
     while not last:
         if pos + 3 > len(data):
@@ -240,28 +242,33 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 27) -> bytes:
         bsize = hdr >> 3
         if btype == 3:
             raise ValueError("zstd: reserved block type")
-        if btype == 2:
-            raise ValueError(
-                "zstd: Compressed (FSE/Huffman) blocks are out of scope for "
-                "this minimal decoder — this codec reads only the Raw/RLE "
-                "frames it emits"
-            )
         if bsize > bmax:
             raise ValueError(
                 f"zstd: block size {bsize} exceeds maximum {bmax}"
             )
-        if len(out) + bsize > max_size:
+        if btype != 1 and len(out) + bsize > max_size:
             raise ValueError("zstd: output exceeds size bound")
         if btype == 0:  # Raw
             if pos + bsize > len(data):
                 raise ValueError("zstd: truncated raw block")
             out += data[pos : pos + bsize]
             pos += bsize
-        else:  # RLE: content is ONE byte, bsize is the regenerated length
+        elif btype == 1:  # RLE: content is ONE byte, bsize the regen length
+            if len(out) + bsize > max_size:
+                raise ValueError("zstd: output exceeds size bound")
             if pos + 1 > len(data):
                 raise ValueError("zstd: truncated rle block")
             out += data[pos : pos + 1] * bsize
             pos += 1
+        else:  # Compressed: FSE/Huffman entropy (zstd_entropy, RFC 8878 §4)
+            from peerdb_spark import zstd_entropy as ZE
+
+            if pos + bsize > len(data):
+                raise ValueError("zstd: truncated compressed block")
+            if ctx is None:
+                ctx = ZE.BlockContext()
+            ZE.decompress_block(data[pos : pos + bsize], ctx, out, max_size)
+            pos += bsize
     if expect is not None and len(out) != expect:
         raise ValueError(
             f"zstd: declared {expect} bytes, decoded {len(out)}"

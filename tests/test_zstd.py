@@ -1,10 +1,11 @@
-"""Spec-minimal zstd frame codec + XXH64 (peerdb_spark/zstd_codec.py).
+"""Zstd frame codec + XXH64 (peerdb_spark/zstd_codec.py).
 
-No zstd library exists in this environment; correctness is pinned by the
-XXH64 spec check value, a cross-check against Spark SQL's xxhash64 (an
-independent JVM implementation of the same published spec), hand-built
-frame vectors, roundtrip properties over adversarial inputs, and
-strict-reject corruption tests — the same battery as test_lz4.py.
+Correctness is pinned by the XXH64 spec check value, a cross-check against
+Spark SQL's xxhash64 (an independent JVM implementation of the same
+published spec), hand-built frame vectors, roundtrip properties over
+adversarial inputs, and strict-reject corruption tests — the same battery
+as test_lz4.py. Compressed-block (FSE/Huffman) decoding is pinned against
+pyarrow's bundled libzstd in test_zstd_entropy.py.
 """
 
 import struct
@@ -124,10 +125,11 @@ def test_frame_rejects_corruption():
 
 
 def test_frame_rejects_out_of_scope():
-    # Compressed block type → descriptive scope error, not wrong output
+    # Compressed block type now DECODES (round 9, zstd_entropy); garbage
+    # entropy payload must reject as corruption, not crash or emit bytes
     hdr = (3 << 3) | (2 << 1) | 1
     frame = _MAGIC + bytes([0x20, 3]) + hdr.to_bytes(3, "little") + b"abc"
-    with pytest.raises(ValueError, match="FSE/Huffman"):
+    with pytest.raises(ValueError):
         zstd_decompress(frame)
     # reserved block type
     hdr = (3 << 3) | (3 << 1) | 1
