@@ -369,6 +369,18 @@ class CdcTableConfig:
     # the raw->normalize path: single exchange, inherent dedup, no window
     # pass) or 'join' (see normalize.merge_changes for the trade-off)
     merge_strategy: str = "agg"
+    # a destination bucket whose row count crosses this splits in two after
+    # the batch that grew it (storage.split_bucket — extendible hashing, only
+    # the split bucket rewrites). Bounds per-batch merge reread as key
+    # cardinality grows (the r8 probe's named caveat): bucket size stays
+    # ≤ threshold rows ≈ a few hundred MB, the task-sized unit the 100 TB
+    # design wants. 0 disables.
+    split_threshold_rows: int = 4_000_000
+    # >0 enables the LWW hot-key guard (normalize.latest_changes skew_salt):
+    # pre-fold per (pk, checkpoint-salt) so a pk receiving most of a batch
+    # cannot serialize the dedup window onto one task. Opt-in — costs a
+    # second exchange on well-distributed batches.
+    lww_skew_salt: int = 0
 
 
 class CdcPipeline:
@@ -421,7 +433,8 @@ class CdcPipeline:
         and net to zero."""
         if backfill:
             cfg = self.tables.get(dst_table)
-            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets,
+                             split_threshold_rows=cfg.split_threshold_rows)
             if table.exists and view.read() is None:
                 live = table.read()
                 if cfg.soft_delete_col:
@@ -502,7 +515,8 @@ class CdcPipeline:
         the new columns for the rest of this batch range."""
         from peerdb_spark import schema_evolution as SE
 
-        table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+        table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets,
+                             split_threshold_rows=cfg.split_threshold_rows)
         if table._load_schema() is not None:
             if self.catalog is not None and self.mirror_name:
                 SE.replay_deltas(self.catalog, self.mirror_name, table, [delta])
@@ -622,7 +636,8 @@ class CdcPipeline:
             if cfg is None:
                 return
             changes = self._changes_for(raw, dst, cfg)
-            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets,
+                             split_threshold_rows=cfg.split_threshold_rows)
             views = self._views.get(dst, ())
             images = N.merge_into_table(
                 table,
@@ -631,6 +646,7 @@ class CdcPipeline:
                 synced_at_col=cfg.synced_at_col,
                 strategy=cfg.merge_strategy,
                 return_images=bool(views),
+                skew_salt=cfg.lww_skew_salt,
             )
             if views:
                 pre, post = images
@@ -657,7 +673,8 @@ class CdcPipeline:
         subsequent batches containing its _dst_table rows normalize into it."""
         self.tables[cfg.dst_table] = cfg
         if backfill is not None:
-            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets)
+            table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets,
+                             split_threshold_rows=cfg.split_threshold_rows)
             out = backfill
             if cfg.soft_delete_col:
                 out = out.withColumn(cfg.soft_delete_col, F.lit(False))

@@ -56,7 +56,27 @@ def bucket_expr(pk_cols: list[str], n_buckets: int):
 
 
 class ParquetTable:
-    """A managed destination table: parquet dir, optionally pk-hash-bucketed."""
+    """A managed destination table: parquet dir, optionally pk-hash-bucketed.
+
+    Bucket ids use an extendible-hashing numbering so a bucket can SPLIT
+    without rewriting any other bucket (round 9; the r8 cardinality probe
+    showed per-batch merge cost growing with destination size under a
+    static bucket count — the reference sidesteps this only by delegating
+    to ClickHouse's background part merges, flow/connectors/clickhouse/
+    normalize.go):
+
+    - base level: id = hash mod N           (N = n_buckets; ids in [0, N))
+    - level k>0:  id = M + (hash mod M), M = N·2^k   (ids in [M, 2M))
+
+    Ranges are disjoint and (modulus, residue) is recoverable from the id
+    alone. Splitting leaf (M, r) rewrites ONLY that bucket into children
+    (2M, r) and (2M, r+M) — ids 2M+r and 3M+r — because hash ≡ r (mod M)
+    partitions exactly into those two residues mod 2M (hash-prefix
+    stability). The live leaf set is persisted in `_peerdb_buckets.json`;
+    a table that never splits reads/writes identically to the pre-split
+    format (manifest defaults to the base residues), so legacy tables need
+    no migration.
+    """
 
     def __init__(
         self,
@@ -64,11 +84,15 @@ class ParquetTable:
         path: str,
         pk_cols: list[str] | None = None,
         n_buckets: int = 0,
+        split_threshold_rows: int = 0,
     ):
         self.spark = spark
         self.path = path
         self.pk_cols = pk_cols or []
         self.n_buckets = n_buckets
+        # >0 enables maybe_split(): a leaf bucket whose footer row count
+        # exceeds this splits in two after a merge touches it
+        self.split_threshold_rows = split_threshold_rows
 
     # -- helpers ----------------------------------------------------------
     @property
@@ -89,6 +113,73 @@ class ParquetTable:
             with open(self._schema_path) as f:
                 return T.StructType.fromJson(__import__("json").loads(f.read()))
         return None
+
+    # -- bucket manifest (extendible-hashing leaf set) ----------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_peerdb_buckets.json")
+
+    def leaf_buckets(self) -> list[int]:
+        """Current leaf bucket ids. Defaults to the base residues for a
+        never-split (or legacy) table — identical behavior to the static
+        scheme, no migration."""
+        import json
+
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return list(json.load(f)["leaves"])
+        return list(range(self.n_buckets))
+
+    def _save_leaves(self, leaves: list[int]) -> None:
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"base": self.n_buckets, "leaves": sorted(leaves)}))
+        os.replace(tmp, self._manifest_path)  # atomic publish
+
+    def _commit_split_manifest(self, parent: int, children: tuple[int, int]) -> None:
+        """Swap parent leaf for its children — idempotent (repair re-runs it
+        on roll-forward)."""
+        leaves = set(self.leaf_buckets())
+        if parent in leaves or not set(children) <= leaves:
+            leaves.discard(parent)
+            leaves.update(children)
+            self._save_leaves(sorted(leaves))
+
+    def bucket_level(self, bucket_id: int) -> tuple[int, int]:
+        """(modulus, residue) encoded by a bucket id (see class doc)."""
+        if bucket_id < self.n_buckets:
+            return (self.n_buckets, bucket_id)
+        m = self.n_buckets
+        while m * 2 <= bucket_id:
+            m *= 2
+        return (m, bucket_id - m)
+
+    def assign_bucket_expr(self):
+        """Leaf assignment for the CURRENT manifest: hash each pk once, then
+        test the candidate id per live modulus (deepest first; a key matches
+        the leaf set at exactly one modulus, base as fallback). For a
+        never-split table this is exactly the static pmod expression. The
+        per-modulus membership lists are driver-side literals — bounded by
+        the leaf count, and Catalyst compiles large isin lists to a hash-set
+        InSet, so the test stays O(1) per row at any bucket count."""
+        assert self.n_buckets and self.pk_cols, "bucketed table required"
+        leaves = self.leaf_buckets()
+        h = F.xxhash64(*[F.col(c) for c in self.pk_cols])
+        base = F.pmod(h, F.lit(self.n_buckets)).cast("int")
+        by_mod: dict[int, list[int]] = {}
+        for b in leaves:
+            m, _r = self.bucket_level(b)
+            if m != self.n_buckets:
+                by_mod.setdefault(m, []).append(b)
+        expr = None
+        for m in sorted(by_mod, reverse=True):
+            cand = (F.pmod(h, F.lit(m)) + F.lit(m)).cast("int")
+            cond = cand.isin(by_mod[m])
+            expr = F.when(cond, cand) if expr is None else expr.when(cond, cand)
+        return base if expr is None else expr.otherwise(base)
 
     # -- writer lease ------------------------------------------------------
     # repair() is destructive (it rmtree's staging dirs and moves parked
@@ -153,7 +244,7 @@ class ParquetTable:
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if self.n_buckets and self.pk_cols:
-            out = df.withColumn(BUCKET_COL, bucket_expr(self.pk_cols, self.n_buckets))
+            out = df.withColumn(BUCKET_COL, self.assign_bucket_expr())
             # Cluster rows by their bucket BEFORE the partitionBy write:
             # without this every upstream task holds rows of every bucket and
             # the dynamic-partition writer emits tasks × buckets files (at
@@ -161,7 +252,8 @@ class ParquetTable:
             # per-task sort across all buckets). One hash exchange on the
             # bucket value — the same order of bytes as the write itself —
             # yields one file per bucket per write.
-            return out.repartition(self.n_buckets, F.col(BUCKET_COL))
+            return out.repartition(max(self.n_buckets, len(self.leaf_buckets())),
+                                   F.col(BUCKET_COL))
         return df
 
     def read(self) -> DataFrame:
@@ -286,6 +378,41 @@ class ParquetTable:
                 shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
         if not os.path.isdir(self.path):
             return
+        # 3. bucket splits: the commit point is the parent-dir rename, so a
+        #    `.split-pending-<parent>.json` marker with the parent dir still
+        #    PRESENT means uncommitted — remove any moved-in child dirs
+        #    (their rows are still in the parent) and forget the attempt;
+        #    parent ABSENT means committed — re-run the (idempotent) manifest
+        #    swap and drop the leftovers. A parked dir with no marker is a
+        #    fully completed split's final-rmtree leftover.
+        import json as _json
+
+        for name in sorted(os.listdir(self.path)):
+            if not (name.startswith(".split-pending-") and name.endswith(".json")):
+                continue
+            marker = os.path.join(self.path, name)
+            try:
+                with open(marker) as f:
+                    info = _json.load(f)
+                parent, children = int(info["parent"]), [int(c) for c in info["children"]]
+            except (ValueError, KeyError, OSError):
+                os.remove(marker)  # torn marker: pre-publish tmp can't exist
+                continue
+            pdir = os.path.join(self.path, f"{BUCKET_COL}={parent}")
+            if os.path.isdir(pdir):
+                for c in children:
+                    shutil.rmtree(
+                        os.path.join(self.path, f"{BUCKET_COL}={c}"), ignore_errors=True
+                    )
+            else:
+                self._commit_split_manifest(parent, (children[0], children[1]))
+            os.remove(marker)
+            shutil.rmtree(
+                os.path.join(self.path, f".split-parked-{parent}"), ignore_errors=True
+            )
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith(".split-parked-"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         for name in os.listdir(self.path):
             if not name.startswith(".swap-old-"):
                 continue
@@ -312,6 +439,126 @@ class ParquetTable:
                 1 for f in os.listdir(d) if f.endswith(".parquet") or f.startswith("part-")
             )
         return out
+
+    def rows_per_bucket(self, buckets: list[int] | None = None) -> dict[int, int]:
+        """Row count per bucket from parquet FOOTER metadata only — no data
+        read, no Spark job; this is what makes the split check affordable
+        after every merge (a footer stat is O(files), and merges leave one
+        file per touched bucket)."""
+        import pyarrow.parquet as pq
+
+        want = None if buckets is None else {int(b) for b in buckets}
+        out: dict[int, int] = {}
+        if not os.path.isdir(self.path):
+            return out
+        for name in os.listdir(self.path):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if want is not None and b not in want:
+                continue
+            d = os.path.join(self.path, name)
+            n = 0
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    try:
+                        n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                    except Exception:  # noqa: BLE001 — footer unreadable: count as 0
+                        pass
+            out[b] = n
+        return out
+
+    def split_bucket(self, parent: int) -> tuple[int, int]:
+        """Split leaf bucket `parent` into its two extendible-hashing
+        children, rewriting ONLY that bucket (hash-prefix stability: every
+        row of (M, r) lands in (2M, r) or (2M, r+M) — ids 2M+r / 3M+r).
+
+        Crash-safe; the COMMIT POINT is the atomic rename that parks the
+        parent dir:
+          1. stage the parent's rows repartitioned to the two child ids
+          2. publish a `.split-pending-<parent>.json` marker (children ids)
+          3. move staged child dirs into the table (0-2 dirs; an empty
+             child has no dir — the manifest, not the dirs, is what
+             assigns keys)
+          4. rename parent dir -> `.split-parked-<parent>`  [COMMIT]
+          5. swap parent for children in the manifest (idempotent)
+          6. drop marker, parked dir, staging
+        repair() rolls a marker with the parent dir PRESENT back (children
+        dirs removed — their rows still live in the parent) and a marker
+        with the parent ABSENT forward (manifest commit re-run). Child ids
+        are unique table-wide and a parent can split at most once ever, so
+        rollback can never delete committed data."""
+        assert self.n_buckets and self.pk_cols, "bucketed table required"
+        import json
+        import shutil
+        import uuid
+
+        m, r = self.bucket_level(parent)
+        c1, c2 = 2 * m + r, 3 * m + r
+        self._acquire_lease()
+        try:
+            self.repair()
+            assert parent in set(self.leaf_buckets()), f"bucket {parent} is not a leaf"
+            pdir = os.path.join(self.path, f"{BUCKET_COL}={parent}")
+            if not os.path.isdir(pdir):
+                # leaf with no rows: manifest-only split (single atomic write)
+                self._commit_split_manifest(parent, (c1, c2))
+                return (c1, c2)
+            h = F.xxhash64(*[F.col(c) for c in self.pk_cols])
+            child = (F.pmod(h, F.lit(2 * m)) + F.lit(2 * m)).cast("int")
+            staged = (
+                self.spark.read.parquet(pdir)
+                .withColumn(BUCKET_COL, child)
+                .repartition(2, F.col(BUCKET_COL))
+            )
+            staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+            staged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            marker = os.path.join(self.path, f".split-pending-{parent}.json")
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"parent": parent, "children": [c1, c2]}))
+            os.replace(tmp, marker)
+            try:
+                for c in (c1, c2):
+                    src = os.path.join(staging, f"{BUCKET_COL}={c}")
+                    dst = os.path.join(self.path, f"{BUCKET_COL}={c}")
+                    if os.path.isdir(src):
+                        shutil.move(src, dst)
+                parked = os.path.join(self.path, f".split-parked-{parent}")
+                os.rename(pdir, parked)  # COMMIT
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            self._commit_split_manifest(parent, (c1, c2))
+            os.remove(marker)
+            shutil.rmtree(parked, ignore_errors=True)
+        finally:
+            self._release_lease()
+        return (c1, c2)
+
+    def maybe_split(self, candidates: list[int] | None = None) -> list[tuple[int, int, int]]:
+        """Split every leaf bucket whose footer row count exceeds
+        `split_threshold_rows` (no-op when the threshold is 0/unset). One
+        split per oversized leaf per call — linear-hashing-style gradual
+        growth, so per-batch work stays bounded; a child still above the
+        threshold splits when a later batch touches it. Restricting to
+        `candidates` (the buckets a merge just touched) keeps the footer
+        scan O(touched). Returns [(parent, child1, child2), ...]."""
+        if not (self.n_buckets and self.pk_cols and self.split_threshold_rows):
+            return []
+        counts = self.rows_per_bucket(candidates)
+        leaves = set(self.leaf_buckets())
+        done: list[tuple[int, int, int]] = []
+        for b in sorted(counts):
+            # deterministic per-bucket jitter (+0..49%): under uniform key
+            # growth every bucket crosses a FLAT threshold in the same batch
+            # and that batch pays a full-table rewrite (the r9 probe measured
+            # 71 s vs a 25-35 s steady state). Staggered thresholds spread
+            # the splits over ~1.5x of growth — same asymptotics, no herd.
+            thr = self.split_threshold_rows * (100 + (b * 37) % 50) // 100
+            if b in leaves and counts[b] > thr:
+                c1, c2 = self.split_bucket(b)
+                done.append((b, c1, c2))
+        return done
 
     def compact(self, max_files_per_bucket: int = 1) -> dict:
         """Small-file compaction — the analogue of ClickHouse's background

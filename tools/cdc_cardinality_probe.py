@@ -70,9 +70,9 @@ def make_feed(spark, start_key: int, n_new: int, n_upd: int, batch_id: int):
 
 
 def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
-        n_buckets: int = 32):
+        n_buckets: int = 32, split_threshold: int = 0):
     from peerdb_spark import cdc
-    from peerdb_spark.storage import BUCKET_COL, ParquetTable, bucket_expr
+    from peerdb_spark.storage import BUCKET_COL, ParquetTable
 
     schema = T.StructType(
         [
@@ -83,9 +83,12 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
         ]
     )
     cfg = cdc.CdcTableConfig(
-        "lineitem", ["pk"], schema, f"{wd}/{label}/dst", n_buckets=n_buckets
+        "lineitem", ["pk"], schema, f"{wd}/{label}/dst", n_buckets=n_buckets,
+        split_threshold_rows=split_threshold,
     )
     pipe = cdc.CdcPipeline(spark, f"{wd}/{label}/raw", [cfg])
+    dst = ParquetTable(spark, cfg.path, ["pk"], n_buckets,
+                       split_threshold_rows=split_threshold)
     rows = []
     next_key = 0
     for b in range(1, n_batches + 1):
@@ -99,15 +102,22 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
         t1 = time.time()
         pipe.normalize_batches(b, b)
         t2 = time.time()
-        # buckets the batch actually touched (same expr the merge uses)
-        touched = (
-            feed_src.select(
+        # buckets the batch actually touched (same manifest-aware expr the
+        # merge uses — after splits the leaf count grows)
+        touched_ids = [
+            r[0]
+            for r in feed_src.select(
                 F.get_json_object("_data", "$.pk").cast("long").alias("pk")
             )
-            .select(bucket_expr(["pk"], n_buckets).alias(BUCKET_COL))
+            .select(dst.assign_bucket_expr().alias(BUCKET_COL))
             .distinct()
-            .count()
-        )
+            .collect()
+        ]
+        # the batch's REREAD+REWRITE cost driver: rows now sitting in the
+        # touched buckets (footer metadata only — no data read). Under
+        # static bucketing this grows with the destination; with splitting
+        # it must stay bounded by leaves × threshold locality.
+        per_bucket = dst.rows_per_bucket(touched_ids)
         next_key += keys_per_batch
         row = {
             "label": label,
@@ -116,14 +126,16 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
             "sync_s": round(t1 - t0, 2),
             "norm_s": round(t2 - t1, 2),
             "ev_s": int(n_ev / (t2 - t0)),
-            "buckets_touched": touched,
+            "buckets_touched": len(touched_ids),
+            "leaves": len(dst.leaf_buckets()),
+            "rows_in_touched": sum(per_bucket.values()),
+            "max_bucket_rows": max(per_bucket.values() or [0]),
             "dest_keys": next_key,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    dst = ParquetTable(spark, cfg.path, ["pk"], n_buckets)
-    print(json.dumps({"label": label, "final_rows": dst.read().count()}),
-          flush=True)
+    print(json.dumps({"label": label, "final_rows": dst.read().count(),
+                      "final_leaves": len(dst.leaf_buckets())}), flush=True)
     return rows
 
 
@@ -132,12 +144,23 @@ def main():
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     nb = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    # argv[3]: split threshold rows (0 = static buckets, the r8 behavior);
+    # argv[4]: 'both' runs static THEN split on the same workload shape —
+    # the round-9 done-criterion comparison (rows_in_touched flat vs growing)
+    thr = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    mode = sys.argv[4] if len(sys.argv) > 4 else "one"
     spark = get_spark("cdc-card-probe", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
     wd = tempfile.mkdtemp(prefix="cdc_card_")
     try:
-        run(spark, k, nb, wd, f"x1_{k}")
-        run(spark, k * 10, max(2, nb // 3), wd, f"x10_{k * 10}")
+        if mode == "both":
+            run(spark, k, nb, wd, f"static_{k}", split_threshold=0)
+            run(spark, k, nb, wd, f"split_{k}_thr{thr}", split_threshold=thr)
+        else:
+            run(spark, k, nb, wd, f"x1_{k}" if not thr else f"split_{k}_thr{thr}",
+                split_threshold=thr)
+            if not thr:
+                run(spark, k * 10, max(2, nb // 3), wd, f"x10_{k * 10}")
     finally:
         shutil.rmtree(wd, ignore_errors=True)
     spark.stop()

@@ -1,0 +1,95 @@
+"""Hot-key LWW skew probe (round-9 verdict #6): a batch where one pk holds
+90% of the rows serializes the plain dedup window onto one task; the salted
+two-level fold (normalize.latest_changes skew_salt) must bound that task and
+produce the identical result.
+
+Measures merge_into_table wall time at skew_salt 0 vs 32 on a 90%-one-key
+batch, plus a well-distributed control batch (to show the guard's overhead on
+the non-skew case — the reason it is opt-in). local[16].
+
+Usage: python tools/lww_skew_probe.py [n_rows]   (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def make_batch(spark, n_rows: int, hot_frac: float):
+    """hot_frac of rows update pk 7; the rest spread over n_rows/10 keys.
+    Unique checkpoints keep LWW deterministic."""
+    hot = F.rand(seed=9) < hot_frac
+    return (
+        spark.range(n_rows)
+        .select(
+            F.lit("update").alias("_kind"),
+            F.col("id").alias("_checkpoint_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 1000).alias(
+                "_commit_ts"
+            ),
+            F.when(hot, F.lit(7))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(max(1, n_rows // 10))))
+            .alias("pk"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+    )
+
+
+def time_merge(spark, wd: str, label: str, batch_src, salt: int) -> float:
+    from peerdb_spark import normalize as N
+    from peerdb_spark.storage import ParquetTable
+
+    t = ParquetTable(spark, f"{wd}/{label}", ["pk"], n_buckets=32)
+    t.overwrite(
+        spark.range(1000).select(F.col("id").alias("pk"), F.lit("seed").alias("val"))
+    )
+    t0 = time.time()
+    N.merge_into_table(t, batch_src, skew_salt=salt)
+    dt = time.time() - t0
+    n = t.read().count()
+    return round(dt, 2), n
+
+
+def main():
+    from peerdb_spark import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    spark = get_spark("lww-skew-probe", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    wd = tempfile.mkdtemp(prefix="lww_skew_")
+    try:
+        for shape, frac in (("hot90", 0.9), ("uniform", 0.0)):
+            src = make_batch(spark, n, frac)
+            src.write.parquet(f"{wd}/feed_{shape}")  # untimed workload gen
+            feed = spark.read.parquet(f"{wd}/feed_{shape}")
+            # warm both plans on a slice
+            time_merge(spark, wd, f"warm_{shape}", feed.limit(50_000), 0)
+            time_merge(spark, wd, f"warms_{shape}", feed.limit(50_000), 32)
+            results = {}
+            for salt in (0, 32):
+                best = None
+                for rep in range(2):
+                    dt, rows = time_merge(
+                        spark, wd, f"{shape}_s{salt}_r{rep}", feed, salt
+                    )
+                    best = dt if best is None else min(best, dt)
+                results[f"salt{salt}"] = best
+                results["dest_rows"] = rows
+            results["shape"] = shape
+            results["rows"] = n
+            print(json.dumps(results), flush=True)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
