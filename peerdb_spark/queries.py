@@ -5736,23 +5736,89 @@ _ORACLES_IMPL: dict[str, str] = {
 # _REGATE_THIS_ROUND that round, so no query's driver row ever predates
 # its last code change. "Transitive" means the query function itself OR
 # any peerdb_spark module on its call path. New queries go in
-# _NEW_THIS_ROUND. Everything else keeps its recorded verdict and its
-# prior relative order (the _GATE_GREEN_* provenance lists below).
+# _NEW_THIS_ROUND.
 #
-# Round-8 window:
-# - exotic_types: geometry decoders rewritten as SQL text (exotic_sql.py)
-# - media_decode_jpeg / media_decode_jpeg_progressive: progressive scan
-#   decoder rewritten (inline loops, list accumulators); media_frame_sample
-#   rides along for free (raw-frame path, module shared with the new
-#   sample_frames_mjpeg)
-# - bpe_train_batched_merges: delta pair-recounting is now the default
-# - ivf_topk, ann_lsh_topk, ann_srp_buckets, sim_topk, embedding_near_dup:
-#   code rewritten in r7 (similarity.py SQL-text codebooks) but their
-#   driver rows were r5-stale — the exact gap the rule exists to close —
-#   plus r8 input validation in _nearest_cells
-# - semantic_dedup (dot_cell_assign rewritten r7), kmeans_clusters
-#   (cluster.py row-preserving fix r7): rows were r6, code changed r7
+# STALE-ROW REFRESH RULE (round 9, verdict #5): spare first-50 window
+# slots fill with the queries holding the OLDEST driver rows
+# (_STALE_REFRESH, oldest cohort first), so no query's newest driver row
+# ages more than ~3 rounds even when its code never changes. Everything
+# else keeps its recorded verdict and prior relative order (the
+# _GATE_GREEN_* provenance lists below).
+#
+# Round-9 window:
+# - media_frame_sample_mjpeg: fixture restructured (4 shared containers,
+#   media_id%8 pixel base) and oracle updated to match — verdict #4
+# - the cdc merge family: storage.py grew extendible-hashing bucket
+#   splitting (assign_bucket_expr now routes every merge write),
+#   normalize.py grew the LWW skew guard + maybe_split wiring, cdc.py
+#   threads the new config — every query whose path crosses
+#   merge_into_table / ParquetTable re-gates (verdicts #1/#6)
 _REGATE_THIS_ROUND = [
+    "media_frame_sample_mjpeg",
+    "cdc_normalize_merge",
+    "cdc_lww_dedup",
+    "cdc_soft_delete",
+    "cdc_pk_update",
+    "cdc_toast_coalesce",
+    "cdc_rmt_view",
+    "cdc_record_counts",
+    "cdc_unchanged_toast_sets",
+    "cdc_time_travel",
+    "catalog_distinct_dst",
+    "cdc_mirror_mview",
+    "cdc_enriched_mview",
+    "mirror_table_diff",
+]
+
+_NEW_THIS_ROUND: list[str] = []
+
+# Oldest driver rows (r<=5), refreshed through the spare window slots.
+# 14 regate + 36 of these fill the 50-slot window; the tail past slot 50
+# refreshes next round (they are also the lowest-risk: pure-SQL surfaces
+# whose modules did not change this round).
+_STALE_REFRESH = [
+    "unigram_surprisal",
+    "qrep_null_partition",
+    "fingerprint_dups",
+    "media_stats",
+    "qrep_watermark_range",
+    "qrep_minmax_partition_plan",
+    "qrep_ntile_partitions",
+    "xmin_incremental",
+    "has_new_rows_maxwm",
+    "date_clamp",
+    "scalar_functions",
+    "numeric_truncate",
+    "json_extract",
+    "union_distinct",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh_pairs",
+    "dedup_incremental_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cc_groups",
+    "pack_sequences",
+    "stratified_sample",
+    "mirror_lag_metrics",
+    "dedup_ngram_jaccard",
+    "text_features",
+    "text_lang_stats",
+    "corpus_clean",
+    "events_tumbling_agg",
+    "events_sliding_agg",
+    "events_sessionize",
+    "vocab_topk",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "passthrough_agg",
+    "passthrough_join",
+]
+
+# Provenance of the most recent green driver row for everything else
+# (kept for the judge's audit trail; relative order preserved).
+_GATE_GREEN_R8 = [
     "exotic_types",
     "media_decode_jpeg",
     "media_decode_jpeg_progressive",
@@ -5767,12 +5833,6 @@ _REGATE_THIS_ROUND = [
     "kmeans_clusters",
 ]
 
-_NEW_THIS_ROUND: list[str] = [
-    "media_frame_sample_mjpeg",
-]
-
-# Provenance of the most recent green driver row for everything else
-# (kept for the judge's audit trail; relative order preserved).
 _GATE_GREEN_R7 = [
     "media_features",
     "media_resize",
@@ -5817,68 +5877,15 @@ _GATE_GREEN_R6 = [
     "pca_projection2",
     "tfidf_topk",
     "quality_classifier",
-    "cdc_mirror_mview",
     "corpus_shuffle_shards",
-    "cdc_enriched_mview",
     "hybrid_retrieval",
     "qrep_date_partition",
     "bpe_encode_ranked",
 ]
 
-_GATE_GREEN_THROUGH_R5 = [
-    "unigram_surprisal",
-    "qrep_null_partition",
-    "fingerprint_dups",
-    "media_stats",
-    "qrep_watermark_range",
-    "qrep_minmax_partition_plan",
-    "qrep_ntile_partitions",
-    "xmin_incremental",
-    "catalog_distinct_dst",
-    "has_new_rows_maxwm",
-    "cdc_lww_dedup",
-    "cdc_normalize_merge",
-    "mirror_table_diff",
-    "cdc_time_travel",
-    "cdc_soft_delete",
-    "cdc_pk_update",
-    "cdc_toast_coalesce",
-    "cdc_rmt_view",
-    "cdc_record_counts",
-    "cdc_unchanged_toast_sets",
-    "date_clamp",
-    "scalar_functions",
-    "numeric_truncate",
-    "json_extract",
-    "union_distinct",
-    "passthrough_agg",
-    "passthrough_join",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh_pairs",
-    "dedup_incremental_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_cc_groups",
-    "pack_sequences",
-    "stratified_sample",
-    "mirror_lag_metrics",
-    "dedup_ngram_jaccard",
-    "text_features",
-    "text_lang_stats",
-    "corpus_clean",
-    "events_tumbling_agg",
-    "events_sliding_agg",
-    "events_sessionize",
-    "vocab_topk",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-]
-
 _DECLARED_ORDER = (
-    _REGATE_THIS_ROUND + _NEW_THIS_ROUND
-    + _GATE_GREEN_R7 + _GATE_GREEN_R6 + _GATE_GREEN_THROUGH_R5
+    _REGATE_THIS_ROUND + _NEW_THIS_ROUND + _STALE_REFRESH
+    + _GATE_GREEN_R8 + _GATE_GREEN_R7 + _GATE_GREEN_R6
 )
 
 assert set(_DECLARED_ORDER) == set(_QUERIES_IMPL), (
