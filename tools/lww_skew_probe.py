@@ -83,6 +83,25 @@ def main():
                     best = dt if best is None else min(best, dt)
                 results[f"salt{salt}"] = best
                 results["dest_rows"] = rows
+            # the STRUCTURAL bound the guard exists for: rows entering the
+            # final window per hot key (the single-task sort size at cluster
+            # scale). Wall time on local[16] under-sells it — one task
+            # sorting 7M rows keeps up with 16 cores; 1000 executors
+            # stalling on that task do not.
+            hot = (
+                feed.groupBy("pk").count().orderBy(F.col("count").desc()).first()
+            )
+            pre = feed.where(F.col("pk") == hot["pk"]).count()
+            salted = (
+                feed.groupBy(
+                    "pk",
+                    F.pmod(F.xxhash64("_checkpoint_id"), F.lit(32)).alias("_s"),
+                )
+                .count()
+                .where(F.col("pk") == hot["pk"])
+                .count()
+            )
+            results["hot_pk_rows_into_window"] = {"salt0": pre, "salt32": salted}
             results["shape"] = shape
             results["rows"] = n
             print(json.dumps(results), flush=True)
