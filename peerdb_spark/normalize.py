@@ -469,6 +469,12 @@ def merge_into_table(
         boot = merge_changes(None, deduped, pk, data_cols, soft_delete_col, synced_at_col,
                              dedup=False, strategy=strategy)
         table.overwrite(boot)
+        # a large initial snapshot can overshoot the bucket bound in one
+        # write — split oversized base buckets immediately rather than
+        # waiting for the first merge to touch them. Safe before the post
+        # image is built: a split moves rows between directories but
+        # preserves the relation exactly, so post reads identically.
+        table.maybe_split()
         if return_images:
             post = table.read().join(F.broadcast(keys), pk, "left_semi")
             return post.where(F.lit(False)), post
@@ -497,15 +503,15 @@ def merge_into_table(
                 .join(F.broadcast(keys), pk, "left_semi")
             )
             # a pending split would move the touched buckets' rows to child
-            # ids under post's lazy plan — snapshot post first, then split
-            if table.split_threshold_rows:
-                over = [
-                    b for b, n in table.rows_per_bucket(buckets).items()
-                    if n > table.split_threshold_rows
-                ]
-                if over:
-                    post = post.localCheckpoint(eager=True)
-                    table.maybe_split(buckets)
+            # ids under post's lazy plan — snapshot post first, then split.
+            # split_candidates applies the same jittered thresholds as
+            # maybe_split (one footer scan; no eager checkpoint unless a
+            # split will actually happen)
+            need = table.split_candidates(buckets)
+            if need:
+                post = post.localCheckpoint(eager=True)
+                for b in need:
+                    table.split_bucket(b)
             return pre, post
         # grow the layout AFTER the batch commits: each touched bucket whose
         # row count crossed the threshold splits once (bounded per-batch

@@ -136,6 +136,9 @@ class QRepEngine:
             dest_path,
             pk_cols=cfg.upsert_key_columns or None,
             n_buckets=16 if cfg.write_mode == "upsert" else 0,
+            # upsert destinations grow without bound across qrep runs; the
+            # same bucket-size bound as CDC destinations (storage.maybe_split)
+            split_threshold_rows=4_000_000 if cfg.write_mode == "upsert" else 0,
         )
         rows = self._write(cfg, table, batch)
         for p in todo:

@@ -284,6 +284,13 @@ class ParquetTable:
         self._acquire_lease()
         try:
             self.repair()
+            # _with_bucket assigns by the CURRENT manifest's leaves — the
+            # manifest lives inside the table dir, so the promote below
+            # would silently drop it and every later merge would route pks
+            # back to base buckets while the rows sit in split-leaf dirs
+            # (duplicate/resurrected keys). Carry it across the swap.
+            leaves = self.leaf_buckets() if (self.n_buckets and self.pk_cols) else None
+            had_manifest = os.path.exists(self._manifest_path)
             out = self._with_bucket(df)
             staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
             w = out.write.mode("overwrite")
@@ -294,6 +301,8 @@ class ParquetTable:
             if os.path.isdir(self.path):
                 os.rename(self.path, parked)
             os.rename(staging, self.path)
+            if had_manifest:
+                self._save_leaves(leaves)
             shutil.rmtree(parked, ignore_errors=True)
             self._save_schema(out)
         finally:
@@ -372,6 +381,18 @@ class ParquetTable:
                     os.rename(os.path.join(parent, parked_ovw[0]), self.path)
                     parked_ovw = parked_ovw[1:]
             if os.path.isdir(self.path):
+                # a promoted staging carries no bucket manifest, but its rows
+                # were assigned by the pre-crash manifest's leaves — restore
+                # it from the parked dir before dropping (same reasoning as
+                # the schema sidecar above; without it a previously split
+                # table silently reverts to base-bucket routing)
+                if not os.path.exists(self._manifest_path):
+                    mname = os.path.basename(self._manifest_path)
+                    for n in parked_ovw:
+                        old_mf = os.path.join(parent, n, mname)
+                        if os.path.exists(old_mf):
+                            shutil.copy(old_mf, self._manifest_path)
+                            break
                 for n in parked_ovw:
                     shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
             for n in stagings:
@@ -380,11 +401,12 @@ class ParquetTable:
             return
         # 3. bucket splits: the commit point is the parent-dir rename, so a
         #    `.split-pending-<parent>.json` marker with the parent dir still
-        #    PRESENT means uncommitted — remove any moved-in child dirs
+        #    PRESENT means uncommitted — remove any dot-staged child dirs
         #    (their rows are still in the parent) and forget the attempt;
-        #    parent ABSENT means committed — re-run the (idempotent) manifest
-        #    swap and drop the leftovers. A parked dir with no marker is a
-        #    fully completed split's final-rmtree leftover.
+        #    parent ABSENT means committed — finish the child renames, re-run
+        #    the (idempotent) manifest swap and drop the leftovers. A parked
+        #    dir with no marker is a fully completed split's final-rmtree
+        #    leftover.
         import json as _json
 
         for name in sorted(os.listdir(self.path)):
@@ -402,9 +424,16 @@ class ParquetTable:
             if os.path.isdir(pdir):
                 for c in children:
                     shutil.rmtree(
-                        os.path.join(self.path, f"{BUCKET_COL}={c}"), ignore_errors=True
+                        os.path.join(self.path, f".split-in-{BUCKET_COL}={c}"),
+                        ignore_errors=True,
                     )
             else:
+                for c in children:
+                    hidden = os.path.join(self.path, f".split-in-{BUCKET_COL}={c}")
+                    if os.path.isdir(hidden):
+                        os.rename(
+                            hidden, os.path.join(self.path, f"{BUCKET_COL}={c}")
+                        )
                 self._commit_split_manifest(parent, (children[0], children[1]))
             os.remove(marker)
             shutil.rmtree(
@@ -477,17 +506,24 @@ class ParquetTable:
         parent dir:
           1. stage the parent's rows repartitioned to the two child ids
           2. publish a `.split-pending-<parent>.json` marker (children ids)
-          3. move staged child dirs into the table (0-2 dirs; an empty
-             child has no dir — the manifest, not the dirs, is what
-             assigns keys)
+          3. move staged child dirs into the table under DOT-PREFIXED names
+             `.split-in-<bucket>=<id>` — invisible to Spark's partition
+             discovery, so a concurrent reader (the writer holds the lease,
+             so readers do NOT repair) never sees parent and children rows
+             at once (0-2 dirs; an empty child has no dir — the manifest,
+             not the dirs, is what assigns keys)
           4. rename parent dir -> `.split-parked-<parent>`  [COMMIT]
-          5. swap parent for children in the manifest (idempotent)
-          6. drop marker, parked dir, staging
-        repair() rolls a marker with the parent dir PRESENT back (children
-        dirs removed — their rows still live in the parent) and a marker
-        with the parent ABSENT forward (manifest commit re-run). Child ids
-        are unique table-wide and a parent can split at most once ever, so
-        rollback can never delete committed data."""
+          5. rename dot-staged children to their final partition names
+          6. swap parent for children in the manifest (idempotent)
+          7. drop marker, parked dir, staging
+        Readers between 4 and 5 can miss the split bucket's rows — the same
+        transient-hide window replace_partitions already has (module doc:
+        per-bucket atomicity), never a duplicate. repair() rolls a marker
+        with the parent dir PRESENT back (dot-staged children removed —
+        their rows still live in the parent) and a marker with the parent
+        ABSENT forward (remaining dot-children renamed, manifest commit
+        re-run). Child ids are unique table-wide and a parent can split at
+        most once ever, so rollback can never delete committed data."""
         assert self.n_buckets and self.pk_cols, "bucketed table required"
         import json
         import shutil
@@ -521,13 +557,17 @@ class ParquetTable:
             try:
                 for c in (c1, c2):
                     src = os.path.join(staging, f"{BUCKET_COL}={c}")
-                    dst = os.path.join(self.path, f"{BUCKET_COL}={c}")
+                    dst = os.path.join(self.path, f".split-in-{BUCKET_COL}={c}")
                     if os.path.isdir(src):
                         shutil.move(src, dst)
                 parked = os.path.join(self.path, f".split-parked-{parent}")
                 os.rename(pdir, parked)  # COMMIT
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
+            for c in (c1, c2):
+                hidden = os.path.join(self.path, f".split-in-{BUCKET_COL}={c}")
+                if os.path.isdir(hidden):
+                    os.rename(hidden, os.path.join(self.path, f"{BUCKET_COL}={c}"))
             self._commit_split_manifest(parent, (c1, c2))
             os.remove(marker)
             shutil.rmtree(parked, ignore_errors=True)
@@ -535,19 +575,16 @@ class ParquetTable:
             self._release_lease()
         return (c1, c2)
 
-    def maybe_split(self, candidates: list[int] | None = None) -> list[tuple[int, int, int]]:
-        """Split every leaf bucket whose footer row count exceeds
-        `split_threshold_rows` (no-op when the threshold is 0/unset). One
-        split per oversized leaf per call — linear-hashing-style gradual
-        growth, so per-batch work stays bounded; a child still above the
-        threshold splits when a later batch touches it. Restricting to
-        `candidates` (the buckets a merge just touched) keeps the footer
-        scan O(touched). Returns [(parent, child1, child2), ...]."""
+    def split_candidates(self, candidates: list[int] | None = None) -> list[int]:
+        """Leaf buckets whose footer row count exceeds their (jittered)
+        split threshold — the exact set maybe_split would split. One footer
+        scan; callers that must act BEFORE splitting (normalize's
+        return_images snapshot) share this check instead of re-deriving it."""
         if not (self.n_buckets and self.pk_cols and self.split_threshold_rows):
             return []
         counts = self.rows_per_bucket(candidates)
         leaves = set(self.leaf_buckets())
-        done: list[tuple[int, int, int]] = []
+        out: list[int] = []
         for b in sorted(counts):
             # deterministic per-bucket jitter (+0..49%): under uniform key
             # growth every bucket crosses a FLAT threshold in the same batch
@@ -556,8 +593,21 @@ class ParquetTable:
             # the splits over ~1.5x of growth — same asymptotics, no herd.
             thr = self.split_threshold_rows * (100 + (b * 37) % 50) // 100
             if b in leaves and counts[b] > thr:
-                c1, c2 = self.split_bucket(b)
-                done.append((b, c1, c2))
+                out.append(b)
+        return out
+
+    def maybe_split(self, candidates: list[int] | None = None) -> list[tuple[int, int, int]]:
+        """Split every leaf bucket whose footer row count exceeds its
+        jittered threshold (no-op when the threshold is 0/unset). One split
+        per oversized leaf per call — linear-hashing-style gradual growth,
+        so per-batch work stays bounded; a child still above the threshold
+        splits when a later batch touches it. Restricting to `candidates`
+        (the buckets a merge just touched) keeps the footer scan
+        O(touched). Returns [(parent, child1, child2), ...]."""
+        done: list[tuple[int, int, int]] = []
+        for b in self.split_candidates(candidates):
+            c1, c2 = self.split_bucket(b)
+            done.append((b, c1, c2))
         return done
 
     def compact(self, max_files_per_bucket: int = 1) -> dict:

@@ -246,9 +246,9 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 27) -> bytes:
             raise ValueError(
                 f"zstd: block size {bsize} exceeds maximum {bmax}"
             )
-        if btype != 1 and len(out) + bsize > max_size:
-            raise ValueError("zstd: output exceeds size bound")
         if btype == 0:  # Raw
+            if len(out) + bsize > max_size:  # bsize IS the output size here
+                raise ValueError("zstd: output exceeds size bound")
             if pos + bsize > len(data):
                 raise ValueError("zstd: truncated raw block")
             out += data[pos : pos + bsize]

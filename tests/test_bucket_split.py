@@ -242,3 +242,77 @@ def test_split_idempotent_and_double_split_rejected(spark, tmp_path):
     except AssertionError as e:
         if "not a leaf" not in str(e):
             raise
+
+
+def test_overwrite_preserves_manifest(spark, tmp_path):
+    """Round-9 review finding: overwrite() promotes a fresh dir over the
+    table — without carrying _peerdb_buckets.json, a previously split table
+    silently reverts to base-bucket routing while its rows sit in split-leaf
+    dirs, and the next merge resurrects/duplicates keys."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.split_bucket(1)
+    leaves = sorted(t.leaf_buckets())
+    t.overwrite(
+        spark.range(400).select(F.col("id").alias("pk"),
+                                F.concat(F.lit("w"), F.col("id")).alias("v"))
+    )
+    assert sorted(t.leaf_buckets()) == leaves
+    # rows routed by the split layout, not base
+    raw = t.read_raw().withColumn("_a", t.assign_bucket_expr())
+    assert raw.where(F.col(BUCKET_COL) != F.col("_a")).count() == 0
+    # a merge after the overwrite neither duplicates nor resurrects
+    changes = spark.createDataFrame(
+        [(i, f"m{i}", "update", 1000 + i, None) for i in range(0, 400, 3)],
+        CHG_SCHEMA,
+    )
+    N.merge_into_table(t, changes)
+    rows = t.read().collect()
+    assert len(rows) == 400
+    got = {r.pk: r.v for r in rows}
+    assert got[3] == "m3" and got[4] == "w4"
+
+
+def test_overwrite_crash_window_keeps_manifest(spark, tmp_path):
+    """Crash between staging-promote and manifest re-save: repair restores
+    the manifest from the parked pre-overwrite dir (like the schema
+    sidecar)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.split_bucket(2)
+    leaves = sorted(t.leaf_buckets())
+    # simulate: park the table (manifest inside), promote a manifest-less
+    # copy (what a promoted staging is)
+    parked = t.path + ".overwrite-old-deadbeef"
+    shutil.copytree(t.path, parked)
+    os.remove(t._manifest_path)
+    t.repair()
+    assert sorted(t.leaf_buckets()) == leaves
+    assert not os.path.isdir(parked)
+
+
+def test_concurrent_reader_never_sees_split_duplicates(spark, tmp_path):
+    """Round-9 review finding: mid-split (children staged, parent still
+    live, writer holding the lease so readers skip repair) a read must see
+    exactly the original rows — the dot-prefixed child staging names keep
+    them invisible to partition discovery."""
+    t = _mk(spark, str(tmp_path / "t"))
+    expected = sorted((r.pk, r.v) for r in t.read().collect())
+    m, r_ = t.bucket_level(1)
+    c1, c2 = 2 * m + 1, 3 * m + 1
+    # hand-build the pre-commit state: marker + dot-staged children present,
+    # parent still live, OUR lease held (a live writer mid-split)
+    import json as _json
+    pdir = os.path.join(t.path, f"{BUCKET_COL}=1")
+    for c in (c1, c2):
+        shutil.copytree(pdir, os.path.join(t.path, f".split-in-{BUCKET_COL}={c}"))
+    with open(os.path.join(t.path, ".split-pending-1.json"), "w") as f:
+        f.write(_json.dumps({"parent": 1, "children": [c1, c2]}))
+    t._acquire_lease()
+    try:
+        got = sorted((r.pk, r.v) for r in t.read().collect())
+        assert got == expected  # no duplicates, no missing rows
+    finally:
+        t._release_lease()
+    # once the writer is gone, repair rolls the attempt back cleanly
+    got = sorted((r.pk, r.v) for r in t.read().collect())
+    assert got == expected
+    assert not any(n.startswith(".split-") for n in os.listdir(t.path))

@@ -70,7 +70,8 @@ def make_feed(spark, start_key: int, n_new: int, n_upd: int, batch_id: int):
 
 
 def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
-        n_buckets: int = 32, split_threshold: int = 0):
+        n_buckets: int = 32, split_threshold: int = 0,
+        normalize_every: int = 1):
     from peerdb_spark import cdc
     from peerdb_spark.storage import BUCKET_COL, ParquetTable
 
@@ -100,7 +101,13 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
         t0 = time.time()
         pipe.sync_batch(feed_src, b)
         t1 = time.time()
-        pipe.normalize_batches(b, b)
+        # normalize_every > 1 = the LAZY cadence (ClickHouse-RMT shape the
+        # reference delegates to): sync cost is O(batch) and flat; the merge
+        # amortizes over k batches of deltas. Reads between normalizes go
+        # through rmt_latest_view (gate query cdc_rmt_view).
+        if b % normalize_every == 0 or b == n_batches:
+            lo = b - (b - 1) % normalize_every
+            pipe.normalize_batches(lo, b)
         t2 = time.time()
         # buckets the batch actually touched (same manifest-aware expr the
         # merge uses — after splits the leaf count grows)
@@ -156,6 +163,10 @@ def main():
         if mode == "both":
             run(spark, k, nb, wd, f"static_{k}", split_threshold=0)
             run(spark, k, nb, wd, f"split_{k}_thr{thr}", split_threshold=thr)
+        elif mode.startswith("lazy"):
+            k_norm = int(mode[4:] or 4)
+            run(spark, k, nb, wd, f"lazy{k_norm}_{k}", split_threshold=thr,
+                normalize_every=k_norm)
         else:
             run(spark, k, nb, wd, f"x1_{k}" if not thr else f"split_{k}_thr{thr}",
                 split_threshold=thr)
