@@ -343,6 +343,65 @@ FROM last l WHERE l.kind <> 'delete'
 """
 
 
+def q_cdc_split_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eager merge THROUGH the bucketed store with dynamic bucket splitting
+    forced (round 9, storage.split_bucket/maybe_split): the base snapshot
+    bootstraps a 4-bucket ParquetTable whose split threshold sits far below
+    the base row count — every oversized base bucket splits immediately
+    (extendible-hashing children, manifest swap) and merge-touched children
+    keep splitting — then the changelog merges into the SPLIT layout and
+    the final state reads back through it. The oracle is the plain SQL
+    merge (same relation as cdc_normalize_merge): the driver's value hash
+    certifies that leaf routing, manifest state, pruned bucket reads and
+    the crash-safe swaps are invisible to the relation. Uses a
+    deterministic scratch dir cleaned at entry (the returned DataFrame
+    stays lazy over its files until the driver collects)."""
+    import os
+    import shutil
+
+    from peerdb_spark.storage import ParquetTable
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    _r = _ranked_shared(li)
+    base = lineitem_base(li, _r)
+    chg = lineitem_changes(li, _r).select(
+        "pk", "qty", "price", "flag",
+        F.col("kind").alias(N.COL_KIND),
+        F.col("ck").alias(N.COL_CHECKPOINT),
+        F.col("cts").alias(N.COL_COMMIT_TS),
+    )
+    wd = f"/tmp/peerdb_gate_split_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(wd, ignore_errors=True)
+    table = ParquetTable(spark, f"{wd}/dst", ["pk"], n_buckets=4,
+                         split_threshold_rows=200)
+    table.overwrite(base)
+    table.maybe_split()  # base buckets all exceed the threshold → split
+    N.merge_into_table(table, chg)
+    assert len(table.leaf_buckets()) > 4, "split gate must actually split"
+    return table.read().select("pk", "qty", "price", "flag")
+
+
+SQL_CDC_SPLIT_MERGE = SQL_CDC_NORMALIZE_MERGE
+
+
+def q_cdc_lww_skew_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup through the HOT-KEY GUARD (round 9,
+    normalize.latest_changes skew_salt): the two-level fold — max_by per
+    (pk, checkpoint-salt) then the final window — against the SAME plain
+    rank-dedup SQL oracle as cdc_lww_dedup, value-certifying that the
+    salted pre-aggregation is semantics-free. The changelog's replicated
+    keys (every pk carries multiple change rows) exercise the fold's
+    collapse path on every key."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    chg = lineitem_changelog(li)
+    return N.latest_changes(
+        chg, ["pk"], ts_col="cts", checkpoint_col="ck", skew_salt=8
+    ).select("pk", "ck", "kind", "qty", "price", "flag")
+
+
+SQL_CDC_LWW_SKEW_DEDUP = SQL_CDC_LWW_DEDUP
+
+
 def q_mirror_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror consistency check (validate.py:table_diff — the reference's
     wait-for-equal-tables e2e assertion as a production operator): source vs
@@ -5516,6 +5575,8 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "has_new_rows_maxwm": q_has_new_rows_maxwm,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_normalize_merge": q_cdc_normalize_merge,
+    "cdc_split_merge": q_cdc_split_merge,
+    "cdc_lww_skew_dedup": q_cdc_lww_skew_dedup,
     "mirror_table_diff": q_mirror_table_diff,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_soft_delete": q_cdc_soft_delete,
@@ -5626,6 +5687,8 @@ _ORACLES_IMPL: dict[str, str] = {
     "has_new_rows_maxwm": SQL_HAS_NEW_ROWS,
     "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
     "cdc_normalize_merge": SQL_CDC_NORMALIZE_MERGE,
+    "cdc_split_merge": SQL_CDC_SPLIT_MERGE,
+    "cdc_lww_skew_dedup": SQL_CDC_LWW_SKEW_DEDUP,
     "mirror_table_diff": SQL_MIRROR_TABLE_DIFF,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_soft_delete": SQL_CDC_SOFT_DELETE,
@@ -5770,7 +5833,13 @@ _REGATE_THIS_ROUND = [
     "mirror_table_diff",
 ]
 
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    # the round's headline features under the driver's own hash: merge
+    # through a force-split table, and the salted LWW fold, each against
+    # the SAME oracle SQL as their unsplit/unsalted twins
+    "cdc_split_merge",
+    "cdc_lww_skew_dedup",
+]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
 # 14 regate + 36 of these fill the 50-slot window; the tail past slot 50
