@@ -140,9 +140,16 @@ def _split_runs(chunk: bytes) -> list[tuple[int, bytes]]:
     return out
 
 
-def zstd_compress(data: bytes) -> bytes:
-    """bytes → one single-segment zstd frame (Raw/RLE blocks, FCS field,
-    XXH64 content checksum). Valid input for any conformant decoder."""
+def zstd_compress(data: bytes, entropy: bool = True) -> bytes:
+    """bytes → one single-segment zstd frame (FCS field, XXH64 content
+    checksum). Valid input for any conformant decoder.
+
+    Each ≤128 KiB chunk is encoded as whichever is smaller: the Raw/RLE
+    run split, or (round 9, entropy=True) a Compressed block with
+    Huffman-coded literals and zero sequences (zstd_entropy.
+    encode_compressed_block) — real entropy compression for JSON/text
+    payloads the run splitter leaves untouched. entropy=False keeps the
+    Raw/RLE-only frames (deterministic and cheapest to produce)."""
     data = bytes(data)
     n = len(data)
     if n <= 255:
@@ -157,16 +164,30 @@ def zstd_compress(data: bytes) -> bytes:
     out = bytearray(struct.pack("<I", _MAGIC))
     out.append(fhd)
     out += fcs
+    chunks = [data[off : off + _BLOCK_MAX] for off in range(0, n, _BLOCK_MAX)]
+    if not chunks:
+        chunks = [b""]
     blocks: list[tuple[int, bytes]] = []
-    for off in range(0, n, _BLOCK_MAX):
-        blocks.extend(_split_runs(data[off : off + _BLOCK_MAX]))
-    if not blocks:
-        blocks = [(0, b"")]
+    for chunk in chunks:
+        runs = _split_runs(chunk)
+        run_cost = sum(3 + (1 if t == 1 else len(p)) for t, p in runs)
+        if entropy:
+            from peerdb_spark.zstd_entropy import encode_compressed_block
+
+            comp = encode_compressed_block(chunk)
+            if comp is not None and 3 + len(comp) < run_cost:
+                blocks.append((2, comp))
+                continue
+        blocks.extend(runs)
     for idx, (btype, payload) in enumerate(blocks):
         last = idx == len(blocks) - 1
         if btype == 1:
             out += _block_header(len(payload), 1, last)
             out.append(payload[0])
+        elif btype == 2:
+            # payload is the complete block CONTENT; header size = its length
+            out += _block_header(len(payload), 2, last)
+            out += payload
         else:
             out += _block_header(len(payload), 0, last)
             out += payload

@@ -628,3 +628,149 @@ def decompress_block(block: bytes, ctx: BlockContext, out: bytearray,
                           max_size)
     except (IndexError, struct.error):
         _corrupt("truncated compressed block")
+
+
+# -- Compressed-block ENCODE (Huffman literals, zero sequences) --------------
+#
+# The encode direction for the interop story's other half: Raw/RLE frames
+# are valid zstd but compress JSON/text ~0%; a Compressed block whose
+# literals are Huffman-coded and whose sequences section is empty (count
+# byte 0x00 — the content IS the literals, §3.1.1.3.2) gets real entropy
+# compression with ~150 lines and no LZ machinery. Both this module's own
+# decoder and libzstd verify the output in tests.
+
+
+def _huffman_lengths(freqs: dict[int, int], max_bits: int = _HUF_MAX_TABLELOG):
+    """Code lengths for a complete prefix code (Kraft EQUALITY — the
+    decoder's implicit-last-weight rule requires the weight total to be an
+    exact power of two), length-limited to max_bits: plain Huffman, clamp,
+    then repair. Returns {symbol: nb_bits}."""
+    import heapq
+
+    syms = sorted(freqs)
+    assert len(syms) >= 2
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    uid = len(heap)
+    depth = dict.fromkeys(syms, 0)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, uid, g1 + g2))
+        uid += 1
+    lens = {s: min(d, max_bits) for s, d in depth.items()}
+    full = 1 << max_bits
+    k = sum(full >> lens[s] for s in syms)
+    while k > full:  # over-subscribed after clamping: lengthen cheap symbols
+        s = min((s for s in syms if lens[s] < max_bits),
+                key=lambda s: (freqs[s], s))
+        k -= full >> (lens[s] + 1)
+        lens[s] += 1
+    while k < full:  # clamping freed space: shorten, largest unit ≤ deficit
+        deficit = full - k
+        s = max((s for s in syms if lens[s] > 1 and (full >> lens[s]) <= deficit),
+                key=lambda s: (lens[s], -freqs[s]))
+        k += full >> lens[s]
+        lens[s] -= 1
+    return lens
+
+
+def _huffman_codes(lens: dict[int, int]):
+    """Canonical code values matching huff_build_table's fill order (weight
+    ascending = nb descending, natural symbol order within a weight):
+    {symbol: (code, nb)} plus the table log."""
+    tlog = max(lens.values())
+    cell = 0
+    codes: dict[int, tuple[int, int]] = {}
+    for w in range(1, tlog + 1):  # weight w ⇔ nb = tlog + 1 - w
+        nb = tlog + 1 - w
+        span = 1 << (w - 1)
+        for s in sorted(lens):
+            if tlog + 1 - lens[s] != w:
+                continue
+            codes[s] = (cell >> (w - 1), nb)
+            cell += span
+    assert cell == 1 << tlog
+    return codes, tlog
+
+
+def _write_backward_stream(symbols, codes) -> bytes:
+    """Huffman symbols → one backward bitstream (sentinel bit + codes, the
+    FIRST symbol in the highest bits): process in reverse, flushing bytes
+    from the bottom — O(n), small-int ops only."""
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    for s in reversed(symbols):
+        code, nb = codes[s]
+        buf |= code << nbits
+        nbits += nb
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    buf |= 1 << nbits  # sentinel
+    nbits += 1
+    while nbits > 0:
+        out.append(buf & 0xFF)
+        buf >>= 8
+        nbits -= 8
+    return bytes(out)
+
+
+def encode_compressed_block(chunk: bytes) -> bytes | None:
+    """One ≤128 KiB chunk → Compressed-block CONTENT (literals section with
+    Huffman-coded literals + the 0x00 zero-sequences byte), or None when
+    Huffman cannot apply (≥2 symbols needed; direct weight headers cover
+    symbols 0..128 only) or does not shrink the chunk. The caller compares
+    against the Raw/RLE encoding and keeps the smaller."""
+    n = len(chunk)
+    if n < 64:
+        return None
+    freqs: dict[int, int] = {}
+    for b in chunk:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2 or max(freqs) > 128:
+        # >128: the direct 4-bit weight header can't describe the tree
+        # (headerByte-127 ≤ 128 symbols); FSE-compressed weights would —
+        # out of scope for the encoder, the Raw/RLE path still applies
+        return None
+    lens = _huffman_lengths(freqs)
+    codes, tlog = _huffman_codes(lens)
+    # tree description: direct 4-bit weights for symbols 0..max_sym-1,
+    # the max symbol's weight implicit (completes the power of two)
+    max_sym = max(freqs)
+    weights = [
+        (tlog + 1 - lens[s]) if s in lens else 0 for s in range(max_sym)
+    ]
+    tree = bytearray([127 + len(weights)])
+    for i in range(0, len(weights), 2):
+        hi = weights[i] << 4
+        lo = weights[i + 1] if i + 1 < len(weights) else 0
+        tree.append(hi | lo)
+    if n <= 1023:  # 1-stream, size format 00 (10-bit sizes)
+        stream = _write_backward_stream(chunk, codes)
+        csize = len(tree) + len(stream)
+        if csize > 1023:
+            return None
+        hdr = 2 | (0 << 2) | (n << 4) | (csize << 14)
+        content = hdr.to_bytes(3, "little") + bytes(tree) + stream
+    else:  # 4 streams, size format 11 (18-bit sizes, 5-byte header)
+        r123 = (n + 3) // 4
+        parts = [chunk[:r123], chunk[r123 : 2 * r123],
+                 chunk[2 * r123 : 3 * r123], chunk[3 * r123 :]]
+        streams = [_write_backward_stream(p, codes) for p in parts]
+        if any(len(s) > 0xFFFF for s in streams[:3]):
+            return None
+        jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                           len(streams[2]))
+        body = jump + b"".join(streams)
+        csize = len(tree) + len(body)
+        if csize >= (1 << 18) or n >= (1 << 18):
+            return None
+        hdr = 2 | (3 << 2) | (n << 4) | (csize << 22)
+        content = hdr.to_bytes(5, "little") + bytes(tree) + body
+    content += b"\x00"  # Number_of_Sequences = 0: content is the literals
+    return bytes(content) if len(content) < n else None
