@@ -172,9 +172,18 @@ def zstd_compress(data: bytes, entropy: bool = True) -> bytes:
         runs = _split_runs(chunk)
         run_cost = sum(3 + (1 if t == 1 else len(p)) for t, p in runs)
         if entropy:
-            from peerdb_spark.zstd_entropy import encode_compressed_block
+            from peerdb_spark.zstd_entropy import (
+                encode_compressed_block,
+                encode_lz_block,
+            )
 
-            comp = encode_compressed_block(chunk)
+            # cheapest of: LZ matches + sequences (wins on repetitive
+            # data), Huffman literals only (wins when no matches), Raw/RLE
+            # runs (wins on incompressible / wide-alphabet data)
+            comp = encode_lz_block(chunk)
+            lit_only = encode_compressed_block(chunk)
+            if lit_only is not None and (comp is None or len(lit_only) < len(comp)):
+                comp = lit_only
             if comp is not None and 3 + len(comp) < run_cost:
                 blocks.append((2, comp))
                 continue

@@ -774,3 +774,264 @@ def encode_compressed_block(chunk: bytes) -> bytes | None:
         content = hdr.to_bytes(5, "little") + bytes(tree) + body
     content += b"\x00"  # Number_of_Sequences = 0: content is the literals
     return bytes(content) if len(content) < n else None
+
+
+# -- sequences ENCODE (greedy LZ + predefined FSE tables) --------------------
+#
+# The full encode direction: a hash-table greedy matcher produces
+# (literals_length, offset, match_length) sequences; the sequences section
+# uses PREDEFINED mode for all three channels (no table descriptions in the
+# stream), with states/bits written in the exact reverse of the decoder's
+# read order. Offsets always encode as offset_value = offset + 3 (the
+# repeat-offset shortcuts are an optimization, not a requirement).
+
+
+class _BitWriter:
+    """Backward-bitstream writer: bits appended here are read LAST by the
+    decoder's top-down reader; the final close() adds the sentinel."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def add(self, value: int, nb: int) -> None:
+        if nb == 0:
+            return
+        self.buf |= (value & ((1 << nb) - 1)) << self.nbits
+        self.nbits += nb
+        while self.nbits >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+
+    def close(self) -> bytes:
+        self.buf |= 1 << self.nbits  # sentinel
+        self.nbits += 1
+        while self.nbits > 0:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+        return bytes(self.out)
+
+
+def _fse_build_ctable(counts: list[int], al: int):
+    """Encode tables for a normalized distribution (the inverse of
+    fse_build_table): per-symbol (delta_nb_bits, delta_find_state) plus the
+    state-transition array, per §4.1/fse spec duality."""
+    table_size = 1 << al
+    cells = [0] * table_size
+    high = table_size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            cells[high] = s
+            high -= 1
+    step = (table_size >> 1) + (table_size >> 3) + 3
+    mask = table_size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            cells[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    cumul = [0] * (len(counts) + 1)
+    for s, c in enumerate(counts):
+        cumul[s + 1] = cumul[s] + (1 if c == -1 else max(c, 0))
+    table_u16 = [0] * table_size
+    cidx = list(cumul)
+    for u in range(table_size):
+        s = cells[u]
+        table_u16[cidx[s]] = table_size + u
+        cidx[s] += 1
+    sym_tt = []
+    total = 0
+    for s, c in enumerate(counts):
+        if c == 0:
+            sym_tt.append((((al + 1) << 16) - (1 << al), 0))  # never used
+        elif c in (-1, 1):
+            sym_tt.append(((al << 16) - (1 << al), total - 1))
+            total += 1
+        else:
+            max_bits_out = al - _highbit(c - 1)
+            min_state_plus = c << max_bits_out
+            sym_tt.append(((max_bits_out << 16) - min_state_plus, total - c))
+            total += c
+    return sym_tt, table_u16
+
+
+class _FseEncState:
+    def __init__(self, ctable, first_symbol: int):
+        self.sym_tt, self.table_u16 = ctable
+        delta_nb, delta_fs = self.sym_tt[first_symbol]
+        nb_out = (delta_nb + (1 << 15)) >> 16
+        value = (nb_out << 16) - delta_nb
+        self.state = self.table_u16[(value >> nb_out) + delta_fs]
+
+    def encode(self, bw: _BitWriter, symbol: int) -> None:
+        delta_nb, delta_fs = self.sym_tt[symbol]
+        nb_out = (self.state + delta_nb) >> 16
+        bw.add(self.state, nb_out)
+        self.state = self.table_u16[(self.state >> nb_out) + delta_fs]
+
+    def flush(self, bw: _BitWriter, al: int) -> None:
+        bw.add(self.state, al)
+
+
+def _ll_code(ll: int) -> tuple[int, int, int]:
+    """literals length → (code, extra_value, extra_bits)."""
+    if ll < 16:
+        return ll, 0, 0
+    for i in range(len(_LL_EXTRA) - 1, -1, -1):
+        base, nb = _LL_EXTRA[i]
+        if ll >= base:
+            return 16 + i, ll - base, nb
+    raise AssertionError
+
+
+def _ml_code(ml: int) -> tuple[int, int, int]:
+    if ml < 35:
+        return ml - 3, 0, 0
+    for i in range(len(_ML_EXTRA) - 1, -1, -1):
+        base, nb = _ML_EXTRA[i]
+        if ml >= base:
+            return 32 + i, ml - base, nb
+    raise AssertionError
+
+
+def _find_sequences(chunk: bytes, min_match: int = 4):
+    """Greedy single-entry hash matcher: returns (sequences, literals) with
+    sequences = [(ll, offset, ml), ...] and literals = the concatenation of
+    all copied-literal stretches plus the tail. O(n), bounded memory."""
+    n = len(chunk)
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    table: dict[int, int] = {}
+    i = 0
+    anchor = 0
+    limit = n - min_match
+    while i <= limit:
+        key = chunk[i : i + 4]
+        h = int.from_bytes(key, "little")
+        j = table.get(h)
+        table[h] = i
+        if j is not None and chunk[j : j + 4] == key:
+            # extend
+            ml = 4
+            while i + ml < n and chunk[j + ml] == chunk[i + ml]:
+                ml += 1
+            if ml >= min_match:
+                lits += chunk[anchor:i]
+                seqs.append((i - anchor, i - j, ml))
+                # index a few positions inside the match (cheap, helps runs)
+                for k in range(i + 1, min(i + ml, limit), ml // 4 + 1):
+                    table[int.from_bytes(chunk[k : k + 4], "little")] = k
+                i += ml
+                anchor = i
+                continue
+        i += 1
+    lits += chunk[anchor:]
+    return seqs, bytes(lits)
+
+
+def encode_lz_block(chunk: bytes) -> bytes | None:
+    """One ≤128 KiB chunk → Compressed-block CONTENT with real sequences:
+    greedy LZ matches, literals Huffman-coded (or raw), LL/ML/OF channels
+    in PREDEFINED FSE mode. None when the chunk yields no matches worth
+    the section overhead — the caller falls back to the literals-only /
+    Raw/RLE encodings."""
+    n = len(chunk)
+    if n < 128:
+        return None
+    seqs, lits = _find_sequences(chunk)
+    if not seqs or len(seqs) > 0x7EFF:
+        return None
+    # literals section over the (shorter) literal stream
+    lit_sec = None
+    if len(lits) >= 64:
+        freqs: dict[int, int] = {}
+        for b in lits:
+            freqs[b] = freqs.get(b, 0) + 1
+        if len(freqs) >= 2 and max(freqs) <= 128:
+            lens = _huffman_lengths(freqs)
+            codes, tlog = _huffman_codes(lens)
+            max_sym = max(freqs)
+            weights = [(tlog + 1 - lens[s]) if s in lens else 0
+                       for s in range(max_sym)]
+            tree = bytearray([127 + len(weights)])
+            for i in range(0, len(weights), 2):
+                hi = weights[i] << 4
+                lo = weights[i + 1] if i + 1 < len(weights) else 0
+                tree.append(hi | lo)
+            if len(lits) <= 1023:
+                stream = _write_backward_stream(lits, codes)
+                csize = len(tree) + len(stream)
+                if csize <= 1023:
+                    hdr = 2 | (0 << 2) | (len(lits) << 4) | (csize << 14)
+                    lit_sec = hdr.to_bytes(3, "little") + bytes(tree) + stream
+            else:
+                r123 = (len(lits) + 3) // 4
+                parts = [lits[:r123], lits[r123 : 2 * r123],
+                         lits[2 * r123 : 3 * r123], lits[3 * r123 :]]
+                streams = [_write_backward_stream(p, codes) for p in parts]
+                if all(len(s) <= 0xFFFF for s in streams[:3]):
+                    jump = struct.pack("<HHH", len(streams[0]),
+                                       len(streams[1]), len(streams[2]))
+                    body = jump + b"".join(streams)
+                    csize = len(tree) + len(body)
+                    if csize < (1 << 18) and len(lits) < (1 << 18):
+                        hdr = 2 | (3 << 2) | (len(lits) << 4) | (csize << 22)
+                        lit_sec = hdr.to_bytes(5, "little") + bytes(tree) + body
+            if lit_sec is not None and len(lit_sec) >= len(lits) + 3:
+                lit_sec = None
+    if lit_sec is None:  # raw literals
+        m = len(lits)
+        if m < (1 << 5):
+            lit_sec = bytes([(m << 3) | 0]) + lits  # SF 00, 5-bit size
+        elif m < (1 << 12):
+            h = 0 | (1 << 2) | (m << 4)
+            lit_sec = h.to_bytes(2, "little") + lits
+        else:
+            h = 0 | (3 << 2) | (m << 4)
+            lit_sec = h.to_bytes(3, "little") + lits
+    # sequences header
+    nseq = len(seqs)
+    if nseq < 128:
+        seq_hdr = bytes([nseq])
+    else:  # 2-byte form: nseq = ((b0 - 128) << 8) + b1
+        seq_hdr = bytes([0x80 + (nseq >> 8), nseq & 0xFF])
+    modes = 0  # Predefined for LL, OF, ML; reserved bits 0
+    # encode the bitstream: exact reverse of the decoder's read order
+    ll_ct = _fse_build_ctable(_LL_DEFAULT, 6)
+    of_ct = _fse_build_ctable(_OF_DEFAULT, 5)
+    ml_ct = _fse_build_ctable(_ML_DEFAULT, 6)
+    coded = []
+    for ll, offset, ml in seqs:
+        ov = offset + 3
+        ofc = _highbit(ov)
+        llc, llx, llnb = _ll_code(ll)
+        mlc, mlx, mlnb = _ml_code(ml)
+        if ofc > 28:  # predefined OF table covers codes 0..28
+            return None
+        coded.append((llc, llx, llnb, mlc, mlx, mlnb, ofc, ov - (1 << ofc)))
+    bw = _BitWriter()
+    last = coded[-1]
+    st_ml = _FseEncState(ml_ct, last[3])
+    st_of = _FseEncState(of_ct, last[6])
+    st_ll = _FseEncState(ll_ct, last[0])
+    bw.add(last[1], last[2])   # ll extra (decoder reads it LAST)
+    bw.add(last[4], last[5])   # ml extra
+    bw.add(last[7], last[6])   # of extra (nb = of code)
+    for i in range(nseq - 2, -1, -1):
+        llc, llx, llnb, mlc, mlx, mlnb, ofc, ofx = coded[i]
+        st_of.encode(bw, ofc)
+        st_ml.encode(bw, mlc)
+        st_ll.encode(bw, llc)
+        bw.add(llx, llnb)
+        bw.add(mlx, mlnb)
+        bw.add(ofx, ofc)
+    st_ml.flush(bw, 6)
+    st_of.flush(bw, 5)
+    st_ll.flush(bw, 6)
+    content = lit_sec + seq_hdr + bytes([modes]) + bw.close()
+    return content if len(content) < n else None

@@ -312,3 +312,67 @@ def test_encoder_hypothesis_roundtrip():
         assert zstd_decompress(zstd_compress(blob)) == blob
 
     check()
+
+
+def test_encoder_lz_sequences_roundtrip_and_interop():
+    """Round-9 full encode direction: greedy LZ matches + a real sequences
+    section in PREDEFINED FSE mode. Self-decode AND real-libzstd decode;
+    repetitive payloads now land near libzstd's own ratio (the
+    literals-only encoder left them at ~0.5)."""
+    rng = random.Random(31)
+    c = pa.Codec("zstd")
+    cases = {
+        "json": b'{"pk": 12345, "qty": 7.5, "flag": "N"}' * 500,
+        "semi": b"".join(b'{"k%d": %d, "u": "user_%d"}' % (i, i * i, i)
+                          for i in range(3000)),
+        "text": b"the quick brown fox jumps over the lazy dog. " * 400,
+        "multiblock": b'{"k": 1, "name": "user"}|' * 40_000,
+        "lowent": bytes(rng.choice(b"ab") for _ in range(30_000)),
+        "mixed": (b"A" * 5000
+                  + bytes(rng.randrange(256) for _ in range(2000))
+                  + b"A" * 5000),
+    }
+    for name, p in cases.items():
+        enc = zstd_compress(p)
+        assert zstd_decompress(enc, max_size=1 << 22) == p, name
+        assert c.decompress(enc, decompressed_size=len(p), asbytes=True) == p
+    # repetitive structures compress HARD now (sequences, not just entropy)
+    assert len(zstd_compress(cases["json"])) < 200
+    assert len(zstd_compress(cases["multiblock"])) < 2000
+    # within ~3x of real libzstd-3 on semi-structured data
+    ours = len(zstd_compress(cases["semi"]))
+    ref = len(c.compress(cases["semi"], asbytes=True))
+    assert ours < 3 * ref, (ours, ref)
+
+
+def test_encoder_lz_block_unit():
+    """encode_lz_block output decodes through decompress_block alone, and
+    the matcher's sequences reconstruct exactly (offsets, overlaps, tails)."""
+    rng = random.Random(17)
+    cases = [
+        b"abcd" * 100,                              # overlapping matches
+        b"x" * 200,                                 # run (offset 1 overlap)
+        b"hello" + bytes(rng.randrange(256) for _ in range(200)) + b"hello" * 40,
+        (b'{"pk": 7, "qty": 1.5}|' * 6000)[:131072],  # chunk max
+        b"".join(b"%d,%d;" % (i, i % 7) for i in range(5000)),
+    ]
+    for p in cases:
+        content = ZE.encode_lz_block(p)
+        if content is None:
+            continue
+        out = bytearray()
+        ZE.decompress_block(content, ZE.BlockContext(), out, 1 << 22)
+        assert bytes(out) == p, len(p)
+
+
+def test_encoder_lz_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(min_size=0, max_size=4096), st.integers(2, 6))
+    def check(data, reps):
+        blob = data * reps  # guaranteed matches once non-trivial
+        assert zstd_decompress(zstd_compress(blob)) == blob
+
+    check()
