@@ -1000,20 +1000,43 @@ def encode_lz_block(chunk: bytes) -> bytes | None:
         seq_hdr = bytes([nseq])
     else:  # 2-byte form: nseq = ((b0 - 128) << 8) + b1
         seq_hdr = bytes([0x80 + (nseq >> 8), nseq & 0xFF])
-    modes = 0  # Predefined for LL, OF, ML; reserved bits 0
-    # encode the bitstream: exact reverse of the decoder's read order
-    ll_ct = _fse_build_ctable(_LL_DEFAULT, 6)
-    of_ct = _fse_build_ctable(_OF_DEFAULT, 5)
-    ml_ct = _fse_build_ctable(_ML_DEFAULT, 6)
     coded = []
     for ll, offset, ml in seqs:
         ov = offset + 3
         ofc = _highbit(ov)
         llc, llx, llnb = _ll_code(ll)
         mlc, mlx, mlnb = _ml_code(ml)
-        if ofc > 28:  # predefined OF table covers codes 0..28
+        if ofc > 31:
             return None
         coded.append((llc, llx, llnb, mlc, mlx, mlnb, ofc, ov - (1 << ofc)))
+    # per-channel mode: Predefined / RLE / per-block FSE table, cheapest by
+    # estimated bits (a custom NCount description pays for itself on most
+    # structured blocks; offset codes >28 force it — predefined stops at 28)
+    ll_f: dict[int, int] = {}
+    of_f: dict[int, int] = {}
+    ml_f: dict[int, int] = {}
+    for llc, _x, _n, mlc, _x2, _n2, ofc, _x3 in coded:
+        ll_f[llc] = ll_f.get(llc, 0) + 1
+        of_f[ofc] = of_f.get(ofc, 0) + 1
+        ml_f[mlc] = ml_f.get(mlc, 0) + 1
+    ll_mode, ll_desc, ll_cnt, ll_al = _pick_seq_table(
+        ll_f, "ll", _LL_DEFAULT, 6, _MAX_LL_AL, 35, nseq)
+    of_mode, of_desc, of_cnt, of_al = _pick_seq_table(
+        of_f, "of", _OF_DEFAULT, 5, _MAX_OF_AL, 31, nseq)
+    ml_mode, ml_desc, ml_cnt, ml_al = _pick_seq_table(
+        ml_f, "ml", _ML_DEFAULT, 6, _MAX_ML_AL, 52, nseq)
+    if of_mode == 0 and any(c > 28 for c in of_f):
+        return None  # predefined OF stops at 28 and the custom pick lost
+    modes = (ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)
+
+    def _ctable(mode, cnt, al, sym):
+        if mode == 1:  # RLE: 1-cell table, zero-bit transitions
+            return _fse_build_ctable([0] * sym + [1], 0), 0
+        return _fse_build_ctable(cnt, al), al
+
+    ll_ct, ll_al = _ctable(ll_mode, ll_cnt, ll_al, coded[0][0])
+    of_ct, of_al = _ctable(of_mode, of_cnt, of_al, coded[0][6])
+    ml_ct, ml_al = _ctable(ml_mode, ml_cnt, ml_al, coded[0][3])
     bw = _BitWriter()
     last = coded[-1]
     st_ml = _FseEncState(ml_ct, last[3])
@@ -1030,8 +1053,157 @@ def encode_lz_block(chunk: bytes) -> bytes | None:
         bw.add(llx, llnb)
         bw.add(mlx, mlnb)
         bw.add(ofx, ofc)
-    st_ml.flush(bw, 6)
-    st_of.flush(bw, 5)
-    st_ll.flush(bw, 6)
-    content = lit_sec + seq_hdr + bytes([modes]) + bw.close()
+    st_ml.flush(bw, ml_al)
+    st_of.flush(bw, of_al)
+    st_ll.flush(bw, ll_al)
+    content = (lit_sec + seq_hdr + bytes([modes])
+               + ll_desc + of_desc + ml_desc + bw.close())
     return content if len(content) < n else None
+
+
+# -- per-block FSE tables (FSE_Compressed mode encode) -----------------------
+#
+# Predefined distributions cost real bits when a block's code histogram is
+# far from the defaults (most structured data). A custom table costs its
+# NCount description (§4.1.1, a few bytes) and wins it back on every
+# sequence. Channels choose Predefined / RLE / FSE_Compressed independently
+# by estimated total cost.
+
+
+class _FwdBitWriter:
+    """LSB-first forward writer — the NCount description layout."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, value: int, nb: int) -> None:
+        self.buf |= (value & ((1 << nb) - 1)) << self.nbits
+        self.nbits += nb
+        while self.nbits >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+
+    def close(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.buf & 0xFF)
+        return bytes(self.out)
+
+
+def fse_normalize(freqs: dict[int, int], al: int, max_symbol: int) -> list[int]:
+    """Histogram → normalized counts summing (with -1 entries as 1 cell) to
+    exactly 2^al. Largest-remainder distribution; rare-but-present symbols
+    get -1 ("less than 1") exactly like libzstd."""
+    total = sum(freqs.values())
+    table_size = 1 << al
+    assert table_size >= len(freqs), "table too small for the alphabet"
+    counts = [0] * (max(freqs) + 1)
+    shares = []
+    used = 0
+    for s, c in freqs.items():
+        exact = c * table_size / total
+        base = int(exact)
+        if base == 0:
+            counts[s] = -1
+            used += 1
+        else:
+            counts[s] = base
+            used += base
+            shares.append((exact - base, c, s))
+    shares.sort(reverse=True)
+    i = 0
+    while used < table_size and i < len(shares):
+        _frac, _c, s = shares[i]
+        counts[s] += 1
+        used += 1
+        i += 1
+    # still short (few symbols): pour into the most frequent
+    if used < table_size:
+        s_big = max(freqs, key=lambda s: (freqs[s], -s))
+        counts[s_big] += table_size - used
+        used = table_size
+    while used > table_size:  # overshoot from the -1 floor cells
+        s_big = max(
+            (s for s, c in enumerate(counts) if c > 1),
+            key=lambda s: (counts[s], -s),
+        )
+        counts[s_big] -= 1
+        used -= 1
+    return counts
+
+
+def fse_write_ncount(counts: list[int], al: int) -> bytes:
+    """Serialize normalized counts as a table description — the exact
+    inverse of fse_read_ncount (round-trip pinned in tests)."""
+    bw = _FwdBitWriter()
+    bw.write(al - 5, 4)
+    table_size = 1 << al
+    remaining = table_size + 1
+    threshold = table_size
+    nb_bits = al + 1
+    i = 0
+    while remaining > 1 and i < len(counts):
+        c = counts[i]
+        val = c + 1
+        maxv = 2 * threshold - 1 - remaining
+        if val < maxv:
+            bw.write(val, nb_bits - 1)
+        elif val < threshold:
+            bw.write(val, nb_bits)
+        else:
+            bw.write(val + maxv, nb_bits)
+        remaining -= -c if c < 0 else c
+        i += 1
+        if c == 0 and remaining > 1:
+            # zero-repeat flags for the following zeros
+            run = 0
+            while i + run < len(counts) and counts[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 3:
+                bw.write(3, 2)
+                run -= 3
+            bw.write(run, 2)
+        while remaining < threshold:
+            threshold >>= 1
+            nb_bits -= 1
+    return bw.close()
+
+
+def _estimate_fse_bits(freqs: dict[int, int], counts: list[int], al: int) -> float:
+    """Expected stream bits for coding `freqs` with table `counts`:
+    n_s · (al − log2(norm_s)); -1 entries cost al bits."""
+    import math
+
+    total_bits = 0.0
+    for s, n_s in freqs.items():
+        c = counts[s] if s < len(counts) else 0
+        if c <= 0:
+            if c == 0:
+                return float("inf")  # symbol not representable
+            total_bits += n_s * al
+        else:
+            total_bits += n_s * (al - math.log2(c))
+    return total_bits
+
+
+def _pick_seq_table(freqs: dict[int, int], kind: str, default, default_al: int,
+                    max_al: int, max_symbol: int, nseq: int):
+    """Choose the cheapest channel mode. Returns
+    (mode, description_bytes, counts, al)."""
+    syms = list(freqs)
+    if len(syms) == 1:
+        return 1, bytes([syms[0]]), None, 0  # RLE
+    pre_bits = _estimate_fse_bits(freqs, default, default_al)
+    al = max(5, min(max_al, _highbit(max(2, nseq)) + 2),
+             (len(syms) - 1).bit_length())
+    if al > max_al:
+        return 0, b"", default, default_al
+    counts = fse_normalize(freqs, al, max_symbol)
+    desc = fse_write_ncount(counts, al)
+    own_bits = _estimate_fse_bits(freqs, counts, al) + 8 * len(desc)
+    if own_bits < pre_bits:
+        return 2, desc, counts, al
+    return 0, b"", default, default_al
