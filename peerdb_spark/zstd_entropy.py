@@ -1001,8 +1001,45 @@ def encode_lz_block(chunk: bytes) -> bytes | None:
     else:  # 2-byte form: nseq = ((b0 - 128) << 8) + b1
         seq_hdr = bytes([0x80 + (nseq >> 8), nseq & 0xFF])
     coded = []
+    rep = [1, 4, 8]  # mirror the decoder's repeat-offset history (§3.1.1.5)
     for ll, offset, ml in seqs:
-        ov = offset + 3
+        if ll != 0:
+            if offset == rep[0]:
+                ov = 1
+            elif offset == rep[1]:
+                ov = 2
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif offset == rep[2]:
+                ov = 3
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:
+                ov = offset + 3
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        else:
+            if offset == rep[1]:
+                ov = 1
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif offset == rep[2]:
+                ov = 2
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif offset == rep[0] - 1 and offset > 0:
+                ov = 3
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:
+                ov = offset + 3
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
         ofc = _highbit(ov)
         llc, llx, llnb = _ll_code(ll)
         mlc, mlx, mlnb = _ml_code(ml)
