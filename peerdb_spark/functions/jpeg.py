@@ -17,9 +17,13 @@ quantized coefficients, so both decode to byte-identical pixels — the
 cross-check every progressive test pins.
 
 Scope (strict rejects, never wrong pixels):
-- DCT with Huffman entropy coding only; arithmetic coding, hierarchical,
-  and lossless SOFs raise NotImplementedError.
-- 8-bit samples; 1-component (gray) and 3-component (YCbCr) scans; any
+- Huffman entropy coding only; arithmetic coding and hierarchical SOFs
+  raise NotImplementedError.
+- 8-bit samples on SOF0; 8/12-bit on SOF1 (extended sequential) and SOF2;
+  lossless (SOF3, Annex-H predictive, 2..16-bit, all seven predictors +
+  point transform) decodes bit-exact with `encode_jpeg_lossless` /
+  `decode_jpeg_lossless` exposing the raw-sample contract.
+- 1-component (gray) and 3-component (YCbCr) DCT scans; any
   baseline-legal sampling layout where each factor divides the maxima.
 
 Perf stance: the baseline entropy decode is table-driven — the scan is
@@ -704,7 +708,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
 
 
-def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
+def _decode_jpeg(data: bytes, lossless_samples: bool = False):
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -753,34 +757,51 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 vals = list(body[p + 17 : p + 17 + n])
                 huff[(cls, tid)], _ = _build_codes(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0 baseline (8-bit) / SOF1 extended sequential (8/12-bit,
+            # decodes on the baseline path) / SOF2 progressive (8/12-bit)
+            # / SOF3 lossless (2..16-bit, Annex-H predictive)
             prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit samples not supported")
+            if marker == 0xC3:
+                if not (2 <= prec <= 16):
+                    raise ValueError(f"lossless precision {prec} out of range")
+            elif prec not in ((8,) if marker == 0xC0 else (8, 12)):
+                raise ValueError(
+                    f"{prec}-bit samples invalid for SOF{marker & 0xF}"
+                )
             comps = []
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            # sampling-factor validation at FRAME level so both the
-            # baseline and progressive paths reject h/v of 0, >4, or
-            # non-dividing layouts (which would crash or silently
-            # mis-upsample chroma) before any scan decodes
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
-            for c in comps:
-                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
-                        and hmax % c["h"] == 0 and vmax % c["v"] == 0):
-                    layout = tuple(sorted((c["h"], c["v"]) for c in comps))
+            if marker == 0xC3:
+                # lossless MCUs are per-sample; only the universal 1×1
+                # layout is supported (what lossless encoders emit)
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
                     raise NotImplementedError(
-                        f"unsupported sampling layout {layout}"
+                        "lossless decode supports 1x1 sampling only"
                     )
-            frame = {"w": w_, "h": h, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            else:
+                # sampling-factor validation at FRAME level so both the
+                # baseline and progressive paths reject h/v of 0, >4, or
+                # non-dividing layouts (which would crash or silently
+                # mis-upsample chroma) before any scan decodes
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                for c in comps:
+                    if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
+                            and hmax % c["h"] == 0 and vmax % c["v"] == 0):
+                        layout = tuple(sorted((c["h"], c["v"]) for c in comps))
+                        raise NotImplementedError(
+                            f"unsupported sampling layout {layout}"
+                        )
+            frame = {"w": w_, "h": h, "comps": comps, "prec": prec,
+                     "progressive": marker == 0xC2,
+                     "lossless": marker == 0xC3}
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) and progressive (SOF2) "
-                f"supported, got SOF{marker & 0xF}"
+                "only Huffman sequential (SOF0/SOF1), progressive (SOF2) "
+                f"and lossless (SOF3) supported, got SOF{marker & 0xF}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -794,6 +815,18 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan_tabs[cid] = (tt >> 4, tt & 0xF)
                 scan_order.append(cid)
+            if frame.get("lossless"):
+                ss_l, _se_l, ahal_l = (body[1 + 2 * ns], body[2 + 2 * ns],
+                                       body[3 + 2 * ns])
+                try:
+                    samples = _decode_scan_lossless(
+                        data, pos, frame, huff, scan_order, scan_tabs,
+                        ss_l, ahal_l & 0xF, restart_interval)
+                except IndexError as e:
+                    raise ValueError("truncated scan") from e
+                if lossless_samples:
+                    return frame["w"], frame["h"], frame["prec"], samples
+                return _lossless_to_rgb(frame, samples)
             if not frame["progressive"]:
                 try:
                     return _decode_scan(data, pos, frame, quant, huff,
@@ -917,13 +950,15 @@ class _FastReader:
         return b
 
 
-def _coefs_to_planes(comps, quant, coefs):
+def _coefs_to_planes(comps, quant, coefs, prec=8):
     """Zigzag coefficient arrays → spatial planes: dequantize (zigzag
     value i pairs with natural-order quant step ZIGZAG[i]), un-zigzag,
     batched 8×8 IDCT — one numpy matmul pair for ALL blocks of a
     component, associated exactly like the per-block _idct ((C.T @ X) @ C)
-    so float rounding is stable however the blocks were decoded."""
+    so float rounding is stable however the blocks were decoded. The
+    level shift is 2^(P−1) (T.81 A.3.1): 128 at 8-bit, 2048 at 12-bit."""
     planes = {}
+    shift = float(1 << (prec - 1))
     for c in comps:
         if c["tq"] not in quant:
             raise ValueError(f"missing quant table {c['tq']}")
@@ -933,7 +968,7 @@ def _coefs_to_planes(comps, quant, coefs):
         nat = np.zeros((nby, nbx, 64), dtype=np.float64)
         nat[:, :, _ZZ] = arr * q[_ZZ].astype(np.float64)
         blocks = nat.reshape(nby, nbx, 8, 8)
-        px = np.matmul(np.matmul(_C.T, blocks), _C) + 128.0
+        px = np.matmul(np.matmul(_C.T, blocks), _C) + shift
         planes[c["id"]] = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
     return planes
 
@@ -1045,14 +1080,26 @@ def _decode_scan(data, pos, frame, quant, huff, scan_tabs, restart_interval):
         raise ValueError("truncated scan")
     if seg_idx != len(seg_bits):
         raise ValueError("unexpected restart markers in scan")
-    planes = _coefs_to_planes(comps, quant, coefs)
-    return _planes_to_rgb(planes, comps, w_, h, hmax, vmax)
+    prec = frame.get("prec", 8)
+    planes = _coefs_to_planes(comps, quant, coefs, prec)
+    return _planes_to_rgb(planes, comps, w_, h, hmax, vmax, prec)
 
 
-def _planes_to_rgb(planes, comps, w_, h, hmax, vmax):
+def _planes_to_rgb(planes, comps, w_, h, hmax, vmax, prec=8):
     """Crop MCU-padded component planes to nominal size, repeat-upsample
-    chroma, and color-convert (JFIF YCbCr→RGB, or gray replication)."""
+    chroma, and color-convert (JFIF YCbCr→RGB, or gray replication).
+    Samples are clamped to [0, 2^P−1] at native precision; >8-bit output
+    keeps the high 8 bits (the standard 12-bit presentation reduction)."""
     full = {}
+    maxv = float((1 << prec) - 1)
+    down = prec - 8
+
+    def to_u8(x: np.ndarray) -> np.ndarray:
+        v = np.clip(np.round(x), 0, maxv)
+        if down:
+            return (v.astype(np.int32) >> down).astype(np.uint8)
+        return v.astype(np.uint8)
+
     for c in comps:
         p = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -1060,19 +1107,17 @@ def _planes_to_rgb(planes, comps, w_, h, hmax, vmax):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full[c["id"]] = p[:h, :w_]
     if len(comps) == 1:
-        yv = np.clip(np.round(full[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        yv = to_u8(full[comps[0]["id"]])
         rgb = np.repeat(yv[:, :, None], 3, axis=2)
         return w_, h, rgb.tobytes()
+    center = float(1 << (prec - 1))
     yv = full[comps[0]["id"]]
-    cb = full[comps[1]["id"]] - 128.0
-    cr = full[comps[2]["id"]] - 128.0
+    cb = full[comps[1]["id"]] - center
+    cr = full[comps[2]["id"]] - center
     r = yv + 1.402 * cr
     g = yv - 0.344136 * cb - 0.714136 * cr
     b = yv + 1.772 * cb
-    rgb = np.stack(
-        [np.clip(np.round(x), 0, 255).astype(np.uint8) for x in (r, g, b)],
-        axis=2,
-    )
+    rgb = np.stack([to_u8(x) for x in (r, g, b)], axis=2)
     return w_, h, rgb.tobytes()
 
 
@@ -1347,8 +1392,267 @@ def _reconstruct_progressive(frame, quant, coefs):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     arrs = {cid: np.asarray(v, dtype=np.int64) for cid, v in coefs.items()}
-    planes = _coefs_to_planes(comps, quant, arrs)
-    return _planes_to_rgb(planes, comps, frame["w"], frame["h"], hmax, vmax)
+    prec = frame.get("prec", 8)
+    planes = _coefs_to_planes(comps, quant, arrs, prec)
+    return _planes_to_rgb(planes, comps, frame["w"], frame["h"], hmax, vmax,
+                          prec)
+
+
+# -- lossless (SOF3) ----------------------------------------------------------
+# T.81 Annex H: predictive coding — each sample's difference from one of
+# seven neighbor predictors is Huffman-coded with a DC-class table
+# (SSSS 0..16, SSSS=16 carrying diff=32768 with no extra bits), with
+# mod-2^16 reconstruction and an optional point transform (samples coded
+# at P−Pt bits, output scaled back by 2^Pt). Roundtrips are bit-exact by
+# construction — the property every test pins.
+
+_PRED_NAMES = {1: "Ra", 2: "Rb", 3: "Rc", 4: "Ra+Rb-Rc",
+               5: "Ra+(Rb-Rc)/2", 6: "Rb+(Ra-Rc)/2", 7: "(Ra+Rb)/2"}
+
+
+def _lossless_predict(predictor: int, ra: int, rb: int, rc: int) -> int:
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # 7
+
+
+def _decode_scan_lossless(data, pos, frame, huff, scan_order, scan_tabs,
+                          predictor, pt, restart_interval):
+    """One interleaved lossless scan → (h, w, ncomp) uint16 samples
+    (point transform undone). Annex-H prediction: the very first sample
+    (and the first after each restart) predicts 2^(P−Pt−1); the rest of
+    that line predicts Ra; later lines predict Rb at x=0 and the selected
+    predictor elsewhere."""
+    if not (1 <= predictor <= 7):
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    prec = frame["prec"]
+    if pt >= prec:
+        raise ValueError("point transform exceeds sample precision")
+    w_, h = frame["w"], frame["h"]
+    byid = {c["id"]: c for c in frame["comps"]}
+    if len(scan_order) != len(frame["comps"]) or any(
+            cid not in byid for cid in scan_order):
+        raise NotImplementedError(
+            "lossless decode supports the single interleaved scan only")
+    luts = []
+    for cid in scan_order:
+        key = (0, scan_tabs[cid][0])
+        if key not in huff:
+            raise ValueError("scan references missing huffman table")
+        luts.append(_lut_from_table(huff[key]))
+
+    buf, seg_bits, seg_markers, _end = _destuff_scan(data, pos)
+    rd = _FastReader(buf)
+    W, nbits = rd.W, rd.nbits
+    bp = 0
+    default = 1 << (prec - pt - 1)
+    nc = len(scan_order)
+    planes = [[[0] * w_ for _ in range(h)] for _ in range(nc)]
+    mcu_count = 0
+    next_rst = 0
+    seg_idx = 0
+    fresh_y, fresh_x = 0, 0
+
+    for y in range(h):
+        for x in range(w_):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                if seg_idx >= len(seg_bits):
+                    raise ValueError("missing restart marker in scan")
+                if seg_markers[seg_idx] != 0xD0 + next_rst:
+                    raise ValueError(
+                        f"restart marker out of sequence: got "
+                        f"FF{seg_markers[seg_idx]:02X}, "
+                        f"want FF{0xD0 + next_rst:02X}")
+                if bp > seg_bits[seg_idx]:
+                    raise ValueError("scan data overruns its restart segment")
+                bp = seg_bits[seg_idx]
+                seg_idx += 1
+                next_rst = (next_rst + 1) % 8
+                fresh_y, fresh_x = y, x
+            if bp > nbits:
+                raise ValueError("truncated scan")
+            for ci in range(nc):
+                lut = luts[ci]
+                v = lut[(W[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                if v == 0:
+                    raise ValueError("invalid huffman code in scan")
+                bp += v >> 16
+                s = v & 0xFFFF
+                if s == 16:  # Annex H: SSSS=16 → diff 32768, no extra bits
+                    diff = 32768
+                elif s:
+                    raw = ((W[bp >> 3] >> (16 - (bp & 7)))
+                           & 0xFFFF) >> (16 - s)
+                    bp += s
+                    diff = (raw if raw >= (1 << (s - 1))
+                            else raw - (1 << s) + 1)
+                else:
+                    diff = 0
+                rows = planes[ci]
+                if y == fresh_y:
+                    px = default if x == fresh_x else rows[y][x - 1]
+                elif x == 0:
+                    px = rows[y - 1][0]
+                else:
+                    px = _lossless_predict(
+                        predictor, rows[y][x - 1], rows[y - 1][x],
+                        rows[y - 1][x - 1])
+                rows[y][x] = (px + diff) & 0xFFFF
+            mcu_count += 1
+
+    if bp > nbits:
+        raise ValueError("truncated scan")
+    if seg_idx != len(seg_bits):
+        raise ValueError("unexpected restart markers in scan")
+    out = np.stack([np.array(p, dtype=np.uint16) for p in planes], axis=2)
+    if pt:
+        if int(out.max(initial=0)) << pt >= (1 << 16):
+            raise ValueError("point-transformed sample overflows 16 bits")
+        out = out << np.uint16(pt)
+    return out
+
+
+def _lossless_to_rgb(frame, samples):
+    """Lossless samples → the generic (w, h, RGB888) contract: 1 component
+    replicates to gray, 3 are taken as direct RGB (lossless JPEG defines
+    no color transform); >8-bit precisions keep the high 8 bits, <8-bit
+    scale up by 255/(2^P−1)."""
+    prec = frame["prec"]
+    nc = samples.shape[2]
+    if prec > 8:
+        u8 = (samples >> (prec - 8)).astype(np.uint8)
+    elif prec == 8:
+        u8 = samples.astype(np.uint8)
+    else:
+        u8 = np.round(samples * (255.0 / ((1 << prec) - 1))).astype(np.uint8)
+    if nc == 1:
+        rgb = np.repeat(u8, 3, axis=2)
+    elif nc == 3:
+        rgb = u8
+    else:
+        raise ValueError(f"unsupported lossless component count {nc}")
+    return frame["w"], frame["h"], np.ascontiguousarray(rgb).tobytes()
+
+
+def decode_jpeg_lossless(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Lossless (SOF3) JPEG → (width, height, precision, samples) with
+    samples an (h, w, ncomp) uint16 array — the exact encoded values, the
+    bit-level contract `encode_jpeg_lossless` roundtrips against. Raises
+    ValueError on corruption or non-lossless streams."""
+    try:
+        out = _decode_jpeg(data, lossless_samples=True)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+    if not (isinstance(out, tuple) and len(out) == 4):
+        raise ValueError("not a lossless (SOF3) stream")
+    return out
+
+
+def encode_jpeg_lossless(samples: np.ndarray, precision: int,
+                         predictor: int = 1, point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """(h, w) or (h, w, ncomp) integer samples → lossless (SOF3) JPEG.
+    Values must fit `precision` bits and be multiples of 2^point_transform
+    (Annex H codes samples >> Pt; anything else cannot roundtrip, so it
+    rejects). The Huffman table is the canonical SSSS 0..16 DC-class
+    table; restart_interval > 0 resets prediction every that many MCUs."""
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    if samples.ndim != 3:
+        raise ValueError("samples must be (h, w) or (h, w, ncomp)")
+    if not (2 <= precision <= 16):
+        raise ValueError(f"lossless precision {precision} out of range")
+    if not (1 <= predictor <= 7):
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    pt = point_transform
+    if not (0 <= pt < precision):
+        raise ValueError("point transform out of range")
+    arr = samples.astype(np.int64)
+    if arr.min(initial=0) < 0 or int(arr.max(initial=0)) >= (1 << precision):
+        raise ValueError(f"samples exceed {precision}-bit range")
+    if pt and (arr & ((1 << pt) - 1)).any():
+        raise ValueError(
+            f"samples must be multiples of 2^{pt} for an exact roundtrip")
+    arr = arr >> pt
+    h, w_, nc = arr.shape
+    if not (1 <= nc <= 4):
+        raise ValueError(f"unsupported component count {nc}")
+
+    vals = list(range(17))  # SSSS categories 0..16
+    bits = _canonical_bits(len(vals))
+    _dec, enc = _build_codes(bits, vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2)
+                   + payload)
+
+    sof = struct.pack(">BHHB", precision, h, w_, nc)
+    for ci in range(nc):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    seg(0xC3, sof)
+    seg(0xC4, bytes([0x00] + bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    total = h * w_
+    mcu_count = 0
+    rst_idx = 0
+    fresh_y, fresh_x = 0, 0
+    al = arr.tolist()
+    for y in range(h):
+        for x in range(w_):
+            for ci in range(nc):
+                cur = al[y][x][ci]
+                if y == fresh_y:
+                    px = default if x == fresh_x else al[y][x - 1][ci]
+                elif x == 0:
+                    px = al[y - 1][0][ci]
+                else:
+                    px = _lossless_predict(
+                        predictor, al[y][x - 1][ci], al[y - 1][x][ci],
+                        al[y - 1][x - 1][ci])
+                diff = (cur - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:  # SSSS=16, no appended bits
+                    code, ln = enc[16]
+                    wtr.write(code, ln)
+                else:
+                    s, extra = _magnitude(diff)
+                    code, ln = enc[s]
+                    wtr.write(code, ln)
+                    if s:
+                        wtr.write(extra, s)
+            mcu_count += 1
+            if (restart_interval and mcu_count % restart_interval == 0
+                    and mcu_count < total):
+                wtr.restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                nxt = y * w_ + x + 1
+                fresh_y, fresh_x = nxt // w_, nxt % w_
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # -- MJPEG container ----------------------------------------------------------

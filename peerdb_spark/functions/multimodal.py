@@ -7,8 +7,11 @@ interleaved RGB (width·height·3 bytes) and raw PCM/frame sequences, so no
 codec library is needed for the math itself. PNG and baseline JPEG payloads
 decode for real via the from-scratch codecs in functions/png.py (stdlib
 zlib + numpy filter math) and functions/jpeg.py (Huffman entropy decode +
-numpy IDCT) — `decode_images` below; only H.264 video remains gated
-(needs a codec lib not present in this container).
+numpy IDCT) — `decode_images` below. Video: MJPEG containers split/decode
+fully (sample_frames_mjpeg) and H.264 Annex-B streams walk/sample by NAL
+structure with I_PCM pictures decoding bit-exact (sample_frames_h264,
+functions/h264.py); the remaining codec-lib gate is entropy-coded H.264
+macroblocks (CAVLC/CABAC residuals + inter prediction).
 
 Design notes for 100 TB of media:
 - media rows are large; `spark.sql.files.maxPartitionBytes` and the
@@ -65,9 +68,10 @@ def decode_encoded(content: bytes, mime: str) -> bytes:
     codecs (functions/png.py: chunk CRCs, all five scanline filters,
     gray/RGB/palette/alpha color types; functions/jpeg.py: stream-carried
     Huffman tables, restart intervals, 4:4:4/4:2:2/4:2:0, SOF2) — so every
-    kernel below runs on encoded payloads end-to-end, and MJPEG video
-    splits/decodes via sample_frames_mjpeg. Only inter-frame video codecs
-    (H.264 etc.) remain gated behind a codec lib; raw `image/raw-rgb`
+    kernel below runs on encoded payloads end-to-end; MJPEG video
+    splits/decodes via sample_frames_mjpeg and H.264 streams walk/sample
+    via sample_frames_h264 (I_PCM decode). Only entropy-coded H.264
+    macroblocks remain gated behind a codec lib; raw `image/raw-rgb`
     passes through.
     """
     if mime in ("image/raw-rgb", "application/octet-stream"):
@@ -422,8 +426,8 @@ def sample_frames_mjpeg(
     frame as raw RGB.
 
     This is the compressed twin of sample_frames (fixed-size raw frames);
-    with it, the only video formats still gated behind a codec lib are the
-    inter-frame codecs (H.264 etc.) that genuinely need one. Arrow-batched
+    H.264 elementary streams get the same treatment in sample_frames_h264
+    (NAL structure walk + I_PCM decode). Arrow-batched
     mapInPandas; frames multiply rows inside the batch, downstream
     repartition controls memory — same scale shape as sample_frames."""
     if stride < 1:
@@ -454,6 +458,81 @@ def sample_frames_mjpeg(
                     if j % st:
                         continue  # skipped frames are never entropy-decoded
                     w, h, rgb = decode_jpeg(blob[off : off + ln])
+                    ids.append(mid)
+                    idxs.append(j)
+                    ws.append(w)
+                    hs.append(h)
+                    frames.append(rgb)
+            yield _pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "width": ws, "height": hs,
+                 "frame": frames}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def sample_frames_h264(
+    df: DataFrame,
+    stride: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame extraction over H.264 Annex-B elementary streams
+    (functions/h264.py): picture boundaries come from the NAL structure
+    walk (split_h264_frames — start codes + one exp-Golomb peek per VCL
+    NAL, never the macroblock payloads), every `stride`-th picture decodes
+    through the I_PCM path, and rows emit as (media_id, frame_idx, width,
+    height, frame) with frame as raw RGB.
+
+    Decode scope is the honest codec gate: pictures whose macroblocks are
+    entropy-coded (CAVLC/CABAC residuals, inter prediction) raise
+    NotImplementedError from the decoder — the structure walk, SPS/PPS
+    parse, and sampling math above it work on ANY conforming stream, so
+    counting/sampling plans (and I_PCM payloads end-to-end) are real.
+    Same Arrow/mapInPandas scale shape as sample_frames_mjpeg."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    st = stride
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.h264 import (
+            decode_h264,
+            split_h264_frames,
+            split_nals,
+        )
+
+        for pdf in batches:
+            ids, idxs, ws, hs, frames = [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(c or b"")
+                if not blob:
+                    continue
+                ranges = split_h264_frames(blob)
+                if not ranges:
+                    continue
+                # parameter-set NALs (tiny) prepend to every sampled range
+                # so each picture decodes independently of its neighbors
+                ps = b"".join(
+                    b"\x00\x00\x00\x01" + blob[s:e]
+                    for t, s, e in split_nals(blob)
+                    if t in (7, 8)
+                )
+                for j, (off, end, _idr) in enumerate(ranges):
+                    if j % st:
+                        continue  # skipped pictures: never parsed past
+                        # the walk's one exp-Golomb peek
+                    w, h, rgb = decode_h264(ps + blob[off:end])[0]
                     ids.append(mid)
                     idxs.append(j)
                     ws.append(w)

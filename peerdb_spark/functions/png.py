@@ -55,13 +55,23 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def encode_png(
-    rgb: bytes, width: int, height: int, filter_for_row=None, color_type: int = 2
+    rgb: bytes,
+    width: int,
+    height: int,
+    filter_for_row=None,
+    color_type: int = 2,
+    bit_depth: int = 8,
 ) -> bytes:
     """RGB888 buffer → PNG bytes. `filter_for_row(y) -> 0..4` picks the
     per-scanline filter (default: 0/None). color_type 2 writes the pixels
     verbatim; 6 pads an opaque alpha; 0 writes the red channel as gray
     (caller guarantees r==g==b if roundtrip equality matters); 3 builds a
-    palette of the distinct pixels (≤256 required)."""
+    palette of the distinct pixels (≤256 required). bit_depth 1/2/4 is
+    accepted for color types 0 and 3 (spec §11.2.2 valid combinations):
+    gray samples must be exact multiples of 255/(2^depth−1) so the decode
+    roundtrips bit-exact, palettes must fit in 2^depth entries; scanlines
+    are packed MSB-first with the filter applied to the PACKED bytes
+    (spec §7.2 — filters always operate on bytes, bpp=1 for sub-byte)."""
     if len(rgb) != width * height * 3:
         raise ValueError(f"rgb buffer is {len(rgb)} B, want {width * height * 3}")
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
@@ -88,11 +98,39 @@ def encode_png(
     else:
         raise ValueError(f"unsupported encoder color type {color_type}")
 
+    if bit_depth != 8:
+        if bit_depth not in (1, 2, 4) or color_type not in (0, 3):
+            raise ValueError(
+                f"bit depth {bit_depth} invalid for color type {color_type}"
+            )
+        levels = (1 << bit_depth) - 1
+        if color_type == 0:
+            scale = 255 // levels
+            if (raw % scale).any():
+                raise ValueError(
+                    f"gray samples must be multiples of {scale} at depth"
+                    f" {bit_depth} for an exact roundtrip"
+                )
+            samples = raw[:, :, 0] // scale
+        else:
+            if raw.max(initial=0) > levels:
+                raise ValueError(
+                    f"palette has {raw.max() + 1} entries, depth {bit_depth}"
+                    f" indexes only {levels + 1}"
+                )
+            samples = raw[:, :, 0]
+        # pack width k-bit samples MSB-first into ceil(width*k/8) bytes/row
+        bits = (
+            (samples[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(height, width * bit_depth)
+        raw = np.packbits(bits.astype(np.uint8), axis=1)[:, :, None]
+
     bpp = raw.shape[2]
+    rw = raw.shape[1]  # row length in filter units (packed bytes when sub-byte)
     out = bytearray()
-    prev = np.zeros((width, bpp), dtype=np.int32)
+    prev = np.zeros((rw, bpp), dtype=np.int32)
     for y in range(height):
-        row = raw[y].astype(np.int32)  # (width, bpp)
+        row = raw[y].astype(np.int32)  # (rw, bpp)
         ft = 0 if filter_for_row is None else int(filter_for_row(y))
         left = np.vstack([np.zeros((1, bpp), dtype=np.int32), row[:-1]])
         upleft = np.vstack([np.zeros((1, bpp), dtype=np.int32), prev[:-1]])
@@ -111,7 +149,7 @@ def encode_png(
         out.append(ft)
         out += (filt % 256).astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -192,15 +230,43 @@ def _unfilter(raw: bytes, off: int, width: int, height: int, bpp: int) -> np.nda
     return recon
 
 
+def _read_subimage(
+    raw: bytes, off: int, w: int, h: int, depth: int, channels: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image starting at filtered-byte `off`.
+
+    Returns ((h, w, lanes) uint8, bytes consumed) — lanes is the byte
+    count per pixel for depths ≥8 (two bytes per sample at 16), and 1 for
+    sub-byte depths, whose values are the raw k-bit samples. Sub-byte
+    scanlines pack samples MSB-first into ceil(w·depth/8) bytes and are
+    filtered at byte granularity (spec §7.2: bpp is rounded up to 1)."""
+    if depth >= 8:
+        bpp = channels * (depth // 8)
+        return _unfilter(raw, off, w, h, bpp), h * (w * bpp + 1)
+    rowbytes = (w * depth + 7) // 8
+    packed = _unfilter(raw, off, rowbytes, h, 1).reshape(h, rowbytes)
+    bits = np.unpackbits(packed, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(h, rowbytes * 8 // depth, depth) * weights).sum(
+        axis=2, dtype=np.uint8
+    )[:, :w]
+    return samples.reshape(h, w, 1), h * (rowbytes + 1)
+
+
+# spec §11.2.2: the valid (color type → bit depths) combinations
+_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
     """PNG bytes → (width, height, interleaved RGB888 buffer).
 
-    Validates the signature and every chunk CRC; raises ValueError on
-    corruption and NotImplementedError on out-of-scope features (sub-byte
-    bit depths) — a torn or exotic payload must never decode to
-    silently-wrong pixels, and the low-level escapes corruption can
-    trigger (short chunk reads, broken deflate streams) convert to
-    ValueError at this boundary."""
+    Covers every spec §11.2.2 (color type, bit depth) combination —
+    gray/palette at 1/2/4/8(/16 gray) bits, truecolor/alpha at 8/16 —
+    sequential or Adam7-interlaced. Validates the signature and every
+    chunk CRC; raises ValueError on corruption — a torn payload must
+    never decode to silently-wrong pixels, and the low-level escapes
+    corruption can trigger (short chunk reads, broken deflate streams)
+    convert to ValueError at this boundary."""
     try:
         return _decode_png(data)
     except (struct.error, zlib.error, IndexError) as e:
@@ -233,12 +299,12 @@ def _decode_png(data: bytes) -> tuple[int, int, bytes]:
     if ihdr is None:
         raise ValueError("no IHDR chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"bit depth {depth} not supported (8/16)")
-    if depth == 16 and color_type == 3:
-        raise ValueError("palette images cannot be 16-bit")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid color type {color_type}")
+    if depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"bit depth {depth} invalid for color type {color_type}"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method")
     if interlace not in (0, 1):
@@ -246,34 +312,36 @@ def _decode_png(data: bytes) -> tuple[int, int, bytes]:
     if color_type == 3 and plte is None:
         raise ValueError("palette image without PLTE")
 
-    # filters operate on BYTES with the byte-level pixel stride (spec §6):
-    # at depth 16 each channel is two bytes, so bpp doubles
-    bpp = _CHANNELS[color_type] * (depth // 8)
+    channels = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
 
     if interlace == 0:
-        rowbytes = width * bpp
-        if len(raw) != height * (rowbytes + 1):
-            raise ValueError(
-                f"decompressed {len(raw)} B, want {height * (rowbytes + 1)}"
-            )
-        recon = _unfilter(raw, 0, width, height, bpp)
+        recon, consumed = _read_subimage(raw, 0, width, height, depth, channels)
+        if len(raw) != consumed:
+            raise ValueError(f"decompressed {len(raw)} B, want {consumed}")
     else:  # Adam7: seven independently-filtered sub-images, scattered back
-        recon = np.empty((height, width, bpp), dtype=np.uint8)
+        lanes = channels * (depth // 8) if depth >= 8 else 1
+        recon = np.empty((height, width, lanes), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             wp = (width - x0 + dx - 1) // dx
             hp = (height - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue  # empty pass contributes no bytes
-            sub = _unfilter(raw, off, wp, hp, bpp)
+            sub, consumed = _read_subimage(raw, off, wp, hp, depth, channels)
             recon[y0::dy, x0::dx] = sub
-            off += hp * (wp * bpp + 1)
+            off += consumed
         if off != len(raw):
             raise ValueError(
                 f"decompressed {len(raw)} B, interlaced passes want {off}"
             )
 
+    if depth < 8:
+        if color_type == 0:
+            # scale k-bit gray to 8-bit: ×255/(2^k−1), exact for k=1/2/4
+            recon = recon * np.uint8(255 // ((1 << depth) - 1))
+        elif int(recon.max(initial=0)) >= len(plte if plte is not None else ()):
+            raise ValueError("palette index out of range")
     if depth == 16:
         # 16→8: keep the most-significant byte of each big-endian sample
         # (the standard reduction; PNG stores 16-bit samples network-order)

@@ -1,0 +1,264 @@
+"""From-scratch H.264 Annex-B layer (functions/h264.py): NAL walk, SPS/PPS
+parse, picture-boundary frame indexing, I_PCM encode→decode roundtrips
+(bit-exact), emulation-prevention handling, honest entropy-MB gates, and
+the Spark sample_frames_h264 path."""
+
+import numpy as np
+import pytest
+
+from peerdb_spark.functions.h264 import (
+    _BitReader,
+    _BitWriter,
+    _insert_epb,
+    _strip_epb,
+    decode_h264,
+    decode_h264_yuv,
+    encode_h264_ipcm,
+    parse_pps,
+    parse_sps,
+    split_h264_frames,
+    split_nals,
+)
+
+
+def _mkframe(rng, w, h):
+    return (
+        rng.randint(0, 256, (h, w)).astype(np.uint8),
+        rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8),
+        rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8),
+    )
+
+
+# -- bit layer ----------------------------------------------------------------
+
+
+def test_exp_golomb_spec_vectors():
+    """Spec §9.1 table: ue codes 0→'1', 1→'010', 2→'011', 3→'00100';
+    se maps 1,-1,2,-2 ← ue 1,2,3,4."""
+    w = _BitWriter()
+    for v in (0, 1, 2, 3, 7):
+        w.ue(v)
+    for v in (1, -1, 2, -2):
+        w.se(v)
+    r = _BitReader(w.rbsp_trailing())
+    assert [r.ue() for _ in range(5)] == [0, 1, 2, 3, 7]
+    assert [r.se() for _ in range(4)] == [1, -1, 2, -2]
+    # the exact bit pattern for ue(0) ue(1) ue(2): 1 010 011
+    w2 = _BitWriter()
+    w2.ue(0)
+    w2.ue(1)
+    w2.ue(2)
+    assert w2.rbsp_trailing() == bytes([0b10100111])  # + stop bit 1 + pad
+
+
+def test_epb_insert_strip_roundtrip():
+    """00 00 00 / 00 00 01 / 00 00 02 / 00 00 03 all need escaping; other
+    byte pairs don't. Roundtrip over adversarial zero runs."""
+    for payload in (
+        b"\x00\x00\x00",
+        b"\x00\x00\x01\x00\x00\x02",
+        b"\x00\x00\x03\x04",
+        b"\x00" * 9,
+        b"\xff\x00\x00\x04",  # 04 after two zeros needs NO escape
+        bytes(range(256)) * 3,
+    ):
+        ebsp = _insert_epb(payload)
+        assert b"\x00\x00\x00" not in ebsp
+        assert b"\x00\x00\x01" not in ebsp
+        assert b"\x00\x00\x02" not in ebsp
+        assert _strip_epb(ebsp) == payload
+    assert _insert_epb(b"\xff\x00\x00\x04") == b"\xff\x00\x00\x04"
+
+
+# -- headers ------------------------------------------------------------------
+
+
+def test_sps_pps_parse_own_stream():
+    rng = np.random.RandomState(1)
+    data = encode_h264_ipcm([_mkframe(rng, 20, 14)], 20, 14)
+    nals = split_nals(data)
+    assert [t for t, _, _ in nals] == [7, 8, 5]
+    sps = parse_sps(_strip_epb(data[nals[0][1] + 1 : nals[0][2]]))
+    assert (sps["width"], sps["height"]) == (20, 14)  # cropped from 32x16
+    assert sps["profile"] == 66 and sps["frame_mbs_only"] == 1
+    assert sps["chroma_format_idc"] == 1
+    pps = parse_pps(_strip_epb(data[nals[1][1] + 1 : nals[1][2]]))
+    assert pps["entropy_coding_mode"] == 0 and pps["pps_id"] == 0
+
+
+def test_sps_high_profile_branch():
+    """A High-profile SPS (profile 100) carries chroma_format_idc and the
+    scaling-matrix branch before the common fields — hand-built."""
+    w = _BitWriter()
+    w.u(100, 8)  # High
+    w.u(0, 8)
+    w.u(40, 8)
+    w.ue(0)      # sps_id
+    w.ue(1)      # chroma_format_idc 4:2:0
+    w.ue(0)      # bit_depth_luma_minus8
+    w.ue(0)      # bit_depth_chroma_minus8
+    w.u(0, 1)    # qpprime
+    w.u(0, 1)    # no scaling matrix
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(0)      # poc type 0
+    w.ue(0)      # log2_max_poc_lsb_minus4
+    w.ue(1)      # max refs
+    w.u(0, 1)
+    w.ue(4)      # 5 MBs wide
+    w.ue(2)      # 3 high
+    w.u(1, 1)    # frame_mbs_only
+    w.u(1, 1)    # direct_8x8
+    w.u(0, 1)    # no crop
+    w.u(0, 1)    # no vui
+    sps = parse_sps(w.rbsp_trailing())
+    assert (sps["width"], sps["height"]) == (80, 48)
+    assert sps["poc_type"] == 0 and sps["log2_max_poc_lsb"] == 4
+
+
+# -- I_PCM roundtrips ----------------------------------------------------------
+
+
+def test_ipcm_yuv_roundtrip_bit_exact():
+    rng = np.random.RandomState(7)
+    for w, h in ((16, 16), (48, 32), (20, 14), (34, 50)):
+        frames = [_mkframe(rng, w, h) for _ in range(3)]
+        out = decode_h264_yuv(encode_h264_ipcm(frames, w, h))
+        assert len(out) == 3
+        for (Y, Cb, Cr), (W, H, oy, ocb, ocr) in zip(frames, out):
+            assert (W, H) == (w, h)
+            assert (oy == Y).all() and (ocb == Cb).all() and (ocr == Cr).all()
+
+
+def test_ipcm_rgb_gray_exact():
+    """Constant chroma 128 zeroes the color terms, so RGB == Y exactly —
+    the analytically-checkable RGB contract."""
+    rng = np.random.RandomState(9)
+    Y = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    mid = np.full((8, 8), 128, np.uint8)
+    w, h, rgb = decode_h264(encode_h264_ipcm([(Y, mid, mid)], 16, 16))[0]
+    px = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3)
+    assert (px == Y[:, :, None]).all()
+
+
+def test_ipcm_stream_has_epb_when_needed():
+    """All-zero samples force 00-runs in the RBSP; the emitted EBSP must
+    escape them and still decode to the exact zeros."""
+    z8 = np.zeros((8, 8), np.uint8)
+    data = encode_h264_ipcm([(np.zeros((16, 16), np.uint8), z8, z8)], 16, 16)
+    assert b"\x00\x00\x03" in data
+    body = data[4:]  # skip the first start code before scanning payloads
+    assert b"\x00\x00\x01" not in body.replace(b"\x00\x00\x00\x01", b"")
+    assert (decode_h264_yuv(data)[0][2] == 0).all()
+
+
+def test_encode_rejects_bad_shapes():
+    z8 = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="even"):
+        encode_h264_ipcm([], 15, 16)
+    with pytest.raises(ValueError, match="want Y"):
+        encode_h264_ipcm([(np.zeros((8, 8), np.uint8), z8, z8)], 16, 16)
+
+
+# -- frame indexing ------------------------------------------------------------
+
+
+def test_split_frames_partitions_stream():
+    rng = np.random.RandomState(3)
+    data = encode_h264_ipcm([_mkframe(rng, 32, 32) for _ in range(5)], 32, 32)
+    fr = split_h264_frames(data)
+    assert len(fr) == 5
+    assert all(idr for _, _, idr in fr)
+    assert fr[0][0] == 0 and fr[-1][1] == len(data)
+    for a, b in zip(fr, fr[1:]):
+        assert a[1] == b[0]
+    # each non-first range decodes standalone once parameter sets prepend
+    nals = split_nals(data)
+    ps = b"".join(
+        b"\x00\x00\x00\x01" + data[s:e] for t, s, e in nals if t in (7, 8)
+    )
+    s, e, _ = fr[3]
+    (w, h, _rgb), = decode_h264(ps + data[s:e])
+    assert (w, h) == (32, 32)
+
+
+def test_split_frames_attaches_leading_nonvcl():
+    """SPS/PPS sit inside frame 0's range (attach-forward rule), so the
+    first sampled range is self-contained."""
+    rng = np.random.RandomState(4)
+    data = encode_h264_ipcm([_mkframe(rng, 16, 16)], 16, 16)
+    (s, e, idr), = split_h264_frames(data)
+    assert (s, e, idr) == (0, len(data), True)
+    assert decode_h264(data[s:e])[0][:2] == (16, 16)
+
+
+# -- honest gates ----------------------------------------------------------------
+
+
+def test_entropy_coded_macroblocks_gate():
+    """A CAVLC I_4x4 macroblock (mb_type 0) must raise the codec-lib gate,
+    not mis-decode."""
+    rng = np.random.RandomState(5)
+    data = encode_h264_ipcm([_mkframe(rng, 16, 16)], 16, 16)
+    nals = split_nals(data)
+    t, s, e = nals[-1]
+    rbsp = bytearray(_strip_epb(data[s + 1 : e]))
+    # slice header for this encoder is ue(0) ue(7) ue(0) u4(0) ue(id)
+    # u1 u1 se(0); mb_type ue(25) follows. Rewrite just the mb_type by
+    # re-emitting the header with mb_type 0.
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(0)  # mb_type 0: I_4x4 → entropy-coded
+    w.u(0, 8)  # junk that would be CAVLC data
+    evil = (data[: nals[0][1] - 4]
+            + b"\x00\x00\x00\x01" + data[nals[0][1] : nals[1][2]]
+            + b"\x00\x00\x00\x01" + bytes([data[s]])
+            + _insert_epb(w.rbsp_trailing()))
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        decode_h264(evil)
+
+
+def test_corrupt_streams_reject():
+    rng = np.random.RandomState(6)
+    data = encode_h264_ipcm([_mkframe(rng, 16, 16)], 16, 16)
+    with pytest.raises(ValueError):
+        decode_h264(data[: len(data) - 40])  # truncated PCM payload
+    assert decode_h264(b"") == []  # no NALs → no frames
+    with pytest.raises(ValueError, match="SPS"):
+        # strip the SPS: PPS now references an unknown SPS
+        nals = split_nals(data)
+        decode_h264(data[nals[0][2] :])
+
+
+# -- Spark path ------------------------------------------------------------------
+
+
+def test_sample_frames_h264_spark(spark):
+    from peerdb_spark.functions.multimodal import sample_frames_h264
+
+    rng = np.random.RandomState(8)
+    rows = []
+    truth = {}
+    for mid in range(2):
+        frames = [_mkframe(rng, 32, 16) for _ in range(4)]
+        truth[mid] = frames
+        rows.append((mid, encode_h264_ipcm(frames, 32, 16)))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = sample_frames_h264(df, stride=2).collect()
+    assert sorted((r["media_id"], r["frame_idx"]) for r in out) == [
+        (0, 0), (0, 2), (1, 0), (1, 2)]
+    for r in out:
+        Y, Cb, Cr = truth[r["media_id"]][r["frame_idx"]]
+        assert (r["width"], r["height"]) == (32, 16)
+        px = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(16, 32, 3)
+        # spot-pin: the RGB frame must come from THIS frame's luma (r+g+b
+        # correlates with Y); reconstruct expected via the decoder itself
+        want = decode_h264(
+            encode_h264_ipcm([(Y, Cb, Cr)], 32, 16))[0][2]
+        assert bytes(r["frame"]) == want

@@ -97,13 +97,15 @@ def test_decode_rejects_bad_inputs():
     ) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="interlace"):
         decode_png(png)
-    # sub-byte depths (1/2/4) → NotImplementedError (16 decodes since r6)
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
-    png = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(
-        b"IDAT", zlib.compress(bytes([0, 1]))
-    ) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="depth"):
-        decode_png(png)
+    # spec §11.2.2 invalid (color type, depth) combos → hard error
+    # (sub-byte 1/2/4 decode for gray/palette since r9; 16 since r6)
+    for ct, dep in [(2, 4), (6, 2), (3, 16), (0, 3), (4, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, dep, ct, 0, 0, 0)
+        png = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(
+            b"IDAT", zlib.compress(bytes([0, 1]))
+        ) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="depth|color type"):
+            decode_png(png)
 
 
 # -- encode → decode roundtrips ---------------------------------------------
@@ -241,7 +243,7 @@ def test_decode_16bit_samples():
     ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
     bad = (_SIGNATURE + _chunk(b"IHDR", ihdr)
            + _chunk(b"IDAT", zlib.compress(bytes(3))) + _chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="16-bit"):
+    with pytest.raises(ValueError, match="depth 16 invalid"):
         decode_png(bad)
 
 
@@ -314,3 +316,86 @@ def test_adam7_truncated_rejects():
            + _chunk(b"IDAT", short) + _chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+# -- sub-byte bit depths (1/2/4, color types 0 and 3) — r9 -------------------
+
+
+def test_subbyte_gray_roundtrip_all_filters():
+    """k-bit gray roundtrips bit-exact through pack→filter→decode for every
+    filter type; widths chosen to exercise partial trailing bytes."""
+    rng = np.random.RandomState(21)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for w, h in ((1, 1), (3, 2), (8, 5), (13, 7), (31, 9)):
+            g = rng.randint(0, 1 << depth, size=(h, w)).astype(np.uint8) * scale
+            rgb = np.repeat(g[:, :, None], 3, axis=2).tobytes()
+            for ft in range(5):
+                png = encode_png(
+                    rgb, w, h, filter_for_row=lambda y, ft=ft: ft,
+                    color_type=0, bit_depth=depth,
+                )
+                assert decode_png(png) == (w, h, rgb), (depth, w, h, ft)
+
+
+def test_subbyte_palette_roundtrip():
+    rng = np.random.RandomState(22)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        pal = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.randint(0, n, size=(7, 13))
+        rgb = pal[idx].tobytes()
+        png = encode_png(
+            rgb, 13, 7, filter_for_row=lambda y: 4, color_type=3,
+            bit_depth=depth,
+        )
+        assert decode_png(png) == (13, 7, rgb)
+
+
+def test_subbyte_packing_is_msb_first():
+    """Spec §7.2: within a byte the leftmost pixel is in the high bits.
+    A 1-bit row [1,0,1,1,0,0,0,1] must pack to exactly 0xB1."""
+    g = np.array([[255, 0, 255, 255, 0, 0, 0, 255]], dtype=np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2).tobytes()
+    png = encode_png(rgb, 8, 1, color_type=0, bit_depth=1)
+    raw = zlib.decompress(png[png.index(b"IDAT") + 4 : -16])
+    assert raw == bytes([0, 0b10110001])
+    assert decode_png(png) == (8, 1, rgb)
+
+
+def test_subbyte_adam7_hand_layout():
+    """Hand-packed interlaced 1-bit 2x2: pass rows carry packed bits and
+    each pass pads to its own byte boundary."""
+    # image: [[1,0],[0,1]] → pass1=(0,0)=1, pass6=(1,0)=0, pass7=row1=[0,1]
+    out = bytes([0, 0b10000000]) + bytes([0, 0b00000000]) + bytes([0, 0b01000000])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 1)
+    png = (_SIGNATURE + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(out)) + _chunk(b"IEND", b""))
+    w, h, rgb = decode_png(png)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(2, 2, 3)
+    assert (px[:, :, 0] == np.array([[255, 0], [0, 255]])).all()
+
+
+def test_subbyte_encode_rejects():
+    # gray not a multiple of the scale step → no exact roundtrip possible
+    with pytest.raises(ValueError, match="multiples"):
+        encode_png(bytes([7] * 3), 1, 1, color_type=0, bit_depth=4)
+    # palette wider than the depth can index
+    pal = np.repeat(np.arange(8, dtype=np.uint8), 3).tobytes()
+    with pytest.raises(ValueError, match="palette|entries"):
+        encode_png(pal, 8, 1, color_type=3, bit_depth=2)
+    # sub-byte depth on a truecolor type is a spec violation
+    with pytest.raises(ValueError, match="invalid"):
+        encode_png(bytes(3), 1, 1, color_type=2, bit_depth=4)
+
+
+def test_subbyte_palette_index_out_of_range_rejects():
+    """A 4-bit palette image whose sample indexes past the PLTE must hard
+    error, not wrap or read garbage."""
+    plte = _chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))  # 2 entries
+    raw = bytes([0, 0xF0])  # one pixel, index 15
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 3, 0, 0, 0)
+    png = (_SIGNATURE + _chunk(b"IHDR", ihdr) + plte
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
