@@ -148,6 +148,7 @@ def main() -> None:
         "media_resize",
         "media_frame_sample",
         "media_frame_sample_mjpeg",
+        "media_frame_sample_h264",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",

@@ -225,6 +225,63 @@ def encode_images_jpeg(
     return narrow.mapInPandas(run, out_schema)
 
 
+def encode_frames_h264(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """raw-RGB media → single-picture H.264 Annex-B I_PCM streams
+    (functions/h264.py encoder) via Arrow batches; meta rewrites to
+    video/h264. Concatenating the outputs of several rows yields a valid
+    multi-picture elementary stream (each carries its own SPS/PPS + IDR)
+    — the assembly pattern the h264 gate query uses, mirroring MJPEG.
+    RGB→YCbCr is the JFIF matrix with 2×2 box-average 4:2:0 chroma; a
+    gray input (r==g==b) maps to Y==r, Cb==Cr==128 exactly, which is the
+    analytically-checkable path the oracle pins."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        from peerdb_spark.functions.h264 import encode_h264_ipcm
+
+        for pdf in batches:
+            contents, metas = [], []
+            for c, w, h in zip(pdf[content_col], pdf["_w"], pdf["_h"]):
+                w, h = int(w), int(h)
+                img = np.frombuffer(bytes(c), dtype=np.uint8).reshape(
+                    h, w, 3).astype(np.float64)
+                r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+                y = np.clip(np.round(
+                    0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+                cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+                cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+                # 2×2 box-average 4:2:0 (pad odd edges by replication)
+                def sub(p):
+                    ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                    q = ph.reshape(ph.shape[0] // 2, 2,
+                                   ph.shape[1] // 2, 2).mean(axis=(1, 3))
+                    return np.clip(np.round(q), 0, 255).astype(np.uint8)
+
+                contents.append(encode_h264_ipcm(
+                    [(y.astype(np.uint8), sub(cb), sub(cr))], w, h))
+                metas.append(("video/h264", w, h, None, "h264"))
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "content": contents, "meta": metas}
+            )
+
+    narrow = df.select(
+        id_col, content_col,
+        F.col("meta.width").alias("_w"), F.col("meta.height").alias("_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
 def extract_features(df: DataFrame, content_col: str = "content",
                      id_col: str = "media_id", dim: int = FEATURE_DIM) -> DataFrame:
     """media → (media_id, feature array<float>) via Arrow-batched mapInPandas.

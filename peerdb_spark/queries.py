@@ -3932,6 +3932,126 @@ FROM px GROUP BY media_id, frame_idx
 """
 
 
+def q_media_frame_sample_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 elementary-stream frame sampling (round 9): each media is an
+    Annex-B stream of 4 IDR I_PCM pictures (functions/h264.py — a
+    conforming baseline stream any decoder plays; I_PCM carries raw
+    samples inside real NAL/slice/macroblock structure); every 2nd picture
+    is located by the NAL structure walk (split_h264_frames — one
+    exp-Golomb peek per VCL NAL, skipped pictures' macroblock payloads are
+    never read) and decoded back. Every byte of the sampled frames
+    value-verifies against the analytic per-frame pixel formula: gray
+    input ⇒ Y==v and Cb==Cr==128 exactly through the JFIF matrix, so the
+    decoded RGB equals the generated content byte-for-byte.
+
+    Fixture shape follows the r9 MJPEG lesson (verdict #4): the pixel
+    formula depends on media_id only through media_id % 8, and the
+    selected ids (doc_id % 6 == 3, i.e. 6k+3) realize exactly 4 distinct
+    (pixel-base, width) classes keyed by k mod 4 — so the gate encodes 16
+    single-picture streams TOTAL (4 containers), broadcast-joins a
+    container to every media, and spends its time on the per-media NAL
+    walk + strided I_PCM decode it exists to gate. Width 24 (vs 16)
+    exercises SPS frame cropping (2 MBs cropped to 24 px)."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    base = spark.range(4).select(
+        F.col("id").alias("vk"),
+        (F.col("id") * 6 + 3).alias("mid"),
+    ).select(
+        "vk", "mid",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+    )
+    w = (F.lit(16) + (F.col("vk") % 2) * 8).cast("int")
+    h = F.lit(16).cast("int")
+    n_bytes = w.cast("long") * h * 3
+    tile_v = (
+        lambda i: (
+            ((F.col("mid") % 8) * 37 + F.col("frame_idx") * 11
+             + F.floor(F.floor(i / (w * 3)) / 8) * 8
+             + F.floor((i % (w * 3)) / 3 / 8) * 3) % 128
+        ) * 2
+    )
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex(tile_v(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    frames = base.select(
+        (F.col("vk") * 4 + F.col("frame_idx")).alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+    enc = MM.encode_frames_h264(frames)
+    containers = (
+        enc.select(
+            (F.col("media_id") / 4).cast("long").alias("vk"),
+            F.pmod(F.col("media_id"), F.lit(4)).cast("int").alias("fidx"),
+            "content",
+        )
+        .groupBy("vk")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("fidx"), F.col("content")))
+                    ),
+                    lambda s: s["content"],
+                ),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x),
+            ).alias("content")
+        )
+    )
+    streams = (
+        docs.where(did % 6 == 3)
+        .select(
+            did.alias("media_id"),
+            F.pmod(F.floor(did / 6), F.lit(4)).cast("long").alias("vk"),
+        )
+        .join(F.broadcast(containers), "vk")
+        .select("media_id", "content")
+    )
+    sampled = MM.sample_frames_h264(streams, stride=2)
+    return sampled.select(
+        "media_id", "frame_idx", "width", "height",
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE_H264 = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + (((doc_id // 6) % 4) % 2) * 8 AS INT) AS w
+  FROM documents WHERE doc_id % 6 = 3
+),
+f AS (
+  SELECT media_id, w, CAST(u.f AS INT) AS frame_idx
+  FROM m, unnest([0, 2]) u(f)
+),
+px AS (
+  SELECT media_id, frame_idx, w, u.i AS i,
+         2 * (((media_id % 8) * 37 + frame_idx * 11
+               + ((u.i // (w * 3)) // 8) * 8
+               + (((u.i % (w * 3)) // 3) // 8) * 3) % 128) AS v
+  FROM f, unnest(range(0, CAST(w AS BIGINT) * 16 * 3)) u(i)
+)
+SELECT media_id, frame_idx, CAST(min(w) AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       string_agg(printf('%02x', v), '' ORDER BY i) AS frame_hex
+FROM px GROUP BY media_id, frame_idx
+"""
+
+
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG encode→decode roundtrip through the from-scratch codec
     (functions/jpeg.py: Huffman entropy coding, byte stuffing, DCT): the
@@ -5640,6 +5760,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
+    "media_frame_sample_h264": q_media_frame_sample_h264,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
@@ -5752,6 +5873,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
+    "media_frame_sample_h264": SQL_MEDIA_FRAME_SAMPLE_H264,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
     "media_decode_jpeg_progressive": SQL_MEDIA_DECODE_JPEG_PROGRESSIVE,
@@ -5816,8 +5938,16 @@ _ORACLES_IMPL: dict[str, str] = {
 #   normalize.py grew the LWW skew guard + maybe_split wiring, cdc.py
 #   threads the new config — every query whose path crosses
 #   merge_into_table / ParquetTable re-gates (verdicts #1/#6)
+# - the media_decode family: png.py grew sub-byte depths (r9 session 2),
+#   jpeg.py grew 12-bit SOF1 + lossless SOF3 and the precision-threaded
+#   dequant/IDCT/color tail — every query decoding through those paths
+#   re-gates
 _REGATE_THIS_ROUND = [
     "media_frame_sample_mjpeg",
+    "media_decode_png",
+    "media_decode_jpeg",
+    "media_decode_jpeg_progressive",
+    "media_frame_sample",
     "cdc_normalize_merge",
     "cdc_lww_dedup",
     "cdc_soft_delete",
@@ -5839,12 +5969,14 @@ _NEW_THIS_ROUND: list[str] = [
     # the SAME oracle SQL as their unsplit/unsalted twins
     "cdc_split_merge",
     "cdc_lww_skew_dedup",
+    # r9 session 2: H.264 NAL-walk frame sampling over I_PCM streams
+    "media_frame_sample_h264",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 14 regate + 36 of these fill the 50-slot window; the tail past slot 50
-# refreshes next round (they are also the lowest-risk: pure-SQL surfaces
-# whose modules did not change this round).
+# 18 regate + 3 new + 29 of these fill the 50-slot window; the tail past
+# slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
+# surfaces whose modules did not change this round).
 _STALE_REFRESH = [
     "unigram_surprisal",
     "qrep_null_partition",
@@ -5889,9 +6021,6 @@ _STALE_REFRESH = [
 # (kept for the judge's audit trail; relative order preserved).
 _GATE_GREEN_R8 = [
     "exotic_types",
-    "media_decode_jpeg",
-    "media_decode_jpeg_progressive",
-    "media_frame_sample",
     "bpe_train_batched_merges",
     "ivf_topk",
     "ann_lsh_topk",
@@ -5907,7 +6036,6 @@ _GATE_GREEN_R7 = [
     "media_resize",
     "media_frame_plan",
     "events_session_native",
-    "media_decode_png",
 ]
 
 _GATE_GREEN_R6 = [

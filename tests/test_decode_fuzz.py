@@ -66,6 +66,48 @@ _SEEDS = {
         lambda: KW.encode_record_batch([(b"k", b"v" * 50)] * 5,
                                        compression="snappy"),
     ),
+    "png_subbyte": (
+        decode_png,
+        lambda: encode_png(
+            np.repeat(
+                (_img()[:, :, 0] % 16 * 17)[:, :, None], 3, axis=2
+            ).tobytes(),
+            24, 24, lambda y: y % 5, color_type=0, bit_depth=4,
+        ),
+    ),
+    "jpeg_lossless": (
+        lambda b: __import__(
+            "peerdb_spark.functions.jpeg", fromlist=["decode_jpeg_lossless"]
+        ).decode_jpeg_lossless(b),
+        lambda: __import__(
+            "peerdb_spark.functions.jpeg", fromlist=["encode_jpeg_lossless"]
+        ).encode_jpeg_lossless(
+            (_img()[:, :, 0].astype(np.uint16) * 16), 12, predictor=4,
+            restart_interval=6,
+        ),
+    ),
+    "h264_ipcm": (
+        lambda b: __import__(
+            "peerdb_spark.functions.h264", fromlist=["decode_h264"]
+        ).decode_h264(b),
+        lambda: __import__(
+            "peerdb_spark.functions.h264", fromlist=["encode_h264_ipcm"]
+        ).encode_h264_ipcm(
+            [(_img()[:16, :16, 0], _img()[:8, :8, 1], _img()[:8, :8, 2])],
+            16, 16,
+        ),
+    ),
+    "h264_frame_walk": (
+        lambda b: __import__(
+            "peerdb_spark.functions.h264", fromlist=["split_h264_frames"]
+        ).split_h264_frames(b),
+        lambda: __import__(
+            "peerdb_spark.functions.h264", fromlist=["encode_h264_ipcm"]
+        ).encode_h264_ipcm(
+            [(_img()[:16, :16, 0], _img()[:8, :8, 1], _img()[:8, :8, 2])] * 3,
+            16, 16,
+        ),
+    ),
 }
 
 
