@@ -603,6 +603,138 @@ def sample_frames_h264(
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
 
+def decode_audio(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """WAV media → (media_id, sample_rate, channels, bit_depth, n_samples,
+    pcm) with pcm the decoded interleaved int32 little-endian buffer
+    (functions/audio.py: PCM 8/16/24/32 + IEEE float, extensible headers,
+    chunk-walk validation). The audio twin of decode_images: metadata
+    comes from the DECODED stream, not trusted meta."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bit_depth", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("pcm", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.audio import parse_wav
+
+        for pdf in batches:
+            ids, rates, chs, bits_, ns, pcms = [], [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                rate, ch, bits, samples = parse_wav(bytes(c))
+                ids.append(mid)
+                rates.append(rate)
+                chs.append(ch)
+                bits_.append(bits)
+                ns.append(samples.shape[0])
+                pcms.append(samples.astype("<i4").tobytes())
+            yield _pd.DataFrame(
+                {id_col: ids, "sample_rate": rates, "channels": chs,
+                 "bit_depth": bits_, "n_samples": ns, "pcm": pcms}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def audio_frame_features(
+    df: DataFrame, frame_len: int = 400,
+    content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """WAV media → per-frame integer-exact features (media_id, frame_idx,
+    n_samples, sum_sq, zero_crossings, peak) over the channel mixdown —
+    the VAD/quality primitives of speech-corpus curation (energy gating,
+    silence trimming, clipping detection), exactly restatable in SQL
+    (the declared oracle recomputes every value). Arrow-batched; frames
+    multiply rows inside the batch like the image frame samplers."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+    fl = frame_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.audio import frame_features, parse_wav
+
+        for pdf in batches:
+            ids, idxs, ns, ss, zcs, pks = [], [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                _r, _ch, _b, samples = parse_wav(bytes(c))
+                for fi, n, sq, zc, pk in frame_features(samples, fl):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ns.append(n)
+                    ss.append(sq)
+                    zcs.append(zc)
+                    pks.append(pk)
+            yield _pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "n_samples": ns,
+                 "sum_sq": ss, "zero_crossings": zcs, "peak": pks}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def resample_audio(
+    df: DataFrame, dst_rate: int,
+    content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """WAV media → rate-normalized (media_id, sample_rate, channels,
+    n_samples, pcm int32-LE) via exact-rational linear interpolation
+    (functions/audio.py:resample_linear) — corpus ingest's sample-rate
+    unifier. Arrow-batched mapInPandas."""
+    if dst_rate < 1:
+        raise ValueError(f"dst_rate must be >= 1, got {dst_rate}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("pcm", T.BinaryType()),
+        ]
+    )
+    dr = dst_rate
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.audio import parse_wav, resample_linear
+
+        for pdf in batches:
+            ids, rates, chs, ns, pcms = [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                rate, ch, _b, samples = parse_wav(bytes(c))
+                out = resample_linear(samples, rate, dr)
+                ids.append(mid)
+                rates.append(dr)
+                chs.append(ch)
+                ns.append(out.shape[0])
+                pcms.append(out.astype("<i4").tobytes())
+            yield _pd.DataFrame(
+                {id_col: ids, "sample_rate": rates, "channels": chs,
+                 "n_samples": ns, "pcm": pcms}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000,
                       id_col: str = "media_id") -> DataFrame:
     """Video frame-sampling plumbing: (media_id, frame_ts_ms) rows from the

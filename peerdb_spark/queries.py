@@ -4052,6 +4052,104 @@ FROM px GROUP BY media_id, frame_idx
 """
 
 
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV decode + frame features (round 9): each media is a real PCM16
+    mono WAV (RIFF header + 400 deterministic samples) built from Spark
+    expressions, decoded by the from-scratch RIFF walk
+    (functions/audio.py:parse_wav), framed at 64 samples, and reduced to
+    the integer-exact VAD primitives (sum-of-squares energy, strict-sign
+    zero crossings over nonzero runs, peak) — every value restated by the
+    oracle from the same sample formula, so the decode+mixdown+framing
+    path is verified end-to-end, trailing partial frame included.
+
+    Fixture shape: the sample formula depends on media_id only through
+    media_id % 8, and doc_id % 6 == 5 selects ids realizing exactly 4
+    classes — 4 WAV blobs total, broadcast-joined to every media row."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    n_samp = 400
+    base = spark.range(4).select(
+        F.col("id").alias("vk"),
+        (F.col("id") * 6 + 5).alias("mid"),
+    )
+    # v(t) = ((mid%8)*97 + t*37) % 4001 - 2000 — int16-safe, sign-varying
+    samp = (
+        lambda t: ((F.col("mid") % 8) * 97 + t * 37) % 4001 - 2000
+    )
+    # int16 little-endian hex of the two's-complement value
+    le16 = (
+        lambda v: F.concat(
+            F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 3, 2),
+            F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 1, 2),
+        )
+    )
+    # RIFF/WAVE header for mono PCM16 @16kHz with 400 samples (800 B data):
+    # RIFF size 836, fmt(16): tag 1, ch 1, rate 16000, brate 32000,
+    # align 2, bits 16
+    header_hex = (
+        "52494646" "44030000" "57415645" "666d7420" "10000000"
+        "0100" "0100" "803e0000" "007d0000" "0200" "1000"
+        "64617461" "20030000"
+    )
+    wav = F.unhex(
+        F.concat(
+            F.lit(header_hex),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_samp - 1)), lambda t: le16(samp(t))
+                ),
+                "",
+            ),
+        )
+    )
+    containers = base.select("vk", wav.alias("content"))
+    media = (
+        docs.where(did % 6 == 5)
+        .select(
+            did.alias("media_id"),
+            F.pmod(F.floor(did / 6), F.lit(4)).cast("long").alias("vk"),
+        )
+        .join(F.broadcast(containers), "vk")
+        .select("media_id", "content")
+    )
+    return MM.audio_frame_features(media, frame_len=64).select(
+        "media_id", "frame_idx", "n_samples", "sum_sq",
+        "zero_crossings", "peak",
+    )
+
+
+SQL_AUDIO_FRAME_ENERGY = """
+WITH m AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 6 = 5
+),
+s AS (
+  SELECT media_id, u.t AS t, CAST(u.t // 64 AS INT) AS frame_idx,
+         ((media_id % 8) * 97 + u.t * 37) % 4001 - 2000 AS v
+  FROM m, unnest(range(0, 400)) u(t)
+),
+zc AS (
+  SELECT media_id, frame_idx,
+         count(*) FILTER (
+           WHERE prev IS NOT NULL AND sign(prev) * sign(v) < 0
+         ) AS zero_crossings
+  FROM (
+    SELECT media_id, frame_idx, v,
+           lag(v) OVER (PARTITION BY media_id, frame_idx ORDER BY t) AS prev
+    FROM s WHERE v <> 0
+  ) GROUP BY media_id, frame_idx
+)
+SELECT s.media_id AS media_id, s.frame_idx AS frame_idx,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       CAST(coalesce(min(zc.zero_crossings), 0) AS INT) AS zero_crossings,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM s LEFT JOIN zc ON s.media_id = zc.media_id AND s.frame_idx = zc.frame_idx
+GROUP BY s.media_id, s.frame_idx
+"""
+
+
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG encode→decode roundtrip through the from-scratch codec
     (functions/jpeg.py: Huffman entropy coding, byte stuffing, DCT): the
@@ -5761,6 +5859,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
     "media_frame_sample_h264": q_media_frame_sample_h264,
+    "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
@@ -5874,6 +5973,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
     "media_frame_sample_h264": SQL_MEDIA_FRAME_SAMPLE_H264,
+    "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
     "media_decode_jpeg_progressive": SQL_MEDIA_DECODE_JPEG_PROGRESSIVE,
@@ -5969,8 +6069,10 @@ _NEW_THIS_ROUND: list[str] = [
     # the SAME oracle SQL as their unsplit/unsalted twins
     "cdc_split_merge",
     "cdc_lww_skew_dedup",
-    # r9 session 2: H.264 NAL-walk frame sampling over I_PCM streams
+    # r9 session 2: H.264 NAL-walk frame sampling over I_PCM streams, and
+    # WAV decode + integer-exact frame features (the audio VAD primitives)
     "media_frame_sample_h264",
+    "audio_frame_energy",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.

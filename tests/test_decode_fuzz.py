@@ -97,6 +97,16 @@ _SEEDS = {
             16, 16,
         ),
     ),
+    "wav": (
+        lambda b: __import__(
+            "peerdb_spark.functions.audio", fromlist=["parse_wav"]
+        ).parse_wav(b),
+        lambda: __import__(
+            "peerdb_spark.functions.audio", fromlist=["encode_wav"]
+        ).encode_wav(
+            (_img()[:, :2, 0].astype(np.int32) - 128) * 200, 16000, 24
+        ),
+    ),
     "h264_frame_walk": (
         lambda b: __import__(
             "peerdb_spark.functions.h264", fromlist=["split_h264_frames"]
