@@ -12,9 +12,14 @@ mapInPandas kernels over (media_id, content, meta) rows.
 Codec scope (strict rejects, never wrong samples):
 - PCM integer 8 (unsigned) / 16 / 24 / 32-bit little-endian and IEEE
   float32/float64 (format tags 1 and 3, plus WAVE_FORMAT_EXTENSIBLE
-  (0xFFFE) wrapping either), any channel count.
-- Compressed WAV codecs (ADPCM, mu-law/A-law, MP3-in-WAV) raise
-  NotImplementedError — they genuinely need tables/codecs out of scope.
+  (0xFFFE) wrapping any supported tag), any channel count.
+- G.711 A-law (tag 6) and mu-law (tag 7): the logarithmic companding
+  expansion computed from the public formulas (segment/mantissa decode —
+  mu-law ((m<<3)+0x84)<<s − 0x84 over the inverted code, A-law the
+  13-bit segmented equivalent scaled ×8), hitting the canonical 16-bit
+  extrema ±32124 (mu) / ±32256 (A) and mu-law's two zero codes.
+- ADPCM / MP3-in-WAV raise NotImplementedError — those genuinely need
+  codec tables/libraries out of scope.
 - Chunk walk tolerates LIST/fact/cue metadata, enforces even-byte chunk
   padding, and validates sizes; a torn payload is ValueError, never
   silently-wrong samples.
@@ -38,6 +43,35 @@ __all__ = [
     "frame_features",
     "resample_linear",
 ]
+
+
+def _mulaw_table() -> np.ndarray:
+    """G.711 mu-law code → 16-bit linear (the public expansion formula:
+    invert the code, split sign/segment/mantissa, magnitude =
+    ((m<<3) + 0x84) << s − 0x84). Extrema ±32124; codes 0xFF and 0x7F
+    both decode to 0 (mu-law's two zeros)."""
+    codes = np.arange(256, dtype=np.uint8)
+    u = (~codes) & 0xFF
+    seg = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << seg) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law code → 16-bit linear: XOR 0x55, segmented expansion
+    ((m<<4)+8 for segment 0, ((m<<4)+0x108)<<(s−1) above) scaled ×... the
+    standard 16-bit alignment is <<3 (extrema ±32256)."""
+    codes = np.arange(256, dtype=np.uint8)
+    a = codes ^ 0x55
+    seg = (a >> 4) & 0x7
+    mant = (a & 0xF).astype(np.int32)
+    mag = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
 
 
 def parse_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -97,10 +131,13 @@ def _parse_wav(data: bytes):
     elif audio_fmt == 3:  # IEEE float
         if bits not in (32, 64):
             raise ValueError(f"invalid float bit depth {bits}")
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise ValueError(f"G.711 samples are 8-bit, got {bits}")
     else:
         raise NotImplementedError(
-            f"WAV format tag {audio_fmt} (ADPCM/mu-law/...) needs a codec "
-            "out of scope; PCM and IEEE-float WAV decode"
+            f"WAV format tag {audio_fmt} (ADPCM/MP3/...) needs a codec "
+            "out of scope; PCM, IEEE-float, and G.711 WAV decode"
         )
     stride = n_ch * (bits // 8)
     if block_align and block_align != stride:
@@ -108,7 +145,11 @@ def _parse_wav(data: bytes):
     if len(raw) % stride:
         raise ValueError("data chunk is not a whole number of frames")
     n = len(raw) // stride
-    if audio_fmt == 3:
+    if audio_fmt in (6, 7):
+        codes = np.frombuffer(raw, dtype=np.uint8)
+        lut = _alaw_table() if audio_fmt == 6 else _mulaw_table()
+        samples = lut[codes].astype(np.int32).reshape(n, n_ch)
+    elif audio_fmt == 3:
         dt = "<f4" if bits == 32 else "<f8"
         f = np.frombuffer(raw, dtype=dt).reshape(n, n_ch).astype(np.float64)
         if not np.isfinite(f).all():

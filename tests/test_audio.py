@@ -86,8 +86,8 @@ def test_rejects():
         parse_wav(b"OggS" + good[4:])
     with pytest.raises(ValueError, match="truncated|exceeds"):
         parse_wav(good[:-3])
-    # compressed formats are an honest gate
-    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law
+    # compressed formats are an honest gate (G.711 decodes since r9)
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # MS ADPCM
     with pytest.raises(NotImplementedError, match="codec"):
         parse_wav(_wav_header(fmt, b"\x00" * 4))
     # torn frame boundary
@@ -180,3 +180,40 @@ def test_resample_audio_spark(spark):
     got = np.frombuffer(bytes(r["pcm"]), dtype="<i4").reshape(-1, 1)
     want = resample_linear(s, 8000, 16000)
     assert r["sample_rate"] == 16000 and (got == want).all()
+
+
+# -- G.711 companding (format tags 6/7) — r9 ----------------------------------
+
+
+def test_g711_canonical_anchors():
+    """The published G.711 16-bit expansion constants: mu-law extrema
+    ±32124 with TWO zero codes (0xFF, 0x7F); A-law extrema ±32256 with
+    minimum magnitude 8 (no zero). Monotone magnitude within each sign
+    half — the properties every published table satisfies."""
+    from peerdb_spark.functions.audio import _alaw_table, _mulaw_table
+
+    mu, al = _mulaw_table(), _alaw_table()
+    assert (int(mu.min()), int(mu.max())) == (-32124, 32124)
+    assert mu[0xFF] == 0 and mu[0x7F] == 0 and mu[0x00] == -32124
+    assert (int(al.min()), int(al.max())) == (-32256, 32256)
+    assert al[0x55] == -8 and al[0xD5] == 8  # a^0x55 = 0 / 0x80
+    assert int(np.abs(al).min()) == 8
+    # positive half (codes 0x80..0xFF) descends to zero; negative half
+    # (0x00..0x7F) ascends from -32124 to zero
+    assert np.all(np.diff(mu[0x80:0x100].astype(int)) <= 0)
+    assert np.all(np.diff(mu[0x00:0x80].astype(int)) >= 0)
+
+
+def test_g711_wav_decode():
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = bytes([0xFF, 0x7F, 0x00, 0x80])
+    _, _, bits, out = parse_wav(_wav_header(fmt, data))
+    assert bits == 8 and out[:, 0].tolist() == [0, 0, -32124, 32124]
+    fmt = struct.pack("<HHIIHH", 6, 2, 8000, 16000, 2, 8)
+    data = bytes([0x55, 0xD5, 0x2A, 0xAA])
+    _, ch, _, out = parse_wav(_wav_header(fmt, data))
+    assert ch == 2 and out.reshape(-1).tolist() == [-8, 8, -32256, 32256]
+    # G.711 is 8-bit by definition
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError, match="8-bit"):
+        parse_wav(_wav_header(fmt, bytes(4)))
