@@ -149,6 +149,7 @@ def main() -> None:
         "media_frame_sample",
         "media_frame_sample_mjpeg",
         "media_frame_sample_h264",
+        "media_frame_sample_mp4",
         "audio_frame_energy",
         "media_decode_png",
         "media_decode_jpeg",

@@ -603,6 +603,119 @@ def sample_frames_h264(
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
 
+def sample_frames_mp4(
+    df: DataFrame,
+    stride: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    keyframes_only: bool = False,
+) -> DataFrame:
+    """Frame extraction over MP4 containers (functions/mp4.py): the moov
+    sample tables ARE the frame index (stsz/stsc/stco resolved to byte
+    ranges, stss marking keyframes) — no payload byte of a skipped sample
+    is ever touched — and every selected sample converts length-prefixed
+    NALs to Annex-B (avcC SPS/PPS prepended) and decodes through the
+    H.264 I_PCM path. keyframes_only=True restricts to stss sync samples
+    BEFORE striding (the classic thumbnail/sampling plan). Emits
+    (media_id, frame_idx, width, height, frame) like the MJPEG/H.264
+    samplers; same Arrow scale shape."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    st, kf = stride, keyframes_only
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.h264 import decode_h264
+        from peerdb_spark.functions.mp4 import (
+            mp4_sample_ranges,
+            mp4_sample_to_annexb,
+            parse_mp4,
+        )
+
+        for pdf in batches:
+            ids, idxs, ws, hs, frames = [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(c or b"")
+                if not blob:
+                    continue
+                video = [
+                    t for t in parse_mp4(blob)["tracks"]
+                    if t.get("codec") in ("avc1", "avc3")
+                ]
+                if not video:
+                    continue
+                trk = video[0]
+                ranges = mp4_sample_ranges(trk)
+                if kf:
+                    ranges = [
+                        (i, r) for i, r in enumerate(ranges) if r[2]
+                    ]
+                else:
+                    ranges = list(enumerate(ranges))
+                for j, (i, (off, size, _sync, _dts)) in enumerate(ranges):
+                    if j % st:
+                        continue  # skipped samples: index-only, no bytes
+                    annexb = mp4_sample_to_annexb(blob, trk, off, size)
+                    w, h, rgb = decode_h264(annexb)[0]
+                    ids.append(mid)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    frames.append(rgb)
+            yield _pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "width": ws, "height": hs,
+                 "frame": frames}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def mux_frames_mp4(
+    df: DataFrame, id_col: str = "media_id", frames_col: str = "frames",
+) -> DataFrame:
+    """(id, width, height, frames array<binary> of Annex-B pictures) →
+    (id, content) MP4 containers via the minimal muxer
+    (functions/mp4.py:encode_mp4_h264). The container twin of the MJPEG
+    concat-aggregate: parameter sets hoist into avcC, one sample per
+    picture, IDR samples marked in stss."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.mp4 import encode_mp4_h264
+
+        for pdf in batches:
+            ids, contents = [], []
+            for mid, w, h, frames in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf[frames_col]
+            ):
+                ids.append(mid)
+                contents.append(
+                    encode_mp4_h264([bytes(f) for f in frames], int(w), int(h))
+                )
+            yield _pd.DataFrame({id_col: ids, "content": contents})
+
+    return df.select(id_col, "width", "height", frames_col).mapInPandas(
+        run, out_schema
+    )
+
+
 def decode_audio(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:

@@ -4052,6 +4052,119 @@ FROM px GROUP BY media_id, frame_idx
 """
 
 
+def q_media_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container frame sampling (round 9): each media is a real
+    ISO-BMFF file (ftyp + mdat + moov sample tables, avcC parameter sets)
+    wrapping 4 IDR I_PCM pictures; the moov tables are the frame index
+    (functions/mp4.py — stsz/stsc/stco resolved to byte ranges, skipped
+    samples' payloads never read), every 2nd sample converts
+    length-prefixed NALs to Annex-B and decodes through the H.264 I_PCM
+    path, and every byte verifies against the analytic gray oracle.
+
+    Fixture shape: 4 distinct containers (pixel base media_id % 8 over
+    the doc_id % 6 == 0 selection) broadcast to every media row — the
+    per-media work under test is the sample-table walk + strided decode."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    base = spark.range(4).select(
+        F.col("id").alias("vk"),
+        (F.col("id") * 6).alias("mid"),
+    ).select(
+        "vk", "mid",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+    )
+    w = (F.lit(16) + (F.col("vk") % 2) * 16).cast("int")
+    h = F.lit(16).cast("int")
+    n_bytes = w.cast("long") * h * 3
+    tile_v = (
+        lambda i: (
+            ((F.col("mid") % 8) * 41 + F.col("frame_idx") * 13
+             + F.floor(F.floor(i / (w * 3)) / 8) * 8
+             + F.floor((i % (w * 3)) / 3 / 8) * 3) % 128
+        ) * 2
+    )
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex(tile_v(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    frames = base.select(
+        (F.col("vk") * 4 + F.col("frame_idx")).alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+    enc = MM.encode_frames_h264(frames)
+    grouped = (
+        enc.select(
+            (F.col("media_id") / 4).cast("long").alias("vk"),
+            F.pmod(F.col("media_id"), F.lit(4)).cast("int").alias("fidx"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            "content",
+        )
+        .groupBy("vk")
+        .agg(
+            F.first("width").alias("width"),
+            F.first("height").alias("height"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("fidx"), F.col("content")))
+                ),
+                lambda s: s["content"],
+            ).alias("frames"),
+        )
+    )
+    containers = MM.mux_frames_mp4(grouped, id_col="vk")
+    media = (
+        docs.where(did % 6 == 0)
+        .select(
+            did.alias("media_id"),
+            F.pmod(F.floor(did / 6), F.lit(4)).cast("long").alias("vk"),
+        )
+        .join(F.broadcast(containers), "vk")
+        .select("media_id", "content")
+    )
+    sampled = MM.sample_frames_mp4(media, stride=2)
+    return sampled.select(
+        "media_id", "frame_idx", "width", "height",
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE_MP4 = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + (((doc_id // 6) % 4) % 2) * 16 AS INT) AS w
+  FROM documents WHERE doc_id % 6 = 0
+),
+f AS (
+  SELECT media_id, w, CAST(u.f AS INT) AS frame_idx
+  FROM m, unnest([0, 2]) u(f)
+),
+px AS (
+  SELECT media_id, frame_idx, w, u.i AS i,
+         2 * (((media_id % 8) * 41 + frame_idx * 13
+               + ((u.i // (w * 3)) // 8) * 8
+               + (((u.i % (w * 3)) // 3) // 8) * 3) % 128) AS v
+  FROM f, unnest(range(0, CAST(w AS BIGINT) * 16 * 3)) u(i)
+)
+SELECT media_id, frame_idx, CAST(min(w) AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       string_agg(printf('%02x', v), '' ORDER BY i) AS frame_hex
+FROM px GROUP BY media_id, frame_idx
+"""
+
+
 def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV decode + frame features (round 9): each media is a real PCM16
     mono WAV (RIFF header + 400 deterministic samples) built from Spark
@@ -5859,6 +5972,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
     "media_frame_sample_h264": q_media_frame_sample_h264,
+    "media_frame_sample_mp4": q_media_frame_sample_mp4,
     "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
@@ -5973,6 +6087,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
     "media_frame_sample_h264": SQL_MEDIA_FRAME_SAMPLE_H264,
+    "media_frame_sample_mp4": SQL_MEDIA_FRAME_SAMPLE_MP4,
     "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
@@ -6072,6 +6187,7 @@ _NEW_THIS_ROUND: list[str] = [
     # r9 session 2: H.264 NAL-walk frame sampling over I_PCM streams, and
     # WAV decode + integer-exact frame features (the audio VAD primitives)
     "media_frame_sample_h264",
+    "media_frame_sample_mp4",
     "audio_frame_energy",
 ]
 
