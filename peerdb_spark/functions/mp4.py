@@ -77,12 +77,29 @@ def _full_box(data: bytes, s: int) -> tuple[int, int]:
     return data[s], s + 4
 
 
+def _entry_fits(count: int, entry_size: int, p: int, box_end: int,
+                name: str) -> None:
+    """Table entry counts must fit their box — a mutated count must fail
+    here, not hang a million-iteration loop or allocate gigabytes."""
+    if count * entry_size > box_end - p:
+        raise ValueError(f"{name} entry count {count} overruns its box")
+
+
 def parse_mp4(data: bytes) -> dict:
     """MP4 bytes → {"tracks": [...]} where each video track dict carries
     codec, width, height, timescale, nal_length_size, sps/pps lists, and
     the raw sample tables (sizes, chunk offsets, sample-to-chunk runs,
     sync-sample set, decode timestamps). Only the structure is read —
-    sample payloads stay untouched."""
+    sample payloads stay untouched. Torn/corrupt tables convert to
+    ValueError at this boundary (a mutated count must never escape as a
+    raw struct/index fault into a Spark task)."""
+    try:
+        return _parse_mp4(data)
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt MP4 ({type(e).__name__})") from e
+
+
+def _parse_mp4(data: bytes) -> dict:
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("no moov box")
@@ -148,26 +165,35 @@ def _parse_stbl(data: bytes, stbl: tuple[int, int], trk: dict) -> None:
             _, p = _full_box(data, s)
             uniform, count = struct.unpack_from(">II", data, p)
             if uniform:
+                # entries are implicit, so the box can't bound the count:
+                # sanity-cap against the file (samples can't outnumber
+                # its bytes) so a mutated count can't allocate GBs
+                if count > len(data):
+                    raise ValueError("stsz sample count exceeds file size")
                 trk["sizes"] = [uniform] * count
             else:
+                _entry_fits(count, 4, p + 8, e, "stsz")
                 trk["sizes"] = list(
                     struct.unpack_from(f">{count}I", data, p + 8)
                 )
         elif t == b"stco":
             _, p = _full_box(data, s)
             (count,) = struct.unpack_from(">I", data, p)
+            _entry_fits(count, 4, p + 4, e, "stco")
             trk["chunk_offsets"] = list(
                 struct.unpack_from(f">{count}I", data, p + 4)
             )
         elif t == b"co64":
             _, p = _full_box(data, s)
             (count,) = struct.unpack_from(">I", data, p)
+            _entry_fits(count, 8, p + 4, e, "co64")
             trk["chunk_offsets"] = list(
                 struct.unpack_from(f">{count}Q", data, p + 4)
             )
         elif t == b"stsc":
             _, p = _full_box(data, s)
             (count,) = struct.unpack_from(">I", data, p)
+            _entry_fits(count, 12, p + 4, e, "stsc")
             runs = []
             for i in range(count):
                 first, per, desc = struct.unpack_from(">III", data, p + 4 + 12 * i)
@@ -176,12 +202,14 @@ def _parse_stbl(data: bytes, stbl: tuple[int, int], trk: dict) -> None:
         elif t == b"stss":
             _, p = _full_box(data, s)
             (count,) = struct.unpack_from(">I", data, p)
+            _entry_fits(count, 4, p + 4, e, "stss")
             trk["sync_samples"] = set(
                 struct.unpack_from(f">{count}I", data, p + 4)
             )
         elif t == b"stts":
             _, p = _full_box(data, s)
             (count,) = struct.unpack_from(">I", data, p)
+            _entry_fits(count, 8, p + 4, e, "stts")
             trk["time_to_sample"] = [
                 struct.unpack_from(">II", data, p + 4 + 8 * i)
                 for i in range(count)

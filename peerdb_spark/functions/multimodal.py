@@ -474,13 +474,14 @@ def sample_frames_mjpeg(
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Compressed-video frame extraction for the MJPEG container (raw
-    concatenated JPEG streams — what .mjpeg files and multipart camera
-    feeds carry): split frames by marker-structure walk
-    (jpeg.split_mjpeg — segment lengths + entropy scan, no full decode for
-    skipped frames), decode every `stride`-th frame with the from-scratch
-    JPEG codec, and emit (media_id, frame_idx, width, height, frame) with
-    frame as raw RGB.
+    """Compressed-video frame extraction for MJPEG — raw concatenated
+    JPEG streams (what .mjpeg files and multipart camera feeds carry,
+    split by marker-structure walk: jpeg.split_mjpeg) AND AVI-wrapped
+    MJPEG (vids/MJPG .avi files, split by the RIFF movi chunk index:
+    functions/avi.py — r9), auto-detected per row. Skipped frames are
+    never entropy-decoded either way; every `stride`-th frame decodes
+    with the from-scratch JPEG codec and emits (media_id, frame_idx,
+    width, height, frame) with frame as raw RGB.
 
     This is the compressed twin of sample_frames (fixed-size raw frames);
     H.264 elementary streams get the same treatment in sample_frames_h264
@@ -503,6 +504,7 @@ def sample_frames_mjpeg(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        from peerdb_spark.functions.avi import split_avi_frames
         from peerdb_spark.functions.jpeg import decode_jpeg, split_mjpeg
 
         for pdf in batches:
@@ -511,7 +513,13 @@ def sample_frames_mjpeg(
                 blob = bytes(c or b"")
                 if not blob:
                     continue
-                for j, (off, ln) in enumerate(split_mjpeg(blob)):
+                # AVI-wrapped MJPEG (vids/MJPG): the RIFF movi chunks are
+                # the frame index; raw concatenated MJPEG: marker walk
+                if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    ranges = split_avi_frames(blob)
+                else:
+                    ranges = split_mjpeg(blob)
+                for j, (off, ln) in enumerate(ranges):
                     if j % st:
                         continue  # skipped frames are never entropy-decoded
                     w, h, rgb = decode_jpeg(blob[off : off + ln])

@@ -27,7 +27,37 @@ def _img():
     return np.random.RandomState(0).randint(0, 256, (24, 24, 3), dtype=np.uint8)
 
 
+def _mp4_seed():
+    from peerdb_spark.functions.h264 import encode_h264_ipcm
+    from peerdb_spark.functions.mp4 import encode_mp4_h264
+
+    img = _img()
+    pic = encode_h264_ipcm(
+        [(img[:16, :16, 0], img[:8, :8, 1], img[:8, :8, 2])], 16, 16)
+    return encode_mp4_h264([pic, pic], 16, 16)
+
+
+def _avi_seed():
+    from peerdb_spark.functions.avi import encode_avi_mjpeg
+
+    rgb = _img().tobytes()
+    return encode_avi_mjpeg(
+        [encode_jpeg(rgb, 24, 24, quality=70)] * 2, 24, 24)
+
+
 _SEEDS = {
+    "mp4_sample_tables": (
+        lambda b: __import__(
+            "peerdb_spark.functions.mp4", fromlist=["parse_mp4"]
+        ).parse_mp4(b),
+        _mp4_seed,
+    ),
+    "avi_container": (
+        lambda b: __import__(
+            "peerdb_spark.functions.avi", fromlist=["split_avi_frames"]
+        ).split_avi_frames(b),
+        _avi_seed,
+    ),
     "jpeg_baseline": (
         decode_jpeg,
         lambda: encode_jpeg(_img().tobytes(), 24, 24, quality=80,
@@ -210,21 +240,3 @@ def test_binlog_mutated_events_reject_cleanly_and_terminate():
         except Exception as e:  # noqa: BLE001
             escapes.append((trial, type(e).__name__))
     assert not escapes, escapes[:5]
-
-
-def _mp4_seed():
-    from peerdb_spark.functions.h264 import encode_h264_ipcm
-    from peerdb_spark.functions.mp4 import encode_mp4_h264
-
-    img = _img()
-    pic = encode_h264_ipcm(
-        [(img[:16, :16, 0], img[:8, :8, 1], img[:8, :8, 2])], 16, 16)
-    return encode_mp4_h264([pic, pic], 16, 16)
-
-
-_SEEDS["mp4_sample_tables"] = (
-    lambda b: __import__(
-        "peerdb_spark.functions.mp4", fromlist=["parse_mp4"]
-    ).parse_mp4(b),
-    _mp4_seed,
-)
