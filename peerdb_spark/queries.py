@@ -6192,7 +6192,7 @@ _NEW_THIS_ROUND: list[str] = [
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 3 new + 29 of these fill the 50-slot window; the tail past
+# 18 regate + 5 new + 27 of these fill the 50-slot window; the tail past
 # slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
 # surfaces whose modules did not change this round).
 _STALE_REFRESH = [
