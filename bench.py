@@ -151,6 +151,8 @@ def main() -> None:
         "media_frame_sample_h264",
         "media_frame_sample_mp4",
         "audio_frame_energy",
+        "tar_shard_explode",
+        "warc_explode",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",

@@ -724,6 +724,173 @@ def mux_frames_mp4(
     )
 
 
+def explode_tar(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    name_filter: str | None = None,
+) -> DataFrame:
+    """WebDataset .tar shards → one row per member: (media_id, name,
+    sample_key, size, payload). sample_key is the name minus its final
+    extension — the WebDataset convention grouping `000123.jpg` /
+    `000123.json` / `000123.txt` into one training sample. name_filter
+    (a substring, e.g. ".json") selects members from the HEADER INDEX
+    before any payload byte is read (functions/tar.py:index_tar walks
+    headers only), so pulling the captions out of an image shard costs
+    headers + captions, not the images."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("sample_key", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    nf = name_filter
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.tar import extract_tar_member, index_tar
+
+        for pdf in batches:
+            ids, names, keys, sizes, payloads = [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(c or b"")
+                if not blob:
+                    continue
+                for m in index_tar(blob):
+                    if nf is not None and nf not in m["name"]:
+                        continue  # filtered members: header-only cost
+                    name = m["name"]
+                    dot = name.rfind(".")
+                    ids.append(mid)
+                    names.append(name)
+                    keys.append(name[:dot] if dot > 0 else name)
+                    sizes.append(m["size"])
+                    payloads.append(extract_tar_member(blob, m))
+            yield _pd.DataFrame(
+                {id_col: ids, "name": names, "sample_key": keys,
+                 "size": sizes, "payload": payloads}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def explode_warc(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """WARC / .warc.gz blobs (Common Crawl layout) → one row per record:
+    (media_id, rec_idx, warc_type, target_uri, http_status, body) with
+    body the extracted HTTP payload for response records (NULL status and
+    raw block otherwise) — the ingest step ahead of langid / quality /
+    dedup over web crawls (functions/warc.py)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("rec_idx", T.IntegerType()),
+            T.StructField("warc_type", T.StringType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("body", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.warc import parse_warc
+
+        for pdf in batches:
+            ids, idxs, types, uris, stats, bodies = [], [], [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(c or b"")
+                if not blob:
+                    continue
+                for i, rec in enumerate(parse_warc(blob)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    types.append(rec["type"])
+                    uris.append(rec.get("target_uri"))
+                    stats.append(rec.get("http_status"))
+                    bodies.append(rec.get("body", rec["block"]))
+            yield _pd.DataFrame(
+                {id_col: ids, "rec_idx": idxs, "warc_type": types,
+                 "target_uri": uris, "http_status": stats, "body": bodies}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def mux_tar(
+    df: DataFrame, id_col: str = "media_id", members_col: str = "members",
+) -> DataFrame:
+    """(id, members array<struct<name,payload>>) → (id, content) ustar
+    shards (functions/tar.py:encode_tar, PAX long names included) — the
+    WebDataset shard WRITER: group samples upstream (the exact shard
+    assignment the corpus_shuffle_shards op computes), collect members,
+    emit one .tar blob per shard."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.tar import encode_tar
+
+        for pdf in batches:
+            ids, contents = [], []
+            for mid, members in zip(pdf[id_col], pdf[members_col]):
+                ids.append(mid)
+                contents.append(encode_tar(
+                    [(m["name"], bytes(m["payload"])) for m in members]
+                ))
+            yield _pd.DataFrame({id_col: ids, "content": contents})
+
+    return df.select(id_col, members_col).mapInPandas(run, out_schema)
+
+
+def mux_warc(
+    df: DataFrame, id_col: str = "media_id", records_col: str = "records",
+    gzip_per_record: bool = True,
+) -> DataFrame:
+    """(id, records array<struct<warc_type,target_uri,http_status,body>>)
+    → (id, content) WARC blobs in the Common Crawl layout (one gzip
+    member per record) — the fixture/interop writer twin of explode_warc."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    gz = gzip_per_record
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.warc import encode_warc
+
+        for pdf in batches:
+            ids, contents = [], []
+            for mid, records in zip(pdf[id_col], pdf[records_col]):
+                recs = [
+                    {"type": r["warc_type"],
+                     "target_uri": r["target_uri"],
+                     "http_status": int(r["http_status"]),
+                     "http_headers": {"Content-Type": "text/html"},
+                     "body": bytes(r["body"])}
+                    for r in records
+                ]
+                ids.append(mid)
+                contents.append(encode_warc(recs, gzip_per_record=gz))
+            yield _pd.DataFrame({id_col: ids, "content": contents})
+
+    return df.select(id_col, records_col).mapInPandas(run, out_schema)
+
+
 def decode_audio(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:

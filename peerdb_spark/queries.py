@@ -4165,6 +4165,150 @@ FROM px GROUP BY media_id, frame_idx
 """
 
 
+def q_tar_shard_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingest (round 9): each media is a real ustar
+    .tar shard (functions/tar.py — checksummed headers, 512-byte blocks)
+    holding 6 members (3 samples × .txt/.json, the WebDataset key
+    convention); explode_tar walks the HEADER INDEX (payloads of
+    filtered members never read) and emits one row per member. Names,
+    sample keys, sizes, and full payload text all verify against the
+    analytic formula. 4 broadcast shards (pixel-base media_id % 8 over
+    doc_id % 6 == 4), per-media work = the index walk + extraction."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    base = spark.range(4).select(
+        F.col("id").alias("vk"),
+        (F.col("id") * 6 + 4).alias("mid"),
+    )
+    # member j of 6: sample s = j//2, ext = txt/json; payload text is
+    # fully determined by (mid % 8, j)
+    member = lambda j: F.struct(  # noqa: E731
+        F.concat(
+            F.lit("s"), ((F.col("mid") % 8) * 10 + F.floor(j / 2)).cast("string"),
+            F.when(j % 2 == 0, F.lit(".txt")).otherwise(F.lit(".json")),
+        ).alias("name"),
+        F.encode(
+            F.concat(
+                F.lit("doc-"), (F.col("mid") % 8).cast("string"),
+                F.lit("-"), j.cast("string"), F.lit("-"),
+                F.repeat(F.lit("x"), (j + 10).cast("int")),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    with_members = base.select(
+        "vk",
+        F.transform(F.sequence(F.lit(0), F.lit(5)), member).alias("members"),
+    )
+    shards = MM.mux_tar(with_members, id_col="vk")
+    media = (
+        docs.where(did % 6 == 4)
+        .select(
+            did.alias("media_id"),
+            F.pmod(F.floor(did / 6), F.lit(4)).cast("long").alias("vk"),
+        )
+        .join(F.broadcast(shards), "vk")
+        .select("media_id", "content")
+    )
+    rows = MM.explode_tar(media)
+    return rows.select(
+        "media_id", "name", "sample_key", "size",
+        F.decode(F.col("payload"), "UTF-8").alias("payload_str"),
+    )
+
+
+SQL_TAR_SHARD_EXPLODE = """
+WITH m AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 6 = 4
+),
+j AS (
+  SELECT media_id, CAST(u.j AS INT) AS j FROM m, unnest(range(0, 6)) u(j)
+)
+SELECT media_id,
+       's' || CAST((media_id % 8) * 10 + j // 2 AS VARCHAR)
+           || CASE WHEN j % 2 = 0 THEN '.txt' ELSE '.json' END AS name,
+       's' || CAST((media_id % 8) * 10 + j // 2 AS VARCHAR) AS sample_key,
+       CAST(6 + length(CAST(media_id % 8 AS VARCHAR))
+            + length(CAST(j AS VARCHAR)) + (j + 10) AS BIGINT) AS size,
+       'doc-' || CAST(media_id % 8 AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+              || '-' || repeat('x', j + 10) AS payload_str
+FROM j
+"""
+
+
+def q_warc_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl ingest (round 9): each media is a real .warc.gz blob
+    (functions/warc.py — one gzip member per record, the splittable
+    Common Crawl layout) of 5 HTTP response records; explode_warc splits
+    members, parses WARC + HTTP framing, and extracts bodies. Every
+    field verifies against the analytic formula. 4 broadcast blobs over
+    doc_id % 6 == 2."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    base = spark.range(4).select(
+        F.col("id").alias("vk"),
+        (F.col("id") * 6 + 2).alias("mid"),
+    )
+    record = lambda j: F.struct(  # noqa: E731
+        F.lit("response").alias("warc_type"),
+        F.concat(
+            F.lit("http://site"), (F.col("mid") % 8).cast("string"),
+            F.lit("/page"), j.cast("string"),
+        ).alias("target_uri"),
+        (F.lit(200) + F.pmod(j, F.lit(3))).cast("int").alias("http_status"),
+        F.encode(
+            F.concat(
+                F.lit("page-"), (F.col("mid") % 8).cast("string"),
+                F.lit("-"), j.cast("string"), F.lit(":"),
+                F.repeat(F.lit("w"), (j + 20).cast("int")),
+            ),
+            "UTF-8",
+        ).alias("body"),
+    )
+    with_records = base.select(
+        "vk",
+        F.transform(F.sequence(F.lit(0), F.lit(4)), record).alias("records"),
+    )
+    blobs = MM.mux_warc(with_records, id_col="vk")
+    media = (
+        docs.where(did % 6 == 2)
+        .select(
+            did.alias("media_id"),
+            F.pmod(F.floor(did / 6), F.lit(4)).cast("long").alias("vk"),
+        )
+        .join(F.broadcast(blobs), "vk")
+        .select("media_id", "content")
+    )
+    rows = MM.explode_warc(media)
+    return rows.select(
+        "media_id", "rec_idx", "warc_type", "target_uri", "http_status",
+        F.decode(F.col("body"), "UTF-8").alias("body_str"),
+    )
+
+
+SQL_WARC_EXPLODE = """
+WITH m AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 6 = 2
+),
+j AS (
+  SELECT media_id, CAST(u.j AS INT) AS rec_idx
+  FROM m, unnest(range(0, 5)) u(j)
+)
+SELECT media_id, rec_idx, 'response' AS warc_type,
+       'http://site' || CAST(media_id % 8 AS VARCHAR) || '/page'
+           || CAST(rec_idx AS VARCHAR) AS target_uri,
+       CAST(200 + rec_idx % 3 AS INT) AS http_status,
+       'page-' || CAST(media_id % 8 AS VARCHAR) || '-'
+           || CAST(rec_idx AS VARCHAR) || ':'
+           || repeat('w', rec_idx + 20) AS body_str
+FROM j
+"""
+
+
 def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV decode + frame features (round 9): each media is a real PCM16
     mono WAV (RIFF header + 400 deterministic samples) built from Spark
@@ -5973,6 +6117,8 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
     "media_frame_sample_h264": q_media_frame_sample_h264,
     "media_frame_sample_mp4": q_media_frame_sample_mp4,
+    "tar_shard_explode": q_tar_shard_explode,
+    "warc_explode": q_warc_explode,
     "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
@@ -6088,6 +6234,8 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
     "media_frame_sample_h264": SQL_MEDIA_FRAME_SAMPLE_H264,
     "media_frame_sample_mp4": SQL_MEDIA_FRAME_SAMPLE_MP4,
+    "tar_shard_explode": SQL_TAR_SHARD_EXPLODE,
+    "warc_explode": SQL_WARC_EXPLODE,
     "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
@@ -6189,10 +6337,13 @@ _NEW_THIS_ROUND: list[str] = [
     "media_frame_sample_h264",
     "media_frame_sample_mp4",
     "audio_frame_energy",
+    # r9 session 2: corpus container ingest (WebDataset tar, Common Crawl WARC)
+    "tar_shard_explode",
+    "warc_explode",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 5 new + 27 of these fill the 50-slot window; the tail past
+# 18 regate + 7 new + 25 of these fill the 50-slot window; the tail past
 # slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
 # surfaces whose modules did not change this round).
 _STALE_REFRESH = [

@@ -46,6 +46,25 @@ def _avi_seed():
 
 
 _SEEDS = {
+    "tar_index": (
+        lambda b: __import__(
+            "peerdb_spark.functions.tar", fromlist=["index_tar"]
+        ).index_tar(b),
+        lambda: __import__(
+            "peerdb_spark.functions.tar", fromlist=["encode_tar"]
+        ).encode_tar([("a.txt", b"x" * 600), ("b" * 150 + ".json", b"y" * 40)]),
+    ),
+    "warc_records": (
+        lambda b: __import__(
+            "peerdb_spark.functions.warc", fromlist=["parse_warc"]
+        ).parse_warc(b),
+        lambda: __import__(
+            "peerdb_spark.functions.warc", fromlist=["encode_warc"]
+        ).encode_warc([
+            {"type": "response", "target_uri": "http://x/", "http_status": 200,
+             "http_headers": {}, "body": b"<html>" + b"t" * 200},
+        ] * 3),
+    ),
     "mp4_sample_tables": (
         lambda b: __import__(
             "peerdb_spark.functions.mp4", fromlist=["parse_mp4"]

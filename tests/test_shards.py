@@ -1,0 +1,171 @@
+"""Corpus container formats: tar/WebDataset shards (functions/tar.py,
+cross-verified against stdlib tarfile in BOTH directions) and WARC /
+Common Crawl (functions/warc.py), plus the Spark explode/mux paths."""
+
+import io
+import tarfile
+import zlib
+
+import numpy as np
+import pytest
+
+from peerdb_spark.functions.tar import encode_tar, extract_tar_member, index_tar
+from peerdb_spark.functions.warc import encode_warc, parse_warc, split_gzip_members
+
+_MEMBERS = [
+    ("000123.jpg", b"\xff\xd8JPEGDATA"),
+    ("000123.json", b'{"caption": "a"}'),
+    ("dir/000124.txt", b"hello world" * 20),
+    ("k" * 150 + ".bin", b"LONGNAME-PAYLOAD"),  # PAX long name
+]
+
+
+# -- tar: cross-verified against the stdlib (independent oracle) --------------
+
+
+def test_stdlib_reads_our_tar():
+    blob = encode_tar(_MEMBERS)
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    got = [(m.name, tf.extractfile(m).read()) for m in tf if m.isfile()]
+    assert got == _MEMBERS
+
+
+@pytest.mark.parametrize("fmt", [
+    tarfile.USTAR_FORMAT, tarfile.GNU_FORMAT, tarfile.PAX_FORMAT])
+def test_our_reader_parses_stdlib_tars(fmt):
+    """GNU longname ('L'), PAX ('x' path records), and plain ustar all
+    resolve names identically to the stdlib."""
+    members = [(n, p) for n, p in _MEMBERS
+               if not (fmt == tarfile.USTAR_FORMAT and len(n) > 100)]
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tw:
+        for name, payload in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tw.addfile(ti, io.BytesIO(payload))
+    data = buf.getvalue()
+    got = [(m["name"], extract_tar_member(data, m)) for m in index_tar(data)]
+    assert got == members
+
+
+def test_tar_index_never_reads_payloads():
+    """The index is header-only: sizes/offsets must be right without
+    touching member bytes (checked by slicing them out afterwards)."""
+    blob = encode_tar(_MEMBERS)
+    idx = index_tar(blob)
+    assert [(m["name"], m["size"]) for m in idx] == [
+        (n, len(p)) for n, p in _MEMBERS]
+    for m, (_n, p) in zip(idx, _MEMBERS):
+        assert blob[m["offset"] : m["offset"] + m["size"]] == p
+
+
+def test_tar_rejects():
+    blob = encode_tar(_MEMBERS)
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        index_tar(blob[:700])
+    bad = bytearray(blob)
+    bad[200] ^= 0xFF  # corrupt inside the first header
+    with pytest.raises(ValueError, match="checksum"):
+        index_tar(bytes(bad))
+    # torn mid-payload
+    with pytest.raises(ValueError):
+        index_tar(blob[: 512 + 4])
+
+
+# -- WARC ----------------------------------------------------------------------
+
+
+_RECORDS = [
+    {"type": "warcinfo", "block": b"software: test\r\n",
+     "content_type": "application/warc-fields"},
+    {"type": "response", "target_uri": "http://example.com/a",
+     "http_status": 200, "http_headers": {"Content-Type": "text/html"},
+     "body": b"<html>hello</html>"},
+    {"type": "response", "target_uri": "http://example.com/b",
+     "http_status": 404, "http_headers": {}, "body": b"not found"},
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_warc_roundtrip(gz):
+    data = encode_warc(_RECORDS, gzip_per_record=gz)
+    if gz:
+        assert len(split_gzip_members(data)) == 3  # one member per record
+    out = parse_warc(data)
+    assert [r["type"] for r in out] == ["warcinfo", "response", "response"]
+    assert out[0]["block"] == b"software: test\r\n"
+    assert out[1]["http_status"] == 200
+    assert out[1]["body"] == b"<html>hello</html>"
+    assert out[1]["http_headers"]["content-type"] == "text/html"
+    assert out[2]["target_uri"] == "http://example.com/b"
+
+
+def test_warc_gzip_members_decompress_independently():
+    """The Common Crawl splittability property: each record's member
+    decompresses standalone."""
+    data = encode_warc(_RECORDS, gzip_per_record=True)
+    members = split_gzip_members(data)
+    for m in members:
+        assert m.startswith(b"WARC/1.0\r\n")
+    # re-parse just the middle member
+    (rec,) = parse_warc(zlib.compress(members[1], 6, 31))
+    assert rec["http_status"] == 200
+
+
+def test_warc_rejects():
+    with pytest.raises(ValueError, match="WARC"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\nbody")
+    data = encode_warc(_RECORDS)
+    with pytest.raises(ValueError, match="gzip|truncated"):
+        parse_warc(data[:-15])
+    plain = encode_warc(_RECORDS, gzip_per_record=False)
+    # Content-Length lies long → block overrun
+    bad = plain.replace(b"Content-Length: 16", b"Content-Length: 9999", 1)
+    with pytest.raises(ValueError, match="overruns|truncated|WARC"):
+        parse_warc(bad)
+
+
+# -- Spark paths -----------------------------------------------------------------
+
+
+def test_explode_tar_spark(spark):
+    from peerdb_spark.functions.multimodal import explode_tar, mux_tar
+
+    df = spark.createDataFrame(
+        [(7, [{"name": n, "payload": p} for n, p in _MEMBERS])],
+        "media_id long, members array<struct<name:string,payload:binary>>",
+    )
+    shards = mux_tar(df)
+    rows = explode_tar(shards).collect()
+    got = [(r["name"], r["sample_key"], bytes(r["payload"])) for r in rows]
+    assert got == [
+        ("000123.jpg", "000123", _MEMBERS[0][1]),
+        ("000123.json", "000123", _MEMBERS[1][1]),
+        ("dir/000124.txt", "dir/000124", _MEMBERS[2][1]),
+        ("k" * 150 + ".bin", "k" * 150, _MEMBERS[3][1]),
+    ]
+    # name_filter selects from the header index
+    only = explode_tar(shards, name_filter=".json").collect()
+    assert [r["name"] for r in only] == ["000123.json"]
+
+
+def test_explode_warc_spark(spark):
+    from peerdb_spark.functions.multimodal import explode_warc, mux_warc
+
+    recs = [
+        {"warc_type": "response", "target_uri": f"http://x/{i}",
+         "http_status": 200 + i, "body": f"body-{i}".encode()}
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        [(1, recs)],
+        "media_id long, records array<struct<warc_type:string,"
+        "target_uri:string,http_status:int,body:binary>>",
+    )
+    out = explode_warc(mux_warc(df)).orderBy("rec_idx").collect()
+    assert [(r["rec_idx"], r["target_uri"], r["http_status"],
+             bytes(r["body"])) for r in out] == [
+        (0, "http://x/0", 200, b"body-0"),
+        (1, "http://x/1", 201, b"body-1"),
+        (2, "http://x/2", 202, b"body-2"),
+    ]
