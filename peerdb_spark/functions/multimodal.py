@@ -587,12 +587,17 @@ def sample_frames_h264(
                 if not ranges:
                     continue
                 # parameter-set NALs (tiny) prepend to every sampled range
-                # so each picture decodes independently of its neighbors
-                ps = b"".join(
-                    b"\x00\x00\x00\x01" + blob[s:e]
-                    for t, s, e in split_nals(blob)
-                    if t in (7, 8)
-                )
+                # so each picture decodes independently of its neighbors;
+                # DEDUPED — a stream that repeats SPS/PPS per picture
+                # (our own concatenated form does) would otherwise make
+                # every sampled decode re-parse N parameter sets
+                seen: set[bytes] = set()
+                ps_parts = []
+                for t, s, e in split_nals(blob):
+                    if t in (7, 8) and blob[s:e] not in seen:
+                        seen.add(blob[s:e])
+                        ps_parts.append(b"\x00\x00\x00\x01" + blob[s:e])
+                ps = b"".join(ps_parts)
                 for j, (off, end, _idr) in enumerate(ranges):
                     if j % st:
                         continue  # skipped pictures: never parsed past

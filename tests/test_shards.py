@@ -169,3 +169,61 @@ def test_explode_warc_spark(spark):
         (1, "http://x/1", 201, b"body-1"),
         (2, "http://x/2", 202, b"body-2"),
     ]
+
+
+def test_webdataset_end_to_end_spark(spark):
+    """The full WebDataset ingest composition: tar shard of PNG images +
+    JSON captions → explode_tar → decode_images → extract_features, with
+    captions joined back by sample_key — the actual multimodal training
+    ingest path, pinned end-to-end."""
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.multimodal import (
+        decode_images,
+        explode_tar,
+        extract_features,
+    )
+    from peerdb_spark.functions.png import encode_png
+
+    rng = np.random.RandomState(9)
+    members = []
+    truth = {}
+    for k in range(3):
+        w, h = 6 + k, 5 + k
+        rgb = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        truth[f"{k:06d}"] = (w, h, rgb)
+        members.append((f"{k:06d}.png", encode_png(rgb, w, h, lambda y: y % 5)))
+        members.append((f"{k:06d}.json", f'{{"caption": "cap-{k}"}}'.encode()))
+    shard = encode_tar(members)
+    df = spark.createDataFrame([(0, shard)], "media_id long, content binary")
+
+    rows = explode_tar(df)
+    imgs = (
+        rows.where(F.col("name").endswith(".png"))
+        .select(
+            F.monotonically_increasing_id().alias("rid"),
+            F.col("sample_key"),
+            F.col("payload").alias("content"),
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit("png").alias("codec"),
+            ).alias("meta"),
+        )
+    )
+    keyed = {r["sample_key"]: r for r in imgs.collect()}
+    decoded = decode_images(imgs.drop("sample_key"), id_col="rid")
+    feats = extract_features(decoded, id_col="rid")
+    got = {r["rid"]: r for r in decoded.collect()}
+    assert len(got) == 3 and feats.count() == 3
+    for sk, r in keyed.items():
+        w, h, rgb = truth[sk]
+        dec = got[r["rid"]]
+        assert bytes(dec["content"]) == rgb
+        assert (dec["meta"]["width"], dec["meta"]["height"]) == (w, h)
+    # captions join back on sample_key
+    caps = rows.where(F.col("name").endswith(".json")).select(
+        "sample_key", F.decode("payload", "UTF-8").alias("caption"))
+    assert caps.count() == 3
