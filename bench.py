@@ -153,6 +153,7 @@ def main() -> None:
         "audio_frame_energy",
         "tar_shard_explode",
         "warc_explode",
+        "crawl_text_extract",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",

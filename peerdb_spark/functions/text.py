@@ -244,3 +244,56 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
     )
     return fingerprint_df(feats, text_col)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """HTML → visible text (the crawl-ingest step between WARC bodies and
+    langid/quality/dedup): drop script/style/comment blocks, strip tags,
+    decode the six ubiquitous entities (&amp; LAST so &amp;lt; stays
+    literal), collapse whitespace. Pure built-in expressions — regex kept
+    to the Java/RE2 shared subset ((?is), lazy .*?, no backrefs), and the
+    whitespace class written explicitly ([ \\t\\n\\r\\f]) because Java \\s
+    and RE2 \\s disagree on \\x0B. Boilerplate REMOVAL (trafilatura-style
+    main-content detection) is a model/heuristic, deliberately out of
+    scope — this is the exact, restatable extraction layer under it."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, "[ \t\n\r\f]+", " "))
+
+
+def url_normalize(col: Column | str) -> Column:
+    """Canonical URL for crawl dedup: lowercase scheme+host, drop the
+    fragment, drop default ports (http:80 / https:443), empty path → '/',
+    strip utm_* tracking params (collapsing separators). All built-in
+    expressions with Java/RE2-shared regex; the oracle restates each step
+    (replacement syntax differs — $1 vs \\1 — but semantics align)."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"(?s)#.*", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    query = F.regexp_replace(query, r"(^|&)utm_[^&]*", r"$1")
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"^&|&$", "")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )

@@ -4309,6 +4309,60 @@ FROM j
 """
 
 
+def q_crawl_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest text extraction (round 9): every document is wrapped
+    in real HTML (script/style/comment blocks, entities, a title) with a
+    messy URL (uppercase scheme/host, default port, utm_ tracker param,
+    fragment); html_to_text + url_normalize (functions/text.py — pure
+    JVM expressions, zero UDFs) recover the visible text and canonical
+    URL. The oracle is GROUND TRUTH, not a regex restatement: the
+    fixture's known shape lets DuckDB compute the expected text and URL
+    analytically, so a wrong strip/decode/normalize rule fails the hash."""
+    from peerdb_spark.functions import text as TX
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var p = "<p>x</p>";'
+              "</script><style>p { color: red }</style><title>"),
+        F.col("source"),
+        F.lit("</title></head><body><h1>Doc "), did,
+        F.lit("</h1><p>"), F.substring(F.col("text"), 1, 80),
+        F.lit(" &amp; more&nbsp;tail</p><!-- hidden --></body></html>"),
+    )
+    url = F.concat(
+        F.lit("HTTP://Example"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".COM:80/docs/"), did,
+        F.lit("?id="), did,
+        F.lit("&utm_source=feed&lang="), F.col("lang"),
+        F.lit("#sec-"), did,
+    )
+    out = docs.select(
+        "doc_id",
+        TX.url_normalize(url).alias("norm_url"),
+        TX.html_to_text(html).alias("text_out"),
+    )
+    return out.select(
+        "doc_id", "norm_url", "text_out",
+        F.size(F.split(F.col("text_out"), r"\s+")).alias("n_tok"),
+    )
+
+
+SQL_CRAWL_TEXT_EXTRACT = """
+SELECT doc_id,
+       'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com/docs/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+           || '&lang=' || lang AS norm_url,
+       source || ' Doc ' || CAST(doc_id AS VARCHAR) || ' '
+           || trim(substr(text, 1, 80)) || ' & more tail' AS text_out,
+       CAST(len(string_split_regex(
+           source || ' Doc ' || CAST(doc_id AS VARCHAR) || ' '
+           || trim(substr(text, 1, 80)) || ' & more tail', '\\s+')) AS INT)
+           AS n_tok
+FROM documents
+"""
+
+
 def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV decode + frame features (round 9): each media is a real PCM16
     mono WAV (RIFF header + 400 deterministic samples) built from Spark
@@ -6119,6 +6173,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample_mp4": q_media_frame_sample_mp4,
     "tar_shard_explode": q_tar_shard_explode,
     "warc_explode": q_warc_explode,
+    "crawl_text_extract": q_crawl_text_extract,
     "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
@@ -6236,6 +6291,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample_mp4": SQL_MEDIA_FRAME_SAMPLE_MP4,
     "tar_shard_explode": SQL_TAR_SHARD_EXPLODE,
     "warc_explode": SQL_WARC_EXPLODE,
+    "crawl_text_extract": SQL_CRAWL_TEXT_EXTRACT,
     "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
@@ -6340,10 +6396,11 @@ _NEW_THIS_ROUND: list[str] = [
     # r9 session 2: corpus container ingest (WebDataset tar, Common Crawl WARC)
     "tar_shard_explode",
     "warc_explode",
+    "crawl_text_extract",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 7 new + 25 of these fill the 50-slot window; the tail past
+# 18 regate + 8 new + 24 of these fill the 50-slot window; the tail past
 # slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
 # surfaces whose modules did not change this round).
 _STALE_REFRESH = [

@@ -167,3 +167,43 @@ def test_pack_plan_hypothesis_matches_reference(spark):
         assert got == want, (lens, window, n_shards)
 
     check()
+
+
+# -- crawl extraction (html_to_text / url_normalize) — r9 ----------------------
+
+
+def test_html_to_text_hand_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.text import html_to_text
+
+    rows = [
+        # script/style bodies vanish even when they contain tags/quotes
+        ('<script>var a = "<p>x</p>";</script>ok<style>p{}</style>', "ok"),
+        # entity decode order: &amp;lt; must stay a literal '&lt;'
+        ("A &amp;lt; B &lt;C&gt; &quot;q&quot; &#39;s&#39;&nbsp;!",
+         "A &lt; B <C> \"q\" 's' !"),
+        ("<!-- note -->text<br>more\n\n  spaced\tout", "text more spaced out"),
+        ("plain", "plain"),
+        ("<div><p>nested <b>bold</b></p></div>", "nested bold"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
+    got = [r["t"] for r in df.select(html_to_text("html").alias("t")).collect()]
+    assert got == [w for _, w in rows]
+
+
+def test_url_normalize_hand_vectors(spark):
+    from peerdb_spark.functions.text import url_normalize
+
+    rows = [
+        ("HTTP://Example.COM:80/Path?a=1&utm_source=x&b=2#f",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://Site.org:443", "https://site.org/"),
+        ("https://site.org:8443/x?utm_a=1", "https://site.org:8443/x"),
+        ("http://a.b/c/d?x=1", "http://a.b/c/d?x=1"),
+        ("http://h/?utm_a=1&utm_b=2", "http://h/"),
+        ("HTTPS://H.io/p?utm_x=9&keep=1", "https://h.io/p?keep=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["u"] for r in df.select(url_normalize("url").alias("u")).collect()]
+    assert got == [w for _, w in rows]
