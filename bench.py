@@ -154,6 +154,8 @@ def main() -> None:
         "tar_shard_explode",
         "warc_explode",
         "crawl_text_extract",
+        "image_dhash",
+        "image_dhash_dups",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",

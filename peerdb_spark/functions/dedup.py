@@ -854,3 +854,52 @@ def compact_bucket_counts(bucket_counts: DataFrame) -> DataFrame:
     return bucket_counts.groupBy("band", "band_hash").agg(
         F.sum("cnt").alias("cnt")
     )
+
+
+def hash64_hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup pairs over a PRECOMPUTED 64-bit fingerprint column (e.g.
+    multimodal.image_dhash) — the generic twin of simhash_pairs: hamming
+    LSH banding by pigeonhole (a pair within max_hamming < bands agrees
+    on a whole 64/bands-bit band), bucket equi-join on (band, value) with
+    the oversized-bucket skew guard, exact bit_count(xor) verification.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    r = 64 // bands
+    mask = F.lit((1 << r) - 1)
+    banded = df.select(
+        id_col, hash_col,
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col(hash_col), r * j).bitwiseAND(mask)
+                for j in range(bands)
+            ])
+        ),
+    ).withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    oversized = (
+        banded.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select("band", "bval")
+    )
+    sized = banded.join(F.broadcast(oversized), ["band", "bval"], "left_anti")
+    a = sized.select(F.col(id_col).alias("id_a"),
+                     F.col(hash_col).alias("h_a"), "band", "bval")
+    b = sized.select(F.col(id_col).alias("id_b"),
+                     F.col(hash_col).alias("h_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -826,6 +826,58 @@ def explode_warc(
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
 
+def image_dhash(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual difference hash over raw-RGB media → (media_id, dhash
+    bigint, dhash_hex) — the LAION-style image near-dup fingerprint.
+    Integer-exact and therefore oracle-restatable: gray is the floor mean
+    (r+g+b)//3, the 9×8 reduction is the same nearest-neighbor index math
+    as media_resize (src = (i·src_dim)//dst_dim), and bit (y·8+x) is
+    gray[y][x] > gray[y][x+1]. Pair with dedup.hash64_hamming_pairs for
+    banded near-dup candidates (never all-pairs). Arrow mapInPandas, no
+    shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("dhash_hex", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        weights = (1 << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+
+        for pdf in batches:
+            ids, hashes, hexes = [], [], []
+            for mid, c, w, h in zip(
+                pdf[id_col], pdf[content_col], pdf["_w"], pdf["_h"]
+            ):
+                w, h = int(w), int(h)
+                img = np.frombuffer(bytes(c), dtype=np.uint8).reshape(h, w, 3)
+                gray = img.astype(np.int64).sum(axis=2) // 3
+                xs = (np.arange(9) * w) // 9
+                ys = (np.arange(8) * h) // 8
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64)
+                val = int((bits * weights).sum())
+                ids.append(mid)
+                hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
+                hexes.append(f"{val:016x}")
+            yield _pd.DataFrame(
+                {id_col: ids, "dhash": hashes, "dhash_hex": hexes}
+            )
+
+    narrow = df.select(
+        id_col, content_col,
+        F.col("meta.width").alias("_w"), F.col("meta.height").alias("_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
 def mux_tar(
     df: DataFrame, id_col: str = "media_id", members_col: str = "members",
 ) -> DataFrame:

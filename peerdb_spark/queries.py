@@ -4363,6 +4363,144 @@ FROM documents
 """
 
 
+def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 18×16 gray raw-RGB images in dedup GROUPS: group g =
+    doc_id // 4 shares a base image (v = ((g·11 + sx·5 + sy·7) % 97)·2 —
+    even values, so adjacent sampled gradients are ≥2 and never tie);
+    variants 1/2 perturb pixel (0,0) by +1 (provably hash-preserving:
+    a ±1 nudge cannot flip a ≥2 strict gradient), variant 3 adds +41 at
+    sampled pixel (4,4) (may flip up to 2 bits — the nonzero-hamming
+    path). Every value is analytic, so the oracle recomputes the exact
+    hash bits."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    w, h = 18, 16
+    g = F.floor(did / 4)
+    variant = F.pmod(did, F.lit(4))
+    n_bytes = w * h * 3
+    # byte i → pixel p=i//3 → (sx = p % w, sy = p // w)
+    val = (
+        lambda i: (
+            ((g * 11 + (F.floor(i / 3) % w) * 5
+              + F.floor(F.floor(i / 3) / w) * 7) % 97) * 2
+            + F.when((variant > 0) & (F.floor(i / 3) == 0), 1).otherwise(0)
+            + F.when(
+                (variant == 3)
+                & ((F.floor(i / 3) % w) == 4)
+                & (F.floor(F.floor(i / 3) / w) == 4),
+                41,
+            ).otherwise(0)
+        )
+    )
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_bytes - 1)),
+                lambda i: F.lpad(F.lower(F.hex(val(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    return docs.select(
+        did.alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/raw-rgb").alias("mime"),
+            F.lit(w).cast("int").alias("width"),
+            F.lit(h).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+# the analytic dHash recomputation shared by both oracles: sampled pixel
+# (x, y) of the 9×8 grid is source (2x, 2y) (18//9 = 16//8 = 2), bit
+# (y·8+x) = v(2x, 2y) > v(2x+2, 2y); hi/lo 32-bit halves avoid signed
+# BIGINT shift pitfalls in the hex rendering
+_SQL_DHASH_CTE = """
+bits AS (
+  SELECT doc_id, u.y * 8 + u2.x AS bit,
+         CASE WHEN
+           ((doc_id // 4) * 11 + (2 * u2.x) * 5 + (2 * u.y) * 7) % 97 * 2
+           + CASE WHEN doc_id % 4 > 0 AND u2.x = 0 AND u.y = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 4 = 3 AND 2 * u2.x = 4 AND 2 * u.y = 4 THEN 41 ELSE 0 END
+           >
+           ((doc_id // 4) * 11 + (2 * u2.x + 2) * 5 + (2 * u.y) * 7) % 97 * 2
+           + CASE WHEN doc_id % 4 = 3 AND 2 * u2.x + 2 = 4 AND 2 * u.y = 4 THEN 41 ELSE 0 END
+         THEN 1 ELSE 0 END AS b
+  FROM documents, unnest(range(0, 8)) u(y), unnest(range(0, 8)) u2(x)
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit >= 32
+                  THEN b * (CAST(1 AS BIGINT) << (bit - 32))
+                  ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN bit < 32
+                  THEN b * (CAST(1 AS BIGINT) << bit)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (round 9): every document gets an 18×16
+    raw-RGB image; multimodal.image_dhash computes the 9×8 difference
+    hash (gray floor-mean → NN reduction → strict-gradient bits) and the
+    oracle recomputes every bit analytically from the fixture formula."""
+    from peerdb_spark.functions import multimodal as MM
+
+    media = _dhash_fixture(spark, sf_dir)
+    return MM.image_dhash(media).select("media_id", "dhash_hex")
+
+
+SQL_IMAGE_DHASH = (
+    "WITH " + _SQL_DHASH_CTE
+    + """
+SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS dhash_hex
+FROM hashes
+"""
+)
+
+
+def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs (round 9): dHash fingerprints → hamming-LSH
+    banding (dedup.hash64_hamming_pairs — 4×16-bit bands, pigeonhole
+    candidates, exact bit_count verify; never all-pairs). The fixture's
+    groups make variants 0-2 hash-identical and variant 3 within 2 bits,
+    and base images recur across groups ≡ (mod 97), so the pair set is
+    rich; the oracle brute-forces the SAME truth (exact hamming ≤ 3 over
+    analytically recomputed hashes — complete by pigeonhole, so banding
+    must find exactly the brute-force set)."""
+    from peerdb_spark.functions import multimodal as MM
+    from peerdb_spark.functions.dedup import hash64_hamming_pairs
+
+    media = _dhash_fixture(spark, sf_dir)
+    hashes = MM.image_dhash(media)
+    pairs = hash64_hamming_pairs(
+        hashes, "dhash", "media_id", bands=4, max_hamming=3
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+SQL_IMAGE_DHASH_DUPS = (
+    "WITH " + _SQL_DHASH_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+            + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+      + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) <= 3
+"""
+)
+
+
 def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV decode + frame features (round 9): each media is a real PCM16
     mono WAV (RIFF header + 400 deterministic samples) built from Spark
@@ -6174,6 +6312,8 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tar_shard_explode": q_tar_shard_explode,
     "warc_explode": q_warc_explode,
     "crawl_text_extract": q_crawl_text_extract,
+    "image_dhash": q_image_dhash,
+    "image_dhash_dups": q_image_dhash_dups,
     "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
@@ -6292,6 +6432,8 @@ _ORACLES_IMPL: dict[str, str] = {
     "tar_shard_explode": SQL_TAR_SHARD_EXPLODE,
     "warc_explode": SQL_WARC_EXPLODE,
     "crawl_text_extract": SQL_CRAWL_TEXT_EXTRACT,
+    "image_dhash": SQL_IMAGE_DHASH,
+    "image_dhash_dups": SQL_IMAGE_DHASH_DUPS,
     "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
@@ -6397,10 +6539,13 @@ _NEW_THIS_ROUND: list[str] = [
     "tar_shard_explode",
     "warc_explode",
     "crawl_text_extract",
+    # r9 session 2: perceptual image dedup (dHash + hamming banding)
+    "image_dhash",
+    "image_dhash_dups",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 8 new + 24 of these fill the 50-slot window; the tail past
+# 18 regate + 10 new + 22 of these fill the 50-slot window; the tail past
 # slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
 # surfaces whose modules did not change this round).
 _STALE_REFRESH = [

@@ -185,3 +185,75 @@ def test_sample_frames_mjpeg_spark(spark):
     assert got == want
     # stride=1 yields every frame
     assert MM.sample_frames_mjpeg(df, stride=1).count() == 15
+
+
+# -- perceptual image hash (dHash) — r9 ----------------------------------------
+
+
+def test_image_dhash_hand_vector(spark):
+    """9x8 source == grid → reduction is identity; a left-to-right ramp
+    sets every bit (strictly increasing → gray[x] > gray[x+1] false...
+    direction pinned: bit = left > right, so a DECREASING ramp sets all
+    64 bits, an increasing one sets none)."""
+    import numpy as np
+
+    from peerdb_spark.functions.multimodal import image_dhash
+
+    inc = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))
+    dec = inc[:, ::-1].copy()
+    rows = []
+    for mid, g in ((0, inc), (1, dec)):
+        rgb = np.repeat(g[:, :, None], 3, axis=2).tobytes()
+        rows.append((mid, rgb, ("image/raw-rgb", 9, 8, None, "rgb")))
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    out = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert out[0]["dhash_hex"] == "0" * 16 and out[0]["dhash"] == 0
+    assert out[1]["dhash_hex"] == "f" * 16 and out[1]["dhash"] == -1
+
+
+def test_image_dhash_gray_is_floor_mean(spark):
+    """(r+g+b)//3 floor semantics: (1,1,2) → 1 vs (2,1,1) → 1 equal (no
+    bit), while (2,2,2) → 2 vs (1,1,1) → 1 sets the bit."""
+    import numpy as np
+
+    from peerdb_spark.functions.multimodal import image_dhash
+
+    img = np.ones((8, 9, 3), dtype=np.uint8)  # gray 1 everywhere else
+    img[:, 0] = (2, 2, 2)  # gray 2 > gray 1 at x=0 → bits (y, 0) set
+    img[:, 1] = (1, 1, 2)  # floor(4/3) = 1 == gray(2,1,1) = 1 → no bit
+    df = spark.createDataFrame(
+        [(0, img.tobytes(), ("image/raw-rgb", 9, 8, None, "rgb"))],
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    (row,) = image_dhash(df).collect()
+    val = int(row["dhash_hex"], 16)
+    for y in range(8):
+        assert val >> (y * 8) & 1 == 1
+        assert val >> (y * 8 + 1) & 1 == 0
+
+
+def test_hash64_hamming_pairs_banding(spark):
+    """Identical hashes pair at distance 0; ≤3-bit flips are found by
+    pigeonhole (flip bits in ≤3 distinct bands); 4+ scattered flips
+    across all four bands are (correctly) beyond the guarantee and the
+    exact verify kills ≥4-distance candidates anyway."""
+    from peerdb_spark.functions.dedup import hash64_hamming_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (0, base),
+        (1, base),                      # d=0
+        (2, base ^ 0b111),              # d=3, one band
+        (3, base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))),  # d=4, all bands
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hash64_hamming_pairs(df, "dhash", "media_id").collect()
+    )
+    assert got == [(0, 1, 0), (0, 2, 3), (1, 2, 3)]
