@@ -156,6 +156,8 @@ def main() -> None:
         "crawl_text_extract",
         "image_dhash",
         "image_dhash_dups",
+        "pq_encode",
+        "pq_adc_topk",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",

@@ -4501,6 +4501,66 @@ WHERE bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
 )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (round 9): per-subspace fixed-point
+    Lloyd codebooks (functions/pq.py — all m subspaces train in the same
+    rounds: one broadcast E-step join + ONE (sub, cell, pos) hash
+    aggregation per round) encode every embedding as m=4 cell ids. The
+    oracle unrolls the SAME rounds as DuckDB CTEs — the fourth iterative
+    algorithm certified by an independent single-node unroll (after BPE,
+    k-means, PCA)."""
+    from peerdb_spark.functions.pq import pq_train_encode
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(emb.select("vec_id", "embedding"))
+    codes, _books = pq_train_encode(emb, dim=64, m=4, k=8, iters=2)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), "-"
+        ).alias("codes_str"),
+    )
+
+
+def _pq_encode_sql() -> str:
+    from peerdb_spark.functions.pq import pq_train_encode_sql
+
+    inner = pq_train_encode_sql("embeddings", dim=64, m=4, k=8, iters=2)
+    return (
+        "SELECT vec_id, array_to_string(codes, '-') AS codes_str FROM ("
+        + inner + ")"
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (round 9): the first 5 embeddings
+    query the PQ-coded corpus — per-query distance tables (m·k integer
+    entries, broadcast) + table-lookup sums over exploded codes; the
+    corpus side does NO vector math, which is what makes PQ the
+    billion-scale ANN representation (pair with IVF cell pruning for
+    IVF-PQ). Exact integers end-to-end; the oracle replays train + encode
+    + score in one unrolled query."""
+    from peerdb_spark.functions.pq import pq_adc_topk, pq_train_encode
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(emb.select("vec_id", "embedding"))
+    codes, books = pq_train_encode(emb, dim=64, m=4, k=8, iters=2)
+    q = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return pq_adc_topk(codes, q, books, dim=64, m=4, k=5).select(
+        "query_id", "vec_id", "dist", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _pq_adc_sql() -> str:
+    from peerdb_spark.functions.pq import pq_adc_topk_sql
+
+    return pq_adc_topk_sql("embeddings", dim=64, m=4, k=8, iters=2,
+                           topk=5, n_queries=5)
+
+
 def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV decode + frame features (round 9): each media is a real PCM16
     mono WAV (RIFF header + 400 deterministic samples) built from Spark
@@ -6314,6 +6374,8 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_text_extract": q_crawl_text_extract,
     "image_dhash": q_image_dhash,
     "image_dhash_dups": q_image_dhash_dups,
+    "pq_encode": q_pq_encode,
+    "pq_adc_topk": q_pq_adc_topk,
     "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
@@ -6434,6 +6496,8 @@ _ORACLES_IMPL: dict[str, str] = {
     "crawl_text_extract": SQL_CRAWL_TEXT_EXTRACT,
     "image_dhash": SQL_IMAGE_DHASH,
     "image_dhash_dups": SQL_IMAGE_DHASH_DUPS,
+    "pq_encode": _pq_encode_sql(),
+    "pq_adc_topk": _pq_adc_sql(),
     "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
@@ -6542,10 +6606,13 @@ _NEW_THIS_ROUND: list[str] = [
     # r9 session 2: perceptual image dedup (dHash + hamming banding)
     "image_dhash",
     "image_dhash_dups",
+    # r9 session 2: product quantization (the IVF-PQ building block)
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 10 new + 22 of these fill the 50-slot window; the tail past
+# 18 regate + 12 new + 20 of these fill the 50-slot window; the tail past
 # slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
 # surfaces whose modules did not change this round).
 _STALE_REFRESH = [

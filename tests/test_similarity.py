@@ -187,3 +187,67 @@ def test_knn_label_consistency_beats_chance(spark):
     prows = knn_label_consistency(planted, k=5).collect()
     pmatch = sum(r["n_matching"] for r in prows) / sum(r["n_neighbors"] for r in prows)
     assert pmatch > 0.9
+
+
+# -- product quantization — r9 --------------------------------------------------
+
+
+def test_pq_roundtrip_on_codeword_vectors(spark):
+    """Vectors that ARE codebook seeds must encode to their own cells,
+    and ADC distance to themselves must be 0 (exact integers: the
+    quantizer is the identity on its own codewords)."""
+    from peerdb_spark.functions.pq import pq_adc_topk, pq_train_encode
+
+    import numpy as np
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(8)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # k=8 seeds == the 8 vectors; iters=1 keeps codebooks at the seeds
+    codes, books = pq_train_encode(df, dim=8, m=2, k=8, iters=1)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert got == {i: [i, i] for i in range(8)}
+    q = df.select(df.vec_id.alias("query_id"), "embedding")
+    top1 = pq_adc_topk(codes, q, books, dim=8, m=2, k=1).collect()
+    for r in top1:
+        assert r["query_id"] == r["vec_id"] and r["dist"] == 0
+
+
+def test_pq_mstep_moves_centroids(spark):
+    """Two clusters of near-identical vectors, k=2: after one M-step the
+    codes must separate the clusters regardless of seed placement."""
+    from peerdb_spark.functions.pq import pq_train_encode
+
+    import numpy as np
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(20):
+        base = 1.0 if i % 2 else -1.0
+        rows.append((i, [base + float(e) for e in rng.uniform(-.01, .01, 4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, _ = pq_train_encode(df, dim=4, m=2, k=2, iters=3)
+    got = {r["vec_id"]: tuple(r["codes"]) for r in codes.collect()}
+    even = {got[i] for i in range(0, 20, 2)}
+    odd = {got[i] for i in range(1, 20, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+def test_pq_adc_ranks_by_true_neighborhood(spark):
+    """ADC over 4 well-separated clusters must rank same-cluster vectors
+    first for every query (the recall property PQ exists for)."""
+    from peerdb_spark.functions.pq import pq_adc_topk, pq_train_encode
+
+    import numpy as np
+    rng = np.random.RandomState(5)
+    centers = np.array([[4, 0, 0, 0], [0, 4, 0, 0], [0, 0, 4, 0], [0, 0, 0, 4]],
+                       dtype=float)
+    rows = []
+    for i in range(40):
+        c = centers[i % 4] + rng.uniform(-.05, .05, 4)
+        rows.append((i, [float(x) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, books = pq_train_encode(df, dim=4, m=2, k=8, iters=3)
+    q = df.where("vec_id < 4").select(df.vec_id.alias("query_id"), "embedding")
+    top5 = pq_adc_topk(codes, q, books, dim=4, m=2, k=5).collect()
+    for r in top5:
+        assert r["vec_id"] % 4 == r["query_id"] % 4, (
+            r["query_id"], r["vec_id"], r["rank"])
