@@ -251,3 +251,43 @@ def test_pq_adc_ranks_by_true_neighborhood(spark):
     for r in top5:
         assert r["vec_id"] % 4 == r["query_id"] % 4, (
             r["query_id"], r["vec_id"], r["rank"])
+
+
+def test_ivf_pq_composition(spark):
+    """IVF-PQ: coarse IVF cells prune the candidate set, PQ codes score
+    the survivors — the billion-scale ANN layout, composed from the two
+    gate-verified pieces. On well-separated clusters, probing only the
+    query's cell must still rank same-cluster vectors first, and the
+    scored candidate count must shrink to ~1/k of the corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.pq import pq_adc_topk, pq_train_encode
+    from peerdb_spark.functions.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4) * 6.0
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.uniform(-0.05, 0.05, 4)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train_centroids(df, dim=4, k=4, iters=3)
+    assigned = ivf_assign(df, cents)  # (vec_id, embedding, cell)
+    codes, books = pq_train_encode(df, dim=4, m=2, k=8, iters=3)
+    coded = codes.join(assigned.select("vec_id", "cell"), "vec_id")
+
+    # query vec 0: probe ONLY its own cell, then ADC over the survivors
+    (qcell,) = assigned.where("vec_id = 0").select("cell").first()
+    pruned = coded.where(F.col("cell") == qcell).select("vec_id", "codes")
+    n_pruned = pruned.count()
+    assert n_pruned <= 80 // 4 + 4  # cluster-sized, not corpus-sized
+    q = df.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top5 = pq_adc_topk(pruned, q, books, dim=4, m=2, k=5).collect()
+    assert len(top5) == 5
+    for r in top5:
+        assert r["vec_id"] % 4 == 0  # same true cluster as the query
