@@ -878,6 +878,57 @@ def image_dhash(
     return narrow.mapInPandas(run, out_schema)
 
 
+def explode_jsonl(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """Compressed JSONL shards → one row per line: (media_id, line_idx,
+    line) — the Pile/RedPajama corpus layout (.jsonl.gz / .jsonl.zst /
+    plain). Compression auto-detects per blob by magic: gzip (stdlib,
+    multi-member via zlib unused_data), zstd (the from-scratch RFC 8878
+    decoder incl. Compressed blocks — peerdb_spark/zstd_codec; honest
+    note: pure-Python entropy decode, so .gz is the fast path and .zst
+    correctness-complete), else plain bytes. Parse the JSON downstream
+    with from_json (JVM-side) — this op only splits lines, keeping the
+    UDF boundary minimal."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("line_idx", T.IntegerType()),
+            T.StructField("line", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.warc import split_gzip_members
+        from peerdb_spark.zstd_codec import zstd_decompress
+
+        for pdf in batches:
+            ids, idxs, lines = [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(c or b"")
+                if not blob:
+                    continue
+                if blob[:2] == b"\x1f\x8b":
+                    raw = b"".join(split_gzip_members(blob))
+                elif blob[:4] == b"\x28\xb5\x2f\xfd":
+                    raw = zstd_decompress(blob)
+                else:
+                    raw = blob
+                for i, ln in enumerate(raw.split(b"\n")):
+                    if not ln.strip():
+                        continue
+                    ids.append(mid)
+                    idxs.append(i)
+                    lines.append(ln.decode("utf-8"))
+            yield _pd.DataFrame(
+                {id_col: ids, "line_idx": idxs, "line": lines}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
 def mux_tar(
     df: DataFrame, id_col: str = "media_id", members_col: str = "members",
 ) -> DataFrame:

@@ -227,3 +227,31 @@ def test_webdataset_end_to_end_spark(spark):
     caps = rows.where(F.col("name").endswith(".json")).select(
         "sample_key", F.decode("payload", "UTF-8").alias("caption"))
     assert caps.count() == 3
+
+
+def test_explode_jsonl_all_compressions(spark):
+    """JSONL shards in all three layouts (.gz multi-member, .zst through
+    the from-scratch decoder, plain) split to identical rows, and
+    from_json parses them JVM-side."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.functions.multimodal import explode_jsonl
+    from peerdb_spark.zstd_codec import zstd_compress
+
+    lines = [b'{"text": "doc %d", "score": %d}' % (i, i * 7) for i in range(5)]
+    raw = b"\n".join(lines) + b"\n"
+    gz = zlib.compress(raw[:30], 6, 31) + zlib.compress(raw[30:], 6, 31)
+    zst = zstd_compress(raw)
+    df = spark.createDataFrame(
+        [(0, raw), (1, gz), (2, zst)], "media_id long, content binary")
+    out = explode_jsonl(df)
+    parsed = out.select(
+        "media_id", "line_idx",
+        F.from_json("line", "text string, score int").alias("j"),
+    ).collect()
+    assert len(parsed) == 15
+    for r in parsed:
+        assert r["j"]["text"] == f"doc {r['line_idx']}"
+        assert r["j"]["score"] == r["line_idx"] * 7
