@@ -158,6 +158,8 @@ def main() -> None:
         "image_dhash_dups",
         "pq_encode",
         "pq_adc_topk",
+        "audio_fingerprint",
+        "audio_fingerprint_dups",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",

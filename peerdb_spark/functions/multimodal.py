@@ -929,6 +929,56 @@ def explode_jsonl(
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
 
+def audio_fingerprint(
+    df: DataFrame, frame_len: int = 16,
+    content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """Audio near-dup fingerprint: WAV → channel mixdown → per-frame
+    sum-of-squares energies → 64 energy-DELTA bits (bit f = E[f+1] >
+    E[f]; missing frames count as energy 0) → (media_id, fp bigint,
+    fp_hex). The audio analogue of image_dhash — energy-delta signatures
+    are amplitude-trend shapes, robust to sign flips and phase by
+    construction (sum of squares), and integer-exact so the oracle
+    recomputes every bit. Pair with dedup.hash64_hamming_pairs for
+    banded near-dup candidates. Completes the modality triad: text
+    (simhash/minhash), images (dHash), audio (this)."""
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1, got {frame_len}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fp", T.LongType()),
+            T.StructField("fp_hex", T.StringType()),
+        ]
+    )
+    fl = frame_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        from peerdb_spark.functions.audio import frame_features, parse_wav
+
+        for pdf in batches:
+            ids, fps, hexes = [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                _r, _ch, _b, samples = parse_wav(bytes(c))
+                energies = [0] * 65
+                for fi, _n, sq, _zc, _pk in frame_features(samples, fl):
+                    if fi < 65:
+                        energies[fi] = sq
+                val = 0
+                for f in range(64):
+                    if energies[f + 1] > energies[f]:
+                        val |= 1 << f
+                ids.append(mid)
+                fps.append(val - (1 << 64) if val >= (1 << 63) else val)
+                hexes.append(f"{val:016x}")
+            yield _pd.DataFrame({id_col: ids, "fp": fps, "fp_hex": hexes})
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
 def mux_tar(
     df: DataFrame, id_col: str = "media_id", members_col: str = "members",
 ) -> DataFrame:

@@ -4561,6 +4561,138 @@ def _pq_adc_sql() -> str:
                            topk=5, n_queries=5)
 
 
+def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PCM16 WAVs in dedup GROUPS (g = doc_id // 4): 65 frames ×
+    16 samples, v(t) = (((g·13 + t·29) % 251) − 125) · ((t//16 % 7) + 1).
+    Variants 1/2 NEGATE the first sample — sum-of-squares energies are
+    sign-invariant, so their fingerprints are provably identical to
+    variant 0's; variant 3 zeroes frame 10 (a real energy dent → a few
+    delta bits flip). All analytic, so the oracle recomputes every
+    energy and bit."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    did = F.col("doc_id")
+    n_samp = 65 * 16
+    g = F.floor(did / 4)
+    variant = F.pmod(did, F.lit(4))
+    base = lambda t: ((g * 13 + t * 29) % 251) - 125  # noqa: E731
+    samp = (
+        lambda t: F.when((variant == 3) & (F.floor(t / 16) == 10), 0)
+        .when((variant > 0) & (t == 0), -base(t))
+        .otherwise(base(t))
+    )
+    le16 = (
+        lambda v: F.concat(
+            F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 3, 2),
+            F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 1, 2),
+        )
+    )
+    # mono PCM16 @16kHz with 1040 samples (2080 B data): RIFF size 2116
+    header_hex = (
+        "52494646" "44080000" "57415645" "666d7420" "10000000"
+        "0100" "0100" "803e0000" "007d0000" "0200" "1000"
+        "64617461" "20080000"
+    )
+    wav = F.unhex(
+        F.concat(
+            F.lit(header_hex),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_samp - 1)), lambda t: le16(samp(t))
+                ),
+                "",
+            ),
+        )
+    )
+    return docs.select(did.alias("media_id"), wav.alias("content"))
+
+
+_SQL_AUDIO_FP_CTE = """
+en AS (
+  SELECT doc_id, CAST(t // 16 AS INT) AS f,
+         sum(CAST(v AS BIGINT) * v) AS e
+  FROM (
+    SELECT doc_id, u.t AS t,
+           CASE WHEN doc_id % 4 = 3 AND u.t // 16 = 10 THEN 0
+                ELSE (((doc_id // 4) * 13 + u.t * 29) % 251 - 125)
+                     * (CASE WHEN doc_id % 4 > 0 AND u.t = 0 THEN -1 ELSE 1 END)
+           END AS v
+    FROM documents, unnest(range(0, 1040)) u(t)
+  )
+  GROUP BY doc_id, t // 16
+),
+bits AS (
+  SELECT a.doc_id, a.f AS bit,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 64
+),
+fps AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit >= 32
+                  THEN b * (CAST(1 AS BIGINT) << (bit - 32))
+                  ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN bit < 32
+                  THEN b * (CAST(1 AS BIGINT) << bit)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+SQL_AUDIO_FINGERPRINT = (
+    "WITH " + _SQL_AUDIO_FP_CTE
+    + """
+SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS fp_hex
+FROM fps
+"""
+)
+
+SQL_AUDIO_FINGERPRINT_DUPS = (
+    "WITH " + _SQL_AUDIO_FP_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+            + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+      + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) <= 3
+"""
+)
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint (round 9): WAV decode → mixdown →
+    per-frame energies → 64 energy-delta bits
+    (multimodal.audio_fingerprint); every bit recomputed analytically by
+    the oracle from the fixture's sample formula."""
+    from peerdb_spark.functions import multimodal as MM
+
+    media = _audio_fp_fixture(spark, sf_dir)
+    return MM.audio_fingerprint(media, frame_len=16).select(
+        "media_id", "fp_hex"
+    )
+
+
+def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (round 9): fingerprints → the SAME generic
+    hamming-LSH banding images use (dedup.hash64_hamming_pairs). Sign-
+    flipped variants are hash-identical by construction (energies are
+    sums of squares); the zeroed-frame variant lands within a couple of
+    delta bits. Oracle: brute-force hamming ≤ 3 over analytically
+    recomputed fingerprints — banding must find exactly that set."""
+    from peerdb_spark.functions import multimodal as MM
+    from peerdb_spark.functions.dedup import hash64_hamming_pairs
+
+    media = _audio_fp_fixture(spark, sf_dir)
+    fps = MM.audio_fingerprint(media, frame_len=16)
+    pairs = hash64_hamming_pairs(fps, "fp", "media_id", bands=4, max_hamming=3)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV decode + frame features (round 9): each media is a real PCM16
     mono WAV (RIFF header + 400 deterministic samples) built from Spark
@@ -6376,6 +6508,8 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_dups": q_image_dhash_dups,
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_fingerprint_dups": q_audio_fingerprint_dups,
     "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
@@ -6498,6 +6632,8 @@ _ORACLES_IMPL: dict[str, str] = {
     "image_dhash_dups": SQL_IMAGE_DHASH_DUPS,
     "pq_encode": _pq_encode_sql(),
     "pq_adc_topk": _pq_adc_sql(),
+    "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
+    "audio_fingerprint_dups": SQL_AUDIO_FINGERPRINT_DUPS,
     "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": SQL_MEDIA_DECODE_JPEG,
@@ -6609,10 +6745,13 @@ _NEW_THIS_ROUND: list[str] = [
     # r9 session 2: product quantization (the IVF-PQ building block)
     "pq_encode",
     "pq_adc_topk",
+    # r9 session 2: audio near-dup (energy-delta fingerprint + hamming LSH)
+    "audio_fingerprint",
+    "audio_fingerprint_dups",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 12 new + 20 of these fill the 50-slot window; the tail past
+# 18 regate + 14 new + 18 of these fill the 50-slot window; the tail past
 # slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
 # surfaces whose modules did not change this round).
 _STALE_REFRESH = [

@@ -217,3 +217,59 @@ def test_g711_wav_decode():
     fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
     with pytest.raises(ValueError, match="8-bit"):
         parse_wav(_wav_header(fmt, bytes(4)))
+
+
+# -- audio near-dup fingerprint — r9 -------------------------------------------
+
+
+def test_audio_fingerprint_sign_invariance(spark):
+    """Energy-delta fingerprints are invariant to sample sign flips (sum
+    of squares) but change when a frame's energy dents."""
+    from peerdb_spark.functions.multimodal import audio_fingerprint
+
+    rng = np.random.RandomState(7)
+    s = rng.randint(-300, 300, size=(65 * 16, 1)).astype(np.int32)
+    flipped = s.copy()
+    flipped[::3] *= -1
+    # boost frame 10 far above its neighbors: only the two deltas
+    # touching frame 10 can change
+    dented = s.copy()
+    dented[10 * 16 : 11 * 16] *= 100
+    rows = [(i, encode_wav(x, 16000, 16)) for i, x in
+            enumerate((s, flipped, dented))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r["fp_hex"] for r in
+           audio_fingerprint(df, frame_len=16).collect()}
+    assert out[0] == out[1]
+
+    def expect(x):
+        e = [0] * 65
+        for fi, _n, sq, _zc, _pk in frame_features(x, 16):
+            e[fi] = sq
+        return sum((e[f + 1] > e[f]) << f for f in range(64))
+
+    # exact cross-check against the (hand-vector-tested) feature kernel
+    assert int(out[0], 16) == expect(s)
+    assert int(out[2], 16) == expect(dented)
+    diff = int(out[0], 16) ^ int(out[2], 16)
+    assert diff and diff & ~(0b11 << 9) == 0  # only bits 9/10 differ
+
+
+def test_audio_fingerprint_hand_vector(spark):
+    """Monotone-increasing frame energies set every delta bit; decreasing
+    set none — pins the bit direction and missing-frames-as-zero rule."""
+    from peerdb_spark.functions.multimodal import audio_fingerprint
+
+    up = np.concatenate(
+        [np.full(16, f + 1, dtype=np.int32) for f in range(65)])[:, None]
+    down = up[::-1].copy()
+    short = up[: 16 * 3]  # 3 frames: bits 0,1 set; frames 3.. are energy 0
+    df = spark.createDataFrame(
+        [(0, encode_wav(up, 8000, 16)), (1, encode_wav(down, 8000, 16)),
+         (2, encode_wav(short, 8000, 16))],
+        "media_id long, content binary")
+    out = {r["media_id"]: int(r["fp_hex"], 16) for r in
+           audio_fingerprint(df, frame_len=16).collect()}
+    assert out[0] == (1 << 64) - 1
+    assert out[1] == 0
+    assert out[2] == 0b11  # E1>E0, E2>E1, then zeros forever
