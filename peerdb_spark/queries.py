@@ -4571,12 +4571,12 @@ def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy and bit."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     did = F.col("doc_id")
-    n_samp = 65 * 16
+    n_samp = 65 * 4
     g = F.floor(did / 4)
     variant = F.pmod(did, F.lit(4))
     base = lambda t: ((g * 13 + t * 29) % 251) - 125  # noqa: E731
     samp = (
-        lambda t: F.when((variant == 3) & (F.floor(t / 16) == 10), 0)
+        lambda t: F.when((variant == 3) & (F.floor(t / 4) == 10), 0)
         .when((variant > 0) & (t == 0), -base(t))
         .otherwise(base(t))
     )
@@ -4586,11 +4586,11 @@ def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 1, 2),
         )
     )
-    # mono PCM16 @16kHz with 1040 samples (2080 B data): RIFF size 2116
+    # mono PCM16 @16kHz with 260 samples (520 B data): RIFF size 548
     header_hex = (
-        "52494646" "44080000" "57415645" "666d7420" "10000000"
+        "52494646" "24020000" "57415645" "666d7420" "10000000"
         "0100" "0100" "803e0000" "007d0000" "0200" "1000"
-        "64617461" "20080000"
+        "64617461" "08020000"
     )
     wav = F.unhex(
         F.concat(
@@ -4608,17 +4608,17 @@ def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_AUDIO_FP_CTE = """
 en AS (
-  SELECT doc_id, CAST(t // 16 AS INT) AS f,
+  SELECT doc_id, CAST(t // 4 AS INT) AS f,
          sum(CAST(v AS BIGINT) * v) AS e
   FROM (
     SELECT doc_id, u.t AS t,
-           CASE WHEN doc_id % 4 = 3 AND u.t // 16 = 10 THEN 0
+           CASE WHEN doc_id % 4 = 3 AND u.t // 4 = 10 THEN 0
                 ELSE (((doc_id // 4) * 13 + u.t * 29) % 251 - 125)
                      * (CASE WHEN doc_id % 4 > 0 AND u.t = 0 THEN -1 ELSE 1 END)
            END AS v
-    FROM documents, unnest(range(0, 1040)) u(t)
+    FROM documents, unnest(range(0, 260)) u(t)
   )
-  GROUP BY doc_id, t // 16
+  GROUP BY doc_id, t // 4
 ),
 bits AS (
   SELECT a.doc_id, a.f AS bit,
@@ -4668,7 +4668,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peerdb_spark.functions import multimodal as MM
 
     media = _audio_fp_fixture(spark, sf_dir)
-    return MM.audio_fingerprint(media, frame_len=16).select(
+    return MM.audio_fingerprint(media, frame_len=4).select(
         "media_id", "fp_hex"
     )
 
@@ -4684,7 +4684,7 @@ def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peerdb_spark.functions.dedup import hash64_hamming_pairs
 
     media = _audio_fp_fixture(spark, sf_dir)
-    fps = MM.audio_fingerprint(media, frame_len=16)
+    fps = MM.audio_fingerprint(media, frame_len=4)
     pairs = hash64_hamming_pairs(fps, "fp", "media_id", bands=4, max_hamming=3)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
