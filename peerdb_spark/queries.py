@@ -4365,8 +4365,12 @@ FROM documents
 
 def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 18×16 gray raw-RGB images in dedup GROUPS: group g =
-    doc_id // 4 shares a base image (v = ((g·11 + sx·5 + sy·7) % 97)·2 —
-    even values, so adjacent sampled gradients are ≥2 and never tie);
+    doc_id // 4 shares a base image (v = (g·11 + sx·5 + sy·7) % 97
+    + (g·7 + sx·3 + sy·5) % 31 — adjacent sampled gradients are sums of
+    {10,−87} and {6,−25} steps, so |Δ| ≥ 15 and never ties; the
+    TWO-modulus mix keeps base images distinct across ~97·31 classes, so
+    dup pairs stay group-sized at sf0.1 instead of collapsing into
+    52-doc mod-97 hash classes — the first draft's 129k-pair join);
     variants 1/2 perturb pixel (0,0) by +1 (provably hash-preserving:
     a ±1 nudge cannot flip a ≥2 strict gradient), variant 3 adds +41 at
     sampled pixel (4,4) (may flip up to 2 bits — the nonzero-hamming
@@ -4381,8 +4385,10 @@ def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte i → pixel p=i//3 → (sx = p % w, sy = p // w)
     val = (
         lambda i: (
-            ((g * 11 + (F.floor(i / 3) % w) * 5
-              + F.floor(F.floor(i / 3) / w) * 7) % 97) * 2
+            (g * 11 + (F.floor(i / 3) % w) * 5
+             + F.floor(F.floor(i / 3) / w) * 7) % 97
+            + (g * 7 + (F.floor(i / 3) % w) * 3
+               + F.floor(F.floor(i / 3) / w) * 5) % 31
             + F.when((variant > 0) & (F.floor(i / 3) == 0), 1).otherwise(0)
             + F.when(
                 (variant == 3)
@@ -4422,11 +4428,13 @@ _SQL_DHASH_CTE = """
 bits AS (
   SELECT doc_id, u.y * 8 + u2.x AS bit,
          CASE WHEN
-           ((doc_id // 4) * 11 + (2 * u2.x) * 5 + (2 * u.y) * 7) % 97 * 2
+           ((doc_id // 4) * 11 + (2 * u2.x) * 5 + (2 * u.y) * 7) % 97
+           + ((doc_id // 4) * 7 + (2 * u2.x) * 3 + (2 * u.y) * 5) % 31
            + CASE WHEN doc_id % 4 > 0 AND u2.x = 0 AND u.y = 0 THEN 1 ELSE 0 END
            + CASE WHEN doc_id % 4 = 3 AND 2 * u2.x = 4 AND 2 * u.y = 4 THEN 41 ELSE 0 END
            >
-           ((doc_id // 4) * 11 + (2 * u2.x + 2) * 5 + (2 * u.y) * 7) % 97 * 2
+           ((doc_id // 4) * 11 + (2 * u2.x + 2) * 5 + (2 * u.y) * 7) % 97
+           + ((doc_id // 4) * 7 + (2 * u2.x + 2) * 3 + (2 * u.y) * 5) % 31
            + CASE WHEN doc_id % 4 = 3 AND 2 * u2.x + 2 = 4 AND 2 * u.y = 4 THEN 41 ELSE 0 END
          THEN 1 ELSE 0 END AS b
   FROM documents, unnest(range(0, 8)) u(y), unnest(range(0, 8)) u2(x)
