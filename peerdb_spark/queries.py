@@ -4381,19 +4381,16 @@ def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, h = 18, 16
     g = F.floor(did / 4)
     variant = F.pmod(did, F.lit(4))
-    n_bytes = w * h * 3
-    # byte i → pixel p=i//3 → (sx = p % w, sy = p // w)
+    n_px = w * h
+    # pixel p → (sx = p % w, sy = p // w); r=g=b, so hex each pixel ONCE
+    # and repeat 3× (3× fewer string ops than a per-byte transform)
     val = (
-        lambda i: (
-            (g * 11 + (F.floor(i / 3) % w) * 5
-             + F.floor(F.floor(i / 3) / w) * 7) % 97
-            + (g * 7 + (F.floor(i / 3) % w) * 3
-               + F.floor(F.floor(i / 3) / w) * 5) % 31
-            + F.when((variant > 0) & (F.floor(i / 3) == 0), 1).otherwise(0)
+        lambda p: (
+            (g * 11 + (p % w) * 5 + F.floor(p / w) * 7) % 97
+            + (g * 7 + (p % w) * 3 + F.floor(p / w) * 5) % 31
+            + F.when((variant > 0) & (p == 0), 1).otherwise(0)
             + F.when(
-                (variant == 3)
-                & ((F.floor(i / 3) % w) == 4)
-                & (F.floor(F.floor(i / 3) / w) == 4),
+                (variant == 3) & ((p % w) == 4) & (F.floor(p / w) == 4),
                 41,
             ).otherwise(0)
         )
@@ -4401,8 +4398,8 @@ def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.unhex(
         F.array_join(
             F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(n_bytes - 1)),
-                lambda i: F.lpad(F.lower(F.hex(val(i))), 2, "0"),
+                F.sequence(F.lit(0).cast("long"), F.lit(n_px - 1)),
+                lambda p: F.repeat(F.lpad(F.lower(F.hex(val(p))), 2, "0"), 3),
             ),
             "",
         )
