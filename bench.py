@@ -160,6 +160,7 @@ def main() -> None:
         "pq_adc_topk",
         "audio_fingerprint",
         "audio_fingerprint_dups",
+        "audio_frame_energy_flac",
         "media_decode_png",
         "media_decode_jpeg",
         "media_decode_jpeg_progressive",

@@ -39,10 +39,22 @@ import numpy as np
 
 __all__ = [
     "parse_wav",
+    "parse_audio",
     "encode_wav",
     "frame_features",
     "resample_linear",
 ]
+
+
+def parse_audio(data: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Format-dispatching decode: FLAC by magic (functions/flac.py,
+    bit-exact lossless), else WAV — one contract (rate, channels, bits,
+    (n, ch) int32) for every Spark audio operator."""
+    if data[:4] == b"fLaC":
+        from peerdb_spark.functions.flac import parse_flac
+
+        return parse_flac(data)
+    return parse_wav(data)
 
 
 def _mulaw_table() -> np.ndarray:

@@ -933,7 +933,7 @@ def audio_fingerprint(
     df: DataFrame, frame_len: int = 16,
     content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:
-    """Audio near-dup fingerprint: WAV → channel mixdown → per-frame
+    """Audio near-dup fingerprint: WAV/FLAC → channel mixdown → per-frame
     sum-of-squares energies → 64 energy-DELTA bits (bit f = E[f+1] >
     E[f]; missing frames count as energy 0) → (media_id, fp bigint,
     fp_hex). The audio analogue of image_dhash — energy-delta signatures
@@ -957,12 +957,12 @@ def audio_fingerprint(
         import numpy as np
         import pandas as _pd
 
-        from peerdb_spark.functions.audio import frame_features, parse_wav
+        from peerdb_spark.functions.audio import frame_features, parse_audio
 
         for pdf in batches:
             ids, fps, hexes = [], [], []
             for mid, c in zip(pdf[id_col], pdf[content_col]):
-                _r, _ch, _b, samples = parse_wav(bytes(c))
+                _r, _ch, _b, samples = parse_audio(bytes(c))
                 energies = [0] * 65
                 for fi, _n, sq, _zc, _pk in frame_features(samples, fl):
                     if fi < 65:
@@ -975,6 +975,43 @@ def audio_fingerprint(
                 fps.append(val - (1 << 64) if val >= (1 << 63) else val)
                 hexes.append(f"{val:016x}")
             yield _pd.DataFrame({id_col: ids, "fp": fps, "fp_hex": hexes})
+
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def transcode_wav_flac(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    block: int = 256,
+) -> DataFrame:
+    """WAV media → losslessly FLAC-compressed media (functions/flac.py:
+    fixed-predictor + rice encoder). Bit-exactness is the format's own
+    contract, which makes this the cheapest possible gate amplifier: any
+    query downstream of decode must produce IDENTICAL results on the
+    transcoded corpus — the audio_frame_energy_flac gate runs the same
+    oracle as its WAV twin over FLAC bytes."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    blk = block
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from peerdb_spark.functions.audio import parse_wav
+        from peerdb_spark.functions.flac import encode_flac
+
+        for pdf in batches:
+            ids, contents = [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                rate, _ch, bits, samples = parse_wav(bytes(c))
+                if bits not in (8, 16, 24):
+                    raise ValueError(f"cannot transcode {bits}-bit to FLAC")
+                ids.append(mid)
+                contents.append(encode_flac(samples, rate, bits, block=blk))
+            yield _pd.DataFrame({id_col: ids, "content": contents})
 
     return df.select(id_col, content_col).mapInPandas(run, out_schema)
 
@@ -1052,7 +1089,7 @@ def mux_warc(
 def decode_audio(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:
-    """WAV media → (media_id, sample_rate, channels, bit_depth, n_samples,
+    """WAV/FLAC media → (media_id, sample_rate, channels, bit_depth, n_samples,
     pcm) with pcm the decoded interleaved int32 little-endian buffer
     (functions/audio.py: PCM 8/16/24/32 + IEEE float, extensible headers,
     chunk-walk validation). The audio twin of decode_images: metadata
@@ -1071,12 +1108,12 @@ def decode_audio(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        from peerdb_spark.functions.audio import parse_wav
+        from peerdb_spark.functions.audio import parse_audio
 
         for pdf in batches:
             ids, rates, chs, bits_, ns, pcms = [], [], [], [], [], []
             for mid, c in zip(pdf[id_col], pdf[content_col]):
-                rate, ch, bits, samples = parse_wav(bytes(c))
+                rate, ch, bits, samples = parse_audio(bytes(c))
                 ids.append(mid)
                 rates.append(rate)
                 chs.append(ch)
@@ -1095,7 +1132,7 @@ def audio_frame_features(
     df: DataFrame, frame_len: int = 400,
     content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:
-    """WAV media → per-frame integer-exact features (media_id, frame_idx,
+    """WAV/FLAC media → per-frame integer-exact features (media_id, frame_idx,
     n_samples, sum_sq, zero_crossings, peak) over the channel mixdown —
     the VAD/quality primitives of speech-corpus curation (energy gating,
     silence trimming, clipping detection), exactly restatable in SQL
@@ -1116,12 +1153,12 @@ def audio_frame_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        from peerdb_spark.functions.audio import frame_features, parse_wav
+        from peerdb_spark.functions.audio import frame_features, parse_audio
 
         for pdf in batches:
             ids, idxs, ns, ss, zcs, pks = [], [], [], [], [], []
             for mid, c in zip(pdf[id_col], pdf[content_col]):
-                _r, _ch, _b, samples = parse_wav(bytes(c))
+                _r, _ch, _b, samples = parse_audio(bytes(c))
                 for fi, n, sq, zc, pk in frame_features(samples, fl):
                     ids.append(mid)
                     idxs.append(fi)
@@ -1141,7 +1178,7 @@ def resample_audio(
     df: DataFrame, dst_rate: int,
     content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:
-    """WAV media → rate-normalized (media_id, sample_rate, channels,
+    """WAV/FLAC media → rate-normalized (media_id, sample_rate, channels,
     n_samples, pcm int32-LE) via exact-rational linear interpolation
     (functions/audio.py:resample_linear) — corpus ingest's sample-rate
     unifier. Arrow-batched mapInPandas."""
@@ -1161,12 +1198,12 @@ def resample_audio(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        from peerdb_spark.functions.audio import parse_wav, resample_linear
+        from peerdb_spark.functions.audio import parse_audio, resample_linear
 
         for pdf in batches:
             ids, rates, chs, ns, pcms = [], [], [], [], []
             for mid, c in zip(pdf[id_col], pdf[content_col]):
-                rate, ch, _b, samples = parse_wav(bytes(c))
+                rate, ch, _b, samples = parse_audio(bytes(c))
                 out = resample_linear(samples, rate, dr)
                 ids.append(mid)
                 rates.append(dr)

@@ -4665,6 +4665,24 @@ WHERE bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
 )
 
 
+def q_audio_frame_energy_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode gate (round 9): the SAME analytic WAV fixture as
+    audio_frame_energy, losslessly transcoded to FLAC in-flight
+    (multimodal.transcode_wav_flac — fixed-predictor + rice encoder,
+    functions/flac.py), then framed/featured identically — and verified
+    against the IDENTICAL oracle SQL. A single wrong rice bit, CRC, or
+    predictor coefficient anywhere in the FLAC round-trip breaks the
+    value hash."""
+    from peerdb_spark.functions import multimodal as MM
+
+    media = _audio_energy_fixture(spark, sf_dir)
+    flac = MM.transcode_wav_flac(media)
+    return MM.audio_frame_features(flac, frame_len=64).select(
+        "media_id", "frame_idx", "n_samples", "sum_sq",
+        "zero_crossings", "peak",
+    )
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup fingerprint (round 9): WAV decode → mixdown →
     per-frame energies → 64 energy-delta bits
@@ -4713,6 +4731,15 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes — 4 WAV blobs total, broadcast-joined to every media row."""
     from peerdb_spark.functions import multimodal as MM
 
+    media = _audio_energy_fixture(spark, sf_dir)
+    return MM.audio_frame_features(media, frame_len=64).select(
+        "media_id", "frame_idx", "n_samples", "sum_sq",
+        "zero_crossings", "peak",
+    )
+
+
+def _audio_energy_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio_frame_energy WAV fixture (shared with its FLAC twin)."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     did = F.col("doc_id")
     n_samp = 400
@@ -4760,10 +4787,7 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(containers), "vk")
         .select("media_id", "content")
     )
-    return MM.audio_frame_features(media, frame_len=64).select(
-        "media_id", "frame_idx", "n_samples", "sum_sq",
-        "zero_crossings", "peak",
-    )
+    return media
 
 
 SQL_AUDIO_FRAME_ENERGY = """
@@ -6514,6 +6538,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
     "audio_fingerprint": q_audio_fingerprint,
+    "audio_frame_energy_flac": q_audio_frame_energy_flac,
     "audio_fingerprint_dups": q_audio_fingerprint_dups,
     "audio_frame_energy": q_audio_frame_energy,
     "media_decode_png": q_media_decode_png,
@@ -6638,6 +6663,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "pq_encode": _pq_encode_sql(),
     "pq_adc_topk": _pq_adc_sql(),
     "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
+    "audio_frame_energy_flac": SQL_AUDIO_FRAME_ENERGY,
     "audio_fingerprint_dups": SQL_AUDIO_FINGERPRINT_DUPS,
     "audio_frame_energy": SQL_AUDIO_FRAME_ENERGY,
     "media_decode_png": SQL_MEDIA_DECODE_PNG,
@@ -6753,10 +6779,12 @@ _NEW_THIS_ROUND: list[str] = [
     # r9 session 2: audio near-dup (energy-delta fingerprint + hamming LSH)
     "audio_fingerprint",
     "audio_fingerprint_dups",
+    # r9 session 2: FLAC (same fixture + oracle as audio_frame_energy)
+    "audio_frame_energy_flac",
 ]
 
 # Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 14 new + 18 of these fill the 50-slot window; the tail past
+# 18 regate + 15 new + 17 of these fill the 50-slot window; the tail past
 # slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
 # surfaces whose modules did not change this round).
 _STALE_REFRESH = [

@@ -46,6 +46,17 @@ def _avi_seed():
 
 
 _SEEDS = {
+    "flac": (
+        lambda b: __import__(
+            "peerdb_spark.functions.flac", fromlist=["parse_flac"]
+        ).parse_flac(b),
+        lambda: __import__(
+            "peerdb_spark.functions.flac", fromlist=["encode_flac"]
+        ).encode_flac(
+            ((_img()[:, :3, 0].astype(np.int32) - 128) * 200), 16000, 16,
+            block=128,
+        ),
+    ),
     "tar_index": (
         lambda b: __import__(
             "peerdb_spark.functions.tar", fromlist=["index_tar"]
