@@ -12,13 +12,14 @@ Scope:
   (orders 0-4) / LPC (any order: precision+shift+coefficients from the
   stream), rice residuals (4- and 5-bit parameter methods, partitioned,
   escape-to-raw), wasted bits, stereo decorrelation (left/side,
-  right/side, mid/side), frame CRC-16 verified. 8/16/24-bit samples,
+  right/side, mid/side), frame CRC-16 verified. 8/16/24/32-bit samples
+  (intermediates are unbounded Python ints, so the 33-bit side lane and
+  32-bit residual arithmetic are exact),
   any channel count for independent assignment.
 - Encode (fixtures/interop): STREAMINFO + frames with VERBATIM or
   FIXED-order-2 subframes and partitioned rice residuals — valid FLAC
   any player decodes.
-- Honest gates: Ogg-encapsulated FLAC and 32-bit samples raise
-  NotImplementedError.
+- Honest gate: Ogg-encapsulated FLAC raises NotImplementedError.
 
 CRC anchors are the published check values (CRC-8 poly 0x07 over
 "123456789" = 0xF4; CRC-16 poly 0x8005 unreflected = 0xFEE8), pinned in
@@ -218,8 +219,8 @@ def parse_flac(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if info is None:
         raise ValueError("no STREAMINFO block")
     rate, ch, bps, total = info
-    if bps not in (8, 16, 24):
-        raise NotImplementedError(f"{bps}-bit FLAC not supported (8/16/24)")
+    if bps not in (8, 16, 24, 32):
+        raise ValueError(f"invalid FLAC bit depth {bps}")
     if rate < 1 or ch < 1:
         raise ValueError("invalid STREAMINFO")
 
@@ -252,7 +253,7 @@ def parse_flac(data: bytes) -> tuple[int, int, int, np.ndarray]:
             r.u(16)
         elif sr_code == 15:
             raise ValueError("invalid sample rate code")
-        fbps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        fbps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
         if fbps is None:
             raise ValueError(f"reserved sample size code {ss_code}")
         hdr_end = (r.pos + 7) // 8
@@ -364,7 +365,7 @@ def encode_flac(samples: np.ndarray, rate: int, bits: int = 16,
     if arr.ndim == 1:
         arr = arr[:, None]
     n, ch = arr.shape
-    if bits not in (8, 16, 24):
+    if bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported encode depth {bits}")
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     a = arr.astype(np.int64)
@@ -384,7 +385,7 @@ def encode_flac(samples: np.ndarray, rate: int, bits: int = 16,
     si_bytes = bytes(si.out) + b"\x00" * 16  # md5 unset
     out += bytes([0x80]) + len(si_bytes).to_bytes(3, "big") + si_bytes
 
-    ss_code = {8: 1, 16: 4, 24: 6}[bits]
+    ss_code = {8: 1, 16: 4, 24: 6, 32: 7}[bits]
     for fi, f0 in enumerate(range(0, n, block)):
         blk = a[f0 : f0 + block]
         bn = blk.shape[0]
@@ -405,7 +406,13 @@ def encode_flac(samples: np.ndarray, rate: int, bits: int = 16,
         for ci in range(ch):
             w.u(0, 1)
             col = blk[:, ci].tolist()
-            if subframe == "verbatim" or bn <= 2:
+            res = ([int(col[i] - 2 * col[i - 1] + col[i - 2])
+                    for i in range(2, bn)] if bn > 2 else [])
+            rb = max(v.bit_length() for v in res) + 1 if res else 1
+            if subframe == "verbatim" or bn <= 2 or rb > 31:
+                # rb > 31: order-2 residuals of wide (e.g. 32-bit noise)
+                # data exceed what a raw-escape partition can hold —
+                # VERBATIM is the lossless fallback
                 w.u(1, 6)
                 w.u(0, 1)
                 for v in col:
@@ -415,14 +422,22 @@ def encode_flac(samples: np.ndarray, rate: int, bits: int = 16,
                 w.u(0, 1)
                 w.u(int(col[0]), bits)
                 w.u(int(col[1]), bits)
-                res = [int(col[i] - 2 * col[i - 1] + col[i - 2])
-                       for i in range(2, bn)]
                 mean = sum(abs(x) for x in res) // max(len(res), 1) + 1
                 k = min(max(mean.bit_length(), 0), 14)
+                zmax = max(((v << 1) if v >= 0 else ((-v << 1) - 1))
+                           for v in res) if res else 0
                 w.u(0, 2)   # 4-bit rice method
                 w.u(0, 4)   # partition order 0
-                w.u(k, 4)
-                _rice_write(w, res, k)
+                if (zmax >> k) > 64:
+                    # rice quotients would explode: ESCAPE to raw
+                    # signed residuals (rb <= 31 checked above)
+                    w.u(0xF, 4)
+                    w.u(rb, 5)
+                    for v in res:
+                        w.u(v & ((1 << rb) - 1), rb)
+                else:
+                    w.u(k, 4)
+                    _rice_write(w, res, k)
         w.align()
         body = bytes(w.out)
         w.u(_crc16(body), 16)

@@ -216,3 +216,19 @@ def test_audio_ops_accept_flac(spark):
         by.setdefault(r["media_id"], []).append(
             (r["frame_idx"], r["sum_sq"], r["zero_crossings"], r["peak"]))
     assert sorted(by[0]) == sorted(by[1])
+
+
+def test_32bit_full_range_and_escape_paths():
+    """32-bit samples: full-range noise forces the VERBATIM fallback
+    (order-2 residuals exceed the 31-bit raw escape) and the escape path
+    itself; smooth 32-bit data exercises rice. All bit-exact."""
+    rng = np.random.RandomState(9)
+    s = (rng.randint(-(1 << 31), (1 << 31) - 1, size=(600, 2), dtype=np.int64)
+         .astype(np.int32))
+    for mode in ("verbatim", "fixed2"):
+        r, c, b, out = parse_flac(
+            encode_flac(s, 48000, 32, block=256, subframe=mode))
+        assert (r, c, b) == (48000, 2, 32) and (out == s).all(), mode
+    t = np.arange(2000)
+    sm = (200000 * np.sin(t / 40)).astype(np.int32)[:, None]
+    assert (parse_flac(encode_flac(sm, 48000, 32, block=512))[3] == sm).all()
