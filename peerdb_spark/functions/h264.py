@@ -327,7 +327,10 @@ def split_h264_frames(data: bytes) -> list[tuple[int, int, bool]]:
             first_mb = _BitReader(_strip_epb(data[s + 1 : min(e, s + 9)])).ue()
             if first_mb == 0:  # new picture
                 if cur_start is not None:
-                    frames.append((cur_start, pending_start or sc, cur_idr))
+                    frames.append(
+                        (cur_start,
+                         pending_start if pending_start is not None else sc,
+                         cur_idr))
                 cur_start = pending_start if pending_start is not None else sc
                 cur_idr = nal_type == 5
                 pending_start = None
@@ -344,7 +347,8 @@ def split_h264_frames(data: bytes) -> list[tuple[int, int, bool]]:
 _I_PCM_MB_TYPE = 25  # table 7-11, I slices
 
 
-def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool) -> dict:
+def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool,
+                        ref_idc: int = 1) -> dict:
     first_mb = r.ue()
     slice_type = r.ue()
     r.ue()  # pic_parameter_set_id (routed by caller)
@@ -370,13 +374,16 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool) -> dict:
         raise NotImplementedError(
             f"only I slices decode (got slice_type {slice_type}); P/B need "
             "inter prediction")
-    # I slice: no ref pic list reordering / pred weights
-    if idr:  # dec_ref_pic_marking
-        r.u(1)  # no_output_of_prior_pics_flag
-        r.u(1)  # long_term_reference_flag
-    else:
-        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
-            raise NotImplementedError("adaptive ref pic marking")
+    # I slice: no ref pic list reordering / pred weights.
+    # dec_ref_pic_marking is present only when nal_ref_idc != 0 (spec
+    # §7.3.3) — non-reference I slices carry none.
+    if ref_idc:
+        if idr:
+            r.u(1)  # no_output_of_prior_pics_flag
+            r.u(1)  # long_term_reference_flag
+        else:
+            if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                raise NotImplementedError("adaptive ref pic marking")
     if pps["entropy_coding_mode"]:
         raise NotImplementedError("CABAC slices not supported (I_PCM decode "
                                   "is CAVLC-mode only)")
@@ -388,9 +395,11 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool) -> dict:
     return {"first_mb": first_mb, "slice_type": slice_type}
 
 
-def _decode_ipcm_picture(vcl_payloads: list[tuple[bytes, bool]], sps: dict,
-                         pps: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one picture's VCL NAL payloads (RBSP, idr flag) where every
+def _decode_ipcm_picture(
+    vcl_payloads: list[tuple[bytes, bool, int]], sps: dict, pps: dict,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one picture's VCL NAL payloads (RBSP, idr flag, nal_ref_idc)
+    where every
     macroblock is I_PCM → (Y, Cb, Cr) uint8 planes at coded (uncropped)
     size. 4:2:0 8-bit only (baseline)."""
     if sps["chroma_format_idc"] != 1:
@@ -401,9 +410,9 @@ def _decode_ipcm_picture(vcl_payloads: list[tuple[bytes, bool]], sps: dict,
     Cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
     Cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
     seen = 0
-    for rbsp, idr in vcl_payloads:
+    for rbsp, idr, ref_idc in vcl_payloads:
         r = _BitReader(rbsp)
-        hdr = _parse_slice_header(r, sps, pps, idr)
+        hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
         mb = hdr["first_mb"]
         if mb != seen:
             raise ValueError("slices out of order or overlapping")
@@ -471,7 +480,8 @@ def _decode_stream(data: bytes):
                 raise ValueError("slice references unknown PPS")
             if first_mb == 0 or not pictures:
                 pictures.append((pps_by_id[pps_id], []))
-            pictures[-1][1].append((payload, nal_type == 5))
+            pictures[-1][1].append(
+                (payload, nal_type == 5, (data[s] >> 5) & 3))
     # a stream with no NALs yields no frames; slices with missing
     # parameter sets were already rejected at routing above
     for pps, payloads in pictures:

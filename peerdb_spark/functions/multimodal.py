@@ -1007,7 +1007,7 @@ def transcode_wav_flac(
             ids, contents = [], []
             for mid, c in zip(pdf[id_col], pdf[content_col]):
                 rate, _ch, bits, samples = parse_wav(bytes(c))
-                if bits not in (8, 16, 24):
+                if bits not in (8, 16, 24, 32):
                     raise ValueError(f"cannot transcode {bits}-bit to FLAC")
                 ids.append(mid)
                 contents.append(encode_flac(samples, rate, bits, block=blk))

@@ -150,7 +150,11 @@ def encode_tar(members: list[tuple[str, bytes]]) -> bytes:
                 total = len(str(total)) + len(body)
             pax = str(total).encode() + body
             out += header("./PaxHeaders/x", len(pax), b"x") + pad(pax)
-            out += header(name[:100], len(payload), b"0") + pad(payload)
+            # fallback ustar name truncated by ENCODED bytes (multibyte
+            # names overflow a char-count truncation); the PAX 'path'
+            # record above overrides it on read anyway
+            short = name.encode("utf-8")[:100].decode("utf-8", "ignore")
+            out += header(short, len(payload), b"0") + pad(payload)
         else:
             out += header(name, len(payload), b"0") + pad(payload)
     out += b"\x00" * (2 * _BLOCK)

@@ -4568,7 +4568,7 @@ def _pq_adc_sql() -> str:
 
 def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc PCM16 WAVs in dedup GROUPS (g = doc_id // 4): 65 frames ×
-    16 samples, v(t) = (((g·13 + t·29) % 251) − 125) · ((t//16 % 7) + 1).
+    4 samples (260 total), v(t) = ((g·13 + t·29) % 251) − 125.
     Variants 1/2 NEGATE the first sample — sum-of-squares energies are
     sign-invariant, so their fingerprints are provably identical to
     variant 0's; variant 3 zeroes frame 10 (a real energy dent → a few
@@ -4591,9 +4591,10 @@ def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 1, 2),
         )
     )
-    # mono PCM16 @16kHz with 260 samples (520 B data): RIFF size 548
+    # mono PCM16 @16kHz, 260 samples (520 B data): RIFF size = 4 (WAVE)
+    # + 24 (fmt chunk incl header) + 8 (data header) + 520 = 556
     header_hex = (
-        "52494646" "24020000" "57415645" "666d7420" "10000000"
+        "52494646" "2c020000" "57415645" "666d7420" "10000000"
         "0100" "0100" "803e0000" "007d0000" "0200" "1000"
         "64617461" "08020000"
     )

@@ -232,3 +232,19 @@ def test_32bit_full_range_and_escape_paths():
     t = np.arange(2000)
     sm = (200000 * np.sin(t / 40)).astype(np.int32)[:, None]
     assert (parse_flac(encode_flac(sm, 48000, 32, block=512))[3] == sm).all()
+
+
+def test_transcode_wav_flac_32bit(spark):
+    """commit 3ae9bdb taught the codec 32-bit encode; the operator gate
+    (transcode_wav_flac) must accept 32-bit WAV input too (ADVICE r9).
+    Samples roundtrip bit-exact through the transcoded FLAC."""
+    from peerdb_spark.functions.audio import encode_wav
+    from peerdb_spark.functions.multimodal import transcode_wav_flac
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-(1 << 30), 1 << 30, size=(300, 1)).astype(np.int32)
+    df = spark.createDataFrame(
+        [(0, encode_wav(s, 8000, 32))], "media_id long, content binary")
+    out = transcode_wav_flac(df).collect()
+    rate, ch, bits, got = parse_flac(bytes(out[0]["content"]))
+    assert (rate, ch, bits) == (8000, 1, 32) and (got == s).all()

@@ -262,3 +262,38 @@ def test_sample_frames_h264_spark(spark):
         want = decode_h264(
             encode_h264_ipcm([(Y, Cb, Cr)], 32, 16))[0][2]
         assert bytes(r["frame"]) == want
+
+
+def test_non_reference_i_slice_has_no_dec_ref_pic_marking():
+    """Spec §7.3.3: dec_ref_pic_marking is present only when
+    nal_ref_idc != 0. A conforming non-reference (ref_idc 0) non-IDR
+    I_PCM picture must decode — before the r10 fix the header parse read
+    a phantom adaptive_ref_pic_marking_mode_flag bit and desynced."""
+    from peerdb_spark.functions.h264 import _I_PCM_MB_TYPE, _nal
+
+    rng = np.random.RandomState(7)
+    f0 = _mkframe(rng, 16, 16)
+    f1 = _mkframe(rng, 16, 16)
+    stream = bytearray(encode_h264_ipcm([f0], 16, 16))
+
+    # hand-build a non-IDR, non-reference I_PCM picture (nal_type 1,
+    # ref_idc 0) — NO idr_pic_id, NO dec_ref_pic_marking
+    w = _BitWriter()
+    w.ue(0)      # first_mb_in_slice
+    w.ue(7)      # slice_type: I (all slices)
+    w.ue(0)      # pps_id
+    w.u(1, 4)    # frame_num
+    w.se(0)      # slice_qp_delta
+    w.ue(_I_PCM_MB_TYPE)
+    w.align_zero()
+    w.put_bytes(f1[0].tobytes())
+    w.put_bytes(f1[1].tobytes())
+    w.put_bytes(f1[2].tobytes())
+    stream += _nal(1, w.rbsp_trailing(), ref_idc=0)
+
+    frames = decode_h264_yuv(bytes(stream))
+    assert len(frames) == 2
+    for got, want in zip(frames, (f0, f1)):
+        _w, _h, Y, Cb, Cr = got
+        assert (Y == want[0]).all() and (Cb == want[1]).all() \
+            and (Cr == want[2]).all()

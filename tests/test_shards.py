@@ -255,3 +255,17 @@ def test_explode_jsonl_all_compressions(spark):
     for r in parsed:
         assert r["j"]["text"] == f"doc {r['line_idx']}"
         assert r["j"]["score"] == r["line_idx"] * 7
+
+
+def test_tar_multibyte_long_name():
+    """PAX long names with multibyte characters: the fallback ustar name
+    field must truncate by ENCODED bytes (a char-count slice overflows
+    100 bytes and raised before r10); the PAX path record wins on read."""
+    name = "д" * 120 + ".json"  # 245 UTF-8 bytes
+    blob = encode_tar([(name, b"PAYLOAD")])
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    got = [(m.name, tf.extractfile(m).read()) for m in tf if m.isfile()]
+    assert got == [(name, b"PAYLOAD")]
+    idx = index_tar(blob)
+    assert [m["name"] for m in idx] == [name]
+    assert extract_tar_member(blob, idx[0]) == b"PAYLOAD"
