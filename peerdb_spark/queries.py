@@ -24,7 +24,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from peerdb_spark import cdc as CDC
 from peerdb_spark import normalize as N
 from peerdb_spark.functions import ensure_parallelism
 from peerdb_spark.functions import dedup as DD
@@ -382,6 +384,63 @@ def q_cdc_split_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CDC_SPLIT_MERGE = SQL_CDC_NORMALIZE_MERGE
+
+
+def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY normalize cadence through the PRODUCT path (round 10:
+    CdcPipeline normalize_every=k, the policy the r9 cardinality probe
+    measured as the uniform-fan-out 100-TB answer — 250k vs 132k ev/s;
+    the reference gets the equivalent from ClickHouse RMT background
+    merges, flow/connectors/clickhouse/normalize.go:119-126). The base
+    snapshot bootstraps the destination; the changelog splits into 4
+    sync batches by checkpoint hash and feeds process_batch, which
+    defers the merge until the 4th batch completes the window — the
+    asserts pin that batches 1-3 really did NOT merge. One deferred
+    normalize then folds the whole tail, and the final destination must
+    hash-match the SAME oracle as cdc_normalize_merge: the driver
+    certifies deferral is invisible to the relation."""
+    import os
+    import shutil
+
+    from peerdb_spark.storage import ParquetTable
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    _r = _ranked_shared(li)
+    base = lineitem_base(li, _r)
+    chg = lineitem_changes(li, _r)
+    wd = f"/tmp/peerdb_gate_lazy_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(wd, ignore_errors=True)
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("qty", T.DoubleType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("flag", T.StringType()),
+    ])
+    table = ParquetTable(spark, f"{wd}/dst", ["pk"], n_buckets=4)
+    table.overwrite(base)
+    cfg = CDC.CdcTableConfig("lineitem", ["pk"], schema, f"{wd}/dst",
+                             n_buckets=4)
+    pipe = CDC.CdcPipeline(spark, f"{wd}/raw", [cfg], normalize_every=4)
+    payload = F.to_json(F.struct("pk", "qty", "price", "flag"))
+    feed = chg.select(
+        F.col("kind").alias("_kind"),
+        F.col("ck").alias("_checkpoint_id"),
+        F.col("cts").cast("timestamp").alias("_commit_ts"),
+        F.col("ck").alias("_txid"),
+        F.lit("lineitem").alias("_src_table"),
+        F.lit("lineitem").alias("_dst_table"),
+        F.when(F.col("kind") != "delete", payload).alias("_data"),
+        F.when(F.col("kind") == "delete", payload).alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+        F.pmod(F.col("ck"), F.lit(4)).alias("_b"),
+    ).localCheckpoint(eager=True)  # one changelog materialization, 4 slices
+    for b in range(1, 5):
+        merged = pipe.process_batch(feed.where(F.col("_b") == b - 1).drop("_b"), b)
+        assert merged == (b == 4), f"cadence merged early at batch {b}"
+    return table.read().select("pk", "qty", "price", "flag")
+
+
+SQL_CDC_LAZY_CADENCE = SQL_CDC_NORMALIZE_MERGE
 
 
 def q_cdc_lww_skew_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6465,6 +6524,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_normalize_merge": q_cdc_normalize_merge,
     "cdc_split_merge": q_cdc_split_merge,
+    "cdc_lazy_cadence": q_cdc_lazy_cadence,
     "cdc_lww_skew_dedup": q_cdc_lww_skew_dedup,
     "mirror_table_diff": q_mirror_table_diff,
     "cdc_time_travel": q_cdc_time_travel,
@@ -6590,6 +6650,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
     "cdc_normalize_merge": SQL_CDC_NORMALIZE_MERGE,
     "cdc_split_merge": SQL_CDC_SPLIT_MERGE,
+    "cdc_lazy_cadence": SQL_CDC_LAZY_CADENCE,
     "cdc_lww_skew_dedup": SQL_CDC_LWW_SKEW_DEDUP,
     "mirror_table_diff": SQL_MIRROR_TABLE_DIFF,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
@@ -6757,6 +6818,10 @@ _REGATE_THIS_ROUND = [
 ]
 
 _NEW_THIS_ROUND: list[str] = [
+    # r10: the lazy normalize cadence as a CdcPipeline policy
+    # (normalize_every=k + read-through + compaction), against the SAME
+    # oracle as cdc_normalize_merge
+    "cdc_lazy_cadence",
     # the round's headline features under the driver's own hash: merge
     # through a force-split table, and the salted LWW fold, each against
     # the SAME oracle SQL as their unsplit/unsalted twins

@@ -51,8 +51,18 @@ class CdcStreamRunner:
         catalog=None,
         mirror_name: str = "",
         normalize_parallelism: int = 1,
+        normalize_every: int = 1,
     ):
-        """normalize_lag > 0 reproduces the reference's async-normalize
+        """normalize_every=k > 1 selects the pipeline's LAZY normalize
+        cadence (CdcPipeline.process_batch): every trigger syncs, every
+        k-th trigger merges the accumulated range, and reads between
+        merges go through pipeline.read_table (fold-on-read). This is the
+        uniform-key-fan-out answer the r9 cardinality probe measured (flat
+        per-batch sync at any destination size); mutually exclusive with
+        normalize_lag, which is the trail-by-N backpressure model (merge
+        still runs once per batch, just behind).
+
+        normalize_lag > 0 reproduces the reference's async-normalize
         backpressure model (flow/activities/flowable.go:398-418: normalize
         runs N batches behind sync, bounded) — sync stays fast while merges
         trail; call catch_up() to drain the tail when the stream idles.
@@ -65,12 +75,19 @@ class CdcStreamRunner:
         replay or a merge still needs."""
         if retain_batches is not None and retain_batches < normalize_lag + 1:
             raise ValueError("retain_batches must be >= normalize_lag + 1")
+        if normalize_every > 1 and normalize_lag:
+            raise ValueError(
+                "normalize_every and normalize_lag are distinct policies "
+                "(cadence vs trail-by-N) — set at most one")
+        if retain_batches is not None and retain_batches < normalize_every:
+            raise ValueError("retain_batches must be >= normalize_every")
         self.retain_batches = retain_batches
         self.spark = spark
         self.changelog_dir = changelog_dir
         self.checkpoint_dir = checkpoint_dir
         self.pipeline = CdcPipeline(
-            spark, raw_path, tables, catalog=catalog, mirror_name=mirror_name
+            spark, raw_path, tables, catalog=catalog, mirror_name=mirror_name,
+            normalize_every=normalize_every,
         )
         self.normalize_parallelism = normalize_parallelism
         self.max_files_per_trigger = max_files_per_trigger
@@ -89,6 +106,19 @@ class CdcStreamRunner:
         if not self.pipeline.raw.is_batch_committed(batch_id):
             self.pipeline.sync_batch(batch_df, batch_id)
         self._last_synced = batch_id
+        if self.pipeline.normalize_every > 1:
+            # lazy cadence: merge only every k-th trigger; the pipeline
+            # tracks its own watermark, so replays and restarts resume
+            merged = self.pipeline.maybe_normalize(
+                batch_id, parallelism=self.normalize_parallelism
+            )
+            if merged and self.retain_batches is not None:
+                # only drop batches the merge has covered AND outside the
+                # retention window
+                upto = min(batch_id - self.retain_batches + 1,
+                           (self.pipeline._last_normalized or -1) + 1)
+                self.pipeline.raw.drop_batches(upto)
+            return
         # merge is deterministic → replay converges to the same table state
         target = batch_id - self.normalize_lag
         if target >= 0:
@@ -101,8 +131,14 @@ class CdcStreamRunner:
                 self.pipeline.raw.drop_batches(batch_id - self.retain_batches + 1)
 
     def catch_up(self) -> None:
-        """Normalize the trailing batches the lag left behind (the reference
-        drains its normalize channel on flow pause/teardown)."""
+        """Normalize the trailing batches the lag/cadence left behind (the
+        reference drains its normalize channel on flow pause/teardown)."""
+        if self.pipeline.normalize_every > 1 and self._last_synced is not None:
+            self.pipeline.maybe_normalize(
+                self._last_synced, force=True,
+                parallelism=self.normalize_parallelism,
+            )
+            return
         if self.normalize_lag and self._last_synced is not None:
             lo = max(0, self._last_synced - self.normalize_lag + 1)
             self.pipeline.normalize_batches(

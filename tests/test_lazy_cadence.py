@@ -1,0 +1,188 @@
+"""Lazy normalize cadence as a first-class CdcPipeline policy (round 10):
+normalize_every=k defers the merge while sync stays per-batch, read_table
+serves the exact would-be-normalized state between merges, the watermark
+survives restarts, and the compaction threshold bounds file growth.
+
+Reference shape: the ClickHouse destination gets this for free from
+ReplacingMergeTree background merges (flow/connectors/clickhouse/
+normalize.go:119-126); here the cadence, read-through view and compaction
+are explicit, crash-safe pipeline configuration.
+"""
+
+import datetime as dt
+import json
+
+import pytest
+
+from peerdb_spark import cdc
+from peerdb_spark.storage import ParquetTable
+from tests.test_cdc import VAL_SCHEMA, _changelog
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _batch(spark, batch_id, n=6):
+    """Batch b upserts keys [b, b+n) (overlapping the previous batch) and
+    deletes key b-1 when it exists — every batch touches prior state, so a
+    deferred merge must fold ALL pending batches to be right."""
+    rows = []
+    for i in range(batch_id, batch_id + n):
+        ck = batch_id * 1000 + i
+        rows.append(
+            ("update" if i < batch_id + n - 1 else "insert", ck, "t",
+             {"id": i, "val": f"b{batch_id}", "amt": float(i)}, None, None))
+    if batch_id > 1:
+        rows.append(("delete", batch_id * 1000 + 999, "t", None,
+                     {"id": batch_id - 1, "val": "", "amt": 0.0}, None))
+    return _changelog(spark, [(k, c, d, p, o, u) for (k, c, d, p, o, u) in rows])
+
+
+def _mk(spark, root, name, normalize_every=1, compact=0):
+    cfg = cdc.CdcTableConfig(
+        "t", ["id"], VAL_SCHEMA, f"{root}/{name}/dst", n_buckets=4,
+        compact_files_per_bucket=compact)
+    return cdc.CdcPipeline(spark, f"{root}/{name}/raw", [cfg],
+                           normalize_every=normalize_every)
+
+
+def _state(df):
+    return sorted((r["id"], r["val"], r["amt"]) for r in
+                  df.select("id", "val", "amt").collect())
+
+
+def test_cadence_defers_merges_and_read_through_matches_eager(spark, tmp_path):
+    lazy = _mk(spark, str(tmp_path), "lazy", normalize_every=3)
+    eager = _mk(spark, str(tmp_path), "eager", normalize_every=1)
+    merged = []
+    for b in range(1, 8):
+        merged.append(lazy.process_batch(_batch(spark, b), b))
+        assert eager.process_batch(_batch(spark, b), b)
+        # the read-through view equals the eager twin's destination at
+        # EVERY point — mid-cadence reads see exactly what the next
+        # normalize will write
+        assert _state(lazy.read_table("t")) == _state(eager.read_table("t"))
+    # merges ran only on the cadence boundaries
+    assert merged == [False, False, True, False, False, True, False]
+    # destination on disk lags by the pending tail (batch 7 unmerged)
+    dst = ParquetTable(spark, lazy.tables["t"].path, ["id"], 4).read()
+    assert _state(dst) != _state(eager.read_table("t"))
+    # drain converges disk state to the eager twin
+    assert lazy.maybe_normalize(7, force=True)
+    dst = ParquetTable(spark, lazy.tables["t"].path, ["id"], 4).read()
+    assert _state(dst) == _state(eager.read_table("t"))
+
+
+def test_restart_resumes_cadence_watermark(spark, tmp_path):
+    root = str(tmp_path)
+    p1 = _mk(spark, root, "re", normalize_every=3)
+    for b in range(1, 5):
+        p1.process_batch(_batch(spark, b), b)  # merged through batch 3
+    assert p1._last_normalized == 3
+    # fresh instance over the same directories: watermark is persisted,
+    # the pending tail (batch 4) is discovered from commit markers
+    p2 = _mk(spark, root, "re", normalize_every=3)
+    assert p2._last_normalized == 3
+    eager = _mk(spark, root, "re_eager", normalize_every=1)
+    for b in range(1, 5):
+        eager.process_batch(_batch(spark, b), b)
+    assert _state(p2.read_table("t")) == _state(eager.read_table("t"))
+    # batches 5 and 6 complete the next window: exactly one merge (4..6)
+    assert not p2.process_batch(_batch(spark, 5), 5)
+    assert p2.process_batch(_batch(spark, 6), 6)
+    assert p2._last_normalized == 6
+    for b in (5, 6):
+        eager.process_batch(_batch(spark, b), b)
+    assert _state(p2.read_table("t")) == _state(eager.read_table("t"))
+
+
+def test_replayed_range_is_idempotent_under_cadence(spark, tmp_path):
+    """Crash between normalize and watermark write → the range replays;
+    LWW merge converges to the same state."""
+    root = str(tmp_path)
+    p = _mk(spark, root, "replay", normalize_every=2)
+    for b in (1, 2):
+        p.process_batch(_batch(spark, b), b)
+    before = _state(p.read_table("t"))
+    # simulate the lost watermark: re-normalize the already-merged range
+    p.normalize_batches(1, 2)
+    assert _state(p.read_table("t")) == before
+
+
+def test_compaction_threshold_bounds_files(spark, tmp_path):
+    """A merge self-compacts the buckets it rewrites, so the threshold's
+    job is the buckets a narrow batch does NOT touch: small files from
+    append writers (qrep append mode) or wide-task merge outputs at
+    cluster parallelism accumulate there unbounded. The knob rewrites any
+    bucket over the threshold after each normalize — including untouched
+    ones — and the relation is unchanged."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path)
+    pc = _mk(spark, root, "comp", normalize_every=2, compact=2)
+    pn = _mk(spark, root, "nocomp", normalize_every=2)
+    for b in (1, 2):
+        pc.process_batch(_batch(spark, b), b)
+        pn.process_batch(_batch(spark, b), b)
+    tc = ParquetTable(spark, pc.tables["t"].path, ["id"], 4)
+    tn = ParquetTable(spark, pn.tables["t"].path, ["id"], 4)
+    # pick 3 append keys in a bucket that batches 3/4 (keys 2..4, n=1)
+    # will NOT touch, so the merge's own rewrite can't hide the files
+    bucket_of = {
+        r["id"]: r["b"]
+        for r in spark.range(200).select(
+            "id", tc.assign_bucket_expr().alias("b")).collect()
+    }
+    touched = {bucket_of[k] for k in (2, 3, 4)}
+    target = next(b for b in range(4) if b not in touched)
+    keys = [k for k in range(100, 200) if bucket_of[k] == target][:3]
+    assert len(keys) == 3
+    for k in keys:  # one small file per append, all in the target bucket
+        extra = spark.createDataFrame(
+            [(k, "appended", 0.5)], "id long, val string, amt double")
+        tc.append(extra)
+        tn.append(extra)
+    assert tc.files_per_bucket()[target] > 2  # condition exists
+    for b in (3, 4):
+        pc.process_batch(_batch(spark, b, n=1), b)
+        pn.process_batch(_batch(spark, b, n=1), b)
+    assert tn.files_per_bucket()[target] > 2  # unbounded without the knob
+    assert max(tc.files_per_bucket().values()) <= 2
+    assert _state(tc.read()) == _state(tn.read())
+
+
+def test_runner_policy_validation(spark, tmp_path):
+    from peerdb_spark.streaming import CdcStreamRunner
+
+    cfg = cdc.CdcTableConfig("t", ["id"], VAL_SCHEMA, str(tmp_path / "d"), 4)
+    with pytest.raises(ValueError, match="distinct policies"):
+        CdcStreamRunner(spark, str(tmp_path / "cl"), str(tmp_path / "ck"),
+                        [cfg], str(tmp_path / "raw"), normalize_lag=2,
+                        normalize_every=4)
+    with pytest.raises(ValueError, match="retain_batches"):
+        CdcStreamRunner(spark, str(tmp_path / "cl"), str(tmp_path / "ck"),
+                        [cfg], str(tmp_path / "raw"), normalize_every=4,
+                        retain_batches=2)
+
+
+def test_stream_runner_lazy_cadence(spark, tmp_path):
+    """End-to-end through Structured Streaming: 4 changelog files, cadence
+    k=2 → two merges; catch_up drains nothing extra; final state equals an
+    eager batch pipeline."""
+    from peerdb_spark.streaming import CdcStreamRunner
+
+    cl_dir = tmp_path / "cl"
+    cl_dir.mkdir()
+    runner = CdcStreamRunner(
+        spark, str(cl_dir), str(tmp_path / "ck"),
+        [cdc.CdcTableConfig("t", ["id"], VAL_SCHEMA, str(tmp_path / "dst"), 4)],
+        str(tmp_path / "raw"), max_files_per_trigger=1, normalize_every=2,
+    )
+    for b in range(1, 5):
+        _batch(spark, b).coalesce(1).write.mode("append").parquet(str(cl_dir))
+    runner.run_available()
+    runner.catch_up()
+    eager = _mk(spark, str(tmp_path), "eager", normalize_every=1)
+    for b in range(1, 5):
+        eager.process_batch(_batch(spark, b), b)
+    got = ParquetTable(spark, str(tmp_path / "dst"), ["id"], 4).read()
+    assert _state(got) == _state(eager.read_table("t"))

@@ -87,7 +87,8 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
         "lineitem", ["pk"], schema, f"{wd}/{label}/dst", n_buckets=n_buckets,
         split_threshold_rows=split_threshold,
     )
-    pipe = cdc.CdcPipeline(spark, f"{wd}/{label}/raw", [cfg])
+    pipe = cdc.CdcPipeline(spark, f"{wd}/{label}/raw", [cfg],
+                           normalize_every=normalize_every)
     dst = ParquetTable(spark, cfg.path, ["pk"], n_buckets,
                        split_threshold_rows=split_threshold)
     rows = []
@@ -104,10 +105,11 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
         # normalize_every > 1 = the LAZY cadence (ClickHouse-RMT shape the
         # reference delegates to): sync cost is O(batch) and flat; the merge
         # amortizes over k batches of deltas. Reads between normalizes go
-        # through rmt_latest_view (gate query cdc_rmt_view).
-        if b % normalize_every == 0 or b == n_batches:
-            lo = b - (b - 1) % normalize_every
-            pipe.normalize_batches(lo, b)
+        # through pipe.read_table (fold-on-read). Round 10: this is now the
+        # PRODUCT path — CdcPipeline(normalize_every=k).maybe_normalize —
+        # not a hand-wired composition; the final drain uses force=True
+        # exactly as CdcStreamRunner.catch_up does.
+        pipe.maybe_normalize(b, force=(b == n_batches))
         t2 = time.time()
         # buckets the batch actually touched (same manifest-aware expr the
         # merge uses — after splits the leaf count grows)
