@@ -4966,43 +4966,90 @@ def q_media_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFra
     and baseline at quality 75 — the two encodings carry identical
     quantized coefficients, so their decodes must be byte-identical, and
     the oracle pins that equality flag TRUE. A broken refinement pass,
-    EOB-run slip, or mis-paired dequant flips one of the two."""
+    EOB-run slip, or mis-paired dequant flips one of the two.
+
+    Fixture-cost discipline (round 10, the MJPEG r9 fix shape): pixels are
+    a function of the media's CLASS (media_id % 8), so the six codec
+    passes (tile prog enc+dec, textured prog/baseline enc+dec) run on 8
+    broadcast exemplars instead of per media; every media row still joins
+    its class's decoded bytes and the oracle recomputes them per row."""
     from peerdb_spark.functions import multimodal as MM
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
-    base = docs.where(F.col("doc_id") % 3 == 1)
-    tiles = _jpeg_tile_media(base)
+    rows = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8).alias("_cls"),
+    )
+    cid = F.col("media_id")  # class id 0..7 inside the exemplar frame
+    cls = spark.range(8).select(F.col("id").alias("media_id"))
+    w = (F.lit(16) + (cid % 2) * 8).cast("int")
+    h = F.lit(16).cast("int")
+    n_bytes = w.cast("long") * h * 3
+    tile_v = (
+        lambda i: (
+            (cid * 31
+             + F.floor(F.floor(i / (w * 3)) / 8) * 8
+             + F.floor((i % (w * 3)) / 3 / 8) * 3) % 128
+        ) * 2
+    )
+
+    def mk(px):
+        content = F.unhex(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                    lambda i: F.lpad(F.lower(F.hex(px(i))), 2, "0"),
+                ),
+                "",
+            )
+        )
+        return cls.select(
+            "media_id", content.alias("content"),
+            F.struct(
+                F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
+                h.alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit("rgb").alias("codec"),
+            ).alias("meta"),
+        )
+
+    tiles = mk(tile_v)
     dec_p = MM.decode_images(
         MM.encode_images_jpeg(tiles, quality=50, mode="gray", progressive=True)
     )
-    tex = _textured_media(base)
+    tex = mk(lambda i: (cid * 55 + i * 177) % 256)
     dp = MM.decode_images(
         MM.encode_images_jpeg(tex, quality=75, mode="444", progressive=True)
-    ).select("media_id", F.col("content").alias("_cp"))
+    ).select(F.col("media_id").alias("_cls"), F.col("content").alias("_cp"))
     db = MM.decode_images(
         MM.encode_images_jpeg(tex, quality=75, mode="444")
-    ).select("media_id", F.col("content").alias("_cb"))
-    eq = dp.join(db, "media_id").select(
-        "media_id", (F.col("_cp") == F.col("_cb")).alias("prog_eq_base")
+    ).select(F.col("media_id").alias("_cls"), F.col("content").alias("_cb"))
+    eq = dp.join(db, "_cls").select(
+        "_cls", (F.col("_cp") == F.col("_cb")).alias("prog_eq_base")
     )
-    return dec_p.select(
-        "media_id",
+    exem = dec_p.select(
+        F.col("media_id").alias("_cls"),
         F.lower(F.hex(F.col("content"))).alias("content_hex"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
-    ).join(eq, "media_id")
+    )
+    return (
+        rows.join(F.broadcast(exem), "_cls")
+        .join(F.broadcast(eq), "_cls")
+        .select("media_id", "content_hex", "width", "height", "prog_eq_base")
+    )
 
 
 SQL_MEDIA_DECODE_JPEG_PROGRESSIVE = """
 WITH m AS (
-  SELECT doc_id AS media_id,
+  SELECT doc_id AS media_id, doc_id % 8 AS cls,
          CAST(16 + (doc_id % 2) * 8 AS INT) AS width,
          CAST(16 AS INT) AS height
   FROM documents WHERE doc_id % 3 = 1
 ),
 px AS (
   SELECT media_id, width, height, u.i AS i,
-         2 * ((media_id * 31
+         2 * ((cls * 31
                + ((u.i // (width * 3)) // 8) * 8
                + (((u.i % (width * 3)) // 3) // 8) * 3) % 128) AS v
   FROM m, unnest(range(0, CAST(width AS BIGINT) * height * 3)) u(i)
