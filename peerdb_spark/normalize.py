@@ -109,6 +109,40 @@ def latest_changes(
     return changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
+# salt width the auto heuristic applies when a hot key is detected: the
+# window then sees <= 32 pre-folded rows per pk — small enough to be free,
+# wide enough that the pre-fold's map-side partials parallelize
+DEFAULT_SKEW_SALT = 32
+
+
+def detect_hot_key(
+    changes: DataFrame,
+    pk_cols: list[str],
+    threshold: float = 0.01,
+    min_hot_rows: int = 100_000,
+) -> bool:
+    """Cheap per-batch hot-key probe (round 10, r9 verdict #6): True when
+    some pk holds more than `threshold` of the batch AND at least
+    `min_hot_rows` rows — the regime where the LWW window's per-pk task
+    would serialize.
+
+    The probe itself cannot skew: groupBy(pk).count() is map-side
+    combinable, so a hot key collapses to one row per input partition
+    before the (tiny) shuffle; the final max/sum is a scalar. One extra
+    scan of the batch, paid only when the caller's size gate says the
+    batch is big enough for skew to matter."""
+    row = (
+        changes.groupBy(*pk_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_n"))
+        .collect()[0]
+    )
+    mx, n = row["_mx"], row["_n"]
+    if not mx or not n:
+        return False
+    return mx >= max(threshold * n, min_hot_rows)
+
+
 def split_pk_updates(
     changes: DataFrame, pk_cols: list[str], old_col: str = COL_OLD
 ) -> DataFrame:

@@ -488,3 +488,47 @@ def test_state_as_of_hypothesis_random_prefixes(spark, tmp_path):
             shutil.rmtree(work, ignore_errors=True)
 
     check()
+
+
+def test_auto_hot_key_salt_engages(spark, tmp_path, monkeypatch):
+    """Round-10 auto hot-key guard: a normalize whose batch concentrates
+    on one pk flips the LWW salt on by itself (threshold + floor from
+    CdcTableConfig); an evenly-spread batch keeps the plain window. The
+    destination state is identical either way (the r9 equivalence pin)."""
+    from peerdb_spark import normalize as N
+
+    seen = []
+    real = N.merge_into_table
+
+    def spy(table, changes, *a, **kw):
+        seen.append(kw.get("skew_salt", 0))
+        return real(table, changes, *a, **kw)
+
+    monkeypatch.setattr(cdc.N, "merge_into_table", spy)
+    cfg = cdc.CdcTableConfig(
+        "t", ["id"], VAL_SCHEMA, str(tmp_path / "t"), n_buckets=4,
+        lww_hot_key_threshold=0.5, lww_hot_key_min_rows=10)
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "raw"), [cfg])
+    hot = _changelog(spark, [
+        ("update", c, "t", {"id": 7 if c % 10 else c, "val": f"v{c}",
+                            "amt": float(c)}, None, None)
+        for c in range(1, 101)])
+    pipe.process_batch(hot, 1)
+    assert seen == [N.DEFAULT_SKEW_SALT]
+    even = _changelog(spark, [
+        ("update", 1000 + i, "t", {"id": 200 + i, "val": "e", "amt": 0.0},
+         None, None)
+        for i in range(60)])
+    pipe.process_batch(even, 2)
+    assert seen == [N.DEFAULT_SKEW_SALT, 0]
+    got = {r["id"]: r["val"] for r in ParquetTable(
+        spark, cfg.path, ["id"], 4).read().collect()}
+    assert got[7] == "v99"  # hot key's last writer (c=100 hits pk 100)
+    assert got[200] == "e"
+    # explicit salt config still wins over the probe
+    cfg2 = cdc.CdcTableConfig(
+        "t", ["id"], VAL_SCHEMA, str(tmp_path / "t2"), n_buckets=4,
+        lww_skew_salt=8, lww_hot_key_threshold=0.5, lww_hot_key_min_rows=10)
+    pipe2 = cdc.CdcPipeline(spark, str(tmp_path / "raw2"), [cfg2])
+    pipe2.process_batch(even, 1)
+    assert seen[-1] == 8

@@ -214,3 +214,19 @@ def test_merge_into_table_skew_salt_path(spark, tmp_path):
     for i in range(0, 20, 5):
         if i != 3:
             assert got[i] == f"new{i}"
+
+
+def test_detect_hot_key(spark):
+    """Auto hot-key probe (round 10, r9 verdict #6): fires only when some
+    pk holds >= threshold of the batch AND >= min_hot_rows rows."""
+    hot = _chg(spark, [("update", c, 7 if c % 10 else c, f"v{c}", None)
+                       for c in range(1, 401)])
+    assert N.detect_hot_key(hot, ["id"], threshold=0.5, min_hot_rows=100)
+    # share below threshold
+    assert not N.detect_hot_key(hot, ["id"], threshold=0.95, min_hot_rows=100)
+    # share high but absolute count below the floor (skew harmless)
+    assert not N.detect_hot_key(hot, ["id"], threshold=0.5, min_hot_rows=1000)
+    even = _chg(spark, [("update", c, c, f"v{c}", None) for c in range(1, 101)])
+    assert not N.detect_hot_key(even, ["id"], threshold=0.01, min_hot_rows=2)
+    empty = even.where("id < 0")
+    assert not N.detect_hot_key(empty, ["id"], threshold=0.01, min_hot_rows=1)
