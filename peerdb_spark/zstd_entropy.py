@@ -899,10 +899,28 @@ def _ml_code(ml: int) -> tuple[int, int, int]:
     raise AssertionError
 
 
-def _find_sequences(chunk: bytes, min_match: int = 4):
-    """Greedy single-entry hash matcher: returns (sequences, literals) with
-    sequences = [(ll, offset, ml), ...] and literals = the concatenation of
-    all copied-literal stretches plus the tail. O(n), bounded memory."""
+def _find_sequences(chunk: bytes, min_match: int = 4, lazy: bool = True):
+    """LZ matcher: single-entry hash + two refinements measured worth
+    their cost (round 10, the bounded ratio spike r9 verdict asked for):
+
+    - REP-OFFSET probe: before trusting the hash candidate, try the last
+      emitted offset at the current position (one 4-byte compare). On
+      record-shaped data consecutive matches repeat the stride, and the
+      repeat-offset code costs fewer sequence bits than a fresh offset —
+      the encoder's rep-history mapping turns these into ov 1-3.
+    - 1-STEP LAZY (lazy=True): when a match is found at i, peek i+1 once;
+      if strictly longer, emit one literal and take the later match
+      (classic lazy evaluation, bounded to a single step — the r9
+      hash-CHAIN attempt was reverted at +3-5x time, this one measures
+      ~1.3x). Lazy HELPS text/JSON (-16% measured) but HURTS phase-locked
+      record data (the deferred byte becomes a literal that re-phases
+      every following match: stride corpus literals 709 -> 8443, 2.5x
+      size) — no cheap estimate separates the regimes because stride
+      literals entropy-code to almost nothing, so encode_lz_block builds
+      the block BOTH ways and keeps the smaller.
+
+    Returns (sequences, literals): sequences = [(ll, offset, ml), ...],
+    literals = all copied-literal stretches plus the tail. O(n)."""
     n = len(chunk)
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
@@ -910,40 +928,81 @@ def _find_sequences(chunk: bytes, min_match: int = 4):
     i = 0
     anchor = 0
     limit = n - min_match
-    while i <= limit:
+    last_off = 0
+
+    def probe(i: int):
+        """Best (offset, ml) candidate at i, or None. Registers i in the
+        hash table as a side effect (every visited position indexes)."""
         key = chunk[i : i + 4]
         h = int.from_bytes(key, "little")
         j = table.get(h)
         table[h] = i
+        best = None
         if j is not None and chunk[j : j + 4] == key:
-            # extend
             ml = 4
             while i + ml < n and chunk[j + ml] == chunk[i + ml]:
                 ml += 1
-            if ml >= min_match:
-                lits += chunk[anchor:i]
-                seqs.append((i - anchor, i - j, ml))
-                # index a few positions inside the match (cheap, helps runs)
-                for k in range(i + 1, min(i + ml, limit), ml // 4 + 1):
-                    table[int.from_bytes(chunk[k : k + 4], "little")] = k
-                i += ml
-                anchor = i
-                continue
-        i += 1
+            best = (i - j, ml)
+        if last_off and i >= last_off and chunk[i - last_off : i - last_off + 4] == key:
+            ml = 4
+            while i + ml < n and chunk[i - last_off + ml] == chunk[i + ml]:
+                ml += 1
+            # prefer the repeat offset at EQUAL length (its sequence code
+            # is cheaper than a new offset's raw bits) but never trade
+            # match bytes for it — a lost byte becomes a literal AND can
+            # break the next match's anchor (measured on stride data:
+            # ml+1 >= best tolerance left one literal per record and
+            # doubled the compressed size)
+            if best is None or ml >= best[1]:
+                best = (last_off, ml)
+        return best
+
+    while i <= limit:
+        m = probe(i)
+        if m is None:
+            i += 1
+            continue
+        if lazy and i + 1 <= limit:
+            m2 = probe(i + 1)
+            if m2 is not None and m2[1] > m[1]:
+                i += 1
+                m = m2
+        off, ml = m
+        lits += chunk[anchor:i]
+        seqs.append((i - anchor, off, ml))
+        last_off = off
+        # index a few positions inside the match (cheap, helps runs)
+        for k in range(i + 1, min(i + ml, limit), ml // 4 + 1):
+            table[int.from_bytes(chunk[k : k + 4], "little")] = k
+        i += ml
+        anchor = i
     lits += chunk[anchor:]
     return seqs, bytes(lits)
 
 
 def encode_lz_block(chunk: bytes) -> bytes | None:
+    """One ≤128 KiB chunk → the smaller of the lazy / non-lazy
+    Compressed-block encodings (see _find_sequences: the two matcher
+    modes win on disjoint data shapes and no cheap estimate separates
+    them). None when neither yields matches worth the section overhead —
+    the caller falls back to the literals-only / Raw/RLE encodings."""
+    a = _encode_lz_block_one(chunk, lazy=True)
+    b = _encode_lz_block_one(chunk, lazy=False)
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a if len(a) <= len(b) else b
+
+
+def _encode_lz_block_one(chunk: bytes, lazy: bool) -> bytes | None:
     """One ≤128 KiB chunk → Compressed-block CONTENT with real sequences:
-    greedy LZ matches, literals Huffman-coded (or raw), LL/ML/OF channels
-    in PREDEFINED FSE mode. None when the chunk yields no matches worth
-    the section overhead — the caller falls back to the literals-only /
-    Raw/RLE encodings."""
+    LZ matches (one matcher mode), literals Huffman-coded (or raw),
+    LL/ML/OF channels in PREDEFINED FSE mode."""
     n = len(chunk)
     if n < 128:
         return None
-    seqs, lits = _find_sequences(chunk)
+    seqs, lits = _find_sequences(chunk, lazy=lazy)
     if not seqs or len(seqs) > 0x7EFF:
         return None
     # literals section over the (shorter) literal stream
