@@ -6831,26 +6831,31 @@ _ORACLES_IMPL: dict[str, str] = {
 # else keeps its recorded verdict and prior relative order (the
 # _GATE_GREEN_* provenance lists below).
 #
-# Round-9 window:
-# - media_frame_sample_mjpeg: fixture restructured (4 shared containers,
-#   media_id%8 pixel base) and oracle updated to match — verdict #4
-# - the cdc merge family: storage.py grew extendible-hashing bucket
-#   splitting (assign_bucket_expr now routes every merge write),
-#   normalize.py grew the LWW skew guard + maybe_split wiring, cdc.py
-#   threads the new config — every query whose path crosses
-#   merge_into_table / ParquetTable re-gates (verdicts #1/#6)
-# - the media_decode family: png.py grew sub-byte depths (r9 session 2),
-#   jpeg.py grew 12-bit SOF1 + lossless SOF3 and the precision-threaded
-#   dequant/IDCT/color tail — every query decoding through those paths
-#   re-gates
+# Round-10 window:
+# - REGATES (transitive impl changed this round): the audio-fingerprint
+#   fixture's RIFF size + docstring fix (ADVICE r9), audio_frame_energy_flac
+#   through the widened 32-bit transcode gate, media_frame_sample_h264 over
+#   the nal_ref_idc-aware slice-header parse, tar_shard_explode over the
+#   byte-truncating PAX fallback, media_decode_jpeg_progressive restructured
+#   to 8 broadcast exemplar classes (verdict #4), and the whole cdc merge
+#   family — cdc.py grew the cadence policy (process_batch/maybe_normalize/
+#   read_table/watermark) and the auto hot-key probe threads through
+#   normalize_batches, so every query crossing CdcPipeline/normalize re-gates
+# - NEW: cdc_lazy_cadence (verdict #1 — the lazy cadence through the
+#   product path, same oracle as cdc_normalize_merge)
+# - STALE REFRESH (verdict #3): the 20 queries whose newest driver rows
+#   still date from r5, plus the 9 oldest r6 rows in the spare slots
 _REGATE_THIS_ROUND = [
-    "media_frame_sample_mjpeg",
-    "media_decode_png",
-    "media_decode_jpeg",
+    "audio_fingerprint",
+    "audio_fingerprint_dups",
+    "audio_frame_energy_flac",
+    "media_frame_sample_h264",
+    "tar_shard_explode",
     "media_decode_jpeg_progressive",
-    "media_frame_sample",
     "cdc_normalize_merge",
+    "cdc_split_merge",
     "cdc_lww_dedup",
+    "cdc_lww_skew_dedup",
     "cdc_soft_delete",
     "cdc_pk_update",
     "cdc_toast_coalesce",
@@ -6861,63 +6866,16 @@ _REGATE_THIS_ROUND = [
     "catalog_distinct_dst",
     "cdc_mirror_mview",
     "cdc_enriched_mview",
-    "mirror_table_diff",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
-    # r10: the lazy normalize cadence as a CdcPipeline policy
-    # (normalize_every=k + read-through + compaction), against the SAME
-    # oracle as cdc_normalize_merge
     "cdc_lazy_cadence",
-    # the round's headline features under the driver's own hash: merge
-    # through a force-split table, and the salted LWW fold, each against
-    # the SAME oracle SQL as their unsplit/unsalted twins
-    "cdc_split_merge",
-    "cdc_lww_skew_dedup",
-    # r9 session 2: H.264 NAL-walk frame sampling over I_PCM streams, and
-    # WAV decode + integer-exact frame features (the audio VAD primitives)
-    "media_frame_sample_h264",
-    "media_frame_sample_mp4",
-    "audio_frame_energy",
-    # r9 session 2: corpus container ingest (WebDataset tar, Common Crawl WARC)
-    "tar_shard_explode",
-    "warc_explode",
-    "crawl_text_extract",
-    # r9 session 2: perceptual image dedup (dHash + hamming banding)
-    "image_dhash",
-    "image_dhash_dups",
-    # r9 session 2: product quantization (the IVF-PQ building block)
-    "pq_encode",
-    "pq_adc_topk",
-    # r9 session 2: audio near-dup (energy-delta fingerprint + hamming LSH)
-    "audio_fingerprint",
-    "audio_fingerprint_dups",
-    # r9 session 2: FLAC (same fixture + oracle as audio_frame_energy)
-    "audio_frame_energy_flac",
 ]
 
-# Oldest driver rows (r<=5), refreshed through the spare window slots.
-# 18 regate + 15 new + 17 of these fill the 50-slot window; the tail past
-# slot 50 refreshes next round (they are also the lowest-risk: pure-SQL
-# surfaces whose modules did not change this round).
+# Oldest driver rows, refreshed through the spare window slots: the 20
+# remaining r5-row queries (verdict #3's exact list) + the 9 oldest r6
+# rows. 20 regate + 1 new + 29 here = the 50-slot window exactly.
 _STALE_REFRESH = [
-    "unigram_surprisal",
-    "qrep_null_partition",
-    "fingerprint_dups",
-    "media_stats",
-    "qrep_watermark_range",
-    "qrep_minmax_partition_plan",
-    "qrep_ntile_partitions",
-    "xmin_incremental",
-    "has_new_rows_maxwm",
-    "date_clamp",
-    "scalar_functions",
-    "numeric_truncate",
-    "json_extract",
-    "union_distinct",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh_pairs",
     "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -6938,10 +6896,52 @@ _STALE_REFRESH = [
     "bpe_encode_tokens",
     "passthrough_agg",
     "passthrough_join",
+    "cms_heavy_hitters",
+    "hll_vocab_registers",
+    "bloom_membership",
+    "dup_span_coverage",
+    "hist_quantiles",
+    "events_funnel",
+    "events_cohort_retention",
+    "graph_pagerank",
+    "mongo_changestream_decode",
 ]
 
 # Provenance of the most recent green driver row for everything else
 # (kept for the judge's audit trail; relative order preserved).
+_GATE_GREEN_R9 = [
+    "media_frame_sample_mjpeg",
+    "media_decode_png",
+    "media_decode_jpeg",
+    "media_frame_sample",
+    "mirror_table_diff",
+    "media_frame_sample_mp4",
+    "audio_frame_energy",
+    "warc_explode",
+    "crawl_text_extract",
+    "image_dhash",
+    "image_dhash_dups",
+    "pq_encode",
+    "pq_adc_topk",
+    "unigram_surprisal",
+    "qrep_null_partition",
+    "fingerprint_dups",
+    "media_stats",
+    "qrep_watermark_range",
+    "qrep_minmax_partition_plan",
+    "qrep_ntile_partitions",
+    "xmin_incremental",
+    "has_new_rows_maxwm",
+    "date_clamp",
+    "scalar_functions",
+    "numeric_truncate",
+    "json_extract",
+    "union_distinct",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh_pairs",
+]
+
 _GATE_GREEN_R8 = [
     "exotic_types",
     "bpe_train_batched_merges",
@@ -6962,15 +6962,6 @@ _GATE_GREEN_R7 = [
 ]
 
 _GATE_GREEN_R6 = [
-    "cms_heavy_hitters",
-    "hll_vocab_registers",
-    "bloom_membership",
-    "dup_span_coverage",
-    "hist_quantiles",
-    "events_funnel",
-    "events_cohort_retention",
-    "graph_pagerank",
-    "mongo_changestream_decode",
     "events_asof_join",
     "events_asof_forward",
     "events_burst_detect",
@@ -7005,7 +6996,7 @@ _GATE_GREEN_R6 = [
 
 _DECLARED_ORDER = (
     _REGATE_THIS_ROUND + _NEW_THIS_ROUND + _STALE_REFRESH
-    + _GATE_GREEN_R8 + _GATE_GREEN_R7 + _GATE_GREEN_R6
+    + _GATE_GREEN_R9 + _GATE_GREEN_R8 + _GATE_GREEN_R7 + _GATE_GREEN_R6
 )
 
 assert set(_DECLARED_ORDER) == set(_QUERIES_IMPL), (
