@@ -153,6 +153,7 @@ def main() -> None:
         "media_frame_sample",
         "media_frame_sample_mjpeg",
         "media_frame_sample_h264",
+        "media_h264_cavlc",
         "media_frame_sample_mp4",
         "audio_frame_energy",
         "tar_shard_explode",

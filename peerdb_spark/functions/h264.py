@@ -18,10 +18,23 @@ What this gives the engine (all public-spec, no codec lib):
   (baseline profile, 4:2:0, IDR-only, emulation-prevention inserted), so
   encode→decode pins the full NAL/RBSP/slice/MB layering against itself
   and hand-checkable vectors.
-- **Honest gate**: entropy-coded macroblocks (CAVLC/CABAC residuals,
-  intra prediction, inter motion compensation) raise NotImplementedError —
-  that is the part that genuinely needs a codec library; the container,
-  header, sampling, and raw-sample layers above are real and tested.
+- **CAVLC intra decode (round 10)**: I_16x16 and I_4x4 macroblocks with
+  real entropy-coded residuals — intra prediction per §8.3 (all 9 4x4
+  modes, 4 16x16 modes, 4 chroma modes), flat-scaling-list dequant +
+  inverse core/Hadamard transforms per §8.5, CAVLC per §9.2
+  (h264_cavlc.py — read its docstring for the honest verification
+  posture: no independent decoder exists in this container, so the VLC
+  table tails are pinned by a published worked example + structural
+  checks, and the encoder refuses to emit unpinned entries).
+  `encode_h264_cavlc` emits I_16x16 DC-predicted streams (I_PCM fallback
+  per-MB outside the pinned token subset) whose decoder output equals
+  the encoder reconstruction BIT-EXACTLY — the H.264 contract.
+- **Honest gates that remain**: CABAC entropy, inter prediction (P/B),
+  8x8 transforms, non-flat scaling lists, and the in-loop deblocking
+  filter raise NotImplementedError — residual-coded streams decode only
+  when their slices disable deblocking (our encoder always does); an
+  enabled filter without the implementation would silently produce
+  non-conformant pixels, so it rejects instead.
 
 Reference parity: the reference (PeerDB) has NO video decode at all —
 media payloads are opaque bytes (flow/model/qvalue, BYTEA passthrough).
@@ -42,6 +55,7 @@ __all__ = [
     "split_h264_frames",
     "decode_h264",
     "encode_h264_ipcm",
+    "encode_h264_cavlc",
     "decode_h264_yuv",
 ]
 
@@ -274,6 +288,20 @@ def parse_sps(rbsp: bytes) -> dict:
     }
 
 
+def _last_one_bit(buf: bytes) -> int:
+    """Bit index of the FINAL set bit — the rbsp_stop_one_bit (-1: none)."""
+    for i in range(len(buf) - 1, -1, -1):
+        if buf[i]:
+            low = (buf[i] & -buf[i]).bit_length() - 1
+            return 8 * i + (7 - low)
+    return -1
+
+
+def _more_rbsp(r: "_BitReader", rbsp: bytes) -> bool:
+    """Spec §7.2 more_rbsp_data(): data remains before the stop bit."""
+    return r.pos < _last_one_bit(rbsp)
+
+
 def parse_pps(rbsp: bytes) -> dict:
     """Picture parameter set → the fields slice parsing needs
     (spec §7.3.2.2; the tail past what we consume is ignored)."""
@@ -289,12 +317,21 @@ def parse_pps(rbsp: bytes) -> dict:
     r.ue()  # num_ref_idx_l1_default_active_minus1
     r.u(1)  # weighted_pred_flag
     r.u(2)  # weighted_bipred_idc
-    r.se()  # pic_init_qp_minus26
+    pic_init_qp = 26 + r.se()
     r.se()  # pic_init_qs_minus26
-    r.se()  # chroma_qp_index_offset
+    chroma_qp_offset = r.se()
     deblock_present = r.u(1)
     r.u(1)  # constrained_intra_pred_flag
     redundant_present = r.u(1)
+    # optional High-profile tail: transform_8x8 / scaling matrices /
+    # second chroma offset (spec: present iff more_rbsp_data)
+    transform_8x8 = 0
+    if _more_rbsp(r, rbsp):
+        transform_8x8 = r.u(1)
+        if r.u(1):  # pic_scaling_matrix_present_flag
+            raise NotImplementedError(
+                "PPS scaling matrices (non-flat lists) not supported")
+        r.se()  # second_chroma_qp_index_offset
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
@@ -302,6 +339,9 @@ def parse_pps(rbsp: bytes) -> dict:
         "bottom_field_poc": bottom_field_poc,
         "deblock_present": deblock_present,
         "redundant_present": redundant_present,
+        "pic_init_qp": pic_init_qp,
+        "chroma_qp_offset": chroma_qp_offset,
+        "transform_8x8": transform_8x8,
     }
 
 
@@ -385,58 +425,693 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool,
             if r.u(1):  # adaptive_ref_pic_marking_mode_flag
                 raise NotImplementedError("adaptive ref pic marking")
     if pps["entropy_coding_mode"]:
-        raise NotImplementedError("CABAC slices not supported (I_PCM decode "
-                                  "is CAVLC-mode only)")
-    r.se()  # slice_qp_delta
+        raise NotImplementedError("CABAC slices not supported (the intra "
+                                  "path is CAVLC-mode only)")
+    slice_qp_delta = r.se()
+    deblock_idc = 0  # default: filter enabled
     if pps["deblock_present"]:
-        if r.ue() != 1:  # disable_deblocking_filter_idc
+        deblock_idc = r.ue()
+        if deblock_idc != 1:
             r.se()
             r.se()
-    return {"first_mb": first_mb, "slice_type": slice_type}
+    return {"first_mb": first_mb, "slice_type": slice_type,
+            "slice_qp_delta": slice_qp_delta, "deblock_idc": deblock_idc}
 
 
-def _decode_ipcm_picture(
+
+# -- intra residual transforms (spec 8.5) -------------------------------------
+# Flat scaling lists only (the PPS parser rejects non-flat): with weight 16
+# the AC dequant collapses EXACTLY to c * V[qp%6][cls] << (qp//6) — the
+# spec's two shift cases divide a 2^4-divisible value, so no rounding term
+# survives (derivation in tests/test_h264_intra.py).
+
+_V_DEQ = ((10, 16, 13), (11, 18, 14), (13, 20, 16), (14, 23, 18),
+          (16, 25, 20), (18, 29, 23))
+# raster idx → dequant class: (even,even)→0, (odd,odd)→1, else 2
+_POS_CLS = tuple(0 if (i % 2 == 0 and j % 2 == 0) else 1 if (i % 2 and j % 2)
+                 else 2 for i in range(4) for j in range(4))
+# chroma QP mapping for qPi 30..51 (Table 8-15)
+_CHROMA_QP = (29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+              38, 38, 38, 39, 39, 39, 39)
+# forward quant multipliers (classic MF table; encoder-side only — any
+# legal quantizer works, reconstruction uses the normative dequant)
+_MF = ((13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+       (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559))
+
+
+def _chroma_qp(qp_y: int, offset: int) -> int:
+    q = max(0, min(51, qp_y + offset))
+    return q if q < 30 else _CHROMA_QP[q - 30]
+
+
+def _zz_to_raster4(scan: list, start: int = 0) -> list:
+    """Scan-order levels → 4x4 raster (start=1 for 15-coeff AC blocks)."""
+    from peerdb_spark.functions.h264_cavlc import ZIGZAG4
+
+    out = [0] * 16
+    for k, v in enumerate(scan):
+        out[ZIGZAG4[k + start]] = v
+    return out
+
+
+def _raster_to_zz4(raster: list, start: int = 0) -> list:
+    from peerdb_spark.functions.h264_cavlc import ZIGZAG4
+
+    return [raster[ZIGZAG4[k]] for k in range(start, 16)]
+
+
+def _dequant4x4(raster: list, qp: int, skip_dc: bool = False) -> list:
+    m, q6 = qp % 6, qp // 6
+    return [raster[i] if (skip_dc and i == 0)
+            else (raster[i] * _V_DEQ[m][_POS_CLS[i]]) << q6
+            for i in range(16)]
+
+
+def _itrans4x4(d: list) -> list:
+    """Inverse core transform (8.5.12.2): rows, columns, (x+32)>>6."""
+    g = list(d)
+    for base in range(0, 16, 4):  # rows
+        d0, d1, d2, d3 = g[base : base + 4]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        g[base : base + 4] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    for c in range(4):  # columns
+        d0, d1, d2, d3 = g[c], g[c + 4], g[c + 8], g[c + 12]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        g[c], g[c + 4], g[c + 8], g[c + 12] = (
+            e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+    return [(x + 32) >> 6 for x in g]
+
+
+def _hadamard4(c: list) -> list:
+    """4x4 Hadamard (self-inverse up to scale; used raw in 8.5.10)."""
+    g = list(c)
+    for base in range(0, 16, 4):
+        d0, d1, d2, d3 = g[base : base + 4]
+        e0, e1, e2, e3 = d0 + d2, d0 - d2, d1 - d3, d1 + d3
+        g[base : base + 4] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    for col in range(4):
+        d0, d1, d2, d3 = g[col], g[col + 4], g[col + 8], g[col + 12]
+        e0, e1, e2, e3 = d0 + d2, d0 - d2, d1 - d3, d1 + d3
+        g[col], g[col + 4], g[col + 8], g[col + 12] = (
+            e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+    return g
+
+
+def _luma_dc_dequant(f: int, qp: int) -> int:
+    """8.5.10 DC scaling AFTER the inverse Hadamard (LS = 16·V[m][0])."""
+    m, q6 = qp % 6, qp // 6
+    ls = 16 * _V_DEQ[m][0]
+    if q6 >= 6:
+        return (f * ls) << (q6 - 6)
+    return (f * ls + (1 << (5 - q6))) >> (6 - q6)
+
+
+def _chroma_dc_inverse(c00: int, c01: int, c10: int, c11: int,
+                       qp_c: int) -> tuple[int, int, int, int]:
+    """2x2 Hadamard + 8.5.11 scaling: ((f·LS) << qp/6) >> 5."""
+    m, q6 = qp_c % 6, qp_c // 6
+    ls = 16 * _V_DEQ[m][0]
+    f = (c00 + c01 + c10 + c11, c00 - c01 + c10 - c11,
+         c00 + c01 - c10 - c11, c00 - c01 - c10 + c11)
+    return tuple(((x * ls) << q6) >> 5 for x in f)
+
+
+def _ftrans4x4(x: "np.ndarray") -> "np.ndarray":
+    """Forward core transform Cf = H·X·Hᵀ (encoder side)."""
+    H = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1],
+                  [1, -2, 2, -1]], dtype=np.int64)
+    return H @ x.astype(np.int64) @ H.T
+
+
+def _fquant(c: int, qp: int, cls: int) -> int:
+    q6 = qp // 6
+    qbits = 15 + q6
+    f = (1 << qbits) // 3  # intra rounding offset
+    mag = (abs(int(c)) * _MF[qp % 6][cls] + f) >> qbits
+    return -mag if c < 0 else mag
+
+
+def _fquant_dc(c: int, qp: int, shift_extra: int = 1) -> int:
+    q6 = qp // 6
+    qbits = 15 + q6 + shift_extra
+    f = (2 << (qbits - 1)) // 3
+    mag = (abs(int(c)) * _MF[qp % 6][0] + f) >> qbits
+    return -mag if c < 0 else mag
+
+
+# -- intra prediction (spec 8.3) ----------------------------------------------
+
+
+def _clip8(a):
+    return max(0, min(255, a))
+
+
+class _PicState:
+    """Shared per-picture decode/encode state: planes, per-4x4 TotalCoeff
+    (nC prediction), decoded flags, per-MB slice ids, I4x4 modes."""
+
+    def __init__(self, wmb: int, hmb: int):
+        self.wmb, self.hmb = wmb, hmb
+        self.Y = np.zeros((hmb * 16, wmb * 16), dtype=np.int32)
+        self.Cb = np.zeros((hmb * 8, wmb * 8), dtype=np.int32)
+        self.Cr = np.zeros((hmb * 8, wmb * 8), dtype=np.int32)
+        self.ncY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int16)
+        self.ncCb = np.full((hmb * 2, wmb * 2), -1, dtype=np.int16)
+        self.ncCr = np.full((hmb * 2, wmb * 2), -1, dtype=np.int16)
+        self.mb_slice = np.full((hmb, wmb), -1, dtype=np.int32)
+        self.i4mode = np.full((hmb * 4, wmb * 4), -1, dtype=np.int8)
+
+    # nC prediction (9.2.1): average of available left/top TotalCoeff
+    def nc(self, arr, bx: int, by: int, sl: int, per_mb: int) -> int:
+        nA = nB = None
+        if bx > 0 and arr[by, bx - 1] >= 0 and self._same_slice(
+                arr, bx - 1, by, sl, per_mb):
+            nA = int(arr[by, bx - 1])
+        if by > 0 and arr[by - 1, bx] >= 0 and self._same_slice(
+                arr, bx, by - 1, sl, per_mb):
+            nB = int(arr[by - 1, bx])
+        if nA is not None and nB is not None:
+            return (nA + nB + 1) >> 1
+        if nA is not None:
+            return nA
+        if nB is not None:
+            return nB
+        return 0
+
+    def _same_slice(self, arr, bx: int, by: int, sl: int, per_mb: int) -> bool:
+        return self.mb_slice[by // per_mb, bx // per_mb] == sl
+
+    def mb_avail(self, mx: int, my: int, sl: int) -> bool:
+        return (0 <= mx < self.wmb and 0 <= my < self.hmb
+                and self.mb_slice[my, mx] == sl)
+
+
+def _pred_i4x4(st: _PicState, mode: int, x0: int, y0: int, sl: int,
+               blk_decoded) -> "np.ndarray":
+    """8.3.1: one 4x4 luma prediction. blk_decoded(bx,by) → sample group
+    availability at 4x4 granularity incl. intra-MB decode order."""
+    Y = st.Y
+    bx, by = x0 // 4, y0 // 4
+    have_top = by > 0 and blk_decoded(bx, by - 1)
+    have_left = bx > 0 and blk_decoded(bx - 1, by)
+    have_corner = bx > 0 and by > 0 and blk_decoded(bx - 1, by - 1)
+    have_tr = by > 0 and blk_decoded(bx + 1, by - 1)
+    top = [int(Y[y0 - 1, x0 + i]) for i in range(4)] if have_top else None
+    left = [int(Y[y0 + i, x0 - 1]) for i in range(4)] if have_left else None
+    corner = int(Y[y0 - 1, x0 - 1]) if have_corner else None
+    if have_tr:
+        tr = [int(Y[y0 - 1, x0 + 4 + i]) for i in range(4)]
+    elif have_top:
+        tr = [top[3]] * 4  # substitution (8.3.1.2)
+    else:
+        tr = None
+    p = np.zeros((4, 4), dtype=np.int32)
+
+    def t(x):  # p[x, -1] with top-right extension
+        return top[x] if x < 4 else tr[x - 4]
+
+    if mode == 0:  # vertical
+        if top is None:
+            raise ValueError("intra 4x4 vertical without top neighbours")
+        for y in range(4):
+            for x in range(4):
+                p[y, x] = top[x]
+    elif mode == 1:  # horizontal
+        if left is None:
+            raise ValueError("intra 4x4 horizontal without left neighbours")
+        for y in range(4):
+            for x in range(4):
+                p[y, x] = left[y]
+    elif mode == 2:  # DC
+        if top is not None and left is not None:
+            dc = (sum(top) + sum(left) + 4) >> 3
+        elif top is not None:
+            dc = (sum(top) + 2) >> 2
+        elif left is not None:
+            dc = (sum(left) + 2) >> 2
+        else:
+            dc = 128
+        p[:, :] = dc
+    elif mode == 3:  # diagonal down-left
+        if top is None or tr is None:
+            raise ValueError("intra 4x4 DDL without top neighbours")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t(6) + 3 * t(7) + 2) >> 2
+                else:
+                    p[y, x] = (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2
+    elif mode == 4:  # diagonal down-right
+        if top is None or left is None or corner is None:
+            raise ValueError("intra 4x4 DDR without neighbours")
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (t(x - y - 2) + 2 * t(x - y - 1) + t(x - y) + 2) >> 2
+                elif x < y:
+                    p[y, x] = (left[y - x - 2] + 2 * left[y - x - 1]
+                               + left[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (t(0) + 2 * corner + left[0] + 2) >> 2
+    elif mode == 5:  # vertical-right
+        if top is None or left is None or corner is None:
+            raise ValueError("intra 4x4 VR without neighbours")
+        ext = [corner] + top  # index shift: ext[i] = p[i-1, -1]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    a = x - (y >> 1)
+                    p[y, x] = (ext[a] + ext[a + 1] + 1) >> 1
+                elif z >= 0:
+                    a = x - (y >> 1)
+                    p[y, x] = (ext[a - 1] + 2 * ext[a] + ext[a + 1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (left[0] + 2 * corner + top[0] + 2) >> 2
+                else:
+                    p[y, x] = (left[y - 1] + 2 * left[y - 2]
+                               + (left[y - 3] if y - 3 >= 0 else corner) + 2) >> 2
+    elif mode == 6:  # horizontal-down
+        if top is None or left is None or corner is None:
+            raise ValueError("intra 4x4 HD without neighbours")
+        extl = [corner] + left  # extl[i] = p[-1, i-1]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    a = y - (x >> 1)
+                    p[y, x] = (extl[a] + extl[a + 1] + 1) >> 1
+                elif z >= 0:
+                    a = y - (x >> 1)
+                    p[y, x] = (extl[a - 1] + 2 * extl[a] + extl[a + 1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (left[0] + 2 * corner + top[0] + 2) >> 2
+                else:
+                    p[y, x] = (t(x - 1) + 2 * t(x - 2)
+                               + (t(x - 3) if x - 3 >= 0 else corner) + 2) >> 2
+    elif mode == 7:  # vertical-left
+        if top is None or tr is None:
+            raise ValueError("intra 4x4 VL without top neighbours")
+        for y in range(4):
+            for x in range(4):
+                a = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t(a) + t(a + 1) + 1) >> 1
+                else:
+                    p[y, x] = (t(a) + 2 * t(a + 1) + t(a + 2) + 2) >> 2
+    elif mode == 8:  # horizontal-up
+        if left is None:
+            raise ValueError("intra 4x4 HU without left neighbours")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 6:
+                    a = y + (x >> 1)
+                    p[y, x] = (left[a] + left[a + 1] + 1) >> 1
+                elif z < 5:
+                    a = y + (x >> 1)
+                    p[y, x] = (left[a] + 2 * left[a + 1] + left[a + 2] + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    p[y, x] = left[3]
+    else:
+        raise ValueError(f"intra 4x4 prediction mode {mode} out of range")
+    return p
+
+
+def _pred_i16(st: _PicState, mode: int, mx: int, my: int, sl: int) -> "np.ndarray":
+    """8.3.3: 16x16 luma prediction (V/H/DC/Plane)."""
+    Y = st.Y
+    x0, y0 = mx * 16, my * 16
+    have_top = st.mb_avail(mx, my - 1, sl)
+    have_left = st.mb_avail(mx - 1, my, sl)
+    have_corner = st.mb_avail(mx - 1, my - 1, sl)
+    p = np.zeros((16, 16), dtype=np.int32)
+    if mode == 0:
+        if not have_top:
+            raise ValueError("I16x16 vertical without top MB")
+        p[:, :] = Y[y0 - 1, x0 : x0 + 16]
+    elif mode == 1:
+        if not have_left:
+            raise ValueError("I16x16 horizontal without left MB")
+        p[:, :] = Y[y0 : y0 + 16, x0 - 1][:, None]
+    elif mode == 2:
+        if have_top and have_left:
+            dc = (int(Y[y0 - 1, x0 : x0 + 16].sum())
+                  + int(Y[y0 : y0 + 16, x0 - 1].sum()) + 16) >> 5
+        elif have_top:
+            dc = (int(Y[y0 - 1, x0 : x0 + 16].sum()) + 8) >> 4
+        elif have_left:
+            dc = (int(Y[y0 : y0 + 16, x0 - 1].sum()) + 8) >> 4
+        else:
+            dc = 128
+        p[:, :] = dc
+    elif mode == 3:
+        if not (have_top and have_left and have_corner):
+            raise ValueError("I16x16 plane without neighbours")
+        top = [int(Y[y0 - 1, x0 + i]) for i in range(16)]
+        left = [int(Y[y0 + i, x0 - 1]) for i in range(16)]
+        corner = int(Y[y0 - 1, x0 - 1])
+        tt = [corner] + top
+        ll = [corner] + left
+        H = sum((x + 1) * (tt[9 + x] - tt[7 - x]) for x in range(8))
+        V = sum((y + 1) * (ll[9 + y] - ll[7 - y]) for y in range(8))
+        a = 16 * (left[15] + top[15])
+        b = (5 * H + 32) >> 6
+        c = (5 * V + 32) >> 6
+        for y in range(16):
+            for x in range(16):
+                p[y, x] = _clip8((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+    else:
+        raise ValueError(f"I16x16 prediction mode {mode} out of range")
+    return p
+
+
+def _pred_chroma(plane: "np.ndarray", st: _PicState, mode: int, mx: int,
+                 my: int, sl: int) -> "np.ndarray":
+    """8.3.4: 8x8 chroma prediction (DC/H/V/Plane; 4:2:0)."""
+    x0, y0 = mx * 8, my * 8
+    have_top = st.mb_avail(mx, my - 1, sl)
+    have_left = st.mb_avail(mx - 1, my, sl)
+    have_corner = st.mb_avail(mx - 1, my - 1, sl)
+    p = np.zeros((8, 8), dtype=np.int32)
+    if mode == 0:  # DC, per 4x4 quadrant
+        for qy in (0, 4):
+            for qx in (0, 4):
+                top4 = ([int(plane[y0 - 1, x0 + qx + i]) for i in range(4)]
+                        if have_top else None)
+                left4 = ([int(plane[y0 + qy + i, x0 - 1]) for i in range(4)]
+                         if have_left else None)
+                corner_quad = (qx == 0 and qy == 0) or (qx == 4 and qy == 4)
+                if corner_quad and top4 is not None and left4 is not None:
+                    dc = (sum(top4) + sum(left4) + 4) >> 3
+                elif qx == 4 and qy == 0:
+                    if top4 is not None:
+                        dc = (sum(top4) + 2) >> 2
+                    elif left4 is not None:
+                        dc = (sum(left4) + 2) >> 2
+                    else:
+                        dc = 128
+                elif qx == 0 and qy == 4:
+                    if left4 is not None:
+                        dc = (sum(left4) + 2) >> 2
+                    elif top4 is not None:
+                        dc = (sum(top4) + 2) >> 2
+                    else:
+                        dc = 128
+                elif top4 is not None:
+                    dc = (sum(top4) + 2) >> 2
+                elif left4 is not None:
+                    dc = (sum(left4) + 2) >> 2
+                else:
+                    dc = 128
+                p[qy : qy + 4, qx : qx + 4] = dc
+    elif mode == 1:  # horizontal
+        if not have_left:
+            raise ValueError("chroma horizontal without left MB")
+        p[:, :] = plane[y0 : y0 + 8, x0 - 1][:, None]
+    elif mode == 2:  # vertical
+        if not have_top:
+            raise ValueError("chroma vertical without top MB")
+        p[:, :] = plane[y0 - 1, x0 : x0 + 8]
+    elif mode == 3:  # plane
+        if not (have_top and have_left and have_corner):
+            raise ValueError("chroma plane without neighbours")
+        top = [int(plane[y0 - 1, x0 + i]) for i in range(8)]
+        left = [int(plane[y0 + i, x0 - 1]) for i in range(8)]
+        corner = int(plane[y0 - 1, x0 - 1])
+        tt = [corner] + top
+        ll = [corner] + left
+        H = sum((x + 1) * (tt[5 + x] - tt[3 - x]) for x in range(4))
+        V = sum((y + 1) * (ll[5 + y] - ll[3 - y]) for y in range(4))
+        a = 16 * (left[7] + top[7])
+        b = (17 * H + 16) >> 5
+        c = (17 * V + 16) >> 5
+        for y in range(8):
+            for x in range(8):
+                p[y, x] = _clip8((a + b * (x - 3) + c * (y - 3) + 16) >> 5)
+    else:
+        raise ValueError(f"chroma prediction mode {mode} out of range")
+    return p
+
+
+# Table 9-4, Intra_4x4 column: coded_block_pattern codeNum → cbp value
+_CBP_INTRA = (47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+              16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4, 8,
+              17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+# 4x4 luma block coding order n → (bx, by) offsets within the MB
+_BLK4_ORDER = tuple((2 * ((n >> 2) & 1) + (n & 1), 2 * (n >> 3) + ((n >> 1) & 1))
+                    for n in range(16))
+
+
+def _decode_i_picture(
     vcl_payloads: list[tuple[bytes, bool, int]], sps: dict, pps: dict,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one picture's VCL NAL payloads (RBSP, idr flag, nal_ref_idc)
-    where every
-    macroblock is I_PCM → (Y, Cb, Cr) uint8 planes at coded (uncropped)
-    size. 4:2:0 8-bit only (baseline)."""
+    """Decode one I picture's VCL NAL payloads (RBSP, idr flag,
+    nal_ref_idc): I_PCM, I_16x16 and I_4x4 (I_NxN) macroblocks, CAVLC
+    entropy (round 10 — see h264_cavlc.py for the verification posture),
+    intra prediction per 8.3, flat-scaling-list dequant + inverse core /
+    Hadamard transforms per 8.5. 4:2:0 8-bit. Streams whose slices leave
+    the in-loop deblocking filter ENABLED and contain residual-coded MBs
+    are rejected (NotImplementedError) — decoding them without the filter
+    would silently produce non-conformant pixels; all-I_PCM pictures are
+    exempt (QP-0 thresholds disable filtering everywhere)."""
+    from peerdb_spark.functions import h264_cavlc as CV
+
     if sps["chroma_format_idc"] != 1:
-        raise NotImplementedError("I_PCM decode supports 4:2:0 only")
+        raise NotImplementedError("intra decode supports 4:2:0 only")
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     n_mbs = wmb * hmb
-    Y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
-    Cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
-    Cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
+    st = _PicState(wmb, hmb)
     seen = 0
-    for rbsp, idr, ref_idc in vcl_payloads:
+    for sl, (rbsp, idr, ref_idc) in enumerate(vcl_payloads):
         r = _BitReader(rbsp)
         hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
         mb = hdr["first_mb"]
         if mb != seen:
             raise ValueError("slices out of order or overlapping")
-        while mb < n_mbs:
-            mb_type = r.ue()
-            if mb_type != _I_PCM_MB_TYPE:
-                raise NotImplementedError(
-                    f"entropy-coded macroblock (mb_type {mb_type}): only "
-                    "I_PCM pictures decode without a codec library")
-            r.byte_align_zero()
-            luma = np.frombuffer(r.read_bytes(256), dtype=np.uint8)
-            cbcr = np.frombuffer(r.read_bytes(128), dtype=np.uint8)
+        qp = pps["pic_init_qp"] + hdr["slice_qp_delta"]
+        deblock_on = hdr["deblock_idc"] != 1
+        stop = _last_one_bit(rbsp)
+        while mb < n_mbs and r.pos < stop:
             my, mx = divmod(mb, wmb)
-            Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = luma.reshape(16, 16)
-            Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbcr[:64].reshape(8, 8)
-            Cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbcr[64:].reshape(8, 8)
+            st.mb_slice[my, mx] = sl
+            mb_type = r.ue()
+            if mb_type == _I_PCM_MB_TYPE:
+                _decode_mb_ipcm(st, r, mx, my)
+            elif 1 <= mb_type <= 24:
+                if deblock_on:
+                    raise NotImplementedError(
+                        "in-loop deblocking not implemented: residual-coded"
+                        " streams decode only with deblocking disabled"
+                        " (disable_deblocking_filter_idc == 1)")
+                qp = _decode_mb_i16(st, r, mx, my, mb_type - 1, qp, pps, sl, CV)
+            elif mb_type == 0:
+                if deblock_on:
+                    raise NotImplementedError(
+                        "in-loop deblocking not implemented: residual-coded"
+                        " streams decode only with deblocking disabled"
+                        " (disable_deblocking_filter_idc == 1)")
+                if pps["transform_8x8"] and r.u(1):
+                    raise NotImplementedError("8x8 transform not supported")
+                qp = _decode_mb_i4(st, r, mx, my, qp, pps, sl, CV)
+            else:
+                raise ValueError(f"invalid I-slice mb_type {mb_type}")
             mb += 1
-            # more slices may follow in the next NAL; stop at rbsp end
-            if (r.pos >> 3) >= len(rbsp) - 1 and mb < n_mbs:
-                break
         seen = mb
     if seen != n_mbs:
         raise ValueError(f"picture covers {seen}/{n_mbs} macroblocks")
-    return Y, Cb, Cr
+    return (st.Y.astype(np.uint8), st.Cb.astype(np.uint8),
+            st.Cr.astype(np.uint8))
+
+
+def _decode_mb_ipcm(st: _PicState, r: _BitReader, mx: int, my: int) -> None:
+    r.byte_align_zero()
+    luma = np.frombuffer(r.read_bytes(256), dtype=np.uint8)
+    cbcr = np.frombuffer(r.read_bytes(128), dtype=np.uint8)
+    st.Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = luma.reshape(16, 16)
+    st.Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbcr[:64].reshape(8, 8)
+    st.Cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbcr[64:].reshape(8, 8)
+    # nC neighbours of an I_PCM macroblock count as 16 (9.2.1)
+    st.ncY[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+    st.ncCb[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+    st.ncCr[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+
+
+def _decode_chroma_residual(st: _PicState, r: _BitReader, mx: int, my: int,
+                            cbp_chroma: int, qp_c: int, sl: int, CV,
+                            pred_cb: "np.ndarray", pred_cr: "np.ndarray"):
+    """Parse + reconstruct both chroma components. Bitstream order per
+    7.3.5.3.3: BOTH components' DC blocks first (Cb, Cr), then all AC
+    blocks (Cb x4, Cr x4)."""
+    comps = ((st.Cb, st.ncCb, pred_cb), (st.Cr, st.ncCr, pred_cr))
+    dqs = []
+    for _plane, _ncp, _pred in comps:
+        dc_scan = ([0, 0, 0, 0] if cbp_chroma == 0
+                   else CV.decode_residual(r, -1, 4))
+        dqs.append(_chroma_dc_inverse(dc_scan[0], dc_scan[1], dc_scan[2],
+                                      dc_scan[3], qp_c))
+    all_acs = []
+    for _plane, ncp, _pred in comps:
+        acs = []
+        for b in range(4):
+            bx, by = mx * 2 + (b & 1), my * 2 + (b >> 1)
+            if cbp_chroma == 2:
+                nc = st.nc(ncp, bx, by, sl, 2)
+                scan = CV.decode_residual(r, nc, 15)
+                ncp[by, bx] = sum(1 for v in scan if v)
+            else:
+                scan = [0] * 15
+                ncp[by, bx] = 0
+            acs.append(scan)
+        all_acs.append(acs)
+    for (plane, _ncp, pred), dq, acs in zip(comps, dqs, all_acs):
+        for b in range(4):
+            raster = _zz_to_raster4(acs[b], start=1)
+            raster = _dequant4x4(raster, qp_c, skip_dc=True)
+            raster[0] = dq[b]
+            res = _itrans4x4(raster)
+            x0 = mx * 8 + (b & 1) * 4
+            y0 = my * 8 + (b >> 1) * 4
+            for i in range(4):
+                for j in range(4):
+                    plane[y0 + i, x0 + j] = _clip8(
+                        int(pred[y0 - my * 8 + i, x0 - mx * 8 + j])
+                        + res[4 * i + j])
+
+
+def _decode_mb_i16(st: _PicState, r: _BitReader, mx: int, my: int,
+                   code: int, qp: int, pps: dict, sl: int, CV) -> int:
+    """I_16x16 macroblock: mb_type-1 encodes (pred, cbp_chroma, cbp_luma)."""
+    pred_mode = code % 4
+    cbp_chroma = (code // 4) % 3
+    cbp_luma = 15 if code >= 12 else 0
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise ValueError("intra_chroma_pred_mode out of range")
+    qp = (qp + r.se() + 52) % 52  # mb_qp_delta (always present for I16x16)
+    qp_c = _chroma_qp(qp, pps["chroma_qp_offset"])
+    # Intra16x16DCLevel: nC from luma block 0 neighbours
+    nc = st.nc(st.ncY, mx * 4, my * 4, sl, 4)
+    dc_scan = CV.decode_residual(r, nc, 16)
+    dc_raster = _zz_to_raster4(dc_scan)
+    had = _hadamard4(dc_raster)
+    dc = [_luma_dc_dequant(v, qp) for v in had]
+    # AC blocks in coding order
+    acs = [[0] * 15 for _ in range(16)]
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        if cbp_luma:
+            nc = st.nc(st.ncY, bx, by, sl, 4)
+            scan = CV.decode_residual(r, nc, 15)
+            acs[n] = scan
+            st.ncY[by, bx] = sum(1 for v in scan if v)
+        else:
+            st.ncY[by, bx] = 0
+    pred = _pred_i16(st, pred_mode, mx, my, sl)
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        raster = _zz_to_raster4(acs[n], start=1)
+        raster = _dequant4x4(raster, qp, skip_dc=True)
+        # DC grid position: block (ox, oy) → hadamard cell (oy, ox)
+        raster[0] = dc[4 * oy + ox]
+        res = _itrans4x4(raster)
+        for i in range(4):
+            for j in range(4):
+                y, x = oy * 4 + i, ox * 4 + j
+                st.Y[my * 16 + y, mx * 16 + x] = _clip8(
+                    int(pred[y, x]) + res[4 * i + j])
+    pred_cb = _pred_chroma(st.Cb, st, chroma_mode, mx, my, sl)
+    pred_cr = _pred_chroma(st.Cr, st, chroma_mode, mx, my, sl)
+    _decode_chroma_residual(st, r, mx, my, cbp_chroma, qp_c, sl, CV,
+                            pred_cb, pred_cr)
+    return qp
+
+
+def _decode_mb_i4(st: _PicState, r: _BitReader, mx: int, my: int, qp: int,
+                  pps: dict, sl: int, CV) -> int:
+    """I_NxN (4x4-transform) macroblock."""
+    # prediction modes for the 16 blocks, with the min(left, top) predictor
+    modes = [0] * 16
+
+    def neigh_mode(bx: int, by: int) -> int:
+        """Intra4x4PredMode of a neighbour block for the min(A,B)
+        predictor: 2 (DC) when unavailable or the MB is not I_4x4.
+        Neighbours INSIDE the current MB always precede in coding order
+        (their i4mode is already set); outside, the block must belong to
+        a decoded same-slice MB."""
+        if bx < 0 or by < 0:
+            return 2
+        inside = (bx // 4 == mx) and (by // 4 == my)
+        if not inside and not (st._same_slice(st.ncY, bx, by, sl, 4)
+                               and st.ncY[by, bx] >= 0):
+            return 2
+        m = st.i4mode[by, bx]
+        return int(m) if m >= 0 else 2
+
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        predicted = min(neigh_mode(bx - 1, by), neigh_mode(bx, by - 1))
+        if r.u(1):  # prev_intra4x4_pred_mode_flag
+            mode = predicted
+        else:
+            rem = r.u(3)
+            mode = rem if rem < predicted else rem + 1
+        modes[n] = mode
+        st.i4mode[by, bx] = mode
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise ValueError("intra_chroma_pred_mode out of range")
+    cbp_code = r.ue()
+    if cbp_code >= len(_CBP_INTRA):
+        raise ValueError("coded_block_pattern out of range")
+    cbp = _CBP_INTRA[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise ValueError("chroma coded_block_pattern out of range")
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    qp_c = _chroma_qp(qp, pps["chroma_qp_offset"])
+    # residuals come per 8x8 group in block coding order
+    acs = [[0] * 16 for _ in range(16)]
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        if cbp_luma & (1 << (n >> 2)):
+            nc = st.nc(st.ncY, bx, by, sl, 4)
+            scan = CV.decode_residual(r, nc, 16)
+            acs[n] = scan
+            st.ncY[by, bx] = sum(1 for v in scan if v)
+        else:
+            st.ncY[by, bx] = 0
+    # reconstruct sequentially (prediction reads reconstructed neighbours)
+    done = np.zeros((st.hmb * 4, st.wmb * 4), dtype=bool)
+    done[st.ncY >= 0] = True
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        done[my * 4 + oy, mx * 4 + ox] = False  # this MB: not yet recon'd
+    def blk_ok(bx, by):
+        if not (0 <= bx < st.wmb * 4 and 0 <= by < st.hmb * 4):
+            return False
+        if not st._same_slice(st.ncY, bx, by, sl, 4):
+            return False
+        return bool(done[by, bx])
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        x0, y0 = bx * 4, by * 4
+        pred = _pred_i4x4(st, modes[n], x0, y0, sl, blk_ok)
+        raster = _dequant4x4(_zz_to_raster4(acs[n]), qp)
+        res = _itrans4x4(raster)
+        for i in range(4):
+            for j in range(4):
+                st.Y[y0 + i, x0 + j] = _clip8(
+                    int(pred[i, j]) + res[4 * i + j])
+        done[by, bx] = True
+    pred_cb = _pred_chroma(st.Cb, st, chroma_mode, mx, my, sl)
+    pred_cr = _pred_chroma(st.Cr, st, chroma_mode, mx, my, sl)
+    _decode_chroma_residual(st, r, mx, my, cbp_chroma, qp_c, sl, CV,
+                            pred_cb, pred_cr)
+    return qp
 
 
 def _yuv_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
@@ -486,7 +1161,318 @@ def _decode_stream(data: bytes):
     # parameter sets were already rejected at routing above
     for pps, payloads in pictures:
         sps = sps_by_id[pps["sps_id"]]
-        yield sps, _decode_ipcm_picture(payloads, sps, pps)
+        yield sps, _decode_i_picture(payloads, sps, pps)
+
+
+def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
+                      return_recon: bool = False):
+    """[(Y, Cb, Cr) uint8 planes] → a conforming Annex-B stream of IDR
+    pictures with REAL entropy coding (round 10): I_16x16 DC-predicted
+    macroblocks, CAVLC residuals, deblocking disabled per slice (the
+    decoder's honest gate — no in-loop filter here). Lossy (quantised at
+    `qp`); return_recon=True also returns the encoder's reconstruction,
+    which decode_h264_yuv must reproduce BIT-EXACTLY — the H.264 contract
+    that encoder reconstruction equals decoder output.
+
+    Any macroblock whose residual would need a coeff_token entry outside
+    h264_cavlc.CONFIDENT_TOKENS (the externally-unpinned table tails, see
+    that module's docstring) is emitted as I_PCM instead — every stream
+    this encoder produces uses only pinned entries."""
+    from peerdb_spark.functions import h264_cavlc as CV
+
+    if width % 2 or height % 2 or width < 2 or height < 2:
+        raise ValueError("H.264 4:2:0 dimensions must be positive and even")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range 0..51")
+    wmb = -(-width // 16)
+    hmb = -(-height // 16)
+    crop_r = (16 * wmb - width) // 2
+    crop_b = (16 * hmb - height) // 2
+
+    sps = _BitWriter()
+    sps.u(66, 8)
+    sps.u(0, 8)
+    sps.u(30, 8)
+    sps.ue(0)
+    sps.ue(0)
+    sps.ue(2)
+    sps.ue(1)
+    sps.u(0, 1)
+    sps.ue(wmb - 1)
+    sps.ue(hmb - 1)
+    sps.u(1, 1)
+    sps.u(1, 1)
+    if crop_r or crop_b:
+        sps.u(1, 1)
+        sps.ue(0)
+        sps.ue(crop_r)
+        sps.ue(0)
+        sps.ue(crop_b)
+    else:
+        sps.u(0, 1)
+    sps.u(0, 1)
+    out = bytearray(_nal(7, sps.rbsp_trailing()))
+
+    pps = _BitWriter()
+    pps.ue(0)
+    pps.ue(0)
+    pps.u(0, 1)    # CAVLC
+    pps.u(0, 1)
+    pps.ue(0)
+    pps.ue(0)
+    pps.ue(0)
+    pps.u(0, 1)
+    pps.u(0, 2)
+    pps.se(qp - 26)  # pic_init_qp_minus26
+    pps.se(0)
+    pps.se(0)      # chroma_qp_index_offset
+    pps.u(1, 1)    # deblocking_filter_control_present_flag
+    pps.u(0, 1)
+    pps.u(0, 1)
+    out += _nal(8, pps.rbsp_trailing())
+
+    qp_c = _chroma_qp(qp, 0)
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    recons = []
+    for fi, (Y, Cb, Cr) in enumerate(frames_yuv):
+        Y = np.asarray(Y, dtype=np.uint8)
+        Cb = np.asarray(Cb, dtype=np.uint8)
+        Cr = np.asarray(Cr, dtype=np.uint8)
+        if Y.shape != (height, width) or Cb.shape != (ch, cw) or Cr.shape != (ch, cw):
+            raise ValueError(
+                f"frame {fi}: want Y {(height, width)}, chroma {(ch, cw)}; "
+                f"got {Y.shape}, {Cb.shape}, {Cr.shape}")
+        Yp = np.pad(Y, ((0, 16 * hmb - height), (0, 16 * wmb - width)),
+                    mode="edge").astype(np.int32)
+        Cbp = np.pad(Cb, ((0, 8 * hmb - ch), (0, 8 * wmb - cw)),
+                     mode="edge").astype(np.int32)
+        Crp = np.pad(Cr, ((0, 8 * hmb - ch), (0, 8 * wmb - cw)),
+                     mode="edge").astype(np.int32)
+
+        st = _PicState(wmb, hmb)
+        w = _BitWriter()
+        w.ue(0)        # first_mb_in_slice
+        w.ue(7)        # slice_type I
+        w.ue(0)        # pps_id
+        w.u(0, 4)      # frame_num
+        w.ue(fi & 0xFFFF)  # idr_pic_id
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)        # slice_qp_delta
+        w.ue(1)        # disable_deblocking_filter_idc = 1 (filter OFF)
+        for mb in range(wmb * hmb):
+            my, mx = divmod(mb, wmb)
+            st.mb_slice[my, mx] = 0
+            frag = _encode_mb_i16(st, Yp, Cbp, Crp, mx, my, qp, qp_c, CV)
+            if frag is None:  # unpinned token → I_PCM fallback
+                w.ue(_I_PCM_MB_TYPE)
+                w.align_zero()
+                w.put_bytes(Yp[my * 16 : my * 16 + 16,
+                               mx * 16 : mx * 16 + 16]
+                            .astype(np.uint8).tobytes())
+                w.put_bytes(Cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                            .astype(np.uint8).tobytes())
+                w.put_bytes(Crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                            .astype(np.uint8).tobytes())
+                st.Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = \
+                    Yp[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+                st.Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = \
+                    Cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                st.Cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = \
+                    Crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                st.ncY[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+                st.ncCb[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+                st.ncCr[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+            else:
+                for bit in frag:
+                    w.u(1 if bit == "1" else 0, 1)
+        out += _nal(5, w.rbsp_trailing())
+        if return_recon:
+            recons.append((st.Y.astype(np.uint8)[:height, :width],
+                           st.Cb.astype(np.uint8)[:ch, :cw],
+                           st.Cr.astype(np.uint8)[:ch, :cw]))
+    return (bytes(out), recons) if return_recon else bytes(out)
+
+
+def _encode_mb_i16(st: _PicState, Yp, Cbp, Crp, mx: int, my: int, qp: int,
+                   qp_c: int, CV) -> str | None:
+    """Encode one I_16x16 (DC-pred) macroblock → its bit fragment, and
+    apply the DECODER-exact reconstruction + nC counts to `st`. None →
+    some residual symbol is outside the pinned table subset; the caller
+    re-emits the MB as I_PCM (st untouched)."""
+    sl = 0
+    pred = _pred_i16(st, 2, mx, my, sl)
+    oy0, ox0 = my * 16, mx * 16
+    diff = Yp[oy0 : oy0 + 16, ox0 : ox0 + 16] - pred
+    dcs = [0] * 16
+    ac_scan = [None] * 16  # by coding order n
+    order_of = {v: n for n, v in enumerate(_BLK4_ORDER)}
+    for oy in range(4):
+        for ox in range(4):
+            c = _ftrans4x4(diff[oy * 4 : oy * 4 + 4, ox * 4 : ox * 4 + 4])
+            dcs[4 * oy + ox] = int(c[0, 0])
+            raster = [0] * 16
+            for i in range(4):
+                for j in range(4):
+                    if i == 0 and j == 0:
+                        continue
+                    raster[4 * i + j] = _fquant(
+                        int(c[i, j]), qp, _POS_CLS[4 * i + j])
+            ac_scan[order_of[(ox, oy)]] = _raster_to_zz4(raster, start=1)
+    f = _hadamard4(dcs)
+    # shift_extra=2: the inverse chain (Hadamard gain 16, 8.5.10 scaling)
+    # reconstructs 1:1 with this choice — calibrated in test_h264_intra
+    dc_levels = [_fquant_dc(v, qp, 2) for v in f]
+    dc_scan = _raster_to_zz4(dc_levels, start=0)
+    cbp_luma = 15 if any(any(s) for s in ac_scan) else 0
+
+    # chroma (DC prediction, mode 0)
+    pred_cb = _pred_chroma(st.Cb, st, 0, mx, my, sl)
+    pred_cr = _pred_chroma(st.Cr, st, 0, mx, my, sl)
+    ch_dc_levels = []
+    ch_ac_scan = []
+    for plane, cpred in ((Cbp, pred_cb), (Crp, pred_cr)):
+        d = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - cpred
+        cdc = [0] * 4
+        acs = []
+        for b in range(4):
+            qy, qx = (b >> 1) * 4, (b & 1) * 4
+            c = _ftrans4x4(d[qy : qy + 4, qx : qx + 4])
+            cdc[b] = int(c[0, 0])
+            raster = [0] * 16
+            for i in range(4):
+                for j in range(4):
+                    if i == 0 and j == 0:
+                        continue
+                    raster[4 * i + j] = _fquant(
+                        int(c[i, j]), qp_c, _POS_CLS[4 * i + j])
+            acs.append(_raster_to_zz4(raster, start=1))
+        fdc = (cdc[0] + cdc[1] + cdc[2] + cdc[3],
+               cdc[0] - cdc[1] + cdc[2] - cdc[3],
+               cdc[0] + cdc[1] - cdc[2] - cdc[3],
+               cdc[0] - cdc[1] - cdc[2] + cdc[3])
+        ch_dc_levels.append([_fquant_dc(v, qp_c) for v in fdc])
+        ch_ac_scan.append(acs)
+    any_ch_ac = any(any(s) for acs in ch_ac_scan for s in acs)
+    any_ch_dc = any(any(lv) for lv in ch_dc_levels)
+    cbp_chroma = 2 if any_ch_ac else (1 if any_ch_dc else 0)
+
+    # bits (mirrors the decoder's parse order exactly)
+    wf = _BitWriter()
+    mb_type = 1 + 2 + 4 * cbp_chroma + (12 if cbp_luma else 0)
+    wf.ue(mb_type)
+    wf.ue(0)   # intra_chroma_pred_mode: DC
+    wf.se(0)   # mb_qp_delta
+    prefix_bits = []
+    acc = wf.out[:]
+    # flush wf into a bitstring
+    head = "".join(format(b, "08b") for b in wf.out)
+    if wf.n:
+        head += format(wf.acc & ((1 << wf.n) - 1), f"0{wf.n}b")
+    bits = [head]
+    overlayY: dict = {}
+    overlayCb: dict = {}
+    overlayCr: dict = {}
+
+    def nc_of(arr, overlay, bx, by, per_mb):
+        if (bx, by) in overlay or (bx, by - 1) in overlay \
+                or (bx - 1, by) in overlay:
+            nA = nB = None
+            if bx > 0:
+                v = overlay.get((bx - 1, by))
+                if v is None and arr[by, bx - 1] >= 0 and \
+                        st._same_slice(arr, bx - 1, by, sl, per_mb):
+                    v = int(arr[by, bx - 1])
+                nA = v
+            if by > 0:
+                v = overlay.get((bx, by - 1))
+                if v is None and arr[by - 1, bx] >= 0 and \
+                        st._same_slice(arr, bx, by - 1, sl, per_mb):
+                    v = int(arr[by - 1, bx])
+                nB = v
+            if nA is not None and nB is not None:
+                return (nA + nB + 1) >> 1
+            if nA is not None:
+                return nA
+            if nB is not None:
+                return nB
+            return 0
+        return st.nc(arr, bx, by, sl, per_mb)
+
+    b = CV.encode_residual(dc_scan, nc_of(st.ncY, overlayY, mx * 4, my * 4, 4))
+    if b is None:
+        return None
+    bits.append(b)
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        if cbp_luma:
+            b = CV.encode_residual(ac_scan[n],
+                                   nc_of(st.ncY, overlayY, bx, by, 4))
+            if b is None:
+                return None
+            bits.append(b)
+            overlayY[(bx, by)] = sum(1 for v in ac_scan[n] if v)
+        else:
+            overlayY[(bx, by)] = 0
+    if cbp_chroma:
+        for lv in ch_dc_levels:
+            b = CV.encode_residual(_raster_to_zz_cdc(lv), -1)
+            if b is None:
+                return None
+            bits.append(b)
+    for comp, (arr, overlay) in enumerate(((st.ncCb, overlayCb),
+                                           (st.ncCr, overlayCr))):
+        for bnum in range(4):
+            bx, by = mx * 2 + (bnum & 1), my * 2 + (bnum >> 1)
+            if cbp_chroma == 2:
+                b = CV.encode_residual(ch_ac_scan[comp][bnum],
+                                       nc_of(arr, overlay, bx, by, 2))
+                if b is None:
+                    return None
+                bits.append(b)
+                overlay[(bx, by)] = sum(1 for v in ch_ac_scan[comp][bnum] if v)
+            else:
+                overlay[(bx, by)] = 0
+
+    # success: reconstruct EXACTLY as the decoder will and commit state
+    had = _hadamard4(dc_levels)
+    dc = [_luma_dc_dequant(v, qp) for v in had]
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        raster = _zz_to_raster4(ac_scan[n], start=1)
+        raster = _dequant4x4(raster, qp, skip_dc=True)
+        raster[0] = dc[4 * oy + ox]
+        res = _itrans4x4(raster)
+        for i in range(4):
+            for j in range(4):
+                y, x = oy * 4 + i, ox * 4 + j
+                st.Y[oy0 + y, ox0 + x] = _clip8(int(pred[y, x]) + res[4 * i + j])
+    for comp, (plane, cpred) in enumerate(((st.Cb, pred_cb), (st.Cr, pred_cr))):
+        lv = ch_dc_levels[comp]
+        dq = _chroma_dc_inverse(lv[0], lv[1], lv[2], lv[3], qp_c)
+        for bnum in range(4):
+            raster = _zz_to_raster4(ch_ac_scan[comp][bnum], start=1)
+            raster = _dequant4x4(raster, qp_c, skip_dc=True)
+            raster[0] = dq[bnum]
+            res = _itrans4x4(raster)
+            x0 = mx * 8 + (bnum & 1) * 4
+            y0 = my * 8 + (bnum >> 1) * 4
+            for i in range(4):
+                for j in range(4):
+                    plane[y0 + i, x0 + j] = _clip8(
+                        int(cpred[y0 - my * 8 + i, x0 - mx * 8 + j])
+                        + res[4 * i + j])
+    for (bx, by), v in overlayY.items():
+        st.ncY[by, bx] = v
+    for (bx, by), v in overlayCb.items():
+        st.ncCb[by, bx] = v
+    for (bx, by), v in overlayCr.items():
+        st.ncCr[by, bx] = v
+    return "".join(bits)
+
+
+def _raster_to_zz_cdc(levels4: list) -> list:
+    """2x2 chroma DC blocks are scanned in RASTER order (no zigzag)."""
+    return list(levels4)
 
 
 def decode_h264_yuv(data: bytes):

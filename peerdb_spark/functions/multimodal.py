@@ -9,9 +9,10 @@ decode for real via the from-scratch codecs in functions/png.py (stdlib
 zlib + numpy filter math) and functions/jpeg.py (Huffman entropy decode +
 numpy IDCT) — `decode_images` below. Video: MJPEG containers split/decode
 fully (sample_frames_mjpeg) and H.264 Annex-B streams walk/sample by NAL
-structure with I_PCM pictures decoding bit-exact (sample_frames_h264,
-functions/h264.py); the remaining codec-lib gate is entropy-coded H.264
-macroblocks (CAVLC/CABAC residuals + inter prediction).
+structure; I_PCM pictures decode bit-exact and (round 10) CAVLC intra
+pictures (I_16x16/I_4x4 residuals, functions/h264.py + h264_cavlc.py)
+decode too; the remaining codec-lib gates are CABAC entropy, inter
+prediction and the in-loop deblocking filter.
 
 Design notes for 100 TB of media:
 - media rows are large; `spark.sql.files.maxPartitionBytes` and the
@@ -70,9 +71,9 @@ def decode_encoded(content: bytes, mime: str) -> bytes:
     Huffman tables, restart intervals, 4:4:4/4:2:2/4:2:0, SOF2) — so every
     kernel below runs on encoded payloads end-to-end; MJPEG video
     splits/decodes via sample_frames_mjpeg and H.264 streams walk/sample
-    via sample_frames_h264 (I_PCM decode). Only entropy-coded H.264
-    macroblocks remain gated behind a codec lib; raw `image/raw-rgb`
-    passes through.
+    via sample_frames_h264 (I_PCM + CAVLC-intra decode). CABAC, inter
+    prediction and in-loop deblocking remain gated behind a codec lib;
+    raw `image/raw-rgb` passes through.
     """
     if mime in ("image/raw-rgb", "application/octet-stream"):
         return content
@@ -227,10 +228,13 @@ def encode_images_jpeg(
 
 def encode_frames_h264(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    codec: str = "ipcm", qp: int = 26,
 ) -> DataFrame:
-    """raw-RGB media → single-picture H.264 Annex-B I_PCM streams
+    """raw-RGB media → single-picture H.264 Annex-B streams
     (functions/h264.py encoder) via Arrow batches; meta rewrites to
-    video/h264. Concatenating the outputs of several rows yields a valid
+    video/h264. codec='ipcm' (default, lossless raw-sample MBs) or
+    'cavlc' (round 10: real entropy-coded I_16x16 residuals at `qp`,
+    per-MB I_PCM fallback outside the pinned CAVLC token subset). Concatenating the outputs of several rows yields a valid
     multi-picture elementary stream (each carries its own SPS/PPS + IDR)
     — the assembly pattern the h264 gate query uses, mirroring MJPEG.
     RGB→YCbCr is the JFIF matrix with 2×2 box-average 4:2:0 chroma; a
@@ -248,7 +252,10 @@ def encode_frames_h264(
         import numpy as np
         import pandas as _pd
 
-        from peerdb_spark.functions.h264 import encode_h264_ipcm
+        from peerdb_spark.functions.h264 import (
+            encode_h264_cavlc,
+            encode_h264_ipcm,
+        )
 
         for pdf in batches:
             contents, metas = [], []
@@ -268,12 +275,89 @@ def encode_frames_h264(
                                    ph.shape[1] // 2, 2).mean(axis=(1, 3))
                     return np.clip(np.round(q), 0, 255).astype(np.uint8)
 
-                contents.append(encode_h264_ipcm(
-                    [(y.astype(np.uint8), sub(cb), sub(cr))], w, h))
+                planes = [(y.astype(np.uint8), sub(cb), sub(cr))]
+                if codec == "cavlc":
+                    contents.append(encode_h264_cavlc(planes, w, h, qp=qp))
+                else:
+                    contents.append(encode_h264_ipcm(planes, w, h))
                 metas.append(("video/h264", w, h, None, "h264"))
             yield _pd.DataFrame(
                 {id_col: pdf[id_col], "content": contents, "meta": metas}
             )
+
+    narrow = df.select(
+        id_col, content_col,
+        F.col("meta.width").alias("_w"), F.col("meta.height").alias("_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
+def h264_cavlc_roundtrip_check(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    qp: int = 26,
+) -> DataFrame:
+    """(id, raw-RGB content, meta) → (id, width, height, recon_match,
+    compressed): CAVLC-encode each media (encode_h264_cavlc, I_16x16
+    residuals), decode the stream back, and compare the decoded planes to
+    the encoder's own reconstruction — H.264's bit-exact
+    encoder-reconstruction == decoder-output contract surfaced as a
+    queryable relation (the round-10 gate pins both booleans TRUE).
+    `compressed` asserts the entropy-coded stream beats half the raw YUV
+    size at the given qp."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("recon_match", T.BooleanType()),
+            T.StructField("compressed", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        from peerdb_spark.functions.h264 import (
+            decode_h264_yuv,
+            encode_h264_cavlc,
+        )
+
+        for pdf in batches:
+            ws, hs, matches, comps = [], [], [], []
+            for c, w, h in zip(pdf[content_col], pdf["_w"], pdf["_h"]):
+                w, h = int(w), int(h)
+                img = np.frombuffer(bytes(c), dtype=np.uint8).reshape(
+                    h, w, 3).astype(np.float64)
+                r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+                y = np.clip(np.round(
+                    0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+                cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+                cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+                def sub(p):
+                    ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                    q = ph.reshape(ph.shape[0] // 2, 2,
+                                   ph.shape[1] // 2, 2).mean(axis=(1, 3))
+                    return np.clip(np.round(q), 0, 255).astype(np.uint8)
+
+                planes = [(y.astype(np.uint8), sub(cb), sub(cr))]
+                stream, recons = encode_h264_cavlc(
+                    planes, w, h, qp=qp, return_recon=True)
+                outs = decode_h264_yuv(stream)
+                ok = len(outs) == 1
+                if ok:
+                    _w2, _h2, dy, dcb, dcr = outs[0]
+                    ry, rcb, rcr = recons[0]
+                    ok = (_w2 == w and _h2 == h and (dy == ry).all()
+                          and (dcb == rcb).all() and (dcr == rcr).all())
+                ws.append(w)
+                hs.append(h)
+                matches.append(bool(ok))
+                comps.append(len(stream) * 2 < w * h * 3 // 2)
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "width": ws, "height": hs,
+                 "recon_match": matches, "compressed": comps})
 
     narrow = df.select(
         id_col, content_col,

@@ -5061,6 +5061,79 @@ FROM px GROUP BY media_id
 """
 
 
+def q_media_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAVLC intra H.264 (round 10, functions/h264.py + h264_cavlc.py):
+    real entropy-coded I_16x16 pictures encode and decode through the
+    engine's Arrow ops, and the relation pins H.264's codec CONTRACT —
+    decoder output equals the encoder's own reconstruction bit-exactly
+    (`recon_match`) — plus real compression (`compressed`: the stream
+    beats half the raw YUV size) and the cropped dims. The pixel content
+    is lossy by design, so the oracle pins the booleans and structure;
+    the strong pins (published CAVLC worked example, transform matrix
+    equivalence, hand-built I_NxN vectors, mixed PCM/CAVLC fallback) live
+    in tests/test_h264_intra.py — see h264_cavlc.py for the honest
+    verification posture on the VLC table tails.
+
+    Fixture-cost discipline: 8 broadcast exemplar classes (media_id % 8),
+    six codec passes total, per-media rows joined back (the r9 MJPEG /
+    r10 progressive-JPEG shape)."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    rows = docs.where(F.col("doc_id") % 5 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8).alias("_cls"),
+    )
+    cid = F.col("media_id")  # class id 0..7 in the exemplar frame
+    cls = spark.range(8).select(F.col("id").alias("media_id"))
+    w = (F.lit(16) + (cid % 2) * 8).cast("int")
+    h = F.lit(16).cast("int")
+    n_bytes = w.cast("long") * h * 3
+    # gray non-wrapping ramp + mild (x·y mod 3) texture: DC + small AC
+    # everywhere, no sawtooth wrap edge (a wrap-dense block next to a
+    # smooth one lands in the unpinned CAVLC tail and the whole MB falls
+    # back to I_PCM — measured; this shape stays fully entropy-coded and
+    # beats half the raw YUV size at qp 26 in every class)
+    def px(i):
+        x = F.floor((i % (w * 3)) / 3)
+        y = F.floor(i / (w * 3))
+        return cid * 10 + x * 4 + y * 2 + (x * y % 3) * 6
+
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex(px(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    media = cls.select(
+        "media_id", content.alias("content"),
+        F.struct(
+            F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+    chk = MM.h264_cavlc_roundtrip_check(media, qp=26).select(
+        F.col("media_id").alias("_cls"), "width", "height",
+        "recon_match", "compressed",
+    )
+    return rows.join(F.broadcast(chk), "_cls").select(
+        "media_id", "width", "height", "recon_match", "compressed")
+
+
+SQL_MEDIA_H264_CAVLC = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 2) * 8 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       TRUE AS recon_match,
+       TRUE AS compressed
+FROM documents WHERE doc_id % 5 = 2
+"""
+
+
 def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator (streaming.session_event_aggregation)
     under the gate, not just the manual lag+cumsum formulation: same 30-minute
@@ -6637,6 +6710,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
     "media_frame_sample_h264": q_media_frame_sample_h264,
+    "media_h264_cavlc": q_media_h264_cavlc,
     "media_frame_sample_mp4": q_media_frame_sample_mp4,
     "tar_shard_explode": q_tar_shard_explode,
     "warc_explode": q_warc_explode,
@@ -6763,6 +6837,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
     "media_frame_sample_h264": SQL_MEDIA_FRAME_SAMPLE_H264,
+    "media_h264_cavlc": SQL_MEDIA_H264_CAVLC,
     "media_frame_sample_mp4": SQL_MEDIA_FRAME_SAMPLE_MP4,
     "tar_shard_explode": SQL_TAR_SHARD_EXPLODE,
     "warc_explode": SQL_WARC_EXPLODE,
@@ -6870,11 +6945,17 @@ _REGATE_THIS_ROUND = [
 
 _NEW_THIS_ROUND: list[str] = [
     "cdc_lazy_cadence",
+    # r10 stretch: CAVLC intra H.264 through the engine ops, pinning the
+    # encoder-reconstruction == decoder-output contract
+    "media_h264_cavlc",
 ]
 
 # Oldest driver rows, refreshed through the spare window slots: the 20
 # remaining r5-row queries (verdict #3's exact list) + the 9 oldest r6
-# rows. 20 regate + 1 new + 29 here = the 50-slot window exactly.
+# rows. 20 regate + 2 new + 28 here = the 50-slot window exactly
+# (mongo_changestream_decode, the 29th stale candidate, lost its slot to
+# the r10 media_h264_cavlc query; it keeps its r8 driver row and the
+# local re-check).
 _STALE_REFRESH = [
     "dedup_incremental_lsh",
     "dedup_simhash",
@@ -6904,7 +6985,6 @@ _STALE_REFRESH = [
     "events_funnel",
     "events_cohort_retention",
     "graph_pagerank",
-    "mongo_changestream_decode",
 ]
 
 # Provenance of the most recent green driver row for everything else
@@ -6962,6 +7042,7 @@ _GATE_GREEN_R7 = [
 ]
 
 _GATE_GREEN_R6 = [
+    "mongo_changestream_decode",
     "events_asof_join",
     "events_asof_forward",
     "events_burst_detect",

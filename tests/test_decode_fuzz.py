@@ -157,6 +157,17 @@ _SEEDS = {
             16, 16,
         ),
     ),
+    "h264_cavlc": (
+        lambda b: __import__(
+            "peerdb_spark.functions.h264", fromlist=["decode_h264"]
+        ).decode_h264(b),
+        lambda: __import__(
+            "peerdb_spark.functions.h264", fromlist=["encode_h264_cavlc"]
+        ).encode_h264_cavlc(
+            [(_img()[:16, :16, 0], _img()[:8, :8, 1], _img()[:8, :8, 2])],
+            16, 16, qp=24,
+        ),
+    ),
     "wav": (
         lambda b: __import__(
             "peerdb_spark.functions.audio", fromlist=["parse_wav"]

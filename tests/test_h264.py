@@ -195,8 +195,10 @@ def test_split_frames_attaches_leading_nonvcl():
 
 
 def test_entropy_coded_macroblocks_gate():
-    """A CAVLC I_4x4 macroblock (mb_type 0) must raise the codec-lib gate,
-    not mis-decode."""
+    """Round 10: CAVLC intra MBs decode — but only when the stream
+    disables in-loop deblocking (the unimplemented filter would otherwise
+    make our pixels silently non-conformant). This stream's PPS leaves
+    deblocking enabled, so a residual-coded MB must hit that gate."""
     rng = np.random.RandomState(5)
     data = encode_h264_ipcm([_mkframe(rng, 16, 16)], 16, 16)
     nals = split_nals(data)
@@ -220,7 +222,7 @@ def test_entropy_coded_macroblocks_gate():
             + b"\x00\x00\x00\x01" + data[nals[0][1] : nals[1][2]]
             + b"\x00\x00\x00\x01" + bytes([data[s]])
             + _insert_epb(w.rbsp_trailing()))
-    with pytest.raises(NotImplementedError, match="I_PCM"):
+    with pytest.raises(NotImplementedError, match="deblocking"):
         decode_h264(evil)
 
 
