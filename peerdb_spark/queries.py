@@ -5061,6 +5061,156 @@ FROM px GROUP BY media_id
 """
 
 
+def _video_frames_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 4-frame VIDEOS of 18x16 gray frames in dedup GROUPS
+    (g = doc_id // 4), reusing the dhash fixture's no-tie gradient
+    construction with a per-frame term: frame f pixel (sx, sy) =
+    (g*11 + sx*5 + sy*7 + f*13) % 97 + (g*7 + sx*3 + sy*5 + f*9) % 31.
+    Variants 1/2 add +1 at pixel 0 of EVERY frame (provably
+    dhash-preserving per frame, so their video fingerprints are
+    IDENTICAL to variant 0's); variant 3 adds +41 at sampled pixel
+    (4,4) of frame 2 only (flips <= 2 bits of ONE frame's dhash; the
+    4-frame majority moves only where that frame's vote sat at the
+    2-of-4 threshold). All analytic — the oracle recomputes every frame
+    bit and the majority fold.
+
+    Fixture-cost discipline: capped at doc_id < 500 (500 videos / 2000
+    frames — ALL of sf0.01's documents, a fixed-size subset at sf0.1) so
+    the gate's analytic frame generation does not scale with SF; the
+    operator's own scaling is covered by the plan shape (one Arrow pass
+    + one hash agg, no all-pairs)."""
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents")[0].where(F.col("doc_id") < 500))
+    did = F.col("doc_id")
+    w, h = 18, 16
+    g = F.floor(did / 4)
+    variant = F.pmod(did, F.lit(4))
+    fcol = F.col("frame_idx")
+    n_px = w * h
+    val = (
+        lambda p: (
+            (g * 11 + (p % w) * 5 + F.floor(p / w) * 7 + fcol * 13) % 97
+            + (g * 7 + (p % w) * 3 + F.floor(p / w) * 5 + fcol * 9) % 31
+            + F.when((variant > 0) & (p == 0), 1).otherwise(0)
+            + F.when(
+                (variant == 3) & (fcol == 2)
+                & ((p % w) == 4) & (F.floor(p / w) == 4),
+                41,
+            ).otherwise(0)
+        )
+    )
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_px - 1)),
+                lambda p: F.repeat(F.lpad(F.lower(F.hex(val(p))), 2, "0"), 3),
+            ),
+            "",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+    ).select(
+        F.col("doc_id").alias("media_id"), "frame_idx",
+        content.alias("frame"),
+        F.lit(w).alias("width"), F.lit(h).alias("height"),
+    )
+
+
+# frame-indexed dhash bits + the 2-of-4 majority fold, then hi/lo words
+_SQL_VHASH_CTE = """
+fbits AS (
+  SELECT doc_id, f.f AS f, u.y * 8 + u2.x AS bit,
+         CASE WHEN
+           ((doc_id // 4) * 11 + (2 * u2.x) * 5 + (2 * u.y) * 7 + f.f * 13) % 97
+           + ((doc_id // 4) * 7 + (2 * u2.x) * 3 + (2 * u.y) * 5 + f.f * 9) % 31
+           + CASE WHEN doc_id % 4 > 0 AND u2.x = 0 AND u.y = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 4 = 3 AND f.f = 2 AND 2 * u2.x = 4 AND 2 * u.y = 4 THEN 41 ELSE 0 END
+           >
+           ((doc_id // 4) * 11 + (2 * u2.x + 2) * 5 + (2 * u.y) * 7 + f.f * 13) % 97
+           + ((doc_id // 4) * 7 + (2 * u2.x + 2) * 3 + (2 * u.y) * 5 + f.f * 9) % 31
+           + CASE WHEN doc_id % 4 = 3 AND f.f = 2 AND 2 * u2.x + 2 = 4 AND 2 * u.y = 4 THEN 41 ELSE 0 END
+         THEN 1 ELSE 0 END AS b
+  FROM documents, unnest(range(0, 4)) f(f),
+       unnest(range(0, 8)) u(y), unnest(range(0, 8)) u2(x)
+  WHERE doc_id < 500
+),
+vbits AS (
+  SELECT doc_id, bit, CASE WHEN 2 * sum(b) >= 4 THEN 1 ELSE 0 END AS b
+  FROM fbits GROUP BY doc_id, bit
+),
+vhashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit >= 32
+                  THEN b * (CAST(1 AS BIGINT) << (bit - 32))
+                  ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN bit < 32
+                  THEN b * (CAST(1 AS BIGINT) << bit)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM vbits GROUP BY doc_id
+)
+"""
+
+
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup fingerprint (round 10): per-frame dHash folded by
+    bit-wise majority across sampled frames (multimodal.video_fingerprint
+    — order-invariant, noise-tolerant, one hash agg per video). The
+    oracle recomputes every frame's 64 gradient bits AND the 2-of-4
+    majority fold analytically."""
+    from peerdb_spark.functions import multimodal as MM
+
+    frames = _video_frames_fixture(spark, sf_dir)
+    return MM.video_fingerprint(frames).select(
+        "media_id", "n_frames", "vhash_hex")
+
+
+SQL_VIDEO_FINGERPRINT = (
+    "WITH " + _SQL_VHASH_CTE
+    + """
+SELECT doc_id AS media_id, CAST(4 AS INT) AS n_frames,
+       printf('%08x%08x', hi, lo) AS vhash_hex
+FROM vhashes
+"""
+)
+
+
+def q_video_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (round 10): majority-dHash fingerprints
+    through the SAME hamming-LSH banding engine as text/image/audio
+    (dedup.hash64_hamming_pairs — the fourth modality on one verified
+    engine). Variants 0-2 of each group are fingerprint-identical,
+    variant 3 sits within a few bits; the oracle brute-forces exact
+    hamming <= 3 over the recomputed fingerprints (complete by
+    pigeonhole, so banding must return exactly that set)."""
+    from peerdb_spark.functions import multimodal as MM
+    from peerdb_spark.functions.dedup import hash64_hamming_pairs
+
+    frames = _video_frames_fixture(spark, sf_dir)
+    fp = MM.video_fingerprint(frames)
+    pairs = hash64_hamming_pairs(fp, "vhash", "media_id",
+                                 bands=4, max_hamming=3)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+SQL_VIDEO_FINGERPRINT_DUPS = (
+    "WITH " + _SQL_VHASH_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+            + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) AS INT) AS hamming
+FROM vhashes a JOIN vhashes b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+      + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) <= 3
+"""
+)
+
+
 def q_media_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAVLC intra H.264 (round 10, functions/h264.py + h264_cavlc.py):
     real entropy-coded I_16x16 pictures encode and decode through the
@@ -6711,6 +6861,8 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
     "media_frame_sample_h264": q_media_frame_sample_h264,
     "media_h264_cavlc": q_media_h264_cavlc,
+    "video_fingerprint": q_video_fingerprint,
+    "video_fingerprint_dups": q_video_fingerprint_dups,
     "media_frame_sample_mp4": q_media_frame_sample_mp4,
     "tar_shard_explode": q_tar_shard_explode,
     "warc_explode": q_warc_explode,
@@ -6838,6 +6990,8 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
     "media_frame_sample_h264": SQL_MEDIA_FRAME_SAMPLE_H264,
     "media_h264_cavlc": SQL_MEDIA_H264_CAVLC,
+    "video_fingerprint": SQL_VIDEO_FINGERPRINT,
+    "video_fingerprint_dups": SQL_VIDEO_FINGERPRINT_DUPS,
     "media_frame_sample_mp4": SQL_MEDIA_FRAME_SAMPLE_MP4,
     "tar_shard_explode": SQL_TAR_SHARD_EXPLODE,
     "warc_explode": SQL_WARC_EXPLODE,
@@ -6948,14 +7102,18 @@ _NEW_THIS_ROUND: list[str] = [
     # r10 stretch: CAVLC intra H.264 through the engine ops, pinning the
     # encoder-reconstruction == decoder-output contract
     "media_h264_cavlc",
+    # r10: video near-dup — per-frame dHash folded by bit-majority, the
+    # fourth modality through the ONE shared hamming-LSH banding engine
+    "video_fingerprint",
+    "video_fingerprint_dups",
 ]
 
 # Oldest driver rows, refreshed through the spare window slots: the 20
 # remaining r5-row queries (verdict #3's exact list) + the 9 oldest r6
-# rows. 20 regate + 2 new + 28 here = the 50-slot window exactly
-# (mongo_changestream_decode, the 29th stale candidate, lost its slot to
-# the r10 media_h264_cavlc query; it keeps its r8 driver row and the
-# local re-check).
+# rows. 20 regate + 4 new + 26 here = the 50-slot window exactly
+# (mongo_changestream_decode / events_cohort_retention / graph_pagerank,
+# the next stale candidates, lost their slots to the four r10 queries;
+# they keep their prior driver rows and the local re-check).
 _STALE_REFRESH = [
     "dedup_incremental_lsh",
     "dedup_simhash",
@@ -6983,8 +7141,6 @@ _STALE_REFRESH = [
     "dup_span_coverage",
     "hist_quantiles",
     "events_funnel",
-    "events_cohort_retention",
-    "graph_pagerank",
 ]
 
 # Provenance of the most recent green driver row for everything else
@@ -7043,6 +7199,8 @@ _GATE_GREEN_R7 = [
 
 _GATE_GREEN_R6 = [
     "mongo_changestream_decode",
+    "events_cohort_retention",
+    "graph_pagerank",
     "events_asof_join",
     "events_asof_forward",
     "events_burst_detect",

@@ -257,3 +257,43 @@ def test_hash64_hamming_pairs_banding(spark):
         for r in hash64_hamming_pairs(df, "dhash", "media_id").collect()
     )
     assert got == [(0, 1, 0), (0, 2, 3), (1, 2, 3)]
+
+
+def test_video_fingerprint_majority_and_order_invariance(spark):
+    """Round-10 video near-dup: the majority fold is order-invariant
+    (frame-rate resample/trim robustness) and tolerant of one perturbed
+    frame when the other frames vote consistently; a fully different
+    video hashes differently."""
+    import numpy as np
+
+    from peerdb_spark.functions.multimodal import video_fingerprint
+
+    rng = np.random.RandomState(4)
+    base = rng.randint(0, 200, (16, 18, 3)).astype(np.uint8)
+
+    def frames(vid, order, perturb=None):
+        out = []
+        for k, f in enumerate(order):
+            fr = base.copy()
+            fr[(f * 3) % 16, (f * 5) % 18] = 255  # per-frame variation
+            if perturb == f:
+                fr[:4, :4] = rng.randint(0, 255, (4, 4, 3))
+            out.append((vid, k, bytes(fr.tobytes()), 18, 16))
+        return out
+
+    rows = (
+        frames(0, [0, 1, 2, 3])
+        + frames(1, [3, 1, 0, 2])          # same frames, shuffled order
+        + frames(2, [0, 1, 2, 3], perturb=3)  # one frame badly perturbed
+        + [(9, k, bytes(rng.randint(0, 255, (16, 18, 3), dtype=np.uint8)
+                        .astype(np.uint8).tobytes()), 18, 16)
+           for k in range(4)]              # unrelated video
+    )
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, frame binary, width int, height int")
+    got = {r["media_id"]: r["vhash"] for r in video_fingerprint(df).collect()}
+    assert got[0] == got[1]  # order-invariant
+    ham = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6  # 3-of-4 majority absorbs most of one bad frame
+    ham_far = bin((got[0] ^ got[9]) & ((1 << 64) - 1)).count("1")
+    assert ham_far > 10  # unrelated content stays far
