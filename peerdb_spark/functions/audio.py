@@ -47,10 +47,11 @@ __all__ = [
 
 
 def parse_audio(data: bytes) -> tuple[int, int, int, "np.ndarray"]:
-    """Format-dispatching decode: FLAC by magic (functions/flac.py,
-    bit-exact lossless), else WAV — one contract (rate, channels, bits,
-    (n, ch) int32) for every Spark audio operator."""
-    if data[:4] == b"fLaC":
+    """Format-dispatching decode: FLAC or Ogg-FLAC by magic
+    (functions/flac.py; OggS payloads transmux through functions/ogg.py
+    — round 10), else WAV — one contract (rate, channels, bits, (n, ch)
+    int32) for every Spark audio operator."""
+    if data[:4] in (b"fLaC", b"OggS"):
         from peerdb_spark.functions.flac import parse_flac
 
         return parse_flac(data)

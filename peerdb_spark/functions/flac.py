@@ -19,7 +19,8 @@ Scope:
 - Encode (fixtures/interop): STREAMINFO + frames with VERBATIM or
   FIXED-order-2 subframes and partitioned rice residuals — valid FLAC
   any player decodes.
-- Honest gate: Ogg-encapsulated FLAC raises NotImplementedError.
+- Ogg-encapsulated FLAC transmuxes via functions/ogg.py (round 10) and
+  decodes through the same frame parser.
 
 CRC anchors are the published check values (CRC-8 poly 0x07 over
 "123456789" = 0xF4; CRC-16 poly 0x8005 unreflected = 0xFEE8), pinned in
@@ -189,7 +190,12 @@ def parse_flac(data: bytes) -> tuple[int, int, int, np.ndarray]:
     samples (n, ch) int32 — the same contract as audio.parse_wav, so the
     audio operators run on FLAC payloads unchanged."""
     if data[:4] == b"OggS":
-        raise NotImplementedError("Ogg-encapsulated FLAC not supported")
+        # round 10: Ogg-FLAC transmuxes to a native stream (the mapping
+        # carries fLaC + STREAMINFO in the first packet and one frame
+        # per packet — functions/ogg.py), then decodes via this parser
+        from peerdb_spark.functions.ogg import ogg_flac_to_native
+
+        data = ogg_flac_to_native(data)
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream: bad magic")
     pos = 4
@@ -357,10 +363,14 @@ def _rice_write(w: _BitW, res: list[int], k: int) -> None:
 
 
 def encode_flac(samples: np.ndarray, rate: int, bits: int = 16,
-                block: int = 256, subframe: str = "fixed2") -> bytes:
+                block: int = 256, subframe: str = "fixed2",
+                as_parts: bool = False):
     """(n, ch) int samples → FLAC bytes. subframe: 'verbatim' or 'fixed2'
     (order-2 fixed predictor + single-partition rice, parameter chosen
-    per block from the mean absolute residual)."""
+    per block from the mean absolute residual). as_parts=True returns
+    (header_bytes, [frame_bytes, ...]) instead of the joined stream —
+    the shape the Ogg encapsulator needs (one FLAC frame per Ogg
+    packet, functions/ogg.py)."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -386,6 +396,7 @@ def encode_flac(samples: np.ndarray, rate: int, bits: int = 16,
     out += bytes([0x80]) + len(si_bytes).to_bytes(3, "big") + si_bytes
 
     ss_code = {8: 1, 16: 4, 24: 6, 32: 7}[bits]
+    frames: list[bytes] = []
     for fi, f0 in enumerate(range(0, n, block)):
         blk = a[f0 : f0 + block]
         bn = blk.shape[0]
@@ -441,5 +452,7 @@ def encode_flac(samples: np.ndarray, rate: int, bits: int = 16,
         w.align()
         body = bytes(w.out)
         w.u(_crc16(body), 16)
-        out += bytes(w.out)
-    return bytes(out)
+        frames.append(bytes(w.out))
+    if as_parts:
+        return bytes(out), frames
+    return bytes(out) + b"".join(frames)

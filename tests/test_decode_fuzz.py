@@ -168,6 +168,17 @@ _SEEDS = {
             16, 16, qp=24,
         ),
     ),
+    "ogg_flac": (
+        lambda b: __import__(
+            "peerdb_spark.functions.ogg", fromlist=["ogg_flac_to_native"]
+        ).ogg_flac_to_native(b),
+        lambda: __import__(
+            "peerdb_spark.functions.ogg", fromlist=["encode_ogg_flac"]
+        ).encode_ogg_flac(
+            ((_img()[:, :3, 0].astype(np.int32) - 128) * 150), 16000, 16,
+            block=128,
+        ),
+    ),
     "wav": (
         lambda b: __import__(
             "peerdb_spark.functions.audio", fromlist=["parse_wav"]

@@ -176,7 +176,9 @@ def test_rejects():
     rng = np.random.RandomState(2)
     s = rng.randint(-1000, 1000, size=(300, 1)).astype(np.int32)
     good = encode_flac(s, 8000, 16)
-    with pytest.raises(NotImplementedError, match="Ogg"):
+    # OggS magic now routes into the Ogg layer (round 10), which must
+    # cleanly reject a stream that is not really Ogg
+    with pytest.raises(ValueError):
         parse_flac(b"OggS" + good[4:])
     with pytest.raises(ValueError, match="magic"):
         parse_flac(b"fLaX" + good[4:])
