@@ -1165,7 +1165,7 @@ def _decode_stream(data: bytes):
 
 
 def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
-                      return_recon: bool = False):
+                      return_recon: bool = False, mb_mode: str = "i16"):
     """[(Y, Cb, Cr) uint8 planes] → a conforming Annex-B stream of IDR
     pictures with REAL entropy coding (round 10): I_16x16 DC-predicted
     macroblocks, CAVLC residuals, deblocking disabled per slice (the
@@ -1177,7 +1177,15 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
     Any macroblock whose residual would need a coeff_token entry outside
     h264_cavlc.CONFIDENT_TOKENS (the externally-unpinned table tails, see
     that module's docstring) is emitted as I_PCM instead — every stream
-    this encoder produces uses only pinned entries."""
+    this encoder produces uses only pinned entries.
+
+    mb_mode: "i16" (default, I_16x16 DC-predicted macroblocks with the
+    Hadamard DC path), "i4" (I_NxN: 16 DC-predicted 4x4 blocks with
+    full-block transforms — exercises the decoder's sequential
+    intra-MB reconstruction and coded_block_pattern paths), or "mixed"
+    (alternating per MB — exercises cross-type neighbour rules)."""
+    if mb_mode not in ("i16", "i4", "mixed"):
+        raise ValueError(f"unknown mb_mode {mb_mode!r}")
     from peerdb_spark.functions import h264_cavlc as CV
 
     if width % 2 or height % 2 or width < 2 or height < 2:
@@ -1263,7 +1271,9 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
         for mb in range(wmb * hmb):
             my, mx = divmod(mb, wmb)
             st.mb_slice[my, mx] = 0
-            frag = _encode_mb_i16(st, Yp, Cbp, Crp, mx, my, qp, qp_c, CV)
+            use_i4 = mb_mode == "i4" or (mb_mode == "mixed" and mb % 2)
+            enc = _encode_mb_i4 if use_i4 else _encode_mb_i16
+            frag = enc(st, Yp, Cbp, Crp, mx, my, qp, qp_c, CV)
             if frag is None:  # unpinned token → I_PCM fallback
                 w.ue(_I_PCM_MB_TYPE)
                 w.align_zero()
@@ -1463,6 +1473,192 @@ def _encode_mb_i16(st: _PicState, Yp, Cbp, Crp, mx: int, my: int, qp: int,
                         + res[4 * i + j])
     for (bx, by), v in overlayY.items():
         st.ncY[by, bx] = v
+    for (bx, by), v in overlayCb.items():
+        st.ncCb[by, bx] = v
+    for (bx, by), v in overlayCr.items():
+        st.ncCr[by, bx] = v
+    return "".join(bits)
+
+
+def _encode_mb_i4(st: _PicState, Yp, Cbp, Crp, mx: int, my: int, qp: int,
+                  qp_c: int, CV) -> str | None:
+    """Encode one I_NxN macroblock, all 16 blocks DC-predicted (mode 2),
+    reconstructing each 4x4 before the next predicts from it — the same
+    sequential order the decoder uses. Returns the bit fragment and
+    commits decoder-exact state, or None (unpinned CAVLC symbol → the
+    caller falls back to I_PCM; st untouched until success, so luma
+    reconstruction is staged in a scratch overlay)."""
+    sl = 0
+    oy0, ox0 = my * 16, mx * 16
+    # stage luma recon in a copy: prediction inside the MB reads it,
+    # but st must stay untouched if a later symbol refuses to encode
+    y_stage = st.Y.copy()
+    done = np.zeros((st.hmb * 4, st.wmb * 4), dtype=bool)
+    done[st.ncY >= 0] = True
+    for ox, oy in _BLK4_ORDER:
+        done[my * 4 + oy, mx * 4 + ox] = False
+
+    def blk_ok(bx, by):
+        if not (0 <= bx < st.wmb * 4 and 0 <= by < st.hmb * 4):
+            return False
+        if not st._same_slice(st.ncY, bx, by, sl, 4):
+            return False
+        return bool(done[by, bx])
+
+    stY_real = st.Y
+    st.Y = y_stage  # _pred_i4x4 reads st.Y; point it at the stage
+    try:
+        ac_scan = [None] * 16
+        for n, (ox, oy) in enumerate(_BLK4_ORDER):
+            bx, by = mx * 4 + ox, my * 4 + oy
+            x0, y0 = bx * 4, by * 4
+            pred = _pred_i4x4(st, 2, x0, y0, sl, blk_ok)
+            diff = Yp[y0 : y0 + 4, x0 : x0 + 4] - pred
+            c = _ftrans4x4(diff)
+            raster = [
+                _fquant(int(c[i // 4, i % 4]), qp, _POS_CLS[i])
+                for i in range(16)
+            ]
+            ac_scan[n] = _raster_to_zz4(raster, start=0)
+            # reconstruct exactly as the decoder will
+            res = _itrans4x4(_dequant4x4(raster, qp))
+            for i in range(4):
+                for j in range(4):
+                    y_stage[y0 + i, x0 + j] = _clip8(
+                        int(pred[i, j]) + res[4 * i + j])
+            done[by, bx] = True
+    finally:
+        st.Y = stY_real
+    # cbp: an 8x8 group is coded iff any of its four blocks is nonzero
+    groups = [any(any(ac_scan[g * 4 + k]) for k in range(4))
+              for g in range(4)]
+    cbp_luma = sum(1 << g for g, on in enumerate(groups) if on)
+
+    pred_cb = _pred_chroma(st.Cb, st, 0, mx, my, sl)
+    pred_cr = _pred_chroma(st.Cr, st, 0, mx, my, sl)
+    ch_dc_levels = []
+    ch_ac_scan = []
+    for plane, cpred in ((Cbp, pred_cb), (Crp, pred_cr)):
+        d = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - cpred
+        cdc = [0] * 4
+        acs = []
+        for b in range(4):
+            qy, qx = (b >> 1) * 4, (b & 1) * 4
+            c = _ftrans4x4(d[qy : qy + 4, qx : qx + 4])
+            cdc[b] = int(c[0, 0])
+            raster = [0] * 16
+            for i in range(4):
+                for j in range(4):
+                    if i == 0 and j == 0:
+                        continue
+                    raster[4 * i + j] = _fquant(
+                        int(c[i, j]), qp_c, _POS_CLS[4 * i + j])
+            acs.append(_raster_to_zz4(raster, start=1))
+        fdc = (cdc[0] + cdc[1] + cdc[2] + cdc[3],
+               cdc[0] - cdc[1] + cdc[2] - cdc[3],
+               cdc[0] + cdc[1] - cdc[2] - cdc[3],
+               cdc[0] - cdc[1] - cdc[2] + cdc[3])
+        ch_dc_levels.append([_fquant_dc(v, qp_c) for v in fdc])
+        ch_ac_scan.append(acs)
+    any_ch_ac = any(any(s) for acs in ch_ac_scan for s in acs)
+    any_ch_dc = any(any(lv) for lv in ch_dc_levels)
+    cbp_chroma = 2 if any_ch_ac else (1 if any_ch_dc else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    wf = _BitWriter()
+    wf.ue(0)  # mb_type I_NxN
+    for _ in range(16):
+        wf.u(1, 1)  # prev_intra4x4_pred_mode_flag: predicted (DC) — all
+        # neighbours are DC or unavailable, so min(A,B) == 2 throughout
+    wf.ue(0)  # intra_chroma_pred_mode: DC
+    wf.ue(_CBP_INTRA.index(cbp))
+    if cbp:
+        wf.se(0)  # mb_qp_delta
+    head = "".join(format(b, "08b") for b in wf.out)
+    if wf.n:
+        head += format(wf.acc & ((1 << wf.n) - 1), f"0{wf.n}b")
+    bits = [head]
+
+    overlayY: dict = {}
+    overlayCb: dict = {}
+    overlayCr: dict = {}
+
+    def nc_of(arr, overlay, bx, by, per_mb):
+        nA = nB = None
+        if bx > 0:
+            v = overlay.get((bx - 1, by))
+            if v is None and arr[by, bx - 1] >= 0 and \
+                    st._same_slice(arr, bx - 1, by, sl, per_mb):
+                v = int(arr[by, bx - 1])
+            nA = v
+        if by > 0:
+            v = overlay.get((bx, by - 1))
+            if v is None and arr[by - 1, bx] >= 0 and \
+                    st._same_slice(arr, bx, by - 1, sl, per_mb):
+                v = int(arr[by - 1, bx])
+            nB = v
+        if nA is not None and nB is not None:
+            return (nA + nB + 1) >> 1
+        if nA is not None:
+            return nA
+        if nB is not None:
+            return nB
+        return 0
+
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        if cbp_luma & (1 << (n >> 2)):
+            b = CV.encode_residual(ac_scan[n],
+                                   nc_of(st.ncY, overlayY, bx, by, 4))
+            if b is None:
+                return None
+            bits.append(b)
+            overlayY[(bx, by)] = sum(1 for v in ac_scan[n] if v)
+        else:
+            overlayY[(bx, by)] = 0
+    if cbp_chroma:
+        for lv in ch_dc_levels:
+            b = CV.encode_residual(list(lv), -1)
+            if b is None:
+                return None
+            bits.append(b)
+    for comp, (arr, overlay) in enumerate(((st.ncCb, overlayCb),
+                                           (st.ncCr, overlayCr))):
+        for bnum in range(4):
+            bx, by = mx * 2 + (bnum & 1), my * 2 + (bnum >> 1)
+            if cbp_chroma == 2:
+                b = CV.encode_residual(ch_ac_scan[comp][bnum],
+                                       nc_of(arr, overlay, bx, by, 2))
+                if b is None:
+                    return None
+                bits.append(b)
+                overlay[(bx, by)] = sum(
+                    1 for v in ch_ac_scan[comp][bnum] if v)
+            else:
+                overlay[(bx, by)] = 0
+
+    # success: commit luma stage, chroma recon, counts and modes
+    st.Y[oy0 : oy0 + 16, ox0 : ox0 + 16] = \
+        y_stage[oy0 : oy0 + 16, ox0 : ox0 + 16]
+    for comp, (plane, cpred) in enumerate(((st.Cb, pred_cb),
+                                           (st.Cr, pred_cr))):
+        lv = ch_dc_levels[comp]
+        dq = _chroma_dc_inverse(lv[0], lv[1], lv[2], lv[3], qp_c)
+        for bnum in range(4):
+            raster = _zz_to_raster4(ch_ac_scan[comp][bnum], start=1)
+            raster = _dequant4x4(raster, qp_c, skip_dc=True)
+            raster[0] = dq[bnum]
+            res = _itrans4x4(raster)
+            x0 = mx * 8 + (bnum & 1) * 4
+            y0 = my * 8 + (bnum >> 1) * 4
+            for i in range(4):
+                for j in range(4):
+                    plane[y0 + i, x0 + j] = _clip8(
+                        int(cpred[y0 - my * 8 + i, x0 - mx * 8 + j])
+                        + res[4 * i + j])
+    for (bx, by), v in overlayY.items():
+        st.ncY[by, bx] = v
+        st.i4mode[by, bx] = 2
     for (bx, by), v in overlayCb.items():
         st.ncCb[by, bx] = v
     for (bx, by), v in overlayCr.items():

@@ -294,7 +294,7 @@ def encode_frames_h264(
 
 def h264_cavlc_roundtrip_check(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id",
-    qp: int = 26,
+    qp: int = 26, mb_mode: str = "i16",
 ) -> DataFrame:
     """(id, raw-RGB content, meta) → (id, width, height, recon_match,
     compressed): CAVLC-encode each media (encode_h264_cavlc, I_16x16
@@ -343,7 +343,7 @@ def h264_cavlc_roundtrip_check(
 
                 planes = [(y.astype(np.uint8), sub(cb), sub(cr))]
                 stream, recons = encode_h264_cavlc(
-                    planes, w, h, qp=qp, return_recon=True)
+                    planes, w, h, qp=qp, return_recon=True, mb_mode=mb_mode)
                 outs = decode_h264_yuv(stream)
                 ok = len(outs) == 1
                 if ok:

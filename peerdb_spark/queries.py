@@ -5218,7 +5218,10 @@ def q_media_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder output equals the encoder's own reconstruction bit-exactly
     (`recon_match`) — plus real compression (`compressed`: the stream
     beats half the raw YUV size) and the cropped dims. The pixel content
-    is lossy by design, so the oracle pins the booleans and structure;
+    is lossy by design, so the oracle pins the booleans and structure
+    (mb_mode='mixed': alternating I_16x16 / I_NxN macroblocks, so the
+    driver-verified path covers both residual layouts and the
+    cross-type neighbour rules);
     the strong pins (published CAVLC worked example, transform matrix
     equivalence, hand-built I_NxN vectors, mixed PCM/CAVLC fallback) live
     in tests/test_h264_intra.py — see h264_cavlc.py for the honest
@@ -5266,7 +5269,7 @@ def q_media_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("rgb").alias("codec"),
         ).alias("meta"),
     )
-    chk = MM.h264_cavlc_roundtrip_check(media, qp=26).select(
+    chk = MM.h264_cavlc_roundtrip_check(media, qp=26, mb_mode="mixed").select(
         F.col("media_id").alias("_cls"), "width", "height",
         "recon_match", "compressed",
     )

@@ -377,3 +377,26 @@ def test_cavlc_stream_corruption_rejects():
         except (ValueError, NotImplementedError):
             pass
         mut[i] = old
+
+
+@pytest.mark.parametrize("mode", ["i4", "mixed"])
+@pytest.mark.parametrize("qp", [10, 26, 38])
+def test_i4_and_mixed_mb_modes_roundtrip(mode, qp):
+    """The I_NxN encoder mode (and the alternating mixed mode) give the
+    decoder's I_4x4 path full-picture roundtrips: sequential intra-MB
+    reconstruction, coded_block_pattern groups, cross-type neighbour
+    rules (I_16x16 next to I_NxN next to I_PCM fallbacks) — all under
+    the same bit-exact contract."""
+    rng = np.random.RandomState(qp + (mode == "mixed"))
+    frames = [_mkyuv(rng, 48, 32), _mkyuv(rng, 48, 32)]
+    data, recons = encode_h264_cavlc(frames, 48, 32, qp=qp,
+                                     return_recon=True, mb_mode=mode)
+    out = decode_h264_yuv(data)
+    assert len(out) == 2
+    for (gw, gh, dy, dcb, dcr), (ry, rcb, rcr) in zip(out, recons):
+        assert (dy == ry).all() and (dcb == rcb).all() and (dcr == rcr).all()
+
+
+def test_i4_mode_rejected_values():
+    with pytest.raises(ValueError, match="mb_mode"):
+        encode_h264_cavlc([], 16, 16, mb_mode="i8")
