@@ -903,3 +903,71 @@ def hash64_hamming_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def hash64_hamming_pairs_incremental(
+    state_df: DataFrame,
+    new_df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Incremental twin of hash64_hamming_pairs (round 10): pairs where
+    at least one side comes from the NEW batch — O(new x bucket) per
+    batch instead of re-pairing the corpus, the same ingestion posture
+    as incremental_lsh_pairs but for the 64-bit fingerprint modalities
+    (image dHash, audio energy-delta, video majority-dHash, SimHash64).
+
+    The skew guard sizes buckets over state UNION new (identical
+    behaviour to a full re-run), so the result equals
+    hash64_hamming_pairs(state ∪ new) restricted to pairs touching a new
+    id — pinned by test. State stays (id, hash): 16 bytes/item."""
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    r = 64 // bands
+    mask = F.lit((1 << r) - 1)
+    allh = state_df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.lit(False).alias("_new"),
+    ).unionByName(new_df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.lit(True).alias("_new"),
+    ))
+    banded = allh.select(
+        "_id", "_h", "_new",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("_h"), r * j).bitwiseAND(mask)
+                for j in range(bands)
+            ])
+        ),
+    ).withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    oversized = (
+        banded.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select("band", "bval")
+    )
+    sized = banded.join(F.broadcast(oversized), ["band", "bval"], "left_anti")
+    n = sized.where("_new").select(
+        F.col("_id").alias("_nid"), F.col("_h").alias("_nh"), "band", "bval")
+    o = sized.select(
+        F.col("_id").alias("_oid"), F.col("_h").alias("_oh"), "band", "bval")
+    cand = (
+        n.join(o, ["band", "bval"])
+        .where(F.col("_nid") != F.col("_oid"))
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+            F.when(F.col("_nid") < F.col("_oid"), F.col("_nh"))
+            .otherwise(F.col("_oh")).alias("h_a"),
+            F.when(F.col("_nid") < F.col("_oid"), F.col("_oh"))
+            .otherwise(F.col("_nh")).alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -5153,6 +5153,46 @@ vhashes AS (
 """
 
 
+def q_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup ingestion (round 10,
+    dedup.hash64_hamming_pairs_incremental): the corpus state is the
+    even-id half's fingerprints (16 B/item), the odd-id half arrives as
+    a batch, and the result is every near-dup pair TOUCHING the batch —
+    O(new x bucket), the same maintained-state posture as
+    dedup_incremental_lsh but for the 64-bit fingerprint modalities.
+    The oracle brute-forces exact hamming <= 3 over analytically
+    recomputed hashes restricted to pairs with an odd id, so the driver
+    certifies both the banding and the restriction."""
+    from peerdb_spark.functions import multimodal as MM
+    from peerdb_spark.functions.dedup import hash64_hamming_pairs_incremental
+
+    media = _dhash_fixture(spark, sf_dir)
+    hashes = MM.image_dhash(media)
+    state = hashes.where(F.col("media_id") % 2 == 0)
+    new = hashes.where(F.col("media_id") % 2 == 1)
+    pairs = hash64_hamming_pairs_incremental(
+        state, new, "dhash", "media_id", bands=4, max_hamming=3)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+SQL_IMAGE_DHASH_INCREMENTAL = (
+    "WITH " + _SQL_DHASH_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+            + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
+      + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) <= 3
+  AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+"""
+)
+
+
 def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup fingerprint (round 10): per-frame dHash folded by
     bit-wise majority across sampled frames (multimodal.video_fingerprint
@@ -6864,6 +6904,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
     "media_frame_sample_h264": q_media_frame_sample_h264,
     "media_h264_cavlc": q_media_h264_cavlc,
+    "image_dhash_incremental": q_image_dhash_incremental,
     "video_fingerprint": q_video_fingerprint,
     "video_fingerprint_dups": q_video_fingerprint_dups,
     "media_frame_sample_mp4": q_media_frame_sample_mp4,
@@ -6993,6 +7034,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "media_frame_sample_mjpeg": SQL_MEDIA_FRAME_SAMPLE_MJPEG,
     "media_frame_sample_h264": SQL_MEDIA_FRAME_SAMPLE_H264,
     "media_h264_cavlc": SQL_MEDIA_H264_CAVLC,
+    "image_dhash_incremental": SQL_IMAGE_DHASH_INCREMENTAL,
     "video_fingerprint": SQL_VIDEO_FINGERPRINT,
     "video_fingerprint_dups": SQL_VIDEO_FINGERPRINT_DUPS,
     "media_frame_sample_mp4": SQL_MEDIA_FRAME_SAMPLE_MP4,
@@ -7109,11 +7151,14 @@ _NEW_THIS_ROUND: list[str] = [
     # fourth modality through the ONE shared hamming-LSH banding engine
     "video_fingerprint",
     "video_fingerprint_dups",
+    # r10: incremental ingestion for the hash64 modalities (the
+    # maintained-state posture of dedup_incremental_lsh, 16 B/item)
+    "image_dhash_incremental",
 ]
 
 # Oldest driver rows, refreshed through the spare window slots: the 20
 # remaining r5-row queries (verdict #3's exact list) + the 9 oldest r6
-# rows. 20 regate + 4 new + 26 here = the 50-slot window exactly
+# rows. 20 regate + 5 new + 25 here = the 50-slot window exactly
 # (mongo_changestream_decode / events_cohort_retention / graph_pagerank,
 # the next stale candidates, lost their slots to the four r10 queries;
 # they keep their prior driver rows and the local re-check).
@@ -7143,7 +7188,6 @@ _STALE_REFRESH = [
     "bloom_membership",
     "dup_span_coverage",
     "hist_quantiles",
-    "events_funnel",
 ]
 
 # Provenance of the most recent green driver row for everything else
@@ -7201,6 +7245,7 @@ _GATE_GREEN_R7 = [
 ]
 
 _GATE_GREEN_R6 = [
+    "events_funnel",
     "mongo_changestream_decode",
     "events_cohort_retention",
     "graph_pagerank",

@@ -313,3 +313,42 @@ def test_incremental_lsh_ingest_count_log_equals_full_recount(spark, tables):
     assert comp.groupBy("band", "band_hash").count().where("count > 1").count() == 0
     comp_tot = {(r["band"], r["band_hash"]): r["cnt"] for r in comp.collect()}
     assert comp_tot == full_tot
+
+
+def test_hash64_incremental_equals_full_restricted(spark):
+    """Round-10 incremental twin: pairs(state, new) == pairs(state ∪ new)
+    restricted to pairs touching a new id — same banding, same skew
+    guard sizing, same exact verify."""
+    import random
+
+    from peerdb_spark.functions.dedup import (
+        hash64_hamming_pairs,
+        hash64_hamming_pairs_incremental,
+    )
+
+    rng = random.Random(11)
+    base = [rng.getrandbits(63) for _ in range(60)]
+    rows = []
+    for i, h in enumerate(base):
+        rows.append((i, h))
+        if i % 3 == 0:  # a near-dup within 2 bits
+            rows.append((1000 + i, h ^ (1 << rng.randrange(64))))
+    df = spark.createDataFrame(rows, "id long, h long")
+    state = df.where("id < 500 and id % 2 = 0")
+    new = df.subtract(state)
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hash64_hamming_pairs(df, "h", "id", bands=4,
+                                      max_hamming=3).collect()
+    }
+    new_ids = {r["id"] for r in new.collect()}
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hash64_hamming_pairs_incremental(
+            state, new, "h", "id", bands=4, max_hamming=3).collect()
+    }
+    assert got == want and len(want) > 10
+    # empty batch → no pairs
+    assert hash64_hamming_pairs_incremental(
+        df, df.where("id < 0"), "h", "id").count() == 0
