@@ -161,6 +161,7 @@ def main() -> None:
         "crawl_text_extract",
         "image_dhash",
         "image_dhash_dups",
+        "image_dhash_incremental",
         "video_fingerprint_dups",
         "pq_encode",
         "pq_adc_topk",

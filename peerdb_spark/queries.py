@@ -5166,8 +5166,14 @@ def q_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peerdb_spark.functions import multimodal as MM
     from peerdb_spark.functions.dedup import hash64_hamming_pairs_incremental
 
-    media = _dhash_fixture(spark, sf_dir)
-    hashes = MM.image_dhash(media)
+    # fixture-cost cap (the video-gate discipline): doc_id < 2000 is ALL
+    # of sf0.01's documents and a fixed-size subset at sf0.1
+    media = _dhash_fixture(spark, sf_dir).where(F.col("media_id") < 2000)
+    # EAGER: state and new are two branches of the same Arrow kernel
+    # output and the incremental op references each more than once —
+    # without materialization the analytic fixture + hash kernel
+    # recompute per branch (measured 2.6x). 16 B/item, driver-safe.
+    hashes = MM.image_dhash(media).localCheckpoint(eager=True)
     state = hashes.where(F.col("media_id") % 2 == 0)
     new = hashes.where(F.col("media_id") % 2 == 1)
     pairs = hash64_hamming_pairs_incremental(
@@ -5189,6 +5195,7 @@ FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(CAST(xor(a.hi, b.hi) AS BIGINT))
       + bit_count(CAST(xor(a.lo, b.lo) AS BIGINT)) <= 3
   AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+  AND a.doc_id < 2000 AND b.doc_id < 2000
 """
 )
 
