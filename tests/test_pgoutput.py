@@ -450,3 +450,81 @@ def test_partitioned_mapping_through_distributed_decode(spark):
         df, child_to_parent={"public.ev_p0": "public.ev"}
     ).collect()
     assert [r["_dst_table"] for r in out if r["_kind"] == "insert"] == ["public.ev"]
+
+
+# -- protocol v2: streamed in-progress transactions (round 10) ---------------
+
+
+import pytest  # noqa: E402
+
+
+def enc_stream_start(xid, first=1):
+    return b"S" + struct.pack(">IB", xid, first)
+
+
+def enc_stream_stop():
+    return b"E"
+
+
+def enc_stream_commit(xid, ts_us):
+    return b"c" + struct.pack(">IBQQq", xid, 0, 100, 200, ts_us)
+
+
+def enc_stream_abort(xid, subxid):
+    return b"A" + struct.pack(">II", xid, subxid)
+
+
+def v2(msg, xid):
+    # v2 prefixes R/I/U/D/T/M inside a streamed segment with the xid
+    return msg[:1] + struct.pack(">I", xid) + msg[1:]
+
+
+def test_v2_streamed_transaction_commit_and_interleave():
+    """Protocol v2 (BEYOND the reference, which pins proto_version '1' —
+    postgres_source.go:237): two in-progress transactions stream
+    interleaved segments; nothing emits until each StreamCommit, which
+    stamps the buffered rows with ITS commit timestamp in arrival order;
+    an aborted stream vanishes."""
+    dec = PgOutputDecoder()
+    dec.replay(enc_relation(77, "public", "t", ["id", "v"]))
+    out = []
+    out += dec.feed(10, enc_stream_start(500)) or []
+    out += dec.feed(11, v2(enc_insert(77, ["1", "a"]), 500)) or []
+    out += dec.feed(12, enc_stream_stop()) or []
+    out += dec.feed(13, enc_stream_start(600)) or []
+    out += dec.feed(14, v2(enc_insert(77, ["9", "z"]), 600)) or []
+    out += dec.feed(15, enc_stream_stop()) or []
+    assert out == []  # nothing before commit
+    out += dec.feed(16, enc_stream_start(500, first=0)) or []
+    out += dec.feed(17, v2(enc_insert(77, ["2", "b"]), 500)) or []
+    out += dec.feed(18, enc_stream_stop()) or []
+    got = dec.feed(19, enc_stream_commit(500, 86400 * 365 * 20 * 10**6))
+    assert [json.loads(r["_data"])["id"] for r in got] == ["1", "2"]
+    assert all(r["_txid"] == 500 for r in got)
+    assert all(r["_commit_ts"] is not None for r in got)
+    assert got[0]["_checkpoint_id"] == 11 and got[1]["_checkpoint_id"] == 17
+    # xid 600 aborts entirely: its row never appears
+    assert dec.feed(20, enc_stream_abort(600, 600)) in (None, [])
+    assert dec.feed(21, enc_stream_commit(600, 1)) in (None, [])
+
+
+def test_v2_subtransaction_abort_rejects():
+    dec = PgOutputDecoder()
+    dec.replay(enc_relation(77, "public", "t", ["id", "v"]))
+    dec.feed(1, enc_stream_start(500))
+    dec.feed(2, v2(enc_insert(77, ["1", "a"]), 500))
+    dec.feed(3, enc_stream_stop())
+    with pytest.raises(NotImplementedError, match="SUBtransaction"):
+        list(dec.feed(4, enc_stream_abort(500, 501)) or [])
+
+
+def test_v2_relation_inside_stream_applies():
+    """A Relation message inside a streamed segment (v2 prefixes it with
+    the xid) updates the mapping for the buffered rows."""
+    dec = PgOutputDecoder()
+    dec.feed(1, enc_stream_start(900))
+    dec.feed(2, v2(enc_relation(88, "public", "s", ["a", "b"]), 900))
+    dec.feed(3, v2(enc_insert(88, ["5", "x"]), 900))
+    dec.feed(4, enc_stream_stop())
+    got = dec.feed(5, enc_stream_commit(900, 10**6))
+    assert len(got) == 1 and json.loads(got[0]["_data"]) == {"a": "5", "b": "x"}
