@@ -451,7 +451,9 @@ class CdcPipeline:
         catalog=None,
         mirror_name: str = "",
         auto_evolve: bool = False,
-        normalize_every: int = 1,
+        normalize_every: int | str = 1,
+        auto_ratio: float = 0.10,
+        auto_min_rows: int = 100_000,
     ):
         """normalize_every=k > 1 selects the LAZY normalize cadence (the
         ClickHouse-RMT shape the reference delegates to its destination's
@@ -462,9 +464,25 @@ class CdcPipeline:
         the exact would-be-normalized state by folding the raw tail over
         the destination (rmt_latest_view semantics). The r9 cardinality
         probe measured this as THE uniform-fan-out answer: 250k vs 132k
-        ev/s over 39M events with flat per-batch sync."""
-        if normalize_every < 1:
-            raise ValueError("normalize_every must be >= 1")
+        ev/s over 39M events with flat per-batch sync.
+
+        normalize_every="auto" selects the SELF-TUNING cadence (the LSM
+        compaction-trigger shape): normalize when the pending raw tail
+        holds >= max(auto_min_rows, auto_ratio x destination rows) —
+        both sides from parquet FOOTER counts, no data read. A young
+        mirror merges every batch (eager semantics while the destination
+        is small); as the destination grows, merges stretch out so the
+        touched-bucket reread amortizes over proportionally more pending
+        work — the measured uniform-fan-out mitigation without the
+        operator hand-picking k. Reads between merges go through
+        read_table either way."""
+        if normalize_every == "auto":
+            if not (0 < auto_ratio <= 1):
+                raise ValueError("auto_ratio must be in (0, 1]")
+        elif not isinstance(normalize_every, int) or normalize_every < 1:
+            raise ValueError("normalize_every must be >= 1 or 'auto'")
+        self.auto_ratio = auto_ratio
+        self.auto_min_rows = auto_min_rows
         self.spark = spark
         self.raw = RawTable(spark, raw_path)
         self.tables = {t.dst_table: t for t in tables}
@@ -601,10 +619,27 @@ class CdcPipeline:
         if rng is None:
             return False
         lo, hi = rng
-        if hi - lo + 1 < self.normalize_every and not force:
+        if not force and not self._cadence_due(lo, hi):
             return False
         self.normalize_batches(lo, hi, parallelism=parallelism)
         return True
+
+    def _cadence_due(self, lo: int, hi: int) -> bool:
+        if self.normalize_every == "auto":
+            pending = self.raw.batch_rows(lo, hi)
+            if pending >= self.auto_min_rows:
+                return True
+            dest = 0
+            for cfg in self.tables.values():
+                t = ParquetTable(self.spark, cfg.path, cfg.pk_cols,
+                                 cfg.n_buckets,
+                                 split_threshold_rows=cfg.split_threshold_rows)
+                if t.exists:
+                    dest += sum(t.rows_per_bucket().values())
+            # young mirror: merge every batch (eager semantics); grown
+            # mirror: defer until the pending tail amortizes the reread
+            return dest == 0 or pending >= self.auto_ratio * dest
+        return hi - lo + 1 >= self.normalize_every
 
     def read_table(self, dst: str) -> DataFrame:
         """Read-through view of a destination under a lazy cadence: the

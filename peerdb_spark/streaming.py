@@ -51,7 +51,7 @@ class CdcStreamRunner:
         catalog=None,
         mirror_name: str = "",
         normalize_parallelism: int = 1,
-        normalize_every: int = 1,
+        normalize_every: int | str = 1,
     ):
         """normalize_every=k > 1 selects the pipeline's LAZY normalize
         cadence (CdcPipeline.process_batch): every trigger syncs, every
@@ -75,11 +75,13 @@ class CdcStreamRunner:
         replay or a merge still needs."""
         if retain_batches is not None and retain_batches < normalize_lag + 1:
             raise ValueError("retain_batches must be >= normalize_lag + 1")
-        if normalize_every > 1 and normalize_lag:
+        lazy = normalize_every == "auto" or normalize_every > 1
+        if lazy and normalize_lag:
             raise ValueError(
                 "normalize_every and normalize_lag are distinct policies "
                 "(cadence vs trail-by-N) — set at most one")
-        if retain_batches is not None and retain_batches < normalize_every:
+        if retain_batches is not None and normalize_every != "auto" \
+                and retain_batches < normalize_every:
             raise ValueError("retain_batches must be >= normalize_every")
         self.retain_batches = retain_batches
         self.spark = spark
@@ -106,8 +108,10 @@ class CdcStreamRunner:
         if not self.pipeline.raw.is_batch_committed(batch_id):
             self.pipeline.sync_batch(batch_df, batch_id)
         self._last_synced = batch_id
-        if self.pipeline.normalize_every > 1:
-            # lazy cadence: merge only every k-th trigger; the pipeline
+        ne = self.pipeline.normalize_every
+        if ne == "auto" or ne > 1:
+            # lazy cadence: merge only every k-th trigger (or when the
+            # auto amortization trigger fires); the pipeline
             # tracks its own watermark, so replays and restarts resume
             merged = self.pipeline.maybe_normalize(
                 batch_id, parallelism=self.normalize_parallelism
@@ -133,7 +137,8 @@ class CdcStreamRunner:
     def catch_up(self) -> None:
         """Normalize the trailing batches the lag/cadence left behind (the
         reference drains its normalize channel on flow pause/teardown)."""
-        if self.pipeline.normalize_every > 1 and self._last_synced is not None:
+        ne = self.pipeline.normalize_every
+        if (ne == "auto" or ne > 1) and self._last_synced is not None:
             self.pipeline.maybe_normalize(
                 self._last_synced, force=True,
                 parallelism=self.normalize_parallelism,

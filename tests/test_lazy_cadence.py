@@ -186,3 +186,56 @@ def test_stream_runner_lazy_cadence(spark, tmp_path):
         eager.process_batch(_batch(spark, b), b)
     got = ParquetTable(spark, str(tmp_path / "dst"), ["id"], 4).read()
     assert _state(got) == _state(eager.read_table("t"))
+
+
+def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
+    """normalize_every='auto' (round 10): the LSM-style trigger merges
+    when the pending tail holds >= auto_ratio x destination rows (footer
+    counts only). A young mirror merges every batch; as the destination
+    grows, merges stretch out — and read_table stays exact throughout."""
+    cfg = cdc.CdcTableConfig("t", ["id"], VAL_SCHEMA,
+                             str(tmp_path / "a/dst"), n_buckets=4)
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "a/raw"), [cfg],
+                           normalize_every="auto", auto_ratio=0.5,
+                           auto_min_rows=10_000)
+    eager = _mk(spark, str(tmp_path), "eager", normalize_every=1)
+
+    def disjoint(b):  # each batch inserts a FRESH key range → dest grows
+        rows = [("insert", b * 1000 + i, "t",
+                 {"id": b * 100 + i, "val": f"b{b}", "amt": float(i)},
+                 None, None) for i in range(40)]
+        return _changelog(spark, rows)
+
+    merged = []
+    for b in range(1, 9):
+        merged.append(pipe.process_batch(disjoint(b), b))
+        eager.process_batch(disjoint(b), b)
+    # batch 1 merges immediately (empty destination); afterwards each
+    # batch adds 40 rows while the trigger needs >= half the GROWING
+    # destination pending, so merges stretch out
+    assert merged[0] is True
+    assert 1 <= sum(merged) < 8
+    # the gaps between merges grow (LSM-style): the last merge gap is
+    # at least as long as the first post-bootstrap gap
+    idx = [i for i, m in enumerate(merged) if m]
+    if len(idx) >= 3:
+        assert idx[-1] - idx[-2] >= idx[1] - idx[0]
+    # the LAST merge must not be the only one if growth stretched the
+    # cadence; regardless, the read-through view matches the eager twin
+    assert _state(pipe.read_table("t")) == _state(eager.read_table("t"))
+    # drain converges the destination itself
+    pipe.maybe_normalize(8, force=True)
+    dst = ParquetTable(spark, cfg.path, ["id"], 4).read()
+    assert _state(dst) == _state(eager.read_table("t"))
+
+
+def test_auto_cadence_validation():
+    import pytest
+
+    from peerdb_spark import cdc as C
+
+    with pytest.raises(ValueError, match="auto_ratio"):
+        C.CdcPipeline(None, "/tmp/x", [], normalize_every="auto",
+                      auto_ratio=0)
+    with pytest.raises(ValueError, match="normalize_every"):
+        C.CdcPipeline(None, "/tmp/x", [], normalize_every="sometimes")
