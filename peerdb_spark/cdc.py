@@ -469,13 +469,19 @@ class CdcPipeline:
         normalize_every="auto" selects the SELF-TUNING cadence (the LSM
         compaction-trigger shape): normalize when the pending raw tail
         holds >= max(auto_min_rows, auto_ratio x destination rows) —
-        both sides from parquet FOOTER counts, no data read. A young
-        mirror merges every batch (eager semantics while the destination
-        is small); as the destination grows, merges stretch out so the
-        touched-bucket reread amortizes over proportionally more pending
-        work — the measured uniform-fan-out mitigation without the
-        operator hand-picking k. Reads between merges go through
-        read_table either way."""
+        both sides from parquet FOOTER counts, no data read.
+        auto_min_rows is a FLOOR: below it no merge runs regardless of
+        destination size (a merge smaller than the floor cannot amortize
+        its bucket reread; reads stay exact through read_table's fold
+        until the floor is reached). Above the floor, a young mirror
+        merges immediately (ratio x small destination < floor); as the
+        destination grows the ratio term takes over and merges stretch
+        proportionally, so the touched-bucket reread amortizes over
+        proportionally more pending work — the measured uniform-fan-out
+        mitigation without the operator hand-picking k. Reads between
+        merges go through read_table either way. Destination row counts
+        change only at merges, so they are cached on the pipeline and
+        re-swept (one footer pass) only after a normalize."""
         if normalize_every == "auto":
             if not (0 < auto_ratio <= 1):
                 raise ValueError("auto_ratio must be in (0, 1]")
@@ -483,6 +489,10 @@ class CdcPipeline:
             raise ValueError("normalize_every must be >= 1 or 'auto'")
         self.auto_ratio = auto_ratio
         self.auto_min_rows = auto_min_rows
+        # cached destination footprint for the 'auto' trigger; None =
+        # recompute on next _cadence_due (invalidated whenever the
+        # destination set or contents change: normalize, add/remove table)
+        self._dest_rows: int | None = None
         self.spark = spark
         self.raw = RawTable(spark, raw_path)
         self.tables = {t.dst_table: t for t in tables}
@@ -627,8 +637,21 @@ class CdcPipeline:
     def _cadence_due(self, lo: int, hi: int) -> bool:
         if self.normalize_every == "auto":
             pending = self.raw.batch_rows(lo, hi)
-            if pending >= self.auto_min_rows:
-                return True
+            # due iff pending >= max(auto_min_rows, ratio * dest): the
+            # floor gates first (below it a merge cannot amortize its
+            # bucket reread no matter how small the destination), then
+            # the ratio term stretches the cadence as the mirror grows
+            if pending < self.auto_min_rows:
+                return False
+            return pending >= self.auto_ratio * self._dest_row_count()
+        return hi - lo + 1 >= self.normalize_every
+
+    def _dest_row_count(self) -> int:
+        """Total destination rows across the mirror's tables, from parquet
+        footers only — cached because it changes only when a normalize /
+        compaction rewrites buckets (normalize_batches invalidates), so the
+        'auto' trigger costs one footer sweep per MERGE, not per batch."""
+        if self._dest_rows is None:
             dest = 0
             for cfg in self.tables.values():
                 t = ParquetTable(self.spark, cfg.path, cfg.pk_cols,
@@ -636,10 +659,8 @@ class CdcPipeline:
                                  split_threshold_rows=cfg.split_threshold_rows)
                 if t.exists:
                     dest += sum(t.rows_per_bucket().values())
-            # young mirror: merge every batch (eager semantics); grown
-            # mirror: defer until the pending tail amortizes the reread
-            return dest == 0 or pending >= self.auto_ratio * dest
-        return hi - lo + 1 >= self.normalize_every
+            self._dest_rows = dest
+        return self._dest_rows
 
     def read_table(self, dst: str) -> DataFrame:
         """Read-through view of a destination under a lazy cadence: the
@@ -888,6 +909,7 @@ class CdcPipeline:
         # advance the cadence watermark only after every destination's
         # merge committed — a crash mid-loop replays the whole range (the
         # merges are idempotent and converge)
+        self._dest_rows = None  # destinations changed: next 'auto' check re-sweeps footers
         self._set_norm_wm(end_batch)
 
     def add_table(self, cfg: CdcTableConfig, backfill: DataFrame | None = None) -> None:
@@ -895,6 +917,7 @@ class CdcPipeline:
         register the mapping and optionally snapshot-backfill the destination;
         subsequent batches containing its _dst_table rows normalize into it."""
         self.tables[cfg.dst_table] = cfg
+        self._dest_rows = None
         if backfill is not None:
             table = ParquetTable(self.spark, cfg.path, cfg.pk_cols, cfg.n_buckets,
                              split_threshold_rows=cfg.split_threshold_rows)
@@ -909,6 +932,7 @@ class CdcPipeline:
         """Mid-flow table removal: later batches skip its rows (destination
         data is left in place, like the reference's DROP MIRROR semantics)."""
         self.tables.pop(dst_table, None)
+        self._dest_rows = None
 
     def record_counts(self, start_batch: int, end_batch: int) -> DataFrame:
         """Per-table insert/update/delete counts (ref: flow/model/record.go:70-147;

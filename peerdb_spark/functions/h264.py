@@ -1165,7 +1165,8 @@ def _decode_stream(data: bytes):
 
 
 def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
-                      return_recon: bool = False, mb_mode: str = "i16"):
+                      return_recon: bool = False, mb_mode: str = "i16",
+                      return_stats: bool = False):
     """[(Y, Cb, Cr) uint8 planes] → a conforming Annex-B stream of IDR
     pictures with REAL entropy coding (round 10): I_16x16 DC-predicted
     macroblocks, CAVLC residuals, deblocking disabled per slice (the
@@ -1174,16 +1175,21 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
     which decode_h264_yuv must reproduce BIT-EXACTLY — the H.264 contract
     that encoder reconstruction equals decoder output.
 
-    Any macroblock whose residual would need a coeff_token entry outside
-    h264_cavlc.CONFIDENT_TOKENS (the externally-unpinned table tails, see
-    that module's docstring) is emitted as I_PCM instead — every stream
-    this encoder produces uses only pinned entries.
+    Any macroblock whose residual CAVLC cannot represent (a level beyond
+    the 12-bit escape range; since round 11's Table 9-5 tail completion
+    there are no missing coeff_token entries — h264_cavlc docstring) is
+    emitted as I_PCM instead, a safety net that no longer triggers on
+    merely-busy blocks.
 
     mb_mode: "i16" (default, I_16x16 DC-predicted macroblocks with the
     Hadamard DC path), "i4" (I_NxN: 16 DC-predicted 4x4 blocks with
     full-block transforms — exercises the decoder's sequential
     intra-MB reconstruction and coded_block_pattern paths), or "mixed"
-    (alternating per MB — exercises cross-type neighbour rules)."""
+    (alternating per MB — exercises cross-type neighbour rules).
+
+    return_stats=True appends a per-frame stats list of
+    {"pcm_mbs": fallback count, "mbs": total} — pcm_mbs == 0 certifies
+    the whole frame stayed entropy-coded (the r11 gate pins it)."""
     if mb_mode not in ("i16", "i4", "mixed"):
         raise ValueError(f"unknown mb_mode {mb_mode!r}")
     from peerdb_spark.functions import h264_cavlc as CV
@@ -1242,6 +1248,7 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
     qp_c = _chroma_qp(qp, 0)
     cw, ch = (width + 1) // 2, (height + 1) // 2
     recons = []
+    stats = []
     for fi, (Y, Cb, Cr) in enumerate(frames_yuv):
         Y = np.asarray(Y, dtype=np.uint8)
         Cb = np.asarray(Cb, dtype=np.uint8)
@@ -1268,13 +1275,15 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
         w.u(0, 1)
         w.se(0)        # slice_qp_delta
         w.ue(1)        # disable_deblocking_filter_idc = 1 (filter OFF)
+        pcm_mbs = 0
         for mb in range(wmb * hmb):
             my, mx = divmod(mb, wmb)
             st.mb_slice[my, mx] = 0
             use_i4 = mb_mode == "i4" or (mb_mode == "mixed" and mb % 2)
             enc = _encode_mb_i4 if use_i4 else _encode_mb_i16
             frag = enc(st, Yp, Cbp, Crp, mx, my, qp, qp_c, CV)
-            if frag is None:  # unpinned token → I_PCM fallback
+            if frag is None:  # CAVLC-unrepresentable level → I_PCM fallback
+                pcm_mbs += 1
                 w.ue(_I_PCM_MB_TYPE)
                 w.align_zero()
                 w.put_bytes(Yp[my * 16 : my * 16 + 16,
@@ -1297,11 +1306,17 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
                 for bit in frag:
                     w.u(1 if bit == "1" else 0, 1)
         out += _nal(5, w.rbsp_trailing())
+        stats.append({"pcm_mbs": pcm_mbs, "mbs": wmb * hmb})
         if return_recon:
             recons.append((st.Y.astype(np.uint8)[:height, :width],
                            st.Cb.astype(np.uint8)[:ch, :cw],
                            st.Cr.astype(np.uint8)[:ch, :cw]))
-    return (bytes(out), recons) if return_recon else bytes(out)
+    parts = [bytes(out)]
+    if return_recon:
+        parts.append(recons)
+    if return_stats:
+        parts.append(stats)
+    return tuple(parts) if len(parts) > 1 else parts[0]
 
 
 def _encode_mb_i16(st: _PicState, Yp, Cbp, Crp, mx: int, my: int, qp: int,

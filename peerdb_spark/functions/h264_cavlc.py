@@ -19,15 +19,18 @@ H.264 decoder or encoder to machine-verify table conformance against):
   (Richardson, "H.264 and MPEG-4 Video Compression" §6.4.1: the
   [0,3,0,1,-1,-1,0,1,...] block encodes to 000010001110010111101101) and
   validated structurally (prefix-free, fixed-length bounds).
-- The 2 <= nC < 4 and 4 <= nC < 8 columns are best-effort spec
-  transcriptions: prefix-free by construction test, but the long tail
-  (TotalCoeff >= 13) carries no external pin here. CONFIDENT_TOKENS
-  below marks the subset with an external pin or high-confidence
-  transcription; `encode_residual` REFUSES to emit a symbol outside it
-  (returns None), and the macroblock encoder falls back to I_PCM for
-  that MB — so every stream OUR encoder produces uses only pinned
-  entries and roundtrips bit-exactly. Decoding EXTERNAL streams that
-  reach unpinned tail entries is best-effort and documented as such.
+- The 2 <= nC < 4 and 4 <= nC < 8 columns are spec transcriptions,
+  COMPLETE as of round 11 (the TotalCoeff >= 14 tails were typed from
+  the published Table 9-5): validated structurally (prefix-free AND
+  complete — all 62 (TotalCoeff, TrailingOnes) pairs per column, so the
+  code tree's leaves are fully accounted for) and by dense-block
+  encode<->decode roundtrip property tests that drive TotalCoeff 13-16
+  through every column. Each tail entry was cross-checked for
+  (length, value) consistency against the worked-example-pinned head
+  rows of its own column. `encode_residual` still returns None for a
+  genuinely unrepresentable level (beyond the 12-bit escape range used
+  here), and the macroblock encoder keeps its I_PCM fallback as a
+  safety net — it no longer triggers on busy blocks.
 """
 
 from __future__ import annotations
@@ -73,9 +76,9 @@ _NC24 = {
     (11, 0): "000000001000", (11, 1): "000000001010", (11, 2): "000000001001", (11, 3): "00000001000",
     (12, 0): "0000000001111", (12, 1): "0000000001110", (12, 2): "0000000001101", (12, 3): "000000001100",
     (13, 0): "0000000001011", (13, 1): "0000000001010", (13, 2): "0000000001001", (13, 3): "0000000001100",
-    # TotalCoeff >= 14 rows intentionally ABSENT: no external pin was
-    # available in this environment; a stream reaching them raises a clean
-    # ValueError instead of silently mis-decoding (module docstring)
+    (14, 0): "0000000000111", (14, 1): "00000000001011", (14, 2): "0000000000110", (14, 3): "0000000001000",
+    (15, 0): "00000000001001", (15, 1): "00000000001000", (15, 2): "00000000001010", (15, 3): "0000000000001",
+    (16, 0): "00000000000111", (16, 1): "00000000000110", (16, 2): "00000000000101", (16, 3): "00000000000100",
 }
 
 _NC48 = {
@@ -93,7 +96,9 @@ _NC48 = {
     (11, 0): "000001011", (11, 1): "000001110", (11, 2): "00001001", (11, 3): "00001100",
     (12, 0): "000001000", (12, 1): "000001010", (12, 2): "000001101", (12, 3): "00001000",
     (13, 0): "0000001101", (13, 1): "000000111", (13, 2): "000001001", (13, 3): "000001100",
-    # TotalCoeff >= 14 rows intentionally ABSENT (same policy as _NC24)
+    (14, 0): "0000001001", (14, 1): "0000001100", (14, 2): "0000001011", (14, 3): "0000001010",
+    (15, 0): "0000000101", (15, 1): "0000001000", (15, 2): "0000000111", (15, 3): "0000000110",
+    (16, 0): "0000000001", (16, 1): "0000000100", (16, 2): "0000000011", (16, 3): "0000000010",
 }
 
 # chroma DC (4:2:0), nC == -1
@@ -105,14 +110,19 @@ _NCCDC = {
     (4, 0): "000010", (4, 1): "00000011", (4, 2): "00000010", (4, 3): "0000000",
 }
 
-# The subset the ENCODER may emit (external pin or high-confidence
-# transcription). Everything in _NC02/_NCCDC plus the head of the other
-# columns; the unpinned tails are decode-only best-effort.
+# The token set the ENCODER may emit. Round 11 completed the 2<=nC<8
+# TotalCoeff>=14 tails from the published Table 9-5 (every new entry
+# cross-checked for consistency against the externally-pinned head rows
+# of its own column: same (length, value) layout, validated prefix-free
+# and COMPLETE by validate_tables, and encode<->decode roundtrip
+# property-tested over dense blocks) — all four columns are now full
+# 62-entry codes, so the encoder never falls back to I_PCM for a busy
+# block because of a missing coeff_token entry.
 CONFIDENT_TOKENS = (
     {(0, k) for k in _NC02}
     | {(-1, k) for k in _NCCDC}
-    | {(2, k) for k in _NC24 if k[0] <= 12}
-    | {(4, k) for k in _NC48 if k[0] <= 12}
+    | {(2, k) for k in _NC24}
+    | {(4, k) for k in _NC48}
 )
 
 # -- Table 9-7/9-8: total_zeros for 4x4 blocks (index = TotalCoeff) ---------
@@ -212,8 +222,12 @@ def validate_tables() -> None:
                 if b.startswith(a):
                     raise AssertionError(f"{name}: {a!r} prefixes {b!r}")
     for key, tab in ((-1, _NCCDC), (0, _NC02), (2, _NC24), (4, _NC48)):
-        want = 14 if key == -1 else 62 if key == 0 else 50
+        want = 14 if key == -1 else 62
         assert len(tab) == want, (key, len(tab))
+        if key != -1:
+            # COMPLETE: every legal (TotalCoeff, TrailingOnes) pair present
+            assert set(tab) == {(tc, t1) for tc in range(17)
+                                for t1 in range(min(tc, 3) + 1)}, key
         assert all(1 <= len(v) <= 16 for v in tab.values())
         prefix_free(list(tab.values()), f"coeff_token[{key}]")
     for tc, col in _TOTAL_ZEROS.items():

@@ -303,7 +303,9 @@ def h264_cavlc_roundtrip_check(
     encoder-reconstruction == decoder-output contract surfaced as a
     queryable relation (the round-10 gate pins both booleans TRUE).
     `compressed` asserts the entropy-coded stream beats half the raw YUV
-    size at the given qp."""
+    size at the given qp. `pcm_mbs` counts macroblocks the encoder fell
+    back to I_PCM for — 0 since the round-11 Table 9-5 tail completion
+    even on dense high-TotalCoeff content (the gate pins it)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -311,6 +313,7 @@ def h264_cavlc_roundtrip_check(
             T.StructField("height", T.IntegerType()),
             T.StructField("recon_match", T.BooleanType()),
             T.StructField("compressed", T.BooleanType()),
+            T.StructField("pcm_mbs", T.IntegerType()),
         ]
     )
 
@@ -324,7 +327,7 @@ def h264_cavlc_roundtrip_check(
         )
 
         for pdf in batches:
-            ws, hs, matches, comps = [], [], [], []
+            ws, hs, matches, comps, pcms = [], [], [], [], []
             for c, w, h in zip(pdf[content_col], pdf["_w"], pdf["_h"]):
                 w, h = int(w), int(h)
                 img = np.frombuffer(bytes(c), dtype=np.uint8).reshape(
@@ -342,8 +345,9 @@ def h264_cavlc_roundtrip_check(
                     return np.clip(np.round(q), 0, 255).astype(np.uint8)
 
                 planes = [(y.astype(np.uint8), sub(cb), sub(cr))]
-                stream, recons = encode_h264_cavlc(
-                    planes, w, h, qp=qp, return_recon=True, mb_mode=mb_mode)
+                stream, recons, stats = encode_h264_cavlc(
+                    planes, w, h, qp=qp, return_recon=True, mb_mode=mb_mode,
+                    return_stats=True)
                 outs = decode_h264_yuv(stream)
                 ok = len(outs) == 1
                 if ok:
@@ -355,9 +359,11 @@ def h264_cavlc_roundtrip_check(
                 hs.append(h)
                 matches.append(bool(ok))
                 comps.append(len(stream) * 2 < w * h * 3 // 2)
+                pcms.append(int(stats[0]["pcm_mbs"]))
             yield _pd.DataFrame(
                 {id_col: pdf[id_col], "width": ws, "height": hs,
-                 "recon_match": matches, "compressed": comps})
+                 "recon_match": matches, "compressed": comps,
+                 "pcm_mbs": pcms})
 
     narrow = df.select(
         id_col, content_col,

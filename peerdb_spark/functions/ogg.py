@@ -152,7 +152,22 @@ def ogg_flac_to_native(data: bytes) -> bytes:
         raise ValueError("Ogg-FLAC STREAMINFO truncated")
     body[4] |= 0x80
     out = bytearray(body)
-    for pkt, _bos, _eos in pkts[1 + n_headers:]:
+    tail = pkts[1 + n_headers:]
+    if n_headers == 0:
+        # xiph mapping: a header count of 0 means "number unknown", NOT
+        # zero headers — the mandatory VORBIS_COMMENT (and any further
+        # metadata packets) still follow. Skip leading packets by
+        # inspection: a FLAC audio frame always begins with the 14-bit
+        # sync code (first byte 0xFF, second 0b111110xx), which no
+        # metadata packet can start with (its first byte is a block type
+        # <= 0x84).
+        while tail and not (
+            len(tail[0][0]) >= 2
+            and tail[0][0][0] == 0xFF
+            and (tail[0][0][1] & 0xFC) == 0xF8
+        ):
+            tail = tail[1:]
+    for pkt, _bos, _eos in tail:
         out += pkt
     return bytes(out)
 

@@ -5272,11 +5272,19 @@ def q_media_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strong pins (published CAVLC worked example, transform matrix
     equivalence, hand-built I_NxN vectors, mixed PCM/CAVLC fallback) live
     in tests/test_h264_intra.py — see h264_cavlc.py for the honest
-    verification posture on the VLC table tails.
+    verification posture on the VLC tables.
+
+    Round 11 (verdict #4): classes 4-7 switch to a DENSE noise texture
+    measured to need a TotalCoeff>=14 coeff_token (an entry absent from
+    the r10 tables — under them this exact content forces an I_PCM
+    fallback, pinned by test_busy_block_needs_r11_tails), and the
+    relation gains `pcm_mbs` pinned to 0: the driver now certifies the
+    completed Table 9-5 tails keep busy blocks entropy-coded while
+    recon-match and compression still hold.
 
     Fixture-cost discipline: 8 broadcast exemplar classes (media_id % 8),
-    six codec passes total, per-media rows joined back (the r9 MJPEG /
-    r10 progressive-JPEG shape)."""
+    per-media rows joined back (the r9 MJPEG / r10 progressive-JPEG
+    shape)."""
     from peerdb_spark.functions import multimodal as MM
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
@@ -5289,15 +5297,18 @@ def q_media_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (F.lit(16) + (cid % 2) * 8).cast("int")
     h = F.lit(16).cast("int")
     n_bytes = w.cast("long") * h * 3
-    # gray non-wrapping ramp + mild (x·y mod 3) texture: DC + small AC
-    # everywhere, no sawtooth wrap edge (a wrap-dense block next to a
-    # smooth one lands in the unpinned CAVLC tail and the whole MB falls
-    # back to I_PCM — measured; this shape stays fully entropy-coded and
-    # beats half the raw YUV size at qp 26 in every class)
+    # classes 0-3: gray non-wrapping ramp + mild (x·y mod 3) texture — DC +
+    # small AC everywhere (the r10 shape). Classes 4-7: dense pseudo-noise
+    # (±30 around mid-gray) whose 4x4 residuals reach TotalCoeff 14 — the
+    # Table 9-5 tail rows completed in r11 — while still compressing ~2.8x
+    # vs raw YUV at qp 26.
     def px(i):
         x = F.floor((i % (w * 3)) / 3)
         y = F.floor(i / (w * 3))
-        return cid * 10 + x * 4 + y * 2 + (x * y % 3) * 6
+        smooth = cid * 10 + x * 4 + y * 2 + (x * y % 3) * 6
+        dense = F.lit(98) + F.pmod(
+            x * 53 + y * 97 + x * y * 31 + cid * 13, F.lit(61))
+        return F.when(cid >= 4, dense).otherwise(smooth)
 
     content = F.unhex(
         F.array_join(
@@ -5318,10 +5329,10 @@ def q_media_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chk = MM.h264_cavlc_roundtrip_check(media, qp=26, mb_mode="mixed").select(
         F.col("media_id").alias("_cls"), "width", "height",
-        "recon_match", "compressed",
+        "recon_match", "compressed", "pcm_mbs",
     )
     return rows.join(F.broadcast(chk), "_cls").select(
-        "media_id", "width", "height", "recon_match", "compressed")
+        "media_id", "width", "height", "recon_match", "compressed", "pcm_mbs")
 
 
 SQL_MEDIA_H264_CAVLC = """
@@ -5329,7 +5340,8 @@ SELECT doc_id AS media_id,
        CAST(16 + (doc_id % 2) * 8 AS INT) AS width,
        CAST(16 AS INT) AS height,
        TRUE AS recon_match,
-       TRUE AS compressed
+       TRUE AS compressed,
+       CAST(0 AS INT) AS pcm_mbs
 FROM documents WHERE doc_id % 5 = 2
 """
 

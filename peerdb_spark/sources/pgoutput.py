@@ -357,12 +357,18 @@ class PgOutputDecoder:
                 body = {"prefix": prefix, "content": content.hex(),
                         "encoding": "hex"}
             transactional = bool(flags & 1)
+            # a NON-transactional message inside a streamed segment is
+            # yielded immediately and carries NO txid (it is not part of
+            # the streamed transaction — v1 path semantics); transactional
+            # ones buffer under the stream xid and get the commit ts
+            # stamped at StreamCommit
             row = {
                 "_kind": "message",
                 "_checkpoint_id": msg_lsn if msg_lsn else lsn,
-                "_commit_ts": self.commit_ts if transactional else None,
-                "_txid": buffer_xid if buffer_xid is not None
-                else (self.xid if transactional else None),
+                "_commit_ts": (None if buffer_xid is not None
+                               else (self.commit_ts if transactional else None)),
+                "_txid": ((buffer_xid if buffer_xid is not None else self.xid)
+                          if transactional else None),
                 "_src_table": None,
                 "_dst_table": None,
                 "_data": json.dumps(body),
@@ -459,18 +465,72 @@ class PgOutputDecoder:
                 return [c for c, k in zip(rel.columns, rel.key_flags) if k]
         return None
 
-    def decode_all(self, messages) -> list[dict]:
-        """messages: iterable of (lsn, payload) in WAL order."""
+    def stream_state(self) -> dict | None:
+        """JSON-serializable snapshot of the protocol-v2 streamed-transaction
+        state: the open segment's xid (if the input ended mid-segment) and
+        every xid's buffered-but-uncommitted rows. None when no streamed
+        transaction is in flight — the common case, so carriers store
+        nothing between batches that end on commit boundaries.
+
+        Buffered rows are plain dicts whose only non-JSON field
+        (_commit_ts) is always None until StreamCommit stamps it, so
+        json.dumps(state) round-trips exactly. This is the v2 analogue of
+        decode_pgoutput's relation_preamble: serialize it after a batch,
+        replay via load_stream_state before the next, and a streamed
+        transaction spanning micro-batches emits complete at its
+        StreamCommit instead of silently dropping the earlier batch's rows
+        (and a batch that starts mid-segment strips xid prefixes instead
+        of misreading them as relation oids)."""
+        if self._stream_xid is None and not self._pending:
+            return None
+        return {
+            "stream_xid": self._stream_xid,
+            "pending": {str(x): rows for x, rows in self._pending.items()},
+        }
+
+    def load_stream_state(self, state: dict | None) -> None:
+        """Restore a stream_state() snapshot (dict or its json.loads)."""
+        if not state:
+            return
+        self._stream_xid = state.get("stream_xid")
+        self._pending = {
+            int(x): [dict(r) for r in rows]
+            for x, rows in (state.get("pending") or {}).items()
+        }
+
+    def decode_all(self, messages, carry: bool = False) -> list[dict]:
+        """messages: iterable of (lsn, payload) in WAL order.
+
+        By default an input that ends with protocol-v2 streamed-transaction
+        state still in flight (an open StreamStart segment, or buffered
+        rows whose StreamCommit has not arrived) REJECTS: finishing a
+        decode there and discarding the buffers would silently drop
+        committed data when the commit arrives in a later chunk. Callers
+        that decode a continuing stream in chunks pass carry=True and
+        persist stream_state() into the next chunk's decoder."""
         out: list[dict] = []
         for lsn, payload in messages:
             out.extend(self.feed(lsn, payload) or [])
+        if not carry and (self._stream_xid is not None or self._pending):
+            n = sum(len(v) for v in self._pending.values())
+            raise ValueError(
+                "pgoutput input ended inside streamed transaction(s) "
+                f"xids={sorted(self._pending) or [self._stream_xid]} with "
+                f"{n} buffered uncommitted rows — decode through the "
+                "StreamCommit, or pass carry=True and persist "
+                "stream_state() for the next chunk")
         return out
+
+
+STREAM_STATE_KIND = "stream_state"
 
 
 def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
                     payload_col: str = "payload",
                     relation_preamble: list[bytes] | None = None,
-                    child_to_parent: dict[str, str] | None = None):
+                    child_to_parent: dict[str, str] | None = None,
+                    stream_state: dict | None = None,
+                    on_incomplete: str = "error"):
     """Distributed decode: DataFrame(slot, lsn, payload binary) → changelog
     rows (CHANGELOG_SCHEMA columns). Each slot's messages decode sequentially
     in WAL (lsn) order inside one applyInPandas group — the slot IS the unit
@@ -485,21 +545,61 @@ def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
     Relation messages per replication session (pglogrepl behavior the
     reference relies on — flow/connectors/postgres/cdc.go relation cache);
     the preamble is the engine-side equivalent for resumed decode. Collect
-    it from `PgOutputDecoder.relation_messages` after any prior decode."""
+    it from `PgOutputDecoder.relation_messages` after any prior decode.
+
+    `stream_state`: per-slot protocol-v2 carry — {slot value: state dict
+    from PgOutputDecoder.stream_state()} harvested from the PREVIOUS
+    micro-batch, restoring open streamed segments and buffered
+    uncommitted rows so a streamed transaction spanning batches emits
+    complete at its StreamCommit.
+
+    `on_incomplete` decides what happens when a slot's batch ENDS with
+    streamed state still in flight:
+      - "error" (default): raise — a one-shot decode must cover whole
+        transactions or it silently loses the buffered rows.
+      - "carry": emit ONE synthetic `_kind='stream_state'` row per such
+        slot — `_src_table` = the slot, `_data` = the JSON state,
+        `_checkpoint_id` = the earliest buffered row's checkpoint (the
+        replay anchor). The caller filters these out of the changelog
+        (they are decoder state, not change data), collects them
+        (bounded: ≤1 per slot) and passes them back as `stream_state`
+        for the next batch — see streaming.WalStreamRunner."""
     from peerdb_spark.cdc import CHANGELOG_SCHEMA
 
+    if on_incomplete not in ("error", "carry"):
+        raise ValueError("on_incomplete must be 'error' or 'carry'")
     out_schema = CHANGELOG_SCHEMA
     preamble = [bytes(p) for p in (relation_preamble or [])]
     c2p = dict(child_to_parent or {})
+    carry_in = dict(stream_state or {})
+    carry_mode = on_incomplete == "carry"
 
     def _decode(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(lsn_col)
+        slot = pdf[slot_col].iloc[0] if len(pdf) else None
         dec = PgOutputDecoder(child_to_parent=c2p)
         for p in preamble:
             dec.replay(p)
-        rows = dec.decode_all(zip(pdf[lsn_col], pdf[payload_col]))
+        dec.load_stream_state(carry_in.get(slot))
+        rows = dec.decode_all(zip(pdf[lsn_col], pdf[payload_col]),
+                              carry=carry_mode)
+        state = dec.stream_state()
+        if state is not None:  # carry mode, else decode_all raised
+            anchors = [r["_checkpoint_id"]
+                       for rs in state["pending"].values() for r in rs]
+            rows.append({
+                "_kind": STREAM_STATE_KIND,
+                "_checkpoint_id": min(anchors) if anchors else None,
+                "_commit_ts": None,
+                "_txid": state["stream_xid"],
+                "_src_table": slot,
+                "_dst_table": None,
+                "_data": json.dumps(state),
+                "_old_data": None,
+                "_unchanged_cols": None,
+            })
         cols = [f.name for f in out_schema.fields]
         if not rows:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})

@@ -118,9 +118,11 @@ class CdcStreamRunner:
             )
             if merged and self.retain_batches is not None:
                 # only drop batches the merge has covered AND outside the
-                # retention window
+                # retention window (explicit None check: batch ids start
+                # at 0, so a watermark of 0 is a real position, not unset)
+                wm = self.pipeline._last_normalized
                 upto = min(batch_id - self.retain_batches + 1,
-                           (self.pipeline._last_normalized or -1) + 1)
+                           (wm + 1) if wm is not None else 0)
                 self.pipeline.raw.drop_batches(upto)
             return
         # merge is deterministic → replay converges to the same table state
@@ -346,13 +348,30 @@ class WalStreamRunner(CdcStreamRunner):
     decoded with decode_pgoutput (per-slot sequential, Arrow-batched) and
     then flows through the same sync/normalize path as CdcStreamRunner.
 
-    Relation ('R') state must survive micro-batch boundaries: a fresh
-    executor-side decoder per batch would not know tables whose Relation
-    message arrived in an earlier batch. Postgres re-sends Relation messages
-    per replication session (the reference's pglogrepl session cache,
-    flow/connectors/postgres/cdc.go); here the driver harvests each batch's
-    'R' payloads (schema messages are rare — a bounded collect) and replays
-    them as a preamble into the next batch's decoders."""
+    DECODER state must survive micro-batch boundaries — two kinds:
+
+    - Relation ('R') messages: a fresh executor-side decoder per batch
+      would not know tables whose Relation message arrived in an earlier
+      batch. Postgres re-sends Relation messages per replication session
+      (the reference's pglogrepl session cache,
+      flow/connectors/postgres/cdc.go); here the driver harvests each
+      batch's 'R' payloads (schema messages are rare — a bounded collect)
+      and replays them as a preamble into the next batch's decoders.
+    - Protocol-v2 streamed in-progress transactions: a streamed
+      transaction can span micro-batches (StreamStart in one, StreamCommit
+      in a later one). Each batch decodes with on_incomplete='carry': a
+      slot that ends mid-stream emits one synthetic `stream_state` row
+      (its buffered uncommitted rows + open-segment xid) which the driver
+      filters OUT of the changelog, collects (≤1 row per slot) and feeds
+      into the next batch's decoders — so the transaction's rows reach
+      the raw table exactly once, at their commit, in commit order.
+
+    Both are persisted per batch id under the raw directory
+    (`_PG_DECODER_STATE/state_<batch_id>.json`, written atomically before
+    the sync): after a crash, Structured Streaming replays the last
+    uncommitted batch N, and the runner restores the decoder state that
+    batch originally saw from state_{N-1} — replay produces the identical
+    changelog, keeping the effectively-once guarantee."""
 
     WAL_SCHEMA = T.StructType(
         [
@@ -368,12 +387,83 @@ class WalStreamRunner(CdcStreamRunner):
         from peerdb_spark.sources.pgoutput import PgOutputDecoder
 
         self._relation_cache = PgOutputDecoder()
+        # slot -> PgOutputDecoder.stream_state() dict from the last batch
+        self._stream_states: dict[str, dict] = {}
+
+    def _state_dir(self) -> str:
+        import os
+
+        return os.path.join(self.pipeline.raw.path, "_PG_DECODER_STATE")
+
+    def _state_path(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self._state_dir(), f"state_{batch_id}.json")
+
+    def _save_decoder_state(self, batch_id: int) -> None:
+        """Persist the decoder state AS OF THE END of `batch_id` (atomic
+        rename; input state for batch_id + 1). Only the latest two files
+        are kept — a restart replays at most the last uncommitted batch."""
+        import json
+        import os
+
+        os.makedirs(self._state_dir(), exist_ok=True)
+        blob = {
+            "relations": {
+                str(oid): payload.hex()
+                for oid, payload in self._relation_cache.relation_messages.items()
+            },
+            "streams": self._stream_states,
+        }
+        path = self._state_path(batch_id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(blob, fh)
+        os.replace(tmp, path)
+        stale = self._state_path(batch_id - 2)
+        if os.path.exists(stale):
+            os.remove(stale)
+
+    def _restore_decoder_state(self, batch_id: int) -> None:
+        """Reset driver-side decoder state to what batch `batch_id`
+        originally decoded with (= state saved at the END of batch_id - 1).
+        No file (first batch, or a fresh directory) keeps the in-memory
+        state — identical on the sequential path, empty on a cold start."""
+        import json
+        import os
+
+        from peerdb_spark.sources.pgoutput import PgOutputDecoder
+
+        path = self._state_path(batch_id - 1)
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            blob = json.load(fh)
+        cache = PgOutputDecoder()
+        for payload_hex in blob.get("relations", {}).values():
+            cache.replay(bytes.fromhex(payload_hex))
+        self._relation_cache = cache
+        self._stream_states = blob.get("streams", {})
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from peerdb_spark.sources.pgoutput import decode_pgoutput
+        from peerdb_spark.sources.pgoutput import (
+            STREAM_STATE_KIND,
+            decode_pgoutput,
+        )
 
+        self._restore_decoder_state(batch_id)
         preamble = list(self._relation_cache.relation_messages.values())
-        changelog = decode_pgoutput(batch_df, relation_preamble=preamble)
+        changelog = decode_pgoutput(
+            batch_df, relation_preamble=preamble,
+            stream_state=self._stream_states, on_incomplete="carry",
+        ).localCheckpoint()  # decode once: state harvest + sync share it
+        # harvest carried streamed-transaction state (bounded: ≤1 row/slot)
+        import json as _json
+
+        carried = changelog.where(F.col("_kind") == STREAM_STATE_KIND).collect()
+        self._stream_states = {
+            r["_src_table"]: _json.loads(r["_data"]) for r in carried
+        }
         # harvest this batch's Relation messages for FUTURE batches (this
         # batch's executors see them in-stream, in WAL order)
         rels = (
@@ -383,4 +473,9 @@ class WalStreamRunner(CdcStreamRunner):
         )
         for r in rels:
             self._relation_cache.replay(bytes(r["payload"]))
-        super()._foreach_batch(changelog, batch_id)
+        # persist BEFORE the sink write: a crash inside sync replays this
+        # batch against state_{batch_id - 1}, which this write never touches
+        self._save_decoder_state(batch_id)
+        super()._foreach_batch(
+            changelog.where(F.col("_kind") != STREAM_STATE_KIND), batch_id
+        )

@@ -206,49 +206,107 @@ def test_cavlc_crop_and_odd_mb_sizes():
         assert (dcb == recons[0][1]).all() and (dcr == recons[0][2]).all()
 
 
-def test_ipcm_fallback_on_noise():
-    """TotalCoeff >= 13 at an nC in [2, 8) sits outside the pinned
-    coeff_token subset → per-MB I_PCM fallback. Uniform noise alone never
-    lands there (dense neighbours push nC into the always-confident FLC
-    range), so the frame is ENGINEERED: a smooth left band (TotalCoeff
-    ~0-3) feeding a low nC into a full-noise right band whose first
-    blocks are dense. The stream stays conforming, decode ==
-    reconstruction, and fallback MBs are LOSSLESS."""
-    rng = np.random.RandomState(7)
+def test_ipcm_fallback_on_unrepresentable_levels():
+    """Round 11 completed the Table 9-5 tails, so BUSY blocks no longer
+    fall back (test_busy_block_needs_r11_tails pins that transition); the
+    I_PCM safety net remains for CAVLC-UNREPRESENTABLE levels — at qp 0 a
+    full-amplitude checkerboard quantizes to levels beyond the 12-bit
+    escape range used here. The stream stays conforming, decode ==
+    reconstruction, and fallback MBs are LOSSLESS. (Full-amplitude
+    VERTICAL stripes concentrate the block's whole energy in one
+    horizontal-frequency coefficient — measured level ~3264 at qp 0,
+    past the escape range; a checkerboard's diagonal coefficient stays
+    representable.)"""
     h, w = 32, 64
-    Y = np.zeros((h, w), dtype=np.uint8)
-    Y[:, : w // 2] = 100  # flat band: zero-coeff blocks
-    Y[:, w // 2 :] = rng.randint(0, 255, (h, w // 2))
+    yy, xx = np.mgrid[0:h, 0:w]
+    Y = np.where(xx % 2 == 0, 255, 0).astype(np.uint8)
+    Y[:, : w // 2] = 100  # flat band: ordinary CAVLC MBs
     Cb = np.full((h // 2, w // 2), 120, dtype=np.uint8)
     Cr = np.full((h // 2, w // 2), 135, dtype=np.uint8)
-    import peerdb_spark.functions.h264 as H
-
-    calls = {"pcm": 0, "cavlc": 0}
-    orig = H._encode_mb_i16
-
-    def spy(*a, **kw):
-        r = orig(*a, **kw)
-        calls["pcm" if r is None else "cavlc"] += 1
-        return r
-
-    H._encode_mb_i16 = spy
-    try:
-        data, recons = encode_h264_cavlc([(Y, Cb, Cr)], w, h, qp=4,
-                                         return_recon=True)
-    finally:
-        H._encode_mb_i16 = orig
-    assert calls["pcm"] >= 1 and calls["cavlc"] >= 1  # genuinely mixed
+    data, recons, stats = encode_h264_cavlc(
+        [(Y, Cb, Cr)], w, h, qp=0, return_recon=True, return_stats=True)
+    assert 1 <= stats[0]["pcm_mbs"] < stats[0]["mbs"]  # genuinely mixed
     got_w, got_h, dy, dcb, dcr = decode_h264_yuv(data)[0]
     assert (dy == recons[0][0]).all()
-    # the first noisy MB of each row borders the flat band: its dense
-    # blocks see a small nC and must have fallen back to I_PCM —
-    # lossless, so that 16x16 tile matches the source bit-for-bit
+    # fallback MBs are lossless: the checkerboard tiles match bit-for-bit
     tiles_equal = [
         (dy[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
          == Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]).all()
-        for my in range(h // 16) for mx in range(w // 16)
+        for my in range(h // 16) for mx in range(w // 32, w // 16)
     ]
     assert any(tiles_equal)
+
+
+def test_busy_block_needs_r11_tails():
+    """The r11 gate fixture's dense class, pinned both ways: under the
+    ROUND-10 token subset (coeff_token tails absent / unconfident for
+    2 <= nC < 8, TotalCoeff >= 13) this content forces an I_PCM
+    fallback; under the completed tables it stays fully entropy-coded,
+    recon-matches, and compresses."""
+    w = h = 16
+
+    def frame():
+        img = np.zeros((h, w), np.uint8)
+        for yy in range(h):
+            for xx in range(w):
+                img[yy, xx] = 98 + (xx * 53 + yy * 97 + xx * yy * 31) % 61
+        cb = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+        return [(img, cb, cb)]
+
+    data, recons, stats = encode_h264_cavlc(
+        frame(), w, h, qp=26, return_recon=True, mb_mode="mixed",
+        return_stats=True)
+    assert stats[0]["pcm_mbs"] == 0
+    _, _, dy, dcb, dcr = decode_h264_yuv(data)[0]
+    assert (dy == recons[0][0]).all()
+    assert len(data) * 2 < w * h * 3 // 2
+    # the same content under the r10 CONFIDENT subset falls back
+    full = CV.CONFIDENT_TOKENS
+    CV.CONFIDENT_TOKENS = (
+        {(0, k) for k in CV._NC02} | {(-1, k) for k in CV._NCCDC}
+        | {(2, k) for k in CV._NC24 if k[0] <= 12}
+        | {(4, k) for k in CV._NC48 if k[0] <= 12}
+    )
+    try:
+        _, _, st10 = encode_h264_cavlc(
+            frame(), w, h, qp=26, return_recon=True, mb_mode="mixed",
+            return_stats=True)
+    finally:
+        CV.CONFIDENT_TOKENS = full
+    assert st10[0]["pcm_mbs"] >= 1
+
+
+def test_cavlc_tail_tokens_roundtrip_dense():
+    """Every Table 9-5 tail row typed in r11 — TotalCoeff 13..16 across
+    the 2 <= nC < 4 and 4 <= nC < 8 columns, all TrailingOnes — encodes
+    and decodes bit-exactly over dense random blocks."""
+    rng = random.Random(11)
+    hit = set()
+    for _ in range(3000):
+        nC = rng.choice([2, 3, 4, 5, 6, 7])
+        max_coeff = rng.choice([15, 16])
+        tc = rng.randint(13, max_coeff)
+        coeffs = [0] * max_coeff
+        idxs = rng.sample(range(max_coeff), tc)
+        for i in idxs:
+            mag = rng.choice([1, 1, 1, 2, 3, 7, 15])
+            coeffs[i] = mag if rng.random() < 0.5 else -mag
+        bits = CV.encode_residual(coeffs, nC)
+        assert bits is not None, (nC, tc)  # no refusals in the tails
+        got = CV.decode_residual(_BitReader(_bits_to_bytes(bits)), nC, max_coeff)
+        assert got == coeffs, (nC, coeffs)
+        nz = [i for i, c in enumerate(coeffs) if c]
+        t1 = 0
+        for i in reversed(nz):
+            if abs(coeffs[i]) == 1 and t1 < 3:
+                t1 += 1
+            else:
+                break
+        hit.add((CV._col_key(nC), tc, t1))
+    # full tail coverage: every (col, tc>=13, t1) combination exercised
+    want = {(c, tc, t1) for c in (2, 4) for tc in (13, 14, 15, 16)
+            for t1 in range(4)}
+    assert want <= hit
 
 
 def test_mixed_pcm_cavlc_neighbour_rules():

@@ -190,14 +190,15 @@ def test_stream_runner_lazy_cadence(spark, tmp_path):
 
 def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
     """normalize_every='auto' (round 10): the LSM-style trigger merges
-    when the pending tail holds >= auto_ratio x destination rows (footer
-    counts only). A young mirror merges every batch; as the destination
-    grows, merges stretch out — and read_table stays exact throughout."""
+    when the pending tail holds >= max(auto_min_rows, auto_ratio x
+    destination rows) (footer counts only). With the floor at one batch,
+    a young mirror merges every batch; as the destination grows, merges
+    stretch out — and read_table stays exact throughout."""
     cfg = cdc.CdcTableConfig("t", ["id"], VAL_SCHEMA,
                              str(tmp_path / "a/dst"), n_buckets=4)
     pipe = cdc.CdcPipeline(spark, str(tmp_path / "a/raw"), [cfg],
                            normalize_every="auto", auto_ratio=0.5,
-                           auto_min_rows=10_000)
+                           auto_min_rows=40)
     eager = _mk(spark, str(tmp_path), "eager", normalize_every=1)
 
     def disjoint(b):  # each batch inserts a FRESH key range → dest grows
@@ -225,6 +226,50 @@ def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
     assert _state(pipe.read_table("t")) == _state(eager.read_table("t"))
     # drain converges the destination itself
     pipe.maybe_normalize(8, force=True)
+    dst = ParquetTable(spark, cfg.path, ["id"], 4).read()
+    assert _state(dst) == _state(eager.read_table("t"))
+
+
+def test_auto_cadence_floor_gates_before_ratio(spark, tmp_path):
+    """r11 regression (ADVICE r10 medium): the trigger is
+    pending >= max(auto_min_rows, ratio x dest) — the floor GATES, it is
+    not an unconditional merge threshold. Two branches pinned:
+    (1) below the floor nothing merges even over an empty destination;
+    (2) over a GROWN destination, pending over the floor but under
+        ratio x dest still defers (the old inverted code merged here,
+        degenerating to near-eager merges exactly at large destinations)."""
+    cfg = cdc.CdcTableConfig("t", ["id"], VAL_SCHEMA,
+                             str(tmp_path / "f/dst"), n_buckets=4)
+    pipe = cdc.CdcPipeline(spark, str(tmp_path / "f/raw"), [cfg],
+                           normalize_every="auto", auto_ratio=1.0,
+                           auto_min_rows=150)
+    eager = _mk(spark, str(tmp_path), "f_eager", normalize_every=1)
+
+    def disjoint(b):
+        rows = [("insert", b * 1000 + i, "t",
+                 {"id": b * 100 + i, "val": f"b{b}", "amt": float(i)},
+                 None, None) for i in range(40)]
+        return _changelog(spark, rows)
+
+    merged = []
+    for b in range(1, 13):
+        merged.append(pipe.process_batch(disjoint(b), b))
+        eager.process_batch(disjoint(b), b)
+        # mid-deferral reads stay exact either way
+        assert _state(pipe.read_table("t")) == _state(eager.read_table("t"))
+    # floor branch: batches 1-3 hold 40/80/120 pending < 150 -> deferred
+    # even though dest is empty; batch 4 reaches 160 >= max(150, 0) -> merge
+    # (dest becomes 160); batches 5-7 defer on the floor again; batch 8
+    # merges at 160 >= max(150, 1.0*160). dest is now 320, so the ratio
+    # term takes over: batches 9-12 hold at most 160 pending >= floor but
+    # < 320 -> DEFERRED (the inverted code would have merged at batch 12)
+    assert merged == [False, False, False, True,
+                      False, False, False, True,
+                      False, False, False, False]
+    # the footer sweep is cached between merges and invalidated by them
+    assert pipe._dest_rows is not None  # batch 12's check populated it
+    pipe.maybe_normalize(12, force=True)
+    assert pipe._dest_rows is None  # merge invalidated the cache
     dst = ParquetTable(spark, cfg.path, ["id"], 4).read()
     assert _state(dst) == _state(eager.read_table("t"))
 

@@ -93,6 +93,27 @@ def test_ogg_rejects():
         ogg_flac_to_native(page)
 
 
+def test_ogg_flac_zero_header_count_means_unknown():
+    """xiph mapping: a header-packet count of 0 means 'number unknown',
+    not zero headers (r10 ADVICE) — the transmux must skip the mandatory
+    VORBIS_COMMENT by inspection instead of feeding it to the frame
+    parser as audio data."""
+    rng = np.random.RandomState(9)
+    s = rng.randint(-3000, 3000, size=(600, 2)).astype(np.int32)
+    ogg = encode_ogg_flac(s, 22050, 16)
+    # rebuild the BOS page with the count field (packet offset 7:9)
+    # patched to 0; the VORBIS_COMMENT page that follows is unchanged
+    first = bytearray(ogg_packets(ogg)[0][0])
+    assert struct.unpack(">H", first[7:9])[0] == 1
+    first[7:9] = b"\x00\x00"
+    second_page = ogg.index(b"OggS", 4)
+    patched = bytes(_build_page(0x02, 0, 0x70655250, 0, [bytes(first)])) \
+        + ogg[second_page:]
+    assert ogg_flac_to_native(patched) == encode_flac(s, 22050, 16)
+    r, c, b, out = parse_flac(patched)
+    assert (r, c, b) == (22050, 2, 16) and (out == s).all()
+
+
 def test_audio_ops_accept_ogg_flac(spark):
     """decode_audio dispatches OggS by magic: identical results to the
     same samples as WAV/FLAC."""

@@ -518,6 +518,134 @@ def test_v2_subtransaction_abort_rejects():
         list(dec.feed(4, enc_stream_abort(500, 501)) or [])
 
 
+def test_v2_stream_state_carries_across_chunks():
+    """r11 (ADVICE r10 high): a streamed transaction spanning decode chunks
+    must not drop the earlier chunk's buffered rows at StreamCommit, and a
+    chunk starting mid-segment must strip xid prefixes. The carried state
+    round-trips through JSON (what WalStreamRunner persists), and the
+    two-chunk decode equals the single-pass decode at EVERY split point."""
+    rel = enc_relation(77, "public", "t", ["id", "v"])
+    ts_us = 86400 * 365 * 20 * 10**6
+    msgs = [
+        (1, rel),
+        (10, enc_stream_start(500)),
+        (11, v2(enc_insert(77, ["1", "a"]), 500)),
+        (12, v2(enc_insert(77, ["2", "b"]), 500)),
+        (13, enc_stream_stop()),
+        (14, enc_stream_start(600)),
+        (15, v2(enc_insert(77, ["9", "z"]), 600)),
+        (16, enc_stream_stop()),
+        (17, enc_stream_start(500, first=0)),
+        (18, v2(enc_insert(77, ["3", "c"]), 500)),
+        (19, enc_stream_stop()),
+        (20, enc_stream_commit(500, ts_us)),
+        (21, enc_stream_commit(600, ts_us + 5)),
+    ]
+    single = PgOutputDecoder().decode_all(msgs)
+    assert [json.loads(r["_data"])["id"] for r in single] == ["1", "2", "3", "9"]
+    for split in range(1, len(msgs)):
+        d1 = PgOutputDecoder()
+        first = d1.decode_all(msgs[:split], carry=True)
+        state = d1.stream_state()
+        d2 = PgOutputDecoder()
+        d2.replay(rel)  # relation preamble, as the runner provides
+        d2.load_stream_state(json.loads(json.dumps(state)) if state else None)
+        second = d2.decode_all(msgs[split:], carry=True)
+        assert d2.stream_state() is None  # stream fully committed
+        got = first + second
+        assert [r["_data"] for r in got] == [r["_data"] for r in single], split
+        assert [r["_txid"] for r in got] == [r["_txid"] for r in single]
+        assert [r["_checkpoint_id"] for r in got] == \
+            [r["_checkpoint_id"] for r in single]
+        assert [r["_commit_ts"] for r in got] == \
+            [r["_commit_ts"] for r in single]
+
+
+def test_v2_decode_all_rejects_dangling_stream_state():
+    """decode_all without carry=True must raise, not silently discard
+    buffered committed-later rows (and not mis-park an open segment)."""
+    dec = PgOutputDecoder()
+    dec.replay(enc_relation(77, "public", "t", ["id", "v"]))
+    msgs = [
+        (1, enc_stream_start(500)),
+        (2, v2(enc_insert(77, ["1", "a"]), 500)),
+        (3, enc_stream_stop()),
+    ]
+    with pytest.raises(ValueError, match="buffered uncommitted"):
+        dec.decode_all(msgs)
+    # mid-open-segment (no StreamStop) also rejects
+    with pytest.raises(ValueError, match="streamed transaction"):
+        PgOutputDecoder().decode_all([(1, enc_stream_start(9))])
+
+
+def test_v2_non_transactional_message_in_stream_has_no_txid():
+    """A NON-transactional logical-decoding message arriving inside a
+    streamed segment emits immediately with _txid=None (it is not part of
+    the streamed transaction — same as the v1 path)."""
+    dec = PgOutputDecoder()
+    dec.feed(1, enc_stream_start(500))
+    got = list(dec.feed(2, v2(enc_message("hb", b"x", lsn=2,
+                                          transactional=False), 500)) or [])
+    assert len(got) == 1
+    assert got[0]["_txid"] is None and got[0]["_commit_ts"] is None
+    # a TRANSACTIONAL one buffers under the stream xid with no ts yet
+    assert dec.feed(3, v2(enc_message("tx", b"y", lsn=3), 500)) in (None, [])
+    dec.feed(4, enc_stream_stop())
+    rows = dec.feed(5, enc_stream_commit(500, 10**6))
+    assert len(rows) == 1 and rows[0]["_txid"] == 500
+    assert rows[0]["_commit_ts"] is not None
+
+
+def test_decode_pgoutput_carry_roundtrip(spark):
+    """Distributed two-batch decode with on_incomplete='carry': batch 1
+    ends mid-stream and emits ONE stream_state row; feeding that state
+    into batch 2 reproduces the single-pass decode. Default mode raises
+    instead of silently dropping."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from peerdb_spark.sources.pgoutput import decode_pgoutput
+
+    rel = enc_relation(77, "public", "t", ["id", "v"])
+    ts_us = 86400 * 365 * 20 * 10**6
+    chunk1 = [
+        (1, rel),
+        (10, enc_stream_start(500)),
+        (11, v2(enc_insert(77, ["1", "a"]), 500)),
+    ]
+    chunk2 = [
+        (12, v2(enc_insert(77, ["2", "b"]), 500)),  # still mid-segment
+        (13, enc_stream_stop()),
+        (14, enc_stream_commit(500, ts_us)),
+    ]
+
+    def mkdf(msgs):
+        return spark.createDataFrame(
+            [Row(slot="s0", lsn=lsn, payload=bytearray(p)) for lsn, p in msgs]
+        )
+
+    with pytest.raises(Exception, match="buffered uncommitted"):
+        decode_pgoutput(mkdf(chunk1)).collect()
+
+    out1 = decode_pgoutput(mkdf(chunk1), on_incomplete="carry").collect()
+    states = [r for r in out1 if r["_kind"] == "stream_state"]
+    assert len(states) == 1 and len(out1) == 1  # no data rows yet
+    st = states[0]
+    assert st["_src_table"] == "s0" and st["_txid"] == 500
+    assert st["_checkpoint_id"] == 11  # earliest buffered row = replay anchor
+    out2 = decode_pgoutput(
+        mkdf(chunk2),
+        relation_preamble=[rel],
+        stream_state={"s0": json.loads(st["_data"])},
+    ).collect()  # default 'error' mode: the stream completes, no raise
+    got = sorted(
+        (json.loads(r["_data"])["id"], r["_checkpoint_id"], r["_txid"])
+        for r in out2 if r["_kind"] == "insert"
+    )
+    assert got == [("1", 11, 500), ("2", 12, 500)]
+    assert all(r["_commit_ts"] is not None for r in out2)
+
+
 def test_v2_relation_inside_stream_applies():
     """A Relation message inside a streamed segment (v2 prefixes it with
     the xid) updates the mapping for the buffered rows."""

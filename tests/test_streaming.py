@@ -318,6 +318,80 @@ def test_wal_stream_relation_state_across_batches(spark, tmp_path):
     assert got == [("1", "A2"), ("2", "b"), ("3", "c")]
 
 
+def test_wal_stream_v2_transaction_spans_micro_batches(spark, tmp_path):
+    """r11 (ADVICE r10 high): a protocol-v2 streamed transaction whose
+    StreamStart and StreamCommit land in DIFFERENT micro-batches must emit
+    complete at the commit — the carried stream state (buffered rows +
+    open-segment xid) survives the batch boundary AND a runner restart
+    (state is persisted per batch id under the raw directory)."""
+    from pyspark.sql import types as TT
+
+    from peerdb_spark.storage import ParquetTable
+    from peerdb_spark.streaming import WalStreamRunner
+    from tests.test_pgoutput import (
+        TS1,
+        enc_begin,
+        enc_commit,
+        enc_insert,
+        enc_relation,
+        enc_stream_commit,
+        enc_stream_start,
+        enc_stream_stop,
+        v2,
+    )
+
+    wal_dir = str(tmp_path / "wal")
+    dest = str(tmp_path / "items")
+    val = TT.StructType([TT.StructField("id", TT.StringType()),
+                         TT.StructField("v", TT.StringType())])
+
+    def write_chunk(msgs):
+        rows = [("slot0", lsn, bytes(p)) for lsn, p in msgs]
+        spark.createDataFrame(rows, WalStreamRunner.WAL_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(wal_dir)
+
+    def mk():
+        return WalStreamRunner(
+            spark, wal_dir, str(tmp_path / "ckpt"),
+            [cdc.CdcTableConfig("public.items", ["id"], val, dest, n_buckets=2)],
+            str(tmp_path / "raw"),
+            max_files_per_trigger=1,
+        )
+
+    # chunk 1: relation + the stream OPENS mid-chunk (no commit yet); the
+    # chunk ends inside the segment (no StreamStop) to also exercise the
+    # mid-segment xid-prefix handoff
+    write_chunk([
+        (10, enc_relation(42, "public", "items", ["id", "v"], key_cols=("id",))),
+        (11, enc_stream_start(900)),
+        (12, v2(enc_insert(42, ["1", "streamed-a"]), 900)),
+    ])
+    runner = mk()
+    runner.run_available()
+    runner.stop()
+    # nothing committed yet → destination must not exist / hold no rows
+    t = ParquetTable(spark, dest, ["id"], 2)
+    assert not t.exists or t.read().count() == 0
+
+    # chunk 2 arrives AFTER a runner restart (fresh instance = crash
+    # recovery path: stream state must come from the persisted file, not
+    # driver memory): rest of the streamed txn + its commit, plus an
+    # ordinary v1 transaction after it
+    write_chunk([
+        (13, v2(enc_insert(42, ["2", "streamed-b"]), 900)),
+        (14, enc_stream_stop()),
+        (15, enc_stream_commit(900, 86400 * 365 * 20 * 10**6)),
+        (16, enc_begin(7, TS1)),
+        (17, enc_insert(42, ["3", "plain-c"])),
+        (18, enc_commit(TS1)),
+    ])
+    runner2 = mk()
+    runner2.run_available()
+    runner2.stop()
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == [("1", "streamed-a"), ("2", "streamed-b"), ("3", "plain-c")]
+
+
 def test_dedup_within_watermark_streaming(spark, tmp_path):
     """Native redelivery filter: duplicate event ids delivered twice in the
     stream collapse to one row; distinct ids all survive."""
