@@ -313,9 +313,9 @@ def parse_pps(rbsp: bytes) -> dict:
     num_slice_groups = r.ue() + 1
     if num_slice_groups > 1:
         raise NotImplementedError("FMO slice groups not supported")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0_default = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
+    weighted_pred = r.u(1)  # weighted_pred_flag
     r.u(2)  # weighted_bipred_idc
     pic_init_qp = 26 + r.se()
     r.se()  # pic_init_qs_minus26
@@ -342,6 +342,8 @@ def parse_pps(rbsp: bytes) -> dict:
         "pic_init_qp": pic_init_qp,
         "chroma_qp_offset": chroma_qp_offset,
         "transform_8x8": transform_8x8,
+        "num_ref_l0_default": num_ref_l0_default,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -410,13 +412,27 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool,
             r.se()
     if pps["redundant_present"]:
         r.ue()  # redundant_pic_cnt
-    if slice_type % 5 != 2:  # I slices only (2 or 7)
+    is_p = slice_type % 5 == 0
+    if not is_p and slice_type % 5 != 2:  # I (2/7) and P (0/5) decode
         raise NotImplementedError(
-            f"only I slices decode (got slice_type {slice_type}); P/B need "
-            "inter prediction")
-    # I slice: no ref pic list reordering / pred weights.
+            f"only I and P slices decode (got slice_type {slice_type}); "
+            "B slices need bi-prediction")
+    if is_p:
+        # round 11: P slices against ONE reference picture (the previous
+        # decoded picture) — no list reordering, no weighted prediction
+        n_ref = pps["num_ref_l0_default"]
+        if r.u(1):  # num_ref_idx_active_override_flag
+            n_ref = r.ue() + 1
+        if n_ref != 1:
+            raise NotImplementedError(
+                f"P slices decode with exactly 1 reference picture "
+                f"(num_ref_idx_l0_active = {n_ref})")
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError("ref pic list modification")
+        if pps["weighted_pred"]:
+            raise NotImplementedError("weighted prediction")
     # dec_ref_pic_marking is present only when nal_ref_idc != 0 (spec
-    # §7.3.3) — non-reference I slices carry none.
+    # §7.3.3) — non-reference slices carry none.
     if ref_idc:
         if idr:
             r.u(1)  # no_output_of_prior_pics_flag
@@ -582,6 +598,10 @@ class _PicState:
         self.ncCr = np.full((hmb * 2, wmb * 2), -1, dtype=np.int16)
         self.mb_slice = np.full((hmb, wmb), -1, dtype=np.int32)
         self.i4mode = np.full((hmb * 4, wmb * 4), -1, dtype=np.int8)
+        # P-slice motion state (round 11): per-MB quarter-sample MV and
+        # an is-inter flag (intra MBs inside P slices stay False)
+        self.mv = np.zeros((hmb, wmb, 2), dtype=np.int32)
+        self.inter = np.zeros((hmb, wmb), dtype=bool)
 
     # nC prediction (9.2.1): average of available left/top TotalCoeff
     def nc(self, arr, bx: int, by: int, sl: int, per_mb: int) -> int:
@@ -867,17 +887,22 @@ _BLK4_ORDER = tuple((2 * ((n >> 2) & 1) + (n & 1), 2 * (n >> 3) + ((n >> 1) & 1)
                     for n in range(16))
 
 
-def _decode_i_picture(
+def _decode_picture(
     vcl_payloads: list[tuple[bytes, bool, int]], sps: dict, pps: dict,
+    ref: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one I picture's VCL NAL payloads (RBSP, idr flag,
+    """Decode one coded picture's VCL NAL payloads (RBSP, idr flag,
     nal_ref_idc): I_PCM, I_16x16 and I_4x4 (I_NxN) macroblocks, CAVLC
     entropy (round 10 — see h264_cavlc.py for the verification posture),
     intra prediction per 8.3, flat-scaling-list dequant + inverse core /
-    Hadamard transforms per 8.5. 4:2:0 8-bit. Streams whose slices leave
-    the in-loop deblocking filter ENABLED and contain residual-coded MBs
-    are rejected (NotImplementedError) — decoding them without the filter
-    would silently produce non-conformant pixels; all-I_PCM pictures are
+    Hadamard transforms per 8.5 — plus, round 11, P slices (P_Skip +
+    P_L0_16x16 + intra MBs) motion-compensated against `ref`, the
+    previously decoded picture's (Y, Cb, Cr) planes (h264_inter.py:
+    §8.4.2.2 quarter/eighth-sample interpolation, §8.4.1 MV prediction).
+    4:2:0 8-bit. Streams whose slices leave the in-loop deblocking filter
+    ENABLED and contain residual-coded or inter MBs are rejected
+    (NotImplementedError) — decoding them without the filter would
+    silently produce non-conformant pixels; all-I_PCM pictures are
     exempt (QP-0 thresholds disable filtering everywhere)."""
     from peerdb_spark.functions import h264_cavlc as CV
 
@@ -890,31 +915,60 @@ def _decode_i_picture(
     for sl, (rbsp, idr, ref_idc) in enumerate(vcl_payloads):
         r = _BitReader(rbsp)
         hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
+        is_p = hdr["slice_type"] % 5 == 0
+        if is_p and ref is None:
+            raise ValueError("P slice without a prior decoded picture")
+        if is_p and (hdr["first_mb"] != 0 or len(vcl_payloads) != 1):
+            # MV prediction here treats picture == slice; multi-slice P
+            # pictures would need per-slice neighbour gating
+            raise NotImplementedError("multi-slice P pictures not supported")
         mb = hdr["first_mb"]
         if mb != seen:
             raise ValueError("slices out of order or overlapping")
         qp = pps["pic_init_qp"] + hdr["slice_qp_delta"]
         deblock_on = hdr["deblock_idc"] != 1
+
+        def no_deblock():
+            if deblock_on:
+                raise NotImplementedError(
+                    "in-loop deblocking not implemented: residual-coded"
+                    " streams decode only with deblocking disabled"
+                    " (disable_deblocking_filter_idc == 1)")
+
         stop = _last_one_bit(rbsp)
         while mb < n_mbs and r.pos < stop:
+            if is_p:
+                no_deblock()  # any inter MB can create a filtered edge
+                skip_run = r.ue()
+                if mb + skip_run > n_mbs:
+                    raise ValueError("mb_skip_run past end of picture")
+                for _ in range(skip_run):
+                    my, mx = divmod(mb, wmb)
+                    st.mb_slice[my, mx] = sl
+                    _decode_mb_pskip(st, ref, mx, my)
+                    mb += 1
+                if mb >= n_mbs or r.pos >= stop:
+                    break
             my, mx = divmod(mb, wmb)
             st.mb_slice[my, mx] = sl
             mb_type = r.ue()
+            if is_p:
+                if mb_type == 0:
+                    qp = _decode_mb_p16(st, r, ref, mx, my, qp, pps, sl, CV)
+                    mb += 1
+                    continue
+                if mb_type < 5:
+                    raise NotImplementedError(
+                        f"P macroblock partitions below 16x16 not supported"
+                        f" (P mb_type {mb_type})")
+                mb_type -= 5  # intra MB inside a P slice (spec 7.4.5)
             if mb_type == _I_PCM_MB_TYPE:
                 _decode_mb_ipcm(st, r, mx, my)
             elif 1 <= mb_type <= 24:
-                if deblock_on:
-                    raise NotImplementedError(
-                        "in-loop deblocking not implemented: residual-coded"
-                        " streams decode only with deblocking disabled"
-                        " (disable_deblocking_filter_idc == 1)")
+                no_deblock()
                 qp = _decode_mb_i16(st, r, mx, my, mb_type - 1, qp, pps, sl, CV)
             elif mb_type == 0:
-                if deblock_on:
-                    raise NotImplementedError(
-                        "in-loop deblocking not implemented: residual-coded"
-                        " streams decode only with deblocking disabled"
-                        " (disable_deblocking_filter_idc == 1)")
+                no_deblock()
                 if pps["transform_8x8"] and r.u(1):
                     raise NotImplementedError("8x8 transform not supported")
                 qp = _decode_mb_i4(st, r, mx, my, qp, pps, sl, CV)
@@ -926,6 +980,82 @@ def _decode_i_picture(
         raise ValueError(f"picture covers {seen}/{n_mbs} macroblocks")
     return (st.Y.astype(np.uint8), st.Cb.astype(np.uint8),
             st.Cr.astype(np.uint8))
+
+
+def _inter_pred_mb(ref: tuple, mx: int, my: int, mv: tuple[int, int]):
+    """Motion-compensated 16x16 luma + 8x8 chroma prediction blocks for
+    one MB from the reference planes (int32 in, int32 out)."""
+    from peerdb_spark.functions import h264_inter as HI
+
+    ry, rcb, rcr = ref
+    py = HI.interp_luma_block(ry, mx * 16, my * 16, mv[0], mv[1], 16, 16)
+    pcb = HI.interp_chroma_block(rcb, mx * 8, my * 8, mv[0], mv[1], 8, 8)
+    pcr = HI.interp_chroma_block(rcr, mx * 8, my * 8, mv[0], mv[1], 8, 8)
+    return py, pcb, pcr
+
+
+def _decode_mb_pskip(st: _PicState, ref: tuple, mx: int, my: int) -> None:
+    """P_Skip: predicted motion, no residual, TotalCoeff 0 (§8.4.1.1)."""
+    from peerdb_spark.functions import h264_inter as HI
+
+    mv = HI.mv_skip(st.mv, st.inter, mx, my)
+    py, pcb, pcr = _inter_pred_mb(ref, mx, my, mv)
+    st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = py
+    st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pcb
+    st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pcr
+    st.mv[my, mx] = mv
+    st.inter[my, mx] = True
+    st.ncY[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+    st.ncCb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+    st.ncCr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+
+def _decode_mb_p16(st: _PicState, r: _BitReader, ref: tuple, mx: int,
+                   my: int, qp: int, pps: dict, sl: int, CV) -> int:
+    """P_L0_16x16: mvd over the §8.4.1.3 predictor, then the inter
+    residual — 4x4 luma blocks per coded 8x8 group (full 16-coeff scans,
+    no DC transform) and the shared chroma DC+AC layout. ref_idx_l0 is
+    absent (one active reference)."""
+    from peerdb_spark.functions import h264_inter as HI
+
+    mvp = HI.mv_predict(st.mv, st.inter, mx, my)
+    mv = (mvp[0] + r.se(), mvp[1] + r.se())
+    py, pcb, pcr = _inter_pred_mb(ref, mx, my, mv)
+    st.mv[my, mx] = mv
+    st.inter[my, mx] = True
+    cbp_code = r.ue()
+    if cbp_code >= len(HI._CBP_INTER):
+        raise ValueError("coded_block_pattern out of range")
+    cbp = HI._CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise ValueError("chroma coded_block_pattern out of range")
+    if cbp:
+        if pps["transform_8x8"] and cbp_luma and r.u(1):
+            raise NotImplementedError("8x8 transform not supported")
+        qp = (qp + r.se() + 52) % 52
+    qp_c = _chroma_qp(qp, pps["chroma_qp_offset"])
+    acs = [[0] * 16 for _ in range(16)]
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        if cbp_luma & (1 << (n >> 2)):
+            nc = st.nc(st.ncY, bx, by, sl, 4)
+            scan = CV.decode_residual(r, nc, 16)
+            acs[n] = scan
+            st.ncY[by, bx] = sum(1 for v in scan if v)
+        else:
+            st.ncY[by, bx] = 0
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        x0, y0 = (mx * 4 + ox) * 4, (my * 4 + oy) * 4
+        res = _itrans4x4(_dequant4x4(_zz_to_raster4(acs[n]), qp))
+        for i in range(4):
+            for j in range(4):
+                st.Y[y0 + i, x0 + j] = _clip8(
+                    int(py[y0 - my * 16 + i, x0 - mx * 16 + j])
+                    + res[4 * i + j])
+    _decode_chroma_residual(st, r, mx, my, cbp_chroma, qp_c, sl, CV,
+                            pcb, pcr)
+    return qp
 
 
 def _decode_mb_ipcm(st: _PicState, r: _BitReader, mx: int, my: int) -> None:
@@ -1158,10 +1288,16 @@ def _decode_stream(data: bytes):
             pictures[-1][1].append(
                 (payload, nal_type == 5, (data[s] >> 5) & 3))
     # a stream with no NALs yields no frames; slices with missing
-    # parameter sets were already rejected at routing above
+    # parameter sets were already rejected at routing above. Single-ref
+    # P decoding (round 11): each picture may reference the PREVIOUS
+    # decoded picture's full (padded) planes — the spec's sample fetch
+    # clamps to the decoded picture bounds, which is the wmb*16 grid.
+    ref = None
     for pps, payloads in pictures:
         sps = sps_by_id[pps["sps_id"]]
-        yield sps, _decode_i_picture(payloads, sps, pps)
+        planes = _decode_picture(payloads, sps, pps, ref=ref)
+        ref = tuple(p.astype(np.int32) for p in planes)
+        yield sps, planes
 
 
 def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
@@ -1710,6 +1846,313 @@ def decode_h264(data: bytes) -> list[tuple[int, int, bytes]]:
         ]
     except (IndexError, struct.error) as e:
         raise ValueError(f"corrupt H.264 stream ({type(e).__name__})") from e
+
+
+# -- P-frame (GOP) encoder (round 11) -----------------------------------------
+
+
+def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
+                    search: int = 8, return_recon: bool = False,
+                    return_stats: bool = False):
+    """[(Y, Cb, Cr) uint8 planes] → a conforming Annex-B GOP: one IDR
+    I picture (the round-10 CAVLC intra encoder) followed by P pictures —
+    P_Skip / P_L0_16x16 with integer-sample full-search motion (±`search`)
+    against the previously RECONSTRUCTED picture, CAVLC residuals, and
+    per-MB I_PCM fallback for CAVLC-unrepresentable levels. Deblocking
+    disabled per slice (the decoder's honest gate). The decoder must
+    reproduce every frame's encoder reconstruction BIT-EXACTLY — the
+    encoder motion-compensates against the full padded decoded planes
+    (obtained by decoding its own IDR output), exactly what the decoder
+    will use, so the contract holds at any frame size.
+
+    return_stats appends per-frame dicts {"pcm_mbs", "skip_mbs",
+    "inter_mbs", "intra_mbs", "mbs"} — the P-frame temporal-compression
+    evidence the r11 gate pins. Reference: PeerDB has no video decode
+    (BYTEA passthrough); this is the engine's from-scratch §8.4 layer."""
+    from peerdb_spark.functions import h264_cavlc as CV
+    from peerdb_spark.functions import h264_inter as HI
+
+    if len(frames_yuv) < 1:
+        raise ValueError("GOP needs at least one frame")
+    head = encode_h264_cavlc(frames_yuv[:1], width, height, qp=qp,
+                             return_recon=True, mb_mode="i16",
+                             return_stats=True)
+    stream = bytearray(head[0])
+    recons = list(head[1])
+    stats = [dict(head[2][0], skip_mbs=0, inter_mbs=0,
+                  intra_mbs=head[2][0]["mbs"] - head[2][0]["pcm_mbs"])]
+    # the decoder's reference = the FULL padded decoded planes
+    (_sps, ref_planes), = list(_decode_stream(bytes(stream)))
+    ref = tuple(p.astype(np.int32) for p in ref_planes)
+
+    wmb, hmb = -(-width // 16), -(-height // 16)
+    qp_c = _chroma_qp(qp, 0)
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    cbp_index = {v: i for i, v in enumerate(HI._CBP_INTER)}
+
+    for fi in range(1, len(frames_yuv)):
+        Y = np.asarray(frames_yuv[fi][0], dtype=np.uint8)
+        Cb = np.asarray(frames_yuv[fi][1], dtype=np.uint8)
+        Cr = np.asarray(frames_yuv[fi][2], dtype=np.uint8)
+        if Y.shape != (height, width) or Cb.shape != (ch, cw) or Cr.shape != (ch, cw):
+            raise ValueError(f"frame {fi}: plane shape mismatch")
+        Yp = np.pad(Y, ((0, 16 * hmb - height), (0, 16 * wmb - width)),
+                    mode="edge").astype(np.int32)
+        Cbp = np.pad(Cb, ((0, 8 * hmb - ch), (0, 8 * wmb - cw)),
+                     mode="edge").astype(np.int32)
+        Crp = np.pad(Cr, ((0, 8 * hmb - ch), (0, 8 * wmb - cw)),
+                     mode="edge").astype(np.int32)
+        st = _PicState(wmb, hmb)
+        st.mb_slice[:, :] = 0
+        w = _BitWriter()
+        w.ue(0)            # first_mb_in_slice
+        w.ue(5)            # slice_type P (all slices in picture)
+        w.ue(0)            # pps_id
+        w.u(fi & 15, 4)    # frame_num
+        # poc_type 2: no poc fields; non-IDR: no idr_pic_id
+        w.u(0, 1)          # num_ref_idx_active_override_flag
+        w.u(0, 1)          # ref_pic_list_modification_flag_l0
+        w.u(0, 1)          # adaptive_ref_pic_marking_mode_flag
+        w.se(0)            # slice_qp_delta
+        w.ue(1)            # disable_deblocking_filter_idc = 1
+        skip_run = 0
+        n_skip = n_inter = n_pcm = 0
+        for mb in range(wmb * hmb):
+            my, mx = divmod(mb, wmb)
+            mv = _search_mv(Yp, ref[0], mx, my, search)
+            skipmv = HI.mv_skip(st.mv, st.inter, mx, my)
+            # prefer the skip MV when it predicts as well as the searched
+            # one — a skipped MB costs ~0 bits
+            enc = _encode_mb_p16(st, ref, Yp, Cbp, Crp, mx, my, skipmv,
+                                 qp, qp_c, CV, HI, cbp_index)
+            if enc is not None and enc[0] == 0:
+                # zero residual at the skip MV → P_Skip
+                _commit_p_mb(st, enc, mx, my, skipmv)
+                skip_run += 1
+                n_skip += 1
+                continue
+            enc2 = (_encode_mb_p16(st, ref, Yp, Cbp, Crp, mx, my, mv,
+                                   qp, qp_c, CV, HI, cbp_index)
+                    if mv != skipmv else enc)
+            if enc2 is None:  # CAVLC-unrepresentable → I_PCM (mb_type 30)
+                w.ue(skip_run)
+                skip_run = 0
+                n_pcm += 1
+                w.ue(_I_PCM_MB_TYPE + 5)
+                w.align_zero()
+                w.put_bytes(Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+                            .astype(np.uint8).tobytes())
+                w.put_bytes(Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                            .astype(np.uint8).tobytes())
+                w.put_bytes(Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                            .astype(np.uint8).tobytes())
+                st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                    Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+                st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                    Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                    Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                st.ncY[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+                st.ncCb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+                st.ncCr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+                continue
+            use_mv = skipmv if enc2 is enc else mv
+            cbp, mvd_unused, bits = enc2[0], enc2[1], enc2[2]
+            mvp = HI.mv_predict(st.mv, st.inter, mx, my)
+            w.ue(skip_run)
+            skip_run = 0
+            n_inter += 1
+            w.ue(0)  # mb_type P_L0_16x16
+            w.se(use_mv[0] - mvp[0])
+            w.se(use_mv[1] - mvp[1])
+            w.ue(cbp_index[cbp])
+            if cbp:
+                w.se(0)  # mb_qp_delta
+            for bit in bits:
+                w.u(1 if bit == "1" else 0, 1)
+            _commit_p_mb(st, enc2, mx, my, use_mv)
+        if skip_run:
+            w.ue(skip_run)
+        stream += _nal(1, w.rbsp_trailing(), ref_idc=2)
+        stats.append({"pcm_mbs": n_pcm, "skip_mbs": n_skip,
+                      "inter_mbs": n_inter, "intra_mbs": n_pcm,
+                      "mbs": wmb * hmb})
+        recons.append((st.Y.astype(np.uint8)[:height, :width],
+                       st.Cb.astype(np.uint8)[:ch, :cw],
+                       st.Cr.astype(np.uint8)[:ch, :cw]))
+        ref = (st.Y.copy(), st.Cb.copy(), st.Cr.copy())
+    parts = [bytes(stream)]
+    if return_recon:
+        parts.append(recons)
+    if return_stats:
+        parts.append(stats)
+    return tuple(parts) if len(parts) > 1 else parts[0]
+
+
+def _search_mv(Yp: np.ndarray, refY: np.ndarray, mx: int, my: int,
+               search: int) -> tuple[int, int]:
+    """Integer-sample full-search (±search) luma SAD; returns the best MV
+    in QUARTER-sample units, preferring (0,0) then smaller |mv| on ties.
+    Candidates may reach OUTSIDE the reference picture — fetches clamp to
+    the edge exactly like the decoder's §8.4.2.2 sample access, so edge
+    MBs can still track motion toward the picture border."""
+    src = Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+    H, W = refY.shape
+    best = None
+    for dy in range(-search, search + 1):
+        ys = np.clip(np.arange(my * 16 + dy, my * 16 + dy + 16), 0, H - 1)
+        for dx in range(-search, search + 1):
+            xs = np.clip(np.arange(mx * 16 + dx, mx * 16 + dx + 16), 0, W - 1)
+            sad = int(np.abs(refY[np.ix_(ys, xs)] - src).sum())
+            key = (sad, dx != 0 or dy != 0, abs(dx) + abs(dy))
+            if best is None or key < best[0]:
+                best = (key, (dx * 4, dy * 4))
+    return best[1] if best is not None else (0, 0)
+
+
+def _encode_mb_p16(st: _PicState, ref: tuple, Yp, Cbp, Crp, mx: int,
+                   my: int, mv: tuple[int, int], qp: int, qp_c: int,
+                   CV, HI, cbp_index) -> tuple | None:
+    """Quantize one P_L0_16x16 macroblock's residual at `mv` WITHOUT
+    committing state. Returns (cbp, mv, residual_bits, recon_planes,
+    nc_updates) or None when a level is CAVLC-unrepresentable."""
+    py = HI.interp_luma_block(ref[0], mx * 16, my * 16, mv[0], mv[1], 16, 16)
+    pcb = HI.interp_chroma_block(ref[1], mx * 8, my * 8, mv[0], mv[1], 8, 8)
+    pcr = HI.interp_chroma_block(ref[2], mx * 8, my * 8, mv[0], mv[1], 8, 8)
+    diff = Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] - py
+    ac_scan = [None] * 16
+    recon_y = np.zeros((16, 16), dtype=np.int32)
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        x0, y0 = ox * 4, oy * 4
+        c = _ftrans4x4(diff[y0:y0 + 4, x0:x0 + 4])
+        raster = [_fquant(int(c[i // 4, i % 4]), qp, _POS_CLS[i])
+                  for i in range(16)]
+        ac_scan[n] = _raster_to_zz4(raster, start=0)
+        res = _itrans4x4(_dequant4x4(raster, qp))
+        for i in range(4):
+            for j in range(4):
+                recon_y[y0 + i, x0 + j] = _clip8(
+                    int(py[y0 + i, x0 + j]) + res[4 * i + j])
+    groups = [any(any(ac_scan[g * 4 + k]) for k in range(4))
+              for g in range(4)]
+    cbp_luma = sum(1 << g for g, on in enumerate(groups) if on)
+    ch_dc_levels, ch_ac_scan = [], []
+    for plane, cpred in ((Cbp, pcb), (Crp, pcr)):
+        d = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - cpred
+        cdc = [0] * 4
+        acs = []
+        for b in range(4):
+            qy, qx = (b >> 1) * 4, (b & 1) * 4
+            c = _ftrans4x4(d[qy:qy + 4, qx:qx + 4])
+            cdc[b] = int(c[0, 0])
+            raster = [0] * 16
+            for i in range(4):
+                for j in range(4):
+                    if i == 0 and j == 0:
+                        continue
+                    raster[4 * i + j] = _fquant(
+                        int(c[i, j]), qp_c, _POS_CLS[4 * i + j])
+            acs.append(_raster_to_zz4(raster, start=1))
+        fdc = (cdc[0] + cdc[1] + cdc[2] + cdc[3],
+               cdc[0] - cdc[1] + cdc[2] - cdc[3],
+               cdc[0] + cdc[1] - cdc[2] - cdc[3],
+               cdc[0] - cdc[1] - cdc[2] + cdc[3])
+        ch_dc_levels.append([_fquant_dc(v, qp_c) for v in fdc])
+        ch_ac_scan.append(acs)
+    any_ch_ac = any(any(s) for acs in ch_ac_scan for s in acs)
+    any_ch_dc = any(any(lv) for lv in ch_dc_levels)
+    cbp_chroma = 2 if any_ch_ac else (1 if any_ch_dc else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    # residual bits with staged nC (same overlay discipline as the intra
+    # encoders: nothing committed until the whole MB encodes)
+    overlayY: dict = {}
+    overlayCb: dict = {}
+    overlayCr: dict = {}
+
+    def nc_of(arr, overlay, bx, by, per_mb):
+        nA = nB = None
+        if bx > 0:
+            v = overlay.get((bx - 1, by))
+            if v is None and arr[by, bx - 1] >= 0:
+                v = int(arr[by, bx - 1])
+            nA = v
+        if by > 0:
+            v = overlay.get((bx, by - 1))
+            if v is None and arr[by - 1, bx] >= 0:
+                v = int(arr[by - 1, bx])
+            nB = v
+        if nA is not None and nB is not None:
+            return (nA + nB + 1) >> 1
+        if nA is not None:
+            return nA
+        if nB is not None:
+            return nB
+        return 0
+
+    bits = []
+    for n, (ox, oy) in enumerate(_BLK4_ORDER):
+        bx, by = mx * 4 + ox, my * 4 + oy
+        if cbp_luma & (1 << (n >> 2)):
+            b = CV.encode_residual(ac_scan[n], nc_of(st.ncY, overlayY, bx, by, 4))
+            if b is None:
+                return None
+            bits.append(b)
+            overlayY[(bx, by)] = sum(1 for v in ac_scan[n] if v)
+        else:
+            overlayY[(bx, by)] = 0
+    if cbp_chroma:
+        for lv in ch_dc_levels:
+            b = CV.encode_residual(list(lv), -1)
+            if b is None:
+                return None
+            bits.append(b)
+    for comp, (arr, overlay) in enumerate(((st.ncCb, overlayCb),
+                                           (st.ncCr, overlayCr))):
+        for bnum in range(4):
+            bx, by = mx * 2 + (bnum & 1), my * 2 + (bnum >> 1)
+            if cbp_chroma == 2:
+                b = CV.encode_residual(ch_ac_scan[comp][bnum],
+                                       nc_of(arr, overlay, bx, by, 2))
+                if b is None:
+                    return None
+                bits.append(b)
+                overlay[(bx, by)] = sum(1 for v in ch_ac_scan[comp][bnum] if v)
+            else:
+                overlay[(bx, by)] = 0
+    # decoder-exact chroma reconstruction
+    recon_cb = np.zeros((8, 8), dtype=np.int32)
+    recon_cr = np.zeros((8, 8), dtype=np.int32)
+    for comp, (out_p, cpred) in enumerate(((recon_cb, pcb), (recon_cr, pcr))):
+        lv = ch_dc_levels[comp]
+        dq = _chroma_dc_inverse(lv[0], lv[1], lv[2], lv[3], qp_c)
+        for bnum in range(4):
+            raster = _zz_to_raster4(ch_ac_scan[comp][bnum], start=1)
+            raster = _dequant4x4(raster, qp_c, skip_dc=True)
+            raster[0] = dq[bnum]
+            res = _itrans4x4(raster)
+            qx, qy = (bnum & 1) * 4, (bnum >> 1) * 4
+            for i in range(4):
+                for j in range(4):
+                    out_p[qy + i, qx + j] = _clip8(
+                        int(cpred[qy + i, qx + j]) + res[4 * i + j])
+    return (cbp, mv, "".join(bits), (recon_y, recon_cb, recon_cr),
+            (overlayY, overlayCb, overlayCr))
+
+
+def _commit_p_mb(st: _PicState, enc: tuple, mx: int, my: int,
+                 mv: tuple[int, int]) -> None:
+    _cbp, _mv, _bits, (ry, rcb, rcr), (oy, ocb, ocr) = enc
+    st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = ry
+    st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = rcb
+    st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = rcr
+    for (bx, by), v in oy.items():
+        st.ncY[by, bx] = v
+    for (bx, by), v in ocb.items():
+        st.ncCb[by, bx] = v
+    for (bx, by), v in ocr.items():
+        st.ncCr[by, bx] = v
+    st.mv[my, mx] = mv
+    st.inter[my, mx] = True
 
 
 # -- I_PCM encoder (fixtures, tests, interop) ----------------------------------

@@ -372,6 +372,106 @@ def h264_cavlc_roundtrip_check(
     return narrow.mapInPandas(run, out_schema)
 
 
+def h264_gop_roundtrip_check(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    qp: int = 26, search: int = 8,
+) -> DataFrame:
+    """(id, raw-RGB VIDEO content = n_frames x (w*h*3) bytes, meta) →
+    (id, width, height, n_frames, recon_match, compressed, p_gain,
+    pcm_mbs): encode the frames as an IDR + P GOP (encode_h264_gop —
+    round 11 §8.4 inter prediction: P_Skip / P_L0_16x16 motion
+    compensation against the previous reconstruction), decode the stream
+    back, and surface the codec contract as a queryable relation:
+    `recon_match` = decoder output equals the encoder reconstruction
+    bit-exactly for EVERY frame; `compressed` = the whole GOP beats half
+    the raw YUV size; `p_gain` = the P tail averages under half the
+    I frame's bytes (real temporal compression, the point of P frames);
+    `pcm_mbs` = I_PCM fallbacks across all frames (0 on the gate fixture).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("recon_match", T.BooleanType()),
+            T.StructField("compressed", T.BooleanType()),
+            T.StructField("p_gain", T.BooleanType()),
+            T.StructField("pcm_mbs", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        from peerdb_spark.functions.h264 import (
+            decode_h264_yuv,
+            encode_h264_cavlc,
+            encode_h264_gop,
+        )
+
+        def to_yuv(img, w, h):
+            r = img[:, :, 0].astype(np.float64)
+            g = img[:, :, 1].astype(np.float64)
+            b = img[:, :, 2].astype(np.float64)
+            y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+            def sub(p):
+                ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                q = ph.reshape(ph.shape[0] // 2, 2,
+                               ph.shape[1] // 2, 2).mean(axis=(1, 3))
+                return np.clip(np.round(q), 0, 255).astype(np.uint8)
+
+            return (y.astype(np.uint8), sub(cb), sub(cr))
+
+        for pdf in batches:
+            ws, hs, nfs, matches, comps, gains, pcms = ([] for _ in range(7))
+            for c, w, h in zip(pdf[content_col], pdf["_w"], pdf["_h"]):
+                w, h = int(w), int(h)
+                buf = np.frombuffer(bytes(c), dtype=np.uint8)
+                fsz = w * h * 3
+                n = len(buf) // fsz
+                frames = [
+                    to_yuv(buf[k * fsz:(k + 1) * fsz].reshape(h, w, 3), w, h)
+                    for k in range(n)
+                ]
+                stream, recons, stats = encode_h264_gop(
+                    frames, w, h, qp=qp, search=search,
+                    return_recon=True, return_stats=True)
+                outs = decode_h264_yuv(stream)
+                ok = len(outs) == n
+                if ok:
+                    for k in range(n):
+                        _w2, _h2, dy, dcb, dcr = outs[k]
+                        ry, rcb, rcr = recons[k]
+                        ok = ok and _w2 == w and _h2 == h and \
+                            (dy == ry).all() and (dcb == rcb).all() and \
+                            (dcr == rcr).all()
+                i_len = len(encode_h264_cavlc(frames[:1], w, h, qp=qp,
+                                              mb_mode="i16"))
+                p_tail = len(stream) - i_len
+                ws.append(w)
+                hs.append(h)
+                nfs.append(n)
+                matches.append(bool(ok))
+                comps.append(len(stream) * 2 < n * (w * h * 3 // 2))
+                gains.append(n > 1 and p_tail * 2 < i_len * (n - 1))
+                pcms.append(int(sum(s["pcm_mbs"] for s in stats)))
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "width": ws, "height": hs,
+                 "n_frames": nfs, "recon_match": matches,
+                 "compressed": comps, "p_gain": gains, "pcm_mbs": pcms})
+
+    narrow = df.select(
+        id_col, content_col,
+        F.col("meta.width").alias("_w"), F.col("meta.height").alias("_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
 def extract_features(df: DataFrame, content_col: str = "content",
                      id_col: str = "media_id", dim: int = FEATURE_DIM) -> DataFrame:
     """media → (media_id, feature array<float>) via Arrow-batched mapInPandas.

@@ -392,13 +392,15 @@ def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured as the uniform-fan-out 100-TB answer — 250k vs 132k ev/s;
     the reference gets the equivalent from ClickHouse RMT background
     merges, flow/connectors/clickhouse/normalize.go:119-126). The base
-    snapshot bootstraps the destination; the changelog splits into 4
+    snapshot bootstraps the destination; the changelog splits into 3
     sync batches by checkpoint hash and feeds process_batch, which
-    defers the merge until the 4th batch completes the window — the
-    asserts pin that batches 1-3 really did NOT merge. One deferred
+    defers the merge until the 3rd batch completes the window — the
+    asserts pin that batches 1-2 really did NOT merge. One deferred
     normalize then folds the whole tail, and the final destination must
     hash-match the SAME oracle as cdc_normalize_merge: the driver
-    certifies deferral is invisible to the relation."""
+    certifies deferral is invisible to the relation. (r11, verdict #7:
+    trimmed from 4 deferred batches to 3 — same asserts, same oracle,
+    one fewer sync pass on the board's slowest fixture.)"""
     import os
     import shutil
 
@@ -420,7 +422,7 @@ def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.overwrite(base)
     cfg = CDC.CdcTableConfig("lineitem", ["pk"], schema, f"{wd}/dst",
                              n_buckets=4)
-    pipe = CDC.CdcPipeline(spark, f"{wd}/raw", [cfg], normalize_every=4)
+    pipe = CDC.CdcPipeline(spark, f"{wd}/raw", [cfg], normalize_every=3)
     payload = F.to_json(F.struct("pk", "qty", "price", "flag"))
     feed = chg.select(
         F.col("kind").alias("_kind"),
@@ -432,15 +434,93 @@ def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("kind") != "delete", payload).alias("_data"),
         F.when(F.col("kind") == "delete", payload).alias("_old_data"),
         F.lit(None).cast("array<string>").alias("_unchanged_cols"),
-        F.pmod(F.col("ck"), F.lit(4)).alias("_b"),
-    ).localCheckpoint(eager=True)  # one changelog materialization, 4 slices
-    for b in range(1, 5):
+        F.pmod(F.col("ck"), F.lit(3)).alias("_b"),
+    ).localCheckpoint(eager=True)  # one changelog materialization, 3 slices
+    for b in range(1, 4):
         merged = pipe.process_batch(feed.where(F.col("_b") == b - 1).drop("_b"), b)
-        assert merged == (b == 4), f"cadence merged early at batch {b}"
+        assert merged == (b == 3), f"cadence merged early at batch {b}"
     return table.read().select("pk", "qty", "price", "flag")
 
 
 SQL_CDC_LAZY_CADENCE = SQL_CDC_NORMALIZE_MERGE
+
+
+def q_cdc_mview_lazy_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained aggregate view THROUGH THE PRODUCT PATH under the lazy
+    cadence (r11, verdict #5): CdcPipeline(normalize_every=2) with an
+    attach_view'd ViewTable over an events-derived changelog split into 2
+    checkpoint-interleaved batches. Views fold from MERGE images, so the
+    view must lag until the window closes (the assert pins batch 1 really
+    deferred AND left the view empty) and then equal the one-shot
+    aggregate over the merged live state — which is exactly what the
+    oracle states. Complements cdc_mirror_mview (the functional fold API,
+    eager) by gating the pipeline-attached path plus the
+    RMT-like read-freshness contract; the full mid-window lag/read_table
+    exactness matrix is pinned in test_lazy_cadence.py. Slice: user_id%4
+    keeps the fixture ~batch-sized."""
+    import os
+    import shutil
+
+    from peerdb_spark.mview import ViewTable
+
+    (ev,) = _t(spark, sf_dir, "events")
+    cl = events_changelog(ev).where(F.col("pk") % 4 == 0).select(
+        "pk", "ck", "kind", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("v_i"),
+    )
+    wd = f"/tmp/peerdb_gate_mview_lazy_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(wd, ignore_errors=True)
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("v_i", T.LongType()),
+    ])
+    cfg = CDC.CdcTableConfig("t", ["pk"], schema, f"{wd}/dst", n_buckets=4)
+    pipe = CDC.CdcPipeline(spark, f"{wd}/raw", [cfg], normalize_every=2)
+    view = ViewTable(spark, f"{wd}/view", ["event_type"], "v_i")
+    pipe.attach_view("t", view)
+    payload = F.to_json(F.struct("pk", "event_type", "v_i"))
+    feed = cl.select(
+        F.col("kind").alias("_kind"),
+        F.col("ck").alias("_checkpoint_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("ck"))
+        .alias("_commit_ts"),
+        F.col("ck").alias("_txid"),
+        F.lit("t").alias("_src_table"),
+        F.lit("t").alias("_dst_table"),
+        F.when(F.col("kind") != "delete", payload).alias("_data"),
+        F.when(F.col("kind") == "delete", payload).alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+        F.pmod(F.col("ck"), F.lit(2)).alias("_b"),
+    ).localCheckpoint(eager=True)
+    for b in (1, 2):
+        merged = pipe.process_batch(feed.where(F.col("_b") == b - 1).drop("_b"), b)
+        assert merged == (b == 2), f"cadence merged early at batch {b}"
+        if not merged:
+            assert view.read() is None, "view folded before the merge"
+    return view.read().select(
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+    )
+
+
+SQL_CDC_MVIEW_LAZY_FRESH = """
+WITH cl AS (
+  SELECT user_id AS pk, event_id AS ck,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS kind,
+         event_type, CAST(round(value * 1000) AS BIGINT) AS v_i
+  FROM events WHERE user_id % 4 = 0
+),
+w AS (
+  SELECT * FROM cl QUALIFY row_number() OVER (PARTITION BY pk ORDER BY ck DESC) = 1
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v_i) AS BIGINT) AS sum_v
+FROM w WHERE kind != 'delete' GROUP BY event_type
+"""
 
 
 def q_cdc_lww_skew_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5346,6 +5426,93 @@ FROM documents WHERE doc_id % 5 = 2
 """
 
 
+def q_media_h264_pslice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-slice H.264 (round 11, h264_inter.py + encode_h264_gop): 3-frame
+    raw-RGB GOPs — base texture, a 4-px translation, the translation plus
+    a sparse luma delta — encode as IDR + 2 P pictures (P_Skip /
+    P_L0_16x16, integer-search motion compensation against the previous
+    RECONSTRUCTION) and decode back through the engine's Arrow op. The
+    relation pins the codec contract per media: `recon_match` (decoder ==
+    encoder reconstruction bit-exactly for all 3 frames), `compressed`
+    (GOP beats half raw YUV), `p_gain` (the P tail averages under half
+    the I frame — TEMPORAL compression actually happened; an encoder that
+    fell back to intra coding would fail this), and `pcm_mbs` = 0. The
+    strong pins (scalar spec-formula interpolation reference, MV rule
+    vectors, skip/PCM corners) live in tests/test_h264_pslice.py.
+
+    Fixture-cost discipline: 8 broadcast exemplar classes (media_id % 8),
+    per-media rows joined back."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    rows = docs.where(F.col("doc_id") % 5 == 3).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8).alias("_cls"),
+    )
+    cid = F.col("media_id")  # class id 0..7 in the exemplar frame
+    cls = spark.range(8).select(F.col("id").alias("media_id"))
+    w = (F.lit(32) + (cid % 2) * 16).cast("int")
+    h = F.lit(32).cast("int")
+    fbytes = w.cast("long") * h * 3
+    n_bytes = fbytes * 3  # 3 frames
+
+    # frame f: the DENSE noise base (the CAVLC gate's texture — expensive
+    # to intra-code, so temporal gain is measurable) translated right by
+    # 4f px (wrap), plus a sparse +6 delta on frame 2 — P1 is almost pure
+    # motion (seam columns only), P2 motion + a small residual. qp 8
+    # keeps the reference reconstruction near-lossless so motion
+    # compensation lands exactly (at high qp a P frame legitimately
+    # re-encodes the reference's quantization error).
+    def px(i):
+        f = F.floor(i / fbytes)
+        rem = i % fbytes
+        x = F.floor((rem % (w * 3)) / 3)
+        y = F.floor(rem / (w * 3))
+        xs = F.pmod(x - f * 4, w)
+        base = F.lit(98) + F.pmod(
+            xs * 53 + y * 97 + xs * y * 31 + cid * 13, F.lit(61))
+        delta = F.when((f == 2) & ((x + y) % 9 == 0), 6).otherwise(0)
+        return base + delta
+
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex(px(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    media = cls.select(
+        "media_id", content.alias("content"),
+        F.struct(
+            F.lit("video/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(120).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+    chk = MM.h264_gop_roundtrip_check(media, qp=8, search=8).select(
+        F.col("media_id").alias("_cls"), "width", "height", "n_frames",
+        "recon_match", "compressed", "p_gain", "pcm_mbs",
+    )
+    return rows.join(F.broadcast(chk), "_cls").select(
+        "media_id", "width", "height", "n_frames",
+        "recon_match", "compressed", "p_gain", "pcm_mbs")
+
+
+SQL_MEDIA_H264_PSLICE = """
+SELECT doc_id AS media_id,
+       CAST(32 + (doc_id % 2) * 16 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       CAST(3 AS INT) AS n_frames,
+       TRUE AS recon_match,
+       TRUE AS compressed,
+       TRUE AS p_gain,
+       CAST(0 AS INT) AS pcm_mbs
+FROM documents WHERE doc_id % 5 = 3
+"""
+
+
 def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator (streaming.session_event_aggregation)
     under the gate, not just the manual lag+cumsum formulation: same 30-minute
@@ -6857,6 +7024,8 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_normalize_merge": q_cdc_normalize_merge,
     "cdc_split_merge": q_cdc_split_merge,
     "cdc_lazy_cadence": q_cdc_lazy_cadence,
+    "cdc_mview_lazy_fresh": q_cdc_mview_lazy_fresh,
+    "media_h264_pslice": q_media_h264_pslice,
     "cdc_lww_skew_dedup": q_cdc_lww_skew_dedup,
     "mirror_table_diff": q_mirror_table_diff,
     "cdc_time_travel": q_cdc_time_travel,
@@ -6987,6 +7156,8 @@ _ORACLES_IMPL: dict[str, str] = {
     "cdc_normalize_merge": SQL_CDC_NORMALIZE_MERGE,
     "cdc_split_merge": SQL_CDC_SPLIT_MERGE,
     "cdc_lazy_cadence": SQL_CDC_LAZY_CADENCE,
+    "cdc_mview_lazy_fresh": SQL_CDC_MVIEW_LAZY_FRESH,
+    "media_h264_pslice": SQL_MEDIA_H264_PSLICE,
     "cdc_lww_skew_dedup": SQL_CDC_LWW_SKEW_DEDUP,
     "mirror_table_diff": SQL_MIRROR_TABLE_DIFF,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
@@ -7124,25 +7295,97 @@ _ORACLES_IMPL: dict[str, str] = {
 # else keeps its recorded verdict and prior relative order (the
 # _GATE_GREEN_* provenance lists below).
 #
-# Round-10 window:
-# - REGATES (transitive impl changed this round): the audio-fingerprint
-#   fixture's RIFF size + docstring fix (ADVICE r9), audio_frame_energy_flac
-#   through the widened 32-bit transcode gate, media_frame_sample_h264 over
-#   the nal_ref_idc-aware slice-header parse, tar_shard_explode over the
-#   byte-truncating PAX fallback, media_decode_jpeg_progressive restructured
-#   to 8 broadcast exemplar classes (verdict #4), and the whole cdc merge
-#   family — cdc.py grew the cadence policy (process_batch/maybe_normalize/
-#   read_table/watermark) and the auto hot-key probe threads through
-#   normalize_batches, so every query crossing CdcPipeline/normalize re-gates
-# - NEW: cdc_lazy_cadence (verdict #1 — the lazy cadence through the
-#   product path, same oracle as cdc_normalize_merge)
-# - STALE REFRESH (verdict #3): the 20 queries whose newest driver rows
-#   still date from r5, plus the 9 oldest r6 rows in the spare slots
+# Round-11 window:
+# - REGATES (transitive impl changed this round; function-level precision
+#   where the touched module is a grab-bag of independent ops):
+#   cdc_lazy_cadence (cdc.py cadence/auto-trigger/dest-cache changes +
+#   fixture trimmed 4->3 deferred batches, verdict #7), media_h264_cavlc
+#   (h264_cavlc.py Table 9-5 tails completed + h264.py return_stats +
+#   multimodal.h264_cavlc_roundtrip_check pcm_mbs column + dense fixture
+#   classes, verdict #4), media_frame_sample_h264 (h264.py module
+#   changed), and mongo_changestream_decode (code untouched — re-gated as
+#   verdict #1 evidence that the bench-session-state diagnosis restored
+#   its number; see SCALING.md r11 entry). ogg.py's header-count-0 fix is
+#   NOT on any gate path (the audio gates are WAV/FLAC fixtures);
+#   pgoutput/streaming changes are pytest-gated wire/stream surfaces.
+# - NEW: cdc_mview_lazy_fresh (verdict #5 — attach_view'd maintained view
+#   through the PRODUCT path under normalize_every=2, deferral + lag
+#   asserted, one-shot-aggregate oracle) and media_h264_pslice (verdict
+#   #8 stretch — P-slice motion compensation, GOP contract + temporal
+#   compression pinned)
+# - STALE REFRESH (verdict #3's priority): the 7 pre-r8 rows first, then
+#   the whole r8 cohort, then the r7 cohort, then 24 of the r6-provenance
+#   cohort — after this round only corpus_clean_full and pca_projection
+#   still carry pre-r9 rows (first in line for r12; the window holds 50).
 _REGATE_THIS_ROUND = [
+    "cdc_lazy_cadence",
+    "media_h264_cavlc",
+    "media_frame_sample_h264",
+    "mongo_changestream_decode",
+]
+
+_NEW_THIS_ROUND: list[str] = [
+    "cdc_mview_lazy_fresh",
+    "media_h264_pslice",
+]
+
+_STALE_REFRESH = [
+    # the 7 pre-r8 driver rows (verdict #3's exact list)
+    "qrep_date_partition",
+    "bpe_encode_ranked",
+    "pca_projection2",
+    "tfidf_topk",
+    "quality_classifier",
+    "corpus_shuffle_shards",
+    "hybrid_retrieval",
+    # the r8 cohort
+    "exotic_types",
+    "bpe_train_batched_merges",
+    "ivf_topk",
+    "ann_lsh_topk",
+    "ann_srp_buckets",
+    "sim_topk",
+    "embedding_near_dup",
+    "semantic_dedup",
+    "kmeans_clusters",
+    # the r7 cohort
+    "media_features",
+    "media_resize",
+    "media_frame_plan",
+    "events_session_native",
+    # 25 of the r6-provenance cohort (all remaining but pca_projection)
+    "events_funnel",
+    "events_cohort_retention",
+    "graph_pagerank",
+    "events_asof_join",
+    "events_asof_forward",
+    "events_burst_detect",
+    "events_rollup_incremental",
+    "sq8_topk",
+    "knn_graph",
+    "hard_negatives",
+    "knn_label_consistency",
+    "length_quantiles",
+    "mixture_sample",
+    "token_budget_sample",
+    "length_batch_plan",
+    "repetition_scrub",
+    "pii_redact",
+    "passage_dedup",
+    "events_interval_join",
+    "decontaminate",
+    "gopher_quality",
+    "doc_chunks",
+    "bm25_topk",
+    "corpus_incremental_clean",
+]
+
+# Provenance of the most recent green driver row for everything else
+# (kept for the judge's audit trail; relative order preserved).
+_GATE_GREEN_R10 = [
     "audio_fingerprint",
     "audio_fingerprint_dups",
     "audio_frame_energy_flac",
-    "media_frame_sample_h264",
     "tar_shard_explode",
     "media_decode_jpeg_progressive",
     "cdc_normalize_merge",
@@ -7159,29 +7402,9 @@ _REGATE_THIS_ROUND = [
     "catalog_distinct_dst",
     "cdc_mirror_mview",
     "cdc_enriched_mview",
-]
-
-_NEW_THIS_ROUND: list[str] = [
-    "cdc_lazy_cadence",
-    # r10 stretch: CAVLC intra H.264 through the engine ops, pinning the
-    # encoder-reconstruction == decoder-output contract
-    "media_h264_cavlc",
-    # r10: video near-dup — per-frame dHash folded by bit-majority, the
-    # fourth modality through the ONE shared hamming-LSH banding engine
     "video_fingerprint",
     "video_fingerprint_dups",
-    # r10: incremental ingestion for the hash64 modalities (the
-    # maintained-state posture of dedup_incremental_lsh, 16 B/item)
     "image_dhash_incremental",
-]
-
-# Oldest driver rows, refreshed through the spare window slots: the 20
-# remaining r5-row queries (verdict #3's exact list) + the 9 oldest r6
-# rows. 20 regate + 5 new + 25 here = the 50-slot window exactly
-# (mongo_changestream_decode / events_cohort_retention / graph_pagerank,
-# the next stale candidates, lost their slots to the four r10 queries;
-# they keep their prior driver rows and the local re-check).
-_STALE_REFRESH = [
     "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -7209,8 +7432,6 @@ _STALE_REFRESH = [
     "hist_quantiles",
 ]
 
-# Provenance of the most recent green driver row for everything else
-# (kept for the judge's audit trail; relative order preserved).
 _GATE_GREEN_R9 = [
     "media_frame_sample_mjpeg",
     "media_decode_png",
@@ -7244,65 +7465,14 @@ _GATE_GREEN_R9 = [
     "dedup_minhash_lsh_pairs",
 ]
 
-_GATE_GREEN_R8 = [
-    "exotic_types",
-    "bpe_train_batched_merges",
-    "ivf_topk",
-    "ann_lsh_topk",
-    "ann_srp_buckets",
-    "sim_topk",
-    "embedding_near_dup",
-    "semantic_dedup",
-    "kmeans_clusters",
-]
-
-_GATE_GREEN_R7 = [
-    "media_features",
-    "media_resize",
-    "media_frame_plan",
-    "events_session_native",
-]
-
 _GATE_GREEN_R6 = [
-    "events_funnel",
-    "mongo_changestream_decode",
-    "events_cohort_retention",
-    "graph_pagerank",
-    "events_asof_join",
-    "events_asof_forward",
-    "events_burst_detect",
-    "events_rollup_incremental",
-    "sq8_topk",
-    "knn_graph",
-    "hard_negatives",
-    "knn_label_consistency",
-    "length_quantiles",
-    "mixture_sample",
-    "token_budget_sample",
-    "length_batch_plan",
-    "repetition_scrub",
-    "pii_redact",
-    "passage_dedup",
-    "events_interval_join",
-    "decontaminate",
-    "gopher_quality",
-    "doc_chunks",
-    "bm25_topk",
-    "corpus_incremental_clean",
     "corpus_clean_full",
     "pca_projection",
-    "pca_projection2",
-    "tfidf_topk",
-    "quality_classifier",
-    "corpus_shuffle_shards",
-    "hybrid_retrieval",
-    "qrep_date_partition",
-    "bpe_encode_ranked",
 ]
 
 _DECLARED_ORDER = (
     _REGATE_THIS_ROUND + _NEW_THIS_ROUND + _STALE_REFRESH
-    + _GATE_GREEN_R9 + _GATE_GREEN_R8 + _GATE_GREEN_R7 + _GATE_GREEN_R6
+    + _GATE_GREEN_R10 + _GATE_GREEN_R9 + _GATE_GREEN_R6
 )
 
 assert set(_DECLARED_ORDER) == set(_QUERIES_IMPL), (

@@ -230,6 +230,61 @@ def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
     assert _state(dst) == _state(eager.read_table("t"))
 
 
+def test_attached_view_freshness_under_lazy_cadence(spark, tmp_path):
+    """r11 (verdict #5): the read-freshness contract for maintained views
+    under normalize_every=k — views fold from MERGE images, so between
+    merges a view serves the state as of the LAST merge (RMT-like lag)
+    while read_table serves the exact folded tail; when the window closes
+    the view equals both the one-shot aggregate over the live destination
+    AND a view rebuilt from scratch. A redelivered (replayed) merge range
+    stays a no-op for the view."""
+    from peerdb_spark.mview import ViewTable
+
+    pipe = _mk(spark, str(tmp_path), "mv", normalize_every=3)
+    view = ViewTable(spark, str(tmp_path / "mv/view"), ["val"], "amt")
+    pipe.attach_view("t", view)
+
+    def view_dict(v):
+        df = v.read()
+        return ({} if df is None else
+                {r["val"]: (r["cnt"], r["sum_v"]) for r in df.collect()})
+
+    def one_shot(df):
+        return {
+            r["val"]: (r["cnt"], r["sum_v"])
+            for r in df.groupBy("val")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("amt").alias("sum_v"))
+            .collect()
+        }
+
+    import pyspark.sql.functions as F
+
+    merged = []
+    for b in range(1, 7):
+        merged.append(pipe.process_batch(_batch(spark, b), b))
+        if merged[-1]:
+            # window closed: view is exactly the live aggregate
+            assert view_dict(view) == one_shot(pipe.read_table("t"))
+        else:
+            # mid-window: the view LAGS at the last merge while
+            # read_table already serves the folded tail
+            wm = pipe._last_normalized
+            if wm is not None:
+                assert view_dict(view) == one_shot(
+                    pipe.state_as_of("t", wm))
+                assert view_dict(view) != one_shot(pipe.read_table("t"))
+    assert merged == [False, False, True, False, False, True]
+    # equals a view REBUILT from scratch over the destination
+    rebuilt = ViewTable(spark, str(tmp_path / "mv/view2"), ["val"], "amt")
+    rebuilt.backfill(ParquetTable(
+        spark, pipe.tables["t"].path, ["id"], 4).read())
+    assert view_dict(view) == view_dict(rebuilt)
+    # replayed merge range: state-based images net to zero
+    before = view_dict(view)
+    pipe.normalize_batches(4, 6)
+    assert view_dict(view) == before
+
+
 def test_auto_cadence_floor_gates_before_ratio(spark, tmp_path):
     """r11 regression (ADVICE r10 medium): the trigger is
     pending >= max(auto_min_rows, ratio x dest) — the floor GATES, it is
