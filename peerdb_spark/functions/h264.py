@@ -1853,7 +1853,7 @@ def decode_h264(data: bytes) -> list[tuple[int, int, bytes]]:
 
 def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
                     search: int = 8, return_recon: bool = False,
-                    return_stats: bool = False):
+                    return_stats: bool = False, subpel: bool = True):
     """[(Y, Cb, Cr) uint8 planes] → a conforming Annex-B GOP: one IDR
     I picture (the round-10 CAVLC intra encoder) followed by P pictures —
     P_Skip / P_L0_16x16 with integer-sample full-search motion (±`search`)
@@ -1865,10 +1865,17 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
     (obtained by decoding its own IDR output), exactly what the decoder
     will use, so the contract holds at any frame size.
 
+    subpel=True refines the integer-search winner over its half-sample
+    then quarter-sample neighbours (SAD on the §8.4.2.2 interpolated
+    prediction, the same code path the decoder runs) — streams from real
+    motion carry fractional MVs, so the bit-exact contract exercises the
+    decoder's sub-sample interpolation, not just integer fetches.
+
     return_stats appends per-frame dicts {"pcm_mbs", "skip_mbs",
-    "inter_mbs", "intra_mbs", "mbs"} — the P-frame temporal-compression
-    evidence the r11 gate pins. Reference: PeerDB has no video decode
-    (BYTEA passthrough); this is the engine's from-scratch §8.4 layer."""
+    "inter_mbs", "intra_mbs", "subpel_mbs", "mbs"} — the P-frame
+    temporal-compression evidence the r11 gate pins. Reference: PeerDB
+    has no video decode (BYTEA passthrough); this is the engine's
+    from-scratch §8.4 layer."""
     from peerdb_spark.functions import h264_cavlc as CV
     from peerdb_spark.functions import h264_inter as HI
 
@@ -1879,7 +1886,7 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
                              return_stats=True)
     stream = bytearray(head[0])
     recons = list(head[1])
-    stats = [dict(head[2][0], skip_mbs=0, inter_mbs=0,
+    stats = [dict(head[2][0], skip_mbs=0, inter_mbs=0, subpel_mbs=0,
                   intra_mbs=head[2][0]["mbs"] - head[2][0]["pcm_mbs"])]
     # the decoder's reference = the FULL padded decoded planes
     (_sps, ref_planes), = list(_decode_stream(bytes(stream)))
@@ -1916,10 +1923,14 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
         w.se(0)            # slice_qp_delta
         w.ue(1)            # disable_deblocking_filter_idc = 1
         skip_run = 0
-        n_skip = n_inter = n_pcm = 0
+        n_skip = n_inter = n_pcm = n_subpel = 0
         for mb in range(wmb * hmb):
             my, mx = divmod(mb, wmb)
             mv = _search_mv(Yp, ref[0], mx, my, search)
+            if subpel:
+                mv = _refine_mv_subpel(Yp, ref[0], mx, my, mv)
+            if (mv[0] & 3) or (mv[1] & 3):
+                n_subpel += 1
             skipmv = HI.mv_skip(st.mv, st.inter, mx, my)
             # prefer the skip MV when it predicts as well as the searched
             # one — a skipped MB costs ~0 bits
@@ -1976,7 +1987,7 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
         stream += _nal(1, w.rbsp_trailing(), ref_idc=2)
         stats.append({"pcm_mbs": n_pcm, "skip_mbs": n_skip,
                       "inter_mbs": n_inter, "intra_mbs": n_pcm,
-                      "mbs": wmb * hmb})
+                      "subpel_mbs": n_subpel, "mbs": wmb * hmb})
         recons.append((st.Y.astype(np.uint8)[:height, :width],
                        st.Cb.astype(np.uint8)[:ch, :cw],
                        st.Cr.astype(np.uint8)[:ch, :cw]))
@@ -2008,6 +2019,37 @@ def _search_mv(Yp: np.ndarray, refY: np.ndarray, mx: int, my: int,
             if best is None or key < best[0]:
                 best = (key, (dx * 4, dy * 4))
     return best[1] if best is not None else (0, 0)
+
+
+def _refine_mv_subpel(Yp: np.ndarray, refY: np.ndarray, mx: int, my: int,
+                      mv: tuple[int, int]) -> tuple[int, int]:
+    """Two-stage sub-sample refinement around an integer-search winner:
+    the 8 half-sample neighbours (±2 quarter units), then the 8
+    quarter-sample neighbours of that winner. Each candidate's SAD uses
+    interp_luma_block — the decoder's own §8.4.2.2 prediction — so the
+    chosen MV's prediction is exactly what the decoder will produce.
+    Integer positions win ties (cheaper CAVLC, no interpolation cost)."""
+    from peerdb_spark.functions import h264_inter as HI
+
+    src = Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+
+    def sad(cand):
+        p = HI.interp_luma_block(refY, mx * 16, my * 16, cand[0], cand[1],
+                                 16, 16)
+        return int(np.abs(src - p).sum())
+
+    best, best_sad = mv, sad(mv)
+    for step in (2, 1):
+        centre = best
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dx == 0 and dy == 0:
+                    continue
+                cand = (centre[0] + dx, centre[1] + dy)
+                s = sad(cand)
+                if s < best_sad:
+                    best, best_sad = cand, s
+    return best
 
 
 def _encode_mb_p16(st: _PicState, ref: tuple, Yp, Cbp, Crp, mx: int,

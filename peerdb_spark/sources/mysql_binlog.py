@@ -495,9 +495,31 @@ class BinlogDecoder:
         # column_labels: qualified table -> column ordinal -> ENUM/SET label
         # list (from the schema catalog; binlog table maps carry no labels)
         self.tables: dict[int, _TableMap] = {}
+        # latest raw TABLE_MAP_EVENT payload per table id — the preamble
+        # for resumed decode (decode_binlog.table_map_preamble), the exact
+        # analogue of pgoutput's relation_messages: a chunk boundary can
+        # split a TABLE_MAP from its rows events (mid-transaction), and a
+        # fresh decoder would reject those rows as unknown-table-id
+        self.table_map_events: dict[int, bytes] = {}
         self.column_labels = column_labels or {}
         self.gtid: str | None = None
         self.txid: int | None = None
+
+    def state(self) -> dict | None:
+        """JSON-serializable carry for chunked decode: the open GTID/txid
+        (a chunk boundary inside a transaction would otherwise downgrade
+        following rows to position checkpoints with NULL txid) — table
+        maps travel separately as raw payloads (table_map_events), since
+        replaying those through feed() rebuilds the parsed state exactly."""
+        if self.gtid is None and self.txid is None:
+            return None
+        return {"gtid": self.gtid, "txid": self.txid}
+
+    def load_state(self, state: dict | None) -> None:
+        if not state:
+            return
+        self.gtid = state.get("gtid")
+        self.txid = state.get("txid")
 
     def feed(self, payload: bytes):
         """Decode one binlog event. Malformed payloads reject as ValueError
@@ -563,6 +585,7 @@ class BinlogDecoder:
                     tm.col_meta.append(0)
             tm.labels = self.column_labels.get(tm.qualified, {})
             self.tables[tid] = tm
+            self.table_map_events[tid] = bytes(payload)
             return
         if etype not in (WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2):
             return  # FORMAT_DESCRIPTION / QUERY(BEGIN) / ROTATE etc.
@@ -622,22 +645,41 @@ class BinlogDecoder:
 
 
 def decode_binlog(events_df, stream_col: str = "stream", seq_col: str = "seq",
-                  payload_col: str = "payload"):
+                  payload_col: str = "payload",
+                  table_map_preamble: list[bytes] | None = None,
+                  decoder_state: dict | None = None):
     """Distributed decode: DataFrame(stream, seq, payload binary) → changelog
     rows with STRING (GTID) checkpoints. Sequential per stream id inside one
     applyInPandas group — the replication stream is the parallelism unit,
-    exactly like pgoutput slots."""
+    exactly like pgoutput slots.
+
+    Chunked/micro-batch decode carry (r11, the binlog analogue of
+    decode_pgoutput's relation_preamble + stream_state):
+    `table_map_preamble` replays raw TABLE_MAP_EVENT payloads into each
+    group's decoder BEFORE its events — a chunk boundary can split a
+    TABLE_MAP from its rows events mid-transaction, and a fresh decoder
+    would reject those rows as unknown-table-id; harvest from
+    `BinlogDecoder.table_map_events` after any prior decode.
+    `decoder_state` maps stream id → `BinlogDecoder.state()` (the open
+    GTID/txid), so rows after the boundary keep GTID checkpoints and
+    their transaction id instead of degrading to position checkpoints."""
     from pyspark.sql import types as T
 
     from peerdb_spark.cdc import changelog_schema_with_checkpoint
 
     out_schema = changelog_schema_with_checkpoint(T.StringType())
+    preamble = [bytes(p) for p in (table_map_preamble or [])]
+    carry_in = dict(decoder_state or {})
 
     def _decode(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(seq_col)
         dec = BinlogDecoder()
+        for p in preamble:
+            dec.feed(p)
+        if len(pdf):
+            dec.load_state(carry_in.get(pdf[stream_col].iloc[0]))
         rows = dec.decode_all(pdf[payload_col])
         cols = [f.name for f in out_schema.fields]
         if not rows:

@@ -337,6 +337,34 @@ def test_p_slice_rejects_without_reference():
         decode_h264_yuv(bytes(keep))
 
 
+def test_gop_subpel_motion_exercises_fractional_interp():
+    """A HALF-SAMPLE shifted linear ramp: the 6-tap half-pel filter of a
+    linear ramp is the exact midpoint, so the refined search finds a
+    fractional MV on every inter MB and the decoder's sub-sample
+    interpolation is exercised through the bit-exact contract (integer-MV
+    streams never reach those paths)."""
+    h, w = 32, 48
+    ramp0 = np.arange(w, dtype=np.int32) * 4 + 20
+    y0 = np.clip(np.tile(ramp0, (h, 1)), 0, 255).astype(np.uint8)
+    y1 = np.clip(np.tile(ramp0 + 2, (h, 1)), 0, 255).astype(np.uint8)
+    cb = np.full((h // 2, w // 2), 128, np.uint8)
+    stream, recons, stats = encode_h264_gop(
+        [(y0, cb, cb), (y1, cb, cb)], w, h, qp=8,
+        return_recon=True, return_stats=True)
+    assert stats[1]["subpel_mbs"] >= stats[1]["mbs"] - 1
+    outs = decode_h264_yuv(stream)
+    for k in range(2):
+        assert (outs[k][2] == recons[k][0]).all()
+        assert (outs[k][3] == recons[k][1]).all()
+    # disabled refinement keeps the contract but stays integer
+    s2, r2, st2 = encode_h264_gop(
+        [(y0, cb, cb), (y1, cb, cb)], w, h, qp=8,
+        return_recon=True, return_stats=True, subpel=False)
+    assert st2[1]["subpel_mbs"] == 0
+    outs2 = decode_h264_yuv(s2)
+    assert (outs2[1][2] == r2[1][0]).all()
+
+
 def test_decoded_p_frames_look_right():
     """Beyond bit-exactness: the decoded P frame of a translated scene is
     CLOSE to the translated source (lossy but faithful — MAD under 2 at

@@ -142,6 +142,63 @@ def test_binlog_decoder_round_trip():
     assert json.loads(rows[3]["_old_data"]) == {"c0": 2, "c1": "new", "c2": 20}
 
 
+def test_binlog_chunked_decode_carries_table_maps_and_gtid():
+    """r11 (the binlog analogue of the pgoutput v2 cross-batch fix): a
+    chunk boundary between a TABLE_MAP and its rows events — or inside a
+    transaction, after its GTID — must not lose decoder state. The
+    two-chunk decode with `table_map_events` + `state()` carried equals
+    the single-pass decode at EVERY split point; without the carry, the
+    mid-transaction splits visibly degrade (unknown table id, or
+    position-checkpoint / NULL-txid rows)."""
+    msgs = _stream()
+    single = BinlogDecoder().decode_all(msgs)
+    for split in range(1, len(msgs)):
+        d1 = BinlogDecoder()
+        first = d1.decode_all(msgs[:split])
+        d2 = BinlogDecoder()
+        for p in d1.table_map_events.values():
+            d2.feed(p)
+        d2.load_state(json.loads(json.dumps(d1.state())) if d1.state() else None)
+        got = first + d2.decode_all(msgs[split:])
+        assert [r["_checkpoint_id"] for r in got] == \
+            [r["_checkpoint_id"] for r in single], split
+        assert [r["_txid"] for r in got] == [r["_txid"] for r in single]
+        assert [r["_data"] for r in got] == [r["_data"] for r in single]
+    # the damage without the carry: split after the GTID, before the rows
+    d3 = BinlogDecoder()
+    d3.decode_all(msgs[:2])
+    d4 = BinlogDecoder()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown table id"):
+        d4.decode_all(msgs[2:])  # no table-map preamble
+
+
+def test_decode_binlog_distributed_carry(spark):
+    """The same carry through the applyInPandas path: chunk 2 decodes
+    with the harvested table-map preamble + per-stream state."""
+    from pyspark.sql import Row
+
+    msgs = _stream()
+    d1 = BinlogDecoder()
+    rows1 = d1.decode_all(msgs[:3])  # ends mid-txn 41 (before XID)
+    df2 = spark.createDataFrame(
+        [Row(stream="s0", seq=i, payload=bytearray(p))
+         for i, p in enumerate(msgs[3:])]
+    )
+    out2 = decode_binlog(
+        df2,
+        table_map_preamble=list(d1.table_map_events.values()),
+        decoder_state={"s0": d1.state()},
+    ).collect()
+    single = BinlogDecoder().decode_all(msgs)
+    got = sorted(((r["_checkpoint_id"], r["_txid"], r["_data"])
+                  for r in out2), key=lambda t: t[0])
+    want = sorted(((r["_checkpoint_id"], r["_txid"], r["_data"])
+                   for r in single[len(rows1):]), key=lambda t: t[0])
+    assert got == want
+
+
 def test_binlog_extended_types_round_trip():
     """Widened column-type surface, wire bytes hand-encoded from the
     documented format (not via a shared encoder) so the decoder is checked
