@@ -457,13 +457,23 @@ class WalStreamRunner(CdcStreamRunner):
             batch_df, relation_preamble=preamble,
             stream_state=self._stream_states, on_incomplete="carry",
         ).localCheckpoint()  # decode once: state harvest + sync share it
-        # harvest carried streamed-transaction state (bounded: ≤1 row/slot)
+        # harvest carried streamed-transaction state (bounded: ≤1 row/slot).
+        # A slot ABSENT from this batch keeps its previous carry — its open
+        # transaction is still pending even though no decoder ran for it;
+        # a slot present in the batch either re-emits its state or consumed
+        # it (commit/abort), so the harvested rows are authoritative for
+        # exactly the slots that appeared.
         import json as _json
 
         carried = changelog.where(F.col("_kind") == STREAM_STATE_KIND).collect()
-        self._stream_states = {
-            r["_src_table"]: _json.loads(r["_data"]) for r in carried
+        slots_in_batch = {
+            r["slot"] for r in batch_df.select("slot").distinct().collect()
         }
+        states = {s: st for s, st in self._stream_states.items()
+                  if s not in slots_in_batch}
+        states.update(
+            {r["_src_table"]: _json.loads(r["_data"]) for r in carried})
+        self._stream_states = states
         # harvest this batch's Relation messages for FUTURE batches (this
         # batch's executors see them in-stream, in WAL order)
         rels = (

@@ -392,6 +392,64 @@ def test_wal_stream_v2_transaction_spans_micro_batches(spark, tmp_path):
     assert got == [("1", "streamed-a"), ("2", "streamed-b"), ("3", "plain-c")]
 
 
+def test_wal_stream_state_survives_batches_without_the_slot(spark, tmp_path):
+    """A slot whose streamed transaction is open must keep its carried
+    state across micro-batches that contain NO messages for it (the
+    harvest is authoritative only for slots that appeared in the batch):
+    slot A opens a stream in batch 1, batch 2 is slot B traffic only,
+    batch 3 commits slot A's stream — all rows must land."""
+    from pyspark.sql import types as TT
+
+    from peerdb_spark.storage import ParquetTable
+    from peerdb_spark.streaming import WalStreamRunner
+    from tests.test_pgoutput import (
+        TS1,
+        enc_begin,
+        enc_commit,
+        enc_insert,
+        enc_relation,
+        enc_stream_commit,
+        enc_stream_start,
+        enc_stream_stop,
+        v2,
+    )
+
+    wal_dir = str(tmp_path / "wal")
+    dest = str(tmp_path / "items")
+    val = TT.StructType([TT.StructField("id", TT.StringType()),
+                         TT.StructField("v", TT.StringType())])
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, WalStreamRunner.WAL_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(wal_dir)
+
+    rel = enc_relation(42, "public", "items", ["id", "v"], key_cols=("id",))
+    # batch 1: slot A relation + open stream with one buffered row
+    write_chunk([("A", 10, bytes(rel)),
+                 ("A", 11, bytes(enc_stream_start(700))),
+                 ("A", 12, bytes(v2(enc_insert(42, ["1", "a-str"]), 700)))])
+    runner = WalStreamRunner(
+        spark, wal_dir, str(tmp_path / "ckpt"),
+        [cdc.CdcTableConfig("public.items", ["id"], val, dest, n_buckets=2)],
+        str(tmp_path / "raw"), max_files_per_trigger=1,
+    )
+    runner.run_available()
+    # batch 2: ONLY slot B (plain v1 transaction)
+    write_chunk([("B", 20, bytes(rel)),
+                 ("B", 21, bytes(enc_begin(9, TS1))),
+                 ("B", 22, bytes(enc_insert(42, ["2", "b-plain"]))),
+                 ("B", 23, bytes(enc_commit(TS1)))])
+    runner.run_available()
+    # batch 3: slot A's stream commits
+    write_chunk([("A", 13, bytes(enc_stream_stop())),
+                 ("A", 14, bytes(enc_stream_commit(700, 10**15)))])
+    runner.run_available()
+    runner.stop()
+    t = ParquetTable(spark, dest, ["id"], 2)
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == [("1", "a-str"), ("2", "b-plain")]
+
+
 def test_dedup_within_watermark_streaming(spark, tmp_path):
     """Native redelivery filter: duplicate event ids delivered twice in the
     stream collapse to one row; distinct ids all survive."""
