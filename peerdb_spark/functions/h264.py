@@ -1929,8 +1929,6 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
             mv = _search_mv(Yp, ref[0], mx, my, search)
             if subpel:
                 mv = _refine_mv_subpel(Yp, ref[0], mx, my, mv)
-            if (mv[0] & 3) or (mv[1] & 3):
-                n_subpel += 1
             skipmv = HI.mv_skip(st.mv, st.inter, mx, my)
             # prefer the skip MV when it predicts as well as the searched
             # one — a skipped MB costs ~0 bits
@@ -1941,6 +1939,8 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
                 _commit_p_mb(st, enc, mx, my, skipmv)
                 skip_run += 1
                 n_skip += 1
+                if (skipmv[0] & 3) or (skipmv[1] & 3):
+                    n_subpel += 1  # fractional FINAL motion (inherited)
                 continue
             enc2 = (_encode_mb_p16(st, ref, Yp, Cbp, Crp, mx, my, mv,
                                    qp, qp_c, CV, HI, cbp_index)
@@ -1973,6 +1973,8 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
             w.ue(skip_run)
             skip_run = 0
             n_inter += 1
+            if (use_mv[0] & 3) or (use_mv[1] & 3):
+                n_subpel += 1  # fractional FINAL motion vector
             w.ue(0)  # mb_type P_L0_16x16
             w.se(use_mv[0] - mvp[0])
             w.se(use_mv[1] - mvp[1])
