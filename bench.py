@@ -318,11 +318,14 @@ def main() -> None:
         media/video fixtures -> 1.3-1.5 s with this cleanup, ~0.1 s/call).
         The r8->r10 'drift on untouched code' was exactly this: each round
         ADDED checkpoint-heavy fixtures earlier in the headline list."""
-        sc = spark.sparkContext
-        it = sc._jsc.sc().getPersistentRDDs().iterator()
-        while it.hasNext():
-            it.next()._2().unpersist(False)
-        spark.catalog.clearCache()
+        try:
+            sc = spark.sparkContext
+            it = sc._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cleanup must never fail the bench
+            pass
         gc.collect()
 
     for name in headline:
