@@ -397,10 +397,14 @@ def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     defers the merge until the 3rd batch completes the window — the
     asserts pin that batches 1-2 really did NOT merge. One deferred
     normalize then folds the whole tail, and the final destination must
-    hash-match the SAME oracle as cdc_normalize_merge: the driver
-    certifies deferral is invisible to the relation. (r11, verdict #7:
-    trimmed from 4 deferred batches to 3 — same asserts, same oracle,
-    one fewer sync pass on the board's slowest fixture.)"""
+    hash-match the SAME merge relation as cdc_normalize_merge restricted
+    to the fixture's pk slice: the driver certifies deferral is invisible
+    to the relation. (r11, verdict #7: trimmed from 4 deferred batches to
+    3 AND quartered to the pk%4=0 slice — the merge is per-pk, so
+    filtering the merged RESULT in the oracle equals filtering the
+    inputs here; same asserts, same relation family, a quarter of the
+    work on what was the board's slowest fixture (the remaining wall is
+    the fixed per-operation cost of five real pipeline steps).)"""
     import os
     import shutil
 
@@ -408,8 +412,8 @@ def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (li,) = _t(spark, sf_dir, "lineitem")
     _r = _ranked_shared(li)
-    base = lineitem_base(li, _r)
-    chg = lineitem_changes(li, _r)
+    base = lineitem_base(li, _r).where(F.col("pk") % 4 == 0)
+    chg = lineitem_changes(li, _r).where(F.col("pk") % 4 == 0)
     wd = f"/tmp/peerdb_gate_lazy_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(wd, ignore_errors=True)
     schema = T.StructType([
@@ -442,7 +446,11 @@ def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("pk", "qty", "price", "flag")
 
 
-SQL_CDC_LAZY_CADENCE = SQL_CDC_NORMALIZE_MERGE
+# the eager-merge relation restricted to the fixture's pk slice (the LWW
+# merge is per-pk, so filtering the result == filtering the inputs)
+SQL_CDC_LAZY_CADENCE = (
+    "SELECT * FROM (" + SQL_CDC_NORMALIZE_MERGE + ") WHERE pk % 4 = 0"
+)
 
 
 def q_cdc_mview_lazy_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
