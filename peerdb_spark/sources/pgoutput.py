@@ -530,7 +530,8 @@ def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
                     relation_preamble: list[bytes] | None = None,
                     child_to_parent: dict[str, str] | None = None,
                     stream_state: dict | None = None,
-                    on_incomplete: str = "error"):
+                    on_incomplete: str = "error",
+                    state_dir: str | None = None):
     """Distributed decode: DataFrame(slot, lsn, payload binary) → changelog
     rows (CHANGELOG_SCHEMA columns). Each slot's messages decode sequentially
     in WAL (lsn) order inside one applyInPandas group — the slot IS the unit
@@ -563,7 +564,17 @@ def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
         replay anchor). The caller filters these out of the changelog
         (they are decoder state, not change data), collects them
         (bounded: ≤1 per slot) and passes them back as `stream_state`
-        for the next batch — see streaming.WalStreamRunner."""
+        for the next batch — see streaming.WalStreamRunner.
+
+    `state_dir` (carry mode): when set, the state BODY is written by the
+    EXECUTOR to a uniquely-named JSON file under this directory (shared
+    storage — the raw dir in the runner) and the emitted row's `_data`
+    is just a {"state_file": path} pointer; `stream_state` values may be
+    pointers too (the kernel loads the file). This keeps the driver's
+    per-batch traffic O(#slots) POINTERS even when an open streamed
+    transaction has buffered gigabytes — the rows themselves never leave
+    executor-side storage. Without state_dir the state travels inline
+    (fine for tests and modest transactions)."""
     from peerdb_spark.cdc import CHANGELOG_SCHEMA
 
     if on_incomplete not in ("error", "carry"):
@@ -573,8 +584,12 @@ def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
     c2p = dict(child_to_parent or {})
     carry_in = dict(stream_state or {})
     carry_mode = on_incomplete == "carry"
+    sdir = state_dir
 
     def _decode(pdf):
+        import os
+        import uuid as _uuid
+
         import pandas as pd
 
         pdf = pdf.sort_values(lsn_col)
@@ -582,13 +597,28 @@ def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
         dec = PgOutputDecoder(child_to_parent=c2p)
         for p in preamble:
             dec.replay(p)
-        dec.load_stream_state(carry_in.get(slot))
+        incoming = carry_in.get(slot)
+        if incoming and "state_file" in incoming:
+            with open(incoming["state_file"]) as fh:
+                incoming = json.load(fh)
+        dec.load_stream_state(incoming)
         rows = dec.decode_all(zip(pdf[lsn_col], pdf[payload_col]),
                               carry=carry_mode)
         state = dec.stream_state()
         if state is not None:  # carry mode, else decode_all raised
             anchors = [r["_checkpoint_id"]
                        for rs in state["pending"].values() for r in rs]
+            if sdir is not None:
+                os.makedirs(sdir, exist_ok=True)
+                path = os.path.join(
+                    sdir, f"stream_{slot}_{_uuid.uuid4().hex}.json")
+                tmp = path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(state, fh)
+                os.replace(tmp, path)
+                body = json.dumps({"state_file": path})
+            else:
+                body = json.dumps(state)
             rows.append({
                 "_kind": STREAM_STATE_KIND,
                 "_checkpoint_id": min(anchors) if anchors else None,
@@ -596,7 +626,7 @@ def decode_pgoutput(messages_df, slot_col: str = "slot", lsn_col: str = "lsn",
                 "_txid": state["stream_xid"],
                 "_src_table": slot,
                 "_dst_table": None,
-                "_data": json.dumps(state),
+                "_data": body,
                 "_old_data": None,
                 "_unchanged_cols": None,
             })

@@ -420,8 +420,25 @@ class WalStreamRunner(CdcStreamRunner):
         with open(tmp, "w") as fh:
             json.dump(blob, fh)
         os.replace(tmp, path)
+        # prune the superseded record AND any executor-written stream-state
+        # files only IT references (a replay can only target the last
+        # uncommitted batch, which reads state_{batch_id - 1})
         stale = self._state_path(batch_id - 2)
         if os.path.exists(stale):
+            still_referenced = set()
+            for keep_id in (batch_id, batch_id - 1):
+                kp = self._state_path(keep_id)
+                if os.path.exists(kp):
+                    with open(kp) as fh:
+                        for st in json.load(fh).get("streams", {}).values():
+                            if isinstance(st, dict) and "state_file" in st:
+                                still_referenced.add(st["state_file"])
+            with open(stale) as fh:
+                for st in json.load(fh).get("streams", {}).values():
+                    if (isinstance(st, dict) and "state_file" in st
+                            and st["state_file"] not in still_referenced
+                            and os.path.exists(st["state_file"])):
+                        os.remove(st["state_file"])
             os.remove(stale)
 
     def _restore_decoder_state(self, batch_id: int) -> None:
@@ -456,6 +473,10 @@ class WalStreamRunner(CdcStreamRunner):
         changelog = decode_pgoutput(
             batch_df, relation_preamble=preamble,
             stream_state=self._stream_states, on_incomplete="carry",
+            # executors write state BODIES to shared storage; only
+            # {"state_file": ...} pointers flow through the driver, so a
+            # giant open transaction never rides a collect
+            state_dir=self._state_dir(),
         ).localCheckpoint()  # decode once: state harvest + sync share it
         # harvest carried streamed-transaction state (bounded: ≤1 row/slot).
         # A slot ABSENT from this batch keeps its previous carry — its open
