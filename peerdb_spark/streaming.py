@@ -425,21 +425,25 @@ class WalStreamRunner(CdcStreamRunner):
         # uncommitted batch, which reads state_{batch_id - 1})
         stale = self._state_path(batch_id - 2)
         if os.path.exists(stale):
-            still_referenced = set()
-            for keep_id in (batch_id, batch_id - 1):
-                kp = self._state_path(keep_id)
-                if os.path.exists(kp):
-                    with open(kp) as fh:
-                        for st in json.load(fh).get("streams", {}).values():
-                            if isinstance(st, dict) and "state_file" in st:
-                                still_referenced.add(st["state_file"])
-            with open(stale) as fh:
-                for st in json.load(fh).get("streams", {}).values():
-                    if (isinstance(st, dict) and "state_file" in st
-                            and st["state_file"] not in still_referenced
-                            and os.path.exists(st["state_file"])):
-                        os.remove(st["state_file"])
             os.remove(stale)
+        # sweep stream-state bodies not referenced by any surviving record
+        # (covers both superseded carries and orphans from a crash between
+        # the executor write and this record write)
+        referenced = set()
+        for keep_id in (batch_id, batch_id - 1):
+            kp = self._state_path(keep_id)
+            if os.path.exists(kp):
+                with open(kp) as fh:
+                    for st in json.load(fh).get("streams", {}).values():
+                        if isinstance(st, dict) and "state_file" in st:
+                            referenced.add(os.path.basename(st["state_file"]))
+        for fn in os.listdir(self._state_dir()):
+            if fn.startswith("stream_") and fn.endswith(".json") \
+                    and fn not in referenced:
+                try:
+                    os.remove(os.path.join(self._state_dir(), fn))
+                except OSError:
+                    pass
 
     def _restore_decoder_state(self, batch_id: int) -> None:
         """Reset driver-side decoder state to what batch `batch_id`
