@@ -636,6 +636,14 @@ class CdcPipeline:
 
     def _cadence_due(self, lo: int, hi: int) -> bool:
         if self.normalize_every == "auto":
+            # bootstrap: while NO destination exists yet, merge every
+            # batch — a consumer reading the destination parquet directly
+            # (not via read_table's raw-tail overlay) would otherwise see
+            # nothing at all until pending crosses the floor (r12,
+            # ADVICE low on the r11 floor fix; also the r10 eager
+            # young-mirror behavior existing 'auto' users saw)
+            if self._dest_row_count() == 0:
+                return True
             pending = self.raw.batch_rows(lo, hi)
             # due iff pending >= max(auto_min_rows, ratio * dest): the
             # floor gates first (below it a merge cannot amortize its

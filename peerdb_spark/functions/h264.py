@@ -29,12 +29,20 @@ What this gives the engine (all public-spec, no codec lib):
   `encode_h264_cavlc` emits I_16x16 DC-predicted streams (I_PCM fallback
   per-MB outside the pinned token subset) whose decoder output equals
   the encoder reconstruction BIT-EXACTLY — the H.264 contract.
-- **Honest gates that remain**: CABAC entropy, inter prediction (P/B),
-  8x8 transforms, non-flat scaling lists, and the in-loop deblocking
-  filter raise NotImplementedError — residual-coded streams decode only
-  when their slices disable deblocking (our encoder always does); an
-  enabled filter without the implementation would silently produce
-  non-conformant pixels, so it rejects instead.
+- **P-slice inter prediction (round 11)**: P_Skip and P_L0_16x16
+  macroblocks with one reference picture — §8.4.2.2 quarter/eighth-sample
+  luma/chroma interpolation, §8.4.1 motion-vector prediction and P_Skip
+  MV derivation (h264_inter.py), CAVLC-coded inter residuals, and a GOP
+  encoder (`encode_h264_gop`) whose decoder output equals the encoder
+  reconstruction bit-exactly frame-by-frame.
+- **Honest gates that remain**: CABAC entropy, B slices, P-slice
+  partitions below 16x16 (P_L0_L0_16x8/8x16, P_8x8), multiple/long-term
+  reference pictures, weighted prediction, 8x8 transforms, non-flat
+  scaling lists, and the in-loop deblocking filter raise
+  NotImplementedError — residual-coded streams decode only when their
+  slices disable deblocking (our encoder always does); an enabled filter
+  without the implementation would silently produce non-conformant
+  pixels, so it rejects instead.
 
 Reference parity: the reference (PeerDB) has NO video decode at all —
 media payloads are opaque bytes (flow/model/qvalue, BYTEA passthrough).
@@ -1873,7 +1881,10 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
 
     return_stats appends per-frame dicts {"pcm_mbs", "skip_mbs",
     "inter_mbs", "intra_mbs", "subpel_mbs", "mbs"} — the P-frame
-    temporal-compression evidence the r11 gate pins. Reference: PeerDB
+    temporal-compression evidence the r11 gate pins. intra_mbs counts ALL
+    intra-coded macroblocks INCLUDING I_PCM, uniformly for I and P frames
+    (I frame: every MB; P frame: exactly the I_PCM fallbacks), so summing
+    across a GOP is meaningful; pcm_mbs is always a subset of intra_mbs. Reference: PeerDB
     has no video decode (BYTEA passthrough); this is the engine's
     from-scratch §8.4 layer."""
     from peerdb_spark.functions import h264_cavlc as CV
@@ -1887,7 +1898,7 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
     stream = bytearray(head[0])
     recons = list(head[1])
     stats = [dict(head[2][0], skip_mbs=0, inter_mbs=0, subpel_mbs=0,
-                  intra_mbs=head[2][0]["mbs"] - head[2][0]["pcm_mbs"])]
+                  intra_mbs=head[2][0]["mbs"])]
     # the decoder's reference = the FULL padded decoded planes
     (_sps, ref_planes), = list(_decode_stream(bytes(stream)))
     ref = tuple(p.astype(np.int32) for p in ref_planes)

@@ -27,10 +27,20 @@ H.264 decoder or encoder to machine-verify table conformance against):
   encode<->decode roundtrip property tests that drive TotalCoeff 13-16
   through every column. Each tail entry was cross-checked for
   (length, value) consistency against the worked-example-pinned head
-  rows of its own column. `encode_residual` still returns None for a
-  genuinely unrepresentable level (beyond the 12-bit escape range used
-  here), and the macroblock encoder keeps its I_PCM fallback as a
-  safety net — it no longer triggers on busy blocks.
+  rows of its own column. IMPORTANT CAVEAT: those structural checks and
+  roundtrips prove SELF-consistency only — no worked example or second
+  decoder in this container pins the TotalCoeff >= 14 tail rows of
+  these two columns against the spec, so a transposition that kept the
+  code prefix-free-and-complete would roundtrip internally yet
+  mis-decode an EXTERNAL stream. Callers decoding streams they did not
+  encode can set `STRICT_UNPINNED_TAILS = True` to get a loud
+  ValueError instead of a silent possible mis-decode when one of those
+  tail codewords is actually hit (TotalCoeff 14-16 at nC 2-8 means a
+  near-saturated 4x4 block — rare in practice). `encode_residual`
+  still returns None for a genuinely unrepresentable level (beyond the
+  12-bit escape range used here), and the macroblock encoder keeps its
+  I_PCM fallback as a safety net — it no longer triggers on busy
+  blocks.
 """
 
 from __future__ import annotations
@@ -263,6 +273,19 @@ def _read_code(r, codes: list) -> int:
     raise ValueError("CAVLC: undecodable VLC")
 
 
+# Tail entries of the 2<=nC<4 / 4<=nC<8 columns with no external pin
+# (module docstring, VERIFICATION POSTURE). When STRICT_UNPINNED_TAILS
+# is set, decode_coeff_token raises on them instead of trusting the
+# in-repo transcription — for callers decoding EXTERNAL streams where a
+# silent mis-decode is worse than a reject. Default False: the engine's
+# own encoder<->decoder contract (bit-exact reconstruction) is proven
+# regardless of whether the transcription matches the spec.
+STRICT_UNPINNED_TAILS = False
+UNPINNED_TAILS = {
+    (key, (tc, t1)) for key in (2, 4) for tc in (14, 15, 16) for t1 in range(4)
+}
+
+
 def decode_coeff_token(r, nC: int) -> tuple[int, int]:
     col = _col(nC)
     if col is None:  # nC >= 8: 6-bit FLC
@@ -270,7 +293,15 @@ def decode_coeff_token(r, nC: int) -> tuple[int, int]:
         if v == 3:
             return 0, 0
         return (v >> 2) + 1, v & 3
-    return read_vlc(r, _DECODERS[_col_key(nC)])
+    tok = read_vlc(r, _DECODERS[_col_key(nC)])
+    if STRICT_UNPINNED_TAILS and (_col_key(nC), tok) in UNPINNED_TAILS:
+        raise ValueError(
+            "CAVLC strict mode: coeff_token (TotalCoeff=%d, T1s=%d) at "
+            "nC=%d decodes via a Table 9-5 tail row with no external pin "
+            "in this repo; refusing rather than risking a silent "
+            "mis-decode of an external stream" % (tok[0], tok[1], nC)
+        )
+    return tok
 
 
 def encode_coeff_token(nC: int, tc: int, t1: int) -> str | None:

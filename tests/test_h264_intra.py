@@ -309,6 +309,35 @@ def test_cavlc_tail_tokens_roundtrip_dense():
     assert want <= hit
 
 
+def test_cavlc_strict_unpinned_tails_mode():
+    """STRICT_UNPINNED_TAILS (r12, ADVICE): decoding a coeff_token that
+    lands on a Table 9-5 tail row with no external pin (TotalCoeff>=14 in
+    the 2<=nC<4 / 4<=nC<8 columns) raises loudly instead of trusting the
+    in-repo transcription; head rows and the externally-pinned columns
+    stay decodable in strict mode."""
+    dense = [0] * 16
+    for i in range(14):
+        dense[i] = 1 if i % 2 else -1
+    bits = CV.encode_residual(dense, 2)
+    assert bits is not None
+    sparse = [1, -1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    bits_sparse = CV.encode_residual(sparse, 2)
+    bits_nc0 = CV.encode_residual(dense, 0)  # 0<=nC<2 column: pinned
+    CV.STRICT_UNPINNED_TAILS = True
+    try:
+        with pytest.raises(ValueError, match="no external pin"):
+            CV.decode_residual(_BitReader(_bits_to_bytes(bits)), 2, 16)
+        got = CV.decode_residual(
+            _BitReader(_bits_to_bytes(bits_sparse)), 2, 16)
+        assert got == sparse
+        got0 = CV.decode_residual(_BitReader(_bits_to_bytes(bits_nc0)), 0, 16)
+        assert got0 == dense
+    finally:
+        CV.STRICT_UNPINNED_TAILS = False
+    # default mode still roundtrips the tail entry
+    assert CV.decode_residual(_BitReader(_bits_to_bytes(bits)), 2, 16) == dense
+
+
 def test_mixed_pcm_cavlc_neighbour_rules():
     """Half noise / half smooth: CAVLC MBs sit next to I_PCM MBs, so the
     decode exercises the nC=16 I_PCM neighbour rule and prediction from

@@ -286,11 +286,15 @@ def test_attached_view_freshness_under_lazy_cadence(spark, tmp_path):
 
 
 def test_auto_cadence_floor_gates_before_ratio(spark, tmp_path):
-    """r11 regression (ADVICE r10 medium): the trigger is
-    pending >= max(auto_min_rows, ratio x dest) — the floor GATES, it is
-    not an unconditional merge threshold. Two branches pinned:
-    (1) below the floor nothing merges even over an empty destination;
-    (2) over a GROWN destination, pending over the floor but under
+    """r11 regression (ADVICE r10 medium) + r12 bootstrap (ADVICE r11
+    low): the trigger is pending >= max(auto_min_rows, ratio x dest),
+    EXCEPT while no destination exists yet (dest == 0), where every
+    batch merges so direct-parquet readers see a destination from the
+    first batch. Three branches pinned:
+    (1) dest == 0 -> unconditional bootstrap merge (no bucket reread
+        exists to amortize, so the floor's rationale doesn't apply);
+    (2) once a destination exists, below the floor nothing merges;
+    (3) over a GROWN destination, pending over the floor but under
         ratio x dest still defers (the old inverted code merged here,
         degenerating to near-eager merges exactly at large destinations)."""
     cfg = cdc.CdcTableConfig("t", ["id"], VAL_SCHEMA,
@@ -312,15 +316,16 @@ def test_auto_cadence_floor_gates_before_ratio(spark, tmp_path):
         eager.process_batch(disjoint(b), b)
         # mid-deferral reads stay exact either way
         assert _state(pipe.read_table("t")) == _state(eager.read_table("t"))
-    # floor branch: batches 1-3 hold 40/80/120 pending < 150 -> deferred
-    # even though dest is empty; batch 4 reaches 160 >= max(150, 0) -> merge
-    # (dest becomes 160); batches 5-7 defer on the floor again; batch 8
-    # merges at 160 >= max(150, 1.0*160). dest is now 320, so the ratio
-    # term takes over: batches 9-12 hold at most 160 pending >= floor but
-    # < 320 -> DEFERRED (the inverted code would have merged at batch 12)
-    assert merged == [False, False, False, True,
-                      False, False, False, True,
-                      False, False, False, False]
+    # batch 1: dest == 0 -> bootstrap merge (dest becomes 40). Floor
+    # branch: batches 2-4 hold 40/80/120 pending < 150 -> deferred;
+    # batch 5 reaches 160 >= max(150, 1.0*40) -> merge (dest 200).
+    # Batches 6-8 defer on the floor; batch 9 holds 160 >= floor but
+    # < 1.0*200 -> ratio defers; batch 10 merges at 200 >= max(150, 200)
+    # (dest 400); batches 11-12 hold 40/80 < floor -> DEFERRED (the
+    # inverted pre-r11 code would have merged at batch 9)
+    assert merged == [True, False, False, False, True,
+                      False, False, False, False, True,
+                      False, False]
     # the footer sweep is cached between merges and invalidated by them
     assert pipe._dest_rows is not None  # batch 12's check populated it
     pipe.maybe_normalize(12, force=True)

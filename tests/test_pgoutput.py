@@ -656,3 +656,30 @@ def test_v2_relation_inside_stream_applies():
     dec.feed(4, enc_stream_stop())
     got = dec.feed(5, enc_stream_commit(900, 10**6))
     assert len(got) == 1 and json.loads(got[0]["_data"]) == {"a": "5", "b": "x"}
+
+
+def test_sweep_stream_state_files(tmp_path):
+    """r12 (ADVICE low): the cleanup helper for direct state_dir users —
+    unreferenced stream_*.json bodies are removed, anything named by
+    `keep` (pointer dicts or bare paths) survives, inline states and
+    foreign files are ignored."""
+    from peerdb_spark.sources.pgoutput import sweep_stream_state_files
+
+    sdir = tmp_path / "st"
+    sdir.mkdir()
+    live = sdir / "stream_s0_aaaa.json"
+    orphan1 = sdir / "stream_s0_bbbb.json"
+    orphan2 = sdir / "stream_s1_cccc.json"
+    other = sdir / "state_3.json"  # runner record: not this helper's job
+    for p in (live, orphan1, orphan2, other):
+        p.write_text("{}")
+    removed = sweep_stream_state_files(
+        str(sdir),
+        keep=[{"state_file": str(live)}, {"stream_xid": 5, "pending": {}}],
+    )
+    assert sorted(removed) == sorted([str(orphan1), str(orphan2)])
+    assert live.exists() and other.exists()
+    # bare-path keep form; missing dir is a no-op
+    (orphan1).write_text("{}")
+    assert sweep_stream_state_files(str(sdir), keep=[str(orphan1), str(live)]) == []
+    assert sweep_stream_state_files(str(sdir / "nope")) == []

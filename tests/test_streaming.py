@@ -590,3 +590,31 @@ def test_stream_with_attached_view(spark, tmp_path):
         ).collect()
     }
     assert got == want == {"b": (1, 9)}
+
+
+def test_wal_runner_rejects_non_posix_raw_path(spark, tmp_path):
+    """r12 (ADVICE low): decoder-state persistence needs a POSIX raw path
+    shared by driver and executors — a URI-schemed raw path fails FAST at
+    construction (not mid-stream), and a plain path gets a probe-write."""
+    import os
+
+    import pytest
+
+    from peerdb_spark import cdc
+    from peerdb_spark.streaming import WalStreamRunner
+
+    val = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    cfgs = [cdc.CdcTableConfig("public.items", ["id"], val,
+                               str(tmp_path / "dst"), n_buckets=2)]
+    for bad in ("s3a://bucket/raw", "gs://bucket/raw", "hdfs://nn/raw",
+                "file:///tmp/raw"):
+        with pytest.raises(ValueError, match="POSIX raw path"):
+            WalStreamRunner(spark, str(tmp_path / "wal"),
+                            str(tmp_path / "ckpt"), cfgs, bad,
+                            max_files_per_trigger=1)
+    # plain path: constructor probe-writes (and cleans up) the state dir
+    r = WalStreamRunner(spark, str(tmp_path / "wal"), str(tmp_path / "ckpt"),
+                        cfgs, str(tmp_path / "raw"), max_files_per_trigger=1)
+    sdir = r._state_dir()
+    assert os.path.isdir(sdir) and not os.listdir(sdir)
