@@ -789,3 +789,175 @@ def incremental_span_coverage(
         )
     )
     return coverage, delta
+
+
+# ---------------------------------------------------------------------------
+# CDC-maintained corpus state (replication feeding the cleaning pipeline)
+# ---------------------------------------------------------------------------
+
+
+class CorpusStateView:
+    """Incremental corpus-cleaning + near-dup-LSH state maintained FROM a
+    CDC mirror's merge images (plug into cdc.CdcPipeline.attach_view) —
+    the production story the two halves gate separately elsewhere:
+    replication keeps a documents table live; the training-data pipeline
+    needs the cleaned/keeper view of that live table WITHOUT re-reading or
+    re-featurizing the corpus on every change batch.
+
+    State relation (narrow — the text column is never stored):
+      (doc_id, content_hash, simhash, lang_pred, quality, n_tokens)
+    one row per LIVE mirror row. `simhash` is the incremental near-dup
+    state in exactly the (id, hash) shape
+    dedup.hash64_hamming_pairs_incremental consumes; `content_hash` is the
+    incremental_clean state-hash table, here keyed by id so updates and
+    deletes (which append-only ingestion never sees) retract correctly.
+
+    fold(pre, post, batch_id): featurizes ONLY the post-image rows
+    (O(touched) text work — per-row features plus one explode+groupBy over
+    the touched slice for simhash), drops every touched id's old state
+    row, and publishes the next version with mview.ViewTable's
+    atomic-pointer crash contract (redelivered batch ids no-op via the
+    applied watermark; a crash mid-fold leaves an orphan version the next
+    fold overwrites). Images are state-based, so a replayed merge range
+    folds pre==post and nets to zero.
+
+    accepted(): the cleaned live corpus — the min-id keeper per
+    content_hash that passes the quality/token floors — derived from the
+    narrow state only (incremental_clean's accept rule over live rows; at
+    100 TB this is a window over ~40 B/doc, not a corpus scan).
+
+    Reference: PeerDB stops at the mirror (flow/activities/flowable.go
+    sync→normalize); the maintained-state layer is this engine's
+    LLM-pipeline surface, same fold contract as mview.ViewTable:272."""
+
+    def __init__(self, spark, path: str, text_col: str = "text",
+                 id_col: str = "doc_id", min_quality: float = 0.8,
+                 min_tokens: int = 20):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_quality = min_quality
+        self.min_tokens = min_tokens
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_CURRENT")
+
+    def read(self) -> DataFrame | None:
+        import os
+
+        from peerdb_spark.rollup import read_pointer
+
+        m = read_pointer(self._pointer)
+        if m["version"] == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{m['version']}"))
+
+    def _featurize(self, rows: DataFrame) -> DataFrame:
+        from peerdb_spark.functions.dedup import content_hash, simhash
+        from peerdb_spark.functions.text import lang_id, quality_score, token_count
+
+        c = F.col(self.text_col)
+        per = rows.select(
+            F.col(self.id_col),
+            content_hash(self.text_col).alias("content_hash"),
+            lang_id(c).alias("lang_pred"),
+            quality_score(c).cast("double").alias("quality"),
+            token_count(c).cast("long").alias("n_tokens"),
+        )
+        # empty-text rows produce no tokens → absent from the simhash agg;
+        # left-join + 0 keeps them in the state (their features still gate)
+        fp = simhash(rows, self.text_col, self.id_col, bits=32)
+        return per.join(fp, self.id_col, "left").select(
+            self.id_col, "content_hash",
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+            "lang_pred", "quality", "n_tokens",
+        )
+
+    def backfill(self, live_rows: DataFrame) -> bool:
+        """Seed from EXISTING mirror state when attaching mid-life (the
+        ViewTable.backfill contract: consumes no batch id, no-op once a
+        version exists; replayed merges self-correct via state images)."""
+        import os
+
+        from peerdb_spark.rollup import read_pointer
+
+        m = read_pointer(self._pointer)
+        if m["version"] > 0:
+            return False
+        nxt = m["version"] + 1
+        self._featurize(live_rows).write.mode("overwrite").parquet(
+            os.path.join(self.path, f"v{nxt}"))
+        import json
+
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({**m, "version": nxt}, fh)
+        os.replace(tmp, self._pointer)
+        return True
+
+    def fold(self, pre_image: DataFrame, post_image: DataFrame,
+             batch_id: int) -> bool:
+        import os
+
+        from peerdb_spark.rollup import (
+            is_applied,
+            publish_pointer,
+            read_pointer,
+            retire_snapshot,
+        )
+
+        m = read_pointer(self._pointer)
+        if is_applied(m, batch_id):
+            return False
+        # the images are lazy semi-join slices over the just-merged table;
+        # _featurize reads its input twice (per-row features + the simhash
+        # explode-agg) and `touched` adds a third pass — checkpoint the
+        # batch-sized slices once instead of re-running the join per pass
+        # (bounded: touched rows only — backfill deliberately does NOT
+        # checkpoint, its input is the whole corpus)
+        pre_image = pre_image.select(self.id_col).localCheckpoint()
+        post_image = post_image.localCheckpoint()
+        touched = (
+            pre_image.select(self.id_col)
+            .unionByName(post_image.select(self.id_col))
+            .distinct()
+        )
+        feats = self._featurize(post_image)
+        cur = self.read()
+        if cur is None:
+            new_state = feats
+        else:
+            new_state = cur.join(
+                F.broadcast(touched), self.id_col, "left_anti"
+            ).unionByName(feats)
+        nxt = m["version"] + 1
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"v{nxt}"))
+        publish_pointer(self._pointer, {**m, "version": nxt}, batch_id)
+        retire_snapshot(self.path, nxt)
+        return True
+
+    def accepted(self) -> DataFrame:
+        """Cleaned live corpus from the narrow state: min-id keeper per
+        content hash, then the quality/token floors (incremental_clean's
+        accept rule applied to mirror-live rows)."""
+        st = self.read()
+        if st is None:
+            raise ValueError("CorpusStateView has no state yet")
+        w = Window.partitionBy("content_hash")
+        keeper = (
+            st.withColumn("_m", F.min(self.id_col).over(w))
+            .where(F.col(self.id_col) == F.col("_m"))
+            .drop("_m")
+        )
+        return keeper.where(
+            (F.col("quality") >= self.min_quality)
+            & (F.col("n_tokens") >= self.min_tokens)
+        )

@@ -531,6 +531,83 @@ FROM w WHERE kind != 'delete' GROUP BY event_type
 """
 
 
+def q_cdc_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION FEEDING THE TRAINING-DATA PIPELINE end-to-end (r12,
+    verdict #8 — the production story the two halves previously gated only
+    separately): a documents table runs as a CDC mirror
+    (CdcPipeline + attach_view) and a corpus.CorpusStateView maintains the
+    cleaning + near-dup-LSH state FROM the merge images — per-batch text
+    work is O(touched rows), the corpus is never re-featurized, and
+    updates/deletes (which append-only ingestion never sees) retract their
+    old state rows. Batch 1 inserts the even half; batch 2 inserts the odd
+    half, revises every 6th doc's text and deletes every 10th doc — so the
+    maintained state must track a LIVE table through all three change
+    kinds. Output = the accepted corpus (min-id keeper per content hash +
+    quality/token floors) WITH its simhash LSH state; the oracle is the
+    from-scratch clean over the merged live state, which is exactly the
+    contract. Version-pointer asserts pin that the state really folded
+    per-merge (incrementally), not from a final rebuild."""
+    import json as _json
+    import os
+    import shutil
+
+    from peerdb_spark.functions.corpus import CorpusStateView
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = ensure_parallelism(docs.select("doc_id", "text")).localCheckpoint()
+    rev = F.concat(F.col("text"), F.lit(" rev2 fresh words"))
+    ins_even = base.where(F.col("doc_id") % 2 == 0).select(
+        F.lit("insert").alias("kind"), "doc_id", "text",
+        (F.col("doc_id") * 10 + 1).alias("ck"), F.lit(1).alias("_b"))
+    ins_odd = base.where(F.col("doc_id") % 2 == 1).select(
+        F.lit("insert").alias("kind"), "doc_id", "text",
+        (F.col("doc_id") * 10 + 1).alias("ck"), F.lit(2).alias("_b"))
+    upd = base.where(F.col("doc_id") % 6 == 0).select(
+        F.lit("update").alias("kind"), "doc_id", rev.alias("text"),
+        (F.col("doc_id") * 10 + 2).alias("ck"), F.lit(2).alias("_b"))
+    dele = base.where(F.col("doc_id") % 10 == 0).select(
+        F.lit("delete").alias("kind"), "doc_id", "text",
+        (F.col("doc_id") * 10 + 3).alias("ck"), F.lit(2).alias("_b"))
+    cl = ins_even.unionByName(ins_odd).unionByName(upd).unionByName(dele)
+    payload = F.to_json(F.struct("doc_id", "text"))
+    feed = cl.select(
+        F.col("kind").alias("_kind"),
+        F.col("ck").alias("_checkpoint_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("ck"))
+        .alias("_commit_ts"),
+        F.col("ck").alias("_txid"),
+        F.lit("t").alias("_src_table"),
+        F.lit("t").alias("_dst_table"),
+        F.when(F.col("kind") != "delete", payload).alias("_data"),
+        F.when(F.col("kind") == "delete", payload).alias("_old_data"),
+        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+        "_b",
+    ).localCheckpoint(eager=True)
+
+    wd = f"/tmp/peerdb_gate_corpusinc_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(wd, ignore_errors=True)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    cfg = CDC.CdcTableConfig("t", ["doc_id"], schema, f"{wd}/dst", n_buckets=4)
+    pipe = CDC.CdcPipeline(spark, f"{wd}/raw", [cfg], normalize_every=1)
+    view = CorpusStateView(spark, f"{wd}/state")
+    pipe.attach_view("t", view)
+
+    def _version() -> int:
+        with open(os.path.join(f"{wd}/state", "_CURRENT")) as fh:
+            return _json.load(fh)["version"]
+
+    for b in (1, 2):
+        pipe.process_batch(feed.where(F.col("_b") == b).drop("_b"), b)
+        assert _version() == b, f"state did not fold at batch {b}"
+    return view.accepted().select(
+        "doc_id", "simhash", "lang_pred", "quality", "n_tokens")
+
+
+
+
 def q_cdc_lww_skew_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LWW dedup through the HOT-KEY GUARD (round 9,
     normalize.latest_changes skew_salt): the two-level fold — max_by per
@@ -1634,7 +1711,7 @@ FROM comp GROUP BY rep
 """
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_sql(bits: int = 32, src: str = "documents") -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
     )
@@ -1642,7 +1719,7 @@ def _simhash_sql(bits: int = 32) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-  FROM documents WHERE len(trim(text)) > 0
+  FROM {src} WHERE len(trim(text)) > 0
 ),
 hashed AS (SELECT doc_id, {h64_sql("tok")} AS th FROM toks),
 votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
@@ -6525,6 +6602,33 @@ WHERE h NOT IN (SELECT h FROM state)
 """
 
 
+SQL_CDC_CORPUS_INCREMENTAL = f"""
+WITH live AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN text || ' rev2 fresh words'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 0
+),
+per AS (
+  SELECT doc_id, {h64_sql("trim(text)")} AS content_hash,
+         {_lang_id_sql("text")} AS lang_pred,
+         CAST({_quality_sql("text")} AS DOUBLE) AS quality,
+         CAST({_tokens_sql("text")} AS BIGINT) AS n_tokens
+  FROM live
+),
+sims AS ({_simhash_sql(src="live")}),
+keeper AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS m FROM per
+  ) WHERE doc_id = m
+)
+SELECT k.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash,
+       k.lang_pred, k.quality, k.n_tokens
+FROM keeper k LEFT JOIN sims s ON k.doc_id = s.doc_id
+WHERE k.quality >= 0.8 AND k.n_tokens >= 20
+"""
+
+
 def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END cleaning pipeline — every stage a real production
     filter, chained: exact-dedup keep list → quality/length floors →
@@ -7033,6 +7137,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_split_merge": q_cdc_split_merge,
     "cdc_lazy_cadence": q_cdc_lazy_cadence,
     "cdc_mview_lazy_fresh": q_cdc_mview_lazy_fresh,
+    "cdc_corpus_incremental": q_cdc_corpus_incremental,
     "media_h264_pslice": q_media_h264_pslice,
     "cdc_lww_skew_dedup": q_cdc_lww_skew_dedup,
     "mirror_table_diff": q_mirror_table_diff,
@@ -7165,6 +7270,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "cdc_split_merge": SQL_CDC_SPLIT_MERGE,
     "cdc_lazy_cadence": SQL_CDC_LAZY_CADENCE,
     "cdc_mview_lazy_fresh": SQL_CDC_MVIEW_LAZY_FRESH,
+    "cdc_corpus_incremental": SQL_CDC_CORPUS_INCREMENTAL,
     "media_h264_pslice": SQL_MEDIA_H264_PSLICE,
     "cdc_lww_skew_dedup": SQL_CDC_LWW_SKEW_DEDUP,
     "mirror_table_diff": SQL_MIRROR_TABLE_DIFF,
@@ -7303,144 +7409,39 @@ _ORACLES_IMPL: dict[str, str] = {
 # else keeps its recorded verdict and prior relative order (the
 # _GATE_GREEN_* provenance lists below).
 #
-# Round-11 window:
+# Round-12 window:
 # - REGATES (transitive impl changed this round; function-level precision
-#   where the touched module is a grab-bag of independent ops):
-#   cdc_lazy_cadence (cdc.py cadence/auto-trigger/dest-cache changes +
-#   fixture trimmed 4->3 deferred batches, verdict #7), media_h264_cavlc
-#   (h264_cavlc.py Table 9-5 tails completed + h264.py return_stats +
-#   multimodal.h264_cavlc_roundtrip_check pcm_mbs column + dense fixture
-#   classes, verdict #4), media_frame_sample_h264 (h264.py module
-#   changed), and mongo_changestream_decode (code untouched — re-gated as
-#   verdict #1 evidence that the bench-session-state diagnosis restored
-#   its number; see SCALING.md r11 entry). ogg.py's header-count-0 fix is
-#   NOT on any gate path (the audio gates are WAV/FLAC fixtures);
-#   pgoutput/streaming changes are pytest-gated wire/stream surfaces.
-# - NEW: cdc_mview_lazy_fresh (verdict #5 — attach_view'd maintained view
-#   through the PRODUCT path under normalize_every=2, deferral + lag
-#   asserted, one-shot-aggregate oracle) and media_h264_pslice (verdict
-#   #8 stretch — P-slice motion compensation, GOP contract + temporal
-#   compression pinned)
-# - STALE REFRESH (verdict #3's priority): the 7 pre-r8 rows first, then
-#   the whole r8 cohort, then the r7 cohort, then 24 of the r6-provenance
-#   cohort — after this round only corpus_clean_full and pca_projection
-#   still carry pre-r9 rows (first in line for r12; the window holds 50).
+#   in the cdc.py grab-bag): cdc_lazy_cadence + cdc_mview_lazy_fresh drive
+#   CdcPipeline.process_batch whose 'auto'/cadence trigger gained the
+#   dest==0 bootstrap merge (ADVICE r11 low), and dedup_simhash re-gates
+#   because _simhash_sql's oracle constructor grew a src parameter (the
+#   generated SQL is textually identical at the default — regated to prove
+#   it). pgoutput/streaming decode-path changes (flat DML decoder, fused
+#   runner harvest scan, POSIX probe) are pytest-gated wire/stream
+#   surfaces on no oracle path, as in r11; bench.py's re-time pass and
+#   the h264 docstring/stats fixes touch no gate query.
+# - NEW: cdc_corpus_incremental (verdict #8 stretch — a documents table
+#   run as a CDC mirror with corpus.CorpusStateView maintaining cleaning
+#   + simhash-LSH state O(touched)/merge from the merge images; oracle =
+#   from-scratch clean over the merged live state).
+# - STALE REFRESH (oldest cohorts first, verdict #4): the 2 last pre-r9
+#   rows (corpus_clean_full, pca_projection — closing the r11 "zero
+#   queries older than r10" ask), then the ENTIRE r9 cohort (30), then
+#   the head of the r10 cohort (14) — after this round no driver row
+#   predates r10.
 _REGATE_THIS_ROUND = [
     "cdc_lazy_cadence",
-    "media_h264_cavlc",
-    "media_frame_sample_h264",
-    "mongo_changestream_decode",
+    "cdc_mview_lazy_fresh",
+    "dedup_simhash",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
-    "cdc_mview_lazy_fresh",
-    "media_h264_pslice",
+    "cdc_corpus_incremental",
 ]
 
 _STALE_REFRESH = [
-    # the 7 pre-r8 driver rows (verdict #3's exact list)
-    "qrep_date_partition",
-    "bpe_encode_ranked",
-    "pca_projection2",
-    "tfidf_topk",
-    "quality_classifier",
-    "corpus_shuffle_shards",
-    "hybrid_retrieval",
-    # the r8 cohort
-    "exotic_types",
-    "bpe_train_batched_merges",
-    "ivf_topk",
-    "ann_lsh_topk",
-    "ann_srp_buckets",
-    "sim_topk",
-    "embedding_near_dup",
-    "semantic_dedup",
-    "kmeans_clusters",
-    # the r7 cohort
-    "media_features",
-    "media_resize",
-    "media_frame_plan",
-    "events_session_native",
-    # 25 of the r6-provenance cohort (all remaining but pca_projection)
-    "events_funnel",
-    "events_cohort_retention",
-    "graph_pagerank",
-    "events_asof_join",
-    "events_asof_forward",
-    "events_burst_detect",
-    "events_rollup_incremental",
-    "sq8_topk",
-    "knn_graph",
-    "hard_negatives",
-    "knn_label_consistency",
-    "length_quantiles",
-    "mixture_sample",
-    "token_budget_sample",
-    "length_batch_plan",
-    "repetition_scrub",
-    "pii_redact",
-    "passage_dedup",
-    "events_interval_join",
-    "decontaminate",
-    "gopher_quality",
-    "doc_chunks",
-    "bm25_topk",
-    "corpus_incremental_clean",
-]
-
-# Provenance of the most recent green driver row for everything else
-# (kept for the judge's audit trail; relative order preserved).
-_GATE_GREEN_R10 = [
-    "audio_fingerprint",
-    "audio_fingerprint_dups",
-    "audio_frame_energy_flac",
-    "tar_shard_explode",
-    "media_decode_jpeg_progressive",
-    "cdc_normalize_merge",
-    "cdc_split_merge",
-    "cdc_lww_dedup",
-    "cdc_lww_skew_dedup",
-    "cdc_soft_delete",
-    "cdc_pk_update",
-    "cdc_toast_coalesce",
-    "cdc_rmt_view",
-    "cdc_record_counts",
-    "cdc_unchanged_toast_sets",
-    "cdc_time_travel",
-    "catalog_distinct_dst",
-    "cdc_mirror_mview",
-    "cdc_enriched_mview",
-    "video_fingerprint",
-    "video_fingerprint_dups",
-    "image_dhash_incremental",
-    "dedup_incremental_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_cc_groups",
-    "pack_sequences",
-    "stratified_sample",
-    "mirror_lag_metrics",
-    "dedup_ngram_jaccard",
-    "text_features",
-    "text_lang_stats",
-    "corpus_clean",
-    "events_tumbling_agg",
-    "events_sliding_agg",
-    "events_sessionize",
-    "vocab_topk",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "passthrough_agg",
-    "passthrough_join",
-    "cms_heavy_hitters",
-    "hll_vocab_registers",
-    "bloom_membership",
-    "dup_span_coverage",
-    "hist_quantiles",
-]
-
-_GATE_GREEN_R9 = [
+    "corpus_clean_full",
+    "pca_projection",
     "media_frame_sample_mjpeg",
     "media_decode_png",
     "media_decode_jpeg",
@@ -7471,16 +7472,113 @@ _GATE_GREEN_R9 = [
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_lsh_pairs",
+    "audio_fingerprint",
+    "audio_fingerprint_dups",
+    "audio_frame_energy_flac",
+    "tar_shard_explode",
+    "media_decode_jpeg_progressive",
+    "cdc_normalize_merge",
+    "cdc_split_merge",
+    "cdc_lww_dedup",
+    "cdc_lww_skew_dedup",
+    "cdc_soft_delete",
+    "cdc_pk_update",
+    "cdc_toast_coalesce",
+    "cdc_rmt_view",
+    "cdc_record_counts",
 ]
 
-_GATE_GREEN_R6 = [
-    "corpus_clean_full",
-    "pca_projection",
+# Provenance of the most recent green driver row for everything else
+# (kept for the judge's audit trail; relative order preserved).
+_GATE_GREEN_R11 = [
+    "media_h264_cavlc",
+    "media_frame_sample_h264",
+    "mongo_changestream_decode",
+    "media_h264_pslice",
+    "qrep_date_partition",
+    "bpe_encode_ranked",
+    "pca_projection2",
+    "tfidf_topk",
+    "quality_classifier",
+    "corpus_shuffle_shards",
+    "hybrid_retrieval",
+    "exotic_types",
+    "bpe_train_batched_merges",
+    "ivf_topk",
+    "ann_lsh_topk",
+    "ann_srp_buckets",
+    "sim_topk",
+    "embedding_near_dup",
+    "semantic_dedup",
+    "kmeans_clusters",
+    "media_features",
+    "media_resize",
+    "media_frame_plan",
+    "events_session_native",
+    "events_funnel",
+    "events_cohort_retention",
+    "graph_pagerank",
+    "events_asof_join",
+    "events_asof_forward",
+    "events_burst_detect",
+    "events_rollup_incremental",
+    "sq8_topk",
+    "knn_graph",
+    "hard_negatives",
+    "knn_label_consistency",
+    "length_quantiles",
+    "mixture_sample",
+    "token_budget_sample",
+    "length_batch_plan",
+    "repetition_scrub",
+    "pii_redact",
+    "passage_dedup",
+    "events_interval_join",
+    "decontaminate",
+    "gopher_quality",
+    "doc_chunks",
+    "bm25_topk",
+    "corpus_incremental_clean",
+]
+
+_GATE_GREEN_R10 = [
+    "cdc_unchanged_toast_sets",
+    "cdc_time_travel",
+    "catalog_distinct_dst",
+    "cdc_mirror_mview",
+    "cdc_enriched_mview",
+    "video_fingerprint",
+    "video_fingerprint_dups",
+    "image_dhash_incremental",
+    "dedup_incremental_lsh",
+    "dedup_simhash_pairs",
+    "dedup_cc_groups",
+    "pack_sequences",
+    "stratified_sample",
+    "mirror_lag_metrics",
+    "dedup_ngram_jaccard",
+    "text_features",
+    "text_lang_stats",
+    "corpus_clean",
+    "events_tumbling_agg",
+    "events_sliding_agg",
+    "events_sessionize",
+    "vocab_topk",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "passthrough_agg",
+    "passthrough_join",
+    "cms_heavy_hitters",
+    "hll_vocab_registers",
+    "bloom_membership",
+    "dup_span_coverage",
+    "hist_quantiles",
 ]
 
 _DECLARED_ORDER = (
     _REGATE_THIS_ROUND + _NEW_THIS_ROUND + _STALE_REFRESH
-    + _GATE_GREEN_R10 + _GATE_GREEN_R9 + _GATE_GREEN_R6
+    + _GATE_GREEN_R11 + _GATE_GREEN_R10
 )
 
 assert set(_DECLARED_ORDER) == set(_QUERIES_IMPL), (
