@@ -35,10 +35,20 @@ What this gives the engine (all public-spec, no codec lib):
   MV derivation (h264_inter.py), CAVLC-coded inter residuals, and a GOP
   encoder (`encode_h264_gop`) whose decoder output equals the encoder
   reconstruction bit-exactly frame-by-frame.
-- **Honest gates that remain**: CABAC entropy, B slices, P-slice
-  partitions below 16x16 (P_L0_L0_16x8/8x16, P_8x8), multiple/long-term
-  reference pictures, weighted prediction, 8x8 transforms, non-flat
-  scaling lists, and the in-loop deblocking filter raise
+- **B-slice bi-prediction (round 12)**: B_Skip / B_Direct_16x16 under
+  SPATIAL direct mode (§8.4.1.2.2) and explicit B_L0/B_L1/B_Bi 16x16,
+  one reference per list, default bipred averaging (§8.4.2.3.1),
+  poc_type-0 slice headers with §8.2.1.1 POC derivation and decode→
+  display reordering, non-reference B NALs (droppable without breaking
+  any reference chain), and `encode_h264_gop(b_frames=k)` emitting
+  IDR + P anchors + B pictures with the same bit-exact contract.
+- **Honest gates that remain**: CABAC entropy (its context-initialization
+  tables have no honestly-verifiable in-container source — see
+  h264_cavlc.py's verification posture for why table provenance is
+  load-bearing), temporal direct mode, inter partitions below 16x16
+  (P/B 16x8, 8x16, 8x8), more than one reference per list / long-term
+  references / list reordering, weighted prediction, 8x8 transforms,
+  non-flat scaling lists, and the in-loop deblocking filter raise
   NotImplementedError — residual-coded streams decode only when their
   slices disable deblocking (our encoder always does); an enabled filter
   without the implementation would silently produce non-conformant
@@ -322,9 +332,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if num_slice_groups > 1:
         raise NotImplementedError("FMO slice groups not supported")
     num_ref_l0_default = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
-    r.ue()  # num_ref_idx_l1_default_active_minus1
+    num_ref_l1_default = r.ue() + 1  # num_ref_idx_l1_default_active_minus1
     weighted_pred = r.u(1)  # weighted_pred_flag
-    r.u(2)  # weighted_bipred_idc
+    weighted_bipred = r.u(2)  # weighted_bipred_idc
     pic_init_qp = 26 + r.se()
     r.se()  # pic_init_qs_minus26
     chroma_qp_offset = r.se()
@@ -351,7 +361,9 @@ def parse_pps(rbsp: bytes) -> dict:
         "chroma_qp_offset": chroma_qp_offset,
         "transform_8x8": transform_8x8,
         "num_ref_l0_default": num_ref_l0_default,
+        "num_ref_l1_default": num_ref_l1_default,
         "weighted_pred": weighted_pred,
+        "weighted_bipred": weighted_bipred,
     }
 
 
@@ -410,8 +422,9 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool,
             raise NotImplementedError("field pictures not supported")
     if idr:
         r.ue()  # idr_pic_id
+    poc_lsb = 0
     if sps["poc_type"] == 0:
-        r.u(sps["log2_max_poc_lsb"])
+        poc_lsb = r.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
             r.se()
     elif sps["poc_type"] == 1 and not sps["delta_pic_order_always_zero"]:
@@ -421,24 +434,37 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool,
     if pps["redundant_present"]:
         r.ue()  # redundant_pic_cnt
     is_p = slice_type % 5 == 0
-    if not is_p and slice_type % 5 != 2:  # I (2/7) and P (0/5) decode
+    is_b = slice_type % 5 == 1
+    if not is_p and not is_b and slice_type % 5 != 2:
         raise NotImplementedError(
-            f"only I and P slices decode (got slice_type {slice_type}); "
-            "B slices need bi-prediction")
-    if is_p:
-        # round 11: P slices against ONE reference picture (the previous
-        # decoded picture) — no list reordering, no weighted prediction
-        n_ref = pps["num_ref_l0_default"]
-        if r.u(1):  # num_ref_idx_active_override_flag
-            n_ref = r.ue() + 1
-        if n_ref != 1:
+            f"only I, P and B slices decode (got slice_type {slice_type})")
+    direct_spatial = 1
+    if is_b:
+        direct_spatial = r.u(1)  # direct_spatial_mv_pred_flag
+        if not direct_spatial:
             raise NotImplementedError(
-                f"P slices decode with exactly 1 reference picture "
-                f"(num_ref_idx_l0_active = {n_ref})")
+                "temporal direct mode not supported (spatial direct only)")
+    if is_p or is_b:
+        # round 11/12: ONE active reference picture per list — no list
+        # reordering, no weighted prediction
+        n_ref0 = pps["num_ref_l0_default"]
+        n_ref1 = pps["num_ref_l1_default"]
+        if r.u(1):  # num_ref_idx_active_override_flag
+            n_ref0 = r.ue() + 1
+            if is_b:
+                n_ref1 = r.ue() + 1
+        if n_ref0 != 1 or (is_b and n_ref1 != 1):
+            raise NotImplementedError(
+                f"slices decode with exactly 1 reference picture per list "
+                f"(num_ref_idx_active = {n_ref0}/{n_ref1})")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError("ref pic list modification")
-        if pps["weighted_pred"]:
+        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
+            raise NotImplementedError("ref pic list modification")
+        if is_p and pps["weighted_pred"]:
             raise NotImplementedError("weighted prediction")
+        if is_b and pps["weighted_bipred"]:
+            raise NotImplementedError("weighted bi-prediction")
     # dec_ref_pic_marking is present only when nal_ref_idc != 0 (spec
     # §7.3.3) — non-reference slices carry none.
     if ref_idc:
@@ -459,7 +485,8 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, idr: bool,
             r.se()
             r.se()
     return {"first_mb": first_mb, "slice_type": slice_type,
-            "slice_qp_delta": slice_qp_delta, "deblock_idc": deblock_idc}
+            "slice_qp_delta": slice_qp_delta, "deblock_idc": deblock_idc,
+            "poc_lsb": poc_lsb, "direct_spatial": direct_spatial}
 
 
 
@@ -607,9 +634,14 @@ class _PicState:
         self.mb_slice = np.full((hmb, wmb), -1, dtype=np.int32)
         self.i4mode = np.full((hmb * 4, wmb * 4), -1, dtype=np.int8)
         # P-slice motion state (round 11): per-MB quarter-sample MV and
-        # an is-inter flag (intra MBs inside P slices stay False)
+        # an is-inter flag (intra MBs inside P slices stay False).
+        # For B slices (round 12) mv/inter double as LIST-0 motion and
+        # mv1/used1 carry list-1 — a neighbour that predicted only from
+        # the other list reads as "different reference" on this one.
         self.mv = np.zeros((hmb, wmb, 2), dtype=np.int32)
         self.inter = np.zeros((hmb, wmb), dtype=bool)
+        self.mv1 = np.zeros((hmb, wmb, 2), dtype=np.int32)
+        self.used1 = np.zeros((hmb, wmb), dtype=bool)
 
     # nC prediction (9.2.1): average of available left/top TotalCoeff
     def nc(self, arr, bx: int, by: int, sl: int, per_mb: int) -> int:
@@ -898,7 +930,10 @@ _BLK4_ORDER = tuple((2 * ((n >> 2) & 1) + (n & 1), 2 * (n >> 3) + ((n >> 1) & 1)
 def _decode_picture(
     vcl_payloads: list[tuple[bytes, bool, int]], sps: dict, pps: dict,
     ref: tuple | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ref1: tuple | None = None,
+    col: tuple | None = None,
+    return_motion: bool = False,
+):
     """Decode one coded picture's VCL NAL payloads (RBSP, idr flag,
     nal_ref_idc): I_PCM, I_16x16 and I_4x4 (I_NxN) macroblocks, CAVLC
     entropy (round 10 — see h264_cavlc.py for the verification posture),
@@ -924,12 +959,18 @@ def _decode_picture(
         r = _BitReader(rbsp)
         hdr = _parse_slice_header(r, sps, pps, idr, ref_idc)
         is_p = hdr["slice_type"] % 5 == 0
+        is_b = hdr["slice_type"] % 5 == 1
         if is_p and ref is None:
             raise ValueError("P slice without a prior decoded picture")
-        if is_p and (hdr["first_mb"] != 0 or len(vcl_payloads) != 1):
-            # MV prediction here treats picture == slice; multi-slice P
-            # pictures would need per-slice neighbour gating
-            raise NotImplementedError("multi-slice P pictures not supported")
+        if is_b and (ref is None or ref1 is None or col is None):
+            raise ValueError(
+                "B slice without both reference pictures (need a past and "
+                "a future reference in display order)")
+        if (is_p or is_b) and (hdr["first_mb"] != 0 or len(vcl_payloads) != 1):
+            # MV prediction here treats picture == slice; multi-slice
+            # inter pictures would need per-slice neighbour gating
+            raise NotImplementedError(
+                "multi-slice P/B pictures not supported")
         mb = hdr["first_mb"]
         if mb != seen:
             raise ValueError("slices out of order or overlapping")
@@ -945,7 +986,7 @@ def _decode_picture(
 
         stop = _last_one_bit(rbsp)
         while mb < n_mbs and r.pos < stop:
-            if is_p:
+            if is_p or is_b:
                 no_deblock()  # any inter MB can create a filtered edge
                 skip_run = r.ue()
                 if mb + skip_run > n_mbs:
@@ -953,7 +994,10 @@ def _decode_picture(
                 for _ in range(skip_run):
                     my, mx = divmod(mb, wmb)
                     st.mb_slice[my, mx] = sl
-                    _decode_mb_pskip(st, ref, mx, my)
+                    if is_b:  # B_Skip: spatial direct, no residual
+                        _decode_mb_bskip(st, ref, ref1, col, mx, my)
+                    else:
+                        _decode_mb_pskip(st, ref, mx, my)
                     mb += 1
                 if mb >= n_mbs or r.pos >= stop:
                     break
@@ -970,6 +1014,17 @@ def _decode_picture(
                         f"P macroblock partitions below 16x16 not supported"
                         f" (P mb_type {mb_type})")
                 mb_type -= 5  # intra MB inside a P slice (spec 7.4.5)
+            elif is_b:
+                if mb_type <= 3:  # B_Direct_16x16 / B_L0 / B_L1 / B_Bi
+                    qp = _decode_mb_b16(st, r, ref, ref1, col, mx, my,
+                                        mb_type, qp, pps, sl, CV)
+                    mb += 1
+                    continue
+                if mb_type < 23:
+                    raise NotImplementedError(
+                        f"B macroblock partitions below 16x16 not supported"
+                        f" (B mb_type {mb_type})")
+                mb_type -= 23  # intra MB inside a B slice (Table 7-14)
             if mb_type == _I_PCM_MB_TYPE:
                 _decode_mb_ipcm(st, r, mx, my)
             elif 1 <= mb_type <= 24:
@@ -986,8 +1041,11 @@ def _decode_picture(
         seen = mb
     if seen != n_mbs:
         raise ValueError(f"picture covers {seen}/{n_mbs} macroblocks")
-    return (st.Y.astype(np.uint8), st.Cb.astype(np.uint8),
-            st.Cr.astype(np.uint8))
+    planes = (st.Y.astype(np.uint8), st.Cb.astype(np.uint8),
+              st.Cr.astype(np.uint8))
+    if return_motion:
+        return planes, (st.mv.copy(), st.inter.copy())
+    return planes
 
 
 def _inter_pred_mb(ref: tuple, mx: int, my: int, mv: tuple[int, int]):
@@ -1031,6 +1089,87 @@ def _decode_mb_p16(st: _PicState, r: _BitReader, ref: tuple, mx: int,
     py, pcb, pcr = _inter_pred_mb(ref, mx, my, mv)
     st.mv[my, mx] = mv
     st.inter[my, mx] = True
+    return _decode_mb_inter_resid(st, r, (py, pcb, pcr), mx, my, qp, pps,
+                                  sl, CV)
+
+
+def _b_pred_mb(ref0: tuple, ref1: tuple, mx: int, my: int,
+               use0: bool, mv0, use1: bool, mv1):
+    """B prediction for one 16x16 unit: single-list motion compensation,
+    or the §8.4.2.3.1 default bi-prediction (predL0 + predL1 + 1) >> 1
+    (weighted_bipred_idc == 0 — the only mode accepted here)."""
+    if use0 and use1:
+        p0 = _inter_pred_mb(ref0, mx, my, mv0)
+        p1 = _inter_pred_mb(ref1, mx, my, mv1)
+        return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+    if use0:
+        return _inter_pred_mb(ref0, mx, my, mv0)
+    return _inter_pred_mb(ref1, mx, my, mv1)
+
+
+def _set_b_motion(st: _PicState, mx: int, my: int,
+                  use0: bool, mv0, use1: bool, mv1) -> None:
+    st.mv[my, mx] = mv0 if use0 else (0, 0)
+    st.inter[my, mx] = use0
+    st.mv1[my, mx] = mv1 if use1 else (0, 0)
+    st.used1[my, mx] = use1
+
+
+def _decode_mb_bskip(st: _PicState, ref0: tuple, ref1: tuple, col: tuple,
+                     mx: int, my: int) -> None:
+    """B_Skip: spatial direct motion (§8.4.1.2.2), no residual,
+    TotalCoeff 0."""
+    from peerdb_spark.functions import h264_inter as HI
+
+    use0, mv0, use1, mv1 = HI.b_direct_spatial(
+        st.mv, st.inter, st.mv1, st.used1, col[0], col[1], mx, my)
+    py, pcb, pcr = _b_pred_mb(ref0, ref1, mx, my, use0, mv0, use1, mv1)
+    st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = py
+    st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pcb
+    st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pcr
+    _set_b_motion(st, mx, my, use0, mv0, use1, mv1)
+    st.ncY[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+    st.ncCb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+    st.ncCr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+
+def _decode_mb_b16(st: _PicState, r: _BitReader, ref0: tuple, ref1: tuple,
+                   col: tuple, mx: int, my: int, btype: int, qp: int,
+                   pps: dict, sl: int, CV) -> int:
+    """B 16x16 macroblocks (Table 7-14 mb_type 0..3): B_Direct_16x16
+    takes spatial-direct motion and decodes a residual; B_L0/B_L1/B_Bi
+    read mvd(s) over the per-list §8.4.1.3 predictor (ref_idx absent —
+    one active reference per list), l0 before l1 (§7.3.5.1)."""
+    from peerdb_spark.functions import h264_inter as HI
+
+    if btype == 0:  # B_Direct_16x16
+        use0, mv0, use1, mv1 = HI.b_direct_spatial(
+            st.mv, st.inter, st.mv1, st.used1, col[0], col[1], mx, my)
+    else:
+        use0 = btype in (1, 3)
+        use1 = btype in (2, 3)
+        mv0 = mv1 = (0, 0)
+        if use0:
+            p = HI.mv_predict_b(st.mv, st.inter, st.mv1, st.used1, 0, mx, my)
+            mv0 = (p[0] + r.se(), p[1] + r.se())
+        if use1:
+            p = HI.mv_predict_b(st.mv, st.inter, st.mv1, st.used1, 1, mx, my)
+            mv1 = (p[0] + r.se(), p[1] + r.se())
+    preds = _b_pred_mb(ref0, ref1, mx, my, use0, mv0, use1, mv1)
+    _set_b_motion(st, mx, my, use0, mv0, use1, mv1)
+    return _decode_mb_inter_resid(st, r, preds, mx, my, qp, pps, sl, CV)
+
+
+def _decode_mb_inter_resid(st: _PicState, r: _BitReader, preds: tuple,
+                           mx: int, my: int, qp: int, pps: dict, sl: int,
+                           CV) -> int:
+    """Shared inter-MB residual decode (P_L0_16x16 and the B 16x16
+    types): coded_block_pattern (Table 9-4 inter column), optional
+    mb_qp_delta, 4x4 luma CAVLC blocks per coded 8x8 group, chroma
+    DC+AC — added onto the caller's prediction planes."""
+    from peerdb_spark.functions import h264_inter as HI
+
+    py, pcb, pcr = preds
     cbp_code = r.ue()
     if cbp_code >= len(HI._CBP_INTER):
         raise ValueError("coded_block_pattern out of range")
@@ -1268,8 +1407,9 @@ def _yuv_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
     return rgb.tobytes()
 
 
-def _decode_stream(data: bytes):
-    """Shared walk: yields (sps, (Y, Cb, Cr)) per picture."""
+def _decode_stream_ex(data: bytes):
+    """Shared walk: yields (sps, (Y, Cb, Cr), poc, idr) per picture in
+    decode order."""
     sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
     pictures: list[tuple[dict, list[tuple[bytes, bool]]]] = []
@@ -1296,21 +1436,97 @@ def _decode_stream(data: bytes):
             pictures[-1][1].append(
                 (payload, nal_type == 5, (data[s] >> 5) & 3))
     # a stream with no NALs yields no frames; slices with missing
-    # parameter sets were already rejected at routing above. Single-ref
-    # P decoding (round 11): each picture may reference the PREVIOUS
-    # decoded picture's full (padded) planes — the spec's sample fetch
-    # clamps to the decoded picture bounds, which is the wmb*16 grid.
-    ref = None
+    # parameter sets were already rejected at routing above.
+    #
+    # Reference management (round 12, B slices): a sliding window of the
+    # TWO most recent reference pictures (nal_ref_idc > 0) with their POC
+    # and L0 motion fields. P slices reference the most recent reference
+    # picture (the §8.2.4.2 default list for one active ref — round 11's
+    # previous-picture rule, now skipping non-reference B pictures);
+    # B slices build L0 = the reference with the largest POC below the
+    # current picture and L1 = the smallest above it (the default B list
+    # heads), and take colocated motion from RefPicList1[0]. POC follows
+    # §8.2.1.1 for poc_type 0 (msb wrap from the previous REFERENCE
+    # picture, reset at IDR); poc_type 2 streams use a decode-order
+    # proxy (decode order == display order there by definition).
+    refs: list[dict] = []
+    prev_poc_msb = prev_poc_lsb = 0
+    pic_idx = 0
     for pps, payloads in pictures:
         sps = sps_by_id[pps["sps_id"]]
-        planes = _decode_picture(payloads, sps, pps, ref=ref)
-        ref = tuple(p.astype(np.int32) for p in planes)
+        rbsp0, idr, ref_idc = payloads[0]
+        hdr = _parse_slice_header(_BitReader(rbsp0), sps, pps, idr, ref_idc)
+        if idr:
+            refs = []
+            prev_poc_msb = prev_poc_lsb = 0
+        if sps["poc_type"] == 0:
+            max_lsb = 1 << sps["log2_max_poc_lsb"]
+            lsb = hdr["poc_lsb"]
+            if lsb < prev_poc_lsb and prev_poc_lsb - lsb >= max_lsb // 2:
+                poc_msb = prev_poc_msb + max_lsb
+            elif lsb > prev_poc_lsb and lsb - prev_poc_lsb > max_lsb // 2:
+                poc_msb = prev_poc_msb - max_lsb
+            else:
+                poc_msb = prev_poc_msb
+            poc = poc_msb + lsb
+            if ref_idc:
+                prev_poc_msb, prev_poc_lsb = poc_msb, lsb
+        else:
+            poc = 2 * pic_idx
+        is_b = hdr["slice_type"] % 5 == 1
+        ref0 = ref1 = colpair = None
+        if is_b:
+            past = [e for e in refs if e["poc"] < poc]
+            future = [e for e in refs if e["poc"] > poc]
+            if not past or not future:
+                raise ValueError(
+                    "B picture needs decoded reference pictures on both "
+                    "display-order sides")
+            l0 = max(past, key=lambda e: e["poc"])
+            l1 = min(future, key=lambda e: e["poc"])
+            ref0, ref1 = l0["planes"], l1["planes"]
+            colpair = (l1["mv"], l1["used"])
+        elif refs:
+            ref0 = refs[-1]["planes"]
+        planes, (mv, used) = _decode_picture(
+            payloads, sps, pps, ref=ref0, ref1=ref1, col=colpair,
+            return_motion=True)
+        if ref_idc:
+            refs.append({
+                "planes": tuple(p.astype(np.int32) for p in planes),
+                "poc": poc, "mv": mv, "used": used,
+            })
+            refs = refs[-2:]
+        pic_idx += 1
+        yield sps, planes, poc, idr
+
+
+def _decode_stream(data: bytes):
+    """Shared walk: yields (sps, (Y, Cb, Cr)) per picture in DECODE
+    order (use _decode_stream_display for output/display order)."""
+    for sps, planes, _poc, _idr in _decode_stream_ex(data):
         yield sps, planes
+
+
+def _decode_stream_display(data: bytes):
+    """Yields (sps, planes) in DISPLAY order: pictures sort by POC within
+    each IDR period (POC resets at IDR), periods stay in stream order.
+    Identical to decode order for streams without B pictures."""
+    group: list[tuple[int, dict, tuple]] = []
+    for sps, planes, poc, idr in _decode_stream_ex(data):
+        if idr and group:
+            for _poc, s, p in sorted(group, key=lambda t: t[0]):
+                yield s, p
+            group = []
+        group.append((poc, sps, planes))
+    for _poc, s, p in sorted(group, key=lambda t: t[0]):
+        yield s, p
 
 
 def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
                       return_recon: bool = False, mb_mode: str = "i16",
-                      return_stats: bool = False):
+                      return_stats: bool = False, poc_bits: int = 0,
+                      max_ref_frames: int = 1):
     """[(Y, Cb, Cr) uint8 planes] → a conforming Annex-B stream of IDR
     pictures with REAL entropy coding (round 10): I_16x16 DC-predicted
     macroblocks, CAVLC residuals, deblocking disabled per slice (the
@@ -1353,8 +1569,12 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
     sps.u(30, 8)
     sps.ue(0)
     sps.ue(0)
-    sps.ue(2)
-    sps.ue(1)
+    if poc_bits:  # poc_type 0: slices carry pic_order_cnt_lsb (B GOPs)
+        sps.ue(0)
+        sps.ue(poc_bits - 4)
+    else:
+        sps.ue(2)  # poc_type 2: no POC bits in slices
+    sps.ue(max_ref_frames)
     sps.u(0, 1)
     sps.ue(wmb - 1)
     sps.ue(hmb - 1)
@@ -1415,6 +1635,8 @@ def encode_h264_cavlc(frames_yuv, width: int, height: int, qp: int = 28,
         w.ue(0)        # pps_id
         w.u(0, 4)      # frame_num
         w.ue(fi & 0xFFFF)  # idr_pic_id
+        if poc_bits:
+            w.u((2 * fi) & ((1 << poc_bits) - 1), poc_bits)  # poc_lsb
         w.u(0, 1)
         w.u(0, 1)
         w.se(0)        # slice_qp_delta
@@ -1835,7 +2057,7 @@ def decode_h264_yuv(data: bytes):
     planes CROPPED to the display size — the bit-exact contract
     `encode_h264_ipcm` roundtrips against."""
     out = []
-    for sps, (Y, Cb, Cr) in _decode_stream(data):
+    for sps, (Y, Cb, Cr) in _decode_stream_display(data):
         w, h = sps["width"], sps["height"]
         out.append((w, h, Y[:h, :w], Cb[: (h + 1) // 2, : (w + 1) // 2],
                     Cr[: (h + 1) // 2, : (w + 1) // 2]))
@@ -1850,7 +2072,7 @@ def decode_h264(data: bytes) -> list[tuple[int, int, bytes]]:
         return [
             (sps["width"], sps["height"],
              _yuv_to_rgb(Y, Cb, Cr, sps["width"], sps["height"]))
-            for sps, (Y, Cb, Cr) in _decode_stream(data)
+            for sps, (Y, Cb, Cr) in _decode_stream_display(data)
         ]
     except (IndexError, struct.error) as e:
         raise ValueError(f"corrupt H.264 stream ({type(e).__name__})") from e
@@ -1859,9 +2081,357 @@ def decode_h264(data: bytes) -> list[tuple[int, int, bytes]]:
 # -- P-frame (GOP) encoder (round 11) -----------------------------------------
 
 
+def _commit_b_mb(st: _PicState, enc: tuple, mx: int, my: int,
+                 use0: bool, mv0, use1: bool, mv1) -> None:
+    cbp_, bits_, (ry, rcb, rcr), (oy, ocb, ocr) = enc
+    st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = ry
+    st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = rcb
+    st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = rcr
+    for (bx, by), v in oy.items():
+        st.ncY[by, bx] = v
+    for (bx, by), v in ocb.items():
+        st.ncCb[by, bx] = v
+    for (bx, by), v in ocr.items():
+        st.ncCr[by, bx] = v
+    _set_b_motion(st, mx, my, use0, mv0, use1, mv1)
+
+
+def _encode_b_picture(w, Yp, Cbp, Crp, ref0e: dict, ref1e: dict, qp: int,
+                      qp_c: int, search: int, subpel: bool, CV, HI,
+                      cbp_index, wmb: int, hmb: int):
+    """Encode one B picture's macroblock layer into writer `w` (header
+    written by the caller): per MB, full-search (+optional subpel) motion
+    against EACH reference list, then the cheapest of {spatial direct,
+    B_L0_16x16, B_L1_16x16, B_Bi_16x16} by luma SAD — direct with a
+    zero-quantized residual becomes B_Skip (mb_skip_run), direct with a
+    residual becomes B_Direct_16x16 (mb_type 0, no mvd bits). I_PCM
+    fallback (mb_type 23+25) for CAVLC-unrepresentable levels. Returns
+    (st, counts) with counts = (skip, direct, l0, l1, bi, pcm)."""
+    st = _PicState(wmb, hmb)
+    st.mb_slice[:, :] = 0
+    ref0, ref1 = ref0e["planes"], ref1e["planes"]
+    col = (ref1e["mv"], ref1e["used"])
+    src_of = lambda: None  # noqa: E731 — placeholder removed below
+    skip_run = 0
+    n_skip = n_direct = n_l0 = n_l1 = n_bi = n_pcm = 0
+    for mb in range(wmb * hmb):
+        my, mx = divmod(mb, wmb)
+        src = Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+        mv0 = _search_mv(Yp, ref0[0], mx, my, search)
+        mv1 = _search_mv(Yp, ref1[0], mx, my, search)
+        if subpel:
+            mv0 = _refine_mv_subpel(Yp, ref0[0], mx, my, mv0)
+            mv1 = _refine_mv_subpel(Yp, ref1[0], mx, my, mv1)
+        u0d, mv0d, u1d, mv1d = HI.b_direct_spatial(
+            st.mv, st.inter, st.mv1, st.used1, col[0], col[1], mx, my)
+
+        def luma_pred(use0, m0, use1, m1):
+            if use0 and use1:
+                p0 = HI.interp_luma_block(ref0[0], mx * 16, my * 16,
+                                          m0[0], m0[1], 16, 16)
+                p1 = HI.interp_luma_block(ref1[0], mx * 16, my * 16,
+                                          m1[0], m1[1], 16, 16)
+                return (p0 + p1 + 1) >> 1
+            r_, m_ = (ref0, m0) if use0 else (ref1, m1)
+            return HI.interp_luma_block(r_[0], mx * 16, my * 16,
+                                        m_[0], m_[1], 16, 16)
+
+        # candidate order = tie-break preference: direct costs no mvd,
+        # single-list costs one mvd pair, bi costs two
+        cands = [
+            ("direct", u0d, mv0d, u1d, mv1d),
+            ("l0", True, mv0, False, (0, 0)),
+            ("l1", False, (0, 0), True, mv1),
+            ("bi", True, mv0, True, mv1),
+        ]
+        best = None
+        for kind, a0, m0, a1, m1 in cands:
+            sad = int(np.abs(src - luma_pred(a0, m0, a1, m1)).sum())
+            if best is None or sad < best[0]:
+                best = (sad, kind, a0, m0, a1, m1)
+        _sad, kind, a0, m0, a1, m1 = best
+        # direct first: a zero-residual direct MB is B_Skip (~0 bits)
+        preds_d = _b_pred_mb(ref0, ref1, mx, my, u0d, mv0d, u1d, mv1d)
+        enc_d = _encode_mb_inter_resid(st, preds_d, Yp, Cbp, Crp, mx, my,
+                                       qp, qp_c, CV)
+        if enc_d is not None and enc_d[0] == 0:
+            _commit_b_mb(st, enc_d, mx, my, u0d, mv0d, u1d, mv1d)
+            skip_run += 1
+            n_skip += 1
+            continue
+        if kind == "direct":
+            enc = enc_d
+        else:
+            preds = _b_pred_mb(ref0, ref1, mx, my, a0, m0, a1, m1)
+            enc = _encode_mb_inter_resid(st, preds, Yp, Cbp, Crp, mx, my,
+                                         qp, qp_c, CV)
+        if enc is None:  # CAVLC-unrepresentable -> I_PCM (Table 7-14)
+            w.ue(skip_run)
+            skip_run = 0
+            n_pcm += 1
+            w.ue(_I_PCM_MB_TYPE + 23)
+            w.align_zero()
+            w.put_bytes(Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+                        .astype(np.uint8).tobytes())
+            w.put_bytes(Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                        .astype(np.uint8).tobytes())
+            w.put_bytes(Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                        .astype(np.uint8).tobytes())
+            st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+            st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            st.ncY[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+            st.ncCb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+            st.ncCr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+            continue
+        w.ue(skip_run)
+        skip_run = 0
+        cbp = enc[0]
+        if kind == "direct":
+            n_direct += 1
+            w.ue(0)  # B_Direct_16x16: no mvd
+        else:
+            # mvp per list BEFORE committing this MB's motion
+            if kind == "l0":
+                n_l0 += 1
+                w.ue(1)
+            elif kind == "l1":
+                n_l1 += 1
+                w.ue(2)
+            else:
+                n_bi += 1
+                w.ue(3)
+            if a0:
+                p = HI.mv_predict_b(st.mv, st.inter, st.mv1, st.used1,
+                                    0, mx, my)
+                w.se(m0[0] - p[0])
+                w.se(m0[1] - p[1])
+            if a1:
+                p = HI.mv_predict_b(st.mv, st.inter, st.mv1, st.used1,
+                                    1, mx, my)
+                w.se(m1[0] - p[0])
+                w.se(m1[1] - p[1])
+        w.ue(cbp_index[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+        for bit in enc[1]:
+            w.u(1 if bit == "1" else 0, 1)
+        if kind == "direct":
+            _commit_b_mb(st, enc, mx, my, u0d, mv0d, u1d, mv1d)
+        else:
+            _commit_b_mb(st, enc, mx, my, a0, m0, a1, m1)
+    if skip_run:
+        w.ue(skip_run)
+    return st, (n_skip, n_direct, n_l0, n_l1, n_bi, n_pcm)
+
+
+def _encode_gop_b(frames_yuv, width: int, height: int, qp: int,
+                  search: int, return_recon: bool, return_stats: bool,
+                  subpel: bool, b_frames: int):
+    """IDR + P anchors + non-reference B pictures (encode_h264_gop's
+    b_frames > 0 path): anchors every (b_frames + 1) display positions
+    (plus the final frame), B pictures between them referencing BOTH
+    surrounding anchors. SPS poc_type 0 (slices carry pic_order_cnt_lsb,
+    poc = 2 x display index) so the decoder reorders decode -> display;
+    B NALs are nal_ref_idc 0 — droppable without breaking any reference
+    chain, temporal scalability in its simplest form."""
+    from peerdb_spark.functions import h264_cavlc as CV
+    from peerdb_spark.functions import h264_inter as HI
+
+    if len(frames_yuv) < 1:
+        raise ValueError("GOP needs at least one frame")
+    POC_BITS = 8
+    head = encode_h264_cavlc(frames_yuv[:1], width, height, qp=qp,
+                             return_recon=True, mb_mode="i16",
+                             return_stats=True, poc_bits=POC_BITS,
+                             max_ref_frames=2)
+    stream = bytearray(head[0])
+    n = len(frames_yuv)
+    recons: list = [None] * n
+    stats: list = [None] * n
+    recons[0] = head[1][0]
+    stats[0] = dict(head[2][0], skip_mbs=0, inter_mbs=0, subpel_mbs=0,
+                    intra_mbs=head[2][0]["mbs"], kind="I", poc=0)
+    (_sps, ref_planes), = list(_decode_stream(bytes(stream)))
+
+    wmb, hmb = -(-width // 16), -(-height // 16)
+    qp_c = _chroma_qp(qp, 0)
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    cbp_index = {v: i for i, v in enumerate(HI._CBP_INTER)}
+
+    def padded(fi):
+        Y = np.asarray(frames_yuv[fi][0], dtype=np.uint8)
+        Cb = np.asarray(frames_yuv[fi][1], dtype=np.uint8)
+        Cr = np.asarray(frames_yuv[fi][2], dtype=np.uint8)
+        if Y.shape != (height, width) or Cb.shape != (ch, cw) \
+                or Cr.shape != (ch, cw):
+            raise ValueError(f"frame {fi}: plane shape mismatch")
+        return (
+            np.pad(Y, ((0, 16 * hmb - height), (0, 16 * wmb - width)),
+                   mode="edge").astype(np.int32),
+            np.pad(Cb, ((0, 8 * hmb - ch), (0, 8 * wmb - cw)),
+                   mode="edge").astype(np.int32),
+            np.pad(Cr, ((0, 8 * hmb - ch), (0, 8 * wmb - cw)),
+                   mode="edge").astype(np.int32),
+        )
+
+    g = b_frames + 1
+    anchors = list(range(0, n, g))
+    if anchors[-1] != n - 1:
+        anchors.append(n - 1)
+    prev = {"planes": tuple(p.astype(np.int32) for p in ref_planes),
+            "mv": np.zeros((hmb, wmb, 2), dtype=np.int32),
+            "used": np.zeros((hmb, wmb), dtype=bool), "disp": 0}
+    ref_count = 1  # reference pictures emitted (frame_num source)
+    for d in anchors[1:]:
+        Yp, Cbp, Crp = padded(d)
+        w = _BitWriter()
+        w.ue(0)                      # first_mb_in_slice
+        w.ue(5)                      # slice_type P
+        w.ue(0)                      # pps_id
+        w.u(ref_count & 15, 4)       # frame_num
+        w.u((2 * d) & ((1 << POC_BITS) - 1), POC_BITS)  # pic_order_cnt_lsb
+        w.u(0, 1)                    # num_ref_idx_active_override_flag
+        w.u(0, 1)                    # ref_pic_list_modification_flag_l0
+        w.u(0, 1)                    # adaptive_ref_pic_marking_mode_flag
+        w.se(0)                      # slice_qp_delta
+        w.ue(1)                      # disable_deblocking_filter_idc
+        st, (n_skip, n_inter, n_pcm, n_subpel) = _encode_p_picture(
+            w, Yp, Cbp, Crp, prev["planes"], qp, qp_c, search, subpel,
+            CV, HI, cbp_index, wmb, hmb)
+        stream += _nal(1, w.rbsp_trailing(), ref_idc=2)
+        stats[d] = {"pcm_mbs": n_pcm, "skip_mbs": n_skip,
+                    "inter_mbs": n_inter, "intra_mbs": n_pcm,
+                    "subpel_mbs": n_subpel, "mbs": wmb * hmb,
+                    "kind": "P", "poc": 2 * d}
+        recons[d] = (st.Y.astype(np.uint8)[:height, :width],
+                     st.Cb.astype(np.uint8)[:ch, :cw],
+                     st.Cr.astype(np.uint8)[:ch, :cw])
+        cur = {"planes": (st.Y.copy(), st.Cb.copy(), st.Cr.copy()),
+               "mv": st.mv.copy(), "used": st.inter.copy(), "disp": d}
+        ref_count += 1
+        for bd in range(prev["disp"] + 1, d):
+            Yb, Cbb, Crb = padded(bd)
+            w = _BitWriter()
+            w.ue(0)                  # first_mb_in_slice
+            w.ue(6)                  # slice_type B
+            w.ue(0)                  # pps_id
+            w.u(ref_count & 15, 4)   # frame_num (non-ref: prev ref + 1)
+            w.u((2 * bd) & ((1 << POC_BITS) - 1), POC_BITS)
+            w.u(1, 1)                # direct_spatial_mv_pred_flag
+            w.u(0, 1)                # num_ref_idx_active_override_flag
+            w.u(0, 1)                # ref_pic_list_modification_flag_l0
+            w.u(0, 1)                # ref_pic_list_modification_flag_l1
+            # nal_ref_idc 0 -> no dec_ref_pic_marking
+            w.se(0)                  # slice_qp_delta
+            w.ue(1)                  # disable_deblocking_filter_idc
+            stb, (b_skip, b_dir, b_l0, b_l1, b_bi, b_pcm) = \
+                _encode_b_picture(w, Yb, Cbb, Crb, prev, cur, qp, qp_c,
+                                  search, subpel, CV, HI, cbp_index,
+                                  wmb, hmb)
+            stream += _nal(1, w.rbsp_trailing(), ref_idc=0)
+            stats[bd] = {"pcm_mbs": b_pcm, "skip_mbs": b_skip,
+                         "inter_mbs": b_dir + b_l0 + b_l1 + b_bi,
+                         "intra_mbs": b_pcm, "subpel_mbs": 0,
+                         "mbs": wmb * hmb, "kind": "B", "poc": 2 * bd,
+                         "direct_mbs": b_dir, "l0_mbs": b_l0,
+                         "l1_mbs": b_l1, "bi_mbs": b_bi}
+            recons[bd] = (stb.Y.astype(np.uint8)[:height, :width],
+                          stb.Cb.astype(np.uint8)[:ch, :cw],
+                          stb.Cr.astype(np.uint8)[:ch, :cw])
+        prev = cur
+    parts = [bytes(stream)]
+    if return_recon:
+        parts.append(recons)
+    if return_stats:
+        parts.append(stats)
+    return tuple(parts) if len(parts) > 1 else parts[0]
+
+
+def _encode_p_picture(w, Yp, Cbp, Crp, ref, qp: int, qp_c: int,
+                      search: int, subpel: bool, CV, HI, cbp_index,
+                      wmb: int, hmb: int):
+    """Encode one P picture's macroblock layer into writer `w` (slice
+    header already written by the caller): P_Skip / P_L0_16x16 with
+    full-search (+optional subpel) motion against `ref`, per-MB I_PCM
+    fallback. Returns (st, counts) where counts = (skip, inter, pcm,
+    subpel)."""
+    st = _PicState(wmb, hmb)
+    st.mb_slice[:, :] = 0
+    skip_run = 0
+    n_skip = n_inter = n_pcm = n_subpel = 0
+    for mb in range(wmb * hmb):
+        my, mx = divmod(mb, wmb)
+        mv = _search_mv(Yp, ref[0], mx, my, search)
+        if subpel:
+            mv = _refine_mv_subpel(Yp, ref[0], mx, my, mv)
+        skipmv = HI.mv_skip(st.mv, st.inter, mx, my)
+        # prefer the skip MV when it predicts as well as the searched
+        # one — a skipped MB costs ~0 bits
+        enc = _encode_mb_p16(st, ref, Yp, Cbp, Crp, mx, my, skipmv,
+                             qp, qp_c, CV, HI, cbp_index)
+        if enc is not None and enc[0] == 0:
+            # zero residual at the skip MV → P_Skip
+            _commit_p_mb(st, enc, mx, my, skipmv)
+            skip_run += 1
+            n_skip += 1
+            if (skipmv[0] & 3) or (skipmv[1] & 3):
+                n_subpel += 1  # fractional FINAL motion (inherited)
+            continue
+        enc2 = (_encode_mb_p16(st, ref, Yp, Cbp, Crp, mx, my, mv,
+                               qp, qp_c, CV, HI, cbp_index)
+                if mv != skipmv else enc)
+        if enc2 is None:  # CAVLC-unrepresentable → I_PCM (mb_type 30)
+            w.ue(skip_run)
+            skip_run = 0
+            n_pcm += 1
+            w.ue(_I_PCM_MB_TYPE + 5)
+            w.align_zero()
+            w.put_bytes(Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+                        .astype(np.uint8).tobytes())
+            w.put_bytes(Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                        .astype(np.uint8).tobytes())
+            w.put_bytes(Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                        .astype(np.uint8).tobytes())
+            st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+            st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            st.ncY[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+            st.ncCb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+            st.ncCr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+            continue
+        use_mv = skipmv if enc2 is enc else mv
+        cbp, mvd_unused, bits = enc2[0], enc2[1], enc2[2]
+        mvp = HI.mv_predict(st.mv, st.inter, mx, my)
+        w.ue(skip_run)
+        skip_run = 0
+        n_inter += 1
+        if (use_mv[0] & 3) or (use_mv[1] & 3):
+            n_subpel += 1  # fractional FINAL motion vector
+        w.ue(0)  # mb_type P_L0_16x16
+        w.se(use_mv[0] - mvp[0])
+        w.se(use_mv[1] - mvp[1])
+        w.ue(cbp_index[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+        for bit in bits:
+            w.u(1 if bit == "1" else 0, 1)
+        _commit_p_mb(st, enc2, mx, my, use_mv)
+    if skip_run:
+        w.ue(skip_run)
+    return st, (n_skip, n_inter, n_pcm, n_subpel)
+
+
 def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
                     search: int = 8, return_recon: bool = False,
-                    return_stats: bool = False, subpel: bool = True):
+                    return_stats: bool = False, subpel: bool = True,
+                    b_frames: int = 0):
     """[(Y, Cb, Cr) uint8 planes] → a conforming Annex-B GOP: one IDR
     I picture (the round-10 CAVLC intra encoder) followed by P pictures —
     P_Skip / P_L0_16x16 with integer-sample full-search motion (±`search`)
@@ -1890,6 +2460,9 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
     from peerdb_spark.functions import h264_cavlc as CV
     from peerdb_spark.functions import h264_inter as HI
 
+    if b_frames:
+        return _encode_gop_b(frames_yuv, width, height, qp, search,
+                             return_recon, return_stats, subpel, b_frames)
     if len(frames_yuv) < 1:
         raise ValueError("GOP needs at least one frame")
     head = encode_h264_cavlc(frames_yuv[:1], width, height, qp=qp,
@@ -1920,8 +2493,6 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
                      mode="edge").astype(np.int32)
         Crp = np.pad(Cr, ((0, 8 * hmb - ch), (0, 8 * wmb - cw)),
                      mode="edge").astype(np.int32)
-        st = _PicState(wmb, hmb)
-        st.mb_slice[:, :] = 0
         w = _BitWriter()
         w.ue(0)            # first_mb_in_slice
         w.ue(5)            # slice_type P (all slices in picture)
@@ -1933,70 +2504,9 @@ def encode_h264_gop(frames_yuv, width: int, height: int, qp: int = 28,
         w.u(0, 1)          # adaptive_ref_pic_marking_mode_flag
         w.se(0)            # slice_qp_delta
         w.ue(1)            # disable_deblocking_filter_idc = 1
-        skip_run = 0
-        n_skip = n_inter = n_pcm = n_subpel = 0
-        for mb in range(wmb * hmb):
-            my, mx = divmod(mb, wmb)
-            mv = _search_mv(Yp, ref[0], mx, my, search)
-            if subpel:
-                mv = _refine_mv_subpel(Yp, ref[0], mx, my, mv)
-            skipmv = HI.mv_skip(st.mv, st.inter, mx, my)
-            # prefer the skip MV when it predicts as well as the searched
-            # one — a skipped MB costs ~0 bits
-            enc = _encode_mb_p16(st, ref, Yp, Cbp, Crp, mx, my, skipmv,
-                                 qp, qp_c, CV, HI, cbp_index)
-            if enc is not None and enc[0] == 0:
-                # zero residual at the skip MV → P_Skip
-                _commit_p_mb(st, enc, mx, my, skipmv)
-                skip_run += 1
-                n_skip += 1
-                if (skipmv[0] & 3) or (skipmv[1] & 3):
-                    n_subpel += 1  # fractional FINAL motion (inherited)
-                continue
-            enc2 = (_encode_mb_p16(st, ref, Yp, Cbp, Crp, mx, my, mv,
-                                   qp, qp_c, CV, HI, cbp_index)
-                    if mv != skipmv else enc)
-            if enc2 is None:  # CAVLC-unrepresentable → I_PCM (mb_type 30)
-                w.ue(skip_run)
-                skip_run = 0
-                n_pcm += 1
-                w.ue(_I_PCM_MB_TYPE + 5)
-                w.align_zero()
-                w.put_bytes(Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
-                            .astype(np.uint8).tobytes())
-                w.put_bytes(Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                            .astype(np.uint8).tobytes())
-                w.put_bytes(Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                            .astype(np.uint8).tobytes())
-                st.Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
-                    Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
-                st.Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
-                    Cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                st.Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
-                    Crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                st.ncY[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
-                st.ncCb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
-                st.ncCr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
-                continue
-            use_mv = skipmv if enc2 is enc else mv
-            cbp, mvd_unused, bits = enc2[0], enc2[1], enc2[2]
-            mvp = HI.mv_predict(st.mv, st.inter, mx, my)
-            w.ue(skip_run)
-            skip_run = 0
-            n_inter += 1
-            if (use_mv[0] & 3) or (use_mv[1] & 3):
-                n_subpel += 1  # fractional FINAL motion vector
-            w.ue(0)  # mb_type P_L0_16x16
-            w.se(use_mv[0] - mvp[0])
-            w.se(use_mv[1] - mvp[1])
-            w.ue(cbp_index[cbp])
-            if cbp:
-                w.se(0)  # mb_qp_delta
-            for bit in bits:
-                w.u(1 if bit == "1" else 0, 1)
-            _commit_p_mb(st, enc2, mx, my, use_mv)
-        if skip_run:
-            w.ue(skip_run)
+        st, (n_skip, n_inter, n_pcm, n_subpel) = _encode_p_picture(
+            w, Yp, Cbp, Crp, ref, qp, qp_c, search, subpel, CV, HI,
+            cbp_index, wmb, hmb)
         stream += _nal(1, w.rbsp_trailing(), ref_idc=2)
         stats.append({"pcm_mbs": n_pcm, "skip_mbs": n_skip,
                       "inter_mbs": n_inter, "intra_mbs": n_pcm,
@@ -2074,6 +2584,22 @@ def _encode_mb_p16(st: _PicState, ref: tuple, Yp, Cbp, Crp, mx: int,
     py = HI.interp_luma_block(ref[0], mx * 16, my * 16, mv[0], mv[1], 16, 16)
     pcb = HI.interp_chroma_block(ref[1], mx * 8, my * 8, mv[0], mv[1], 8, 8)
     pcr = HI.interp_chroma_block(ref[2], mx * 8, my * 8, mv[0], mv[1], 8, 8)
+    enc = _encode_mb_inter_resid(st, (py, pcb, pcr), Yp, Cbp, Crp, mx, my,
+                                 qp, qp_c, CV)
+    if enc is None:
+        return None
+    cbp, bits, recon, overlays = enc
+    return (cbp, mv, bits, recon, overlays)
+
+
+def _encode_mb_inter_resid(st: _PicState, preds: tuple, Yp, Cbp, Crp,
+                           mx: int, my: int, qp: int, qp_c: int,
+                           CV) -> tuple | None:
+    """Quantize one inter macroblock's residual against precomputed
+    prediction planes (shared by P_L0_16x16 and the B 16x16 types)
+    WITHOUT committing state. Returns (cbp, residual_bits, recon_planes,
+    nc_updates) or None when a level is CAVLC-unrepresentable."""
+    py, pcb, pcr = preds
     diff = Yp[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] - py
     ac_scan = [None] * 16
     recon_y = np.zeros((16, 16), dtype=np.int32)
@@ -2190,7 +2716,7 @@ def _encode_mb_p16(st: _PicState, ref: tuple, Yp, Cbp, Crp, mx: int,
                 for j in range(4):
                     out_p[qy + i, qx + j] = _clip8(
                         int(cpred[qy + i, qx + j]) + res[4 * i + j])
-    return (cbp, mv, "".join(bits), (recon_y, recon_cb, recon_cr),
+    return (cbp, "".join(bits), (recon_y, recon_cb, recon_cr),
             (overlayY, overlayCb, overlayCr))
 
 

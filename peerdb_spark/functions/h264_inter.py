@@ -182,3 +182,71 @@ def mv_skip(mvs: np.ndarray, inter: np.ndarray, mx: int, my: int) -> tuple[int, 
     if zero_or_missing(mx - 1, my) or zero_or_missing(mx, my - 1):
         return (0, 0)
     return mv_predict(mvs, inter, mx, my)
+
+
+# -- B slices (round 12): spatial direct + per-list MV prediction ------------
+
+
+def mv_predict_b(mv0, used0, mv1, used1, lx: int, mx: int, my: int):
+    """§8.4.1.3 for a 16x16 B partition on list `lx`: the same median
+    process as mv_predict, run over the NEIGHBOURS' MOTION ON THAT LIST —
+    a neighbour that predicted only from the other list counts as
+    "different reference" (contributes (0,0), not its other-list MV)."""
+    mvs, used = (mv0, used0) if lx == 0 else (mv1, used1)
+    return mv_predict(mvs, used, mx, my)
+
+
+def b_direct_spatial(mv0, used0, mv1, used1, col_mv, col_used,
+                     mx: int, my: int):
+    """§8.4.1.2.2 spatial direct luma motion for a 16x16 unit, one
+    reference picture per list (refIdx values are 0 or "none"):
+
+    - reference indices: refIdxLX = 0 iff ANY of the A/B/C neighbours
+      (C replaced by D when unavailable, §8.4.1.3.2) predicted from LX
+      (MinPositive over {0, -1} values collapses to an any()); both
+      absent -> directZeroPredictionFlag: predict BOTH lists with zero
+      MVs and refIdx 0.
+    - motion vectors: the §8.4.1.3 median per list, then the colocated
+      zero clamp — when the co-located macroblock in RefPicList1[0]
+      moved by at most a quarter sample in each component with refIdx 0
+      (col_used with |mv| <= 1), a list with refIdxLX == 0 takes mvLX =
+      (0,0). RefPicList1[0] is short-term by construction here (the
+      sliding-window buffer holds only short-term references).
+
+    col_mv/col_used: the MV field of RefPicList1[0] (its L0 motion — the
+    colocated-motion source when present, §8.4.1.2.2's mvCol selection;
+    an intra colocated MB has col_used False -> colZeroFlag 0).
+
+    Returns (use_l0, mv_l0, use_l1, mv_l1)."""
+    wmb = mv0.shape[1]
+
+    def nb_used(lst_used, x, y):
+        if x < 0 or y < 0 or x >= wmb or y > my or (y == my and x >= mx):
+            return None  # not available
+        return bool(lst_used[y, x])
+
+    def any_on_list(lst_used):
+        a = nb_used(lst_used, mx - 1, my)
+        b = nb_used(lst_used, mx, my - 1)
+        c = nb_used(lst_used, mx + 1, my - 1)
+        if c is None:
+            c = nb_used(lst_used, mx - 1, my - 1)
+        return bool(a) or bool(b) or bool(c)
+
+    use0 = any_on_list(used0)
+    use1 = any_on_list(used1)
+    if not use0 and not use1:  # directZeroPredictionFlag
+        return True, (0, 0), True, (0, 0)
+    col_zero = bool(col_used[my, mx]) and \
+        -1 <= int(col_mv[my, mx, 0]) <= 1 and \
+        -1 <= int(col_mv[my, mx, 1]) <= 1
+    out = []
+    for lx, use in ((0, use0), (1, use1)):
+        if not use:
+            out.append((False, (0, 0)))
+            continue
+        if col_zero:
+            out.append((True, (0, 0)))
+            continue
+        out.append((True, mv_predict_b(mv0, used0, mv1, used1, lx, mx, my)))
+    return out[0][0], out[0][1], out[1][0], out[1][1]

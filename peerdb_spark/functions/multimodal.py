@@ -472,6 +472,136 @@ def h264_gop_roundtrip_check(
     return narrow.mapInPandas(run, out_schema)
 
 
+def h264_bgop_roundtrip_check(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    qp: int = 26, search: int = 8, b_frames: int = 1,
+) -> DataFrame:
+    """(id, raw-RGB VIDEO content, meta) → (id, width, height, n_frames,
+    recon_match, compressed, b_gain, droppable, pcm_mbs): encode as an
+    IDR + P-anchor + non-reference B GOP (encode_h264_gop b_frames>0 —
+    round 12 §8.4 bi-prediction + spatial direct), decode, and surface
+    the B contract as a relation:
+      recon_match — decoder output equals encoder reconstruction
+        bit-exactly for every frame IN DISPLAY ORDER (the stream carries
+        decode order; POC reordering must round-trip);
+      compressed  — whole GOP beats half the raw YUV size;
+      b_gain      — the B pictures average under half the I frame's
+        bytes (bi-directional temporal compression actually happened);
+      droppable   — stripping every nal_ref_idc==0 NAL leaves a stream
+        whose anchors still decode bit-exactly (no reference chain runs
+        through a B picture — temporal scalability);
+      pcm_mbs     — I_PCM fallbacks across all frames (0 on the gate
+        fixture)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("recon_match", T.BooleanType()),
+            T.StructField("compressed", T.BooleanType()),
+            T.StructField("b_gain", T.BooleanType()),
+            T.StructField("droppable", T.BooleanType()),
+            T.StructField("pcm_mbs", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        from peerdb_spark.functions.h264 import (
+            decode_h264_yuv,
+            encode_h264_gop,
+            split_nals,
+        )
+
+        def to_yuv(img, w, h):
+            r = img[:, :, 0].astype(np.float64)
+            g = img[:, :, 1].astype(np.float64)
+            b = img[:, :, 2].astype(np.float64)
+            y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+            def sub(p):
+                ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                q = ph.reshape(ph.shape[0] // 2, 2,
+                               ph.shape[1] // 2, 2).mean(axis=(1, 3))
+                return np.clip(np.round(q), 0, 255).astype(np.uint8)
+
+            return (y.astype(np.uint8), sub(cb), sub(cr))
+
+        for pdf in batches:
+            cols = {k: [] for k in ("width", "height", "n_frames",
+                                    "recon_match", "compressed", "b_gain",
+                                    "droppable", "pcm_mbs")}
+            for c, w, h in zip(pdf[content_col], pdf["_w"], pdf["_h"]):
+                w, h = int(w), int(h)
+                buf = np.frombuffer(bytes(c), dtype=np.uint8)
+                fsz = w * h * 3
+                n = len(buf) // fsz
+                frames = [
+                    to_yuv(buf[k * fsz:(k + 1) * fsz].reshape(h, w, 3), w, h)
+                    for k in range(n)
+                ]
+                stream, recons, stats = encode_h264_gop(
+                    frames, w, h, qp=qp, search=search, b_frames=b_frames,
+                    return_recon=True, return_stats=True)
+                outs = decode_h264_yuv(stream)
+                ok = len(outs) == n
+                if ok:
+                    for k in range(n):
+                        _w2, _h2, dy, dcb, dcr = outs[k]
+                        ry, rcb, rcr = recons[k]
+                        ok = ok and _w2 == w and _h2 == h and \
+                            (dy == ry).all() and (dcb == rcb).all() and \
+                            (dcr == rcr).all()
+                # per-picture byte accounting straight off the wire:
+                # non-reference NALs (ref_idc 0) are the B pictures
+                i_len = b_total = 0
+                kept = bytearray()
+                for nal_type, s0, e0 in split_nals(stream):
+                    sz = (e0 - s0) + 4
+                    ref_idc = (stream[s0] >> 5) & 3
+                    if nal_type == 5:
+                        i_len += sz
+                    if nal_type in (1, 5) and ref_idc == 0:
+                        b_total += sz
+                        continue
+                    kept += b"\x00\x00\x00\x01" + stream[s0:e0]
+                n_b = sum(1 for s in stats if s.get("kind") == "B")
+                anchor_recons = [r for r, s in zip(recons, stats)
+                                 if s.get("kind") != "B"]
+                drop_ok = False
+                try:
+                    outs2 = decode_h264_yuv(bytes(kept))
+                    drop_ok = len(outs2) == len(anchor_recons) and all(
+                        (o[2] == r[0]).all() and (o[3] == r[1]).all()
+                        and (o[4] == r[2]).all()
+                        for o, r in zip(outs2, anchor_recons))
+                except Exception:  # noqa: BLE001 — contract column, not a crash
+                    drop_ok = False
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_frames"].append(n)
+                cols["recon_match"].append(bool(ok))
+                cols["compressed"].append(
+                    len(stream) * 2 < n * (w * h * 3 // 2))
+                cols["b_gain"].append(
+                    n_b > 0 and b_total * 2 < i_len * n_b)
+                cols["droppable"].append(bool(drop_ok))
+                cols["pcm_mbs"].append(
+                    int(sum(s["pcm_mbs"] for s in stats)))
+            yield _pd.DataFrame({id_col: pdf[id_col], **cols})
+
+    narrow = df.select(
+        id_col, content_col,
+        F.col("meta.width").alias("_w"), F.col("meta.height").alias("_h"),
+    )
+    return narrow.mapInPandas(run, out_schema)
+
+
 def extract_features(df: DataFrame, content_col: str = "content",
                      id_col: str = "media_id", dim: int = FEATURE_DIM) -> DataFrame:
     """media → (media_id, feature array<float>) via Arrow-batched mapInPandas.

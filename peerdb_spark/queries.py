@@ -5598,6 +5598,93 @@ FROM documents WHERE doc_id % 5 = 3
 """
 
 
+def q_media_h264_bslice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-slice H.264 (round 12, encode_h264_gop b_frames>0 +
+    _decode_mb_b16/_decode_mb_bskip): 5-frame raw-RGB GOPs encoded as
+    IDR + P anchors + NON-REFERENCE B pictures between them (B_Skip /
+    B_Direct_16x16 spatial direct, B_L0/B_L1/B_Bi explicit, default
+    bipred averaging, POC-carrying slice headers) and decoded back
+    through the engine's Arrow op. Pins per media: `recon_match`
+    (decoder == encoder reconstruction for all 5 frames IN DISPLAY ORDER
+    — the wire carries decode order, so POC reordering must round-trip),
+    `compressed`, `b_gain` (B pictures average under half the I frame —
+    bi-directional temporal compression really happened), `droppable`
+    (stripping every nal_ref_idc==0 NAL leaves anchors decoding
+    bit-exactly — no reference chain through a B picture), `pcm_mbs` = 0.
+    The strong pins (spatial-direct derivation vectors, droppability,
+    POC wrap, temporal-direct reject) live in tests/test_h264_bslice.py.
+
+    Fixture-cost discipline: 8 broadcast exemplar classes (media_id % 8),
+    per-media rows joined back."""
+    from peerdb_spark.functions import multimodal as MM
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
+    rows = docs.where(F.col("doc_id") % 5 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8).alias("_cls"),
+    )
+    cid = F.col("media_id")
+    cls = spark.range(8).select(F.col("id").alias("media_id"))
+    w = (F.lit(32) + (cid % 2) * 16).cast("int")
+    h = F.lit(32).cast("int")
+    fbytes = w.cast("long") * h * 3
+    n_bytes = fbytes * 5  # 5 frames: I B P B P
+
+    # frame f: dense noise base translated right by 3f px (wrap) — the B
+    # frames sit mid-motion between their anchors, so direct/bi modes get
+    # real work — plus a sparse +6 delta on odd (B) frames so B residual
+    # coding is exercised. qp 8 keeps reconstruction near-lossless.
+    def px(i):
+        f = F.floor(i / fbytes)
+        rem = i % fbytes
+        x = F.floor((rem % (w * 3)) / 3)
+        y = F.floor(rem / (w * 3))
+        xs = F.pmod(x - f * 3, w)
+        base = F.lit(98) + F.pmod(
+            xs * 53 + y * 97 + xs * y * 31 + cid * 13, F.lit(61))
+        delta = F.when((f % 2 == 1) & ((x + y) % 9 == 0), 6).otherwise(0)
+        return base + delta
+
+    content = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
+                lambda i: F.lpad(F.lower(F.hex(px(i))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    media = cls.select(
+        "media_id", content.alias("content"),
+        F.struct(
+            F.lit("video/raw-rgb").alias("mime"), w.alias("width"),
+            h.alias("height"), F.lit(200).cast("long").alias("duration_ms"),
+            F.lit("rgb").alias("codec"),
+        ).alias("meta"),
+    )
+    chk = MM.h264_bgop_roundtrip_check(media, qp=8, search=8, b_frames=1).select(
+        F.col("media_id").alias("_cls"), "width", "height", "n_frames",
+        "recon_match", "compressed", "b_gain", "droppable", "pcm_mbs",
+    )
+    return rows.join(F.broadcast(chk), "_cls").select(
+        "media_id", "width", "height", "n_frames",
+        "recon_match", "compressed", "b_gain", "droppable", "pcm_mbs")
+
+
+SQL_MEDIA_H264_BSLICE = """
+SELECT doc_id AS media_id,
+       CAST(32 + (doc_id % 2) * 16 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       CAST(5 AS INT) AS n_frames,
+       TRUE AS recon_match,
+       TRUE AS compressed,
+       TRUE AS b_gain,
+       TRUE AS droppable,
+       CAST(0 AS INT) AS pcm_mbs
+FROM documents WHERE doc_id % 5 = 2
+"""
+
+
 def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator (streaming.session_event_aggregation)
     under the gate, not just the manual lag+cumsum formulation: same 30-minute
@@ -7138,6 +7225,7 @@ _QUERIES_IMPL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lazy_cadence": q_cdc_lazy_cadence,
     "cdc_mview_lazy_fresh": q_cdc_mview_lazy_fresh,
     "cdc_corpus_incremental": q_cdc_corpus_incremental,
+    "media_h264_bslice": q_media_h264_bslice,
     "media_h264_pslice": q_media_h264_pslice,
     "cdc_lww_skew_dedup": q_cdc_lww_skew_dedup,
     "mirror_table_diff": q_mirror_table_diff,
@@ -7271,6 +7359,7 @@ _ORACLES_IMPL: dict[str, str] = {
     "cdc_lazy_cadence": SQL_CDC_LAZY_CADENCE,
     "cdc_mview_lazy_fresh": SQL_CDC_MVIEW_LAZY_FRESH,
     "cdc_corpus_incremental": SQL_CDC_CORPUS_INCREMENTAL,
+    "media_h264_bslice": SQL_MEDIA_H264_BSLICE,
     "media_h264_pslice": SQL_MEDIA_H264_PSLICE,
     "cdc_lww_skew_dedup": SQL_CDC_LWW_SKEW_DEDUP,
     "mirror_table_diff": SQL_MIRROR_TABLE_DIFF,
@@ -7423,7 +7512,11 @@ _ORACLES_IMPL: dict[str, str] = {
 # - NEW: cdc_corpus_incremental (verdict #8 stretch — a documents table
 #   run as a CDC mirror with corpus.CorpusStateView maintaining cleaning
 #   + simhash-LSH state O(touched)/merge from the merge images; oracle =
-#   from-scratch clean over the merged live state).
+#   from-scratch clean over the merged live state) and media_h264_bslice
+#   (verdict #7 stretch taken as B slices, not CABAC — CABAC context-init
+#   tables have no honest in-container source, B slices are closed-form:
+#   bi-prediction, spatial direct, POC display reordering, droppable
+#   non-reference NALs, all pinned).
 # - STALE REFRESH (oldest cohorts first, verdict #4): the 2 last pre-r9
 #   rows (corpus_clean_full, pca_projection — closing the r11 "zero
 #   queries older than r10" ask), then the ENTIRE r9 cohort (30), then
@@ -7437,6 +7530,7 @@ _REGATE_THIS_ROUND = [
 
 _NEW_THIS_ROUND: list[str] = [
     "cdc_corpus_incremental",
+    "media_h264_bslice",
 ]
 
 _STALE_REFRESH = [
@@ -7485,7 +7579,6 @@ _STALE_REFRESH = [
     "cdc_pk_update",
     "cdc_toast_coalesce",
     "cdc_rmt_view",
-    "cdc_record_counts",
 ]
 
 # Provenance of the most recent green driver row for everything else
@@ -7542,6 +7635,7 @@ _GATE_GREEN_R11 = [
 ]
 
 _GATE_GREEN_R10 = [
+    "cdc_record_counts",
     "cdc_unchanged_toast_sets",
     "cdc_time_travel",
     "catalog_distinct_dst",

@@ -181,6 +181,21 @@ _SEEDS = {
             16, 16, qp=20,
         ),
     ),
+    "h264_gop_b": (
+        lambda b: __import__(
+            "peerdb_spark.functions.h264", fromlist=["decode_h264"]
+        ).decode_h264(b),
+        lambda: __import__(
+            "peerdb_spark.functions.h264", fromlist=["encode_h264_gop"]
+        ).encode_h264_gop(
+            [(_img()[:16, :16, 0], _img()[:8, :8, 1], _img()[:8, :8, 2]),
+             (np.roll(_img()[:16, :16, 0], 2, axis=1),
+              _img()[:8, :8, 1], _img()[:8, :8, 2]),
+             (np.roll(_img()[:16, :16, 0], 4, axis=1),
+              _img()[:8, :8, 1], _img()[:8, :8, 2])],
+            16, 16, qp=20, b_frames=1,
+        ),
+    ),
     "ogg_flac": (
         lambda b: __import__(
             "peerdb_spark.functions.ogg", fromlist=["ogg_flac_to_native"]

@@ -71,7 +71,9 @@ def make_feed(spark, start_key: int, n_new: int, n_upd: int, batch_id: int):
 
 def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
         n_buckets: int = 32, split_threshold: int = 0,
-        normalize_every: int = 1):
+        normalize_every="1"):
+    normalize_every = ("auto" if normalize_every == "auto"
+                      else int(normalize_every))
     from peerdb_spark import cdc
     from peerdb_spark.storage import BUCKET_COL, ParquetTable
 
@@ -109,7 +111,7 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
         # PRODUCT path — CdcPipeline(normalize_every=k).maybe_normalize —
         # not a hand-wired composition; the final drain uses force=True
         # exactly as CdcStreamRunner.catch_up does.
-        pipe.maybe_normalize(b, force=(b == n_batches))
+        merged = pipe.maybe_normalize(b, force=(b == n_batches))
         t2 = time.time()
         # buckets the batch actually touched (same manifest-aware expr the
         # merge uses — after splits the leaf count grows)
@@ -137,6 +139,7 @@ def run(spark, keys_per_batch: int, n_batches: int, wd: str, label: str,
             "ev_s": int(n_ev / (t2 - t0)),
             "buckets_touched": len(touched_ids),
             "leaves": len(dst.leaf_buckets()),
+            "merged": bool(merged),
             "rows_in_touched": sum(per_bucket.values()),
             "max_bucket_rows": max(per_bucket.values() or [0]),
             "dest_keys": next_key,
@@ -165,6 +168,13 @@ def main():
         if mode == "both":
             run(spark, k, nb, wd, f"static_{k}", split_threshold=0)
             run(spark, k, nb, wd, f"split_{k}_thr{thr}", split_threshold=thr)
+        elif mode == "auto":
+            # normalize_every='auto' with DEFAULT floor/ratio (100k, 0.10):
+            # the r12 verdict #6 probe — merge-trigger batch indices vs
+            # destination size, showing the cadence stretching once
+            # 0.1 x dest outgrows a batch's pending rows
+            run(spark, k, nb, wd, f"auto_{k}", split_threshold=thr,
+                normalize_every="auto")
         elif mode.startswith("lazy"):
             k_norm = int(mode[4:] or 4)
             run(spark, k, nb, wd, f"lazy{k_norm}_{k}", split_threshold=thr,
