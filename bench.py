@@ -230,6 +230,11 @@ def main() -> None:
         "events_funnel",
         "events_cohort_retention",
         "graph_pagerank",
+        # round-12 addition (cdc_corpus_incremental stays out: at bench
+        # SF its documents-table featurize work would dominate the total
+        # — the correctness gate covers it; the cdc cost classes are
+        # already represented by cdc_pipeline_e2e / cdc_lazy_cadence)
+        "media_h264_bslice",
     ]
 
     # warm the JVM + parquet footers once so per-query timings measure work,

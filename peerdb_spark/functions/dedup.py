@@ -671,14 +671,36 @@ def simhash_pairs(
     (id, band, value) shuffle, the same oversized-bucket skew guard.
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
     """
+    sh = simhash(df, text_col, id_col, bits)
+    return hamming_pairs_from(sh, "simhash", id_col, bits=bits,
+                              bands=bands, max_hamming=max_hamming,
+                              max_bucket_size=max_bucket_size)
+
+
+def hamming_pairs_from(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup pairs over a PRECOMPUTED fingerprint column of `bits`
+    bits — the banding + exact-verify core of simhash_pairs, exposed for
+    MAINTAINED fingerprint state (corpus.CorpusStateView keeps (id,
+    simhash) across CDC merges; this consumes it without any text).
+    Pigeonhole: hamming <= max_hamming (< bands) pairs agree on a whole
+    bits/bands-bit band; candidates come from the (band, value) bucket
+    equi-join with the oversized-bucket skew guard, then exact
+    bit_count(xor) verification. Returns (id_a, id_b, hamming)."""
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     r = bits // bands
-    sh = simhash(df, text_col, id_col, bits)
-    banded = sh.select(
-        id_col, "simhash",
+    banded = df.select(
+        id_col, hash_col,
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), r * j).bitwiseAND(F.lit(2**r - 1))
+                F.shiftright(F.col(hash_col), r * j).bitwiseAND(F.lit(2**r - 1))
                 for j in range(bands)
             ])
         ),
@@ -690,8 +712,8 @@ def simhash_pairs(
         .select("band", "bval")
     )
     sized = banded.join(F.broadcast(oversized), ["band", "bval"], "left_anti")
-    a = sized.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bval")
-    b = sized.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bval")
+    a = sized.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a"), "band", "bval")
+    b = sized.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b"), "band", "bval")
     cand = (
         a.join(b, ["band", "bval"])
         .where(F.col("id_a") < F.col("id_b"))

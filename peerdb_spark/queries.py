@@ -568,7 +568,17 @@ def q_cdc_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dele = base.where(F.col("doc_id") % 10 == 0).select(
         F.lit("delete").alias("kind"), "doc_id", "text",
         (F.col("doc_id") * 10 + 3).alias("ck"), F.lit(2).alias("_b"))
-    cl = ins_even.unionByName(ins_odd).unionByName(upd).unionByName(dele)
+    # near-dup CLONES: batch 2 also inserts lightly-edited copies of
+    # every 9th doc under shifted ids — live pairs the maintained simhash
+    # state must surface (the n_near_dups column consumes the LSH state)
+    clone = base.where(F.col("doc_id") % 9 == 1).select(
+        F.lit("insert").alias("kind"),
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words notice"))
+        .alias("text"),
+        (F.col("doc_id") * 10 + 20001).alias("ck"), F.lit(2).alias("_b"))
+    cl = (ins_even.unionByName(ins_odd).unionByName(upd)
+          .unionByName(dele).unionByName(clone))
     payload = F.to_json(F.struct("doc_id", "text"))
     feed = cl.select(
         F.col("kind").alias("_kind"),
@@ -602,8 +612,20 @@ def q_cdc_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in (1, 2):
         pipe.process_batch(feed.where(F.col("_b") == b).drop("_b"), b)
         assert _version() == b, f"state did not fold at batch {b}"
-    return view.accepted().select(
-        "doc_id", "simhash", "lang_pred", "quality", "n_tokens")
+    # consume the maintained LSH state: near-dup partners among ACCEPTED
+    # docs from the (id, simhash) relation alone — banded hamming LSH +
+    # exact verify (dedup.hamming_pairs_from), never the text
+    acc = view.accepted().localCheckpoint()
+    pairs = DD.hamming_pairs_from(acc, "simhash", "doc_id",
+                                  bits=32, bands=8, max_hamming=6)
+    both = (pairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id_b").alias("doc_id"))))
+    nd = both.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dups"))
+    return acc.join(nd, "doc_id", "left").select(
+        "doc_id", "simhash", "lang_pred", "quality", "n_tokens",
+        F.coalesce("n_near_dups", F.lit(0).cast("long"))
+        .alias("n_near_dups"))
 
 
 
@@ -6695,6 +6717,9 @@ WITH live AS (
          CASE WHEN doc_id % 6 = 0 THEN text || ' rev2 fresh words'
               ELSE text END AS text
   FROM documents WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT doc_id + 2000 AS doc_id, text || ' extra tail words notice' AS text
+  FROM documents WHERE doc_id % 9 = 1
 ),
 per AS (
   SELECT doc_id, {h64_sql("trim(text)")} AS content_hash,
@@ -6708,11 +6733,19 @@ keeper AS (
   SELECT * FROM (
     SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS m FROM per
   ) WHERE doc_id = m
+),
+acc AS (
+  SELECT k.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash,
+         k.lang_pred, k.quality, k.n_tokens
+  FROM keeper k LEFT JOIN sims s ON k.doc_id = s.doc_id
+  WHERE k.quality >= 0.8 AND k.n_tokens >= 20
 )
-SELECT k.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash,
-       k.lang_pred, k.quality, k.n_tokens
-FROM keeper k LEFT JOIN sims s ON k.doc_id = s.doc_id
-WHERE k.quality >= 0.8 AND k.n_tokens >= 20
+SELECT a.doc_id, a.simhash, a.lang_pred, a.quality, a.n_tokens,
+       CAST((SELECT count(*) FROM acc b
+             WHERE b.doc_id != a.doc_id
+               AND bit_count(xor(a.simhash, b.simhash)) <= 6) AS BIGINT)
+         AS n_near_dups
+FROM acc a
 """
 
 
@@ -7511,8 +7544,11 @@ _ORACLES_IMPL: dict[str, str] = {
 #   the h264 docstring/stats fixes touch no gate query.
 # - NEW: cdc_corpus_incremental (verdict #8 stretch — a documents table
 #   run as a CDC mirror with corpus.CorpusStateView maintaining cleaning
-#   + simhash-LSH state O(touched)/merge from the merge images; oracle =
-#   from-scratch clean over the merged live state) and media_h264_bslice
+#   + simhash-LSH state O(touched)/merge from the merge images, with the
+#   n_near_dups column CONSUMING the maintained state — banded hamming
+#   LSH over (id, simhash) alone, planted near-dup clones in batch 2;
+#   oracle = from-scratch clean + brute-force hamming count over the
+#   merged live state) and media_h264_bslice
 #   (verdict #7 stretch taken as B slices, not CABAC — CABAC context-init
 #   tables have no honest in-container source, B slices are closed-form:
 #   bi-prediction, spatial direct, POC display reordering, droppable
@@ -7520,12 +7556,16 @@ _ORACLES_IMPL: dict[str, str] = {
 # - STALE REFRESH (oldest cohorts first, verdict #4): the 2 last pre-r9
 #   rows (corpus_clean_full, pca_projection — closing the r11 "zero
 #   queries older than r10" ask), then the ENTIRE r9 cohort (30), then
-#   the head of the r10 cohort (14) — after this round no driver row
-#   predates r10.
+#   the head of the r10 cohort (12 — two slots ceded to the second NEW
+#   gate and the dedup_simhash_pairs regate) — after this round no
+#   driver row predates r10.
 _REGATE_THIS_ROUND = [
     "cdc_lazy_cadence",
     "cdc_mview_lazy_fresh",
     "dedup_simhash",
+    # simhash_pairs now delegates to the factored hamming_pairs_from
+    # (identical banding+verify, re-gated per the mechanical rule)
+    "dedup_simhash_pairs",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
@@ -7578,7 +7618,6 @@ _STALE_REFRESH = [
     "cdc_soft_delete",
     "cdc_pk_update",
     "cdc_toast_coalesce",
-    "cdc_rmt_view",
 ]
 
 # Provenance of the most recent green driver row for everything else
@@ -7635,6 +7674,7 @@ _GATE_GREEN_R11 = [
 ]
 
 _GATE_GREEN_R10 = [
+    "cdc_rmt_view",
     "cdc_record_counts",
     "cdc_unchanged_toast_sets",
     "cdc_time_travel",
@@ -7645,7 +7685,6 @@ _GATE_GREEN_R10 = [
     "video_fingerprint_dups",
     "image_dhash_incremental",
     "dedup_incremental_lsh",
-    "dedup_simhash_pairs",
     "dedup_cc_groups",
     "pack_sequences",
     "stratified_sample",

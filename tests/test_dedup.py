@@ -352,3 +352,21 @@ def test_hash64_incremental_equals_full_restricted(spark):
     # empty batch → no pairs
     assert hash64_hamming_pairs_incremental(
         df, df.where("id < 0"), "h", "id").count() == 0
+
+
+def test_hamming_pairs_from_equals_simhash_pairs(spark):
+    """r12 factoring: simhash_pairs == simhash(df) |> hamming_pairs_from
+    (the state-consuming form CorpusStateView's near-dup surface uses),
+    including at a wider bands/max_hamming setting."""
+    from peerdb_spark.functions import dedup as DD
+
+    rows = [(i, ("spark engine corpus near duplicate detection body "
+                 * 4) + (f" tail{i}" if i % 3 else " shared"))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    direct = {tuple(r) for r in DD.simhash_pairs(
+        df, "text", "doc_id", bands=8, max_hamming=6).collect()}
+    sh = DD.simhash(df, "text", "doc_id")
+    via_state = {tuple(r) for r in DD.hamming_pairs_from(
+        sh, "simhash", "doc_id", bands=8, max_hamming=6).collect()}
+    assert direct == via_state and len(direct) > 0
