@@ -685,6 +685,7 @@ def hamming_pairs_from(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs over a PRECOMPUTED fingerprint column of `bits`
     bits — the banding + exact-verify core of simhash_pairs, exposed for
@@ -693,8 +694,18 @@ def hamming_pairs_from(
     Pigeonhole: hamming <= max_hamming (< bands) pairs agree on a whole
     bits/bands-bit band; candidates come from the (band, value) bucket
     equi-join with the oversized-bucket skew guard, then exact
-    bit_count(xor) verification. Returns (id_a, id_b, hamming)."""
+    bit_count(xor) verification. Returns (id_a, id_b, hamming).
+
+    `materialize` localCheckpoints the narrow (id, hash) projection first:
+    the banded relation is consumed by THREE physical branches (bucket-size
+    guard + both join sides), so without it the upstream fingerprint
+    computation — often an Arrow decode kernel or a full text scan — runs
+    3x (the minhash_lsh_pairs lesson, r12 measured ~1.8x wall on the
+    audio/video dup gates). 16 bytes/item; at 100 TB pass a parquet-backed
+    fingerprint relation and set materialize=False."""
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    if materialize:
+        df = df.select(id_col, hash_col).localCheckpoint(eager=True)
     r = bits // bands
     banded = df.select(
         id_col, hash_col,
@@ -885,14 +896,24 @@ def hash64_hamming_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs over a PRECOMPUTED 64-bit fingerprint column (e.g.
     multimodal.image_dhash) — the generic twin of simhash_pairs: hamming
     LSH banding by pigeonhole (a pair within max_hamming < bands agrees
     on a whole 64/bands-bit band), bucket equi-join on (band, value) with
     the oversized-bucket skew guard, exact bit_count(xor) verification.
-    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    `materialize` localCheckpoints the narrow (id, hash) projection: the
+    banding consumes it through three physical branches (size guard + both
+    join sides), so an expensive upstream (the image/audio/video Arrow
+    fingerprint kernels) would otherwise run 3x — the same lesson the
+    incremental twin's callers learned in r10 (q_image_dhash_incremental,
+    measured 2.6x). 16 bytes/item; disable for parquet-backed state."""
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    if materialize:
+        df = df.select(id_col, hash_col).localCheckpoint(eager=True)
     r = 64 // bands
     mask = F.lit((1 << r) - 1)
     banded = df.select(

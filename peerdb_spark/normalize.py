@@ -495,7 +495,8 @@ def merge_into_table(
     # 7.8s vs 11.9s on the 600k-row sf0.1 pipeline.
     # PK-changing updates split BEFORE dedup so the synthetic old-pk delete
     # participates in last-writer-wins under its own key.
-    deduped = latest_changes(split_pk_updates(changes, pk), pk, skew_salt=skew_salt)
+    split = split_pk_updates(changes, pk)
+    deduped = latest_changes(split, pk, skew_salt=skew_salt)
     if return_images:
         deduped = deduped.localCheckpoint(eager=True)  # merge + both key probes
         keys = deduped.select(*pk).distinct()
@@ -519,8 +520,19 @@ def merge_into_table(
         # routes each pk to its current extendible-hashing leaf
         bexpr = table.assign_bucket_expr()
         deduped = deduped.withColumn(BUCKET_COL, bexpr)
-        # distinct buckets touched: tiny driver-side list (≤ #leaves ints)
-        buckets = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]
+        # distinct buckets touched: tiny driver-side list (≤ #leaves ints).
+        # Probed on the PRE-dedup split batch, not `deduped`: the LWW window
+        # keeps exactly one row per pk (row_number = 1), so the pk→bucket
+        # set is identical — and the probe job then skips the window's full
+        # hash exchange + sort entirely (a map-side partial distinct over
+        # one int column; the window itself now executes once, in the merge
+        # write, closing the r11 double-execution question with a strictly
+        # cheaper answer than checkpointing the deduped batch).
+        probe = deduped if return_images else split
+        buckets = [
+            r[0]
+            for r in probe.select(bexpr.alias(BUCKET_COL)).distinct().collect()
+        ]
         dest = table.read_buckets(buckets).drop(BUCKET_COL)
         if return_images:
             pre = dest.join(F.broadcast(keys), pk, "left_semi").localCheckpoint(
