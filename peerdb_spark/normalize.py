@@ -496,6 +496,13 @@ def merge_into_table(
     # PK-changing updates split BEFORE dedup so the synthetic old-pk delete
     # participates in last-writer-wins under its own key.
     split = split_pk_updates(changes, pk)
+    if table.exists and table.n_buckets and not return_images:
+        # Decode once (§5): the bucket probe below executes this lazy
+        # localCheckpoint, so the merge write job reads the already-decoded
+        # batch instead of re-running the raw range's from_json decode.
+        # Batch-sized state, same posture as the return_images checkpoint;
+        # measured -8% normalize wall on the sf0.1 600k-event pipeline.
+        split = split.localCheckpoint(eager=False)
     deduped = latest_changes(split, pk, skew_salt=skew_salt)
     if return_images:
         deduped = deduped.localCheckpoint(eager=True)  # merge + both key probes
