@@ -55,6 +55,11 @@ def lineitem_changelog(li: DataFrame) -> DataFrame:
     row hash over integer-ized columns — unique at every SF (verified), and
     exactly reproducible in DuckDB. Ordering (cts, ck) is total within a pk.
     Kinds derive from the hash: %4==0 → delete, %7==0 → insert, else update.
+
+    (r12 note: fanning the 3-row-group scan out before the md5 was re-tested
+    and confirmed net-neutral at this SF — the ~0.5 s serialized hash saving
+    is repaid by the extra exchange + block materialization; interleaved A/B,
+    matching the r11 measurement. Left as-is.)
     """
     ck = h64(
         F.concat_ws(
