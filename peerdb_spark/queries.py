@@ -4011,32 +4011,44 @@ def _jpeg_tile_media(docs: DataFrame) -> DataFrame:
     lossless: a constant block's only DCT coefficient is 8·(v−128),
     divisible by the Q50 luma DC step (16) for even v — so the analytic
     pixel formula IS the expected decode output, byte for byte."""
-    did = F.col("doc_id")
-    w = (F.lit(16) + (did % 2) * 8).cast("int")
-    h = F.lit(16).cast("int")
-    n_bytes = w.cast("long") * h * 3
-    tile_v = (
-        lambda i: (
-            (did * 31
-             + F.floor(F.floor(i / (w * 3)) / 8) * 8
-             + F.floor((i % (w * 3)) / 3 / 8) * 3) % 128
-        ) * 2
+    # Vectorized numpy content synthesis (§4.2; same rewrite as
+    # _dhash_fixture — the per-byte transform() lambda is interpreted, and
+    # this fixture evaluates up to w·h·3 of them per row). Byte-identical.
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
     )
-    content = F.unhex(
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), n_bytes - 1),
-                lambda i: F.lpad(F.lower(F.hex(tile_v(i))), 2, "0"),
-            ),
-            "",
-        )
-    )
-    return docs.select(
-        did.alias("media_id"),
-        content.alias("content"),
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        # per-byte additive tile term for each of the two widths:
+        # byte i → y = i // (w·3), x = (i % (w·3)) // 3; term = (y//8)·8 + (x//8)·3
+        tp = {}
+        for wv in (16, 24):
+            i = np.arange(wv * 16 * 3)
+            y, x = i // (wv * 3), (i % (wv * 3)) // 3
+            tp[wv] = (y // 8) * 8 + (x // 8) * 3
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out = []
+            for mid in ids:
+                wv = 16 + (int(mid) % 2) * 8
+                v = 2 * ((int(mid) * 31 + tp[wv]) % 128)
+                out.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": out})
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema).select(
+        "media_id",
+        "content",
         F.struct(
-            F.lit("image/raw-rgb").alias("mime"), w.alias("width"),
-            h.alias("height"), F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("image/raw-rgb").alias("mime"),
+            (F.lit(16) + (F.col("media_id") % 2) * 8).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
             F.lit("rgb").alias("codec"),
         ).alias("meta"),
     )
@@ -4614,7 +4626,9 @@ FROM documents
 """
 
 
-def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dhash_fixture(
+    spark: SparkSession, sf_dir: str, max_id: int | None = None
+) -> DataFrame:
     """Per-doc 18×16 gray raw-RGB images in dedup GROUPS: group g =
     doc_id // 4 shares a base image (v = (g·11 + sx·5 + sy·7) % 97
     + (g·7 + sx·3 + sy·5) % 31 — adjacent sampled gradients are sums of
@@ -4628,36 +4642,49 @@ def _dhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     path). Every value is analytic, so the oracle recomputes the exact
     hash bits."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
-    did = F.col("doc_id")
+    if max_id is not None:
+        # filter BEFORE the opaque kernel (an opaque Arrow stage blocks
+        # predicate pushdown — §4.2 column/row discipline)
+        docs = docs.where(F.col("doc_id") < max_id)
     w, h = 18, 16
-    g = F.floor(did / 4)
-    variant = F.pmod(did, F.lit(4))
-    n_px = w * h
-    # pixel p → (sx = p % w, sy = p // w); r=g=b, so hex each pixel ONCE
-    # and repeat 3× (3× fewer string ops than a per-byte transform)
-    val = (
-        lambda p: (
-            (g * 11 + (p % w) * 5 + F.floor(p / w) * 7) % 97
-            + (g * 7 + (p % w) * 3 + F.floor(p / w) * 5) % 31
-            + F.when((variant > 0) & (p == 0), 1).otherwise(0)
-            + F.when(
-                (variant == 3) & ((p % w) == 4) & (F.floor(p / w) == 4),
-                41,
-            ).otherwise(0)
-        )
+
+    # Content bytes come from ONE vectorized numpy kernel instead of the
+    # r9 per-element transform() lambda: higher-order-function lambdas are
+    # interpreted per element (not codegen'd), and this fixture evaluates
+    # w·h of them per row — measured 0.55 → 0.31 s for the content pass at
+    # sf0.1, byte-identical (§4.2: hand whole batches to vectorized native
+    # code). The oracle's analytic recomputation is untouched.
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
     )
-    content = F.unhex(
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(n_px - 1)),
-                lambda p: F.repeat(F.lpad(F.lower(F.hex(val(p))), 2, "0"), 3),
-            ),
-            "",
-        )
-    )
-    return docs.select(
-        did.alias("media_id"),
-        content.alias("content"),
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        p = np.arange(w * h)
+        sx, sy = p % w, p // w
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            g = ids // 4
+            variant = ids % 4
+            base = (
+                np.add.outer(g * 11, sx * 5 + sy * 7) % 97
+                + np.add.outer(g * 7, sx * 3 + sy * 5) % 31
+            )
+            base[:, 0] += (variant > 0).astype(np.int64)
+            base[:, 4 * w + 4] += np.where(variant == 3, 41, 0)
+            rgb = np.repeat(base.astype(np.uint8), 3, axis=1)
+            yield pd.DataFrame(
+                {"media_id": ids, "content": [r.tobytes() for r in rgb]}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema).select(
+        "media_id",
+        "content",
         F.struct(
             F.lit("image/raw-rgb").alias("mime"),
             F.lit(w).cast("int").alias("width"),
@@ -4826,22 +4853,7 @@ def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta bits flip). All analytic, so the oracle recomputes every
     energy and bit."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
-    did = F.col("doc_id")
     n_samp = 65 * 4
-    g = F.floor(did / 4)
-    variant = F.pmod(did, F.lit(4))
-    base = lambda t: ((g * 13 + t * 29) % 251) - 125  # noqa: E731
-    samp = (
-        lambda t: F.when((variant == 3) & (F.floor(t / 4) == 10), 0)
-        .when((variant > 0) & (t == 0), -base(t))
-        .otherwise(base(t))
-    )
-    le16 = (
-        lambda v: F.concat(
-            F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 3, 2),
-            F.substring(F.lpad(F.lower(F.hex(F.pmod(v, F.lit(65536)))), 4, "0"), 1, 2),
-        )
-    )
     # mono PCM16 @16kHz, 260 samples (520 B data): RIFF size = 4 (WAVE)
     # + 24 (fmt chunk incl header) + 8 (data header) + 520 = 556
     header_hex = (
@@ -4849,18 +4861,41 @@ def _audio_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0100" "0100" "803e0000" "007d0000" "0200" "1000"
         "64617461" "08020000"
     )
-    wav = F.unhex(
-        F.concat(
-            F.lit(header_hex),
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_samp - 1)), lambda t: le16(samp(t))
-                ),
-                "",
-            ),
-        )
+
+    # Vectorized numpy WAV synthesis (§4.2): replaces 260 interpreted
+    # transform() lambda evaluations (each two hex/substring chains) per
+    # doc; byte-identical — int16 little-endian == the hex le16 encoding of
+    # v mod 65536. Oracle untouched.
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
     )
-    return docs.select(did.alias("media_id"), wav.alias("content"))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        header = bytes.fromhex(header_hex)
+        t = np.arange(n_samp)
+        frame10 = (t // 4) == 10
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            g = ids // 4
+            variant = ids % 4
+            base = (np.add.outer(g * 13, t * 29) % 251) - 125
+            base[:, 0] *= np.where(variant > 0, -1, 1)
+            base[np.ix_(variant == 3, frame10)] = 0
+            pcm = base.astype("<i2")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [header + r.tobytes() for r in pcm],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema)
 
 
 _SQL_AUDIO_FP_CTE = """
@@ -5273,39 +5308,55 @@ def _video_frames_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one hash agg, no all-pairs)."""
     docs = ensure_parallelism(
         _t(spark, sf_dir, "documents")[0].where(F.col("doc_id") < 500))
-    did = F.col("doc_id")
     w, h = 18, 16
-    g = F.floor(did / 4)
-    variant = F.pmod(did, F.lit(4))
-    fcol = F.col("frame_idx")
-    n_px = w * h
-    val = (
-        lambda p: (
-            (g * 11 + (p % w) * 5 + F.floor(p / w) * 7 + fcol * 13) % 97
-            + (g * 7 + (p % w) * 3 + F.floor(p / w) * 5 + fcol * 9) % 31
-            + F.when((variant > 0) & (p == 0), 1).otherwise(0)
-            + F.when(
-                (variant == 3) & (fcol == 2)
-                & ((p % w) == 4) & (F.floor(p / w) == 4),
-                41,
-            ).otherwise(0)
-        )
+
+    # One vectorized numpy kernel emits all 4 frames per doc (mapInPandas
+    # may change cardinality) — replaces the interpreted per-element
+    # transform() lambda over w·h pixels × 4 frames per doc (§4.2; same
+    # rewrite as _dhash_fixture, byte-identical, oracle untouched).
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
     )
-    content = F.unhex(
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(n_px - 1)),
-                lambda p: F.repeat(F.lpad(F.lower(F.hex(val(p))), 2, "0"), 3),
-            ),
-            "",
-        )
-    )
-    return docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
-    ).select(
-        F.col("doc_id").alias("media_id"), "frame_idx",
-        content.alias("frame"),
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        p = np.arange(w * h)
+        sx, sy = p % w, p // w
+        fr = np.arange(4)
+        # per-(frame, pixel) additive terms, shape (4, w*h)
+        a97 = np.add.outer(fr * 13, sx * 5 + sy * 7)
+        a31 = np.add.outer(fr * 9, sx * 3 + sy * 5)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            g = ids // 4
+            variant = ids % 4
+            # shape (n_docs, 4, w*h)
+            base = (
+                (g * 11)[:, None, None] + a97[None, :, :]
+            ) % 97 + ((g * 7)[:, None, None] + a31[None, :, :]) % 31
+            base[:, :, 0] += (variant > 0).astype(np.int64)[:, None]
+            base[:, 2, 4 * w + 4] += np.where(variant == 3, 41, 0)
+            rgb = np.repeat(base.astype(np.uint8), 3, axis=2)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(ids, 4),
+                    "frame_idx": np.tile(fr, len(ids)).astype(np.int32),
+                    "frame": [
+                        rgb[d, f].tobytes()
+                        for d in range(len(ids))
+                        for f in range(4)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema).select(
+        "media_id", "frame_idx", "frame",
         F.lit(w).alias("width"), F.lit(h).alias("height"),
     )
 
@@ -5359,8 +5410,9 @@ def q_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peerdb_spark.functions.dedup import hash64_hamming_pairs_incremental
 
     # fixture-cost cap (the video-gate discipline): doc_id < 2000 is ALL
-    # of sf0.01's documents and a fixed-size subset at sf0.1
-    media = _dhash_fixture(spark, sf_dir).where(F.col("media_id") < 2000)
+    # of sf0.01's documents and a fixed-size subset at sf0.1 (filter now
+    # applied BELOW the fixture's Arrow kernel, where pushdown can't reach)
+    media = _dhash_fixture(spark, sf_dir, max_id=2000)
     # EAGER: state and new are two branches of the same Arrow kernel
     # output and the incremental op references each more than once —
     # without materialization the analytic fixture + hash kernel
