@@ -2906,12 +2906,15 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join directly and collapse to the trainer's (w, freq) relation
     wc = (
         docs.select("doc_id", F.explode(_tokens("text")).alias("w"))
+        # pin real partitions with the SAME exchange the aggregate needs:
+        # repartition(32, keys) feeds groupBy(keys) without a second
+        # exchange (AQE would otherwise coalesce the small-bytes aggregate
+        # to 1 partition and serialize every downstream consumer; the old
+        # groupBy → repartition(32) paid that second full exchange —
+        # r12 §2.4 exchange reuse, measured 0.75 → 0.53 s)
+        .repartition(32, "doc_id", "w")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("n_w"))
-        # pin real partitions BEFORE the checkpoint: AQE coalesces the
-        # small-bytes aggregate to 1 partition and every downstream
-        # consumer (vocab fold, encode join, token agg) would serialize
-        .repartition(32)
         .localCheckpoint(eager=True)
     )
     wf = wc.groupBy("w").agg(F.sum("n_w").alias("freq"))
@@ -2940,9 +2943,11 @@ def q_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     wc = (
         docs.select("doc_id", F.explode(_tokens("text")).alias("w"))
+        # single pinned exchange shared with the aggregate (see
+        # q_bpe_encode_tokens)
+        .repartition(32, "doc_id", "w")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("n_w"))
-        .repartition(32)
         .localCheckpoint(eager=True)
     )
     wf = wc.groupBy("w").agg(F.sum("n_w").alias("freq"))
