@@ -4967,8 +4967,13 @@ def q_audio_frame_energy_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash."""
     from peerdb_spark.functions import multimodal as MM
 
-    media = _audio_energy_fixture(spark, sf_dir)
-    flac = MM.transcode_wav_flac(media)
+    # transcode the 4 exemplar containers, not the ~n/6 fanned-out media
+    # rows (fixture-cost discipline; the per-row DECODE is the operator
+    # under test and still runs for every media row)
+    flac = _audio_energy_fixture(
+        spark, sf_dir,
+        container_fn=lambda c: MM.transcode_wav_flac(c, id_col="vk"),
+    )
     return MM.audio_frame_features(flac, frame_len=64).select(
         "media_id", "frame_idx", "n_samples", "sum_sq",
         "zero_crossings", "peak",
@@ -5030,8 +5035,16 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _audio_energy_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audio_frame_energy WAV fixture (shared with its FLAC twin)."""
+def _audio_energy_fixture(
+    spark: SparkSession, sf_dir: str, container_fn=None
+) -> DataFrame:
+    """The audio_frame_energy WAV fixture (shared with its FLAC twin).
+
+    `container_fn` transforms the 4-row exemplar container relation BEFORE
+    the broadcast join fan-out — the FLAC twin passes the WAV→FLAC
+    transcode here so the (pure-Python) encoder runs 4×, not once per
+    media row (the r10 mjpeg fixture-cost discipline; the decode under
+    test still runs per media row)."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
     did = F.col("doc_id")
     n_samp = 400
@@ -5070,6 +5083,8 @@ def _audio_energy_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     containers = base.select("vk", wav.alias("content"))
+    if container_fn is not None:
+        containers = container_fn(containers)
     media = (
         docs.where(did % 6 == 5)
         .select(
