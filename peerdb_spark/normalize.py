@@ -30,7 +30,7 @@ the batch; AQE handles skewed pks. Record-kind codes: 0=insert, 1=update,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from peerdb_spark.storage import BUCKET_COL, ParquetTable, bucket_expr
@@ -59,15 +59,34 @@ COL_OLD = "_old"
 META_COLS = [COL_KIND, COL_CHECKPOINT, COL_COMMIT_TS, COL_TXID, COL_DST, COL_UNCHANGED, COL_OLD]
 
 
+def _qid(name: str) -> str:
+    """Backtick-quote an identifier for SQL text (defensive: any name)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qstr(s: str) -> str:
+    """Single-quote a string literal for SQL text."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def kind_code(col=COL_KIND):
     """String kind → numeric record type (0/1/2; 3 = relation/schema-delta;
     4 = message/unknown metadata)."""
+    return F.expr(kind_code_sql(col))
+
+
+def kind_code_sql(col=COL_KIND) -> str:
+    """SQL text of kind_code — the merge builders compose projections as
+    text so one selectExpr parse replaces per-node py4j round-trips (the
+    exotic_sql.py lesson: each Column-API node is a ~1 ms driver round
+    trip; a parsed CASE chain is identical Catalyst output)."""
+    c = _qid(col)
     return (
-        F.when(F.col(col) == "insert", F.lit(KIND_INSERT))
-        .when(F.col(col) == "update", F.lit(KIND_UPDATE))
-        .when(F.col(col) == "delete", F.lit(KIND_DELETE))
-        .when(F.col(col) == "relation", F.lit(KIND_RELATION))
-        .otherwise(F.lit(KIND_MESSAGE))
+        f"CASE WHEN {c} = 'insert' THEN {KIND_INSERT}"
+        f" WHEN {c} = 'update' THEN {KIND_UPDATE}"
+        f" WHEN {c} = 'delete' THEN {KIND_DELETE}"
+        f" WHEN {c} = 'relation' THEN {KIND_RELATION}"
+        f" ELSE {KIND_MESSAGE} END"
     )
 
 
@@ -105,8 +124,14 @@ def latest_changes(
             .agg(F.max_by(row, ord_).alias("_r"))
             .select("_r.*")
         )
-    w = Window.partitionBy(*pk_cols).orderBy(F.col(ts_col).desc(), F.col(checkpoint_col).desc())
-    return changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    # window as parsed SQL text (one py4j call instead of ~100 Column-API
+    # round trips; identical WindowExec plan — DESC defaults NULLS LAST in
+    # both the SQL parser and Column.desc())
+    rn = (
+        f"row_number() OVER (PARTITION BY {', '.join(_qid(c) for c in pk_cols)}"
+        f" ORDER BY {_qid(ts_col)} DESC, {_qid(checkpoint_col)} DESC) AS _rn"
+    )
+    return changes.selectExpr("*", rn).where("_rn = 1").drop("_rn")
 
 
 # salt width the auto heuristic applies when a hot key is detected: the
@@ -168,9 +193,6 @@ def split_pk_updates(
     is present in the old image (REPLICA IDENTITY NOTHING — pk changes are
     undetectable, same as the reference without enablePrimaryUpdate).
     """
-    from functools import reduce
-    from operator import or_
-
     from pyspark.sql import types as T
 
     if old_col not in changes.columns:
@@ -183,29 +205,37 @@ def split_pk_updates(
     if not pk_in_old:
         return changes.drop(old_col)
     out_cols = [c for c in changes.columns if c != old_col]
+    # whole expansion as ONE parsed expression (see kind_code_sql note):
+    # the two per-column struct builders were ~10 py4j round trips per
+    # column per call on the normalize hot path
+    oldq = _qid(old_col)
     is_pk_change = (
-        (F.col(COL_KIND) == "update")
-        & F.col(old_col).isNotNull()
-        & reduce(or_, [~F.col(f"{old_col}.{c}").eqNullSafe(F.col(c)) for c in pk_in_old])
+        f"({_qid(COL_KIND)} = 'update' AND {oldq} IS NOT NULL AND ("
+        + " OR ".join(f"NOT ({oldq}.{_qid(c)} <=> {_qid(c)})" for c in pk_in_old)
+        + "))"
     )
 
-    def _field(c: str, for_delete: bool):
+    def _field(c: str, for_delete: bool) -> str:
         if not for_delete:
-            return F.col(c).alias(c)
+            return f"{_qstr(c)}, {_qid(c)}"
         if c == COL_KIND:
-            return F.lit("delete").alias(c)
+            return f"{_qstr(c)}, 'delete'"
         if c == COL_UNCHANGED:
-            return F.lit(None).cast(changes.schema[c].dataType).alias(c)
+            ddl = changes.schema[c].dataType.simpleString()
+            return f"{_qstr(c)}, CAST(NULL AS {ddl})"
         if c in old_fields and c not in META_COLS:
             # old image where present, new value as backfill (partial old
             # tuples: REPLICA IDENTITY USING INDEX carries only key columns)
-            return F.coalesce(F.col(f"{old_col}.{c}"), F.col(c)).alias(c)
-        return F.col(c).alias(c)
+            return f"{_qstr(c)}, coalesce({oldq}.{_qid(c)}, {_qid(c)})"
+        return f"{_qstr(c)}, {_qid(c)}"
 
-    new_row = F.struct(*[_field(c, False) for c in out_cols])
-    del_row = F.struct(*[_field(c, True) for c in out_cols])
-    expanded = F.when(is_pk_change, F.array(new_row, del_row)).otherwise(F.array(new_row))
-    return changes.select(F.explode(expanded).alias("_r")).select("_r.*")
+    new_row = "named_struct(" + ", ".join(_field(c, False) for c in out_cols) + ")"
+    del_row = "named_struct(" + ", ".join(_field(c, True) for c in out_cols) + ")"
+    expanded = (
+        f"explode(CASE WHEN {is_pk_change} THEN array({new_row}, {del_row})"
+        f" ELSE array({new_row}) END) AS _r"
+    )
+    return changes.selectExpr(expanded).select("_r.*")
 
 
 def merge_changes(
@@ -246,21 +276,27 @@ def merge_changes(
     if dedup:
         changes = latest_changes(changes, pk_cols)
 
+    # Projections composed as SQL text and parsed in ONE selectExpr (see
+    # kind_code_sql): the per-column F.when chains here were 600-850 py4j
+    # round trips (~1 ms each) of pure driver time per merge call; the
+    # parsed CASE expressions produce the identical Catalyst tree.
     has_unchanged = COL_UNCHANGED in changes.columns
-    src = changes.select(
-        *pk_cols,
-        *data_cols,
-        kind_code().alias("_rtype"),
-        *([F.col(COL_UNCHANGED)] if has_unchanged else []),
+    src = changes.selectExpr(
+        *[_qid(c) for c in pk_cols],
+        *[_qid(c) for c in data_cols],
+        f"({kind_code_sql()}) AS _rtype",
+        *([_qid(COL_UNCHANGED)] if has_unchanged else []),
     )
 
     if dest is None:
         out = src
         if soft_delete_col:
             # deletes with no prior state still materialize as tombstones
-            out = out.withColumn(soft_delete_col, F.col("_rtype") == KIND_DELETE)
+            out = out.withColumn(
+                soft_delete_col, F.expr(f"_rtype = {KIND_DELETE}")
+            )
         else:
-            out = out.where(F.col("_rtype") != KIND_DELETE)
+            out = out.where(f"_rtype != {KIND_DELETE}")
         out = out.drop("_rtype", *([COL_UNCHANGED] if has_unchanged else []))
         if synced_at_col:
             out = out.withColumn(synced_at_col, F.current_timestamp())
@@ -272,57 +308,59 @@ def merge_changes(
     d2 = dest.withColumn("_in_dest", F.lit(True)).alias("d")
     s2 = src.withColumn("_in_src", F.lit(True)).alias("s")
     joined = d2.join(s2, on=pk_cols, how="full_outer")
-    in_dest = F.col("_in_dest").isNotNull()
-    in_src = F.col("_in_src").isNotNull()
-    is_delete = in_src & (F.col("s._rtype") == KIND_DELETE)
+    in_dest = "(_in_dest IS NOT NULL)"
+    in_src = "(_in_src IS NOT NULL)"
+    is_delete = f"({in_src} AND s._rtype = {KIND_DELETE})"
 
     # a delete takes the source values only when the key is absent from the
     # destination (soft-delete tombstone INSERT — ref normalize_stmt_generator.go
     # 'WHEN NOT MATCHED AND _peerdb_record_type=2 THEN INSERT ... soft_delete=TRUE');
     # a matched delete keeps the destination values (tombstone UPDATE)
-    use_src = in_src & (~is_delete | ~in_dest)
+    use_src = f"({in_src} AND ((NOT {is_delete}) OR (NOT {in_dest})))"
+    unch = f"s.{_qid(COL_UNCHANGED)}"
 
-    def value_of(c: str):
-        src_val = F.col(f"s.{c}")
+    def value_of(c: str) -> str:
+        src_val = f"s.{_qid(c)}"
         if has_unchanged:
             # TOAST-unchanged column keeps the destination value — the single
             # generic branch replacing the reference's per-combination SQL
-            src_val = F.when(
-                F.col(f"s.{COL_UNCHANGED}").isNotNull()
-                & F.array_contains(F.col(f"s.{COL_UNCHANGED}"), F.lit(c))
-                & in_dest,
-                F.col(f"d.{c}") if c in dest_cols else F.lit(None),
-            ).otherwise(F.col(f"s.{c}"))
-        if c in dest_cols:
-            return F.when(use_src, src_val).otherwise(F.col(f"d.{c}"))
-        return F.when(use_src, src_val).otherwise(F.lit(None))
+            d_val = f"d.{_qid(c)}" if c in dest_cols else "NULL"
+            src_val = (
+                f"CASE WHEN {unch} IS NOT NULL AND array_contains({unch}, {_qstr(c)})"
+                f" AND {in_dest} THEN {d_val} ELSE s.{_qid(c)} END"
+            )
+        alt = f"d.{_qid(c)}" if c in dest_cols else "NULL"
+        return f"CASE WHEN {use_src} THEN {src_val} ELSE {alt} END AS {_qid(c)}"
 
-    select_cols = [*[F.col(c) for c in pk_cols], *[value_of(c).alias(c) for c in data_cols]]
+    select_cols = [*[_qid(c) for c in pk_cols], *[value_of(c) for c in data_cols]]
 
     if soft_delete_col:
         prev_deleted = (
-            F.coalesce(F.col(f"d.{soft_delete_col}"), F.lit(False))
+            f"coalesce(d.{_qid(soft_delete_col)}, false)"
             if soft_delete_col in dest_cols
-            else F.lit(False)
+            else "false"
         )
-        deleted = (
-            F.when(is_delete, F.lit(True)).when(in_src, F.lit(False)).otherwise(prev_deleted)
+        select_cols.append(
+            f"CASE WHEN {is_delete} THEN true WHEN {in_src} THEN false"
+            f" ELSE {prev_deleted} END AS {_qid(soft_delete_col)}"
         )
-        select_cols.append(deleted.alias(soft_delete_col))
         # all rows kept: matched deletes become tombstone updates, unmatched
         # deletes materialize as tombstone INSERTs (reference parity)
-        keep = F.lit(True)
+        keep = "true"
     else:
         # hard delete drops the row; unmatched deletes no-op
-        keep = ~is_delete
+        keep = f"NOT {is_delete}"
 
     if synced_at_col:
-        prev_sync = F.col(f"d.{synced_at_col}") if synced_at_col in dest_cols else F.lit(None)
+        prev_sync = (
+            f"d.{_qid(synced_at_col)}" if synced_at_col in dest_cols else "NULL"
+        )
         select_cols.append(
-            F.when(in_src, F.current_timestamp()).otherwise(prev_sync).alias(synced_at_col)
+            f"CASE WHEN {in_src} THEN current_timestamp() ELSE {prev_sync} END"
+            f" AS {_qid(synced_at_col)}"
         )
 
-    return joined.where(keep).select(*select_cols)
+    return joined.where(keep).selectExpr(*select_cols)
 
 
 def merge_changes_agg(
@@ -600,11 +638,12 @@ def rmt_latest_view(
     """
     if is_deleted is None:
         is_deleted = F.col(COL_KIND) == "delete"
-    w = Window.partitionBy(*pk_cols).orderBy(
-        F.col(version_col).desc(), F.col(tiebreak_col).desc()
+    rn = (
+        f"row_number() OVER (PARTITION BY {', '.join(_qid(c) for c in pk_cols)}"
+        f" ORDER BY {_qid(version_col)} DESC, {_qid(tiebreak_col)} DESC) AS _rn"
     )
     return (
-        appended.withColumn("_rn", F.row_number().over(w))
+        appended.selectExpr("*", rn)
         .where((F.col("_rn") == 1) & ~is_deleted)
         .drop("_rn")
     )

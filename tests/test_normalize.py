@@ -230,3 +230,55 @@ def test_detect_hot_key(spark):
     assert not N.detect_hot_key(even, ["id"], threshold=0.01, min_hot_rows=2)
     empty = even.where("id < 0")
     assert not N.detect_hot_key(empty, ["id"], threshold=0.01, min_hot_rows=1)
+
+
+def test_sql_text_path_exotic_column_names(spark):
+    """The merge builders compose projections as SQL text (round 12 driver-
+    overhead optimization); pin that identifier/literal quoting survives
+    hostile column names — backticks, quotes, dots, spaces — end to end
+    through split_pk_updates + latest_changes + merge_changes."""
+    pk = "the key"  # space
+    vc = "va`l.u'e"  # backtick + dot + quote
+    schema_cols = [
+        (pk, "long"), (vc, "string"), ("_kind", "string"),
+        ("_checkpoint_id", "long"), ("_commit_ts", "timestamp"),
+        ("_unchanged_cols", "array<string>"),
+    ]
+    from pyspark.sql import types as T
+
+    typ = {"long": T.LongType(), "string": T.StringType(),
+           "timestamp": T.TimestampType(),
+           "array<string>": T.ArrayType(T.StringType())}
+    fields = [T.StructField(n, typ[t], True) for n, t in schema_cols]
+    old_t = T.StructType([T.StructField(pk, T.LongType(), True),
+                          T.StructField(vc, T.StringType(), True)])
+    schema = T.StructType([*fields, T.StructField("_old", old_t, True)])
+    rows = [
+        (1, "a", "insert", 1, TS, None, None),
+        (1, "b", "update", 2, TS + dt.timedelta(seconds=1), [vc], None),
+        # pk-changing update 2→5: old-pk delete must be synthesized
+        (5, "moved", "update", 3, TS + dt.timedelta(seconds=2), None, (2, "two")),
+        (3, "gone", "delete", 4, TS + dt.timedelta(seconds=3), None, None),
+    ]
+    chg = spark.createDataFrame(rows, schema)
+    dest = spark.createDataFrame([(1, "ONE"), (2, "TWO"), (3, "THREE")],
+                                 T.StructType([T.StructField(pk, T.LongType(), True),
+                                               T.StructField(vc, T.StringType(), True)]))
+    out = N.merge_changes(dest, chg, [pk])
+    got = {r[pk]: r[vc] for r in out.collect()}
+    # key 1: update with vc TOAST-unchanged keeps destination value;
+    # key 2: retired by the synthetic old-pk delete; key 3: hard delete;
+    # key 5: new pk from the pk-changing update
+    assert got == {1: "ONE", 5: "moved"}
+
+
+def test_kind_code_sql_null_and_unknown(spark):
+    """kind_code (now parsed SQL text) maps NULL and unrecognized kinds to
+    KIND_MESSAGE, the pre-round-12 Column-API semantics."""
+    df = spark.createDataFrame(
+        [("insert",), ("update",), ("delete",), ("relation",), ("x",), (None,)],
+        "k string",
+    )
+    got = [r[0] for r in df.select(N.kind_code("k")).collect()]
+    assert got == [N.KIND_INSERT, N.KIND_UPDATE, N.KIND_DELETE,
+                   N.KIND_RELATION, N.KIND_MESSAGE, N.KIND_MESSAGE]
