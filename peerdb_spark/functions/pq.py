@@ -54,7 +54,14 @@ def _subvecs(df: DataFrame, m: int, d2: int, vec_col: str, id_col: str,
 
 def _assign(sv_df: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
     """E-step: nearest codeword per (id, sub) by exact fixed-point L2
-    (centroids carry an extra ·scale). Deterministic tie-break on cell."""
+    (centroids carry an extra ·scale). Deterministic tie-break on cell.
+
+    argmin as min(struct(_d, cell)) with a hash aggregate, not a
+    row_number window: the scored relation is k rows per (id, sub), and a
+    window would shuffle AND sort all of them, where the aggregate's
+    map-side combine ships one partial row per group per map task (struct
+    min is lexicographic, so (_d, cell) reproduces the ORDER BY _d, cell
+    tie-break exactly). `sv` is constant within a group — first() is safe."""
     dist = F.aggregate(
         F.zip_with(
             F.col("sv"), F.col("m"),
@@ -66,11 +73,10 @@ def _assign(sv_df: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
     scored = sv_df.join(F.broadcast(codebooks), "sub").select(
         id_col, "sub", "sv", "cell", dist.alias("_d")
     )
-    w = Window.partitionBy(id_col, "sub").orderBy("_d", "cell")
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "sub", "sv", "cell")
+        scored.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("_d", "cell")).alias("_w"), F.first("sv").alias("sv"))
+        .select(id_col, "sub", "sv", F.col("_w.cell").alias("cell"))
     )
 
 
@@ -96,15 +102,20 @@ def pq_train_encode(
     sv = _subvecs(corpus, m, d2, vec_col, id_col, SCALE).localCheckpoint(
         eager=True
     )
-    # seeds: the first k ids' sub-slices, centroid = sv·scale
-    wk = Window.partitionBy("sub").orderBy(id_col)
-    code0 = (
-        sv.withColumn("_rn", F.row_number().over(wk))
-        .where(F.col("_rn") <= k)
-        .select(
-            "sub", (F.col("_rn") - 1).cast("long").alias("cell"),
-            F.transform(F.col("sv"), lambda x: x * SCALE).alias("m"),
-        )
+    # seeds: the first k ids' sub-slices, centroid = sv·scale. Every id
+    # appears once per sub, so "first k per sub" == "the k smallest ids"
+    # globally: take them with an orderBy().limit() (map-side partial
+    # top-k) and broadcast-join, instead of a Window.partitionBy(sub)
+    # row_number — that window funneled the WHOLE subvector relation
+    # through m reducers (m is 4-16: a straggler sort by construction).
+    wk = Window.orderBy(id_col)  # k-row relation — single tiny partition
+    seed_ids = (
+        corpus.select(id_col).orderBy(id_col).limit(k)
+        .withColumn("cell", (F.row_number().over(wk) - 1).cast("long"))
+    )
+    code0 = sv.join(F.broadcast(seed_ids), id_col).select(
+        "sub", "cell",
+        F.transform(F.col("sv"), lambda x: x * SCALE).alias("m"),
     )
     books = code0
     for _ in range(iters - 1):

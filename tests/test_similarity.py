@@ -212,6 +212,23 @@ def test_pq_roundtrip_on_codeword_vectors(spark):
         assert r["query_id"] == r["vec_id"] and r["dist"] == 0
 
 
+def test_pq_assign_tiebreak_lowest_cell(spark):
+    """The E-step argmin (round 12: min(struct(_d, cell)) hash aggregate,
+    replacing the row_number window) must keep the documented tie-break:
+    equidistant codewords resolve to the LOWEST cell id. Vector [1,0] is
+    exactly between seeds [0,0] (cell 0) and [2,0] (cell 1)."""
+    from peerdb_spark.functions.pq import pq_train_encode
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # k=2 seeds = vectors 0 and 1; iters=1 keeps codebooks at the seeds
+    codes, _ = pq_train_encode(df, dim=2, m=1, k=2, iters=1)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert got == {0: [0], 1: [1], 2: [0]}
+
+
 def test_pq_mstep_moves_centroids(spark):
     """Two clusters of near-identical vectors, k=2: after one M-step the
     codes must separate the clusters regardless of seed placement."""
