@@ -2907,12 +2907,13 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = (
         docs.select("doc_id", F.explode(_tokens("text")).alias("w"))
         # pin real partitions with the SAME exchange the aggregate needs:
-        # repartition(32, keys) feeds groupBy(keys) without a second
+        # repartition(cores, keys) feeds groupBy(keys) without a second
         # exchange (AQE would otherwise coalesce the small-bytes aggregate
         # to 1 partition and serialize every downstream consumer; the old
-        # groupBy → repartition(32) paid that second full exchange —
-        # r12 §2.4 exchange reuse, measured 0.75 → 0.53 s)
-        .repartition(32, "doc_id", "w")
+        # groupBy → repartition paid that second full exchange —
+        # r12 §2.4 exchange reuse, measured 0.75 → 0.53 s). Sized from the
+        # session's parallelism so the driver's lower-core bench scales.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id", "w")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("n_w"))
         .localCheckpoint(eager=True)
@@ -2945,7 +2946,7 @@ def q_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens("text")).alias("w"))
         # single pinned exchange shared with the aggregate (see
         # q_bpe_encode_tokens)
-        .repartition(32, "doc_id", "w")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id", "w")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("n_w"))
         .localCheckpoint(eager=True)
