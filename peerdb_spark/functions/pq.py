@@ -109,8 +109,13 @@ def pq_train_encode(
     # row_number — that window funneled the WHOLE subvector relation
     # through m reducers (m is 4-16: a straggler sort by construction).
     wk = Window.orderBy(id_col)  # k-row relation — single tiny partition
+    # seed ids come from the checkpointed sv itself (sub 0 holds every id
+    # exactly once), not a re-scan of `corpus`: a sampled/nondeterministic
+    # corpus input recomputed for the seed job could yield ids absent from
+    # sv, silently seeding fewer than k cells (r12 ADVICE). Also strictly
+    # cheaper — the seed job reads the 16-byte checkpoint rows.
     seed_ids = (
-        corpus.select(id_col).orderBy(id_col).limit(k)
+        sv.where(F.col("sub") == 0).select(id_col).orderBy(id_col).limit(k)
         .withColumn("cell", (F.row_number().over(wk) - 1).cast("long"))
     )
     code0 = sv.join(F.broadcast(seed_ids), id_col).select(

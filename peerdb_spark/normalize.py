@@ -65,8 +65,14 @@ def _qid(name: str) -> str:
 
 
 def _qstr(s: str) -> str:
-    """Single-quote a string literal for SQL text."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """Single-quote a string literal for SQL text. Quotes are escaped by
+    DOUBLING ('' — valid in both parser modes); backslashes are doubled
+    because the sessions this engine builds run with the default
+    spark.sql.parser.escapedStringLiterals=false (pinned explicitly in
+    session.get_spark), under which backslash is an escape character
+    (r12 ADVICE: \\' quote-escaping was only correct in that same mode,
+    so the quoting now degrades gracefully if the mode ever flips)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def kind_code(col=COL_KIND):

@@ -621,8 +621,12 @@ def q_cdc_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs from the (id, simhash) relation alone — banded hamming LSH +
     # exact verify (dedup.hamming_pairs_from), never the text
     acc = view.accepted().localCheckpoint()
+    # acc is already checkpointed — the banding's three branches read the
+    # materialized blocks, so the engine's own narrow re-checkpoint would
+    # be a redundant second copy (r12 ADVICE on the materialize default)
     pairs = DD.hamming_pairs_from(acc, "simhash", "doc_id",
-                                  bits=32, bands=8, max_hamming=6)
+                                  bits=32, bands=8, max_hamming=6,
+                                  materialize=False)
     both = (pairs.select(F.col("id_a").alias("doc_id"))
             .unionAll(pairs.select(F.col("id_b").alias("doc_id"))))
     nd = both.groupBy("doc_id").agg(

@@ -34,6 +34,10 @@ def get_spark(app_name: str = "peerdb_spark", cpus: int | None = None) -> SparkS
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pin the default parser mode the SQL-text builders (normalize._qstr)
+        # escape for: backslash-doubling assumes escaped string literals are
+        # OFF (r12 ADVICE)
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS); Spark
         # has no nanos timestamp — read as long and convert on load

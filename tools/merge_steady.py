@@ -12,6 +12,18 @@ import sys
 
 def main() -> None:
     runs = [json.load(open(p)) for p in sys.argv[1:]]
+    # homogeneity guards (r12 ADVICE): a partial run or a run at another
+    # scale factor would silently contaminate the steady mins
+    sfs = {r.get("sf") for r in runs}
+    assert len(sfs) == 1, f"runs span multiple scale factors: {sorted(sfs)}"
+    keysets = [frozenset(r["queries"]) for r in runs]
+    if len(set(keysets)) != 1:
+        common = frozenset.intersection(*keysets)
+        diffs = {
+            sys.argv[1 + i]: sorted(ks ^ common)
+            for i, ks in enumerate(keysets) if ks != common
+        }
+        raise AssertionError(f"runs disagree on query sets: {diffs}")
     queries: dict[str, float] = {}
     for r in runs:
         for k, v in r["queries"].items():
