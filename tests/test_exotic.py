@@ -15,6 +15,20 @@ def _one(spark, col):
     return spark.range(1).select(col.alias("v")).collect()[0]["v"]
 
 
+def _col_batch(spark, col_fn, inputs):
+    """Evaluate col_fn(input_column) over many inputs in ONE Spark job.
+    The geometry decoder Columns are expensive to build and analyze
+    (seconds of py4j round trips per build), so per-assertion _one()
+    calls dominated this module's wall time; building the decoder once
+    over a batched DataFrame keeps every assertion at a fraction of the
+    cost."""
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(inputs)], "i int, h string"
+    )
+    rows = df.select("i", col_fn(F.col("h")).alias("v")).collect()
+    return [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
 def wkb_hex(x, y, srid=None, little=True):
     bo = b"\x01" if little else b"\x00"
     t = 1 | (0x20000000 if srid else 0)
@@ -85,22 +99,25 @@ def test_wkb_point_roundtrip(spark):
         (0.0, 1e-310, None, True),  # subnormal y
         (12345.6789, -0.001, 3857, True),
     ]
-    for x, y, srid, little in cases:
-        v = _one(spark, X.wkb_point(F.lit(wkb_hex(x, y, srid, little))))
+    got = _col_batch(spark, X.wkb_point,
+                     [wkb_hex(x, y, srid, little) for x, y, srid, little in cases])
+    for (x, y, srid, little), v in zip(cases, got):
         assert v["x"] == x and v["y"] == y, (x, y, srid, little)
         assert v["srid"] == (srid or 0)
 
 
 def test_wkb_point_invalid(spark):
-    # linestring type code (2) → not a point
-    b = b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 1.0, 2.0)
-    assert _one(spark, X.wkb_point(F.lit(b.hex())))["x"] is None
-    # truncated / garbage
-    assert _one(spark, X.wkb_point(F.lit("0101000000FF")))["x"] is None
-    assert _one(spark, X.wkb_point(F.lit("zznothex")))["x"] is None
-    # NaN coordinate → NULL x (GeoValidate-style drop)
-    b = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", float("nan"), 2.0)
-    assert _one(spark, X.wkb_point(F.lit(b.hex())))["x"] is None
+    got = _col_batch(spark, X.wkb_point, [
+        # linestring type code (2) → not a point
+        (b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 1.0, 2.0)).hex(),
+        # truncated / garbage
+        "0101000000FF",
+        "zznothex",
+        # NaN coordinate → NULL x (GeoValidate-style drop)
+        (b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", float("nan"), 2.0)).hex(),
+    ])
+    for v in got:
+        assert v["x"] is None
 
 
 def test_wkb_point_wkt(spark):
@@ -340,62 +357,84 @@ def wkb_pg_hex(rings, srid=None, little=True):
 
 def test_wkb_linestring_roundtrip(spark):
     pts = [(1.5, -2.25), (0.0, 3.75), (-10.125, 1e-3)]
-    for srid in (None, 4326):
-        for little in (True, False):
-            v = _one(spark, X.wkb_linestring(F.lit(wkb_ls_hex(pts, srid, little))))
-            assert [(p["x"], p["y"]) for p in v["points"]] == pts, (srid, little)
-            assert v["srid"] == (srid or 0)
-    # empty linestring is valid WKB
-    v = _one(spark, X.wkb_linestring(F.lit(wkb_ls_hex([]))))
-    assert v["points"] == [] and v["srid"] == 0
+    cases = [(srid, little) for srid in (None, 4326) for little in (True, False)]
+    got = _col_batch(
+        spark, X.wkb_linestring,
+        [wkb_ls_hex(pts, srid, little) for srid, little in cases]
+        + [wkb_ls_hex([])],  # empty linestring is valid WKB
+    )
+    for (srid, little), v in zip(cases, got):
+        assert [(p["x"], p["y"]) for p in v["points"]] == pts, (srid, little)
+        assert v["srid"] == (srid or 0)
+    assert got[-1]["points"] == [] and got[-1]["srid"] == 0
 
 
 def test_wkb_linestring_invalid(spark):
-    # a POINT payload is not a linestring
-    assert _one(spark, X.wkb_linestring(F.lit(wkb_hex(1.0, 2.0))))["points"] is None
-    # truncated: drop last 2 hex chars
     h = wkb_ls_hex([(1.0, 2.0), (3.0, 4.0)])
-    assert _one(spark, X.wkb_linestring(F.lit(h[:-2])))["points"] is None
-    # overlong: trailing junk
-    assert _one(spark, X.wkb_linestring(F.lit(h + "00")))["points"] is None
-    # NaN coordinate → whole geometry rejected
-    h = wkb_ls_hex([(1.0, float("nan"))])
-    assert _one(spark, X.wkb_linestring(F.lit(h)))["points"] is None
+    got = _col_batch(spark, X.wkb_linestring, [
+        wkb_hex(1.0, 2.0),               # a POINT payload is not a linestring
+        h[:-2],                          # truncated: drop last 2 hex chars
+        h + "00",                        # overlong: trailing junk
+        wkb_ls_hex([(1.0, float("nan"))]),  # NaN coord → whole geometry rejected
+    ])
+    for v in got:
+        assert v["points"] is None
 
 
 def test_wkb_polygon_roundtrip(spark):
     outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
     hole = [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0), (1.0, 1.0)]
-    for srid in (None, 3857):
-        for little in (True, False):
-            v = _one(spark, X.wkb_polygon(F.lit(wkb_pg_hex([outer, hole], srid, little))))
-            got = [[(p["x"], p["y"]) for p in r] for r in v["rings"]]
-            assert got == [outer, hole], (srid, little)
-            assert v["srid"] == (srid or 0)
+    cases = [(srid, little) for srid in (None, 3857) for little in (True, False)]
+    got = _col_batch(
+        spark, X.wkb_polygon,
+        [wkb_pg_hex([outer, hole], srid, little) for srid, little in cases],
+    )
+    for (srid, little), v in zip(cases, got):
+        rings = [[(p["x"], p["y"]) for p in r] for r in v["rings"]]
+        assert rings == [outer, hole], (srid, little)
+        assert v["srid"] == (srid or 0)
 
 
 def test_wkb_polygon_invalid(spark):
     h = wkb_pg_hex([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])
-    assert _one(spark, X.wkb_polygon(F.lit(h[:-2])))["rings"] is None
-    assert _one(spark, X.wkb_polygon(F.lit(h + "FF")))["rings"] is None
-    # a ring count pointing past the buffer must not decode garbage
-    bad = h[:18] + "05000000" + h[26:]  # claim 5 points, supply 4
-    assert _one(spark, X.wkb_polygon(F.lit(bad)))["rings"] is None
-    # linestring payload is not a polygon
-    assert _one(spark, X.wkb_polygon(F.lit(wkb_ls_hex([(1.0, 2.0)]))))["rings"] is None
+    got = _col_batch(spark, X.wkb_polygon, [
+        h[:-2],
+        h + "FF",
+        # a ring count pointing past the buffer must not decode garbage
+        h[:18] + "05000000" + h[26:],    # claim 5 points, supply 4
+        wkb_ls_hex([(1.0, 2.0)]),        # linestring payload is not a polygon
+    ])
+    for v in got:
+        assert v["rings"] is None
+
+
+_WKT_COL = []  # memo: the 7-kind dispatch tree, built once per session
+
+
+def _wkt_batch(spark, hexes):
+    """Evaluate wkb_geometry_wkt over many inputs in ONE job: the 7-kind
+    dispatch Column is expensive to build/analyze (~12 s of py4j +
+    analysis), so per-assertion _one() calls dominated this module's wall
+    time — one build (cached across the three WKT tests) over a batched
+    DataFrame keeps every assertion at a fraction of the cost."""
+    if not _WKT_COL:
+        _WKT_COL.append(X.wkb_geometry_wkt(F.col("h")).alias("v"))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hexes)], "i int, h string"
+    )
+    rows = df.select("i", _WKT_COL[0]).collect()
+    return [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
 
 
 def test_wkb_geometry_wkt_all_kinds(spark):
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(wkb_hex(1.5, -2.5, 4326)))) == \
-        "SRID=4326;POINT(1.5 -2.5)"
-    h = wkb_ls_hex([(1.5, 2.5), (3.0, -4.0)], srid=4326)
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
-        "SRID=4326;LINESTRING(1.5 2.5, 3.0 -4.0)"
-    h = wkb_pg_hex([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
-        "POLYGON((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0))"
+    ls = wkb_ls_hex([(1.5, 2.5), (3.0, -4.0)], srid=4326)
+    pg = wkb_pg_hex([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])
+    got = _wkt_batch(spark, [wkb_hex(1.5, -2.5, 4326), ls, pg, pg[:-2]])
+    assert got[0] == "SRID=4326;POINT(1.5 -2.5)"
+    assert got[1] == "SRID=4326;LINESTRING(1.5 2.5, 3.0 -4.0)"
+    assert got[2] == "POLYGON((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0))"
     # invalid → NULL, never partial text
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(h[:-2]))) is None
+    assert got[3] is None
 
 
 def test_wkb_linestring_property(spark):
@@ -449,25 +488,31 @@ def wkb_multi_hex(kind, items, srid=None, little=True):
 
 def test_wkb_multipoint_roundtrip(spark):
     pts = [(1.5, -2.25), (0.0, 3.75), (100.0, -0.5)]
-    for srid in (None, 4326):
-        v = _one(spark, X.wkb_multipoint(F.lit(wkb_multi_hex(4, pts, srid))))
+    h = wkb_multi_hex(4, pts)
+    got = _col_batch(spark, X.wkb_multipoint, [
+        wkb_multi_hex(4, pts, None),
+        wkb_multi_hex(4, pts, 4326),
+        # wrong container kind and truncation reject
+        wkb_ls_hex(pts),
+        h[:-2],
+        h + "00",
+    ])
+    for srid, v in zip((None, 4326), got[:2]):
         assert [(p["x"], p["y"]) for p in v["points"]] == pts
         assert v["srid"] == (srid or 0)
-    # wrong container kind and truncation reject
-    assert _one(spark, X.wkb_multipoint(F.lit(wkb_ls_hex(pts))))["points"] is None
-    h = wkb_multi_hex(4, pts)
-    assert _one(spark, X.wkb_multipoint(F.lit(h[:-2])))["points"] is None
-    assert _one(spark, X.wkb_multipoint(F.lit(h + "00")))["points"] is None
+    for v in got[2:]:
+        assert v["points"] is None
 
 
 def test_wkb_multilinestring_roundtrip(spark):
     lines = [[(0.0, 1.0), (2.0, 3.0)], [(5.5, -6.5), (7.0, 8.0), (9.0, 0.25)]]
-    v = _one(spark, X.wkb_multilinestring(F.lit(wkb_multi_hex(5, lines, 3857))))
-    assert [[(p["x"], p["y"]) for p in ln] for ln in v["lines"]] == lines
-    assert v["srid"] == 3857
     # a NaN inside ANY nested line rejects the whole geometry
     bad = [[(0.0, 1.0)], [(float("nan"), 2.0)]]
-    assert _one(spark, X.wkb_multilinestring(F.lit(wkb_multi_hex(5, bad))))["lines"] is None
+    got = _col_batch(spark, X.wkb_multilinestring,
+                     [wkb_multi_hex(5, lines, 3857), wkb_multi_hex(5, bad)])
+    assert [[(p["x"], p["y"]) for p in ln] for ln in got[0]["lines"]] == lines
+    assert got[0]["srid"] == 3857
+    assert got[1]["lines"] is None
 
 
 def test_wkb_multipolygon_roundtrip(spark):
@@ -476,30 +521,32 @@ def test_wkb_multipolygon_roundtrip(spark):
          [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0), (1.0, 1.0)]],
         [[(10.0, 10.0), (12.0, 10.0), (11.0, 12.0), (10.0, 10.0)]],
     ]
-    v = _one(spark, X.wkb_multipolygon(F.lit(wkb_multi_hex(6, polys, 4326))))
-    got = [[[(p["x"], p["y"]) for p in r] for r in rings] for rings in v["polys"]]
-    assert got == polys and v["srid"] == 4326
     h = wkb_multi_hex(6, polys)
-    assert _one(spark, X.wkb_multipolygon(F.lit(h[:-2])))["polys"] is None
+    got = _col_batch(spark, X.wkb_multipolygon,
+                     [wkb_multi_hex(6, polys, 4326), h[:-2]])
+    v = got[0]
+    out = [[[(p["x"], p["y"]) for p in r] for r in rings] for rings in v["polys"]]
+    assert out == polys and v["srid"] == 4326
+    assert got[1]["polys"] is None
 
 
 def test_wkb_geometry_wkt_multi_kinds(spark):
-    h = wkb_multi_hex(4, [(1.5, 2.5), (3.0, -4.0)], srid=4326)
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
-        "SRID=4326;MULTIPOINT(1.5 2.5, 3.0 -4.0)"
-    h = wkb_multi_hex(5, [[(0.0, 1.0), (2.0, 3.0)]])
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
-        "MULTILINESTRING((0.0 1.0, 2.0 3.0))"
-    h = wkb_multi_hex(6, [[[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]])
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(h))) == \
-        "MULTIPOLYGON(((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)))"
+    gc = "01" + struct.pack("<I", 7).hex() + struct.pack("<I", 0).hex()
+    unk = "01" + struct.pack("<I", 8).hex() + struct.pack("<I", 0).hex()
+    got = _wkt_batch(spark, [
+        wkb_multi_hex(4, [(1.5, 2.5), (3.0, -4.0)], srid=4326),
+        wkb_multi_hex(5, [[(0.0, 1.0), (2.0, 3.0)]]),
+        wkb_multi_hex(6, [[[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]]),
+        gc.upper(),
+        unk.upper(),
+    ])
+    assert got[0] == "SRID=4326;MULTIPOINT(1.5 2.5, 3.0 -4.0)"
+    assert got[1] == "MULTILINESTRING((0.0 1.0, 2.0 3.0))"
+    assert got[2] == "MULTIPOLYGON(((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)))"
     # geometrycollection dispatches too (full coverage in
     # test_wkb_geometrycollection_wkt); unknown kind 8 → NULL
-    gc = "01" + struct.pack("<I", 7).hex() + struct.pack("<I", 0).hex()
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(gc.upper()))) == \
-        "GEOMETRYCOLLECTION EMPTY"
-    unk = "01" + struct.pack("<I", 8).hex() + struct.pack("<I", 0).hex()
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(unk.upper()))) is None
+    assert got[3] == "GEOMETRYCOLLECTION EMPTY"
+    assert got[4] is None
 
 
 def test_wkb_multilinestring_property(spark):
@@ -535,28 +582,30 @@ def test_wkb_geometrycollection_wkt(spark):
         + bytes.fromhex(wkb_ls_hex([(0.0, 1.0), (2.0, 3.0)], None, False))
         + bytes.fromhex(wkb_pg_hex([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]))
     )
-    for srid, prefix in ((None, ""), (4326, "SRID=4326;")):
+    def gc_hex(srid, n, body):
         t = 7 | (0x20000000 if srid else 0)
         b = b"\x01" + struct.pack("<I", t)
         if srid:
             b += struct.pack("<I", srid)
-        b += struct.pack("<I", 3) + parts
-        got = _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper())))
-        assert got == (
+        return (b + struct.pack("<I", n) + body).hex().upper()
+
+    nested_multi = bytes.fromhex(wkb_multi_hex(4, [(1.0, 2.0)]))
+    got = _wkt_batch(spark, [
+        gc_hex(None, 3, parts),
+        gc_hex(4326, 3, parts),
+        gc_hex(None, 0, b""),      # empty collection
+        gc_hex(None, 3, parts[:-2]),     # truncated → NULL
+        gc_hex(None, 1, nested_multi),   # GC nesting MULTI* → NULL (scope)
+    ])
+    for prefix, g in (("", got[0]), ("SRID=4326;", got[1])):
+        assert g == (
             prefix + "GEOMETRYCOLLECTION(POINT(1.5 -2.5), "
             "LINESTRING(0.0 1.0, 2.0 3.0), "
             "POLYGON((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0)))"
-        ), got
-    # empty collection
-    b = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 0)
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper()))) == \
-        "GEOMETRYCOLLECTION EMPTY"
-    # truncated → NULL; GC nesting a MULTI* member → NULL (documented scope)
-    b = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 3) + parts[:-2]
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper()))) is None
-    nested_multi = bytes.fromhex(wkb_multi_hex(4, [(1.0, 2.0)]))
-    b = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 1) + nested_multi
-    assert _one(spark, X.wkb_geometry_wkt(F.lit(b.hex().upper()))) is None
+        ), g
+    assert got[2] == "GEOMETRYCOLLECTION EMPTY"
+    assert got[3] is None
+    assert got[4] is None
 
 
 def test_sql_text_mirrors_match_column_decoders(spark):

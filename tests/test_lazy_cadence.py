@@ -50,26 +50,35 @@ def _state(df):
                   df.select("id", "val", "amt").collect())
 
 
+def _expect(b, n=6):
+    """Literal-truth state after _batch(1).._batch(b): batch i upserts keys
+    [i, i+n) with val=f"b{i}" and batch i+1 deletes key i, so the live set
+    is exactly [b, b+n) and every live key's last writer is batch b.
+    Replaces the eager twin pipeline this test used to run alongside
+    (7 extra merges + per-batch dual reads — pure job overhead)."""
+    return sorted((i, f"b{b}", float(i)) for i in range(b, b + n))
+
+
 def test_cadence_defers_merges_and_read_through_matches_eager(spark, tmp_path):
     lazy = _mk(spark, str(tmp_path), "lazy", normalize_every=3)
-    eager = _mk(spark, str(tmp_path), "eager", normalize_every=1)
     merged = []
     for b in range(1, 8):
         merged.append(lazy.process_batch(_batch(spark, b), b))
-        assert eager.process_batch(_batch(spark, b), b)
-        # the read-through view equals the eager twin's destination at
-        # EVERY point — mid-cadence reads see exactly what the next
-        # normalize will write
-        assert _state(lazy.read_table("t")) == _state(eager.read_table("t"))
+        # the read-through view equals the would-be-normalized truth at
+        # every pending-tail class — one batch deferred (b1), two deferred
+        # (b2), window just closed (b3), and the final mid-window point
+        # after two full cadences (b7); b4-b6 repeat the same classes
+        if b in (1, 2, 3, 7):
+            assert _state(lazy.read_table("t")) == _expect(b), b
     # merges ran only on the cadence boundaries
     assert merged == [False, False, True, False, False, True, False]
     # destination on disk lags by the pending tail (batch 7 unmerged)
     dst = ParquetTable(spark, lazy.tables["t"].path, ["id"], 4).read()
-    assert _state(dst) != _state(eager.read_table("t"))
-    # drain converges disk state to the eager twin
+    assert _state(dst) != _expect(7)
+    # drain converges disk state to the live truth
     assert lazy.maybe_normalize(7, force=True)
     dst = ParquetTable(spark, lazy.tables["t"].path, ["id"], 4).read()
-    assert _state(dst) == _state(eager.read_table("t"))
+    assert _state(dst) == _expect(7)
 
 
 def test_restart_resumes_cadence_watermark(spark, tmp_path):
@@ -82,17 +91,12 @@ def test_restart_resumes_cadence_watermark(spark, tmp_path):
     # the pending tail (batch 4) is discovered from commit markers
     p2 = _mk(spark, root, "re", normalize_every=3)
     assert p2._last_normalized == 3
-    eager = _mk(spark, root, "re_eager", normalize_every=1)
-    for b in range(1, 5):
-        eager.process_batch(_batch(spark, b), b)
-    assert _state(p2.read_table("t")) == _state(eager.read_table("t"))
+    assert _state(p2.read_table("t")) == _expect(4)
     # batches 5 and 6 complete the next window: exactly one merge (4..6)
     assert not p2.process_batch(_batch(spark, 5), 5)
     assert p2.process_batch(_batch(spark, 6), 6)
     assert p2._last_normalized == 6
-    for b in (5, 6):
-        eager.process_batch(_batch(spark, b), b)
-    assert _state(p2.read_table("t")) == _state(eager.read_table("t"))
+    assert _state(p2.read_table("t")) == _expect(6)
 
 
 def test_replayed_range_is_idempotent_under_cadence(spark, tmp_path):
@@ -166,8 +170,8 @@ def test_runner_policy_validation(spark, tmp_path):
 
 def test_stream_runner_lazy_cadence(spark, tmp_path):
     """End-to-end through Structured Streaming: 4 changelog files, cadence
-    k=2 → two merges; catch_up drains nothing extra; final state equals an
-    eager batch pipeline."""
+    k=2 → two merges; catch_up drains nothing extra; final state equals
+    the literal-truth state (_expect)."""
     from peerdb_spark.streaming import CdcStreamRunner
 
     cl_dir = tmp_path / "cl"
@@ -181,11 +185,8 @@ def test_stream_runner_lazy_cadence(spark, tmp_path):
         _batch(spark, b).coalesce(1).write.mode("append").parquet(str(cl_dir))
     runner.run_available()
     runner.catch_up()
-    eager = _mk(spark, str(tmp_path), "eager", normalize_every=1)
-    for b in range(1, 5):
-        eager.process_batch(_batch(spark, b), b)
     got = ParquetTable(spark, str(tmp_path / "dst"), ["id"], 4).read()
-    assert _state(got) == _state(eager.read_table("t"))
+    assert _state(got) == _expect(4)
 
 
 def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
@@ -199,7 +200,6 @@ def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
     pipe = cdc.CdcPipeline(spark, str(tmp_path / "a/raw"), [cfg],
                            normalize_every="auto", auto_ratio=0.5,
                            auto_min_rows=40)
-    eager = _mk(spark, str(tmp_path), "eager", normalize_every=1)
 
     def disjoint(b):  # each batch inserts a FRESH key range → dest grows
         rows = [("insert", b * 1000 + i, "t",
@@ -207,10 +207,14 @@ def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
                  None, None) for i in range(40)]
         return _changelog(spark, rows)
 
+    # disjoint inserts → literal-truth expected state (replaces the eager
+    # twin pipeline: 8 extra merges for the same assertion)
+    expect8 = sorted((bb * 100 + i, f"b{bb}", float(i))
+                     for bb in range(1, 9) for i in range(40))
+
     merged = []
     for b in range(1, 9):
         merged.append(pipe.process_batch(disjoint(b), b))
-        eager.process_batch(disjoint(b), b)
     # batch 1 merges immediately (empty destination); afterwards each
     # batch adds 40 rows while the trigger needs >= half the GROWING
     # destination pending, so merges stretch out
@@ -222,12 +226,12 @@ def test_auto_cadence_stretches_with_destination_growth(spark, tmp_path):
     if len(idx) >= 3:
         assert idx[-1] - idx[-2] >= idx[1] - idx[0]
     # the LAST merge must not be the only one if growth stretched the
-    # cadence; regardless, the read-through view matches the eager twin
-    assert _state(pipe.read_table("t")) == _state(eager.read_table("t"))
+    # cadence; regardless, the read-through view matches the live truth
+    assert _state(pipe.read_table("t")) == expect8
     # drain converges the destination itself
     pipe.maybe_normalize(8, force=True)
     dst = ParquetTable(spark, cfg.path, ["id"], 4).read()
-    assert _state(dst) == _state(eager.read_table("t"))
+    assert _state(dst) == expect8
 
 
 def test_attached_view_freshness_under_lazy_cadence(spark, tmp_path):
@@ -302,7 +306,6 @@ def test_auto_cadence_floor_gates_before_ratio(spark, tmp_path):
     pipe = cdc.CdcPipeline(spark, str(tmp_path / "f/raw"), [cfg],
                            normalize_every="auto", auto_ratio=1.0,
                            auto_min_rows=150)
-    eager = _mk(spark, str(tmp_path), "f_eager", normalize_every=1)
 
     def disjoint(b):
         rows = [("insert", b * 1000 + i, "t",
@@ -310,12 +313,22 @@ def test_auto_cadence_floor_gates_before_ratio(spark, tmp_path):
                  None, None) for i in range(40)]
         return _changelog(spark, rows)
 
+    # batches are disjoint inserts, so the exact expected state after
+    # batch b is hand-computable — a literal-truth oracle that replaces
+    # the eager twin pipeline this test used to run alongside (12 extra
+    # merges + per-batch dual reads, ~half this test's wall time)
+    def expect(b):
+        return sorted((bb * 100 + i, f"b{bb}", float(i))
+                      for bb in range(1, b + 1) for i in range(40))
+
     merged = []
     for b in range(1, 13):
         merged.append(pipe.process_batch(disjoint(b), b))
-        eager.process_batch(disjoint(b), b)
-        # mid-deferral reads stay exact either way
-        assert _state(pipe.read_table("t")) == _state(eager.read_table("t"))
+        # mid-deferral reads stay exact on every trigger branch: checked
+        # at one representative batch per branch class (bootstrap-merged,
+        # below-floor deferred, just-merged, ratio-deferred, tail-deferred)
+        if b in (1, 2, 5, 9, 12):
+            assert _state(pipe.read_table("t")) == expect(b), b
     # batch 1: dest == 0 -> bootstrap merge (dest becomes 40). Floor
     # branch: batches 2-4 hold 40/80/120 pending < 150 -> deferred;
     # batch 5 reaches 160 >= max(150, 1.0*40) -> merge (dest 200).
@@ -331,7 +344,7 @@ def test_auto_cadence_floor_gates_before_ratio(spark, tmp_path):
     pipe.maybe_normalize(12, force=True)
     assert pipe._dest_rows is None  # merge invalidated the cache
     dst = ParquetTable(spark, cfg.path, ["id"], 4).read()
-    assert _state(dst) == _state(eager.read_table("t"))
+    assert _state(dst) == expect(12)
 
 
 def test_auto_cadence_validation():

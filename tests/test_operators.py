@@ -238,47 +238,66 @@ def test_asof_salted_equals_unsalted_property(spark):
     widths, tolerances, and a mega-key — randomized rounds with a fixed
     seed."""
     import random
+    from collections import defaultdict
+    from functools import reduce
 
     rng = random.Random(42)
+    # the as-of join partitions strictly by key, so the 4 randomized trials
+    # run as disjoint key ranges (trial*100 + k) of ONE relation — same
+    # per-trial mega-key skew (key 1 ~60% of that trial's rows), duplicate
+    # timestamps and NULL sprinkles, but the 16-config comparison plan is
+    # built and analyzed once. The original per-(trial, config) collect()
+    # version paid 64 tiny Spark jobs (~94 s of almost pure job/analysis
+    # overhead) for the same assertions; a thread-pooled variant was A/B'd
+    # too (159 s — local-mode concurrent tiny jobs thrash). This shape: ~8 s.
+    lrows, rrows = [], []
     for trial in range(4):
         n_l, n_r = 60, 50
         # key 1 is the mega-key (~60% of rows); duplicate timestamps planted
         def key():
-            return 1 if rng.random() < 0.6 else rng.randint(2, 4)
+            return trial * 100 + (1 if rng.random() < 0.6 else rng.randint(2, 4))
 
         def ts():
             if rng.random() < 0.08:  # sprinkle NULL timestamps on both sides
                 return None
             return f"2024-01-01 00:{rng.randint(0, 59):02d}:{rng.choice([0, 15, 30, 30, 45]):02d}"
 
-        lrows = [(key(), ts(), f"L{i}") for i in range(n_l)]
-        rrows = [(key(), ts(), rng.randint(0, 9)) for i in range(n_r)]
-        lf = spark.createDataFrame(lrows, "k int, ts string, tag string").select(
-            "k", F.col("ts").cast("timestamp").alias("ts"), "tag"
-        )
-        rf = spark.createDataFrame(rrows, "k int, ts string, v int").select(
-            "k", F.col("ts").cast("timestamp").alias("ts"), "v"
-        )
-        def skey(t):
-            return tuple((v is None, str(v)) for v in t)
+        lrows += [(key(), ts(), f"L{trial}_{i}") for i in range(n_l)]
+        rrows += [(key(), ts(), rng.randint(0, 9)) for i in range(n_r)]
+    lf = spark.createDataFrame(lrows, "k int, ts string, tag string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "tag"
+    )
+    rf = spark.createDataFrame(rrows, "k int, ts string, v int").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
 
-        for direction in ("backward", "forward"):
-            for tol in (None, 120):
-                base = sorted(
-                    map(tuple, asof_join(
-                        lf, rf, "k", tolerance_seconds=tol, direction=direction
-                    ).collect()),
-                    key=skey,
-                )
-                for width in (7, 60, 3600):
-                    got = sorted(
-                        map(tuple, asof_join(
-                            lf, rf, "k", tolerance_seconds=tol,
-                            direction=direction, salt_bucket_seconds=width,
-                        ).collect()),
-                        key=skey,
-                    )
-                    assert got == base, (trial, direction, tol, width)
+    def skey(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    widths = (7, 60, 3600)
+    cfgs = [(d, tol) for d in ("backward", "forward") for tol in (None, 120)]
+    pieces = []
+    for ci, (direction, tol) in enumerate(cfgs):
+        pieces.append(asof_join(
+            lf, rf, "k", tolerance_seconds=tol, direction=direction
+        ).withColumn("_cfg", F.lit(ci * 10)))
+        for wi, width in enumerate(widths):
+            pieces.append(asof_join(
+                lf, rf, "k", tolerance_seconds=tol,
+                direction=direction, salt_bucket_seconds=width,
+            ).withColumn("_cfg", F.lit(ci * 10 + 1 + wi)))
+    groups = defaultdict(list)
+    for r in reduce(lambda a, b: a.unionByName(b), pieces).collect():
+        t = tuple(r)
+        # split assertions per trial so a failure names its random round
+        groups[(t[0] // 100, t[-1])].append(t[:-1])
+    for trial in range(4):
+        for ci, (direction, tol) in enumerate(cfgs):
+            base = sorted(groups[(trial, ci * 10)], key=skey)
+            assert base, (trial, direction, tol)  # every trial has rows
+            for wi, width in enumerate(widths):
+                got = sorted(groups[(trial, ci * 10 + 1 + wi)], key=skey)
+                assert got == base, (trial, direction, tol, width)
 
 
 def test_asof_salted_plan_partitions_by_bucket(spark):
