@@ -428,26 +428,40 @@ def q_cdc_lazy_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("flag", T.StringType()),
     ])
     table = ParquetTable(spark, f"{wd}/dst", ["pk"], n_buckets=4)
-    table.overwrite(base)
-    cfg = CDC.CdcTableConfig("lineitem", ["pk"], schema, f"{wd}/dst",
-                             n_buckets=4)
-    pipe = CDC.CdcPipeline(spark, f"{wd}/raw", [cfg], normalize_every=3)
-    payload = F.to_json(F.struct("pk", "qty", "price", "flag"))
-    feed = chg.select(
-        F.col("kind").alias("_kind"),
-        F.col("ck").alias("_checkpoint_id"),
-        F.col("cts").cast("timestamp").alias("_commit_ts"),
-        F.col("ck").alias("_txid"),
-        F.lit("lineitem").alias("_src_table"),
-        F.lit("lineitem").alias("_dst_table"),
-        F.when(F.col("kind") != "delete", payload).alias("_data"),
-        F.when(F.col("kind") == "delete", payload).alias("_old_data"),
-        F.lit(None).cast("array<string>").alias("_unchanged_cols"),
-        F.pmod(F.col("ck"), F.lit(3)).alias("_b"),
-    ).localCheckpoint(eager=True)  # one changelog materialization, 3 slices
-    for b in range(1, 4):
-        merged = pipe.process_batch(feed.where(F.col("_b") == b - 1).drop("_b"), b)
-        assert merged == (b == 3), f"cadence merged early at batch {b}"
+    # §2.6 overlap: the bootstrap snapshot write touches ONLY the
+    # destination, and nothing before the batch-3 deferred merge reads the
+    # destination — so it runs on a worker thread underneath the feed
+    # checkpoint and the two deferred-batch syncs (all of which depend
+    # only on the already-materialized ranked checkpoint), and is joined
+    # right before the merge. Same five pipeline operations, same asserts,
+    # same relation; one serial job's wall time reclaimed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        boot = pool.submit(table.overwrite, base)
+        cfg = CDC.CdcTableConfig("lineitem", ["pk"], schema, f"{wd}/dst",
+                                 n_buckets=4)
+        pipe = CDC.CdcPipeline(spark, f"{wd}/raw", [cfg], normalize_every=3)
+        payload = F.to_json(F.struct("pk", "qty", "price", "flag"))
+        feed = chg.select(
+            F.col("kind").alias("_kind"),
+            F.col("ck").alias("_checkpoint_id"),
+            F.col("cts").cast("timestamp").alias("_commit_ts"),
+            F.col("ck").alias("_txid"),
+            F.lit("lineitem").alias("_src_table"),
+            F.lit("lineitem").alias("_dst_table"),
+            F.when(F.col("kind") != "delete", payload).alias("_data"),
+            F.when(F.col("kind") == "delete", payload).alias("_old_data"),
+            F.lit(None).cast("array<string>").alias("_unchanged_cols"),
+            F.pmod(F.col("ck"), F.lit(3)).alias("_b"),
+        ).localCheckpoint(eager=True)  # one changelog materialization, 3 slices
+        for b in (1, 2):
+            merged = pipe.process_batch(
+                feed.where(F.col("_b") == b - 1).drop("_b"), b)
+            assert not merged, f"cadence merged early at batch {b}"
+        boot.result()  # bootstrap visible before the merge reads buckets
+    merged = pipe.process_batch(feed.where(F.col("_b") == 2).drop("_b"), 3)
+    assert merged, "cadence did not merge at batch 3"
     return table.read().select("pk", "qty", "price", "flag")
 
 
@@ -1243,17 +1257,37 @@ def _pg_canon_truth() -> list:
     return out
 
 
+# session-scoped memo of q_exotic_types' COLUMN LISTS (pure, input-free
+# expression trees): building them costs ~0.45 s of py4j round trips per
+# invocation (measured r13: scalar decoders 0.22 s + fixture/src columns
+# 0.25 s out of a 1.4 s construction, the rest being JVM analysis), while
+# the expressions themselves never change within a session. This memoizes
+# PLAN FRAGMENTS only — every invocation still re-reads the parquet input
+# and re-analyzes/executes the full query (r12 verdict Next #7:
+# "expressions parsed once per session").
+_EXOTIC_MEMO: dict = {}
+
+
 def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exotic Postgres type ingestion (ref: qvalue_convert.go ~900 LoC +
     shared/datatypes parsers): interval text decomposition, hstore parsing,
     TIMETZ→UTC micros, inet validation, hex-WKB point decode — synthesized
     text inputs derived deterministically from orders, parsed by the pure
     built-in expressions in functions/exotic.py."""
+    (od,) = _t(spark, sf_dir, "orders")
+    memo_key = spark.sparkContext.applicationId
+    if memo_key not in _EXOTIC_MEMO:
+        _EXOTIC_MEMO.clear()  # a restarted session invalidates old JVM refs
+        _EXOTIC_MEMO[memo_key] = _exotic_col_lists()
+    src_cols, out_cols = _EXOTIC_MEMO[memo_key]
+    return od.where(F.col("o_orderkey") < 300).select(*src_cols).select(*out_cols)
+
+
+def _exotic_col_lists() -> tuple[list, list]:
     from peerdb_spark.functions import exotic as X
 
-    (od,) = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    src = od.where(k < 300).select(
+    src_cols = [
         k.alias("pk"),
         F.format_string(
             "%d years %d mons %d days %s%02d:%02d:%02d",
@@ -1298,7 +1332,7 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 7 == 0, F.concat(F.bin(k + 2), F.lit("2")))  # malformed digit
         .otherwise(F.bin(k + 2))
         .alias("bit_raw"),
-    )
+    ]
     from peerdb_spark.functions import exotic_sql as XS
 
     iv = X.parse_interval(F.col("iv"))
@@ -1311,8 +1345,8 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls_canon = F.expr(XS.linestring_canon_sql("wkb_ls"))
     pg_canon = F.expr(XS.polygon_canon_sql("wkb_pg"))
     mpg_canon = F.expr(XS.multipolygon_canon_sql("wkb_mpg"))
-    return src.select(
-        "pk",
+    out_cols = [
+        F.col("pk"),
         iv["years"].alias("iv_years"),
         iv["months"].alias("iv_months"),
         iv["days"].alias("iv_days"),
@@ -1330,7 +1364,8 @@ def q_exotic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         mpg_canon.alias("geo_mpg"),
         X.parse_money_cents(F.col("money_raw")).alias("money_cents"),
         X.valid_bit(F.col("bit_raw")).alias("bit_str"),
-    )
+    ]
+    return src_cols, out_cols
 
 
 def _sql_rev_hex(start: int, n: int) -> str:
@@ -2902,7 +2937,7 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     and joins docs to it (the 100 TB shape — text never re-crosses a
     shuffle); the oracle unrolls the 4 training rounds and explodes the
     final vocab's symbol stream weighted by word frequency."""
-    from peerdb_spark.functions.bpe import bpe_encode, bpe_train
+    from peerdb_spark.functions.bpe import bpe_train
     from peerdb_spark.functions.text import tokens as _tokens
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
@@ -2924,8 +2959,20 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = wc.groupBy("w").agg(F.sum("n_w").alias("freq"))
     merges, _ = bpe_train(None, "text", k=4, word_freqs=wf)
-    enc = bpe_encode(None, merges, "text", "doc_id", word_counts=wc)
-    glob = enc.groupBy("token").agg(F.sum("n").alias("n"))
+    from peerdb_spark.functions.bpe import bpe_encode_words
+    # encode the DISTINCT vocab (bpe_encode_words, the fold kernel under
+    # test) and aggregate the GLOBAL counts straight off the exploded
+    # word counts: sum over docs of per-doc counts == sum of n_w per
+    # token occurrence, so the (doc_id, token) hash exchange the generic
+    # bpe_encode wrapper pays for its per-doc output is provably pure
+    # overhead for this global top-40 (§2.3 aggregate before you
+    # shuffle / §1.2 don't compute what you throw away; r13 A/B below,
+    # oracle hash-identical). The per-doc surface stays gated through
+    # tests/test_bpe.py and the kernels are unchanged.
+    n_part = spark.sparkContext.defaultParallelism
+    vocab = bpe_encode_words(wc.select("w").distinct().repartition(n_part), merges)
+    per_word = wc.join(vocab, "w").select(F.explode("tokens").alias("token"), "n_w")
+    glob = per_word.groupBy("token").agg(F.sum("n_w").alias("n"))
     w = Window.orderBy(F.desc("n"), "token")
     return (
         glob.select("token", F.col("n").cast("long").alias("n"),
@@ -2942,7 +2989,7 @@ def q_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_encode_tokens' oracle, so the gate value-verifies the Python
     kernel against the unrolled SQL training rounds, not just against the
     fold path (which tests/test_bpe.py already pins it to)."""
-    from peerdb_spark.functions.bpe import bpe_encode, bpe_train
+    from peerdb_spark.functions.bpe import bpe_train
     from peerdb_spark.functions.text import tokens as _tokens
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents")[0])
@@ -2957,9 +3004,16 @@ def q_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = wc.groupBy("w").agg(F.sum("n_w").alias("freq"))
     merges, _ = bpe_train(None, "text", k=4, word_freqs=wf)
-    enc = bpe_encode(None, merges, "text", "doc_id", word_counts=wc,
-                     strategy="ranked")
-    glob = enc.groupBy("token").agg(F.sum("n").alias("n"))
+    # same global-aggregation shape as q_bpe_encode_tokens (see the
+    # rationale there): encode the distinct vocab with the RANKED kernel
+    # and sum n_w per exploded token — one corpus-sized exchange removed,
+    # oracle hash-identical
+    from peerdb_spark.functions.bpe import bpe_encode_words
+    n_part = spark.sparkContext.defaultParallelism
+    vocab = bpe_encode_words(wc.select("w").distinct().repartition(n_part),
+                             merges, strategy="ranked")
+    per_word = wc.join(vocab, "w").select(F.explode("tokens").alias("token"), "n_w")
+    glob = per_word.groupBy("token").agg(F.sum("n_w").alias("n"))
     w = Window.orderBy(F.desc("n"), "token")
     return (
         glob.select("token", F.col("n").cast("long").alias("n"),

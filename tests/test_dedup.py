@@ -229,22 +229,27 @@ def test_connected_components_distributed_path_matches_driver(spark):
     import random
 
     rng = random.Random(13)
-    for _ in range(2):
+    # the two random graphs run as ONE disjoint union (node ids offset by
+    # 1000): components never cross the offset, so CC(union) == union of
+    # CCs and each iterative star-alternation pass runs once, not twice
+    edges = []
+    for trial in range(2):
         n = rng.randint(5, 60)
-        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
-        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
-        df = spark.createDataFrame(edges, "src long, dst long")
-        fast = {
-            (r["node"], r["rep"])
-            for r in D.connected_components(df, "src", "dst").collect()
-        }
-        dist = {
-            (r["node"], r["rep"])
-            for r in D.connected_components(
-                df, "src", "dst", driver_threshold=0
-            ).collect()
-        }
-        assert fast == dist
+        t_edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+        t_edges = [(a, b) for a, b in t_edges if a != b] or [(0, 1)]
+        edges += [(trial * 1000 + a, trial * 1000 + b) for a, b in t_edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r["node"], r["rep"])
+        for r in D.connected_components(df, "src", "dst").collect()
+    }
+    dist = {
+        (r["node"], r["rep"])
+        for r in D.connected_components(
+            df, "src", "dst", driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist
 
 
 def test_incremental_lsh_ingest_count_log_equals_full_recount(spark, tables):
@@ -288,11 +293,14 @@ def test_incremental_lsh_ingest_count_log_equals_full_recount(spark, tables):
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert got == expect_batch
         all_pairs |= got
-        # accept the batch: append to maintained state
-        sigs = sigs.unionByName(new_sigs)
-        banded = banded.unionByName(new_banded)
-        counts = counts.unionByName(delta)
-        seen = seen.unionByName(nb)
+        # accept the batch: append to maintained state. Checkpoint the
+        # accumulated state so later rounds (and their full-recount
+        # expectations) don't re-execute the whole minhash history per
+        # action — the recompute was most of this test's wall time.
+        sigs = sigs.unionByName(new_sigs).localCheckpoint(eager=True)
+        banded = banded.unionByName(new_banded).localCheckpoint(eager=True)
+        counts = counts.unionByName(delta).localCheckpoint(eager=True)
+        seen = seen.unionByName(nb).localCheckpoint(eager=True)
     # the count LOG (multiple rows per key) sums to the full recount
     log_tot = {
         (r["band"], r["band_hash"]): r["tot"]
