@@ -2971,7 +2971,12 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_bpe.py and the kernels are unchanged.
     n_part = spark.sparkContext.defaultParallelism
     vocab = bpe_encode_words(wc.select("w").distinct().repartition(n_part), merges)
-    per_word = wc.join(vocab, "w").select(F.explode("tokens").alias("token"), "n_w")
+    per_word = wc.join(vocab, "w").select(
+        # explode_OUTER: a plain explode's inferred size(tokens)>0 filter
+        # pushes the merge-fold below the vocab distinct and re-evaluates
+        # it per corpus row (see bpe.bpe_encode; tokens is never null or
+        # empty, so outer == inner). Measured 4.4 -> 1.2 s at x10.
+        F.explode_outer("tokens").alias("token"), "n_w")
     glob = per_word.groupBy("token").agg(F.sum("n_w").alias("n"))
     w = Window.orderBy(F.desc("n"), "token")
     return (
@@ -3012,7 +3017,12 @@ def q_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     vocab = bpe_encode_words(wc.select("w").distinct().repartition(n_part),
                              merges, strategy="ranked")
-    per_word = wc.join(vocab, "w").select(F.explode("tokens").alias("token"), "n_w")
+    per_word = wc.join(vocab, "w").select(
+        # explode_OUTER: a plain explode's inferred size(tokens)>0 filter
+        # pushes the merge-fold below the vocab distinct and re-evaluates
+        # it per corpus row (see bpe.bpe_encode; tokens is never null or
+        # empty, so outer == inner). Measured 4.4 -> 1.2 s at x10.
+        F.explode_outer("tokens").alias("token"), "n_w")
     glob = per_word.groupBy("token").agg(F.sum("n_w").alias("n"))
     w = Window.orderBy(F.desc("n"), "token")
     return (
