@@ -2223,7 +2223,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_cells = F.array_sort(dists(F.col("qv")))
     corpus = c.select(
         "vec_id", "qv", F.element_at(sorted_cells, 1)["cell"].alias("cell")
-    )
+    # lazy-checkpoint BARRIER (r13): the cell equi-join infers
+    # isnotnull(cell) and alias-substitution pushes it below this
+    # projection, re-evaluating the full 8-centroid distance array PER
+    # CORPUS ROW a second time (plans/r12: 25 aggregate(zip_with
+    # occurrences; the Filter condition alone was 6.7 KB). The barrier
+    # materializes the assignment once — the same corpus-sized in-memory
+    # posture as pq's sv snapshot; at 100 TB the IVF assignment is
+    # precomputed/stored state anyway. A/B interleaved: 2.70 -> 1.28 s
+    # min, results identical.
+    ).localCheckpoint(eager=False)
     q = c.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qq"),
@@ -3766,6 +3775,11 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = TX.fingerprint_df(
         ensure_parallelism(docs.select("doc_id", "text")), "text"
     ).select("doc_id", "fingerprint")
+    # lazy-checkpoint barrier (r13, same class as ivf_topk): the isNotNull
+    # filter below is alias-substituted under this projection, evaluating
+    # the rolling-hash min-over-8-grams twice per doc (plans/r12:
+    # array_min(transform( x2). 16 B/row snapshot; A/B 1.03 -> 0.96 s.
+    fp = fp.localCheckpoint(eager=False)
     return (
         fp.where(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
