@@ -3607,6 +3607,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     c = c.select("vec_id", "qv", sig.cast("int").alias("bkt"), norm2.alias("n2"))
+    # lazy-checkpoint barrier (r13, same class as ivf_topk): the bucket
+    # self-join infers isnotnull(bkt) on both sides and alias-substitution
+    # would re-evaluate the 8-plane SRP signature per row per side
+    c = c.localCheckpoint(eager=False)
     a = c.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("va"),
                  F.col("n2").alias("na"), "bkt")
     b = c.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"),
