@@ -320,20 +320,33 @@ def test_decontaminate_property(spark):
         w = t.split()
         return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
 
+    # all 25 random cases run as ONE decontaminate call: each case's words
+    # get a case-unique suffix (disjoint alphabets), so n-grams can never
+    # collide across cases and the per-(doc, bench) pair counts are exactly
+    # the per-case results — the per-case collect() version paid 25 tiny
+    # Spark jobs (~16 s of job overhead) for the same assertions
+    def tag(text, ci):
+        return " ".join(f"{w}{ci}" for w in text.split())
+
+    trows, brows = [], []
     for ci, (train, bench) in enumerate(corpora):
-        tdf = spark.createDataFrame(
-            [Row(doc_id=i, text=t) for i, t in enumerate(train)])
-        bdf = spark.createDataFrame([Row(doc_id=1000, text=bench)])
-        got = {
-            (r.doc_id, r.shared_ngrams)
-            for r in CP.decontaminate(tdf, bdf, n=3, min_shared=1).collect()
-        }
+        trows += [Row(doc_id=ci * 100 + i, text=tag(t, ci))
+                  for i, t in enumerate(train)]
+        brows.append(Row(doc_id=1000 + ci, text=tag(bench, ci)))
+    tdf = spark.createDataFrame(trows)
+    bdf = spark.createDataFrame(brows)
+    by_case = {}
+    for r in CP.decontaminate(tdf, bdf, n=3, min_shared=1).collect():
+        by_case.setdefault(r.bench_id - 1000, set()).add(
+            (r.doc_id, r.shared_ngrams))
+    for ci, (train, bench) in enumerate(corpora):
+        got = by_case.get(ci, set())
         want = set()
         bg = grams(bench)
         for i, t in enumerate(train):
             shared = len(grams(t) & bg)
             if shared >= 1:
-                want.add((i, shared))
+                want.add((ci * 100 + i, shared))
         assert got == want, (ci, got, want)
 
 
